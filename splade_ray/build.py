@@ -1,0 +1,313 @@
+"""Resumable, fragment-partitioned index build (Ray Data pipeline).
+
+Replaces the reference's single-writer build loop (``splade/index.py:14-35`` →
+``SparseIndexing.index``, ``splade/tasks/transformer_evaluator.py:31-76``)
+with a shuffle-free Ray Data design:
+
+- The corpus is partitioned into *segments* = contiguous row ranges of the
+  input Parquet files, planned driver-side from file metadata only. Segment
+  boundaries derive from (file order, row offset), so they are identical at
+  any parallelism level — this is what makes doc-id assignment deterministic
+  (the reference's sequential counter, ``transformer_evaluator.py:47-51``,
+  becomes ``global_row_offset + local_row``) and builds resumable.
+- A ``map_batches`` stage over the segment specs tokenizes, computes the
+  per-row content sha256 invariant, and writes each segment atomically
+  (tmp dir + rename) with a lineage manifest. The heavy data (postings)
+  never crosses the object store — only manifest rows do.
+- The only shuffle is lexicon-sized: per-segment term stats (already
+  pre-aggregated) are ``groupby(term).sum``-merged into the global lexicon
+  (the hierarchical merge of the north rule; analog of ``index_dist.json``,
+  ``inverted_index.py:90-94``).
+
+On re-run, segments with a valid manifest are skipped (per-partition
+checkpointing; Ray gives task retries, the layout gives job resume).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from splade_ray.analysis import analyze_docs
+from splade_ray.segments import BLOCK_SIZE, build_segment_tables
+
+SCHEMA_VERSION = 2
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("seg_id", pa.int64()),
+        ("path", pa.string()),
+        ("row_start", pa.int64()),
+        ("num_rows", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("n_terms", pa.int64()),
+        ("sum_doc_len", pa.int64()),
+        ("content_sha_rollup", pa.string()),
+        ("build_secs", pa.float64()),
+        ("skipped", pa.bool_()),
+    ]
+)
+
+
+def plan_segments(paths: list[str], rows_per_segment: int) -> list[dict]:
+    """Plan contiguous row-range segments from Parquet footers (driver-side,
+    metadata only). Deterministic for a given input layout."""
+    specs = []
+    global_row = 0
+    seg_id = 0
+    for path in sorted(paths):
+        n = pq.ParquetFile(path).metadata.num_rows
+        start = 0
+        while start < n:
+            cnt = min(rows_per_segment, n - start)
+            specs.append(
+                {
+                    "seg_id": seg_id,
+                    "path": path,
+                    "row_start": start,
+                    "num_rows": cnt,
+                    "doc_id_start": global_row + start,
+                }
+            )
+            seg_id += 1
+            start += cnt
+        global_row += n
+    return specs
+
+
+def _read_slice(path: str, row_start: int, num_rows: int, columns: list[str]) -> pa.Table:
+    """Read a contiguous row slice, touching only the overlapping row groups
+    (at scale segments align with row groups, so the over-read is bounded by
+    one row-group on each side)."""
+    f = pq.ParquetFile(path)
+    first = 0
+    groups, offset_in_sel = [], None
+    for g in range(f.metadata.num_row_groups):
+        n = f.metadata.row_group(g).num_rows
+        if first + n > row_start and first < row_start + num_rows:
+            if offset_in_sel is None:
+                offset_in_sel = row_start - first
+            groups.append(g)
+        first += n
+    t = f.read_row_groups(groups, columns=columns)
+    return t.slice(offset_in_sel or 0, num_rows)
+
+
+def _seg_dir(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
+
+
+def _manifest_valid(seg_dir: str, spec: dict) -> dict | None:
+    mpath = os.path.join(seg_dir, "manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as fh:
+            m = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    same = (
+        m.get("schema_version") == SCHEMA_VERSION
+        and m.get("completed") is True
+        and m.get("path") == spec["path"]
+        and m.get("row_start") == spec["row_start"]
+        and m.get("num_rows") == spec["num_rows"]
+        and m.get("doc_id_start") == spec["doc_id_start"]
+        and os.path.exists(os.path.join(seg_dir, "postings.parquet"))
+        and os.path.exists(os.path.join(seg_dir, "doclens.parquet"))
+    )
+    return m if same else None
+
+
+def build_segments_batch(
+    batch: pa.Table,
+    *,
+    index_dir: str,
+    text_col: str,
+    id_col: str | None,
+    block_size: int = BLOCK_SIZE,
+    extra_doc_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """Build (or skip) one segment per input spec row. Stateless task: the
+    tokenizer regex is module-level-compiled, all other state is per-call."""
+    out = {name: [] for name in MANIFEST_SCHEMA.names}
+
+    def emit(spec, m, skipped):
+        out["seg_id"].append(spec["seg_id"])
+        out["path"].append(spec["path"])
+        out["row_start"].append(spec["row_start"])
+        out["num_rows"].append(spec["num_rows"])
+        out["n_docs"].append(m["n_docs"])
+        out["n_postings"].append(m["n_postings"])
+        out["n_terms"].append(m["n_terms"])
+        out["sum_doc_len"].append(m["sum_doc_len"])
+        out["content_sha_rollup"].append(m["content_sha_rollup"])
+        out["build_secs"].append(m["build_secs"])
+        out["skipped"].append(skipped)
+
+    for spec in batch.to_pylist():
+        seg_dir = _seg_dir(index_dir, spec["seg_id"])
+        existing = _manifest_valid(seg_dir, spec)
+        if existing is not None:
+            emit(spec, existing, True)
+            continue
+        t0 = time.monotonic()
+        cols = [text_col] + [c for c in extra_doc_cols if c != text_col]
+        if id_col:
+            cols = [id_col] + cols
+        tbl = _read_slice(spec["path"], spec["row_start"], spec["num_rows"], cols)
+        if id_col:
+            doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            doc_id_arr = spec["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
+            tbl = tbl.append_column("doc_id", pa.array(doc_id_arr))
+        order = np.argsort(doc_id_arr, kind="stable")  # posting lists need asc doc ids
+        if not np.array_equal(order, np.arange(len(tbl))):
+            tbl = tbl.take(pa.array(order))
+        eff_id_col = id_col or "doc_id"
+
+        # per-row content sha256 — the north-rule invariant vs the source table
+        shas = [
+            hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+            for x in tbl[text_col].to_pylist()
+        ]
+        counters, doc_ids, doc_lens = analyze_docs(tbl, id_col=eff_id_col, text_col=text_col)
+        postings = build_segment_tables(counters, doc_ids, doc_lens, block_size)
+
+        tmp = os.path.join(index_dir, "segments", f".tmp-{spec['seg_id']:06d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
+        doclens_cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_len": pa.array(doc_lens, pa.int64()),
+            "content_sha256": pa.array(shas, pa.string()),
+        }
+        for c in extra_doc_cols:
+            doclens_cols[c] = tbl[c]
+        pq.write_table(pa.table(doclens_cols), os.path.join(tmp, "doclens.parquet"))
+        manifest = {
+            "schema_version": SCHEMA_VERSION,
+            "completed": True,
+            **{k: spec[k] for k in ("seg_id", "path", "row_start", "num_rows", "doc_id_start")},
+            "n_docs": int(len(doc_ids)),
+            "n_postings": int(sum(len(c) for c in counters)),
+            "n_terms": int(postings.num_rows),
+            "sum_doc_len": int(doc_lens.sum()),
+            "content_sha_rollup": hashlib.sha256("".join(shas).encode()).hexdigest(),
+            "block_size": block_size,
+            "build_secs": time.monotonic() - t0,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
+        os.rename(tmp, seg_dir)
+        emit(spec, manifest, False)
+    return pa.table(out, schema=MANIFEST_SCHEMA)
+
+
+def build_index(
+    corpus_paths: str | list[str],
+    index_dir: str,
+    *,
+    text_col: str = "content",
+    id_col: str | None = None,
+    rows_per_segment: int = 50_000,
+    block_size: int = BLOCK_SIZE,
+    extra_doc_cols: tuple[str, ...] = (),
+    concurrency: int | None = None,
+) -> dict:
+    """Build (or resume) the full index. Returns the global manifest dict.
+
+    ``id_col=None`` assigns dense doc ids from the deterministic global row
+    position; passing an existing id column preserves external ids.
+    """
+    if isinstance(corpus_paths, str):
+        p = corpus_paths
+        corpus_paths = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+    specs = plan_segments(corpus_paths, rows_per_segment)
+    t0 = time.monotonic()
+    manifests = (
+        rd.from_items(specs)
+        .map_batches(
+            build_segments_batch,
+            batch_format="pyarrow",
+            batch_size=1,  # one segment per task -> retries and skips are per segment
+            fn_kwargs=dict(
+                index_dir=index_dir,
+                text_col=text_col,
+                id_col=id_col,
+                block_size=block_size,
+                extra_doc_cols=extra_doc_cols,
+            ),
+            concurrency=concurrency,
+        )
+        .to_pandas()
+    )
+    any_built = bool((~manifests["skipped"]).any())
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if any_built or not os.path.exists(lex_dir):
+        # The one (small) shuffle: per-segment term stats -> global lexicon.
+        seg_postings = [
+            os.path.join(_seg_dir(index_dir, s["seg_id"]), "postings.parquet") for s in specs
+        ]
+        lex = (
+            rd.read_parquet(seg_postings, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        )
+        tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
+        lex.write_parquet(tmp_lex)
+        if os.path.exists(lex_dir):
+            shutil.rmtree(lex_dir)
+        os.rename(tmp_lex, lex_dir)
+
+    n_docs = int(manifests["n_docs"].sum())
+    sum_dl = int(manifests["sum_doc_len"].sum())
+    global_manifest = {
+        "schema_version": SCHEMA_VERSION,
+        "block_size": block_size,
+        "text_col": text_col,
+        "id_col": id_col,
+        "n_docs": n_docs,
+        "n_postings": int(manifests["n_postings"].sum()),
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+        "n_segments": len(specs),
+        "segments": [int(s) for s in manifests["seg_id"]],
+        "n_segments_skipped": int(manifests["skipped"].sum()),
+        "build_secs": time.monotonic() - t0,
+        "docs_per_sec": n_docs / max(time.monotonic() - t0, 1e-9),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(global_manifest, fh, indent=1)
+    return global_manifest
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as fh:
+        return json.load(fh)
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    m = load_manifest(index_dir)
+    return [_seg_dir(index_dir, s) for s in m["segments"]]

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``cosine_topk``: brute-force cosine top-k — numpy matmul per batch against
+  a broadcast query matrix (``ray.put`` once, fetched per actor), partial
+  top-k per batch, then a tiny ``groupby(query_id)`` merge. This is the
+  exact baseline and is SQL-oracle-checkable.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets (seeded,
+  deterministic); queries only scan their own bucket (approximate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchCosineScorer:
+    """map_batches stage: score one batch of vectors against all queries."""
+
+    def __init__(self, queries_ref, top_k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = q["query_ids"]
+        self.qmat = _normalize(q["matrix"])
+        self.top_k = top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        sims = self.qmat @ _normalize(mat).T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.top_k, sims.shape[1])
+        for qi, qid in enumerate(self.query_ids):
+            row = sims[qi]
+            if k < row.size:
+                cand = np.argpartition(-row, k - 1)
+                cut = np.partition(-row, k - 1)[k - 1]
+                cand = np.flatnonzero(-row <= cut)
+            else:
+                cand = np.arange(row.size)
+            out_q.extend([qid] * cand.size)
+            out_v.extend(vec_ids[cand].tolist())
+            out_s.extend(row[cand].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def _merge_topk(g: pd.DataFrame, *, top_k: int) -> pd.DataFrame:
+    g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(top_k)
+    g = g.copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "rank", "vec_id", "sim"]]
+
+
+def cosine_topk(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, top_k: int = 10):
+    """Exact brute-force cosine top-k. ``query_matrix`` is broadcast once."""
+    ref = ray.put({"query_ids": np.asarray(query_ids, np.int64), "matrix": query_matrix})
+    cand = ds.map_batches(
+        BatchCosineScorer,
+        batch_format="pyarrow",
+        batch_size=2048,
+        fn_constructor_kwargs={"queries_ref": ref, "top_k": top_k},
+        concurrency=4,
+    )
+    return cand.groupby("query_id").map_groups(
+        _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    )
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane signatures: vectors in the same bucket are
+    likely high-cosine. Signature = sign pattern of ``n_planes`` projections."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim))
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m.astype(np.float64) @ self.planes.T) > 0
+        weights = (1 << np.arange(self.planes.shape[0], dtype=np.int64))
+        return bits.astype(np.int64) @ weights
+
+
+def lsh_buckets(ds, *, dim: int, n_planes: int = 12, seed: int = 42):
+    """Attach an LSH bucket id to each vector (the scale path for ANN:
+    co-bucket candidates only; recall controlled by n_planes)."""
+
+    class Stage:
+        def __init__(self):
+            self.lsh = HyperplaneLSH(dim, n_planes, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            sig = self.lsh.signature(mat)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": pa.array(sig, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)

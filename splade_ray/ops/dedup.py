@@ -1,0 +1,284 @@
+"""Deduplication operators over a document table.
+
+The reference has no document dedup (SURVEY.md §2.7); these are the
+training-data-pipeline operators the engine needs at 100 TB scale:
+
+- exact:   content-hash groupby (hash-partitioned; one shuffle of (hash,id))
+- minhash: shingle -> minhash -> banded LSH -> bucket groupby -> candidate
+           pairs -> jaccard-estimate verification (the scale path: only
+           band-bucket rows shuffle, never documents)
+- simhash: 64-bit weighted fingerprint, hamming-banded candidate pairs
+- ngram_jaccard: exact Jaccard inside (lang, length-band) blocks — the
+           deterministic, SQL-expressible blocking makes it oracle-checkable
+
+All hash functions are seed-deterministic (no runtime randomness).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from splade_ray.analysis import tokenize
+
+MERSENNE = (1 << 61) - 1
+
+
+def add_text_sha(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    shas = [
+        hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+        for x in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("text_sha256", pa.array(shas, pa.string()))
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest doc_id per identical text; returns
+    (doc_id, n_copies). One shuffle over (hash, id) rows only."""
+    hashed = ds.map_batches(
+        add_text_sha, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).select_columns(["text_sha256", id_col])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g[id_col].min())], "n_copies": [len(g)]}
+        )
+
+    return hashed.groupby("text_sha256").map_groups(keep_first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- minhash/LSH
+
+
+def _shingles(tokens: list[str], k: int = 3) -> set[int]:
+    """Word k-shingles hashed to 61-bit ints (stable across processes)."""
+    if len(tokens) < k:
+        toks = tokens or [""]
+        return {
+            int.from_bytes(hashlib.blake2b(" ".join(toks).encode(), digest_size=8).digest(), "big")
+            % MERSENNE
+        }
+    out = set()
+    for i in range(len(tokens) - k + 1):
+        h = hashlib.blake2b(" ".join(tokens[i : i + k]).encode(), digest_size=8).digest()
+        out.add(int.from_bytes(h, "big") % MERSENNE)
+    return out
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.fromiter(sh, np.uint64, len(sh))
+    # (a*x + b) mod p, vectorized over perms × shingles via outer product
+    vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(MERSENNE)
+    return vals.min(axis=1)
+
+
+class MinHashStage:
+    """Actor-pool stage: per-doc minhash signatures + banded LSH keys.
+    Permutation params are built once per actor (``__init__``)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes, sigs = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = _shingles(tokenize(text or ""), self.shingle_k)
+            sig = minhash_signature(sh, self.a, self.b)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(did)
+                band_ids.append(band)
+                band_hashes.append(bh)
+                sigs.append(sig.tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band": pa.array(band_ids, pa.int64()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, with estimated Jaccard from the
+    carried signatures. Buckets are tiny (near-dup clusters), so the
+    quadratic is bounded; dedup of pairs across bands happens downstream."""
+    g = g.sort_values("doc_id").drop_duplicates("doc_id")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard": np.float64}
+        )
+    ids = g["doc_id"].to_numpy(np.int64)
+    sigs = np.stack([np.frombuffer(s, np.uint64) for s in g["sig"]])
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            est = float((sigs[i] == sigs[j]).mean())
+            rows.append((int(ids[i]), int(ids[j]), est))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+
+def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                      min_est_jaccard: float = 0.5):
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+    Shuffle cost: (bands × docs) small rows, never the documents themselves."""
+    band_rows = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        concurrency=4,
+    )
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.head(1)[["doc_a", "doc_b", "est_jaccard"]]
+        return out[out["est_jaccard"] >= min_est_jaccard]
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Weighted 64-bit simhash over token frequencies (deterministic)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, np.int64)
+    from collections import Counter
+
+    for tok, w in Counter(tokens).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, w, -w)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    hs = [simhash64(tokenize(t or "")) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(np.array(hs, np.uint64), pa.uint64()),
+        }
+    )
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text"):
+    """Near-dup pairs by simhash hamming distance, blocked on 16-bit chunks
+    (any pair within hamming<=3 of 64 bits shares at least one of 4 chunks)."""
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        docs, chunks, keys, full = [], [], [], []
+        for c in range(4):
+            part = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            docs.extend(doc.tolist())
+            chunks.extend([c] * len(doc))
+            keys.extend(part.tolist())
+            full.extend(h.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "chunk": pa.array(chunks, pa.int64()),
+                "key": pa.array(keys, pa.int64()),
+                "simhash": pa.array(np.array(full, np.uint64), pa.uint64()),
+            }
+        )
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if d <= max_hamming:
+                    rows.append((int(ids[i]), int(ids[j]), d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+        )
+
+    pairs = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "key"])
+        .map_groups(bucket, batch_format="pandas")
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)[["doc_a", "doc_b", "hamming"]]
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+
+
+# ----------------------------------------------------- exact n-gram jaccard
+
+
+def ngram_set(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    toks = tokenize(text or "")
+    if len(toks) < n:
+        return {tuple(toks)} if toks else set()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: float = 0.8,
+                        text_col: str = "text", lang_col: str = "lang"):
+    """Exact word-n-gram Jaccard pairs within (lang, n_chars//band_chars)
+    blocks. The blocking is part of the operator's contract (documented,
+    deterministic, SQL-expressible) — pairs crossing a length band are out of
+    scope by definition, which is what makes this oracle-checkable."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        bands = [len(t or "") // band_chars for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch[lang_col],
+                "band": pa.array(bands, pa.int64()),
+                "text": batch[text_col],
+            }
+        )
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(np.int64)
+        sets = [ngram_set(t, n) for t in g["text"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = sets[i], sets[j]
+                u = len(si | sj)
+                jac = (len(si & sj) / u) if u else 1.0
+                if jac >= min_jaccard:
+                    rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_r"]).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard_r": np.float64}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["lang", "band"])
+        .map_groups(block, batch_format="pandas")
+    )

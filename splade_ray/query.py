@@ -1,0 +1,260 @@
+"""BM25 top-k retrieval: scatter-gather over index segments.
+
+Replaces the reference's single-process retriever (``SparseRetrieval``,
+``splade/tasks/transformer_evaluator.py:113-193``: whole index in RAM, one
+query at a time) with the inverse parallelism: a batch of queries is
+broadcast once (``ray.put``) to an actor pool over doc-partitioned segments;
+each segment scores all queries term-at-a-time against its local postings
+(score accumulators sized to the *segment's* doc count, not the global N —
+contrast ``transformer_evaluator.py:100``), keeps a per-(query, segment)
+top-k, and a small ``groupby(query_id)`` merges per-segment heaps into the
+global top-k with the deterministic (score desc, doc_id asc) tie-break.
+
+Two scoring kernels share the same decoded postings:
+- ``exact``  — term-at-a-time numpy accumulation (the oracle semantics);
+- ``bmw``    — block-max WAND early termination (splade_ray.wand), verified
+               equal to ``exact`` by property tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from splade_ray.analysis import term_counts
+from splade_ray.bm25 import BM25Params, idf, tf_component, topk_from_scores
+from splade_ray.build import load_manifest, segment_dirs
+from splade_ray.segments import decode_posting
+
+RUN_COLUMNS = ["query_id", "rank", "doc_id", "score"]
+
+
+def prepare_queries(
+    index_dir: str, queries: list[tuple[int, str]], params: BM25Params | None = None
+) -> dict:
+    """Driver-side query prep: tokenize, look up global df for the (few)
+    query terms from the lexicon with predicate pushdown, precompute idf.
+    The result is a small broadcastable dict — the global-stats side of the
+    scatter-gather (small-side broadcast, not a shuffle join)."""
+    params = params or BM25Params()
+    manifest = load_manifest(index_dir)
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    tokenized = {int(qid): term_counts(text) for qid, text in queries}
+    all_terms = sorted({t for c in tokenized.values() for t in c})
+    dfs: dict[str, int] = {}
+    if all_terms:
+        lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(all_terms)
+        )
+        dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    prepared_queries = {}
+    for qid, c in tokenized.items():
+        terms = [
+            (t, int(c[t]), idf(dfs[t], n_docs))
+            for t in sorted(c)
+            if t in dfs
+        ]
+        prepared_queries[qid] = terms
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "params": params,
+        "queries": prepared_queries,
+        "terms": sorted({t for ts in prepared_queries.values() for t, _, _ in ts}),
+    }
+
+
+class SegmentIndex:
+    """One loaded segment: doc ids / lengths + (lazily filtered) postings."""
+
+    def __init__(self, seg_dir: str, terms: list[str] | None = None):
+        self.seg_dir = seg_dir
+        dl = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id", "doc_len"]
+        )
+        self.doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
+        self.doc_lens = dl["doc_len"].to_numpy().astype(np.int64)
+        src = pads.dataset(os.path.join(seg_dir, "postings.parquet"))
+        flt = pads.field("term").isin(terms) if terms is not None else None
+        self.postings = src.to_table(filter=flt)
+        self._by_term = {t: i for i, t in enumerate(self.postings["term"].to_pylist())}
+
+    def posting(self, term: str):
+        i = self._by_term.get(term)
+        if i is None:
+            return None
+        row = self.postings.slice(i, 1)
+        docs, tfs = decode_posting(
+            row["docs_enc"][0].as_py(), row["tfs_enc"][0].as_py(), row["df"][0].as_py()
+        )
+        return docs, tfs, row
+
+    def posting_row(self, term: str) -> dict | None:
+        """Raw (still-encoded) posting row incl. block-max metadata — the
+        input shape for the block-skipping WAND iterator."""
+        i = self._by_term.get(term)
+        if i is None:
+            return None
+        return {name: self.postings[name][i].as_py() for name in self.postings.column_names}
+
+    def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
+        p: BM25Params = prepared["params"]
+        avgdl = prepared["avgdl"]
+        # Decode each needed term once, share across queries.
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        rows: list[tuple[int, int, float]] = []
+        for qid, terms in prepared["queries"].items():
+            scores = np.zeros(self.doc_ids.size, np.float64)
+            hit = False
+            for term, qtf, w in terms:  # terms pre-sorted -> fixed summation order
+                if term not in cache:
+                    post = self.posting(term)
+                    if post is None:
+                        cache[term] = (np.empty(0, np.int64), np.empty(0, np.int64))
+                    else:
+                        docs, tfs, _ = post
+                        pos = np.searchsorted(self.doc_ids, docs)
+                        cache[term] = (pos, tfs)
+                pos, tfs = cache[term]
+                if pos.size == 0:
+                    continue
+                hit = True
+                scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
+            if not hit:
+                continue
+            docs, scs = topk_from_scores(self.doc_ids, scores, p.top_k, p.threshold)
+            rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return rows
+
+    def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
+        from splade_ray.wand import score_segment_bmw
+
+        return score_segment_bmw(self, prepared)
+
+
+class ScoreSegments:
+    """Actor-pool ``map_batches`` stage over segment paths. The prepared query
+    set is fetched from the object store once per actor (``__init__``), not
+    re-shipped per batch."""
+
+    def __init__(self, prepared_ref, method: str = "exact"):
+        self.prepared = ray.get(prepared_ref) if isinstance(prepared_ref, ray.ObjectRef) else prepared_ref
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple[int, int, float]] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentIndex(seg_dir, self.prepared["terms"])
+            fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
+            rows.extend(fn(self.prepared))
+        qids = np.array([r[0] for r in rows], np.int64)
+        docs = np.array([r[1] for r in rows], np.int64)
+        scs = np.array([r[2] for r in rows], np.float64)
+        return pa.table(
+            {"query_id": pa.array(qids), "doc_id": pa.array(docs), "score": pa.array(scs)}
+        )
+
+
+def merge_topk(group: pd.DataFrame, *, top_k: int) -> pd.DataFrame:
+    """Merge per-segment candidate heaps into the global top-k for one query
+    (the scatter-gather reduce; analog of ``select_topk`` with deterministic
+    ties, transformer_evaluator.py:83-90)."""
+    g = group.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    g = g.head(top_k).copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+    return g[["query_id", "rank", "doc_id", "score"]]
+
+
+def search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    method: str = "exact",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
+    (query_id, rank, doc_id, score) sorted by (query_id, rank)."""
+    params = params or BM25Params()
+    prepared = prepare_queries(index_dir, queries, params)
+    segs = segment_dirs(index_dir)
+    prepared_ref = ray.put(prepared)
+    cand = rd.from_items([{"seg_dir": s} for s in segs]).map_batches(
+        ScoreSegments,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_constructor_kwargs={"prepared_ref": prepared_ref, "method": method},
+        # autoscaling pool: starts small, grows to the CPU budget — a fixed
+        # pool larger than the cluster deadlocks behind the downstream stages
+        concurrency=concurrency or (1, min(len(segs), 16)),
+    )
+    run = cand.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas", fn_kwargs={"top_k": params.top_k}
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+@ray.remote
+class IndexShardActor:
+    """Persistent shard for repeated query workloads (the analog of the
+    reference's long-lived ``SparseRetrieval`` state, loaded once —
+    transformer_evaluator.py:119-141 — but per doc-partitioned shard)."""
+
+    def __init__(self, seg_dirs: list[str], method: str = "exact"):
+        self.seg_dirs = seg_dirs
+        self.method = method
+
+    def search(self, prepared: dict) -> list[tuple[int, int, float]]:
+        rows: list[tuple[int, int, float]] = []
+        for seg_dir in self.seg_dirs:
+            seg = SegmentIndex(seg_dir, prepared["terms"])
+            fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
+            rows.extend(fn(prepared))
+        return rows
+
+
+class Searcher:
+    """Driver-side handle over a pool of shard actors for low-latency
+    repeated queries (used by bench.py for p50 latency)."""
+
+    def __init__(self, index_dir: str, num_shards: int = 8, method: str = "exact"):
+        self.index_dir = index_dir
+        self.params_default = BM25Params()
+        segs = segment_dirs(index_dir)
+        num_shards = max(1, min(num_shards, len(segs)))
+        assignment: list[list[str]] = [[] for _ in range(num_shards)]
+        for i, s in enumerate(segs):
+            assignment[i % num_shards].append(s)
+        self.actors = [IndexShardActor.remote(a, method) for a in assignment]
+
+    def search(self, queries: list[tuple[int, str]], params: BM25Params | None = None) -> pd.DataFrame:
+        params = params or self.params_default
+        prepared = prepare_queries(self.index_dir, queries, params)
+        results = ray.get([a.search.remote(prepared) for a in self.actors])
+        rows = [r for part in results for r in part]
+        if not rows:
+            return pd.DataFrame(columns=RUN_COLUMNS)
+        df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+        out = (
+            df.groupby("query_id", group_keys=False)
+            .apply(lambda g: merge_topk(g, top_k=params.top_k))
+            .reset_index(drop=True)
+        )
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

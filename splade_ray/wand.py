@@ -1,0 +1,192 @@
+"""Block-max WAND early-termination scoring.
+
+The reference's latency numbers come from PISA's ``block_max_wand`` over a
+``block_simdbp`` index with fixed block-max windows
+(``efficient_splade_pisa/README.md:28-38``); this module is our native
+equivalent over the Parquet posting segments. Upper bounds are evaluated at
+query time from each block's stored ``(tf_max, dl_min)`` (see
+``splade_ray.bm25.term_upper_bound``), so they are valid for any global
+``avgdl``. Exactness (identical docIDs and scores to the exact term-at-a-time
+kernel) is property-tested in tests/test_wand.py: pruning only ever discards
+docs whose score upper bound is <= the current k-th best score, and because
+WAND visits docs in ascending id order, an equal-score later doc would lose
+the (score desc, doc_id asc) tie-break anyway.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from splade_ray.bm25 import BM25Params, term_upper_bound, tf_component
+from splade_ray.codec import varbyte_decode
+
+
+class PostingIterator:
+    """Cursor over one term's blocked posting list with O(1) block skipping."""
+
+    __slots__ = (
+        "term", "w", "docs_enc", "tfs_enc", "bm_first", "bm_last", "bm_doc_off",
+        "bm_tf_off", "block_ubs", "nblocks", "bi", "idx", "cur_doc",
+        "blk_docs", "blk_contrib", "exhausted", "term_ub", "_seg", "_avgdl", "_p",
+    )
+
+    def __init__(self, seg, row: dict, term: str, w: float, avgdl: float, p: BM25Params):
+        self.term = term
+        self.w = w
+        self.docs_enc = row["docs_enc"]
+        self.tfs_enc = row["tfs_enc"]
+        self.bm_first = row["bm_first_doc"]
+        self.bm_last = row["bm_last_doc"]
+        self.bm_doc_off = row["bm_doc_off"]
+        self.bm_tf_off = row["bm_tf_off"]
+        self.nblocks = len(self.bm_first)
+        self._seg = seg
+        self._avgdl = avgdl
+        self._p = p
+        self.block_ubs = [
+            w * term_upper_bound(tf_max, dl_min, avgdl, p)
+            for tf_max, dl_min in zip(row["bm_tf_max"], row["bm_dl_min"])
+        ]
+        self.term_ub = max(self.block_ubs)
+        self.exhausted = False
+        self.bi = -1
+        self._load_block(0)
+
+    def _load_block(self, bi: int):
+        if bi >= self.nblocks:
+            self.exhausted = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        self.bi = bi
+        prev_last = self.bm_last[bi - 1] if bi > 0 else 0
+        d = varbyte_decode(self.docs_enc[self.bm_doc_off[bi] : self.bm_doc_off[bi + 1]])
+        docs = prev_last + np.cumsum(d.astype(np.int64))
+        tfs = varbyte_decode(self.tfs_enc[self.bm_tf_off[bi] : self.bm_tf_off[bi + 1]]).astype(
+            np.int64
+        )
+        pos = np.searchsorted(self._seg.doc_ids, docs)
+        dls = self._seg.doc_lens[pos]
+        self.blk_docs = docs
+        self.blk_contrib = self.w * tf_component(tfs, dls, self._avgdl, self._p)
+        self.idx = 0
+        self.cur_doc = int(docs[0])
+
+    def seek(self, target: int):
+        """Advance to the first doc >= target, skipping whole blocks."""
+        if self.exhausted or self.cur_doc >= target:
+            return
+        if target > self.bm_last[self.bi]:
+            bi = int(np.searchsorted(np.asarray(self.bm_last[self.bi + 1 :]), target)) + self.bi + 1
+            self._load_block(bi)
+            if self.exhausted:
+                return
+        self.idx = int(np.searchsorted(self.blk_docs[self.idx :], target)) + self.idx
+        self.cur_doc = int(self.blk_docs[self.idx])
+
+    def advance(self):
+        self.idx += 1
+        if self.idx >= self.blk_docs.size:
+            self._load_block(self.bi + 1)
+        else:
+            self.cur_doc = int(self.blk_docs[self.idx])
+
+    def contribution(self) -> float:
+        return float(self.blk_contrib[self.idx])
+
+    def current_block_ub(self, doc: int) -> float:
+        """Upper bound of the block that covers (or is next to cover) doc."""
+        if self.exhausted:
+            return 0.0
+        bi = self.bi
+        if doc > self.bm_last[bi]:
+            bi = int(np.searchsorted(np.asarray(self.bm_last[bi + 1 :]), doc)) + bi + 1
+            if bi >= self.nblocks:
+                return 0.0
+        return self.block_ubs[bi]
+
+    def block_last(self, doc: int) -> int:
+        if self.exhausted:
+            return np.iinfo(np.int64).max
+        bi = self.bi
+        if doc > self.bm_last[bi]:
+            bi = int(np.searchsorted(np.asarray(self.bm_last[bi + 1 :]), doc)) + bi + 1
+            if bi >= self.nblocks:
+                return np.iinfo(np.int64).max
+        return self.bm_last[bi]
+
+
+def _wand_one_query(seg, terms: list[tuple[str, int, float]], p: BM25Params, avgdl: float):
+    iters: list[PostingIterator] = []
+    for term, qtf, w in terms:
+        i = seg.posting_row(term)
+        if i is not None:
+            iters.append(PostingIterator(seg, i, term, w * qtf, avgdl, p))
+    if not iters:
+        return []
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of current top-k
+    k = p.top_k
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else p.threshold
+
+    while True:
+        live = [it for it in iters if not it.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur_doc)
+        # pivot: first prefix whose term-ub sum can beat theta
+        acc = 0.0
+        pivot = -1
+        th = theta()
+        for j, it in enumerate(live):
+            acc += it.term_ub
+            if acc > th:
+                pivot = j
+                break
+        if pivot == -1:
+            break
+        pivot_doc = live[pivot].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            # block-max refinement: tighter bound from the actual blocks
+            block_sum = sum(it.current_block_ub(pivot_doc) for it in live[: pivot + 1])
+            if block_sum <= th:
+                # skip to the next block boundary among the pivot prefix
+                nxt = min(it.block_last(pivot_doc) for it in live[: pivot + 1]) + 1
+                nxt = max(nxt, pivot_doc + 1)
+                for it in live[: pivot + 1]:
+                    it.seek(nxt)
+                continue
+            # Sum contributions in sorted-term order — the exact kernel
+            # accumulates terms ascending, and float addition order must
+            # match bit-for-bit for the rank-identity guarantee.
+            at_pivot = [it for it in live if it.cur_doc == pivot_doc]
+            at_pivot.sort(key=lambda it: it.term)
+            score = 0.0
+            for it in at_pivot:
+                score += it.contribution()
+            for it in at_pivot:
+                it.advance()
+            entry = (score, -pivot_doc)
+            if score > p.threshold:
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+        else:
+            for it in live[:pivot]:
+                it.seek(pivot_doc)
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(doc, score) for score, doc in out]
+
+
+def score_segment_bmw(seg, prepared: dict) -> list[tuple[int, int, float]]:
+    """Score all prepared queries against one segment with block-max WAND."""
+    p: BM25Params = prepared["params"]
+    avgdl = prepared["avgdl"]
+    rows: list[tuple[int, int, float]] = []
+    for qid, terms in prepared["queries"].items():
+        for doc, score in _wand_one_query(seg, terms, p, avgdl):
+            rows.append((qid, int(doc), float(score)))
+    return rows

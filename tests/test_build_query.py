@@ -1,0 +1,151 @@
+"""End-to-end: Ray-built index + distributed scatter-gather BM25 == numpy oracle."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.bm25 import BM25Params
+from splade_ray.build import build_index, load_manifest, segment_dirs
+from splade_ray.corpus import synth_corpus, write_synth_corpus
+from splade_ray.oracle import OracleIndex
+from splade_ray.query import Searcher, search
+
+QUERIES = [
+    (0, "def parse buffer"),
+    (1, "merge heap score"),
+    (2, "rare_token_3"),
+    (3, "zzz_not_in_vocab"),
+    (4, "import import index"),  # repeated query term -> qtf=2
+    (5, "the int for while class"),  # ubiquitous terms (skew stress)
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    corpus_dir = str(root / "corpus")
+    index_dir = str(root / "index")
+    write_synth_corpus(corpus_dir, n_docs=400, seed=42, n_files=3)
+    manifest = build_index(
+        corpus_dir, index_dir, text_col="content", rows_per_segment=60, block_size=16
+    )
+    return corpus_dir, index_dir, manifest
+
+
+def _oracle_run(params=None):
+    t = synth_corpus(400, seed=42)
+    oi = OracleIndex(np.arange(400), t["content"].to_pylist(), params)
+    return oi.search(QUERIES)
+
+
+def test_manifest_counts(built):
+    _, index_dir, manifest = built
+    assert manifest["n_docs"] == 400
+    assert manifest["n_segments"] == 9  # 3 files of 134/134/132 rows, 60 rows/segment
+    assert manifest["avgdl"] > 0
+
+
+def test_run_matches_oracle_exactly(built):
+    _, index_dir, _ = built
+    run = search(index_dir, QUERIES)
+    expected = _oracle_run()
+    assert len(run) == len(expected)
+    er = expected.reset_index(drop=True)
+    rr = run.reset_index(drop=True)
+    assert rr["query_id"].tolist() == er["query_id"].tolist()
+    assert rr["rank"].tolist() == er["rank"].tolist()
+    assert rr["doc_id"].tolist() == er["doc_id"].tolist()
+    # float64 fixed-order accumulation -> exact equality
+    assert np.array_equal(rr["score"].to_numpy(), er["score"].to_numpy())
+
+
+def test_searcher_actor_pool_matches(built):
+    _, index_dir, _ = built
+    s = Searcher(index_dir, num_shards=3)
+    try:
+        run = s.search(QUERIES)
+    finally:
+        s.shutdown()
+    expected = _oracle_run()
+    assert run["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert np.array_equal(run["score"].to_numpy(), expected["score"].to_numpy())
+
+
+def test_threshold_and_topk_params(built):
+    _, index_dir, _ = built
+    p = BM25Params(top_k=3, threshold=0.5)
+    run = search(index_dir, QUERIES, p)
+    expected = _oracle_run(p)
+    assert run["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert (run.groupby("query_id").size() <= 3).all()
+    assert (run["score"] > 0.5).all()
+
+
+def test_sha256_invariant(built):
+    corpus_dir, index_dir, _ = built
+    import hashlib
+
+    src = pq.read_table(corpus_dir, columns=["content"])
+    want = [hashlib.sha256(x.encode()).hexdigest() for x in src["content"].to_pylist()]
+    got = []
+    for seg in segment_dirs(index_dir):
+        t = pq.read_table(os.path.join(seg, "doclens.parquet"))
+        got.extend(t["content_sha256"].to_pylist())
+    assert got == want
+
+
+def test_empty_docs_counted_not_posted(built):
+    _, index_dir, _ = built
+    n = 0
+    for seg in segment_dirs(index_dir):
+        t = pq.read_table(os.path.join(seg, "doclens.parquet"))
+        n += t.num_rows
+    assert n == 400  # empty docs keep their docs row (doc_len=0), no postings
+
+
+def test_resume_skips_valid_segments(built, tmp_path):
+    corpus_dir, index_dir, _ = built
+    m1 = load_manifest(index_dir)
+    # delete one segment -> rebuild only that one
+    victim = segment_dirs(index_dir)[2]
+    import shutil
+
+    shutil.rmtree(victim)
+    m2 = build_index(
+        corpus_dir, index_dir, text_col="content", rows_per_segment=60, block_size=16
+    )
+    assert m2["n_segments_skipped"] == m2["n_segments"] - 1
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["n_postings"] == m1["n_postings"]
+    # rebuilt index still answers identically
+    run = search(index_dir, QUERIES)
+    expected = _oracle_run()
+    assert run["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert np.array_equal(run["score"].to_numpy(), expected["score"].to_numpy())
+
+
+def test_lexicon_matches_flat_groupby(built):
+    _, index_dir, _ = built
+    import collections
+
+    from splade_ray.analysis import term_counts
+
+    t = synth_corpus(400, seed=42)
+    df = collections.Counter()
+    cf = collections.Counter()
+    for text in t["content"].to_pylist():
+        c = term_counts(text)
+        df.update(c.keys())
+        for k, v in c.items():
+            cf[k] += v
+    lex = pq.read_table(os.path.join(index_dir, "lexicon"))
+    got = {
+        t_: (d, c)
+        for t_, d, c in zip(
+            lex["term"].to_pylist(), lex["df"].to_pylist(), lex["cf"].to_pylist()
+        )
+    }
+    assert got == {k: (df[k], cf[k]) for k in df}

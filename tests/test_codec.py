@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+from splade_ray.codec import (
+    delta_decode,
+    delta_encode,
+    decode_doc_ids,
+    encode_doc_ids,
+    quantize_impacts,
+    rewrite_first_delta,
+    varbyte_decode,
+    varbyte_encode,
+)
+from splade_ray.segments import decode_block, decode_posting, encode_posting
+
+
+def test_varbyte_roundtrip_small():
+    a = np.array([0, 1, 127, 128, 300, 2**20, 2**40], np.int64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(a)).astype(np.int64), a)
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.empty(0, np.int64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_varbyte_roundtrip_random():
+    rng = np.random.RandomState(42)
+    for _ in range(20):
+        a = rng.randint(0, 2**50, size=rng.randint(1, 5000)).astype(np.int64)
+        assert np.array_equal(varbyte_decode(varbyte_encode(a)).astype(np.int64), a)
+
+
+def test_delta_roundtrip():
+    rng = np.random.RandomState(7)
+    ids = np.unique(rng.randint(0, 10**9, size=10000))
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+    assert np.array_equal(decode_doc_ids(encode_doc_ids(ids), len(ids)), ids)
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([3, 2, 5]))
+
+
+def test_quantize_half_up():
+    # floor(x*100+0.5): 0.005 -> 1 (not banker's rounding)
+    v = np.array([0.005, 0.014, 0.015, 1.0, 0.0])
+    assert quantize_impacts(v, 100).tolist() == [1, 1, 2, 100, 0]
+
+
+def test_rewrite_first_delta_concat():
+    a = np.array([5, 9, 20], np.int64)
+    b = np.array([31, 40], np.int64)
+    enc_a, enc_b = encode_doc_ids(a), encode_doc_ids(b)
+    merged = enc_a + rewrite_first_delta(enc_b, first_abs=31, prev_last=20)
+    assert decode_doc_ids(merged, 5).tolist() == [5, 9, 20, 31, 40]
+
+
+def test_posting_block_roundtrip():
+    rng = np.random.RandomState(3)
+    docs = np.unique(rng.randint(0, 10**7, size=1000)).astype(np.int64)
+    tfs = rng.randint(1, 50, size=docs.size).astype(np.int64)
+    dls = rng.randint(1, 500, size=docs.size).astype(np.int64)
+    enc = encode_posting(docs, tfs, dls, block_size=128)
+    d2, t2 = decode_posting(enc["docs_enc"], enc["tfs_enc"], enc["df"])
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(t2, tfs)
+    # block-wise decode agrees and metadata is consistent
+    nblocks = len(enc["bm_first_doc"])
+    got_docs, got_tfs = [], []
+    for i in range(nblocks):
+        bd, bt = decode_block(
+            enc["docs_enc"], enc["tfs_enc"], enc["bm_doc_off"], enc["bm_tf_off"],
+            enc["bm_last_doc"], i,
+        )
+        assert bd[0] == enc["bm_first_doc"][i]
+        assert bd[-1] == enc["bm_last_doc"][i]
+        assert bt.max() == enc["bm_tf_max"][i]
+        got_docs.append(bd)
+        got_tfs.append(bt)
+    assert np.array_equal(np.concatenate(got_docs), docs)
+    assert np.array_equal(np.concatenate(got_tfs), tfs)
