@@ -1,44 +1,450 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() Ray pipelines, oracle_sql() DuckDB mirrors.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names in each queries() entry match its oracle_sql() entry exactly;
+floats are rounded on BOTH sides with floor(x*1e4+0.5)/1e4 (round-half-up,
+identical in numpy and SQL) so value hashes compare.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from splade_ray.analysis import TOKEN_SQL, doc_stats_batch, postings_batch, term_counts
+from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
+from splade_ray.build import build_index
+from splade_ray.pipelines.flagship import FLAGSHIP_QUERIES, run_flagship
+from splade_ray.query import search
+
+K1, B = 1.2, 0.75
+TOP_K = 10
+
+# Fixed query set shared by the Ray pipelines and the SQL oracles.
+BM25_QUERIES = FLAGSHIP_QUERIES
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _round4_sql(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
+def _round4(a):
+    return np.floor(np.asarray(a, np.float64) * 1e4 + 0.5) / 1e4
+
+
+def _work_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/splade_ray_work/{tag}-{key}"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build (or reuse, via segment manifests) the index over `documents`."""
+    index_dir = os.path.join(_work_dir(sf_dir, "docsidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+    )
+    return index_dir
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_postings_flat(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_lexicon(sf_dir: str):
+    """Global (term, df, cf) built through the salted groupby(term) posting
+    store (splade_ray.term_index) — exercises the north rule's skew-handled
+    wide step inside the correctness gate."""
+    from splade_ray.term_index import build_term_index
+
+    flat = q_postings_flat(sf_dir)
+    tindex = build_term_index(flat, salt_range=200)
+    return tindex.select_columns(["term", "df", "cf"])
+
+
+def q_doc_token_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def _bm25_run(sf_dir: str, method: str) -> pd.DataFrame:
+    index_dir = _index_for(sf_dir)
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K), method=method)
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_bm25_topk(sf_dir: str):
+    return _bm25_run(sf_dir, "exact")
+
+
+def q_bm25_topk_bmw(sf_dir: str):
+    """Same result, block-max WAND early-termination kernel."""
+    return _bm25_run(sf_dir, "bmw")
+
+
+def q_docs_per_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from splade_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_prune_topk(sf_dir: str):
+    """Per-doc top-8 terms by tf (tie: term asc) — the reference's per-doc
+    top-k vector pruning (pruning/prune_doc_index.py:17-19), doc-local."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        flat = postings_batch(batch)
+        df = flat.to_pandas()
+        df = df.sort_values(["doc_id", "tf", "term"], ascending=[True, False, True])
+        df = df.groupby("doc_id", sort=False).head(8)
+        return pa.Table.from_pandas(df[["doc_id", "term", "tf"]], preserve_index=False)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prune, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_quantized_export(sf_dir: str):
+    """Anserini-style quantized impact export (transformer_evaluator.py:228-235,
+    factor 100): impact_q = floor(idf * bm25_tf_component * 100 + 0.5), >0 kept."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    stats = docs.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512)
+    stats_df = stats.select_columns(["doc_id", "n_tokens"]).to_pandas()
+    n_docs = len(stats_df)
+    avgdl = stats_df["n_tokens"].sum() / n_docs
+    dl_map = dict(zip(stats_df["doc_id"], stats_df["n_tokens"]))
+    flat = docs.map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
+    df_counts = flat.groupby("term").count().to_pandas()
+    df_map = dict(zip(df_counts["term"], df_counts["count()"]))
+    broadcast = ray.put({"df": df_map, "dl": dl_map, "n": n_docs, "avgdl": avgdl})
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ctx = ray.get(broadcast)
+        p = BM25Params(k1=K1, b=B)
+        terms = batch["term"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = np.array([ctx["dl"][d] for d in doc_ids], np.float64)
+        w = np.array([bm25_idf(ctx["df"][t], ctx["n"]) for t in terms], np.float64)
+        impact = w * tf_component(tf, dl, ctx["avgdl"], p)
+        q = np.floor(impact * 100 + 0.5).astype(np.int64)
+        keep = q > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "term": pa.array([t for t, k in zip(terms, keep) if k], pa.string()),
+                "impact_q": pa.array(q[keep], pa.int64()),
+            }
+        )
+
+    return flat.map_batches(quantize, batch_format="pyarrow", batch_size=4096)
+
+
+def q_text_quality(sf_dir: str):
+    from splade_ray.ops.textstats import quality_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_token_counts(sf_dir: str):
+    from splade_ray.ops.textstats import token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_top_terms(sf_dir: str):
+    """Top 20 terms by collection frequency (cf desc, term asc) — the
+    index_dist statistics view (inverted_index.py:90-94 analog)."""
+    from ray.data.aggregate import Count, Sum
+
+    flat = q_postings_flat(sf_dir)
+    agg = flat.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="cf")
+    )
+    pdf = agg.to_pandas().sort_values(["cf", "term"], ascending=[False, True]).head(20)
+    pdf = pdf.reset_index(drop=True)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
+    return pdf[["rank", "term", "df", "cf"]]
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    from splade_ray.ops.ann import cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    mask = np.array(qt["vec_id"].to_pylist()) < 5
+    q_ids = np.array(qt["vec_id"].to_pylist())[mask]
+    q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+# ---- rows-only entries (not SQL-expressible; driver records row counts) ----
+
+
+def q_dedup_minhash(sf_dir: str):
+    from splade_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), min_est_jaccard=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from splade_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_near_dup_jaccard(sf_dir: str):
+    from splade_ray.ops.dedup import jaccard_block_pairs
+
+    return jaccard_block_pairs(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), min_jaccard=0.5
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from splade_ray.ops.textstats import langid_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from splade_ray.ops.textstats import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_ann_lsh_buckets(sf_dir: str):
+    from splade_ray.ops.ann import lsh_buckets
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return lsh_buckets(ds, dim=64, n_planes=12, seed=42)
+
+
+def q_media_decode(sf_dir: str):
+    from splade_ray.ops.media import attach_fake_payload, decode_media
+
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        attach_fake_payload, batch_format="pyarrow", batch_size=256
+    )
+    return decode_media(media, batch_size=64, concurrency=2)
+
+
+def q_flagship_run(sf_dir: str):
+    return run_flagship(sf_dir, _work_dir(sf_dir, "flagship"))
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (corpus-shape ingest -> resumable index
+    build -> scatter-gather BM25 top-k -> external-id join)."""
+    return run_flagship("/root/testdata/sf0.001", _work_dir("/root/testdata/sf0.001", "flagship"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "postings_flat": q_postings_flat,
+        "lexicon": q_lexicon,
+        "doc_token_stats": q_doc_token_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_bmw": q_bm25_topk_bmw,
+        "docs_per_lang": q_docs_per_lang,
+        "dedup_exact": q_dedup_exact,
+        "prune_topk": q_prune_topk,
+        "quantized_export": q_quantized_export,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "top_terms": q_top_terms,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # rows-only (non-SQL-expressible) ops
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "near_dup_jaccard": q_near_dup_jaccard,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "media_decode": q_media_decode,
+        "flagship_run": q_flagship_run,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
+
+_TOKS = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+)"""
+
+_TF = _TOKS + """,
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)"""
+
+
+def _bm25_sql() -> str:
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = _bm25_sql()
+    return {
+        "postings_flat": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
+        "lexicon": f"""
+WITH {_TF}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_SQL}')))::BIGINT AS n_distinct
+FROM documents""",
+        "bm25_topk": bm25,
+        "bm25_topk_bmw": bm25,
+        "docs_per_lang": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY text""",
+        "prune_topk": f"""
+WITH {_TF},
+r AS (SELECT doc_id, term, tf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+      FROM tf)
+SELECT doc_id, term, tf FROM r WHERE rn <= 8""",
+        "quantized_export": f"""
+WITH {_TF},
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+imp AS (
+  SELECT tf.doc_id, tf.term,
+         floor( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * ({K1} + 1)
+                / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+                * 100 + 0.5 )::BIGINT AS impact_q
+  FROM tf
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 0""",
+        "text_quality": f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens,
+       {_round4_sql("len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / greatest(length(text), 1)")} AS alpha_ratio_r,
+       {_round4_sql("len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(length(text), 1)")} AS digit_ratio_r
+FROM documents""",
+        "token_counts": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS bpe_tokens
+FROM documents""",
+        "top_terms": f"""
+WITH {_TF},
+agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+r AS (SELECT term, df, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank FROM agg)
+SELECT rank::BIGINT AS rank, term, df, cf FROM r WHERE rank <= 20""",
+        "ann_cosine_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+sims AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS sim FROM q CROSS JOIN e),
+ranked AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    }

@@ -1,0 +1,186 @@
+"""Bench harness: index-build throughput + query latency at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ..., "query_p50_s": ...}
+
+--scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8 and
+=32) on the same input and reports both throughputs plus scaling efficiency
+(= (docs_per_sec_hi / docs_per_sec_lo) / (hi/lo); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_QUERIES = [
+    (0, "hash join table"),
+    (1, "sort merge batch"),
+    (2, "spark stream window"),
+    (3, "vector filter scan"),
+    (4, "customer query value"),
+    (5, "group row key part"),
+    (6, "the a fast slow big small data"),
+    (7, "stream order column agg"),
+]
+
+CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "20"))
+
+
+def prepare_corpus(sf_dir: str, mult: int) -> str:
+    """Deterministic bench corpus: the sf documents replicated `mult` times
+    (distinct doc ids, per-replica marker token), written once to /tmp as a
+    multi-file parquet corpus in the input_hint shape. Untimed (and doubles
+    as the page-cache warmup)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(f"{sf_dir}:{mult}:v1".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/splade_ray_bench/corpus-{key}"
+    done = os.path.join(out_dir, ".done")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    n = t.num_rows
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    sources = t["source"].to_pylist()
+    for rep in range(mult):
+        content = [f"{x} rep{rep}" for x in texts]
+        tbl = pa.table(
+            {
+                "repo": pa.array(sources, pa.string()),
+                "path": pa.array([f"docs/r{rep}/{i}.txt" for i in range(n)], pa.string()),
+                "commit": pa.array(
+                    [hashlib.sha1(f"{rep}:{i}".encode()).hexdigest() for i in range(n)],
+                    pa.string(),
+                ),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"corpus-{rep:03d}.parquet"))
+    open(done, "w").close()
+    return out_dir
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.build import build_index
+    from splade_ray.query import Searcher
+
+    corpus_dir = prepare_corpus(sf_dir, CORPUS_MULT)
+    index_dir = f"/tmp/splade_ray_bench/index-{ncpu}-{os.getpid()}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    manifest = build_index(
+        corpus_dir,
+        index_dir,
+        text_col="content",
+        rows_per_segment=2500,
+        block_size=128,
+    )
+    build_s = time.monotonic() - t0
+    n_docs = manifest["n_docs"]
+
+    # query latency: persistent shard actors (load amortized), p50/p95 over
+    # repeated batched calls of the 8-query set
+    searcher = Searcher(index_dir, num_shards=min(8, max(2, ncpu // 4)))
+    params = BM25Params(top_k=10)
+    searcher.search(BENCH_QUERIES, params)  # warm (actor start + load)
+    lat = []
+    for _ in range(15):
+        q0 = time.monotonic()
+        searcher.search(BENCH_QUERIES, params)
+        lat.append(time.monotonic() - q0)
+    searcher.shutdown()
+    p50 = float(np.percentile(lat, 50))
+    p95 = float(np.percentile(lat, 95))
+
+    # wide-op stage: salted groupby(term) posting store over flat postings
+    import ray.data as rd
+
+    from splade_ray.analysis import postings_batch
+    from splade_ray.term_index import build_term_index
+
+    t1 = time.monotonic()
+    flat = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
+    n_terms = build_term_index(flat, salt_range=500).count()
+    term_index_s = time.monotonic() - t1
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    total = build_s + p50 + term_index_s
+    out = {
+        "metric": "index-build + BM25 top-k query + salted term-index (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(build_s, 3),
+            "query_batch_p50": round(p50, 4),
+            "query_batch_p95": round(p95, 4),
+            "term_index_salted_groupby": round(term_index_s, 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "n_postings": manifest["n_postings"],
+        "n_terms_global": int(n_terms),
+        "docs_per_sec": round(n_docs / build_s, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+        "docs_per_sec_8": results[lo]["docs_per_sec"],
+        "docs_per_sec_32": results[hi]["docs_per_sec"],
+        "build_sec_8": results[lo]["queries"]["index_build"],
+        "build_sec_32": results[hi]["queries"]["index_build"],
+        "query_p50_8": results[lo]["queries"]["query_batch_p50"],
+        "query_p50_32": results[hi]["queries"]["query_batch_p50"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

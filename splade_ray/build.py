@@ -262,6 +262,9 @@ def build_index(
         )
         .to_pandas()
     )
+    # Ray Data does not preserve input order — restore the deterministic
+    # segment order (global row order) before recording the manifest.
+    manifests = manifests.sort_values("seg_id").reset_index(drop=True)
     any_built = bool((~manifests["skipped"]).any())
 
     lex_dir = os.path.join(index_dir, "lexicon")

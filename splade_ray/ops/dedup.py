@@ -165,11 +165,14 @@ def simhash64(tokens: list[str]) -> int:
     acc = np.zeros(64, np.int64)
     from collections import Counter
 
+    shifts = np.arange(64, dtype=np.uint64)
     for tok, w in Counter(tokens).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64)) & 1
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+        bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, w, -w)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:

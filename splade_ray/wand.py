@@ -148,14 +148,25 @@ def _wand_one_query(seg, terms: list[tuple[str, int, float]], p: BM25Params, avg
         if pivot == -1:
             break
         pivot_doc = live[pivot].cur_doc
+        # The candidate bound must cover EVERY list that can contain
+        # pivot_doc: the pivot prefix plus any later iterator currently
+        # parked on the same doc.
+        n_pre = pivot + 1
+        while n_pre < len(live) and live[n_pre].cur_doc == pivot_doc:
+            n_pre += 1
         if live[0].cur_doc == pivot_doc:
             # block-max refinement: tighter bound from the actual blocks
-            block_sum = sum(it.current_block_ub(pivot_doc) for it in live[: pivot + 1])
+            block_sum = sum(it.current_block_ub(pivot_doc) for it in live[:n_pre])
             if block_sum <= th:
-                # skip to the next block boundary among the pivot prefix
-                nxt = min(it.block_last(pivot_doc) for it in live[: pivot + 1]) + 1
+                # Skip to the next block boundary among the covering lists,
+                # capped at the next iterator's current doc — beyond that doc
+                # another term contributes and the bound above no longer
+                # covers the skipped range (Ding & Suel BMW semantics).
+                nxt = min(it.block_last(pivot_doc) for it in live[:n_pre]) + 1
+                if n_pre < len(live):
+                    nxt = min(nxt, live[n_pre].cur_doc)
                 nxt = max(nxt, pivot_doc + 1)
-                for it in live[: pivot + 1]:
+                for it in live[:n_pre]:
                     it.seek(nxt)
                 continue
             # Sum contributions in sorted-term order — the exact kernel
