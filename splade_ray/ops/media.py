@@ -29,7 +29,8 @@ def attach_fake_payload(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Turn a documents batch into a media batch (payload = utf-8 bytes of the
     text — a deterministic stand-in for real image/audio bytes)."""
     payloads = [(t or "").encode("utf-8") for t in batch[text_col].to_pylist()]
-    types = ["image" if i % 2 == 0 else "audio" for i in range(len(payloads))]
+    # derive from doc_id, not batch position — block splits must not change it
+    types = ["image" if d % 2 == 0 else "audio" for d in batch["doc_id"].to_pylist()]
     return pa.table(
         {
             "media_id": batch["doc_id"],

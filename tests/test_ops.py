@@ -1,0 +1,174 @@
+"""Tests for the training-data operators (dedup / ANN / textstats / media)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.ann import HyperplaneLSH, cosine_topk
+from splade_ray.ops.dedup import (
+    exact_dedup,
+    jaccard_block_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    _minhash_params,
+    _shingles,
+    simhash64,
+    simhash_pairs,
+)
+from splade_ray.ops.media import DecodeStage, attach_fake_payload, decode_media
+from splade_ray.ops.textstats import fingerprint_batch, langid_batch, quality_batch
+
+
+def _docs_ds(rows):
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(ray_session):
+    ds = _docs_ds(
+        [
+            {"doc_id": 3, "text": "a b c"},
+            {"doc_id": 1, "text": "a b c"},
+            {"doc_id": 2, "text": "x y"},
+        ]
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_copies"].tolist() == [2, 1]
+
+
+def test_minhash_identical_docs_high_jaccard(ray_session):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about inverted indexes and arrow batches"
+    ds = _docs_ds(
+        [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": far},
+        ]
+    )
+    out = minhash_lsh_pairs(ds, min_est_jaccard=0.4).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # identical -> est_jaccard 1.0
+    est = out[(out.doc_a == 0) & (out.doc_b == 1)]["est_jaccard"].iloc[0]
+    assert est == 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_estimate_tracks_true_jaccard():
+    a, b = _minhash_params(256)
+    s1 = _shingles("one two three four five six seven eight nine ten".split())
+    s2 = _shingles("one two three four five six seven eight different tokens".split())
+    true_j = len(s1 & s2) / len(s1 | s2)
+    sig1 = minhash_signature(s1, a, b)
+    sig2 = minhash_signature(s2, a, b)
+    est = (sig1 == sig2).mean()
+    assert abs(est - true_j) < 0.2
+
+
+def test_simhash_identical_and_distinct(ray_session):
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    ds = _docs_ds(
+        [
+            {"doc_id": 0, "text": t1},
+            {"doc_id": 1, "text": t1},  # identical -> hamming 0
+            {"doc_id": 2, "text": "unrelated words entirely here about parquet segments"},
+        ]
+    )
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    if len(out):
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+    else:
+        pairs = set()
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_deterministic():
+    assert simhash64(["a", "b", "c"]) == simhash64(["a", "b", "c"])
+    assert simhash64([]) == 0
+
+
+def test_jaccard_block_pairs(ray_session):
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    ds = _docs_ds(
+        [
+            {"doc_id": 0, "text": t, "lang": "en"},
+            {"doc_id": 1, "text": t, "lang": "en"},
+            {"doc_id": 2, "text": t, "lang": "fr"},  # other lang block
+        ]
+    )
+    out = jaccard_block_pairs(ds, min_jaccard=0.9).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(0, 1)}
+    assert out["jaccard_r"].iloc[0] == 1.0
+
+
+def test_cosine_topk_exact(ray_session):
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    ds = rd.from_items(rows)
+    q = vecs[:2].astype(np.float64)
+    out = cosine_topk(ds, np.array([0, 1]), q, top_k=5).to_pandas()
+    # brute force oracle
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = vn @ vn[qid]
+        order = np.lexsort((np.arange(50), -sims))[:5]
+        got = out[out.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == order.tolist()
+        assert out[out.query_id == qid]["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_lsh_signature_deterministic():
+    l1 = HyperplaneLSH(8, 12, seed=42)
+    l2 = HyperplaneLSH(8, 12, seed=42)
+    m = np.random.RandomState(1).normal(size=(5, 8))
+    assert np.array_equal(l1.signature(m), l2.signature(m))
+
+
+def test_quality_batch_ratios():
+    t = pa.table({"doc_id": [0, 1], "text": ["abc 123", ""]})
+    out = quality_batch(t)
+    assert out["n_tokens"].to_pylist() == [2, 0]
+    assert out["alpha_ratio_r"].to_pylist()[0] == pytest.approx(3 / 7, abs=1e-4)
+    assert out["digit_ratio_r"].to_pylist()[1] == 0.0
+
+
+def test_langid_heuristic():
+    t = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": ["the cat sat on the mat and the dog", "这是中文文本的一个例子"],
+        }
+    )
+    out = langid_batch(t)
+    assert out["pred_lang"].to_pylist()[0] == "en"
+    assert out["pred_lang"].to_pylist()[1] == "zh"
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    t1 = pa.table({"doc_id": [0], "text": ["one two three four five six seven eight nine"]})
+    t2 = pa.table({"doc_id": [0], "text": ["one two three four five six seven eight ten"]})
+    f1 = fingerprint_batch(t1)["fingerprint"].to_pylist()[0]
+    f1b = fingerprint_batch(t1)["fingerprint"].to_pylist()[0]
+    f2 = fingerprint_batch(t2)["fingerprint"].to_pylist()[0]
+    assert f1 == f1b
+    assert f1 != f2
+
+
+def test_media_decode_fake_and_real_stub(ray_session):
+    docs = rd.from_items([{"doc_id": i, "text": f"payload {i}"} for i in range(10)])
+    media = docs.map_batches(attach_fake_payload, batch_format="pyarrow")
+    out = decode_media(media, batch_size=4, concurrency=2).to_pandas()
+    assert len(out) == 10
+    assert (out["n_bytes"] > 0).all()
+    assert set(out["media_type"]) == {"image", "audio"}
+    # the real decode path is an explicit stub
+    stage = DecodeStage(real=True)
+    with pytest.raises(NotImplementedError):
+        stage(attach_fake_payload(pa.table({"doc_id": [0], "text": ["x"]})))
