@@ -10,9 +10,11 @@ lowercase + ``[a-z0-9_]+`` word extraction, so a document becomes a bag of
 (``regexp_extract_all(lower(text), '[a-z0-9_]+')``), which is what makes every
 downstream operator oracle-checkable.
 
-All batch functions are Arrow-in / Arrow-out (``batch_format="pyarrow"``) and
-avoid per-row Python except the regex scan itself (string tokenization is
-inherently per-string; the regex is compiled once at module import).
+The hot path is fully vectorized Arrow: ``utf8_lower`` → ``split_pattern_regex``
+on the complement class (split on non-token runs ≡ findall of the token class)
+→ ``list_flatten``/``list_parent_indices`` → C++ hash ``group_by`` for tf
+counts. No per-row Python in any batch function; ``tokenize``/``term_counts``
+remain as the scalar reference implementation for query prep and tests.
 """
 
 from __future__ import annotations
@@ -22,21 +24,59 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # One token class for code and prose alike: identifiers (with underscores),
 # numbers, keywords. Mirrors DuckDB `regexp_extract_all(lower(x), TOKEN_SQL)`.
 TOKEN_PATTERN = r"[a-z0-9_]+"
 TOKEN_RE = re.compile(TOKEN_PATTERN)
 TOKEN_SQL = TOKEN_PATTERN
+SPLIT_PATTERN = r"[^a-z0-9_]+"  # complement class: split ≡ findall
 
 
 def tokenize(text: str) -> list[str]:
-    """Tokenize one string. The single source of truth for analysis."""
+    """Tokenize one string. The scalar source of truth for analysis."""
     return TOKEN_RE.findall(text.lower())
 
 
 def term_counts(text: str) -> Counter:
     return Counter(tokenize(text))
+
+
+def tokenize_column(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized tokenization of a string column.
+
+    Returns ``(terms, parents, doc_lens)``: the flat token array, the row
+    index of each token, and per-row token counts (nulls count as 0).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    tok_lists = pc.split_pattern_regex(pc.utf8_lower(texts), SPLIT_PATTERN)
+    flat = pc.list_flatten(tok_lists)
+    parents = pc.list_parent_indices(tok_lists)
+    mask = pc.not_equal(flat, "")  # boundary splits produce empty strings
+    terms = flat.filter(mask)
+    par = parents.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_lens = np.bincount(par, minlength=n).astype(np.int64)
+    return terms, par, doc_lens
+
+
+def term_frequency_table(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized (row, term, tf) extraction for a string column.
+
+    Returns ``(tf_table, doc_lens)`` where tf_table has columns
+    ``row:int64, term:string, tf:int64`` (unordered — hash-group output)."""
+    terms, par, doc_lens = tokenize_column(texts)
+    g = (
+        pa.table({"row": pa.array(par, pa.int64()), "term": terms})
+        .group_by(["row", "term"])
+        .aggregate([([], "count_all")])
+    )
+    tf_tbl = pa.table(
+        {"row": g["row"], "term": g["term"], "tf": g["count_all"].cast(pa.int64())}
+    )
+    return tf_tbl, doc_lens
 
 
 def postings_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -45,52 +85,44 @@ def postings_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "
     One input row expands to one output row per distinct term (COO triplets,
     the reference's central intermediate — transformer_evaluator.py:45-47).
     """
-    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
-    terms: list[str] = []
-    out_docs: list[int] = []
-    tfs: list[int] = []
-    for did, text in zip(doc_ids, batch[text_col].to_pylist()):
-        if text is None:
-            continue
-        c = term_counts(text)
-        terms.extend(c.keys())
-        out_docs.extend([did] * len(c))
-        tfs.extend(c.values())
+    tf_tbl, _ = term_frequency_table(batch[text_col])
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "term": pa.array(terms, pa.string()),
-            "doc_id": pa.array(out_docs, pa.int64()),
-            "tf": pa.array(tfs, pa.int64()),
+            "term": tf_tbl["term"],
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "tf": tf_tbl["tf"],
         }
     )
 
 
 def doc_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Per-doc token stats: ``(doc_id, n_tokens, n_distinct)``."""
-    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
-    n_tokens = np.empty(len(doc_ids), np.int64)
-    n_distinct = np.empty(len(doc_ids), np.int64)
-    for i, text in enumerate(batch[text_col].to_pylist()):
-        toks = tokenize(text) if text is not None else []
-        n_tokens[i] = len(toks)
-        n_distinct[i] = len(set(toks))
+    tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+    rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
+    n_distinct = np.bincount(rows, minlength=len(batch)).astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "n_tokens": pa.array(n_tokens),
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_tokens": pa.array(doc_lens),
             "n_distinct": pa.array(n_distinct),
         }
     )
 
 
 def analyze_docs(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Analyze a batch fully in one pass: returns (per-doc term Counters,
-    doc_ids ndarray, doc_lens ndarray). Used by the segment builder."""
+    """Analyze a batch fully in one pass for the segment builder.
+
+    Returns ``(flat, doc_ids, doc_lens)`` where ``flat`` is a pyarrow table
+    ``(term, pos, tf)`` sorted by (term asc, pos asc) — ``pos`` indexes into
+    the batch, so posting lists come out doc-id-sorted as long as the batch
+    rows are doc-id ascending (the builder guarantees it; the same invariant
+    the reference gets from its sequential doc counter,
+    transformer_evaluator.py:47-51)."""
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    counters: list[Counter] = []
-    doc_lens = np.empty(len(doc_ids), np.int64)
-    for i, text in enumerate(batch[text_col].to_pylist()):
-        toks = tokenize(text) if text is not None else []
-        doc_lens[i] = len(toks)
-        counters.append(Counter(toks))
-    return counters, doc_ids, doc_lens
+    tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+    flat = pa.table(
+        {"term": tf_tbl["term"], "pos": tf_tbl["row"], "tf": tf_tbl["tf"]}
+    ).sort_by([("term", "ascending"), ("pos", "ascending")])
+    return flat, doc_ids, doc_lens

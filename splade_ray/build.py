@@ -182,8 +182,8 @@ def build_segments_batch(
             hashlib.sha256((x or "").encode("utf-8")).hexdigest()
             for x in tbl[text_col].to_pylist()
         ]
-        counters, doc_ids, doc_lens = analyze_docs(tbl, id_col=eff_id_col, text_col=text_col)
-        postings = build_segment_tables(counters, doc_ids, doc_lens, block_size)
+        flat, doc_ids, doc_lens = analyze_docs(tbl, id_col=eff_id_col, text_col=text_col)
+        postings = build_segment_tables(flat, doc_ids, doc_lens, block_size)
 
         tmp = os.path.join(index_dir, "segments", f".tmp-{spec['seg_id']:06d}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp, exist_ok=True)
@@ -201,7 +201,7 @@ def build_segments_batch(
             "completed": True,
             **{k: spec[k] for k in ("seg_id", "path", "row_start", "num_rows", "doc_id_start")},
             "n_docs": int(len(doc_ids)),
-            "n_postings": int(sum(len(c) for c in counters)),
+            "n_postings": int(flat.num_rows),
             "n_terms": int(postings.num_rows),
             "sum_doc_len": int(doc_lens.sum()),
             "content_sha_rollup": hashlib.sha256("".join(shas).encode()).hexdigest(),
@@ -246,7 +246,9 @@ def build_index(
     specs = plan_segments(corpus_paths, rows_per_segment)
     t0 = time.monotonic()
     manifests = (
-        rd.from_items(specs)
+        # one block per segment spec: from_items would otherwise pack all the
+        # (tiny) specs into few blocks and serialize the heavy per-segment work
+        rd.from_items(specs, override_num_blocks=len(specs))
         .map_batches(
             build_segments_batch,
             batch_format="pyarrow",

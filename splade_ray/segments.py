@@ -18,10 +18,9 @@ the global avgdl — this keeps the build single-pass), ``bm_doc_off`` /
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from splade_ray.codec import varbyte_decode, varbyte_encode
 
@@ -102,29 +101,34 @@ def decode_block(
 
 
 def build_segment_tables(
-    counters: list[Counter],
+    flat: pa.Table,
     doc_ids: np.ndarray,
     doc_lens: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> pa.Table:
-    """Turn per-doc term Counters into a term-sorted postings table.
+    """Turn a (term, pos, tf) flat table — sorted by (term asc, pos asc), pos
+    indexing into doc-id-ascending ``doc_ids`` — into the term-sorted postings
+    table. Posting lists are doc-id-sorted by construction, the same invariant
+    the reference gets from its sequential doc counter
+    (``transformer_evaluator.py:47-51``).
 
-    Input docs must be doc-id ascending (the builder guarantees it); posting
-    lists are therefore doc-id-sorted by construction — the same invariant the
-    reference gets from its sequential doc counter
-    (``transformer_evaluator.py:47-51``)."""
-    acc: dict[str, list[tuple[int, int, int]]] = {}
-    for did, dl, c in zip(doc_ids, doc_lens, counters):
-        for t, tf in c.items():
-            acc.setdefault(t, []).append((int(did), int(tf), int(dl)))
+    Term run boundaries are found with one vectorized adjacent-compare; the
+    only Python loop is one iteration per distinct term (posting encode)."""
+    terms = flat["term"].combine_chunks() if isinstance(flat["term"], pa.ChunkedArray) else flat["term"]
+    pos = flat["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = flat["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(pos)
     rows = {name: [] for name in POSTINGS_SCHEMA.names}
-    for term in sorted(acc):
-        triples = acc[term]
-        d = np.array([x[0] for x in triples], np.int64)
-        tf = np.array([x[1] for x in triples], np.int64)
-        dl = np.array([x[2] for x in triples], np.int64)
-        enc = encode_posting(d, tf, dl, block_size)
-        rows["term"].append(term)
-        for k, v in enc.items():
-            rows[k].append(v)
+    if n:
+        neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1, [n])
+        )
+        d_all, tf_col, dl_all = doc_ids[pos], tfs, doc_lens[pos]
+        for i in range(bounds.size - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            enc = encode_posting(d_all[s:e], tf_col[s:e], dl_all[s:e], block_size)
+            rows["term"].append(terms[s].as_py())
+            for k, v in enc.items():
+                rows[k].append(v)
     return pa.table(rows, schema=POSTINGS_SCHEMA)
