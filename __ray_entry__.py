@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 
 from splade_ray.analysis import TOKEN_SQL, doc_stats_batch, postings_batch, term_counts
-from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
+from splade_ray.bm25 import BM25Params
 from splade_ray.build import build_index
 from splade_ray.pipelines.flagship import FLAGSHIP_QUERIES, run_flagship
 from splade_ray.query import search
@@ -146,40 +146,68 @@ def q_prune_topk(sf_dir: str):
     )
 
 
+def _impacts(sf_dir: str):
+    from splade_ray.prune import quantized_impacts
+
+    return quantized_impacts(
+        _docs(sf_dir, ["doc_id", "text"]), BM25Params(k1=K1, b=B), factor=100
+    )
+
+
 def q_quantized_export(sf_dir: str):
     """Anserini-style quantized impact export (transformer_evaluator.py:228-235,
     factor 100): impact_q = floor(idf * bm25_tf_component * 100 + 0.5), >0 kept."""
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    stats = docs.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512)
-    stats_df = stats.select_columns(["doc_id", "n_tokens"]).to_pandas()
-    n_docs = len(stats_df)
-    avgdl = stats_df["n_tokens"].sum() / n_docs
-    dl_map = dict(zip(stats_df["doc_id"], stats_df["n_tokens"]))
-    flat = docs.map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
-    df_counts = flat.groupby("term").count().to_pandas()
-    df_map = dict(zip(df_counts["term"], df_counts["count()"]))
-    broadcast = ray.put({"df": df_map, "dl": dl_map, "n": n_docs, "avgdl": avgdl})
+    return _impacts(sf_dir)
 
-    def quantize(batch: pa.Table) -> pa.Table:
-        ctx = ray.get(broadcast)
-        p = BM25Params(k1=K1, b=B)
-        terms = batch["term"].to_pylist()
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dl = np.array([ctx["dl"][d] for d in doc_ids], np.float64)
-        w = np.array([bm25_idf(ctx["df"][t], ctx["n"]) for t in terms], np.float64)
-        impact = w * tf_component(tf, dl, ctx["avgdl"], p)
-        q = np.floor(impact * 100 + 0.5).astype(np.int64)
-        keep = q > 0
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids[keep], pa.int64()),
-                "term": pa.array([t for t, k in zip(terms, keep) if k], pa.string()),
-                "impact_q": pa.array(q[keep], pa.int64()),
-            }
-        )
 
-    return flat.map_batches(quantize, batch_format="pyarrow", batch_size=4096)
+def q_prune_value(sf_dir: str):
+    """Min-value index pruning: keep impact_q > 0.5*100
+    (pruning/prune_doc_index.py:12-14)."""
+    from splade_ray.prune import prune_by_value
+
+    return prune_by_value(_impacts(sf_dir), threshold=0.5)
+
+
+def q_prune_quantile(sf_dir: str):
+    """Per-term quantile pruning: keep impact_q > np.quantile(term impacts, .75)
+    (pruning/prune_quantile.py:40-43,14-16) — groupby(term) pass + broadcast
+    threshold filter."""
+    from splade_ray.prune import prune_by_term_quantile
+
+    return prune_by_term_quantile(_impacts(sf_dir), quantile=0.75)
+
+
+def q_flops_metric(sf_dir: str):
+    """FLOPS = Σ_t p_d(t)·p_q(t) over the fixed query set (splade/flops.py:55-60)."""
+    from splade_ray.flops import flops_metric
+
+    val = flops_metric(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERIES)
+    return pd.DataFrame({"flops_r": _round4([val])})
+
+
+def _rerank_pairs(sf_dir: str):
+    from splade_ray.rerank import rerank_input
+
+    run = _bm25_run(sf_dir, "exact")
+    return rerank_input(_docs(sf_dir, ["doc_id", "text"]), run, BM25_QUERIES)
+
+
+def q_rerank_input(sf_dir: str):
+    """First-stage run ⋈ queries ⋈ documents candidate pairs with the
+    self-hit filter (J1 + M13; splade/datasets/rerank.py:17-89,
+    beir_eval.py:82-88)."""
+    return _rerank_pairs(sf_dir)
+
+
+def q_rerank_lexical(sf_dir: str):
+    """Second-pass rerank by distinct-query-term overlap (actor-pool stage;
+    T4 plumbing with a deterministic scorer, transformer_evaluator.py:270-374)."""
+    from splade_ray.rerank import rerank
+
+    out = rerank(_rerank_pairs(sf_dir))
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["new_rank"] = out["new_rank"].astype(np.int64)
+    return out
 
 
 def q_text_quality(sf_dir: str):
@@ -283,6 +311,16 @@ def q_media_decode(sf_dir: str):
     return decode_media(media, batch_size=64, concurrency=2)
 
 
+def q_anserini_docs(sf_dir: str):
+    """Anserini JSONL-vector doc export rows (id, vector_json) — the
+    portable-index artifact (EncodeAnserini, transformer_evaluator.py:214-247)."""
+    from splade_ray.io import anserini_doc_rows
+
+    return anserini_doc_rows(
+        _docs(sf_dir, ["doc_id", "text"]), params=BM25Params(k1=K1, b=B)
+    )
+
+
 def q_flagship_run(sf_dir: str):
     return run_flagship(sf_dir, _work_dir(sf_dir, "flagship"))
 
@@ -309,6 +347,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "prune_topk": q_prune_topk,
         "quantized_export": q_quantized_export,
+        "prune_value": q_prune_value,
+        "prune_quantile": q_prune_quantile,
+        "flops_metric": q_flops_metric,
+        "rerank_input": q_rerank_input,
+        "rerank_lexical": q_rerank_lexical,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
@@ -320,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,
         "flagship_run": q_flagship_run,
     }
@@ -339,7 +383,9 @@ _TF = _TOKS + """,
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)"""
 
 
-def _bm25_sql() -> str:
+def _bm25_cte() -> str:
+    """WITH-clause prefix ending in `ranked` (query_id, doc_id, score, rank) —
+    shared by the bm25, rerank and pruning oracles."""
     values = []
     for qid, text in BM25_QUERIES:
         for term, qtf in sorted(term_counts(text).items()):
@@ -371,10 +417,50 @@ ranked AS (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
-)
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""{_bm25_cte()}
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def _qvalues_sql() -> str:
+    """VALUES list (query_id, q_text) for the fixed query set."""
+    vals = ",\n    ".join(f"({qid}, '{text}')" for qid, text in BM25_QUERIES)
+    return f"qv(query_id, q_text) AS (VALUES\n    {vals}\n)"
+
+
+def _qterm_values_sql() -> str:
+    """VALUES list of DISTINCT (query_id, term)."""
+    vals = ",\n    ".join(
+        f"({qid}, '{t}')"
+        for qid, text in BM25_QUERIES
+        for t in sorted(term_counts(text))
+    )
+    return f"qterm(query_id, term) AS (VALUES\n    {vals}\n)"
+
+
+# Quantized-impact CTE body (shared by quantized_export and the pruning
+# oracles). Appends to _TF; exposes `imp(doc_id, term, impact_q)`.
+_IMP = f""",
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+imp AS (
+  SELECT tf.doc_id, tf.term,
+         floor( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * ({K1} + 1)
+                / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+                * 100 + 0.5 )::BIGINT AS impact_q
+  FROM tf
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term) df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -421,6 +507,44 @@ imp AS (
   CROSS JOIN stats s
 )
 SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 0""",
+        "prune_value": f"""
+WITH {_TF}{_IMP}
+SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 50""",
+        "prune_quantile": f"""
+WITH {_TF}{_IMP},
+kept AS (SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 0),
+thr AS (SELECT term, quantile_cont(impact_q, 0.75) AS t FROM kept GROUP BY term)
+SELECT k.doc_id, k.term, k.impact_q
+FROM kept k JOIN thr USING (term) WHERE k.impact_q > thr.t""",
+        "flops_metric": f"""
+WITH {_TF},
+{_qterm_values_sql()},
+df_d AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+qdf AS (SELECT term, count(*)::DOUBLE AS qdf FROM qterm GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT {_round4_sql(f'coalesce(sum(df_d.df / n.n * qdf.qdf / {len(BM25_QUERIES)}), 0)')} AS flops_r
+FROM qdf JOIN df_d USING (term) CROSS JOIN n""",
+        "rerank_input": f"""{_bm25_cte()},
+{_qvalues_sql()},
+pairs AS (SELECT query_id, rank, doc_id FROM ranked
+          WHERE rank <= {TOP_K} AND doc_id != query_id)
+SELECT p.query_id, p.rank::BIGINT AS rank, p.doc_id, qv.q_text, d.text AS d_text
+FROM pairs p JOIN qv USING (query_id) JOIN documents d ON d.doc_id = p.doc_id""",
+        "rerank_lexical": f"""{_bm25_cte()},
+{_qterm_values_sql()},
+pairs AS (SELECT query_id, rank, doc_id FROM ranked
+          WHERE rank <= {TOP_K} AND doc_id != query_id),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+ov AS (SELECT p.query_id, p.rank, p.doc_id, count(qt.term)::BIGINT AS overlap
+       FROM pairs p
+       LEFT JOIN dt ON dt.doc_id = p.doc_id
+       LEFT JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = dt.term
+       GROUP BY 1, 2, 3),
+rr AS (SELECT query_id, doc_id, overlap, rank,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY overlap DESC, rank ASC, doc_id ASC) AS new_rank
+       FROM ov)
+SELECT query_id, new_rank::BIGINT AS new_rank, doc_id, overlap, rank::BIGINT AS rank FROM rr""",
         "text_quality": f"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens,

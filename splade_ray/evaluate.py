@@ -29,6 +29,28 @@ def mrr_at_k(run: pd.DataFrame, qrel: pd.DataFrame, k: int = 10) -> float:
     return total / max(len(qids), 1)
 
 
+def ndcg_at_k(run: pd.DataFrame, qrel: pd.DataFrame, k: int = 10) -> float:
+    """Graded nDCG@k with the standard log2 discount (the pytrec_eval
+    measure the reference requests via `utils/metrics.py:25-43`)."""
+    import math
+
+    rel: dict[int, dict[int, int]] = {}
+    for q, d, r in zip(qrel["query_id"], qrel["doc_id"], qrel["rel"]):
+        rel.setdefault(int(q), {})[int(d)] = int(r)
+    top = run[run["rank"] <= k]
+    total = 0.0
+    for q, grades in rel.items():
+        g = top[top["query_id"] == q].sort_values("rank")
+        dcg = sum(
+            grades.get(int(d), 0) / math.log2(rank + 1)
+            for rank, d in zip(g["rank"], g["doc_id"])
+        )
+        ideal = sorted(grades.values(), reverse=True)[:k]
+        idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
+        total += (dcg / idcg) if idcg > 0 else 0.0
+    return total / max(len(rel), 1)
+
+
 def recall_at_k(run: pd.DataFrame, qrel: pd.DataFrame, k: int = 10) -> float:
     rel: dict[int, set[int]] = {}
     for q, d, r in zip(qrel["query_id"], qrel["doc_id"], qrel["rel"]):

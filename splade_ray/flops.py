@@ -1,0 +1,54 @@
+"""FLOPS metric: expected per-query posting-overlap cost.
+
+Mirrors ``splade/flops.py:16-28,55-60``: for each term t,
+``p_d(t) = df_docs(t) / N_docs`` and ``p_q(t) = df_queries(t) / N_queries``
+(document frequency = number of docs/queries *containing* t, the length of
+the posting list — ``create_index_dist``, flops.py:24-28); the metric is
+``FLOPS = Σ_t p_d(t) · p_q(t)``.
+
+Ray-Data shape: one distributed ``groupby(term).count()`` over the document
+postings (the doc-side index_dist); the query side is computed driver-side
+(query sets are small — the reference uses 100k dev queries, still
+driver-tractable as a dict) and the final dot product is a lexicon-sized
+driver reduction, matching the reference's placement.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from splade_ray.analysis import postings_batch, term_counts
+
+
+def doc_term_df(docs_ds: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Distributed doc-side index_dist: (term, df)."""
+    flat = docs_ds.map_batches(
+        postings_batch,
+        batch_format="pyarrow",
+        batch_size=512,
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    )
+    return flat.groupby("term").count()
+
+
+def flops_metric(
+    docs_ds: rd.Dataset,
+    queries: list[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> float:
+    """Σ_t (df_d(t)/N) · (df_q(t)/Q) over terms active on both sides."""
+    n_docs = docs_ds.count()
+    df_tbl = doc_term_df(docs_ds, id_col=id_col, text_col=text_col).to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"]))
+    q_df: dict[str, int] = {}
+    for _, text in queries:
+        for t in term_counts(text):  # distinct terms per query
+            q_df[t] = q_df.get(t, 0) + 1
+    n_q = len(queries)
+    if not n_docs or not n_q:
+        return 0.0
+    return sum(
+        (df_map[t] / n_docs) * (qdf / n_q) for t, qdf in q_df.items() if t in df_map
+    )

@@ -1,0 +1,161 @@
+"""Readers / writers for the reference's interchange formats.
+
+- TSV collection (``id \\t text``): the reference's corpus format
+  (``CollectionDatasetPreLoad``, ``splade/datasets/datasets.py:65-98`` —
+  split on tab, first field is the id, extra tabs joined back, newlines
+  already stripped by line framing). Ours streams through ``read_text``
+  instead of preloading a dict.
+- run.json: nested ``{q_id(str): {doc_id(str): score}}``
+  (``transformer_evaluator.py:147,172-173,186-188``).
+- trec-tsv qrel → qrel.json (``splade/utils/processing_trec_eval.py:10-19``).
+- Anserini export: docs JSONL ``{id, content, vector:{term: int}}`` and
+  queries TSV with each term repeated ``freq`` times
+  (``EncodeAnserini.index``, ``transformer_evaluator.py:214-247``; empty
+  docs get a filler token, ``:235-239``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+EMPTY_DOC_FILLER = "a"  # analog of the reference's [unused993] filler token
+
+
+def read_tsv_collection(path: str) -> rd.Dataset:
+    """Stream a reference-style TSV collection into (id:int64, text:string).
+
+    Tab-separated; fields beyond the second are joined back with a space,
+    mirroring ``datasets.py:82-88``."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for line in batch["text"].to_pylist():
+            if not line:
+                continue
+            parts = line.split("\t")
+            ids.append(int(parts[0]))
+            texts.append(" ".join(parts[1:]))
+        return pa.table({"id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+    return rd.read_text(path).map_batches(parse, batch_format="pyarrow")
+
+
+def run_to_nested(run: pd.DataFrame) -> dict:
+    """Run table (query_id, rank, doc_id, score) → the reference's nested
+    run dict shape, rank order preserved by insertion order."""
+    out: dict[str, dict[str, float]] = defaultdict(dict)
+    for q, _, d, s in run.sort_values(["query_id", "rank"])[
+        ["query_id", "rank", "doc_id", "score"]
+    ].itertuples(index=False):
+        out[str(int(q))][str(int(d))] = float(s)
+    return dict(out)
+
+
+def write_run_json(run: pd.DataFrame, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(run_to_nested(run), fh)
+
+
+def read_run_json(path: str) -> pd.DataFrame:
+    """run.json → run table; rank re-derived by (score desc, doc_id asc)."""
+    with open(path) as fh:
+        nested = json.load(fh)
+    rows = [
+        (int(q), int(d), float(s)) for q, docs in nested.items() for d, s in docs.items()
+    ]
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    df = df.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+
+
+def trec_qrel_to_json(qrel_path: str, out_path: str | None = None) -> dict:
+    """trec-tsv qrel (``q_id \\t _ \\t d_id \\t rel``) → nested qrel dict,
+    optionally written as qrel.json next to the input
+    (processing_trec_eval.py:10-19)."""
+    nested: dict[str, dict[str, int]] = defaultdict(dict)
+    with open(qrel_path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            q_id, _, d_id, rel = line.rstrip("\n").split("\t")
+            nested[q_id][d_id] = int(rel)
+    nested = dict(nested)
+    if out_path is None:
+        out_path = os.path.join(os.path.dirname(qrel_path) or ".", "qrel.json")
+    with open(out_path, "w") as fh:
+        json.dump(nested, fh)
+    return nested
+
+
+def qrel_to_table(nested: dict) -> pd.DataFrame:
+    rows = [
+        (int(q), int(d), int(r)) for q, docs in nested.items() for d, r in docs.items()
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "doc_id", "rel"])
+
+
+def anserini_doc_rows(
+    docs_ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    params=None,
+    factor: int = 100,
+    stats: dict | None = None,
+) -> rd.Dataset:
+    """One row per document ``(id, vector_json)`` in the Anserini JSONL
+    vector shape, quantized BM25 impacts as the weights. Doc-local single
+    pass over the streaming documents table (collection stats broadcast
+    once via ``ray.put``) — every doc gets a row; docs whose vector is
+    empty get the filler token (transformer_evaluator.py:235-239). Consume
+    with ``write_json``/``write_parquet`` for the on-disk artifact."""
+    import numpy as np
+    import ray
+
+    from splade_ray.analysis import term_frequency_table
+    from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
+    from splade_ray.prune import collection_stats
+
+    params = params or BM25Params()
+    ctx_ref = ray.put(stats or collection_stats(docs_ds, id_col=id_col, text_col=text_col))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+        rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
+        tfs = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = tf_tbl["term"].to_pylist()
+        dl = doc_lens[rows].astype(np.float64)
+        w = np.array([bm25_idf(ctx["df"][t], ctx["n"]) for t in terms], np.float64)
+        q = np.floor(w * tf_component(tfs, dl, ctx["avgdl"], params) * factor + 0.5).astype(np.int64)
+        vecs: list[dict[str, int]] = [{} for _ in doc_ids]
+        for r, t, v in zip(rows, terms, q):
+            if v > 0:
+                vecs[r][t] = int(v)
+        out_json = [
+            json.dumps(v if v else {EMPTY_DOC_FILLER: 1}, sort_keys=True) for v in vecs
+        ]
+        return pa.table(
+            {
+                "id": pa.array(doc_ids, pa.int64()),
+                "vector_json": pa.array(out_json, pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fold, batch_format="pyarrow", batch_size=1024)
+
+
+def anserini_query_line(query_id: int, term_freqs: dict[str, int]) -> str:
+    """One Anserini impact-query TSV line: term repeated freq times
+    (transformer_evaluator.py:243-247)."""
+    body = " ".join(" ".join([t] * int(f)) for t, f in sorted(term_freqs.items()))
+    return f"{query_id}\t{body}"

@@ -36,7 +36,9 @@ from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
 QUANT_FACTOR = 100
 
 
-def collection_stats(docs_ds: rd.Dataset) -> dict:
+def collection_stats(
+    docs_ds: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
     """Collection-level BM25 context: doc lengths, per-term df, N, avgdl.
 
     The df map is lexicon-sized (small side) and the dl map is one int per
@@ -44,15 +46,16 @@ def collection_stats(docs_ds: rd.Dataset) -> dict:
     would instead live as a per-segment doclens file (as the index build
     does, splade_ray/build.py) — this helper serves the standalone flat-
     postings transforms."""
+    kw = {"id_col": id_col, "text_col": text_col}
     stats_df = (
-        docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512)
+        docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512, fn_kwargs=kw)
         .select_columns(["doc_id", "n_tokens"])
         .to_pandas()
     )
     n_docs = len(stats_df)
     avgdl = stats_df["n_tokens"].sum() / max(n_docs, 1)
     dl_map = dict(zip(stats_df["doc_id"], stats_df["n_tokens"]))
-    flat = docs_ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
+    flat = docs_ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=512, fn_kwargs=kw)
     df_counts = flat.groupby("term").count().to_pandas()
     df_map = dict(zip(df_counts["term"], df_counts["count()"]))
     return {"df": df_map, "dl": dl_map, "n": n_docs, "avgdl": avgdl}

@@ -1,0 +1,224 @@
+"""Pruning / FLOPS / rerank / interchange-format tests.
+
+Reference semantics mirrored: prune_by_value (pruning/prune_doc_index.py:12-14),
+prune_by_size (:17-19), prune_by_term_quantile (pruning/prune_quantile.py:40-43),
+FLOPS (splade/flops.py:55-60), rerank join + self-hit filter
+(splade/datasets/rerank.py:17-89, beir_eval.py:82-88), TSV collection parsing
+(splade/datasets/datasets.py:82-88), run.json shape
+(transformer_evaluator.py:186-188), qrel trec→json
+(utils/processing_trec_eval.py:10-19), Anserini export incl. the empty-doc
+filler (transformer_evaluator.py:228-247,235-239).
+"""
+
+import json
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.analysis import term_counts
+from splade_ray.bm25 import BM25Params, idf, tf_component
+
+TEXTS = [
+    "def foo bar foo foo",
+    "bar baz qux",
+    "foo",
+    "lonely_term def def bar",
+    "def def def def def",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+                "text": pa.array(TEXTS, pa.string()),
+            }
+        )
+    )
+
+
+def expected_impacts(factor=100, params=BM25Params()):
+    counts = [term_counts(t) for t in TEXTS]
+    dls = [sum(c.values()) for c in counts]
+    n = len(TEXTS)
+    avgdl = sum(dls) / n
+    dfm = {}
+    for c in counts:
+        for t in c:
+            dfm[t] = dfm.get(t, 0) + 1
+    rows = {}
+    for i, c in enumerate(counts):
+        for t, tf in c.items():
+            imp = idf(dfm[t], n) * float(
+                tf_component(np.array([tf], float), np.array([dls[i]], float), avgdl, params)[0]
+            )
+            q = math.floor(imp * factor + 0.5)
+            if q > 0:
+                rows[(i, t)] = q
+    return rows
+
+
+def test_quantized_impacts_matches_manual(docs_ds):
+    from splade_ray.prune import quantized_impacts
+
+    got = quantized_impacts(docs_ds).to_pandas()
+    got_map = {(d, t): v for d, t, v in zip(got["doc_id"], got["term"], got["impact_q"])}
+    assert got_map == expected_impacts()
+
+
+def test_prune_by_value(docs_ds):
+    from splade_ray.prune import prune_by_value, quantized_impacts
+
+    exp = {k: v for k, v in expected_impacts().items() if v > 30}
+    got = prune_by_value(quantized_impacts(docs_ds), threshold=0.3).to_pandas()
+    assert {(d, t): v for d, t, v in zip(got["doc_id"], got["term"], got["impact_q"])} == exp
+
+
+def test_prune_by_size(docs_ds):
+    from splade_ray.prune import prune_by_size, quantized_impacts
+
+    got = prune_by_size(quantized_impacts(docs_ds), size=1).to_pandas()
+    # one (top) term per doc that has any posting
+    assert got.groupby("doc_id").size().max() == 1
+    exp = expected_impacts()
+    for d, t, v in zip(got["doc_id"], got["term"], got["impact_q"]):
+        best = max(
+            (val, term) for (dd, term), val in exp.items() if dd == d
+        )  # (impact desc); tie term asc handled below
+        best_val = best[0]
+        best_terms = sorted(term for (dd, term), val in exp.items() if dd == d and val == best_val)
+        assert v == best_val and t == best_terms[0]
+
+
+def test_prune_by_term_quantile(docs_ds):
+    from splade_ray.prune import prune_by_term_quantile, quantized_impacts
+
+    exp_imp = expected_impacts()
+    by_term: dict[str, list[int]] = {}
+    for (_, t), v in exp_imp.items():
+        by_term.setdefault(t, []).append(v)
+    thr = {t: np.quantile(np.array(v, float), 0.5) for t, v in by_term.items()}
+    exp = {k: v for k, v in exp_imp.items() if v > thr[k[1]]}
+    got = prune_by_term_quantile(quantized_impacts(docs_ds), quantile=0.5).to_pandas()
+    assert {(d, t): v for d, t, v in zip(got["doc_id"], got["term"], got["impact_q"])} == exp
+
+
+def test_flops_metric(docs_ds):
+    from splade_ray.flops import flops_metric
+
+    queries = [(0, "foo bar"), (1, "def zzz_absent"), (2, "foo")]
+    got = flops_metric(docs_ds, queries)
+    dfm = {}
+    for t in TEXTS:
+        for term in term_counts(t):
+            dfm[term] = dfm.get(term, 0) + 1
+    qdf = {"foo": 2, "bar": 1, "def": 1, "zzz_absent": 1}
+    exp = sum(dfm.get(t, 0) / len(TEXTS) * c / 3 for t, c in qdf.items())
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+def test_rerank_input_and_self_hit(docs_ds, ray_session):
+    from splade_ray.rerank import rerank_input
+
+    run = pd.DataFrame(
+        {"query_id": [0, 0, 1], "rank": [1, 2, 1], "doc_id": [0, 3, 4]}
+    )
+    queries = [(0, "foo bar"), (1, "def")]
+    got = rerank_input(docs_ds, run, queries).to_pandas()
+    # (0,0) dropped as self-hit
+    assert set(zip(got["query_id"], got["doc_id"])) == {(0, 3), (1, 4)}
+    row = got[(got["query_id"] == 0)].iloc[0]
+    assert row["q_text"] == "foo bar" and row["d_text"] == TEXTS[3] and row["rank"] == 2
+
+
+def test_rerank_lexical_ordering(docs_ds, ray_session):
+    from splade_ray.rerank import rerank, rerank_input
+
+    run = pd.DataFrame(
+        {"query_id": [9, 9, 9], "rank": [1, 2, 3], "doc_id": [2, 0, 1]}
+    )
+    queries = [(9, "foo bar")]
+    out = rerank(rerank_input(docs_ds, run, queries), concurrency=1)
+    # overlaps: doc2 {foo}=1, doc0 {foo,bar}=2, doc1 {bar}=1
+    assert list(out["doc_id"]) == [0, 2, 1]  # overlap desc, then first-stage rank
+    assert list(out["overlap"]) == [2, 1, 1]
+    assert list(out["new_rank"]) == [1, 2, 3]
+
+
+def test_tsv_collection_roundtrip(tmp_path, ray_session):
+    from splade_ray.io import read_tsv_collection
+
+    p = tmp_path / "raw.tsv"
+    p.write_text("0\thello world\n1\twith\ttab inside\n2\t\n")
+    got = read_tsv_collection(str(p)).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == [0, 1, 2]
+    # extra tab joined back with a space (datasets.py:82-88)
+    assert list(got["text"]) == ["hello world", "with tab inside", ""]
+
+
+def test_run_json_roundtrip(tmp_path):
+    from splade_ray.io import read_run_json, write_run_json
+
+    run = pd.DataFrame(
+        {
+            "query_id": [0, 0, 1],
+            "rank": [1, 2, 1],
+            "doc_id": [5, 3, 7],
+            "score": [2.5, 1.25, 0.5],
+        }
+    )
+    path = str(tmp_path / "run.json")
+    write_run_json(run, path)
+    nested = json.load(open(path))
+    assert nested == {"0": {"5": 2.5, "3": 1.25}, "1": {"7": 0.5}}
+    back = read_run_json(path)
+    pd.testing.assert_frame_equal(back, run)
+
+
+def test_trec_qrel_converter(tmp_path):
+    from splade_ray.io import qrel_to_table, trec_qrel_to_json
+
+    p = tmp_path / "qrel.tsv"
+    p.write_text("10\t0\t100\t1\n10\t0\t101\t0\n11\t0\t100\t2\n")
+    nested = trec_qrel_to_json(str(p))
+    assert nested == {"10": {"100": 1, "101": 0}, "11": {"100": 2}}
+    assert (tmp_path / "qrel.json").exists()
+    tbl = qrel_to_table(nested)
+    assert len(tbl) == 3 and set(tbl.columns) == {"query_id", "doc_id", "rel"}
+
+
+def test_anserini_doc_rows_with_empty_doc(docs_ds, ray_session):
+    from splade_ray.io import EMPTY_DOC_FILLER, anserini_doc_rows
+
+    got = anserini_doc_rows(docs_ds).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(range(len(TEXTS)))  # every doc has a row
+    exp = expected_impacts()
+    for i in range(len(TEXTS)):
+        vec = json.loads(got["vector_json"][i])
+        exp_vec = {t: v for (d, t), v in exp.items() if d == i}
+        assert vec == (exp_vec if exp_vec else {EMPTY_DOC_FILLER: 1})
+
+
+def test_anserini_query_line():
+    from splade_ray.io import anserini_query_line
+
+    assert anserini_query_line(3, {"b": 2, "a": 1}) == "3\ta b b"
+
+
+def test_ndcg_at_k():
+    from splade_ray.evaluate import ndcg_at_k
+
+    run = pd.DataFrame(
+        {"query_id": [0, 0, 0], "rank": [1, 2, 3], "doc_id": [10, 11, 12], "score": [3.0, 2.0, 1.0]}
+    )
+    qrel = pd.DataFrame({"query_id": [0, 0], "doc_id": [11, 99], "rel": [2, 1]})
+    # dcg = 2/log2(3); idcg = 2/log2(2) + 1/log2(3)
+    exp = (2 / math.log2(3)) / (2 + 1 / math.log2(3))
+    assert ndcg_at_k(run, qrel, k=3) == pytest.approx(exp)
