@@ -114,6 +114,29 @@ def q_bm25_topk_bmw(sf_dir: str):
     return _bm25_run(sf_dir, "bmw")
 
 
+def q_collection_stats(sf_dir: str):
+    """Collection-level stats — the index_stats.json analog (mean L0 of doc
+    reps + avgdl; transformer_evaluator.py:43-44,55-56,63-65)."""
+    from ray.data.aggregate import Count, Mean
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512)
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_tokens", alias_name="avgdl"),
+            Mean("n_distinct", alias_name="mean_l0"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([agg["n_docs"]], np.int64),
+            "avgdl_r": _round4([agg["avgdl"]]),
+            "mean_l0_r": _round4([agg["mean_l0"]]),
+        }
+    )
+
+
 def q_docs_per_lang(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -343,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q_doc_token_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_bmw": q_bm25_topk_bmw,
+        "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
         "prune_topk": q_prune_topk,
@@ -477,6 +501,16 @@ SELECT doc_id,
 FROM documents""",
         "bm25_topk": bm25,
         "bm25_topk_bmw": bm25,
+        "collection_stats": f"""
+WITH ds AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS n_tokens,
+         len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_SQL}'))) AS n_distinct
+  FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       {_round4_sql('avg(n_tokens)')} AS avgdl_r,
+       {_round4_sql('avg(n_distinct)')} AS mean_l0_r
+FROM ds""",
         "docs_per_lang": """
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang""",

@@ -141,6 +141,11 @@ def build_segments_batch(
 ) -> pa.Table:
     """Build (or skip) one segment per input spec row. Stateless task: the
     tokenizer regex is module-level-compiled, all other state is per-call."""
+    # Arrow's internal pool defaults to all cores *per worker process*; with
+    # one Ray task per core that oversubscribes ~32x and stragglers appear.
+    # Each task is one core's worth of work — keep Arrow single-threaded.
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
     out = {name: [] for name in MANIFEST_SCHEMA.names}
 
     def emit(spec, m, skipped):
@@ -275,9 +280,12 @@ def build_index(
         seg_postings = [
             os.path.join(_seg_dir(index_dir, s["seg_id"]), "postings.parquet") for s in specs
         ]
+        # shuffle width scales with segment count — a fixed (default-200)
+        # partition count is pure overhead on small builds and a bottleneck
+        # on huge ones
         lex = (
             rd.read_parquet(seg_postings, columns=["term", "df", "cf"])
-            .groupby("term")
+            .groupby("term", num_partitions=max(1, len(specs) // 16))
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
         )
         tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")

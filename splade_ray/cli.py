@@ -1,0 +1,200 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+Mirrors the reference's module entry points (``python -m splade.index``,
+``splade.retrieve``, ``splade.evaluate``, ``splade.flops``, ``splade.all`` —
+SURVEY.md §2.11) as subcommands of ``python -m splade_ray``:
+
+    python -m splade_ray build   --corpus DIR --index DIR [--rows-per-segment N]
+    python -m splade_ray query   --index DIR --queries TSV --out run.json [--method bmw]
+    python -m splade_ray evaluate --run run.json --qrel qrel.json [--k 10]
+    python -m splade_ray stats   --index DIR
+    python -m splade_ray all     --corpus DIR --index DIR --queries TSV --qrel qrel.json --out DIR
+
+Like the reference's hydra pipeline, stages share the filesystem as their
+contract (checkpoint_dir → index_dir → out_dir, ``splade/all.py:14-21``);
+the index dir's manifests make every stage resumable. The CLI owns its Ray
+session (guarded init — the driver/test harness may already own one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from splade_ray.build import build_index
+
+    manifest = build_index(
+        args.corpus,
+        args.index,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        rows_per_segment=args.rows_per_segment,
+        block_size=args.block_size,
+    )
+    print(json.dumps({k: manifest[k] for k in (
+        "n_docs", "n_postings", "n_segments", "n_segments_skipped", "build_secs", "docs_per_sec"
+    )}))
+    return 0
+
+
+def _load_queries(path: str) -> list[tuple[int, str]]:
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            qid, *rest = line.rstrip("\n").split("\t")
+            out.append((int(qid), " ".join(rest)))
+    return out
+
+
+def cmd_query(args) -> int:
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.query import search
+
+    queries = _load_queries(args.queries)
+    run = search(
+        args.index,
+        queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
+        method=args.method,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from splade_ray.evaluate import mrr_at_k, ndcg_at_k, recall_at_k
+    from splade_ray.io import qrel_to_table, read_run_json
+
+    run = read_run_json(args.run)
+    with open(args.qrel) as fh:
+        qrel = qrel_to_table(json.load(fh))
+    res = {
+        f"mrr@{args.k}": mrr_at_k(run, qrel, args.k),
+        f"recall@{args.k}": recall_at_k(run, qrel, args.k),
+        f"ndcg@{args.k}": ndcg_at_k(run, qrel, args.k),
+    }
+    print(json.dumps(res))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(res, fh)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Index statistics — the index_dist.json / index_stats.json analog
+    (inverted_index.py:90-94, transformer_evaluator.py:63-65)."""
+    import pyarrow.dataset as pads
+
+    from splade_ray.build import load_manifest
+
+    m = load_manifest(args.index)
+    lex = pads.dataset(f"{args.index}/lexicon").to_table()
+    stats = {
+        "n_docs": m["n_docs"],
+        "n_postings": m["n_postings"],
+        "avgdl": m["avgdl"],
+        "n_terms": lex.num_rows,
+        "mean_doc_l0": m["n_postings"] / max(m["n_docs"], 1),
+        "n_segments": m["n_segments"],
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_all(args) -> int:
+    """build → query → evaluate, sharing the filesystem contract
+    (splade/all.py:14-21 minus training)."""
+    import os
+
+    rc = cmd_build(args)
+    if rc:
+        return rc
+    args.out_run = os.path.join(args.out, "run.json")
+    ns = argparse.Namespace(**{**vars(args), "out": args.out_run})
+    rc = cmd_query(ns)
+    if rc:
+        return rc
+    if args.qrel:
+        ns2 = argparse.Namespace(run=args.out_run, qrel=args.qrel, k=args.top_k,
+                                 out=os.path.join(args.out, "perf.json"))
+        return cmd_evaluate(ns2)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="splade_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--text-col", default="content")
+    b.add_argument("--id-col", default=None)
+    b.add_argument("--rows-per-segment", type=int, default=50_000)
+    b.add_argument("--block-size", type=int, default=128)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k retrieval")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="TSV: id\\ttext")
+    q.add_argument("--out", required=True, help="run.json or .parquet")
+    q.add_argument("--method", choices=["exact", "bmw"], default="bmw")
+    q.add_argument("--top-k", type=int, default=10)
+    q.add_argument("--threshold", type=float, default=0.0)
+    q.add_argument("--k1", type=float, default=1.2)
+    q.add_argument("--b", type=float, default=0.75)
+    q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("evaluate", help="MRR/recall/nDCG against qrels")
+    e.add_argument("--run", required=True)
+    e.add_argument("--qrel", required=True)
+    e.add_argument("--k", type=int, default=10)
+    e.add_argument("--out", default=None)
+    e.set_defaults(fn=cmd_evaluate)
+
+    s = sub.add_parser("stats", help="index statistics")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    a = sub.add_parser("all", help="build -> query -> evaluate")
+    a.add_argument("--corpus", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--queries", required=True)
+    a.add_argument("--qrel", default=None)
+    a.add_argument("--out", required=True)
+    a.add_argument("--text-col", default="content")
+    a.add_argument("--id-col", default=None)
+    a.add_argument("--rows-per-segment", type=int, default=50_000)
+    a.add_argument("--block-size", type=int, default=128)
+    a.add_argument("--method", choices=["exact", "bmw"], default="bmw")
+    a.add_argument("--top-k", type=int, default=10)
+    a.add_argument("--threshold", type=float, default=0.0)
+    a.add_argument("--k1", type=float, default=1.2)
+    a.add_argument("--b", type=float, default=0.75)
+    a.set_defaults(fn=cmd_all)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

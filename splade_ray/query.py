@@ -85,6 +85,9 @@ class SegmentIndex:
         flt = pads.field("term").isin(terms) if terms is not None else None
         self.postings = src.to_table(filter=flt)
         self._by_term = {t: i for i, t in enumerate(self.postings["term"].to_pylist())}
+        # decoded-posting cache: populated lazily, shared across queries in a
+        # batch and across calls when the segment lives in a persistent actor
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def posting(self, term: str):
         i = self._by_term.get(term)
@@ -107,8 +110,7 @@ class SegmentIndex:
     def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
         p: BM25Params = prepared["params"]
         avgdl = prepared["avgdl"]
-        # Decode each needed term once, share across queries.
-        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        cache = self._decoded  # decode each needed term once, reuse across queries/calls
         rows: list[tuple[int, int, float]] = []
         for qid, terms in prepared["queries"].items():
             scores = np.zeros(self.doc_ids.size, np.float64)
@@ -210,16 +212,18 @@ def search(
 class IndexShardActor:
     """Persistent shard for repeated query workloads (the analog of the
     reference's long-lived ``SparseRetrieval`` state, loaded once —
-    transformer_evaluator.py:119-141 — but per doc-partitioned shard)."""
+    transformer_evaluator.py:119-141 — but per doc-partitioned shard).
+    Unlike the one-shot ``search()`` path (which prunes the parquet read to
+    the query's terms), the persistent actor loads its segments' full
+    postings once in ``__init__`` and serves every query from RAM."""
 
     def __init__(self, seg_dirs: list[str], method: str = "exact"):
-        self.seg_dirs = seg_dirs
+        self.segments = [SegmentIndex(d, terms=None) for d in seg_dirs]
         self.method = method
 
     def search(self, prepared: dict) -> list[tuple[int, int, float]]:
         rows: list[tuple[int, int, float]] = []
-        for seg_dir in self.seg_dirs:
-            seg = SegmentIndex(seg_dir, prepared["terms"])
+        for seg in self.segments:
             fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
             rows.extend(fn(prepared))
         return rows
