@@ -318,6 +318,15 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def q_dedup_embedding(sf_dir: str):
+    from splade_ray.ops.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup_pairs(ds, dim=64, min_cosine=0.9, n_planes=8)
+
+
 def q_ann_lsh_buckets(sf_dir: str):
     from splade_ray.ops.ann import lsh_buckets
 
@@ -384,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_jaccard": q_near_dup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_lsh_buckets": q_ann_lsh_buckets,

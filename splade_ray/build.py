@@ -138,15 +138,24 @@ def build_segments_batch(
     id_col: str | None,
     block_size: int = BLOCK_SIZE,
     extra_doc_cols: tuple[str, ...] = (),
+    build_run: str | None = None,
+    emit_term_stats: bool = False,
 ) -> pa.Table:
     """Build (or skip) one segment per input spec row. Stateless task: the
-    tokenizer regex is module-level-compiled, all other state is per-call."""
+    tokenizer regex is module-level-compiled, all other state is per-call.
+
+    With ``emit_term_stats=True`` the task's output is the segment's
+    pre-aggregated (term, df, cf) rows instead of a manifest row, so the
+    global lexicon ``groupby(term)`` consumes the build stage directly —
+    one streaming pipeline, no barrier and no second read of the postings
+    (skipped segments read back just those three columns)."""
     # Arrow's internal pool defaults to all cores *per worker process*; with
     # one Ray task per core that oversubscribes ~32x and stragglers appear.
     # Each task is one core's worth of work — keep Arrow single-threaded.
     if pa.cpu_count() != 1:
         pa.set_cpu_count(1)
     out = {name: [] for name in MANIFEST_SCHEMA.names}
+    stats_parts: list[pa.Table] = []
 
     def emit(spec, m, skipped):
         out["seg_id"].append(spec["seg_id"])
@@ -166,6 +175,13 @@ def build_segments_batch(
         existing = _manifest_valid(seg_dir, spec)
         if existing is not None:
             emit(spec, existing, True)
+            if emit_term_stats:
+                stats_parts.append(
+                    pq.read_table(
+                        os.path.join(seg_dir, "postings.parquet"),
+                        columns=["term", "df", "cf"],
+                    )
+                )
             continue
         t0 = time.monotonic()
         cols = [text_col] + [c for c in extra_doc_cols if c != text_col]
@@ -204,6 +220,7 @@ def build_segments_batch(
         manifest = {
             "schema_version": SCHEMA_VERSION,
             "completed": True,
+            "build_run": build_run,
             **{k: spec[k] for k in ("seg_id", "path", "row_start", "num_rows", "doc_id_start")},
             "n_docs": int(len(doc_ids)),
             "n_postings": int(flat.num_rows),
@@ -219,6 +236,15 @@ def build_segments_batch(
             shutil.rmtree(seg_dir)
         os.rename(tmp, seg_dir)
         emit(spec, manifest, False)
+        if emit_term_stats:
+            stats_parts.append(postings.select(["term", "df", "cf"]))
+    if emit_term_stats:
+        if not stats_parts:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+                 "cf": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(stats_parts)
     return pa.table(out, schema=MANIFEST_SCHEMA)
 
 
@@ -250,49 +276,51 @@ def build_index(
     os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
     specs = plan_segments(corpus_paths, rows_per_segment)
     t0 = time.monotonic()
-    manifests = (
-        # one block per segment spec: from_items would otherwise pack all the
-        # (tiny) specs into few blocks and serialize the heavy per-segment work
-        rd.from_items(specs, override_num_blocks=len(specs))
-        .map_batches(
-            build_segments_batch,
-            batch_format="pyarrow",
-            batch_size=1,  # one segment per task -> retries and skips are per segment
-            fn_kwargs=dict(
-                index_dir=index_dir,
-                text_col=text_col,
-                id_col=id_col,
-                block_size=block_size,
-                extra_doc_cols=extra_doc_cols,
-            ),
-            concurrency=concurrency,
-        )
-        .to_pandas()
-    )
-    # Ray Data does not preserve input order — restore the deterministic
-    # segment order (global row order) before recording the manifest.
-    manifests = manifests.sort_values("seg_id").reset_index(drop=True)
-    any_built = bool((~manifests["skipped"]).any())
+    build_run = uuid.uuid4().hex
 
+    # ONE streaming pipeline: segment build/skip tasks emit their
+    # pre-aggregated (term, df, cf) partials straight into the lexicon
+    # groupby — no barrier between the stages and no second read of the
+    # postings. Shuffle width scales with segment count (a fixed
+    # default-200 partition count is pure overhead on small builds and a
+    # bottleneck on huge ones).
+    stats_ds = rd.from_items(specs, override_num_blocks=len(specs)).map_batches(
+        build_segments_batch,
+        batch_format="pyarrow",
+        batch_size=1,  # one segment per task -> retries and skips are per segment
+        fn_kwargs=dict(
+            index_dir=index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            block_size=block_size,
+            extra_doc_cols=extra_doc_cols,
+            build_run=build_run,
+            emit_term_stats=True,
+        ),
+        concurrency=concurrency,
+    )
+    lex = stats_ds.groupby("term", num_partitions=max(1, len(specs) // 16)).aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
+    lex.write_parquet(tmp_lex)  # consumes the pipeline (segments + lexicon)
     lex_dir = os.path.join(index_dir, "lexicon")
-    if any_built or not os.path.exists(lex_dir):
-        # The one (small) shuffle: per-segment term stats -> global lexicon.
-        seg_postings = [
-            os.path.join(_seg_dir(index_dir, s["seg_id"]), "postings.parquet") for s in specs
-        ]
-        # shuffle width scales with segment count — a fixed (default-200)
-        # partition count is pure overhead on small builds and a bottleneck
-        # on huge ones
-        lex = (
-            rd.read_parquet(seg_postings, columns=["term", "df", "cf"])
-            .groupby("term", num_partitions=max(1, len(specs) // 16))
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-        )
-        tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
-        lex.write_parquet(tmp_lex)
-        if os.path.exists(lex_dir):
-            shutil.rmtree(lex_dir)
-        os.rename(tmp_lex, lex_dir)
+    if os.path.exists(lex_dir):
+        shutil.rmtree(lex_dir)
+    os.rename(tmp_lex, lex_dir)
+
+    # Collect per-segment manifests (driver-side, tiny json files) in the
+    # deterministic global segment order.
+    import pandas as pd
+
+    rows = []
+    for s in specs:
+        with open(os.path.join(_seg_dir(index_dir, s["seg_id"]), "manifest.json")) as fh:
+            m = json.load(fh)
+        m.setdefault("build_run", None)
+        rows.append(m)
+    manifests = pd.DataFrame(rows).sort_values("seg_id").reset_index(drop=True)
+    manifests["skipped"] = manifests["build_run"] != build_run
 
     n_docs = int(manifests["n_docs"].sum())
     sum_dl = int(manifests["sum_doc_len"].sum())

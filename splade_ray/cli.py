@@ -120,6 +120,16 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Re-check the per-row content sha256 invariant (north rule)."""
+    _ensure_ray()
+    from splade_ray.ingest import verify_sha_invariant
+
+    report = verify_sha_invariant(args.index, args.corpus)
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -174,6 +184,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    v = sub.add_parser("verify", help="check content sha256 invariant vs source")
+    v.add_argument("--index", required=True)
+    v.add_argument("--corpus", default=None)
+    v.set_defaults(fn=cmd_verify)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)

@@ -285,3 +285,74 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
         .groupby(["lang", "band"])
         .map_groups(block, batch_format="pandas")
     )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    *,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    Scale path: random-hyperplane signatures (splade_ray.ops.ann.HyperplaneLSH)
+    bucket likely-similar vectors; only (bucket, id, embedding) rows shuffle
+    into same-bucket groups, where exact pairwise cosine is computed and
+    thresholded. Pairs whose two members never share a bucket are missed —
+    recall is controlled by n_planes (fewer planes = bigger buckets = higher
+    recall, more compute). Deterministic (seeded planes).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, deduplicated across
+    buckets by the groupby(bucket) itself emitting each pair once per shared
+    bucket and a final distinct pass.
+    """
+    from splade_ray.ops.ann import HyperplaneLSH, _normalize
+
+    class Sig:
+        def __init__(self):
+            self.lsh = HyperplaneLSH(dim, n_planes, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "bucket": pa.array(self.lsh.signature(mat), pa.int64()),
+                    id_col: batch[id_col],
+                    emb_col: batch[emb_col],
+                }
+            )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+            )
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _normalize(np.stack(g[emb_col].to_numpy()[order]))
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= min_cosine
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    pairs = (
+        ds.map_batches(Sig, batch_format="pyarrow", batch_size=2048, concurrency=2)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")

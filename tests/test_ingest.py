@@ -1,0 +1,91 @@
+"""Ingest canonicalization + sha-invariant verification + embedding near-dup."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from splade_ray.build import build_index
+from splade_ray.corpus import synth_corpus
+from splade_ray.ingest import canonicalize_corpus, verify_sha_invariant
+
+
+def _write_shuffled(tmp_path, name, t, order, n_files):
+    d = tmp_path / name
+    d.mkdir()
+    t = t.take(pa.array(order))
+    per = (t.num_rows + n_files - 1) // n_files
+    for f in range(n_files):
+        part = t.slice(f * per, per)
+        if part.num_rows:
+            pq.write_table(part, str(d / f"part-{f:02d}.parquet"))
+    return str(d)
+
+
+def test_canonicalize_makes_ids_layout_invariant(ray_session, tmp_path):
+    t = synth_corpus(80, seed=7)
+    rng = np.random.RandomState(0)
+    # two different shardings/orderings of the SAME logical corpus
+    a = _write_shuffled(tmp_path, "a", t, rng.permutation(80), 3)
+    b = _write_shuffled(tmp_path, "b", t, rng.permutation(80), 5)
+
+    runs = []
+    for raw in (a, b):
+        canon = raw + "-canon"
+        canonicalize_corpus(raw, canon)
+        idx = raw + "-idx"
+        build_index(canon, idx, text_col="content", rows_per_segment=16,
+                    extra_doc_cols=("repo", "path"))
+        rows = []
+        for seg in sorted(glob.glob(idx + "/segments/seg=*/doclens.parquet")):
+            rows.append(pq.read_table(seg))
+        full = pa.concat_tables(rows).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        runs.append(full)
+    # identical (doc_id -> repo/path/sha) mapping regardless of input layout
+    assert runs[0].equals(runs[1])
+
+
+def test_verify_sha_invariant(ray_session, tmp_path):
+    t = synth_corpus(40, seed=3)
+    raw = _write_shuffled(tmp_path, "c", t, np.arange(40), 2)
+    idx = str(tmp_path / "idx")
+    build_index(raw, idx, text_col="content", rows_per_segment=16)
+    report = verify_sha_invariant(idx, raw)
+    assert report == {"n_docs": 40, "segment_rollups_ok": True, "source_checked": True}
+
+    # corrupt one stored sha -> source-level check must fail
+    seg = sorted(glob.glob(idx + "/segments/seg=*/doclens.parquet"))[0]
+    tt = pq.read_table(seg)
+    col = tt["content_sha256"].to_pylist()
+    col[0] = "0" * 64
+    tt = tt.set_column(tt.schema.get_field_index("content_sha256"),
+                       "content_sha256", pa.array(col))
+    pq.write_table(tt, seg)
+    with pytest.raises(AssertionError):
+        verify_sha_invariant(idx, raw)
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    from splade_ray.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(1)
+    base = rng.normal(size=(5, 16))
+    vecs = [base[i] for i in range(5)]
+    vecs.append(base[2] * 3.0 + rng.normal(scale=1e-3, size=16))  # near-dup of 2 (id 5)
+    vecs.append(-base[0])  # anti-parallel: cosine -1, must NOT pair with 0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(7), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            }
+        )
+    )
+    got = embedding_near_dup_pairs(ds, dim=16, min_cosine=0.95, n_planes=4).to_pandas()
+    assert (2, 5) in set(zip(got["id_a"], got["id_b"]))
+    assert all(s >= 0.95 for s in got["cos_sim"])
+    assert (0, 6) not in set(zip(got["id_a"], got["id_b"]))
