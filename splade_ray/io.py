@@ -122,10 +122,10 @@ def anserini_doc_rows(
 
     from splade_ray.analysis import term_frequency_table
     from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
-    from splade_ray.prune import collection_stats
+    from splade_ray.prune import global_term_stats
 
     params = params or BM25Params()
-    ctx_ref = ray.put(stats or collection_stats(docs_ds, id_col=id_col, text_col=text_col))
+    ctx_ref = ray.put(stats or global_term_stats(docs_ds, id_col=id_col, text_col=text_col))
 
     def fold(batch: pa.Table) -> pa.Table:
         ctx = ray.get(ctx_ref)

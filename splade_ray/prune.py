@@ -36,29 +36,26 @@ from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
 QUANT_FACTOR = 100
 
 
-def collection_stats(
+def global_term_stats(
     docs_ds: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict:
-    """Collection-level BM25 context: doc lengths, per-term df, N, avgdl.
+    """The broadcastable side of BM25 quantization: per-term df (lexicon-
+    sized), N and avgdl — NO per-doc state (doc lengths are re-derived
+    batch-locally by consumers; a per-doc map would not broadcast at 1e12
+    rows)."""
+    from ray.data.aggregate import Count, Sum
 
-    The df map is lexicon-sized (small side) and the dl map is one int per
-    doc; both are broadcast via ``ray.put`` by callers. At 100 TB the dl map
-    would instead live as a per-segment doclens file (as the index build
-    does, splade_ray/build.py) — this helper serves the standalone flat-
-    postings transforms."""
     kw = {"id_col": id_col, "text_col": text_col}
-    stats_df = (
+    agg = (
         docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=512, fn_kwargs=kw)
-        .select_columns(["doc_id", "n_tokens"])
-        .to_pandas()
+        .aggregate(Count(alias_name="n"), Sum("n_tokens", alias_name="sum_dl"))
     )
-    n_docs = len(stats_df)
-    avgdl = stats_df["n_tokens"].sum() / max(n_docs, 1)
-    dl_map = dict(zip(stats_df["doc_id"], stats_df["n_tokens"]))
+    n_docs = int(agg["n"])
+    avgdl = (agg["sum_dl"] or 0) / max(n_docs, 1)
     flat = docs_ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=512, fn_kwargs=kw)
     df_counts = flat.groupby("term").count().to_pandas()
     df_map = dict(zip(df_counts["term"], df_counts["count()"]))
-    return {"df": df_map, "dl": dl_map, "n": n_docs, "avgdl": avgdl}
+    return {"df": df_map, "n": n_docs, "avgdl": avgdl}
 
 
 def quantized_impacts(
@@ -66,31 +63,45 @@ def quantized_impacts(
     params: BM25Params | None = None,
     factor: int = QUANT_FACTOR,
     stats: dict | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> rd.Dataset:
-    """(doc_id, term, impact_q) with impact_q = round_half_up(idf·tf_comp·factor) > 0."""
+    """(doc_id, term, impact_q) with impact_q = round_half_up(idf·tf_comp·factor) > 0.
+
+    Doc-local single pass over the streaming documents table: tf and doc
+    length come from the batch itself; only the lexicon-sized df map + (N,
+    avgdl) are broadcast (``ray.put`` once)."""
+    from splade_ray.analysis import term_frequency_table
+
     params = params or BM25Params()
-    ctx_ref = ray.put(stats or collection_stats(docs_ds))
+    ctx_ref = ray.put(stats or global_term_stats(docs_ds, id_col=id_col, text_col=text_col))
 
     def quantize(batch: pa.Table) -> pa.Table:
         ctx = ray.get(ctx_ref)
-        terms = batch["term"].to_pylist()
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dl = np.array([ctx["dl"][d] for d in doc_ids], np.float64)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+        rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
+        tf = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = tf_tbl["term"].to_pylist()
+        dl = doc_lens[rows].astype(np.float64)
         w = np.array([bm25_idf(ctx["df"][t], ctx["n"]) for t in terms], np.float64)
         impact = w * tf_component(tf, dl, ctx["avgdl"], params)
         q = np.floor(impact * factor + 0.5).astype(np.int64)
         keep = q > 0
-        return pa.table(
+        out = pa.table(
             {
-                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "doc_id": pa.array(doc_ids[rows][keep], pa.int64()),
                 "term": pa.array([t for t, k in zip(terms, keep) if k], pa.string()),
                 "impact_q": pa.array(q[keep], pa.int64()),
             }
         )
+        # hash-group output is doc-scattered; keep each doc's rows contiguous
+        # inside the block so doc-local consumers (prune_by_size, the
+        # Anserini fold) can process whole blocks safely
+        return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
 
-    flat = docs_ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
-    return flat.map_batches(quantize, batch_format="pyarrow", batch_size=4096)
+    return docs_ds.map_batches(quantize, batch_format="pyarrow", batch_size=1024)
 
 
 def prune_by_value(impacts: rd.Dataset, threshold: float, factor: int = QUANT_FACTOR) -> rd.Dataset:
@@ -107,9 +118,9 @@ def prune_by_value(impacts: rd.Dataset, threshold: float, factor: int = QUANT_FA
 
 def prune_by_size(impacts: rd.Dataset, size: int) -> rd.Dataset:
     """Per-doc top-`size` terms by impact desc, tie term asc
-    (prune_doc_index.py:17-19). Requires doc-local batches (postings for one
-    doc never straddle a batch — true for the analyzer output, which emits a
-    doc's postings contiguously inside one batch)."""
+    (prune_doc_index.py:17-19). Doc-local: processes whole upstream blocks
+    (``batch_size=None``) so a doc's postings — contiguous within their
+    block by construction — are never split across batches."""
 
     def topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -117,7 +128,7 @@ def prune_by_size(impacts: rd.Dataset, size: int) -> rd.Dataset:
         df = df.groupby("doc_id", sort=False).head(size)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return impacts.map_batches(topk, batch_format="pyarrow", batch_size=8192)
+    return impacts.map_batches(topk, batch_format="pyarrow", batch_size=None)
 
 
 def term_quantile_thresholds(impacts: rd.Dataset, quantile: float) -> pd.DataFrame:
