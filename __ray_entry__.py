@@ -233,6 +233,22 @@ def q_rerank_lexical(sf_dir: str):
     return out
 
 
+def q_rerank_pairwise(sf_dir: str):
+    """duoT5-style pairwise win-count aggregation over the scored candidates
+    (transformer_evaluator.py:328-340), deterministic comparator = overlap."""
+    from splade_ray.rerank import LexicalReranker, pairwise_rerank
+
+    scored = (
+        _rerank_pairs(sf_dir)
+        .map_batches(LexicalReranker, batch_format="pyarrow", batch_size=512, concurrency=2)
+        .to_pandas()
+    )
+    out = pairwise_rerank(scored)
+    for c in ("query_id", "new_rank", "wins2", "rank"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_text_quality(sf_dir: str):
     from splade_ray.ops.textstats import quality_batch
 
@@ -385,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flops_metric": q_flops_metric,
         "rerank_input": q_rerank_input,
         "rerank_lexical": q_rerank_lexical,
+        "rerank_pairwise": q_rerank_pairwise,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
@@ -589,6 +606,26 @@ rr AS (SELECT query_id, doc_id, overlap, rank,
                                  ORDER BY overlap DESC, rank ASC, doc_id ASC) AS new_rank
        FROM ov)
 SELECT query_id, new_rank::BIGINT AS new_rank, doc_id, overlap, rank::BIGINT AS rank FROM rr""",
+        "rerank_pairwise": f"""{_bm25_cte()},
+{_qterm_values_sql()},
+pairs AS (SELECT query_id, rank, doc_id FROM ranked
+          WHERE rank <= {TOP_K} AND doc_id != query_id),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+ov AS (SELECT p.query_id, p.rank, p.doc_id, count(qt.term)::BIGINT AS overlap
+       FROM pairs p
+       LEFT JOIN dt ON dt.doc_id = p.doc_id
+       LEFT JOIN qterm qt ON qt.query_id = p.query_id AND qt.term = dt.term
+       GROUP BY 1, 2, 3),
+wins AS (SELECT a.query_id, a.rank, a.doc_id,
+                (sum(CASE WHEN a.overlap > b.overlap THEN 2
+                          WHEN a.overlap = b.overlap THEN 1 ELSE 0 END) - 1)::BIGINT AS wins2
+         FROM ov a JOIN ov b ON a.query_id = b.query_id
+         GROUP BY 1, 2, 3),
+rr AS (SELECT query_id, doc_id, wins2, rank,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY wins2 DESC, rank ASC, doc_id ASC) AS new_rank
+       FROM wins)
+SELECT query_id, new_rank::BIGINT AS new_rank, doc_id, wins2, rank::BIGINT AS rank FROM rr""",
         "text_quality": f"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens,

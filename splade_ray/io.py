@@ -76,6 +76,35 @@ def read_run_json(path: str) -> pd.DataFrame:
     return df[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
 
 
+def read_trec_run(path: str, top_k: int | None = None) -> pd.DataFrame:
+    """TREC 6-column run file (``qid Q0 docid rank score tag``,
+    whitespace-separated) → run table, optionally capped at top_k — the
+    reference's rerank-input reader (``splade/datasets/rerank.py:37-54``:
+    splits on whitespace, keeps ``position <= top_k``)."""
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 6:
+                continue
+            qid, _, did, rank, score = parts[0], parts[1], parts[2], int(parts[3]), float(parts[4])
+            if top_k is not None and rank > top_k:
+                continue
+            rows.append((int(qid), rank, int(did), score))
+    df = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def write_trec_run(run: pd.DataFrame, path: str, tag: str = "splade_ray") -> None:
+    """Run table → TREC 6-column format."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        for q, r, d, s in run.sort_values(["query_id", "rank"])[
+            ["query_id", "rank", "doc_id", "score"]
+        ].itertuples(index=False):
+            fh.write(f"{int(q)} Q0 {int(d)} {int(r)} {s} {tag}\n")
+
+
 def trec_qrel_to_json(qrel_path: str, out_path: str | None = None) -> dict:
     """trec-tsv qrel (``q_id \\t _ \\t d_id \\t rel``) → nested qrel dict,
     optionally written as qrel.json next to the input

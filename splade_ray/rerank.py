@@ -93,6 +93,31 @@ class LexicalReranker:
         return batch.append_column("overlap", pa.array(overlaps, pa.int64()))
 
 
+def pairwise_rerank(scored: pd.DataFrame) -> pd.DataFrame:
+    """duoT5-style pairwise-preference aggregation
+    (``transformer_evaluator.py:328-340``): each candidate's score is its
+    win count over the other candidates of the same query — 1 per strictly
+    higher ``overlap``, 0.5 per tie (self-pairs excluded) — doubled to stay
+    integral (``wins2``); re-ranked by (wins2 desc, first-stage rank asc,
+    doc_id asc). Driver-side: candidate sets are top-k sized."""
+    out = []
+    for qid, g in scored.groupby("query_id"):
+        ov = g["overlap"].to_numpy(np.int64)
+        wins2 = (
+            2 * (ov[:, None] > ov[None, :]).sum(axis=1)
+            + (ov[:, None] == ov[None, :]).sum(axis=1)
+            - 1  # self-tie
+        )
+        gg = g.copy()
+        gg["wins2"] = wins2
+        out.append(gg)
+    res = pd.concat(out, ignore_index=True).sort_values(
+        ["query_id", "wins2", "rank", "doc_id"], ascending=[True, False, True, True]
+    )
+    res["new_rank"] = res.groupby("query_id").cumcount() + 1
+    return res[["query_id", "new_rank", "doc_id", "wins2", "rank"]].reset_index(drop=True)
+
+
 def rerank(
     pairs: rd.Dataset,
     *,

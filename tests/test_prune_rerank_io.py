@@ -222,3 +222,44 @@ def test_ndcg_at_k():
     # dcg = 2/log2(3); idcg = 2/log2(2) + 1/log2(3)
     exp = (2 / math.log2(3)) / (2 + 1 / math.log2(3))
     assert ndcg_at_k(run, qrel, k=3) == pytest.approx(exp)
+
+
+def test_trec_run_roundtrip(tmp_path):
+    from splade_ray.io import read_trec_run, write_trec_run
+
+    run = pd.DataFrame(
+        {
+            "query_id": [1, 1, 2],
+            "rank": [1, 2, 1],
+            "doc_id": [10, 11, 12],
+            "score": [3.5, 2.0, 9.0],
+        }
+    )
+    p = str(tmp_path / "run.trec")
+    write_trec_run(run, p)
+    assert open(p).readline() == "1 Q0 10 1 3.5 splade_ray\n"
+    back = read_trec_run(p)
+    pd.testing.assert_frame_equal(back, run)
+    capped = read_trec_run(p, top_k=1)
+    assert list(capped["rank"]) == [1, 1]
+
+
+def test_pairwise_rerank():
+    from splade_ray.rerank import pairwise_rerank
+
+    scored = pd.DataFrame(
+        {
+            "query_id": [7, 7, 7, 8],
+            "rank": [1, 2, 3, 1],
+            "doc_id": [10, 11, 12, 20],
+            "overlap": [1, 3, 1, 0],
+        }
+    )
+    out = pairwise_rerank(scored)
+    q7 = out[out["query_id"] == 7]
+    # doc11 beats both (wins2 = 4); docs 10/12 tie each other (wins2 = 1 each)
+    assert list(q7["doc_id"]) == [11, 10, 12]
+    assert list(q7["wins2"]) == [4, 1, 1]
+    assert list(q7["new_rank"]) == [1, 2, 3]
+    q8 = out[out["query_id"] == 8]
+    assert list(q8["wins2"]) == [0] and list(q8["new_rank"]) == [1]
