@@ -340,7 +340,10 @@ def q_dedup_embedding(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return embedding_near_dup_pairs(ds, dim=64, min_cosine=0.9, n_planes=8)
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.5), so the demo threshold is set where candidate pairs exist;
+    # production near-dup would use ~0.9
+    return embedding_near_dup_pairs(ds, dim=64, min_cosine=0.35, n_planes=4)
 
 
 def q_ann_lsh_buckets(sf_dir: str):

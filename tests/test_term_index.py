@@ -41,3 +41,45 @@ def test_term_index_single_salt_bucket(ray_session):
     out = build_term_index(_flat(rows), salt_range=1_000_000).to_pandas()
     docs, _ = decode_posting(out["docs_enc"][0], out["tfs_enc"][0], out["df"][0])
     assert docs.tolist() == [i * 3 for i in range(10)]
+
+
+def test_term_index_pathological_skew(ray_session):
+    """North-rule skew case (SURVEY.md §7 M3): a 'def'-like token in 50% of
+    20k docs, through the real analyzer -> salted groupby -> concatenated
+    global posting list, verified against a brute-force count."""
+    import pandas as pd
+
+    from splade_ray.analysis import postings_batch, term_counts
+
+    n = 20_000
+    texts = []
+    for i in range(n):
+        parts = [f"ident_{i % 97}"]
+        if i % 2 == 0:
+            parts.append("def def")  # ubiquitous, tf=2
+        if i % 400 == 7:
+            parts.append(f"rare_{i}")
+        texts.append(" ".join(parts))
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    )
+    flat = docs.map_batches(postings_batch, batch_format="pyarrow", batch_size=2048)
+    # salt_range 1000 -> the skewed term splits into 10 doc-id-disjoint
+    # sub-groups encoded independently and concatenated in salt order
+    out = build_term_index(flat, salt_range=1000).to_pandas().set_index("term")
+
+    d = out.loc["def"]
+    docs_dec, tfs_dec = decode_posting(d["docs_enc"], d["tfs_enc"], d["df"])
+    assert d["df"] == n // 2 and d["cf"] == n  # tf=2 each
+    assert docs_dec.tolist() == list(range(0, n, 2))
+    assert set(tfs_dec.tolist()) == {2}
+
+    # lexicon-level equality vs brute force for every term
+    brute: dict[str, tuple[int, int]] = {}
+    for t in texts:
+        for term, tf in term_counts(t).items():
+            df0, cf0 = brute.get(term, (0, 0))
+            brute[term] = (df0 + 1, cf0 + tf)
+    assert len(out) == len(brute)
+    for term, (df0, cf0) in brute.items():
+        assert out.loc[term, "df"] == df0 and out.loc[term, "cf"] == cf0
