@@ -149,3 +149,41 @@ def test_lexicon_matches_flat_groupby(built):
         )
     }
     assert got == {k: (df[k], cf[k]) for k in df}
+
+
+def test_resume_after_simulated_crash(ray_session, tmp_path):
+    """Kill-mid-build semantics (SURVEY.md §5): a leftover .tmp segment dir,
+    a missing segment and a corrupted manifest are all rebuilt on re-run;
+    untouched segments are skipped; final index equals a clean build."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from splade_ray.build import build_index
+    from splade_ray.corpus import write_synth_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_synth_corpus(corpus, 120, seed=11, n_files=2)
+    idx = str(tmp_path / "idx")
+    m0 = build_index(corpus, idx, text_col="content", rows_per_segment=30)
+    clean = {
+        seg: pq.read_table(seg + "/postings.parquet")
+        for seg in sorted(glob.glob(idx + "/segments/seg=*"))
+    }
+
+    # simulate a crash: leftover tmp dir, one segment gone, one manifest corrupt
+    os.makedirs(idx + "/segments/.tmp-000001-deadbeef", exist_ok=True)
+    shutil.rmtree(idx + "/segments/seg=000002")
+    mpath = idx + "/segments/seg=000000/manifest.json"
+    with open(mpath, "w") as fh:
+        fh.write("{ truncated")
+
+    m1 = build_index(corpus, idx, text_col="content", rows_per_segment=30)
+    assert m1["n_segments"] == m0["n_segments"]
+    assert m1["n_segments_skipped"] == m0["n_segments"] - 2  # two rebuilt
+    for seg, want in clean.items():
+        assert pq.read_table(seg + "/postings.parquet").equals(want), seg
+    assert json.load(open(mpath))["completed"] is True
