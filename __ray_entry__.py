@@ -346,6 +346,25 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_near_dup_pairs(ds, dim=64, min_cosine=0.35, n_planes=4)
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate ANN (seeded spherical k-means coarse quantizer,
+    nprobe-of-n_clusters scan) — the scale path beside brute force."""
+    from splade_ray.ops.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    ids = np.array(qt["vec_id"].to_pylist())
+    mask = ids < 5
+    q_mat = np.stack(
+        [np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m]
+    )
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, ids[mask], q_mat, n_clusters=16, nprobe=4, top_k=TOP_K).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
 def q_ann_lsh_buckets(sf_dir: str):
     from splade_ray.ops.ann import lsh_buckets
 
@@ -416,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,

@@ -113,3 +113,98 @@ def lsh_buckets(ds, *, dim: int, n_planes: int = 12, seed: int = 42):
             )
 
     return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+
+
+def kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded spherical k-means (deterministic): cosine assignment, mean
+    update, renormalize; empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample)
+    k = min(k, x.shape[0])
+    cents = x[rng.choice(x.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if members.size:
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Attach the nearest-centroid cluster id to each vector (the IVF coarse
+    quantizer; broadcast centroids, stateless map)."""
+    cents_ref = ray.put(_normalize(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
+        return batch.append_column(
+            "cluster", pa.array(np.argmax(mat @ cents.T, axis=1).astype(np.int64))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=2048)
+
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    top_k: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF approximate top-k: train a seeded spherical-k-means coarse
+    quantizer on a driver-side sample, assign every vector to its cluster
+    (one streaming pass), then score each query only against its ``nprobe``
+    nearest clusters. ``nprobe == n_clusters`` degrades to exact brute force
+    (tested). The scale path for ANN beyond LSH buckets: candidate set per
+    query shrinks ~ nprobe/n_clusters."""
+    sample = np.stack(
+        ds.limit(min(sample_size, ds.count())).to_pandas()[emb_col].to_numpy()
+    )
+    cents = kmeans_fit(sample, n_clusters, seed=seed)
+    assigned = ivf_assign(ds, cents, id_col=id_col, emb_col=emb_col)
+    qmat = _normalize(np.asarray(query_matrix, np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, cents.shape[0])]
+    ctx_ref = ray.put(
+        {"query_ids": np.asarray(query_ids, np.int64), "qmat": qmat, "probes": probes}
+    )
+
+    class Scorer:
+        def __init__(self):
+            self.ctx = ray.get(ctx_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+            vec_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.ctx["query_ids"]):
+                mask = np.isin(clusters, self.ctx["probes"][qi])
+                if not mask.any():
+                    continue
+                sims = mat[mask] @ self.ctx["qmat"][qi]
+                k = min(top_k, sims.size)
+                cand = np.argpartition(-sims, k - 1)[:k] if k < sims.size else np.arange(sims.size)
+                out_q.extend([qid] * cand.size)
+                out_v.extend(vec_ids[mask][cand].tolist())
+                out_s.extend(sims[cand].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    cand = assigned.map_batches(Scorer, batch_format="pyarrow", batch_size=2048, concurrency=4)
+    return cand.groupby("query_id").map_groups(
+        _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    )

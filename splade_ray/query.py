@@ -142,20 +142,37 @@ class SegmentIndex:
 
 
 class ScoreSegments:
-    """Actor-pool ``map_batches`` stage over segment paths. The prepared query
-    set is fetched from the object store once per actor (``__init__``), not
-    re-shipped per batch."""
+    """Actor-pool ``map_batches`` stage over (segment, query-chunk) work
+    items. Prepared query chunks are fetched from the object store on first
+    use per actor and cached (not re-shipped per batch); large query sets
+    parallelize across the segments × chunks grid."""
 
-    def __init__(self, prepared_ref, method: str = "exact"):
-        self.prepared = ray.get(prepared_ref) if isinstance(prepared_ref, ray.ObjectRef) else prepared_ref
+    def __init__(self, prepared_refs, method: str = "exact"):
+        self.refs = prepared_refs if isinstance(prepared_refs, list) else [prepared_refs]
         self.method = method
+        self._cache: dict[int, dict] = {}
+
+    def _prepared(self, chunk: int) -> dict:
+        got = self._cache.get(chunk)
+        if got is None:
+            if len(self._cache) >= 4:  # bound actor memory for huge query sets
+                self._cache.clear()
+            r = self.refs[chunk]
+            got = self._cache[chunk] = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[tuple[int, int, float]] = []
-        for seg_dir in batch["seg_dir"].to_pylist():
-            seg = SegmentIndex(seg_dir, self.prepared["terms"])
+        chunks = (
+            batch["chunk"].to_pylist()
+            if "chunk" in batch.column_names
+            else [0] * len(batch)
+        )
+        for seg_dir, chunk in zip(batch["seg_dir"].to_pylist(), chunks):
+            prepared = self._prepared(int(chunk))
+            seg = SegmentIndex(seg_dir, prepared["terms"])
             fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
-            rows.extend(fn(self.prepared))
+            rows.extend(fn(prepared))
         qids = np.array([r[0] for r in rows], np.int64)
         docs = np.array([r[1] for r in rows], np.int64)
         scs = np.array([r[2] for r in rows], np.float64)
@@ -181,21 +198,32 @@ def search(
     *,
     method: str = "exact",
     concurrency: int | None = None,
+    query_chunk_size: int = 1024,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
-    (query_id, rank, doc_id, score) sorted by (query_id, rank)."""
+    (query_id, rank, doc_id, score) sorted by (query_id, rank).
+
+    Large query sets are split into ``query_chunk_size`` chunks; the work
+    grid is segments × chunks, so both axes of parallelism scale and no
+    single broadcast grows with the full query count."""
     params = params or BM25Params()
-    prepared = prepare_queries(index_dir, queries, params)
+    chunks = [
+        queries[i : i + query_chunk_size]
+        for i in range(0, len(queries), query_chunk_size)
+    ] or [[]]
+    prepared_refs = [ray.put(prepare_queries(index_dir, c, params)) for c in chunks]
     segs = segment_dirs(index_dir)
-    prepared_ref = ray.put(prepared)
-    cand = rd.from_items([{"seg_dir": s} for s in segs]).map_batches(
+    items = [
+        {"seg_dir": s, "chunk": ci} for ci in range(len(chunks)) for s in segs
+    ]
+    cand = rd.from_items(items, override_num_blocks=len(items)).map_batches(
         ScoreSegments,
         batch_format="pyarrow",
         batch_size=1,
-        fn_constructor_kwargs={"prepared_ref": prepared_ref, "method": method},
+        fn_constructor_kwargs={"prepared_refs": prepared_refs, "method": method},
         # autoscaling pool: starts small, grows to the CPU budget — a fixed
         # pool larger than the cluster deadlocks behind the downstream stages
-        concurrency=concurrency or (1, min(len(segs), 16)),
+        concurrency=concurrency or (1, min(len(items), 16)),
     )
     run = cand.groupby("query_id").map_groups(
         merge_topk, batch_format="pandas", fn_kwargs={"top_k": params.top_k}

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pyarrow.parquet as pq
+import pandas as pd
 import pytest
 
 from splade_ray.bm25 import BM25Params
@@ -187,3 +188,22 @@ def test_resume_after_simulated_crash(ray_session, tmp_path):
     for seg, want in clean.items():
         assert pq.read_table(seg + "/postings.parquet").equals(want), seg
     assert json.load(open(mpath))["completed"] is True
+
+
+def test_search_query_chunking(ray_session, tmp_path):
+    """Chunked query scatter (segments x chunks grid) returns the identical
+    run as a single chunk."""
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.build import build_index
+    from splade_ray.corpus import write_synth_corpus
+    from splade_ray.query import search
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 100, seed=21, n_files=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=40)
+    queries = [(i, f"def return ident_{i % 5} parse stream") for i in range(9)]
+    p = BM25Params(top_k=5)
+    one = search(idx, queries, p, query_chunk_size=100)
+    many = search(idx, queries, p, query_chunk_size=2)  # 5 chunks x 3 segments
+    pd.testing.assert_frame_equal(one, many)

@@ -172,3 +172,61 @@ def test_media_decode_fake_and_real_stub(ray_session):
     stage = DecodeStage(real=True)
     with pytest.raises(NotImplementedError):
         stage(attach_fake_payload(pa.table({"doc_id": [0], "text": ["x"]})))
+
+
+def test_ivf_topk_exact_when_probing_all(ray_session):
+    """nprobe == n_clusters scans everything -> must equal brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.ann import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    mat = rng.normal(size=(200, 16))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in mat]),
+            }
+        )
+    )
+    q_ids = np.array([0, 1, 2])
+    q = mat[:3]
+    exact = cosine_topk(ds, q_ids, q, top_k=5).to_pandas().reset_index(drop=True)
+    ivf_all = (
+        ivf_topk(ds, q_ids, q, n_clusters=8, nprobe=8, top_k=5)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ivf_all.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_ivf_topk_probe_subset_recall(ray_session):
+    """nprobe=2 of 8: the true top-1 (a planted duplicate vector, cosine 1.0
+    -> same cluster as the query) must still be found."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.ann import ivf_topk
+
+    rng = np.random.RandomState(10)
+    mat = rng.normal(size=(300, 16))
+    mat[123] = mat[0] * 2.0  # exact-direction duplicate of query 0
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in mat]),
+            }
+        )
+    )
+    out = ivf_topk(ds, np.array([0]), mat[:1], n_clusters=8, nprobe=2, top_k=3).to_pandas()
+    top = out[out["rank"] == 1].iloc[0]
+    assert top["vec_id"] in (0, 123) and top["sim"] > 0.9999
