@@ -29,40 +29,51 @@ STOPWORDS = {
 CJK_RE = re.compile(r"[一-鿿]")
 
 
+def _count_regex(texts, pattern: str) -> np.ndarray:
+    """Per-row non-overlapping regex match count, vectorized (nulls -> 0)."""
+    import pyarrow.compute as pc
+
+    c = pc.count_substring_regex(texts, pattern)
+    return np.asarray(c.fill_null(0), dtype=np.int64)
+
+
 def quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """(doc_id, n_tokens, alpha_ratio_r, digit_ratio_r) — ratios rounded to
-    4dp with round-half-up so the SQL oracle matches exactly."""
-    doc_ids, n_tokens, alpha_r, digit_r = [], [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-        t = text or ""
-        L = max(len(t), 1)
-        doc_ids.append(did)
-        n_tokens.append(len(tokenize(t)))
-        alpha_r.append(np.floor(len(ALPHA_RE.findall(t)) / L * 1e4 + 0.5) / 1e4)
-        digit_r.append(np.floor(len(DIGIT_RE.findall(t)) / L * 1e4 + 0.5) / 1e4)
+    4dp with round-half-up so the SQL oracle matches exactly. Fully
+    vectorized Arrow kernels (char-class counts + utf8_length)."""
+    import pyarrow.compute as pc
+
+    from splade_ray.analysis import tokenize_column
+
+    texts = batch[text_col]
+    _, _, n_tokens = tokenize_column(texts)
+    length = np.maximum(
+        np.asarray(pc.utf8_length(texts).fill_null(0), dtype=np.int64), 1
+    ).astype(np.float64)
+    alpha = _count_regex(texts, "[a-zA-Z]")
+    digit = _count_regex(texts, "[0-9]")
+    r4 = lambda x: np.floor(x * 1e4 + 0.5) / 1e4
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
-            "alpha_ratio_r": pa.array(alpha_r, pa.float64()),
-            "digit_ratio_r": pa.array(digit_r, pa.float64()),
+            "alpha_ratio_r": pa.array(r4(alpha / length), pa.float64()),
+            "digit_ratio_r": pa.array(r4(digit / length), pa.float64()),
         }
     )
 
 
 def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish sub-word piece count per doc."""
-    doc_ids, ws, bpe = [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-        t = text or ""
-        doc_ids.append(did)
-        ws.append(len(WS_RE.findall(t)))
-        bpe.append(len(BPE_RE.findall(t)))
+    """Whitespace token count + BPE-ish sub-word piece count per doc —
+    vectorized regex-count kernels."""
+    texts = batch[text_col]
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "ws_tokens": pa.array(ws, pa.int64()),
-            "bpe_tokens": pa.array(bpe, pa.int64()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "ws_tokens": pa.array(_count_regex(texts, r"\S+"), pa.int64()),
+            "bpe_tokens": pa.array(
+                _count_regex(texts, r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), pa.int64()
+            ),
         }
     )
 
