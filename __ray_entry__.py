@@ -391,6 +391,17 @@ def q_anserini_docs(sf_dir: str):
     )
 
 
+def q_media_frames(sf_dir: str):
+    """Media decode -> frame-sampling flat-map (video frame extraction
+    shape; deterministic fake decode, real Ray plumbing)."""
+    from splade_ray.ops.media import attach_fake_payload, decode_media, frame_sample
+
+    media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        attach_fake_payload, batch_format="pyarrow", batch_size=256
+    )
+    return frame_sample(decode_media(media, batch_size=64, concurrency=2), every_n=4000)
+
+
 def q_flagship_run(sf_dir: str):
     return run_flagship(sf_dir, _work_dir(sf_dir, "flagship"))
 
@@ -439,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,
+        "media_frames": q_media_frames,
         "flagship_run": q_flagship_run,
     }
 

@@ -97,3 +97,66 @@ def decode_media(ds, *, batch_size: int = 64, concurrency: int = 4, real: bool =
         concurrency=concurrency,
         fn_constructor_kwargs={"real": real},
     )
+
+
+class ResizeStage:
+    """Actor-pool image-resize stage: same stub discipline as DecodeStage
+    (``real=True`` raises where Pillow would run; the fake re-digests the
+    payload so output bytes are deterministic and size-bounded)."""
+
+    def __init__(self, width: int = 224, height: int = 224, real: bool = False):
+        self.width, self.height, self.real = width, height, real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            if self.real:
+                raise NotImplementedError(
+                    "real resize requires an image library not present here; "
+                    "wire Pillow Image.resize into this branch"
+                )
+            h = hashlib.blake2b(payload, digest_size=32, person=b"resize").digest()
+            out.append(h)  # fixed-size stand-in for the resized image bytes
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([self.width] * len(batch), pa.int64()),
+                "height": pa.array([self.height] * len(batch), pa.int64()),
+            }
+        )
+
+
+def resize_media(ds, *, width: int = 224, height: int = 224, batch_size: int = 64,
+                 concurrency: int = 4, real: bool = False):
+    return ds.map_batches(
+        ResizeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "real": real},
+    )
+
+
+def frame_sample(decoded, *, every_n: int = 10):
+    """Flat-map decoded media metadata to sampled frame rows
+    (media_id, frame_idx) — one input row expands to ceil(frames/every_n)
+    rows. Deterministic; the shape of a video frame-sampling stage."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, idxs = [], []
+        for mid, frames in zip(
+            batch["media_id"].to_pylist(), batch["frames"].to_pylist()
+        ):
+            for f in range(0, int(frames), every_n):
+                ids.append(mid)
+                idxs.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+            }
+        )
+
+    return decoded.map_batches(sample, batch_format="pyarrow", batch_size=256)

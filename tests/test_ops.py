@@ -230,3 +230,51 @@ def test_ivf_topk_probe_subset_recall(ray_session):
     out = ivf_topk(ds, np.array([0]), mat[:1], n_clusters=8, nprobe=2, top_k=3).to_pandas()
     top = out[out["rank"] == 1].iloc[0]
     assert top["vec_id"] in (0, 123) and top["sim"] > 0.9999
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.media import (
+        attach_fake_payload, decode_media, frame_sample, resize_media,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array([f"doc {i} body" for i in range(6)]),
+            }
+        )
+    )
+    media = docs.map_batches(attach_fake_payload, batch_format="pyarrow")
+    resized = resize_media(media, width=32, height=32, concurrency=1).to_pandas()
+    assert set(resized["width"]) == {32} and all(len(p) == 32 for p in resized["payload"])
+    # deterministic: same payload -> same resized bytes
+    r2 = resize_media(media, width=32, height=32, concurrency=1).to_pandas()
+    assert list(resized["payload"]) == list(r2["payload"])
+
+    decoded = decode_media(media, batch_size=4, concurrency=1)
+    frames = frame_sample(decoded, every_n=1000).to_pandas()
+    dec = decoded.to_pandas()
+    import math
+
+    want = sum(math.ceil(f / 1000) for f in dec["frames"])
+    assert len(frames) == want
+    assert (frames["frame_idx"] % 1000 == 0).all()
+
+
+def test_media_real_decode_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from splade_ray.ops.media import attach_fake_payload, decode_media
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
+    )
+    media = docs.map_batches(attach_fake_payload, batch_format="pyarrow")
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        decode_media(media, concurrency=1, real=True).to_pandas()
