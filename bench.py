@@ -113,17 +113,23 @@ def run_bench() -> dict:
 
     # query latency: persistent shard actors (load amortized), p50/p95 over
     # repeated batched calls of the 8-query set
-    searcher = Searcher(index_dir, num_shards=min(8, max(2, ncpu // 4)))
     params = BM25Params(top_k=10)
-    searcher.search(BENCH_QUERIES, params)  # warm (actor start + load)
-    lat = []
-    for _ in range(15):
-        q0 = time.monotonic()
-        searcher.search(BENCH_QUERIES, params)
-        lat.append(time.monotonic() - q0)
-    searcher.shutdown()
-    p50 = float(np.percentile(lat, 50))
-    p95 = float(np.percentile(lat, 95))
+
+    def measure(method: str):
+        s = Searcher(index_dir, num_shards=min(8, max(2, ncpu // 4)), method=method)
+        s.search(BENCH_QUERIES, params)  # warm (actor start + load)
+        lat = []
+        for _ in range(15):
+            q0 = time.monotonic()
+            s.search(BENCH_QUERIES, params)
+            lat.append(time.monotonic() - q0)
+        s.shutdown()
+        return float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+
+    p50, p95 = measure("exact")
+    # adaptive kernel: BMW block skipping for selective queries, vectorized
+    # exact for dense ones (this corpus's 31-term vocab is the dense regime)
+    p50_auto, _ = measure("auto")
 
     # wide-op stage: salted groupby(term) posting store over flat postings
     import ray.data as rd
@@ -148,6 +154,7 @@ def run_bench() -> dict:
             "index_build": round(build_s, 3),
             "query_batch_p50": round(p50, 4),
             "query_batch_p95": round(p95, 4),
+            "query_batch_p50_auto": round(p50_auto, 4),
             "term_index_salted_groupby": round(term_index_s, 3),
         },
         "sf": sf_dir,

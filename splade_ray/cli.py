@@ -167,7 +167,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--queries", required=True, help="TSV: id\\ttext")
     q.add_argument("--out", required=True, help="run.json or .parquet")
-    q.add_argument("--method", choices=["exact", "bmw"], default="bmw")
+    q.add_argument("--method", choices=["exact", "bmw", "auto"], default="auto")
     q.add_argument("--top-k", type=int, default=10)
     q.add_argument("--threshold", type=float, default=0.0)
     q.add_argument("--k1", type=float, default=1.2)
@@ -200,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--id-col", default=None)
     a.add_argument("--rows-per-segment", type=int, default=50_000)
     a.add_argument("--block-size", type=int, default=128)
-    a.add_argument("--method", choices=["exact", "bmw"], default="bmw")
+    a.add_argument("--method", choices=["exact", "bmw", "auto"], default="auto")
     a.add_argument("--top-k", type=int, default=10)
     a.add_argument("--threshold", type=float, default=0.0)
     a.add_argument("--k1", type=float, default=1.2)

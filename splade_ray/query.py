@@ -140,6 +140,32 @@ class SegmentIndex:
 
         return score_segment_bmw(self, prepared)
 
+    # Above this candidate-density (Σ df over query terms / segment docs),
+    # block-max skipping cannot win and the vectorized exact kernel is
+    # strictly faster; below it, WAND's block skipping dominates. Both
+    # kernels are exact, so the switch never changes results.
+    AUTO_DENSITY_CUTOFF = 0.05
+
+    def score_auto(self, prepared: dict) -> list[tuple[int, int, float]]:
+        """Per-query kernel choice by posting density (the PISA-style
+        adaptive fallback: impact-sorted skipping for selective queries,
+        streaming exact scoring for dense ones)."""
+        n = max(self.doc_ids.size, 1)
+        dense_q, sparse_q = {}, {}
+        for qid, terms in prepared["queries"].items():
+            df_sum = 0
+            for term, _, _ in terms:
+                i = self._by_term.get(term)
+                if i is not None:
+                    df_sum += self.postings["df"][i].as_py()
+            (dense_q if df_sum / n > self.AUTO_DENSITY_CUTOFF else sparse_q)[qid] = terms
+        rows: list[tuple[int, int, float]] = []
+        if dense_q:
+            rows.extend(self.score_exact({**prepared, "queries": dense_q}))
+        if sparse_q:
+            rows.extend(self.score_bmw({**prepared, "queries": sparse_q}))
+        return rows
+
 
 class ScoreSegments:
     """Actor-pool ``map_batches`` stage over (segment, query-chunk) work
@@ -171,7 +197,9 @@ class ScoreSegments:
         for seg_dir, chunk in zip(batch["seg_dir"].to_pylist(), chunks):
             prepared = self._prepared(int(chunk))
             seg = SegmentIndex(seg_dir, prepared["terms"])
-            fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
+            fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
+                self.method, seg.score_exact
+            )
             rows.extend(fn(prepared))
         qids = np.array([r[0] for r in rows], np.int64)
         docs = np.array([r[1] for r in rows], np.int64)
@@ -252,7 +280,9 @@ class IndexShardActor:
     def search(self, prepared: dict) -> list[tuple[int, int, float]]:
         rows: list[tuple[int, int, float]] = []
         for seg in self.segments:
-            fn = seg.score_bmw if self.method == "bmw" else seg.score_exact
+            fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
+                self.method, seg.score_exact
+            )
             rows.extend(fn(prepared))
         return rows
 

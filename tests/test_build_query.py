@@ -207,3 +207,27 @@ def test_search_query_chunking(ray_session, tmp_path):
     one = search(idx, queries, p, query_chunk_size=100)
     many = search(idx, queries, p, query_chunk_size=2)  # 5 chunks x 3 segments
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_search_auto_matches_exact(ray_session, tmp_path):
+    """The adaptive kernel (density-based exact/BMW switch) returns the
+    identical run to the exact kernel — including the mixed case where some
+    query terms are ubiquitous (dense) and others rare (sparse)."""
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.build import build_index
+    from splade_ray.corpus import write_synth_corpus
+    from splade_ray.query import search
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 150, seed=33, n_files=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=50)
+    queries = [
+        (0, "def return parse"),          # dense: keywords in most docs
+        (1, "rare_token_20"),             # sparse: unique token
+        (2, "def rare_token_54 stream"),  # mixed
+    ]
+    p = BM25Params(top_k=7)
+    exact = search(idx, queries, p, method="exact")
+    auto = search(idx, queries, p, method="auto")
+    pd.testing.assert_frame_equal(exact, auto)
