@@ -70,3 +70,20 @@ def test_bmw_full_pipeline(wand_index):
     assert exact["query_id"].tolist() == bmw["query_id"].tolist()
     assert exact["doc_id"].tolist() == bmw["doc_id"].tolist()
     assert np.array_equal(exact["score"].to_numpy(), bmw["score"].to_numpy())
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_block_bmw_equals_docwise(wand_index, seed):
+    """The block-at-a-time kernel and the doc-at-a-time reference kernel
+    agree with each other (both already equal exact; this pins the pair)."""
+    from splade_ray.wand import score_segment_bmw, score_segment_bmw_docwise
+
+    rng = np.random.RandomState(seed)
+    queries = _random_queries(rng, 10)
+    p = BM25Params(top_k=7)
+    prepared = prepare_queries(wand_index, queries, p)
+    for seg_dir in segment_dirs(wand_index):
+        seg = SegmentIndex(seg_dir, prepared["terms"])
+        assert _topk(score_segment_bmw(seg, prepared), 7) == _topk(
+            score_segment_bmw_docwise(seg, prepared), 7
+        )
