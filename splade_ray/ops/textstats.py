@@ -13,12 +13,6 @@ import pyarrow as pa
 
 from splade_ray.analysis import tokenize
 
-ALPHA_RE = re.compile(r"[a-zA-Z]")
-DIGIT_RE = re.compile(r"[0-9]")
-WS_RE = re.compile(r"\S+")
-# BPE-ish sub-word pieces: letter runs, digit runs, or single non-space symbol
-BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
-
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"},
     "es": {"el", "la", "de", "y", "que", "en", "un", "una", "es", "por"},
