@@ -237,23 +237,38 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
     if not metas:
         return []
     bounds = np.unique(np.concatenate([m[2] for m in metas]))
+    W = bounds.size
+    # Vectorized window metadata, computed once per (query, segment): for
+    # every term and window, the covering block index and its upper-bound
+    # contribution. The skip test then becomes an array compare + argmax
+    # scan instead of a per-window Python loop — the win on mixed queries
+    # (one rare + one ubiquitous term), where thousands of windows are
+    # skipped once the heap floor exceeds the common term's solo bound.
+    cover_bis = []
+    ub_win = np.zeros(W, np.float64)
+    for wq, row, bl, bf, ubs, cache in metas:
+        bi = np.searchsorted(bl, bounds)  # unique block with last >= hi
+        valid = bi < bl.size
+        bic = np.minimum(bi, bl.size - 1)
+        valid &= bf[bic] <= bounds
+        cover_bis.append(np.where(valid, bic, -1))
+        ub_win += np.where(valid, ubs[bic], 0.0)
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     k = p.top_k
-    lo = -1  # previous boundary, exclusive
-    for hi in bounds:
-        hi = int(hi)
+    i = 0
+    while i < W:
         theta = heap[0][0] if len(heap) >= k else p.threshold
-        cover = []
-        ub = 0.0
-        for m in metas:
-            wq, row, bl, bf, ubs, cache = m
-            bi = int(np.searchsorted(bl, hi))  # unique block with last >= hi
-            if bi < bl.size and bf[bi] <= hi and bl[bi] > lo:
-                cover.append((m, bi))
-                ub += ubs[bi]
-        if not cover or ub <= theta:
-            lo = hi
-            continue
+        beat = ub_win[i:] > theta
+        j_rel = int(np.argmax(beat))  # first True, or 0 when none
+        if not beat[j_rel]:
+            break  # no remaining window can beat theta
+        j = i + j_rel
+        i = j + 1
+        lo = int(bounds[j - 1]) if j > 0 else -1
+        hi = int(bounds[j])
+        cover = [
+            (m, int(cb[j])) for m, cb in zip(metas, cover_bis) if cb[j] >= 0
+        ]
         parts_docs, parts_contrib = [], []
         for m, bi in cover:
             wq, row, bl, bf, ubs, cache = m
@@ -271,7 +286,6 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
             if e > s:
                 parts_docs.append(d[s:e])
                 parts_contrib.append(contrib[s:e])
-        lo = hi
         if not parts_docs:
             continue
         # Per-doc sums accumulated term-layer by term-layer — the same
