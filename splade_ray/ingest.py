@@ -52,49 +52,109 @@ def _sha_batch(batch: pa.Table, *, text_col: str) -> pa.Table:
     return pa.table({"content_sha256": pa.array(shas, pa.string())})
 
 
-def verify_sha_invariant(index_dir: str, corpus_paths: str | list[str] | None = None) -> dict:
-    """Check the per-row content sha256 invariant of a built index.
+def _rollup_batch(batch: pa.Table) -> pa.Table:
+    """Verify one or more segments' sha rollups (runs inside a Ray task).
 
-    Two levels:
-    - segment-level: each segment's stored per-doc ``content_sha256`` column
-      rolls up (sha256 of concatenation, in doc order) to the manifest's
-      ``content_sha_rollup`` — detects index corruption;
-    - source-level (when ``corpus_paths`` given): the multiset of per-row
-      sha256 over the source corpus equals the multiset stored in the index
-      — detects lost/duplicated/mutated rows end to end.
-    Returns a report dict; raises AssertionError on mismatch.
+    Reads each segment's own doclens column — per-task memory is bounded by
+    one segment, never the corpus.
     """
     import json
 
     import pyarrow.parquet as pq
 
-    from splade_ray.build import load_manifest, segment_dirs
-
-    manifest = load_manifest(index_dir)
-    n_checked = 0
-    seg_shas: list[str] = []
-    for seg in segment_dirs(index_dir):
+    segs, n_docs, ok = [], [], []
+    for seg in batch["seg"].to_pylist():
         with open(os.path.join(seg, "manifest.json")) as fh:
             m = json.load(fh)
         col = pq.read_table(
             os.path.join(seg, "doclens.parquet"), columns=["content_sha256"]
         )["content_sha256"].to_pylist()
         rollup = hashlib.sha256("".join(col).encode()).hexdigest()
-        assert rollup == m["content_sha_rollup"], f"segment rollup mismatch: {seg}"
-        seg_shas.extend(col)
-        n_checked += len(col)
+        segs.append(seg)
+        n_docs.append(len(col))
+        ok.append(rollup == m["content_sha_rollup"])
+    return pa.table(
+        {
+            "seg": pa.array(segs, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "ok": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
+def _tag_delta(batch: pa.Table, *, delta: int) -> pa.Table:
+    return pa.table(
+        {
+            "content_sha256": batch["content_sha256"],
+            "delta": pa.array([delta] * batch.num_rows, pa.int64()),
+        }
+    )
+
+
+def verify_sha_invariant(index_dir: str, corpus_paths: str | list[str] | None = None) -> dict:
+    """Check the per-row content sha256 invariant of a built index.
+
+    Two levels, both fully distributed (driver state is bounded by the
+    segment list the manifest already holds — never corpus cardinality):
+    - segment-level: each segment's stored per-doc ``content_sha256`` column
+      rolls up (sha256 of concatenation, in doc order) to the manifest's
+      ``content_sha_rollup`` — one Ray task per segment, reduced to
+      (total docs, #bad segments) — detects index corruption;
+    - source-level (when ``corpus_paths`` given): the multiset of per-row
+      sha256 over the source corpus equals the multiset stored in the index.
+      Compared as a signed-count groupby: union source rows tagged +1 with
+      index rows tagged -1, sum per sha, and stream-count nonzero sums —
+      detects lost/duplicated/mutated rows end to end without ever
+      materializing either multiset.
+    Returns a report dict; raises AssertionError on mismatch.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from splade_ray.build import load_manifest, segment_dirs
+
+    manifest = load_manifest(index_dir)
+    segs = segment_dirs(index_dir)
+    roll = rd.from_items(
+        [{"seg": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(_rollup_batch, batch_format="pyarrow")
+    agg = roll.map_batches(
+        lambda b: pa.table(
+            {"n_docs": b["n_docs"], "bad": pc.cast(pc.invert(b["ok"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n_docs"), Sum("bad"))
+    if agg["sum(bad)"]:
+        bad = roll.map_batches(
+            lambda b: b.filter(pc.invert(b["ok"])), batch_format="pyarrow"
+        ).take(5)
+        raise AssertionError(
+            f"segment rollup mismatch ({agg['sum(bad)']} segments), e.g. "
+            + ", ".join(r["seg"] for r in bad)
+        )
+    n_checked = int(agg["sum(n_docs)"] or 0)
 
     report = {"n_docs": n_checked, "segment_rollups_ok": True, "source_checked": False}
     if corpus_paths is not None:
         text_col = manifest["text_col"]
-        src = rd.read_parquet(corpus_paths, columns=[text_col]).map_batches(
-            _sha_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+        src = (
+            rd.read_parquet(corpus_paths, columns=[text_col])
+            .map_batches(
+                _sha_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+            )
+            .map_batches(_tag_delta, batch_format="pyarrow", fn_kwargs={"delta": 1})
         )
-        src_counts = src.groupby("content_sha256").count().to_pandas()
-        src_map = dict(zip(src_counts["content_sha256"], src_counts["count()"]))
-        idx_map: dict[str, int] = {}
-        for s in seg_shas:
-            idx_map[s] = idx_map.get(s, 0) + 1
-        assert src_map == idx_map, "source/index sha256 multiset mismatch"
+        idx_side = rd.read_parquet(
+            [os.path.join(s, "doclens.parquet") for s in segs],
+            columns=["content_sha256"],
+        ).map_batches(_tag_delta, batch_format="pyarrow", fn_kwargs={"delta": -1})
+        diff = src.union(idx_side).groupby("content_sha256").sum("delta")
+        n_bad = diff.map_batches(
+            lambda b: b.filter(pc.not_equal(b["sum(delta)"], 0)),
+            batch_format="pyarrow",
+        ).count()
+        assert n_bad == 0, (
+            f"source/index sha256 multiset mismatch: {n_bad} distinct shas differ"
+        )
         report["source_checked"] = True
     return report

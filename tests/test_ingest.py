@@ -69,6 +69,49 @@ def test_verify_sha_invariant(ray_session, tmp_path):
         verify_sha_invariant(idx, raw)
 
 
+def test_verify_sha_multiset_semantics(ray_session, tmp_path):
+    """Duplicate contents must be counted, not set-deduped, by the
+    distributed signed-count compare: dropping ONE copy of a duplicated row
+    from the index must fail even though the sha *set* is unchanged."""
+    t = synth_corpus(20, seed=5)
+    # duplicate row 0's content into row 1 so the corpus has a repeated sha
+    content = t["content"].to_pylist()
+    content[1] = content[0]
+    t = t.set_column(t.schema.get_field_index("content"), "content",
+                     pa.array(content))
+    raw = _write_shuffled(tmp_path, "dup", t, np.arange(20), 2)
+    idx = str(tmp_path / "idx-dup")
+    build_index(raw, idx, text_col="content", rows_per_segment=10)
+    report = verify_sha_invariant(idx, raw)
+    assert report["source_checked"] and report["n_docs"] == 20
+
+    # drop one copy of the duplicated sha from a segment's doclens *and*
+    # recompute that segment's rollup so only the source-level check can
+    # catch it (set-based compare would pass: the sha still exists once)
+    import hashlib
+    import json
+    seg_files = sorted(glob.glob(idx + "/segments/seg=*/doclens.parquet"))
+    for seg in seg_files:
+        tt = pq.read_table(seg)
+        shas = tt["content_sha256"].to_pylist()
+        dup_sha = [s for s in shas if shas.count(s) > 1]
+        if not dup_sha:
+            continue
+        keep = [i for i, s in enumerate(shas) if not (s == dup_sha[0] and i == shas.index(dup_sha[0]))]
+        tt = tt.take(pa.array(keep))
+        pq.write_table(tt, seg)
+        mpath = os.path.join(os.path.dirname(seg), "manifest.json")
+        with open(mpath) as fh:
+            m = json.load(fh)
+        m["content_sha_rollup"] = hashlib.sha256(
+            "".join(tt["content_sha256"].to_pylist()).encode()).hexdigest()
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
+        break
+    with pytest.raises(AssertionError, match="multiset mismatch"):
+        verify_sha_invariant(idx, raw)
+
+
 def test_embedding_near_dup_pairs(ray_session):
     from splade_ray.ops.dedup import embedding_near_dup_pairs
 
