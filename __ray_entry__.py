@@ -183,6 +183,17 @@ def q_quantized_export(sf_dir: str):
     return _impacts(sf_dir)
 
 
+def q_quantized_export_join(sf_dir: str):
+    """Same quantization through the unbounded-vocabulary data flow: df via
+    term-keyed hash join, no vocab-sized broadcast (round-1 VERDICT item 2)."""
+    from splade_ray.prune import quantized_impacts
+
+    return quantized_impacts(
+        _docs(sf_dir, ["doc_id", "text"]), BM25Params(k1=K1, b=B), factor=100,
+        df_mode="join",
+    )
+
+
 def q_prune_value(sf_dir: str):
     """Min-value index pruning: keep impact_q > 0.5*100
     (pruning/prune_doc_index.py:12-14)."""
@@ -429,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "prune_topk": q_prune_topk,
         "quantized_export": q_quantized_export,
+        "quantized_export_join": q_quantized_export_join,
         "prune_value": q_prune_value,
         "prune_quantile": q_prune_quantile,
         "flops_metric": q_flops_metric,
@@ -549,7 +561,7 @@ imp AS (
 )"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
         "postings_flat": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
@@ -688,3 +700,11 @@ SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}
 """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # join-path quantizer computes the same numbers through a term-keyed
+    # hash join instead of a vocab broadcast — same oracle by construction
+    sql["quantized_export_join"] = sql["quantized_export"]
+    return sql

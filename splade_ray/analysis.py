@@ -97,6 +97,25 @@ def postings_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def postings_with_dl_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """``postings_batch`` plus the parent doc's length: ``(term, doc_id, tf,
+    dl)``. The dl column makes the rows self-contained for term-keyed
+    consumers (the join-based BM25 quantizer) that never see the doc again."""
+    tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term": tf_tbl["term"],
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "tf": tf_tbl["tf"],
+            "dl": pa.array(doc_lens[rows], pa.int64()),
+        }
+    )
+
+
 def doc_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Per-doc token stats: ``(doc_id, n_tokens, n_distinct)``."""
     tf_tbl, doc_lens = term_frequency_table(batch[text_col])

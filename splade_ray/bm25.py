@@ -32,6 +32,12 @@ def idf(df: float, n_docs: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def idf_bulk(df: np.ndarray, n_docs: float) -> np.ndarray:
+    """Vectorized ``idf`` over a df column (float64, same formula)."""
+    df = df.astype(np.float64)
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 def tf_component(tf: np.ndarray, dl: np.ndarray, avgdl: float, p: BM25Params) -> np.ndarray:
     """Doc-side BM25 term weight (without idf), vectorized float64."""
     tf = tf.astype(np.float64)

@@ -139,21 +139,38 @@ def anserini_doc_rows(
     params=None,
     factor: int = 100,
     stats: dict | None = None,
+    include_content: bool = False,
+    df_mode: str = "broadcast",
 ) -> rd.Dataset:
-    """One row per document ``(id, vector_json)`` in the Anserini JSONL
-    vector shape, quantized BM25 impacts as the weights. Doc-local single
-    pass over the streaming documents table (collection stats broadcast
-    once via ``ray.put``) — every doc gets a row; docs whose vector is
-    empty get the filler token (transformer_evaluator.py:235-239). Consume
-    with ``write_json``/``write_parquet`` for the on-disk artifact."""
+    """One row per document ``(id, vector_json[, content])`` in the Anserini
+    JSONL vector shape, quantized BM25 impacts as the weights. Every doc
+    gets a row; docs whose vector is empty get the filler token
+    (transformer_evaluator.py:235-239). Consume with ``write_json`` /
+    ``write_parquet`` for the on-disk artifact.
+
+    ``include_content=True`` adds the reference interchange format's
+    ``content`` field (transformer_evaluator.py:241); the default omits it
+    to keep the export narrow — the artifact is then NOT directly
+    Anserini-ingestible without re-joining the text.
+
+    df flows mirror ``prune.quantized_impacts``: ``"broadcast"`` is a
+    doc-local single pass with the vocab-sized df map shipped once via
+    ``ray.put`` (bounded vocabularies); ``"join"`` computes impacts through
+    a term-keyed hash join and re-groups per doc — no vocab-sized driver
+    state, for corpora whose identifier vocabulary grows with the corpus."""
     import numpy as np
     import ray
 
     from splade_ray.analysis import term_frequency_table
-    from splade_ray.bm25 import BM25Params, idf as bm25_idf, tf_component
-    from splade_ray.prune import global_term_stats
+    from splade_ray.bm25 import BM25Params, idf_bulk, tf_component
+    from splade_ray.prune import _df_lookup, global_term_stats
 
     params = params or BM25Params()
+    if df_mode == "join":
+        return _anserini_doc_rows_join(
+            docs_ds, params=params, factor=factor,
+            id_col=id_col, text_col=text_col, include_content=include_content,
+        )
     ctx_ref = ray.put(stats or global_term_stats(docs_ds, id_col=id_col, text_col=text_col))
 
     def fold(batch: pa.Table) -> pa.Table:
@@ -164,7 +181,7 @@ def anserini_doc_rows(
         tfs = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         terms = tf_tbl["term"].to_pylist()
         dl = doc_lens[rows].astype(np.float64)
-        w = np.array([bm25_idf(ctx["df"][t], ctx["n"]) for t in terms], np.float64)
+        w = idf_bulk(_df_lookup(tf_tbl["term"], ctx["df"]), ctx["n"])
         q = np.floor(w * tf_component(tfs, dl, ctx["avgdl"], params) * factor + 0.5).astype(np.int64)
         vecs: list[dict[str, int]] = [{} for _ in doc_ids]
         for r, t, v in zip(rows, terms, q):
@@ -173,14 +190,77 @@ def anserini_doc_rows(
         out_json = [
             json.dumps(v if v else {EMPTY_DOC_FILLER: 1}, sort_keys=True) for v in vecs
         ]
-        return pa.table(
-            {
-                "id": pa.array(doc_ids, pa.int64()),
-                "vector_json": pa.array(out_json, pa.string()),
-            }
-        )
+        cols = {
+            "id": pa.array(doc_ids, pa.int64()),
+            "vector_json": pa.array(out_json, pa.string()),
+        }
+        if include_content:
+            cols["content"] = batch[text_col]
+        return pa.table(cols)
 
     return docs_ds.map_batches(fold, batch_format="pyarrow", batch_size=1024)
+
+
+def _anserini_doc_rows_join(
+    docs_ds: rd.Dataset,
+    *,
+    params,
+    factor: int,
+    id_col: str,
+    text_col: str,
+    include_content: bool,
+) -> rd.Dataset:
+    """Join-path Anserini export: term-keyed impacts → per-doc fold →
+    left-outer join back to the doc-id spine so empty/fully-pruned docs
+    still get their filler row."""
+    import pandas as pd
+
+    from splade_ray.prune import quantized_impacts
+
+    imp = quantized_impacts(
+        docs_ds, params, factor, id_col=id_col, text_col=text_col, df_mode="join"
+    )
+
+    def fold_group(group: pd.DataFrame) -> pd.DataFrame:
+        vec = dict(
+            sorted(zip(group["term"], (int(v) for v in group["impact_q"])))
+        )
+        return pd.DataFrame(
+            {"id": [int(group["doc_id"].iloc[0])],
+             "vector_json": [json.dumps(vec, sort_keys=True)]}
+        )
+
+    folded = imp.groupby("doc_id").map_groups(fold_group, batch_format="pandas")
+
+    spine_cols = [id_col] + ([text_col] if include_content else [])
+
+    def spine_batch(batch: pa.Table) -> pa.Table:
+        cols = {"id": batch[id_col].cast(pa.int64())}
+        if include_content:
+            cols["content"] = batch[text_col]
+        return pa.table(cols)
+
+    spine = docs_ds.select_columns(spine_cols).map_batches(
+        spine_batch, batch_format="pyarrow"
+    )
+    from splade_ray.prune import join_partitions
+
+    joined = spine.join(
+        folded, join_type="left_outer", num_partitions=join_partitions(None),
+        on=("id",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        filler = json.dumps({EMPTY_DOC_FILLER: 1})
+        vj = pc.fill_null(batch["vector_json"], filler)
+        cols = {"id": batch["id"], "vector_json": vj}
+        if include_content:
+            cols["content"] = batch["content"]
+        return pa.table(cols)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def anserini_query_line(query_id: int, term_freqs: dict[str, int]) -> str:

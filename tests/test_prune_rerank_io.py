@@ -73,6 +73,48 @@ def test_quantized_impacts_matches_manual(docs_ds):
     assert got_map == expected_impacts()
 
 
+def test_quantized_impacts_join_parity(docs_ds):
+    """The term-keyed-join df flow (unbounded-vocabulary path) must produce
+    exactly the broadcast path's numbers."""
+    from splade_ray.prune import quantized_impacts
+
+    got = quantized_impacts(docs_ds, df_mode="join").to_pandas()
+    got_map = {(d, t): v for d, t, v in zip(got["doc_id"], got["term"], got["impact_q"])}
+    assert got_map == expected_impacts()
+
+
+def test_prune_by_size_exact_on_scattered_layout(docs_ds):
+    """exact=True must not depend on doc-contiguous blocks: feed it the
+    join-path impacts (term-scattered) and require the same rows the fast
+    path selects from doc-contiguous input."""
+    from splade_ray.prune import prune_by_size, quantized_impacts
+
+    fast = (
+        prune_by_size(quantized_impacts(docs_ds), size=2)
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    exact = (
+        prune_by_size(quantized_impacts(docs_ds, df_mode="join"), size=2, exact=True)
+        .to_pandas()[["doc_id", "term", "impact_q"]]
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    assert fast.equals(exact)
+
+
+def test_anserini_join_mode_and_content(docs_ds, ray_session):
+    from splade_ray.io import anserini_doc_rows
+
+    a = anserini_doc_rows(docs_ds).to_pandas().sort_values("id").reset_index(drop=True)
+    b = (
+        anserini_doc_rows(docs_ds, df_mode="join")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    c = anserini_doc_rows(docs_ds, include_content=True).to_pandas()
+    assert list(c.columns) == ["id", "vector_json", "content"]
+    assert sorted(c["content"]) == sorted(TEXTS)
+
+
 def test_prune_by_value(docs_ds):
     from splade_ray.prune import prune_by_value, quantized_impacts
 
