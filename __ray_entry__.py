@@ -35,8 +35,16 @@ TOP_K = 10
 BM25_QUERIES = FLAGSHIP_QUERIES
 
 
+def _rpq(*a, **kw):
+    from splade_ray.io import read_parquet_clean
+
+    return read_parquet_clean(*a, **kw)
+
+
 def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    from splade_ray.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
 def _round4_sql(expr: str) -> str:
@@ -299,7 +307,7 @@ def q_ann_cosine_topk(sf_dir: str):
     mask = np.array(qt["vec_id"].to_pylist()) < 5
     q_ids = np.array(qt["vec_id"].to_pylist())[mask]
     q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
     out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
     out["rank"] = out["rank"].astype(np.int64)
@@ -348,7 +356,7 @@ def q_doc_fingerprint(sf_dir: str):
 def q_dedup_embedding(sf_dir: str):
     from splade_ray.ops.dedup import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(
+    ds = _rpq(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     # the synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -369,7 +377,7 @@ def q_ann_ivf_topk(sf_dir: str):
     q_mat = np.stack(
         [np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m]
     )
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
     out = ivf_topk(ds, ids[mask], q_mat, n_clusters=16, nprobe=4, top_k=TOP_K).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
     out["rank"] = out["rank"].astype(np.int64)
@@ -379,7 +387,7 @@ def q_ann_ivf_topk(sf_dir: str):
 def q_ann_lsh_buckets(sf_dir: str):
     from splade_ray.ops.ann import lsh_buckets
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     return lsh_buckets(ds, dim=64, n_planes=12, seed=42)
 
 

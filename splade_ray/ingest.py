@@ -36,7 +36,9 @@ def canonicalize_corpus(
     """Globally sort the corpus by ``sort_keys`` and write partitioned
     Parquet to ``out_dir``. The one all-to-all exchange of ingest; every
     later stage partitions on contiguous row ranges of this output."""
-    ds = rd.read_parquet(corpus_paths)
+    from splade_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(corpus_paths)
     ds = ds.sort(list(sort_keys))
     if num_blocks:
         ds = ds.repartition(num_blocks)
@@ -137,8 +139,10 @@ def verify_sha_invariant(index_dir: str, corpus_paths: str | list[str] | None = 
     report = {"n_docs": n_checked, "segment_rollups_ok": True, "source_checked": False}
     if corpus_paths is not None:
         text_col = manifest["text_col"]
+        from splade_ray.io import read_parquet_clean
+
         src = (
-            rd.read_parquet(corpus_paths, columns=[text_col])
+            read_parquet_clean(corpus_paths, columns=[text_col])
             .map_batches(
                 _sha_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
             )

@@ -27,6 +27,28 @@ import ray.data as rd
 EMPTY_DOC_FILLER = "a"  # analog of the reference's [unused993] filler token
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Zero-copy drop of schema-level metadata. Parquet files written by
+    pandas attach a ``b'pandas'`` metadata blob; a ``pa.Schema`` carrying ANY
+    metadata is unhashable, which makes Ray Data's per-batch schema
+    deduplication log ``Failed to hash the schemas`` on every block concat.
+    Stripping once at the read boundary keeps every downstream schema
+    hashable."""
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs) -> rd.Dataset:
+    """``read_parquet`` + ``strip_schema_metadata`` — the standard corpus
+    read entry; see ``strip_schema_metadata`` for why."""
+    ds = rd.read_parquet(paths, columns=columns, **kwargs)
+    return ds.map_batches(
+        strip_schema_metadata,
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 def read_tsv_collection(path: str) -> rd.Dataset:
     """Stream a reference-style TSV collection into (id:int64, text:string).
 
