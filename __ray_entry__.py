@@ -378,7 +378,10 @@ def q_ann_ivf_topk(sf_dir: str):
         [np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m]
     )
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, ids[mask], q_mat, n_clusters=16, nprobe=4, top_k=TOP_K).to_pandas()
+    out = ivf_topk(
+        ds, ids[mask], q_mat, n_clusters=16, nprobe=4, top_k=TOP_K,
+        index_dir=os.path.join(_work_dir(sf_dir, "ivf"), "index"),
+    ).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
     out["rank"] = out["rank"].astype(np.int64)
     return out[["query_id", "rank", "vec_id", "sim_r"]]

@@ -13,8 +13,15 @@ downstream operator oracle-checkable.
 The hot path is fully vectorized Arrow: ``utf8_lower`` → ``split_pattern_regex``
 on the complement class (split on non-token runs ≡ findall of the token class)
 → ``list_flatten``/``list_parent_indices`` → C++ hash ``group_by`` for tf
-counts. No per-row Python in any batch function; ``tokenize``/``term_counts``
-remain as the scalar reference implementation for query prep and tests.
+counts. No per-row Python in any batch function.
+
+The scalar ``tokenize``/``term_counts`` used for query prep and tests are a
+thin wrapper over the SAME Arrow kernel — not an independent Python
+reimplementation. This is load-bearing for non-ASCII text: Python's
+``str.lower`` applies full Unicode case mapping ('İ' → 'i' + combining dot,
+which the token class then splits), while Arrow's ``utf8_lower`` (and
+DuckDB's ``lower``, the oracle) map 'İ' → 'i'. Routing both sides through
+one kernel keeps query terms equal to indexed terms for such inputs.
 """
 
 from __future__ import annotations
@@ -35,8 +42,11 @@ SPLIT_PATTERN = r"[^a-z0-9_]+"  # complement class: split ≡ findall
 
 
 def tokenize(text: str) -> list[str]:
-    """Tokenize one string. The scalar source of truth for analysis."""
-    return TOKEN_RE.findall(text.lower())
+    """Tokenize one string through the same Arrow kernel as the vectorized
+    column path (see module docstring: Python ``str.lower`` diverges from
+    ``utf8_lower`` on full-Unicode case mapping)."""
+    terms, _, _ = tokenize_column(pa.array([text], pa.string()))
+    return terms.to_pylist()
 
 
 def term_counts(text: str) -> Counter:

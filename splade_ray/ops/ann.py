@@ -147,6 +147,116 @@ def ivf_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id", emb_col: st
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=2048)
 
 
+def ivf_build(
+    ds,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Build an on-disk IVF index: train a seeded spherical-k-means coarse
+    quantizer on a streamed sample (``ds.limit`` — no ``count()`` pre-pass),
+    assign every vector to its nearest centroid, and write the vectors as
+    Parquet PARTITIONED BY cluster id. Search then reads only the probed
+    partitions, so I/O — not just compute — shrinks with nprobe (round-1
+    VERDICT item 3). Centroids are persisted next to the partitions."""
+    import os
+
+    sample = np.stack(ds.limit(sample_size).to_pandas()[emb_col].to_numpy())
+    cents = kmeans_fit(sample, n_clusters, seed=seed)
+    assigned = ivf_assign(ds, cents, id_col=id_col, emb_col=emb_col)
+    assigned.write_parquet(index_dir, partition_cols=["cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_search(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    nprobe: int = 4,
+    top_k: int = 10,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Search an ``ivf_build`` index: compute each query's ``nprobe`` nearest
+    clusters, read ONLY those ``cluster=K`` partition directories (vectors
+    in unprobed clusters never leave storage), score per query against its
+    own probed set, and merge per-query top-k."""
+    import os
+
+    import ray.data as rd
+
+    if centroids is None:
+        centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    cents = _normalize(centroids)
+    qmat = _normalize(np.asarray(query_matrix, np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, cents.shape[0])]
+    probed = sorted({int(c) for row in probes for c in row})
+
+    def _tag(cluster_id):
+        # read_parquet re-derives `cluster` from the hive path as a STRING;
+        # replace it with the known int64 partition id
+        def tag(batch: pa.Table) -> pa.Table:
+            if "cluster" in batch.column_names:
+                batch = batch.drop_columns(["cluster"])
+            return batch.append_column(
+                "cluster", pa.array(np.full(batch.num_rows, cluster_id, np.int64))
+            )
+
+        return tag
+
+    parts = []
+    for c in probed:
+        part_dir = os.path.join(index_dir, f"cluster={c}")
+        if not os.path.exists(part_dir):
+            continue  # empty cluster: nothing was written for it
+        parts.append(
+            rd.read_parquet(part_dir).map_batches(_tag(c), batch_format="pyarrow")
+        )
+    ctx_ref = ray.put(
+        {"query_ids": np.asarray(query_ids, np.int64), "qmat": qmat, "probes": probes}
+    )
+
+    # Task pool, not an actor pool: a fixed-size actor pool would reserve
+    # CPUs ahead of the partition-read tasks and can deadlock a small
+    # cluster; the broadcast ctx is plasma-local after the first fetch.
+    def score(batch: pa.Table, *, ctx_ref=ctx_ref, top_k=top_k) -> pa.Table:
+        ctx = ray.get(ctx_ref)
+        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        vec_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ctx["query_ids"]):
+            mask = np.isin(clusters, ctx["probes"][qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ ctx["qmat"][qi]
+            k = min(top_k, sims.size)
+            cand = np.argpartition(-sims, k - 1)[:k] if k < sims.size else np.arange(sims.size)
+            out_q.extend([qid] * cand.size)
+            out_v.extend(vec_ids[mask][cand].tolist())
+            out_s.extend(sims[cand].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    scan = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    cand = scan.map_batches(score, batch_format="pyarrow", batch_size=2048)
+    return cand.groupby("query_id").map_groups(
+        _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    )
+
+
 def ivf_topk(
     ds,
     query_ids: np.ndarray,
@@ -159,52 +269,30 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index_dir: str | None = None,
 ):
-    """IVF approximate top-k: train a seeded spherical-k-means coarse
-    quantizer on a driver-side sample, assign every vector to its cluster
-    (one streaming pass), then score each query only against its ``nprobe``
-    nearest clusters. ``nprobe == n_clusters`` degrades to exact brute force
-    (tested). The scale path for ANN beyond LSH buckets: candidate set per
-    query shrinks ~ nprobe/n_clusters."""
-    sample = np.stack(
-        ds.limit(min(sample_size, ds.count())).to_pandas()[emb_col].to_numpy()
-    )
-    cents = kmeans_fit(sample, n_clusters, seed=seed)
-    assigned = ivf_assign(ds, cents, id_col=id_col, emb_col=emb_col)
-    qmat = _normalize(np.asarray(query_matrix, np.float64))
-    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, cents.shape[0])]
-    ctx_ref = ray.put(
-        {"query_ids": np.asarray(query_ids, np.int64), "qmat": qmat, "probes": probes}
-    )
+    """IVF approximate top-k = ``ivf_build`` + ``ivf_search``. The index is
+    cluster-partitioned Parquet on disk, so each query scans only its
+    ``nprobe`` probed partitions — compute AND I/O shrink with nprobe.
+    ``nprobe == n_clusters`` degrades to exact brute force (tested). Reuses
+    an existing index when ``index_dir`` already holds one (same build
+    params assumed); pass ``index_dir=None`` for a fresh temp-dir build."""
+    import os
+    import tempfile
 
-    class Scorer:
-        def __init__(self):
-            self.ctx = ray.get(ctx_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            clusters = batch["cluster"].to_numpy(zero_copy_only=False)
-            vec_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(self.ctx["query_ids"]):
-                mask = np.isin(clusters, self.ctx["probes"][qi])
-                if not mask.any():
-                    continue
-                sims = mat[mask] @ self.ctx["qmat"][qi]
-                k = min(top_k, sims.size)
-                cand = np.argpartition(-sims, k - 1)[:k] if k < sims.size else np.arange(sims.size)
-                out_q.extend([qid] * cand.size)
-                out_v.extend(vec_ids[mask][cand].tolist())
-                out_s.extend(sims[cand].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
-
-    cand = assigned.map_batches(Scorer, batch_format="pyarrow", batch_size=2048, concurrency=4)
-    return cand.groupby("query_id").map_groups(
-        _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="splade-ray-ivf-")
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cents_path):
+        cents = np.load(cents_path)
+    else:
+        cents = ivf_build(
+            ds, index_dir,
+            n_clusters=n_clusters, sample_size=sample_size, seed=seed,
+            id_col=id_col, emb_col=emb_col,
+        )
+    return ivf_search(
+        index_dir, query_ids, query_matrix,
+        nprobe=nprobe, top_k=top_k, centroids=cents,
+        id_col=id_col, emb_col=emb_col,
     )

@@ -210,10 +210,11 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
     the query terms' block boundaries (so no window straddles any term's
     block). A window is skipped when the sum of covering block upper bounds
     cannot beat the current heap floor; surviving windows are scored with
-    vectorized slices — contributions concatenated in sorted-term order and
-    reduced per doc with a stable sort + ``np.add.reduceat``, which performs
-    the float additions in exactly the exact kernel's term order
-    (bit-identical scores). Skipping is tie-safe for the same reason as the
+    vectorized slices — per-doc sums accumulated term-layer by term-layer
+    (one scatter-add per query term, ascending term order) so the float
+    additions happen in exactly the exact kernel's term order
+    (bit-identical scores; reduceat/pairwise reductions were rejected
+    because they reorder additions). Skipping is tie-safe for the same reason as the
     doc-wise kernel: windows advance in ascending doc id, and an equal-score
     later doc loses the (score desc, doc_id asc) tie-break anyway."""
     from splade_ray.segments import decode_block

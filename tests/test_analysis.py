@@ -19,6 +19,28 @@ def test_tokenize_unicode_and_empty():
     assert tokenize("注释 ünïcode λ abc") == ["n", "code", "abc"]
 
 
+def test_tokenize_scalar_vectorized_parity_nonascii():
+    """Scalar tokenize must agree with the vectorized column kernel AND the
+    DuckDB oracle on full-Unicode case mapping. Python's str.lower maps
+    'İ' -> 'i' + combining dot (the combining mark then splits the token);
+    Arrow's utf8_lower and DuckDB's lower map 'İ' -> 'i'. The scalar path
+    wraps the Arrow kernel, so all three agree (round-1 ADVICE, medium)."""
+    import duckdb
+
+    from splade_ray.analysis import TOKEN_SQL, tokenize_column
+
+    cases = ["İstanbul", "STRASSE ß", "ÇOCUK İki", "mixed İd_3 Σσς"]
+    for text in cases:
+        scalar = tokenize(text)
+        terms, par, _ = tokenize_column(pa.array([text], pa.string()))
+        assert scalar == terms.to_pylist(), text
+        sql = duckdb.sql(
+            "SELECT unnest(regexp_extract_all(lower(?), ?))", params=[text, TOKEN_SQL]
+        ).fetchall()
+        assert scalar == [r[0] for r in sql], text
+    assert tokenize("İstanbul") == ["istanbul"]
+
+
 def test_postings_batch():
     t = pa.table({"doc_id": [7, 8], "text": ["a b a", "b"]})
     out = postings_batch(t)

@@ -232,6 +232,52 @@ def test_ivf_topk_probe_subset_recall(ray_session):
     assert top["vec_id"] in (0, 123) and top["sim"] > 0.9999
 
 
+def test_ivf_search_reads_only_probed_partitions(ray_session, tmp_path):
+    """The on-disk IVF index is cluster-partitioned; a search with nprobe=2
+    must list ONLY the probed cluster directories among its input files —
+    unprobed partitions never leave storage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.ann import _normalize, ivf_build, ivf_search
+
+    rng = np.random.RandomState(11)
+    mat = rng.normal(size=(400, 16))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(400), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in mat]),
+            }
+        )
+    )
+    idx = str(tmp_path / "ivf")
+    cents = ivf_build(ds, idx, n_clusters=8, seed=42)
+    qmat = _normalize(mat[:2])
+    probes = np.argsort(-(qmat @ _normalize(cents).T), axis=1)[:, :2]
+    probed = {int(c) for row in probes for c in row}
+    import re
+    from unittest import mock
+
+    opened: list[str] = []
+    real_read = rd.read_parquet
+
+    def recording_read(paths, **kw):
+        for p in [paths] if isinstance(paths, str) else list(paths):
+            opened.append(p)
+        return real_read(paths, **kw)
+
+    with mock.patch.object(rd, "read_parquet", recording_read):
+        out_ds = ivf_search(idx, np.array([0, 1]), mat[:2], nprobe=2, top_k=3)
+        out = out_ds.to_pandas()
+    assert opened, "expected partition-directory reads"
+    seen = {int(m.group(1)) for f in opened for m in [re.search(r"cluster=(\d+)", f)] if m}
+    assert seen and seen.issubset(probed), (seen, probed)
+    # and the result itself is sane
+    assert (out[out["rank"] == 1].set_index("query_id")["vec_id"] == [0, 1]).all()
+
+
 def test_media_resize_and_frame_sample(ray_session):
     import pyarrow as pa
     import ray.data as rd
