@@ -11,8 +11,6 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from splade_ray.analysis import tokenize
-
 STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"},
     "es": {"el", "la", "de", "y", "que", "en", "un", "una", "es", "por"},
@@ -72,64 +70,107 @@ def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     )
 
 
+LANGS = sorted(lang for lang, sw in STOPWORDS.items() if sw)
+
+
 def langid_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Heuristic language ID: stopword hit-rate per language + CJK ratio.
-    Deterministic; intended as a filter feature, not a classifier."""
-    doc_ids, langs, confs = [], [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-        t = (text or "").lower()
-        toks = tokenize(t)
-        n = max(len(toks), 1)
-        if CJK_RE.search(t):
-            best, conf = "zh", min(1.0, len(CJK_RE.findall(t)) / max(len(t), 1) * 4)
-        else:
-            scores = {
-                lang: sum(tok in sw for tok in toks) / n
-                for lang, sw in STOPWORDS.items()
-                if sw
-            }
-            best = max(sorted(scores), key=lambda k: scores[k])
-            conf = scores[best]
-            if conf == 0.0:
-                best = "unknown"
-        doc_ids.append(did)
-        langs.append(best)
-        confs.append(round(float(conf), 4))
+    Deterministic; intended as a filter feature, not a classifier.
+
+    Vectorized: one ``is_in`` membership pass per language over the batch's
+    flat token array, reduced per doc with ``bincount``; CJK detection via a
+    regex-count kernel. Ties in the stopword scores resolve to the
+    alphabetically-first language (argmax over sorted-language rows)."""
+    import pyarrow.compute as pc
+
+    from splade_ray.analysis import tokenize_column
+
+    texts = batch[text_col]
+    n_rows = len(texts)
+    terms, par, doc_lens = tokenize_column(texts)
+    n = np.maximum(doc_lens, 1).astype(np.float64)
+    scores = np.zeros((len(LANGS), n_rows), np.float64)
+    for li, lang in enumerate(LANGS):
+        hit = np.asarray(
+            pc.is_in(terms, value_set=pa.array(sorted(STOPWORDS[lang]), pa.string()))
+        )
+        scores[li] = np.bincount(par[hit], minlength=n_rows) / n
+    best_idx = np.argmax(scores, axis=0)
+    conf = scores[best_idx, np.arange(n_rows)]
+    langs = np.array(LANGS, object)[best_idx]
+    langs[conf == 0.0] = "unknown"
+    cjk = _count_regex(texts, CJK_RE.pattern).astype(np.float64)
+    length = np.maximum(
+        np.asarray(pc.utf8_length(texts).fill_null(0), dtype=np.int64), 1
+    ).astype(np.float64)
+    is_cjk = cjk > 0
+    langs[is_cjk] = "zh"
+    conf = np.where(is_cjk, np.minimum(1.0, cjk / length * 4.0), conf)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "pred_lang": pa.array(langs, pa.string()),
-            "confidence": pa.array(confs, pa.float64()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "pred_lang": pa.array(langs.tolist(), pa.string()),
+            "confidence": pa.array(np.round(conf, 4), pa.float64()),
         }
     )
 
 
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", window: int = 8) -> pa.Table:
-    """Rolling polynomial hash fingerprint: min-hash of all ``window``-token
-    rolling hashes (a winnowing-style document signature, deterministic)."""
+    """Rolling polynomial hash fingerprint: min of all ``window``-token
+    rolling hashes (a winnowing-style document signature, deterministic);
+    docs shorter than the window get the polynomial fold of all their
+    tokens (empty docs hash to 0).
+
+    Vectorized over the whole batch: token hashes are computed once per
+    *unique* token (dictionary-encoded), the rolling hash runs in ``window``
+    vectorized passes over the flattened token array with doc-boundary
+    windows masked out, and per-doc minima come from ``np.minimum.at``."""
+    from splade_ray.analysis import tokenize_column
+
     P = np.uint64(1099511628211)
-    doc_ids, fps = [], []
-    for did, text in zip(batch["doc_id"].to_pylist(), batch[text_col].to_pylist()):
-        toks = tokenize(text or "")
-        hs = np.array(
-            [hash_token(t) for t in toks] or [0], dtype=np.uint64
-        )
-        if hs.size >= window:
-            roll = np.zeros(hs.size - window + 1, np.uint64)
+    texts = batch[text_col]
+    n_rows = len(texts)
+    terms, par, doc_lens = tokenize_column(texts)
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    enc = terms.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    if uniq:
+        uh = np.array([hash_token(t) for t in uniq], np.uint64)
+        hs = uh[enc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        hs = np.array([], np.uint64)
+    starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1].astype(np.int64)
+    fps = np.zeros(n_rows, np.uint64)
+
+    with np.errstate(over="ignore"):
+        # windowed path: global rolling hash over the flat array, positions
+        # whose window crosses a doc boundary masked out
+        m = hs.size - window + 1
+        long_mask = doc_lens >= window
+        if m > 0 and long_mask.any():
+            roll = np.zeros(m, np.uint64)
             for i in range(window):
-                roll = roll * P + hs[i : i + roll.size]
-            fp = int(roll.min())
-        else:
-            acc = np.uint64(0)
-            for h in hs:
-                acc = acc * P + h
-            fp = int(acc)
-        doc_ids.append(did)
-        fps.append(fp)
+                roll = roll * P + hs[i : i + m]
+            valid = par[:m] == par[window - 1 : window - 1 + m]
+            mins = np.full(n_rows, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+            np.minimum.at(mins, par[:m][valid], roll[valid])
+            fps[long_mask] = mins[long_mask]
+        # short-doc path: polynomial fold of all tokens, iterated over token
+        # position (≤ window-1 vectorized passes)
+        short = ~long_mask
+        if short.any():
+            max_len = int(doc_lens[short].max())
+            acc = np.zeros(n_rows, np.uint64)
+            for i in range(max_len):
+                sel = short & (doc_lens > i)
+                acc[sel] = acc[sel] * P + hs[starts[sel] + i]
+            fps[short] = acc[short]
+
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "fingerprint": pa.array(np.array(fps, np.uint64), pa.uint64()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "fingerprint": pa.array(fps, pa.uint64()),
         }
     )
 

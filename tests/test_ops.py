@@ -151,6 +151,72 @@ def test_langid_heuristic():
     assert out["pred_lang"].to_pylist()[1] == "zh"
 
 
+def test_langid_fingerprint_vectorized_parity():
+    """The vectorized langid/fingerprint kernels must reproduce the scalar
+    per-row definition exactly (round-1 VERDICT item 5)."""
+    import re
+
+    from splade_ray.analysis import tokenize
+    from splade_ray.ops.textstats import CJK_RE, STOPWORDS, hash_token
+
+    texts = [
+        "the cat sat on the mat and the dog",
+        "这是中文文本的一个例子",
+        "el perro y la casa de un gato es",
+        "x" * 3,
+        "",
+        "one two three four five six seven eight nine ten",
+        "a b",
+        "der die das und ist in den von zu mit extra tokens here",
+        "zz yy xx ww vv uu tt ss rr qq pp oo nn mm",
+        "mixed 中文 and english the of to in",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    # scalar langid reference (the pre-vectorization definition)
+    def ref_langid(text):
+        tl = (text or "").lower()
+        toks = tokenize(tl)
+        n = max(len(toks), 1)
+        if CJK_RE.search(tl):
+            return "zh", min(1.0, len(CJK_RE.findall(tl)) / max(len(tl), 1) * 4)
+        scores = {
+            lang: sum(tok in sw for tok in toks) / n
+            for lang, sw in STOPWORDS.items() if sw
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        conf = scores[best]
+        return ("unknown" if conf == 0.0 else best), conf
+
+    from splade_ray.ops.textstats import fingerprint_batch, langid_batch
+
+    out = langid_batch(t)
+    for i, text in enumerate(texts):
+        lang, conf = ref_langid(text)
+        assert out["pred_lang"][i].as_py() == lang, (i, text)
+        assert abs(out["confidence"][i].as_py() - round(conf, 4)) < 1e-9, (i, text)
+
+    # scalar fingerprint reference
+    def ref_fp(text, window=8):
+        P = np.uint64(1099511628211)
+        toks = tokenize(text or "")
+        hs = np.array([hash_token(x) for x in toks] or [0], np.uint64)
+        with np.errstate(over="ignore"):
+            if hs.size >= window:
+                roll = np.zeros(hs.size - window + 1, np.uint64)
+                for i in range(window):
+                    roll = roll * P + hs[i : i + roll.size]
+                return int(roll.min())
+            acc = np.uint64(0)
+            for h in hs:
+                acc = acc * P + h
+            return int(acc)
+
+    fout = fingerprint_batch(t)
+    for i, text in enumerate(texts):
+        assert fout["fingerprint"][i].as_py() == ref_fp(text), (i, text)
+
+
 def test_fingerprint_deterministic_and_sensitive():
     t1 = pa.table({"doc_id": [0], "text": ["one two three four five six seven eight nine"]})
     t2 = pa.table({"doc_id": [0], "text": ["one two three four five six seven eight ten"]})
