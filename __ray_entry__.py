@@ -231,7 +231,11 @@ def _rerank_pairs(sf_dir: str):
     from splade_ray.rerank import rerank_input
 
     run = _bm25_run(sf_dir, "exact")
-    return rerank_input(_docs(sf_dir, ["doc_id", "text"]), run, BM25_QUERIES)
+    # top-k-sized run -> predicate-pushdown read of the candidate doc rows
+    return rerank_input(
+        None, run, BM25_QUERIES,
+        docs_path=os.path.join(sf_dir, "documents.parquet"),
+    )
 
 
 def q_rerank_input(sf_dir: str):

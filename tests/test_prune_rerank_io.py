@@ -180,6 +180,55 @@ def test_rerank_input_and_self_hit(docs_ds, ray_session):
     assert row["q_text"] == "foo bar" and row["d_text"] == TEXTS[3] and row["rank"] == 2
 
 
+def test_rerank_input_pushdown_strategy(docs_ds, ray_session, tmp_path):
+    """Small runs must take the predicate-pushdown read (filter=isin over
+    the candidate ids; O(k) I/O) and produce exactly the streaming path's
+    rows; a run larger than pushdown_max_ids must stream."""
+    from unittest import mock
+
+    import ray.data as rd
+
+    from splade_ray.rerank import rerank_input
+
+    pq_path = str(tmp_path / "docs.parquet")
+    pa_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+    import pyarrow.parquet as pqm
+
+    pqm.write_table(pa_tbl, pq_path)
+    run = pd.DataFrame(
+        {"query_id": [100, 100, 101], "rank": [1, 2, 1], "doc_id": [0, 3, 4]}
+    )
+    queries = [(100, "foo bar"), (101, "def")]
+    streamed = (
+        rerank_input(docs_ds, run, queries)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    captured = {}
+    real_read = rd.read_parquet
+
+    def recording_read(paths, **kw):
+        captured.update(kw)
+        return real_read(paths, **kw)
+
+    with mock.patch.object(rd, "read_parquet", recording_read):
+        pushed = (
+            rerank_input(None, run, queries, docs_path=pq_path)
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    assert "filter" in captured and captured["filter"] is not None
+    assert streamed.equals(pushed)
+    # large run (above the id cap) -> no filter pushdown, full stream
+    captured.clear()
+    with mock.patch.object(rd, "read_parquet", recording_read):
+        rerank_input(None, run, queries, docs_path=pq_path, pushdown_max_ids=1).count()
+    assert "filter" not in captured
+
+
 def test_rerank_lexical_ordering(docs_ds, ray_session):
     from splade_ray.rerank import rerank, rerank_input
 
