@@ -21,6 +21,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from splade_ray.analysis import tokenize
 
@@ -83,76 +84,162 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MinHashStage:
-    """Actor-pool stage: per-doc minhash signatures + banded LSH keys.
+    """Actor-pool stage: per-doc minhash signatures ``(doc_id, sig)``.
     Permutation params are built once per actor (``__init__``)."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         self.a, self.b = _minhash_params(num_perm, seed)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes, sigs = [], [], [], []
+        doc_ids, sigs = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = _shingles(tokenize(text or ""), self.shingle_k)
             sig = minhash_signature(sh, self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(did)
-                band_ids.append(band)
-                band_hashes.append(bh)
-                sigs.append(sig.tobytes())
+            doc_ids.append(did)
+            sigs.append(sig.tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(band_ids, pa.int64()),
-                "band_hash": pa.array(band_hashes, pa.string()),
                 "sig": pa.array(sigs, pa.binary()),
             }
         )
 
 
+def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
+    """Expand signatures to banded LSH keys — ``(doc_id, band, band_hash)``
+    ONLY. The 8·num_perm-byte signature stays behind in the (doc_id, sig)
+    table instead of being duplicated into every band row, cutting the wide
+    bucket shuffle ~bands× (round-1 VERDICT item 6)."""
+    doc_ids, band_ids, band_hashes = [], [], []
+    for did, sig_bytes in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+        sig = np.frombuffer(sig_bytes, np.uint64)
+        for band in range(bands):
+            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+            doc_ids.append(did)
+            band_ids.append(band)
+            band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(band_ids, pa.int64()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+        }
+    )
+
+
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, with estimated Jaccard from the
-    carried signatures. Buckets are tiny (near-dup clusters), so the
-    quadratic is bounded; dedup of pairs across bands happens downstream."""
+    """Candidate pairs within one LSH bucket (ids only — signatures are not
+    carried here). Buckets are tiny (near-dup clusters), so the quadratic is
+    bounded; dedup of pairs across bands happens downstream."""
     g = g.sort_values("doc_id").drop_duplicates("doc_id")
     n = len(g)
     if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard": np.float64}
+        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64}
         )
     ids = g["doc_id"].to_numpy(np.int64)
-    sigs = np.stack([np.frombuffer(s, np.uint64) for s in g["sig"]])
-    rows = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            est = float((sigs[i] == sigs[j]).mean())
-            rows.append((int(ids[i]), int(ids[j]), est))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+    rows = [(int(ids[i]), int(ids[j])) for i in range(n) for j in range(i + 1, n)]
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                      min_est_jaccard: float = 0.5):
+                      min_est_jaccard: float = 0.5, num_partitions: int | None = None):
     """Near-duplicate candidate pairs via MinHash + banded LSH.
-    Shuffle cost: (bands × docs) small rows, never the documents themselves."""
-    band_rows = ds.map_batches(
+
+    Shuffle design: the banded bucket groupby moves only (doc_id, band,
+    band_hash) rows — ~24 bytes/doc/band, not the signature; the candidate
+    pair set (tiny) is then verified by joining the (doc_id, sig) table
+    twice (doc_a, doc_b) and estimating Jaccard from the matched signature
+    fraction. The documents themselves never shuffle."""
+    from splade_ray.prune import join_partitions
+
+    rows_per_band = num_perm // bands
+    # materialize the signature table once: it feeds three consumers (band
+    # expansion + both verification joins) and would otherwise re-run the
+    # whole shingling/minhash stage per consumer — and three concurrent
+    # actor pools can starve a small cluster outright. The table is
+    # (doc_id, 8·num_perm B) ≈ 520 B/doc: tiny next to the documents, and
+    # the object store spills it to disk if a node's share exceeds memory.
+    sigs = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k),
         concurrency=4,
+    ).materialize()
+    band_rows = sigs.map_batches(
+        _band_rows,
+        batch_format="pyarrow",
+        fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
     )
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.head(1)[["doc_a", "doc_b", "est_jaccard"]]
-        return out[out["est_jaccard"] >= min_est_jaccard]
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)[["doc_a", "doc_b"]]
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    uniq_pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first_row, batch_format="pandas"
+    )
+
+    # hash-shuffle partitions that received no rows emit schema-less empty
+    # blocks, which pyarrow's join kernel rejects ("no match for key
+    # field") — conform every block to the declared schema between the
+    # wide steps
+    def _conform(schema: pa.Schema):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or set(schema.names) - set(batch.column_names):
+                return schema.empty_table()
+            return pa.table(
+                {n: batch[n].cast(schema.field(n).type) for n in schema.names}
+            )
+
+        return f
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    uniq_pairs = uniq_pairs.map_batches(
+        _conform(pair_schema), batch_format="pyarrow", batch_size=None
+    )
+    # the verification joins move only pair-sized data; keep their
+    # aggregator-actor count low by default (each partition reserves CPU and
+    # this pipeline already runs two groupbys + two joins concurrently) —
+    # callers with genuinely large candidate sets pass num_partitions up
+    if num_partitions is None:
+        cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        num_partitions = max(2, min(8, int(cpus) // 2))
+    n_parts = join_partitions(num_partitions)
+    # the .repartition() between wide steps is load-bearing: Ray 2.49's hash
+    # join mis-handles the empty-partition block layout another join (or
+    # hash groupby) leaves behind ("no match or multiple matches for key
+    # field"); compacting the pair-sized stream is cheap and clears it
+    joined = uniq_pairs.repartition(n_parts).join(
+        sigs, join_type="inner", num_partitions=n_parts,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"sig": "sig_a"})
+    joined = joined.repartition(n_parts).join(
+        sigs, join_type="inner", num_partitions=n_parts,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"sig": "sig_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ests = np.empty(batch.num_rows, np.float64)
+        for i, (sa, sb) in enumerate(
+            zip(batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist())
+        ):
+            ests[i] = float(
+                (np.frombuffer(sa, np.uint64) == np.frombuffer(sb, np.uint64)).mean()
+            )
+        keep = pa.array(ests >= min_est_jaccard)
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(keep),
+                "doc_b": batch["doc_b"].filter(keep),
+                "est_jaccard": pa.array(ests[ests >= min_est_jaccard], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
