@@ -98,6 +98,44 @@ def q_lexicon(sf_dir: str):
     return tindex.select_columns(["term", "df", "cf"])
 
 
+def q_postings_flat_by_lang(sf_dir: str):
+    """Flat postings through the per-language analyzer registry: zh keeps
+    han-run tokens, fr/es/de keep accented letters inside tokens, code langs
+    split identifiers on underscores (splade_ray.analysis.ANALYZERS; the
+    reference's per-collection tokenizer config analog,
+    conf/train/config/splade.yaml + dataloaders.py:89-101)."""
+    from splade_ray.analysis import postings_by_lang_batch
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        postings_by_lang_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def _by_lang_toks_sql() -> str:
+    """CTE mirroring the analyzer registry: one UNION ALL branch per distinct
+    registered token class + the default fallback — generated FROM the
+    registry so SQL and Ray can't drift."""
+    from splade_ray.analysis import ANALYZERS, TOKEN_PATTERN
+
+    groups: dict[str, list[str]] = {}
+    for lang, pat in sorted(ANALYZERS.items()):
+        groups.setdefault(pat, []).append(lang)
+    branches = []
+    for pat in sorted(groups):
+        langs_in = ", ".join(f"'{lang}'" for lang in sorted(groups[pat]))
+        branches.append(
+            f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term\n"
+            f"  FROM documents WHERE lang IN ({langs_in})"
+        )
+    all_in = ", ".join(f"'{lang}'" for lang in sorted(ANALYZERS))
+    branches.append(
+        f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term\n"
+        f"  FROM documents WHERE lang NOT IN ({all_in})"
+    )
+    body = "\n  UNION ALL\n".join(branches)
+    return f"toksl AS (\n{body}\n)"
+
+
 def q_doc_token_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         doc_stats_batch, batch_format="pyarrow", batch_size=512
@@ -446,6 +484,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "postings_flat": q_postings_flat,
+        "postings_flat_by_lang": q_postings_flat_by_lang,
         "lexicon": q_lexicon,
         "doc_token_stats": q_doc_token_stats,
         "bm25_topk": q_bm25_topk,
@@ -580,6 +619,10 @@ def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
         "postings_flat": f"WITH {_TF} SELECT doc_id, term, tf FROM tf",
+        "postings_flat_by_lang": f"""
+WITH {_by_lang_toks_sql()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toksl GROUP BY doc_id, term)
+SELECT doc_id, term, tf FROM tf""",
         "lexicon": f"""
 WITH {_TF}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term""",

@@ -40,6 +40,45 @@ TOKEN_RE = re.compile(TOKEN_PATTERN)
 TOKEN_SQL = TOKEN_PATTERN
 SPLIT_PATTERN = r"[^a-z0-9_]+"  # complement class: split ≡ findall
 
+# ---------------------------------------------------------------- analyzers
+# Per-language token classes (SURVEY §2.10 extension surface; the analog of
+# the reference's per-collection tokenizer config —
+# conf/train/config/splade.yaml max_length / dataloaders.py:89-101). Every
+# pattern MUST be a single character class + '+' so (a) the vectorized
+# split-on-complement kernel applies and (b) the DuckDB oracle can mirror it
+# verbatim with regexp_extract_all. Unregistered langs fall back to
+# TOKEN_PATTERN.
+_ACCENTED = "àáâäçèéêëìíîïñòóôöùúûüßœ"
+ANALYZERS: dict[str, str] = {
+    # CJK text: han runs are tokens too (not dropped)
+    "zh": r"[a-z0-9_一-鿿]+",
+    # latin languages: keep accented letters inside tokens
+    "fr": f"[a-z0-9_{_ACCENTED}]+",
+    "es": f"[a-z0-9_{_ACCENTED}]+",
+    "de": f"[a-z0-9_{_ACCENTED}]+",
+    # code: underscore is an identifier SEPARATOR (foo_bar -> foo, bar)
+    "py": r"[a-z0-9]+",
+    "go": r"[a-z0-9]+",
+    "c": r"[a-z0-9]+",
+}
+
+
+def register_analyzer(lang: str, token_pattern: str) -> None:
+    """Extension hook: register/override a language's token class."""
+    _split_pattern(token_pattern)  # validates the shape
+    ANALYZERS[lang] = token_pattern
+
+
+def analyzer_pattern(lang: str | None) -> str:
+    return ANALYZERS.get(lang or "", TOKEN_PATTERN)
+
+
+def _split_pattern(token_pattern: str) -> str:
+    """Complement class of a `[...]+` token pattern (split ≡ findall)."""
+    if not (token_pattern.startswith("[") and token_pattern.endswith("]+")):
+        raise ValueError(f"analyzer pattern must be a char class: {token_pattern!r}")
+    return "[^" + token_pattern[1:-2] + "]+"
+
 
 def tokenize(text: str) -> list[str]:
     """Tokenize one string through the same Arrow kernel as the vectorized
@@ -53,16 +92,19 @@ def term_counts(text: str) -> Counter:
     return Counter(tokenize(text))
 
 
-def tokenize_column(texts: pa.Array | pa.ChunkedArray):
+def tokenize_column(texts: pa.Array | pa.ChunkedArray, token_pattern: str | None = None):
     """Vectorized tokenization of a string column.
 
     Returns ``(terms, parents, doc_lens)``: the flat token array, the row
     index of each token, and per-row token counts (nulls count as 0).
+    ``token_pattern`` (a ``[...]+`` char class) selects the analyzer;
+    default is the collection-wide ``TOKEN_PATTERN``.
     """
+    split = SPLIT_PATTERN if token_pattern is None else _split_pattern(token_pattern)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
-    tok_lists = pc.split_pattern_regex(pc.utf8_lower(texts), SPLIT_PATTERN)
+    tok_lists = pc.split_pattern_regex(pc.utf8_lower(texts), split)
     flat = pc.list_flatten(tok_lists)
     parents = pc.list_parent_indices(tok_lists)
     mask = pc.not_equal(flat, "")  # boundary splits produce empty strings
@@ -70,6 +112,72 @@ def tokenize_column(texts: pa.Array | pa.ChunkedArray):
     par = parents.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_lens = np.bincount(par, minlength=n).astype(np.int64)
     return terms, par, doc_lens
+
+
+def tokenize_column_by_lang(
+    texts: pa.Array | pa.ChunkedArray, langs: pa.Array | pa.ChunkedArray
+):
+    """Vectorized per-language tokenization: rows are grouped by lang, each
+    group runs through its registered analyzer's kernel, and the flat
+    outputs are reassembled against the ORIGINAL row indices. Same return
+    shape as ``tokenize_column`` (token order within the batch follows lang
+    grouping — irrelevant to tf counting, which is order-free)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(langs, pa.ChunkedArray):
+        langs = langs.combine_chunks()
+    n = len(texts)
+    lang_arr = np.asarray(langs.to_pylist(), dtype=object)
+    doc_lens = np.zeros(n, np.int64)
+    term_parts: list[pa.Array] = []
+    par_parts: list[np.ndarray] = []
+    by_pattern: dict[str, list[np.ndarray]] = {}
+    for lang in set(lang_arr):
+        pat = analyzer_pattern(lang)
+        idx = np.flatnonzero(lang_arr == lang)
+        by_pattern.setdefault(pat, []).append(idx)
+    for pat in sorted(by_pattern):
+        idx = np.sort(np.concatenate(by_pattern[pat]))
+        sub_terms, sub_par, sub_lens = tokenize_column(texts.take(pa.array(idx)), pat)
+        term_parts.append(sub_terms)
+        par_parts.append(idx[sub_par])
+        doc_lens[idx] = sub_lens
+    if not term_parts:
+        return pa.array([], pa.string()), np.array([], np.int64), doc_lens
+    terms = pa.concat_arrays(
+        [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t for t in term_parts]
+    )
+    par = (
+        np.concatenate(par_parts) if par_parts else np.array([], np.int64)
+    ).astype(np.int64)
+    return terms, par, doc_lens
+
+
+def postings_by_lang_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> pa.Table:
+    """``postings_batch`` with the per-language analyzer registry: flat
+    ``(term, doc_id, tf)`` rows where each doc was tokenized by its lang's
+    registered token class (VERDICT round-1 item 4)."""
+    terms, par, _ = tokenize_column_by_lang(batch[text_col], batch[lang_col])
+    g = (
+        pa.table({"row": pa.array(par, pa.int64()), "term": terms})
+        .group_by(["row", "term"])
+        .aggregate([([], "count_all")])
+    )
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = g["row"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term": g["term"],
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "tf": g["count_all"].cast(pa.int64()),
+        }
+    )
 
 
 def term_frequency_table(texts: pa.Array | pa.ChunkedArray):

@@ -41,6 +41,39 @@ def test_tokenize_scalar_vectorized_parity_nonascii():
     assert tokenize("İstanbul") == ["istanbul"]
 
 
+def test_per_lang_analyzers():
+    """Registry behavior: code langs split identifiers on '_', zh keeps han
+    runs, fr keeps accents, unregistered langs use the default class."""
+    from splade_ray.analysis import postings_by_lang_batch, register_analyzer
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["foo_bar baz", "foo_bar baz", "这是中文 test", "café naïve"],
+            "lang": ["py", "en", "zh", "fr"],
+        }
+    )
+    rows = {
+        (d, t): f
+        for t, d, f in zip(*[postings_by_lang_batch(b)[c].to_pylist() for c in ("term", "doc_id", "tf")])
+    }
+    assert (0, "foo") in rows and (0, "bar") in rows and (0, "foo_bar") not in rows
+    assert (1, "foo_bar") in rows  # default analyzer keeps underscores
+    assert (2, "这是中文") in rows
+    assert (3, "café") in rows and (3, "naïve") in rows
+
+    # extension surface: register an override and see it take effect
+    register_analyzer("digits", "[0-9]+")
+    b2 = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": ["ab12cd34"], "lang": ["digits"]}
+    )
+    out2 = postings_by_lang_batch(b2)
+    assert sorted(out2["term"].to_pylist()) == ["12", "34"]
+    from splade_ray.analysis import ANALYZERS
+
+    del ANALYZERS["digits"]
+
+
 def test_postings_batch():
     t = pa.table({"doc_id": [7, 8], "text": ["a b a", "b"]})
     out = postings_batch(t)
