@@ -160,6 +160,25 @@ def q_bm25_topk_bmw(sf_dir: str):
     return _bm25_run(sf_dir, "bmw")
 
 
+def q_bm25_topk_quantized(sf_dir: str):
+    """Quantized in-index scoring (the reference's PISA quantized recipe,
+    efficient_splade_pisa/README.md:48-60): integer impact accumulation over
+    the derived postings_q layer; score_q = Σ qtf·impact_q is an exact
+    BIGINT, oracle-compared without any float rounding."""
+    from splade_ray.quantized import build_quantized_postings
+
+    index_dir = _index_for(sf_dir)
+    build_quantized_postings(index_dir, BM25Params(k1=K1, b=B), factor=100)
+    run = search(
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        method="quantized",
+    )
+    out = run.copy()
+    out["score_q"] = out["score"].to_numpy(np.float64).astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_q"]]
+
+
 def q_collection_stats(sf_dir: str):
     """Collection-level stats — the index_stats.json analog (mean L0 of doc
     reps + avgdl; transformer_evaluator.py:43-44,55-56,63-65)."""
@@ -489,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": q_doc_token_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_bmw": q_bm25_topk_bmw,
+        "bm25_topk_quantized": q_bm25_topk_quantized,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -572,6 +592,33 @@ ranked AS (
 )"""
 
 
+def _bm25_quantized_sql() -> str:
+    """Integer-exact quantized-run oracle: score_q from the quantized_export
+    impact table, summed per (query, doc) with integer query tfs."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF}{_IMP},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+sc AS (
+  SELECT q.query_id, imp.doc_id, sum(q.qtf * imp.impact_q)::BIGINT AS score_q
+  FROM q JOIN imp USING (term)
+  GROUP BY q.query_id, imp.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM sc WHERE score_q > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score_q
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _bm25_sql() -> str:
     return f"""{_bm25_cte()}
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -633,6 +680,7 @@ SELECT doc_id,
 FROM documents""",
         "bm25_topk": bm25,
         "bm25_topk_bmw": bm25,
+        "bm25_topk_quantized": _bm25_quantized_sql(),
         "collection_stats": f"""
 WITH ds AS (
   SELECT doc_id,

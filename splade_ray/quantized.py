@@ -1,0 +1,239 @@
+"""Quantized in-index scoring — the reference's PISA quantized-scorer recipe
+(``efficient_splade_pisa/README.md:48-60``): doc-side BM25 impacts are
+quantized to small ints at index time and query-time accumulation runs in
+integer arithmetic over varbyte-compressed impact streams.
+
+Parity definition (documented, oracle-checked): the quantized run score is
+``score_q(q, d) = Σ_t qtf(t) · impact_q(t, d)`` with
+``impact_q = floor(idf · tf_component · factor + 0.5) > 0`` — exactly the
+values of the ``quantized_export`` table — so the DuckDB oracle reproduces
+run scores bit-for-bit as BIGINTs (no float comparison anywhere). Relative
+to the float scorer the *ranking* may differ within quantization error;
+that trade is the whole point of the PISA quantized runs, and the factor
+controls it.
+
+Build shape: one Ray task per segment (resumable — skips segments whose
+``postings_q.parquet`` already exists); global df comes from the index
+lexicon via a partition-pruned ``isin`` read of the segment's own terms, so
+no vocab-sized state is broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from splade_ray.bm25 import BM25Params, idf_bulk, tf_component, topk_from_scores
+from splade_ray.codec import varbyte_decode, varbyte_encode
+from splade_ray.segments import BLOCK_SIZE, decode_posting
+
+QUANT_FACTOR = 100
+
+QUANT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("docs_enc", pa.binary()),
+        ("imps_enc", pa.binary()),
+        ("bm_first_doc", pa.list_(pa.int64())),
+        ("bm_last_doc", pa.list_(pa.int64())),
+        ("bm_imp_max", pa.list_(pa.int64())),
+        ("bm_doc_off", pa.list_(pa.int64())),
+        ("bm_imp_off", pa.list_(pa.int64())),
+    ]
+)
+
+
+def encode_quantized_posting(
+    doc_ids: np.ndarray, imps: np.ndarray, block_size: int = BLOCK_SIZE
+) -> dict:
+    """Delta+varbyte doc ids and varbyte impacts, per-block impact maxima
+    (the quantized analog of the tf/dl block bounds — here the bound IS the
+    impact, no query-time evaluation needed)."""
+    n = doc_ids.size
+    docs_parts, imp_parts = [], []
+    first, last, imp_max = [], [], []
+    doc_off, imp_off = [0], [0]
+    prev_last = 0
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        blk = doc_ids[s:e]
+        deltas = np.empty(e - s, np.int64)
+        deltas[0] = blk[0] - prev_last
+        np.subtract(blk[1:], blk[:-1], out=deltas[1:])
+        docs_parts.append(varbyte_encode(deltas))
+        imp_parts.append(varbyte_encode(imps[s:e]))
+        first.append(int(blk[0]))
+        last.append(int(blk[-1]))
+        imp_max.append(int(imps[s:e].max()))
+        doc_off.append(doc_off[-1] + len(docs_parts[-1]))
+        imp_off.append(imp_off[-1] + len(imp_parts[-1]))
+        prev_last = int(blk[-1])
+    return {
+        "df": n,
+        "docs_enc": b"".join(docs_parts),
+        "imps_enc": b"".join(imp_parts),
+        "bm_first_doc": first,
+        "bm_last_doc": last,
+        "bm_imp_max": imp_max,
+        "bm_doc_off": doc_off,
+        "bm_imp_off": imp_off,
+    }
+
+
+def _quantize_segment(
+    seg_dir: str,
+    lexicon_dir: str,
+    n_docs: int,
+    avgdl: float,
+    params: BM25Params,
+    factor: int,
+    block_size: int,
+) -> int:
+    """Quantize one segment's postings; returns the number of terms kept."""
+    postings = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+    dl_tbl = pq.read_table(
+        os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id", "doc_len"]
+    )
+    seg_doc_ids = dl_tbl["doc_id"].to_numpy().astype(np.int64)
+    seg_doc_lens = dl_tbl["doc_len"].to_numpy().astype(np.int64)
+    terms = postings["term"].to_pylist()
+    lex = pads.dataset(lexicon_dir).to_table(
+        columns=["term", "df"], filter=pads.field("term").isin(terms)
+    )
+    df_g = dict(zip(lex["term"].to_pylist(), lex["df"].to_numpy()))
+    rows = {name: [] for name in QUANT_SCHEMA.names}
+    for i, term in enumerate(terms):
+        docs, tfs = decode_posting(
+            postings["docs_enc"][i].as_py(),
+            postings["tfs_enc"][i].as_py(),
+            postings["df"][i].as_py(),
+        )
+        pos = np.searchsorted(seg_doc_ids, docs)
+        dls = seg_doc_lens[pos].astype(np.float64)
+        w = float(idf_bulk(np.array([df_g[term]], np.float64), n_docs)[0])
+        imp = np.floor(
+            w * tf_component(tfs.astype(np.float64), dls, avgdl, params) * factor + 0.5
+        ).astype(np.int64)
+        keep = imp > 0
+        if not keep.any():
+            continue
+        enc = encode_quantized_posting(docs[keep], imp[keep], block_size)
+        rows["term"].append(term)
+        for k, v in enc.items():
+            rows[k].append(v)
+    out = pa.table(rows, schema=QUANT_SCHEMA)
+    tmp = os.path.join(seg_dir, ".tmp-postings_q.parquet")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(seg_dir, "postings_q.parquet"))
+    return out.num_rows
+
+
+def build_quantized_postings(
+    index_dir: str,
+    params: BM25Params | None = None,
+    factor: int = QUANT_FACTOR,
+    *,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Derive the quantized posting layer for every segment of a built index
+    (one Ray task per segment; already-quantized segments are skipped, so a
+    failed run resumes). Writes ``postings_q.parquet`` beside each segment's
+    float postings plus a ``quantized.json`` manifest recording (factor, k1,
+    b) — the scorer refuses to run against mismatched parameters."""
+    from splade_ray.build import load_manifest, segment_dirs
+
+    params = params or BM25Params()
+    manifest = load_manifest(index_dir)
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    lexicon_dir = os.path.join(index_dir, "lexicon")
+    segs = [
+        s
+        for s in segment_dirs(index_dir)
+        if not os.path.exists(os.path.join(s, "postings_q.parquet"))
+    ]
+
+    def task(batch: pa.Table) -> pa.Table:
+        counts = [
+            _quantize_segment(s, lexicon_dir, n_docs, avgdl, params, factor, block_size)
+            for s in batch["seg"].to_pylist()
+        ]
+        return pa.table({"n_terms": pa.array(counts, pa.int64())})
+
+    n_terms = 0
+    if segs:
+        out = (
+            rd.from_items([{"seg": s} for s in segs], override_num_blocks=len(segs))
+            .map_batches(task, batch_format="pyarrow")
+            .sum("n_terms")
+        )
+        n_terms = int(out or 0)
+    qman = {"factor": factor, "k1": params.k1, "b": params.b}
+    with open(os.path.join(index_dir, "quantized.json"), "w") as fh:
+        json.dump(qman, fh)
+    return {"segments_quantized": len(segs), "terms": n_terms, **qman}
+
+
+class QuantizedSegment:
+    """One segment's quantized postings, term-filtered at read like the
+    float ``SegmentIndex`` (query.py:77-91)."""
+
+    def __init__(self, seg_dir: str, terms: list[str] | None = None):
+        dl = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+        )
+        self.doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
+        src = pads.dataset(os.path.join(seg_dir, "postings_q.parquet"))
+        flt = pads.field("term").isin(terms) if terms is not None else None
+        self.postings = src.to_table(filter=flt)
+        self._by_term = {t: i for i, t in enumerate(self.postings["term"].to_pylist())}
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _posting(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        got = self._decoded.get(term)
+        if got is None:
+            i = self._by_term.get(term)
+            if i is None:
+                got = (np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                df = self.postings["df"][i].as_py()
+                docs = np.cumsum(
+                    varbyte_decode(self.postings["docs_enc"][i].as_py(), df)
+                ).astype(np.int64)
+                imps = varbyte_decode(self.postings["imps_enc"][i].as_py(), df).astype(
+                    np.int64
+                )
+                got = (np.searchsorted(self.doc_ids, docs), imps)
+            self._decoded[term] = got
+        return got
+
+    def score(self, prepared: dict) -> list[tuple[int, int, float]]:
+        """Integer term-at-a-time accumulation; threshold is the quantized
+        analog of ``score > threshold``: ``score_q > floor(threshold ·
+        factor)`` (0 by default, like the reference's run config)."""
+        p: BM25Params = prepared["params"]
+        factor = prepared.get("quant_factor", QUANT_FACTOR)
+        thr_q = float(np.floor(p.threshold * factor))
+        out: list[tuple[int, int, float]] = []
+        for qid, terms in prepared["queries"].items():
+            scores = np.zeros(self.doc_ids.size, np.int64)
+            hit = False
+            for term, qtf, _w in terms:  # sorted term order (determinism)
+                pos, imps = self._posting(term)
+                if pos.size == 0:
+                    continue
+                hit = True
+                scores[pos] += qtf * imps
+            if not hit:
+                continue
+            docs, scs = topk_from_scores(
+                self.doc_ids, scores.astype(np.float64), p.top_k, thr_q
+            )
+            out.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return out

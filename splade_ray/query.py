@@ -196,6 +196,11 @@ class ScoreSegments:
         )
         for seg_dir, chunk in zip(batch["seg_dir"].to_pylist(), chunks):
             prepared = self._prepared(int(chunk))
+            if self.method == "quantized":
+                from splade_ray.quantized import QuantizedSegment
+
+                rows.extend(QuantizedSegment(seg_dir, prepared["terms"]).score(prepared))
+                continue
             seg = SegmentIndex(seg_dir, prepared["terms"])
             fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
                 self.method, seg.score_exact
@@ -235,11 +240,34 @@ def search(
     grid is segments × chunks, so both axes of parallelism scale and no
     single broadcast grows with the full query count."""
     params = params or BM25Params()
+    quant_extra: dict = {}
+    if method == "quantized":
+        # quantized layer must exist and must have been built with these
+        # scoring parameters — scores are only meaningful against them
+        import json as _json
+
+        qpath = os.path.join(index_dir, "quantized.json")
+        if not os.path.exists(qpath):
+            raise FileNotFoundError(
+                "quantized postings not built — run "
+                "splade_ray.quantized.build_quantized_postings(index_dir) first"
+            )
+        with open(qpath) as fh:
+            qman = _json.load(fh)
+        if (qman["k1"], qman["b"]) != (params.k1, params.b):
+            raise ValueError(
+                f"quantized layer built with k1={qman['k1']} b={qman['b']}, "
+                f"query uses k1={params.k1} b={params.b}"
+            )
+        quant_extra = {"quant_factor": qman["factor"]}
     chunks = [
         queries[i : i + query_chunk_size]
         for i in range(0, len(queries), query_chunk_size)
     ] or [[]]
-    prepared_refs = [ray.put(prepare_queries(index_dir, c, params)) for c in chunks]
+    prepared_refs = [
+        ray.put({**prepare_queries(index_dir, c, params), **quant_extra})
+        for c in chunks
+    ]
     segs = segment_dirs(index_dir)
     items = [
         {"seg_dir": s, "chunk": ci} for ci in range(len(chunks)) for s in segs

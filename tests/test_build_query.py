@@ -49,6 +49,57 @@ def test_manifest_counts(built):
     assert manifest["avgdl"] > 0
 
 
+def test_quantized_scoring_matches_manual(built):
+    """Integer quantized run == manual Σ qtf·impact_q over the corpus, with
+    impact_q = floor(idf·tf_comp·100 + 0.5) (the quantized_export values);
+    mismatched BM25 params must be refused."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.bm25 import idf, tf_component
+    from splade_ray.quantized import build_quantized_postings
+
+    _, index_dir, manifest = built
+    rep = build_quantized_postings(index_dir, BM25Params())
+    assert rep["factor"] == 100
+    run = search(index_dir, QUERIES, BM25Params(top_k=10), method="quantized")
+
+    # manual quantized scores
+    t = synth_corpus(400, seed=42)
+    texts = t["content"].to_pylist()
+    counts = [term_counts(x) for x in texts]
+    dls = np.array([sum(c.values()) for c in counts], np.float64)
+    n = len(texts)
+    avgdl = dls.mean()
+    dfm: dict[str, int] = {}
+    for c in counts:
+        for term in c:
+            dfm[term] = dfm.get(term, 0) + 1
+    p = BM25Params()
+    exp_rows = []
+    for qid, qtext in QUERIES:
+        scores = np.zeros(n, np.int64)
+        for term, qtf in sorted(term_counts(qtext).items()):
+            if term not in dfm:
+                continue
+            w = idf(dfm[term], n)
+            for d, c in enumerate(counts):
+                tf = c.get(term)
+                if tf:
+                    imp = int(np.floor(
+                        w * float(tf_component(np.array([tf], float),
+                                               dls[d:d + 1], avgdl, p)[0]) * 100 + 0.5))
+                    if imp > 0:
+                        scores[d] += qtf * imp
+        order = np.lexsort((np.arange(n), -scores))
+        kept = [(qid, int(d), int(scores[d])) for d in order if scores[d] > 0][:10]
+        exp_rows.extend(kept)
+    got = [(int(q), int(d), int(s)) for q, d, s in
+           zip(run["query_id"], run["doc_id"], run["score"])]
+    assert got == exp_rows
+
+    with pytest.raises(ValueError, match="quantized layer built with"):
+        search(index_dir, QUERIES, BM25Params(k1=2.0), method="quantized")
+
+
 def test_run_matches_oracle_exactly(built):
     _, index_dir, _ = built
     run = search(index_dir, QUERIES)
