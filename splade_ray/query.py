@@ -140,17 +140,24 @@ class SegmentIndex:
 
         return score_segment_bmw(self, prepared)
 
-    # Above this candidate-density (Σ df over query terms / segment docs),
-    # block-max skipping cannot win and the vectorized exact kernel is
-    # strictly faster; below it, WAND's block skipping dominates. Both
-    # kernels are exact, so the switch never changes results.
-    AUTO_DENSITY_CUTOFF = 0.05
+    # Regime constants measured by scripts/bmw_regime.py (table in
+    # BASELINE.md, warm-cache p50): the vectorized exact kernel's cost is
+    # ~a·n_docs + b·df_sum (accumulator + scatter-add) while block-skipping
+    # BMW is ~c·df_sum with c >> b — so BMW only wins when the query's
+    # posting mass is a tiny fraction of a LARGE segment. Measured
+    # crossovers: BMW loses everywhere at 50k docs; wins at 200k for
+    # df_sum/n <= ~0.001 and at 1M for <= ~0.006 (7.8x on single-rare-term
+    # queries). Both kernels are exact, so the switch never changes results.
+    AUTO_MIN_DOCS_FOR_BMW = 100_000
+    AUTO_DENSITY_CUTOFF = 0.002
 
     def score_auto(self, prepared: dict) -> list[tuple[int, int, float]]:
-        """Per-query kernel choice by posting density (the PISA-style
-        adaptive fallback: impact-sorted skipping for selective queries,
-        streaming exact scoring for dense ones)."""
+        """Per-query kernel choice by segment size + posting density (the
+        PISA-style adaptive fallback: impact-sorted skipping for selective
+        queries on large segments, streaming exact scoring otherwise)."""
         n = max(self.doc_ids.size, 1)
+        if n < self.AUTO_MIN_DOCS_FOR_BMW:
+            return self.score_exact(prepared)
         dense_q, sparse_q = {}, {}
         for qid, terms in prepared["queries"].items():
             df_sum = 0

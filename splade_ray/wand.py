@@ -219,6 +219,13 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
     later doc loses the (score desc, doc_id asc) tie-break anyway."""
     from splade_ray.segments import decode_block
 
+    # decoded-block cache lives on the SEGMENT, keyed (term, block): in a
+    # persistent shard actor the expensive decode+searchsorted survives
+    # across queries and calls (the exact kernel's _decoded analog); the
+    # query-dependent wq factor is applied per use, outside the cache
+    block_cache = getattr(seg, "_block_cache", None)
+    if block_cache is None:
+        block_cache = seg._block_cache = {}
     metas = []
     for term, qtf, w in terms:  # terms pre-sorted ascending
         row = seg.posting_row(term)
@@ -234,7 +241,7 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
             ],
             np.float64,
         )
-        metas.append([wq, row, bl, bf, ubs, {}])  # {} = decoded-block cache
+        metas.append([wq, row, bl, bf, ubs, term])
     if not metas:
         return []
     bounds = np.unique(np.concatenate([m[2] for m in metas]))
@@ -247,7 +254,7 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
     # skipped once the heap floor exceeds the common term's solo bound.
     cover_bis = []
     ub_win = np.zeros(W, np.float64)
-    for wq, row, bl, bf, ubs, cache in metas:
+    for wq, row, bl, bf, ubs, _term in metas:
         bi = np.searchsorted(bl, bounds)  # unique block with last >= hi
         valid = bi < bl.size
         bic = np.minimum(bi, bl.size - 1)
@@ -272,16 +279,18 @@ def _bmw_block_one(seg, terms, p: BM25Params, avgdl: float):
         ]
         parts_docs, parts_contrib = [], []
         for m, bi in cover:
-            wq, row, bl, bf, ubs, cache = m
-            got = cache.get(bi)
+            wq, row, bl, bf, ubs, term = m
+            key = (term, bi)
+            got = block_cache.get(key)
             if got is None:
                 d, t = decode_block(
                     row["docs_enc"], row["tfs_enc"], row["bm_doc_off"],
                     row["bm_tf_off"], row["bm_last_doc"], bi,
                 )
                 pos = np.searchsorted(seg.doc_ids, d)
-                got = cache[bi] = (d, wq * tf_component(t, seg.doc_lens[pos], avgdl, p))
-            d, contrib = got
+                got = block_cache[key] = (d, t, seg.doc_lens[pos])
+            d, t_blk, dl_blk = got
+            contrib = wq * tf_component(t_blk, dl_blk, avgdl, p)
             s = int(np.searchsorted(d, lo, side="right"))
             e = int(np.searchsorted(d, hi, side="right"))
             if e > s:

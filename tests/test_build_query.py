@@ -282,3 +282,14 @@ def test_search_auto_matches_exact(ray_session, tmp_path):
     exact = search(idx, queries, p, method="exact")
     auto = search(idx, queries, p, method="auto")
     pd.testing.assert_frame_equal(exact, auto)
+
+    # small segments route everything exact; force the BMW leg by dropping
+    # the size gate and re-check identity of the split path
+    from unittest import mock
+
+    from splade_ray.query import SegmentIndex
+
+    with mock.patch.object(SegmentIndex, "AUTO_MIN_DOCS_FOR_BMW", 1), \
+         mock.patch.object(SegmentIndex, "AUTO_DENSITY_CUTOFF", 0.5):
+        auto_split = search(idx, queries, p, method="auto")
+    pd.testing.assert_frame_equal(exact, auto_split)
