@@ -130,6 +130,29 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Tiered segment merge (see splade_ray.compact)."""
+    _ensure_ray()
+    from splade_ray.compact import compact_segments
+
+    m = compact_segments(args.index, group_size=args.group_size)
+    print(json.dumps({"n_segments": m["n_segments"], "compactions": m.get("compactions", 0)}))
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    """Derive the quantized posting layer for integer in-index scoring."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.quantized import build_quantized_postings
+
+    rep = build_quantized_postings(
+        args.index, BM25Params(k1=args.k1, b=args.b), factor=args.factor
+    )
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -189,6 +212,18 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--corpus", default=None)
     v.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("compact", help="merge consecutive segments (tiered)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--group-size", type=int, default=8)
+    c.set_defaults(fn=cmd_compact)
+
+    z = sub.add_parser("quantize", help="build quantized posting layer")
+    z.add_argument("--index", required=True)
+    z.add_argument("--factor", type=int, default=100)
+    z.add_argument("--k1", type=float, default=1.2)
+    z.add_argument("--b", type=float, default=0.75)
+    z.set_defaults(fn=cmd_quantize)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)

@@ -1,0 +1,201 @@
+"""Segment compaction (tiered merge) for long-lived / incremental indexes.
+
+Many small segments are the natural residue of resumable builds and
+incremental corpus drops; every query then pays per-segment fixed costs
+(open, term lookup, heap merge). Compaction merges groups of ``group_size``
+CONSECUTIVE segments into one, using the same order-preserving
+concatenation the salted term-index path uses: posting lists of consecutive
+segments are doc-id-range disjoint, so merging a term's lists is byte-level
+concatenation with exactly one varbyte value re-encoded per run
+(``codec.rewrite_first_delta``) and block-max metadata concatenated with
+offset shifts — the posting bytes themselves are never re-encoded. Blocks
+stay ragged at the seams (a merged list's last-source block may be short);
+every reader (exact decode, block decode, BMW windows) works from the
+offset arrays, not a fixed stride, so ragged blocks are fine.
+
+One Ray task per output segment; the group replaces its first source
+directory atomically and the global manifest is rewritten. A compacted
+index serves queries identically (tested bit-for-bit for exact and BMW);
+derived quantized layers (``postings_q.parquet``) are invalidated and must
+be rebuilt. Re-running ``build_index`` over the same corpus afterwards will
+NOT skip-match compacted segments (their provenance spec is synthetic) —
+compaction is for completed indexes.
+
+Reference pressure point: the reference reloads its whole index as one
+HDF5 file (``splade/indexing/inverted_index.py:23-46``) and never
+compacts; at 1e12-file scale segment counts in the 1e5-1e6 range make
+tiered merge a first-class maintenance op (ROADMAP #5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from splade_ray.codec import rewrite_first_delta
+from splade_ray.segments import POSTINGS_SCHEMA
+
+
+def merge_posting_rows(rows: list[dict]) -> dict:
+    """Merge one term's posting rows from consecutive (doc-id-disjoint,
+    ascending) segments into a single encoded posting."""
+    docs_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    first, last, tf_max, dl_min = [], [], [], []
+    doc_off, tf_off = [0], [0]
+    prev_last = 0
+    df = cf = 0
+    for r in rows:
+        enc = bytes(r["docs_enc"])
+        offs = r["bm_doc_off"]
+        delta = 0
+        if docs_parts:
+            new_enc = rewrite_first_delta(enc, int(r["bm_first_doc"][0]), prev_last)
+            delta = len(new_enc) - len(enc)
+            enc = new_enc
+        base = doc_off[-1]
+        # offs = [0, o1, ..., total]; rewriting the run's first varbyte value
+        # changes block 0's byte length, shifting every later offset by delta
+        doc_off.extend(base + o + delta for o in offs[1:])
+        tbase = tf_off[-1]
+        tf_off.extend(tbase + o for o in r["bm_tf_off"][1:])
+        docs_parts.append(enc)
+        tf_parts.append(bytes(r["tfs_enc"]))
+        first.extend(r["bm_first_doc"])
+        last.extend(r["bm_last_doc"])
+        tf_max.extend(r["bm_tf_max"])
+        dl_min.extend(r["bm_dl_min"])
+        prev_last = int(r["bm_last_doc"][-1])
+        df += int(r["df"])
+        cf += int(r["cf"])
+    return {
+        "df": df,
+        "cf": cf,
+        "docs_enc": b"".join(docs_parts),
+        "tfs_enc": b"".join(tf_parts),
+        "bm_first_doc": first,
+        "bm_last_doc": last,
+        "bm_tf_max": tf_max,
+        "bm_dl_min": dl_min,
+        "bm_doc_off": doc_off,
+        "bm_tf_off": tf_off,
+    }
+
+
+def _seg_dir(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
+
+
+def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
+    """Merge one group of consecutive segments; returns the new manifest."""
+    seg_dirs = [_seg_dir(index_dir, i) for i in ids]
+    doclens = [pq.read_table(os.path.join(d, "doclens.parquet")) for d in seg_dirs]
+    prev_max = None
+    for dl in doclens:
+        ids_np = dl["doc_id"].to_numpy()
+        if prev_max is not None and ids_np.size and int(ids_np.min()) <= prev_max:
+            raise ValueError(
+                "compaction requires consecutive segments with disjoint "
+                "ascending doc-id ranges"
+            )
+        if ids_np.size:
+            prev_max = int(ids_np.max())
+    merged_dl = pa.concat_tables(doclens)
+
+    per_term: dict[str, list[dict]] = defaultdict(list)
+    manifests = []
+    for d in seg_dirs:
+        with open(os.path.join(d, "manifest.json")) as fh:
+            manifests.append(json.load(fh))
+        for row in pq.read_table(os.path.join(d, "postings.parquet")).to_pylist():
+            per_term[row["term"]].append(row)
+    rows_out = {name: [] for name in POSTINGS_SCHEMA.names}
+    for term in sorted(per_term):
+        merged = merge_posting_rows(per_term[term])
+        rows_out["term"].append(term)
+        for k, v in merged.items():
+            rows_out[k].append(v)
+    postings = pa.table(rows_out, schema=POSTINGS_SCHEMA)
+
+    shas = merged_dl["content_sha256"].to_pylist()
+    manifest = {
+        "schema_version": manifests[0]["schema_version"],
+        "completed": True,
+        "build_run": compact_run,
+        "seg_id": ids[0],
+        "path": "<compacted>",
+        "row_start": -1,
+        "num_rows": int(sum(m["num_rows"] for m in manifests)),
+        "doc_id_start": manifests[0].get("doc_id_start"),
+        "n_docs": int(merged_dl.num_rows),
+        "n_postings": int(sum(m["n_postings"] for m in manifests)),
+        "n_terms": int(postings.num_rows),
+        "sum_doc_len": int(sum(m["sum_doc_len"] for m in manifests)),
+        "content_sha_rollup": hashlib.sha256("".join(shas).encode()).hexdigest(),
+        "block_size": manifests[0]["block_size"],
+        "build_secs": 0.0,
+        "compacted_from": ids,
+    }
+
+    tmp = os.path.join(index_dir, "segments", f".tmp-compact-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings, os.path.join(tmp, "postings.parquet"))
+    pq.write_table(merged_dl, os.path.join(tmp, "doclens.parquet"))
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh)
+    for d in seg_dirs:
+        shutil.rmtree(d)
+    os.rename(tmp, seg_dirs[0])
+    return manifest
+
+
+def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
+    """Merge every run of ``group_size`` consecutive segments into one.
+    Returns the updated global manifest. One Ray task per output segment."""
+    from splade_ray.build import load_manifest
+
+    manifest = load_manifest(index_dir)
+    segs = manifest["segments"]
+    if len(segs) <= 1 or group_size <= 1:
+        return manifest
+    groups = [segs[i : i + group_size] for i in range(0, len(segs), group_size)]
+    compact_run = f"compact-{uuid.uuid4().hex}"
+
+    def task(batch: pa.Table) -> pa.Table:
+        done = []
+        for ids in batch["ids"].to_pylist():
+            ids = [int(i) for i in ids]
+            if len(ids) > 1:
+                _merge_group(index_dir, ids, compact_run)
+            done.append(ids[0])
+        return pa.table({"seg_id": pa.array(done, pa.int64())})
+
+    kept = (
+        rd.from_items([{"ids": g} for g in groups], override_num_blocks=len(groups))
+        .map_batches(task, batch_format="pyarrow")
+        .to_pandas()["seg_id"]
+        .tolist()
+    )
+    manifest["segments"] = sorted(kept)
+    manifest["n_segments"] = len(kept)
+    manifest.setdefault("compactions", 0)
+    manifest["compactions"] += 1
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    # derived quantized layers are stale after a merge
+    qpath = os.path.join(index_dir, "quantized.json")
+    if os.path.exists(qpath):
+        os.remove(qpath)
+    for sid in kept:
+        qp = os.path.join(_seg_dir(index_dir, sid), "postings_q.parquet")
+        if os.path.exists(qp):
+            os.remove(qp)
+    return manifest

@@ -49,6 +49,35 @@ def test_manifest_counts(built):
     assert manifest["avgdl"] > 0
 
 
+def test_compaction_preserves_results(ray_session, tmp_path):
+    """Tiered merge: 9 segments -> 3 -> 1; exact AND BMW runs bit-identical
+    before/after (BMW exercises the merged ragged block metadata), sha
+    invariant still verifies, manifest counts consistent."""
+    from splade_ray.compact import compact_segments
+    from splade_ray.ingest import verify_sha_invariant
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 400, seed=42, n_files=3)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=60, block_size=16)
+    p = BM25Params(top_k=10)
+    before_exact = search(idx, QUERIES, p, method="exact")
+    before_bmw = search(idx, QUERIES, p, method="bmw")
+
+    m = compact_segments(idx, group_size=4)
+    assert m["n_segments"] == 3
+    pd.testing.assert_frame_equal(before_exact, search(idx, QUERIES, p, method="exact"))
+    pd.testing.assert_frame_equal(before_bmw, search(idx, QUERIES, p, method="bmw"))
+    rep = verify_sha_invariant(idx, corpus)
+    assert rep == {"n_docs": 400, "segment_rollups_ok": True, "source_checked": True}
+
+    # second tier: 3 -> 1
+    m = compact_segments(idx, group_size=8)
+    assert m["n_segments"] == 1 and m["compactions"] == 2
+    pd.testing.assert_frame_equal(before_exact, search(idx, QUERIES, p, method="exact"))
+    pd.testing.assert_frame_equal(before_bmw, search(idx, QUERIES, p, method="bmw"))
+
+
 def test_quantized_scoring_matches_manual(built):
     """Integer quantized run == manual Σ qtf·impact_q over the corpus, with
     impact_q = floor(idf·tf_comp·100 + 0.5) (the quantized_export values);
