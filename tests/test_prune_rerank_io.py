@@ -354,3 +354,71 @@ def test_pairwise_rerank():
     assert list(q7["new_rank"]) == [1, 2, 3]
     q8 = out[out["query_id"] == 8]
     assert list(q8["wins2"]) == [0] and list(q8["new_rank"]) == [1]
+
+
+def test_beir_adapter_roundtrip(ray_session, tmp_path):
+    """BEIR corpus/queries/qrels adapters: title+' '+text fold, id-sorted
+    canonical parquet, qrel table shape (datasets.py:101-122 analog)."""
+    import json as _json
+
+    from splade_ray.adapters import (
+        beir_corpus_to_parquet,
+        read_beir_corpus,
+        read_beir_qrels,
+        read_beir_queries,
+    )
+
+    corpus = tmp_path / "corpus.jsonl"
+    with open(corpus, "w") as fh:
+        for row in [
+            {"_id": "d2", "title": "B title", "text": "second doc"},
+            {"_id": "d1", "title": "A title", "text": "first doc"},
+            {"_id": "d3", "title": "", "text": "no title"},
+        ]:
+            fh.write(_json.dumps(row) + "\n")
+    ds = read_beir_corpus(str(corpus)).to_pandas().sort_values("external_id")
+    assert ds["text"].tolist() == ["A title first doc", "B title second doc", "no title"]
+
+    out = beir_corpus_to_parquet(str(corpus), str(tmp_path / "pq"))
+    import ray.data as rd
+
+    got = rd.read_parquet(out).to_pandas()
+    assert got["external_id"].tolist() == ["d1", "d2", "d3"]  # sorted canonical order
+
+    queries = tmp_path / "queries.jsonl"
+    with open(queries, "w") as fh:
+        fh.write(_json.dumps({"_id": "q1", "text": "first"}) + "\n")
+    assert read_beir_queries(str(queries)) == [("q1", "first")]
+
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("query-id\tcorpus-id\tscore\nq1\td1\t1\nq1\td3\t0\n")
+    qt = read_beir_qrels(str(qrels))
+    assert qt.values.tolist() == [["q1", "d1", 1], ["q1", "d3", 0]]
+
+
+def test_ir_datasets_adapter_gated(ray_session, monkeypatch):
+    """Without the package the adapter raises a clear ImportError; with a
+    stubbed module it streams (external_id, text) rows."""
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    from splade_ray import adapters
+
+    sys.modules.pop("ir_datasets", None)
+    with _pytest.raises(ImportError, match="ir_datasets"):
+        adapters.read_ir_dataset("x")
+
+    stub = types.ModuleType("ir_datasets")
+    Doc = __import__("collections").namedtuple("Doc", ["doc_id", "title", "body"])
+
+    class _DS:
+        def docs_iter(self):
+            return iter([Doc("a", "t1", "b1"), Doc("b", "t2", "b2")])
+
+    stub.load = lambda name: _DS()
+    monkeypatch.setitem(sys.modules, "ir_datasets", stub)
+    got = adapters.read_ir_dataset("stub/x").to_pandas()
+    assert got["external_id"].tolist() == ["a", "b"]
+    assert got["text"].tolist() == ["t1 b1", "t2 b2"]
