@@ -309,16 +309,35 @@ def build_index(
         shutil.rmtree(lex_dir)
     os.rename(tmp_lex, lex_dir)
 
-    # Collect per-segment manifests (driver-side, tiny json files) in the
-    # deterministic global segment order.
+    # Collect per-segment manifests in the deterministic global segment
+    # order. The result is manifest-sized either way (it becomes the global
+    # manifest the driver holds); what must not be sequential at 1e5-1e6
+    # segments is the file-open loop — above a threshold the reads fan out
+    # as Ray tasks (ROADMAP #2).
     import pandas as pd
 
-    rows = []
-    for s in specs:
-        with open(os.path.join(_seg_dir(index_dir, s["seg_id"]), "manifest.json")) as fh:
+    def _read_manifest(seg_id: int) -> dict:
+        with open(os.path.join(_seg_dir(index_dir, seg_id), "manifest.json")) as fh:
             m = json.load(fh)
         m.setdefault("build_run", None)
-        rows.append(m)
+        return m
+
+    if len(specs) <= 1000:
+        rows = [_read_manifest(s["seg_id"]) for s in specs]
+    else:
+        def _read_batch(batch: pa.Table) -> pa.Table:
+            ms = [_read_manifest(int(i)) for i in batch["seg_id"].to_pylist()]
+            return pa.table({"manifest_json": pa.array([json.dumps(m) for m in ms])})
+
+        blocks = max(1, len(specs) // 64)
+        rows = [
+            json.loads(r["manifest_json"])
+            for r in rd.from_items(
+                [{"seg_id": s["seg_id"]} for s in specs], override_num_blocks=blocks
+            )
+            .map_batches(_read_batch, batch_format="pyarrow")
+            .take_all()
+        ]
     manifests = pd.DataFrame(rows).sort_values("seg_id").reset_index(drop=True)
     manifests["skipped"] = manifests["build_run"] != build_run
 

@@ -334,7 +334,14 @@ class Searcher:
         assignment: list[list[str]] = [[] for _ in range(num_shards)]
         for i, s in enumerate(segs):
             assignment[i % num_shards].append(s)
-        self.actors = [IndexShardActor.remote(a, method) for a in assignment]
+        # SPREAD the shard actors across nodes (ROADMAP #3): each shard's
+        # postings then sit behind a different node's memory bandwidth and a
+        # node loss takes out 1/num_shards of the index, not all of it.
+        # No-op placement-wise in single-node mode.
+        self.actors = [
+            IndexShardActor.options(scheduling_strategy="SPREAD").remote(a, method)
+            for a in assignment
+        ]
 
     def search(self, queries: list[tuple[int, str]], params: BM25Params | None = None) -> pd.DataFrame:
         params = params or self.params_default
