@@ -277,11 +277,23 @@ def q_prune_quantile(sf_dir: str):
 
 
 def q_flops_metric(sf_dir: str):
-    """FLOPS = Σ_t p_d(t)·p_q(t) over the fixed query set (splade/flops.py:55-60)."""
-    from splade_ray.flops import flops_metric
+    """FLOPS = Σ_t p_d(t)·p_q(t) over the fixed query set (splade/flops.py:55-60).
 
-    val = flops_metric(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERIES)
-    return pd.DataFrame({"flops_r": _round4([val])})
+    Oracle-compared in EXACT integer form: the metric is the rational
+    ``flops_num / (n_docs · n_queries)`` and its 4dp rounding can land
+    exactly on a .5 floor boundary, where last-bit float-sum-order jitter
+    (e.g. DuckDB parallel sums) flips the rounded value — so the numerator
+    Σ_t df_d(t)·df_q(t) is emitted as a BIGINT instead."""
+    from splade_ray.flops import flops_numerator
+
+    num, n_docs = flops_numerator(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERIES)
+    return pd.DataFrame(
+        {
+            "flops_num": np.array([num], np.int64),
+            "n_docs": np.array([n_docs], np.int64),
+            "n_queries": np.array([len(BM25_QUERIES)], np.int64),
+        }
+    )
 
 
 def _rerank_pairs(sf_dir: str):
@@ -733,11 +745,12 @@ FROM kept k JOIN thr USING (term) WHERE k.impact_q > thr.t""",
         "flops_metric": f"""
 WITH {_TF},
 {_qterm_values_sql()},
-df_d AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-qdf AS (SELECT term, count(*)::DOUBLE AS qdf FROM qterm GROUP BY term),
-n AS (SELECT count(*)::DOUBLE AS n FROM documents)
-SELECT {_round4_sql(f'coalesce(sum(df_d.df / n.n * qdf.qdf / {len(BM25_QUERIES)}), 0)')} AS flops_r
-FROM qdf JOIN df_d USING (term) CROSS JOIN n""",
+df_d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+qdf AS (SELECT term, count(*)::BIGINT AS qdf FROM qterm GROUP BY term)
+SELECT coalesce(sum(df_d.df * qdf.qdf), 0)::BIGINT AS flops_num,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       {len(BM25_QUERIES)}::BIGINT AS n_queries
+FROM qdf JOIN df_d USING (term)""",
         "rerank_input": f"""{_bm25_cte()},
 {_qvalues_sql()},
 pairs AS (SELECT query_id, rank, doc_id FROM ranked

@@ -31,6 +31,41 @@ def doc_term_df(docs_ds: rd.Dataset, *, id_col: str = "doc_id", text_col: str = 
     return flat.groupby("term").count()
 
 
+def flops_numerator(
+    docs_ds: rd.Dataset,
+    queries: list[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int]:
+    """(Σ_t df_d(t)·df_q(t), n_docs) — the exact integer form of the FLOPS
+    metric (``flops_metric`` = numerator / (n_docs · n_queries)). Integer so
+    it is reproducible regardless of float summation order; same in-pipeline
+    query-term filter as ``flops_metric``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    q_df: dict[str, int] = {}
+    for _, text in queries:
+        for t in term_counts(text):
+            q_df[t] = q_df.get(t, 0) + 1
+    n_docs = docs_ds.count()
+    if not n_docs or not q_df:
+        return 0, int(n_docs)
+    q_term_set = pa.array(sorted(q_df), pa.string())
+    df_tbl = (
+        doc_term_df(docs_ds, id_col=id_col, text_col=text_col)
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["term"], value_set=q_term_set)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"]))
+    num = sum(int(df_map[t]) * qdf for t, qdf in q_df.items() if t in df_map)
+    return int(num), int(n_docs)
+
+
 def flops_metric(
     docs_ds: rd.Dataset,
     queries: list[tuple[int, str]],
