@@ -418,6 +418,62 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_lang_id_pred(sf_dir: str):
+    """Language-ID predictions only (doc_id, pred_lang) — the oracle-checked
+    face of the heuristic: stopword hit-rate argmax (tie → alphabetical
+    first) with CJK override, SQL-mirrored from the same stopword registry.
+    Confidences stay in the rows-only `lang_id` entry (they are rationals
+    whose 4dp rounding is float-order-fragile; see q_flops_metric)."""
+    return q_lang_id(sf_dir).select_columns(["doc_id", "pred_lang"])
+
+
+def _lang_id_pred_sql() -> str:
+    """SQL mirror of ops.textstats.langid_batch's prediction, generated from
+    the STOPWORDS registry so the two can't drift."""
+    from splade_ray.ops.textstats import CJK_RE, STOPWORDS
+
+    langs = sorted(lang for lang, sw in STOPWORDS.items() if sw)
+    hit_cols = ",\n    ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    per_lang_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{lang}' AS lang, coalesce(h_{lang}, 0)::DOUBLE / n AS score FROM scores"
+        for lang in langs
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_tok,
+    {hit_cols}
+  FROM tok GROUP BY doc_id
+),
+scores AS (
+  SELECT d.doc_id,
+         greatest(coalesce(h.n_tok, 0), 1)::DOUBLE AS n,
+         {", ".join(f"h.h_{lang}" for lang in langs)},
+         len(regexp_extract_all(d.text, '{CJK_RE.pattern}')) AS cjk
+  FROM documents d LEFT JOIN hits h USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM (
+{per_lang_rows}
+  )
+)
+SELECT s.doc_id,
+       CASE WHEN s.cjk > 0 THEN 'zh'
+            WHEN r.score = 0 THEN 'unknown'
+            ELSE r.lang END AS pred_lang
+FROM scores s JOIN ranked r ON r.doc_id = s.doc_id AND r.rn = 1"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     from splade_ray.ops.textstats import fingerprint_batch
 
@@ -543,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_jaccard": q_near_dup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
+        "lang_id_pred": q_lang_id_pred,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -693,6 +750,7 @@ FROM documents""",
         "bm25_topk": bm25,
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
+        "lang_id_pred": _lang_id_pred_sql(),
         "collection_stats": f"""
 WITH ds AS (
   SELECT doc_id,
