@@ -194,6 +194,7 @@ class QuantizedSegment:
         self.postings = src.to_table(filter=flt)
         self._by_term = {t: i for i, t in enumerate(self.postings["term"].to_pylist())}
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._block_cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
     def _posting(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         got = self._decoded.get(term)
@@ -212,6 +213,96 @@ class QuantizedSegment:
                 got = (np.searchsorted(self.doc_ids, docs), imps)
             self._decoded[term] = got
         return got
+
+    def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
+        """Block-max skipping over the quantized layer: per-block upper
+        bound = qtf · bm_imp_max — an exact INT, no query-time bound
+        evaluation — and integer window sums (addition-order-free, so
+        bit-identity is trivial, unlike the float BMW kernel). Regime per
+        BASELINE.md's crossover study: large segments × selective queries;
+        returns exactly ``score``'s results everywhere (tested)."""
+        import heapq
+
+        p: BM25Params = prepared["params"]
+        factor = prepared.get("quant_factor", QUANT_FACTOR)
+        thr_q = int(np.floor(p.threshold * factor))
+        out: list[tuple[int, int, float]] = []
+        post = self.postings
+        for qid, terms in prepared["queries"].items():
+            metas = []
+            for term, qtf, _w in terms:
+                i = self._by_term.get(term)
+                if i is None:
+                    continue
+                row = {n: post[n][i].as_py() for n in post.column_names}
+                bl = np.asarray(row["bm_last_doc"], np.int64)
+                bf = np.asarray(row["bm_first_doc"], np.int64)
+                ubs = qtf * np.asarray(row["bm_imp_max"], np.int64)
+                metas.append((qtf, row, bl, bf, ubs, term))
+            if not metas:
+                continue
+            bounds = np.unique(np.concatenate([m[2] for m in metas]))
+            W = bounds.size
+            cover_bis = []
+            ub_win = np.zeros(W, np.int64)
+            for qtf, row, bl, bf, ubs, term in metas:
+                bi = np.searchsorted(bl, bounds)
+                valid = bi < bl.size
+                bic = np.minimum(bi, bl.size - 1)
+                valid &= bf[bic] <= bounds
+                cover_bis.append(np.where(valid, bic, -1))
+                ub_win += np.where(valid, ubs[bic], 0)
+            heap: list[tuple[int, int]] = []  # (score_q, -doc_id) min-heap
+            k = p.top_k
+            i = 0
+            while i < W:
+                theta = heap[0][0] if len(heap) >= k else thr_q
+                beat = ub_win[i:] > theta
+                j_rel = int(np.argmax(beat))
+                if not beat[j_rel]:
+                    break
+                j = i + j_rel
+                i = j + 1
+                lo = int(bounds[j - 1]) if j > 0 else -1
+                hi = int(bounds[j])
+                parts_docs, parts_contrib = [], []
+                for m, cb in zip(metas, cover_bis):
+                    if cb[j] < 0:
+                        continue
+                    qtf, row, bl, bf, ubs, term = m
+                    bi = int(cb[j])
+                    key = (term, bi)
+                    got = self._block_cache.get(key)
+                    if got is None:
+                        from splade_ray.segments import decode_block
+
+                        d, imps = decode_block(
+                            row["docs_enc"], row["imps_enc"], row["bm_doc_off"],
+                            row["bm_imp_off"], row["bm_last_doc"], bi,
+                        )
+                        got = self._block_cache[key] = (d, imps)
+                    d, imps = got
+                    s = int(np.searchsorted(d, lo, side="right"))
+                    e = int(np.searchsorted(d, hi, side="right"))
+                    if e > s:
+                        parts_docs.append(d[s:e])
+                        parts_contrib.append(qtf * imps[s:e])
+                if not parts_docs:
+                    continue
+                udocs = np.unique(np.concatenate(parts_docs))
+                scores = np.zeros(udocs.size, np.int64)
+                for d_part, c_part in zip(parts_docs, parts_contrib):
+                    scores[np.searchsorted(udocs, d_part)] += c_part
+                keep = scores > max(theta, thr_q)
+                for d, s in zip(udocs[keep], scores[keep]):
+                    entry = (int(s), -int(d))
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
+            ranked = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+            out.extend((qid, int(doc), float(s)) for s, doc in ranked)
+        return out
 
     def score(self, prepared: dict) -> list[tuple[int, int, float]]:
         """Integer term-at-a-time accumulation; threshold is the quantized

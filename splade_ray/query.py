@@ -203,10 +203,12 @@ class ScoreSegments:
         )
         for seg_dir, chunk in zip(batch["seg_dir"].to_pylist(), chunks):
             prepared = self._prepared(int(chunk))
-            if self.method == "quantized":
+            if self.method in ("quantized", "quantized_bmw"):
                 from splade_ray.quantized import QuantizedSegment
 
-                rows.extend(QuantizedSegment(seg_dir, prepared["terms"]).score(prepared))
+                qseg = QuantizedSegment(seg_dir, prepared["terms"])
+                fn = qseg.score_bmw if self.method == "quantized_bmw" else qseg.score
+                rows.extend(fn(prepared))
                 continue
             seg = SegmentIndex(seg_dir, prepared["terms"])
             fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
@@ -248,7 +250,7 @@ def search(
     single broadcast grows with the full query count."""
     params = params or BM25Params()
     quant_extra: dict = {}
-    if method == "quantized":
+    if method in ("quantized", "quantized_bmw"):
         # quantized layer must exist and must have been built with these
         # scoring parameters — scores are only meaningful against them
         import json as _json

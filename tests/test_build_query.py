@@ -322,3 +322,17 @@ def test_search_auto_matches_exact(ray_session, tmp_path):
          mock.patch.object(SegmentIndex, "AUTO_DENSITY_CUTOFF", 0.5):
         auto_split = search(idx, queries, p, method="auto")
     pd.testing.assert_frame_equal(exact, auto_split)
+
+
+def test_quantized_bmw_matches_quantized_exact(built):
+    """The integer block-skipping kernel returns exactly the quantized exact
+    scorer's runs (same scores, same tie order) — including repeated-term
+    queries and ubiquitous-term (skew) queries."""
+    from splade_ray.quantized import build_quantized_postings
+
+    _, index_dir, _ = built
+    build_quantized_postings(index_dir, BM25Params())
+    p = BM25Params(top_k=10)
+    exact = search(index_dir, QUERIES, p, method="quantized")
+    bmw = search(index_dir, QUERIES, p, method="quantized_bmw")
+    pd.testing.assert_frame_equal(exact, bmw)
