@@ -410,6 +410,56 @@ def q_near_dup_jaccard(sf_dir: str):
     )
 
 
+def q_near_dup_jaccard_counts(sf_dir: str):
+    """n-gram Jaccard near-dup pairs in integer-exact form (inter, uni
+    counts; threshold inter >= 0.5·uni) — the oracle-checked face of the
+    blocked Jaccard operator."""
+    from splade_ray.ops.dedup import jaccard_block_pairs
+
+    return jaccard_block_pairs(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), min_jaccard=0.5, emit_counts=True
+    )
+
+
+def _jaccard_counts_sql() -> str:
+    """SQL mirror of jaccard_block_pairs(emit_counts=True): 3-gram sets per
+    doc (short docs fold to one whole-token gram, empty docs to the empty
+    set), (lang, length//100) blocking, integer-exact threshold."""
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, lang, length(text) // 100 AS band,
+         regexp_extract_all(lower(text), '{TOKEN_SQL}') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, band, unnest(
+    CASE WHEN len(tl) = 0 THEN []::VARCHAR[]
+         WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+         ELSE list_transform(range(1, len(tl) - 1),
+                             i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+    END) AS g
+  FROM d0
+),
+gd AS (SELECT DISTINCT doc_id, lang, band, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+docs_all AS (SELECT d.doc_id, d.lang, d.band, coalesce(s.sz, 0) AS sz
+             FROM d0 d LEFT JOIN sizes s USING (doc_id)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb
+          FROM docs_all a JOIN docs_all b
+            ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM gd x JOIN gd y
+            ON x.lang = y.lang AND x.band = y.band AND x.g = y.g
+           AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.i, 0)::BIGINT AS inter,
+       (p.sa + p.sb - coalesce(i.i, 0))::BIGINT AS uni
+FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+WHERE (p.sa + p.sb - coalesce(i.i, 0)) = 0
+   OR coalesce(i.i, 0) >= 0.5 * (p.sa + p.sb - coalesce(i.i, 0))"""
+
+
 def q_lang_id(sf_dir: str):
     from splade_ray.ops.textstats import langid_batch
 
@@ -597,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_jaccard": q_near_dup_jaccard,
+        "near_dup_jaccard_counts": q_near_dup_jaccard_counts,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "lang_id_pred": q_lang_id_pred,
@@ -751,6 +802,7 @@ FROM documents""",
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
+        "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "collection_stats": f"""
 WITH ds AS (
   SELECT doc_id,
@@ -791,6 +843,13 @@ imp AS (
   CROSS JOIN stats s
 )
 SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 0""",
+        "anserini_docs": f"""
+WITH {_TF}{_IMP},
+vec AS (SELECT doc_id,
+               '{{' || string_agg('"' || term || '": ' || impact_q, ', ' ORDER BY term) || '}}' AS vector_json
+        FROM imp WHERE impact_q > 0 GROUP BY doc_id)
+SELECT d.doc_id AS id, coalesce(v.vector_json, '{{"a": 1}}') AS vector_json
+FROM documents d LEFT JOIN vec v USING (doc_id)""",
         "prune_value": f"""
 WITH {_TF}{_IMP}
 SELECT doc_id, term, impact_q FROM imp WHERE impact_q > 50""",

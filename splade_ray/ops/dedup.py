@@ -333,11 +333,18 @@ def ngram_set(text: str, n: int = 3) -> set[tuple[str, ...]]:
 
 
 def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: float = 0.8,
-                        text_col: str = "text", lang_col: str = "lang"):
+                        text_col: str = "text", lang_col: str = "lang",
+                        emit_counts: bool = False):
     """Exact word-n-gram Jaccard pairs within (lang, n_chars//band_chars)
     blocks. The blocking is part of the operator's contract (documented,
     deterministic, SQL-expressible) — pairs crossing a length band are out of
-    scope by definition, which is what makes this oracle-checkable."""
+    scope by definition, which is what makes this oracle-checkable.
+
+    ``emit_counts=True`` outputs (doc_a, doc_b, inter, uni) integers instead
+    of the rounded ratio, and the threshold becomes ``inter >= min_jaccard ·
+    uni`` (empty-vs-empty: uni 0 counts as similarity 1.0) — the
+    integer-exact face a SQL oracle can reproduce without float-rounding
+    hazards (see q_flops_metric)."""
 
     def keyed(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -359,10 +366,19 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 si, sj = sets[i], sets[j]
-                u = len(si | sj)
-                jac = (len(si & sj) / u) if u else 1.0
+                inter = len(si & sj)
+                u = len(si) + len(sj) - inter
+                if emit_counts:
+                    if u == 0 or inter >= min_jaccard * u:
+                        rows.append((int(ids[i]), int(ids[j]), inter, u))
+                    continue
+                jac = (inter / u) if u else 1.0
                 if jac >= min_jaccard:
                     rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
+        if emit_counts:
+            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"]).astype(
+                {"doc_a": np.int64, "doc_b": np.int64, "inter": np.int64, "uni": np.int64}
+            )
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_r"]).astype(
             {"doc_a": np.int64, "doc_b": np.int64, "jaccard_r": np.float64}
         )
