@@ -81,3 +81,65 @@ def test_posting_block_roundtrip():
         got_tfs.append(bt)
     assert np.array_equal(np.concatenate(got_docs), docs)
     assert np.array_equal(np.concatenate(got_tfs), tfs)
+
+
+def test_merge_posting_rows_property():
+    """Compaction merge equivalence, property-tested: for random ascending
+    doc-id lists split into random run boundaries (each run independently
+    encoded as its own segment posting), the merged row must decode to the
+    full list, its block metadata must be internally consistent (offsets
+    address real block boundaries), and block-wise decode through the merged
+    ragged offsets must reproduce every block."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from splade_ray.compact import merge_posting_rows
+    from splade_ray.segments import decode_block, decode_posting, encode_posting
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=300, unique=True),
+        cuts=st.lists(st.integers(1, 299), max_size=4, unique=True),
+        block_size=st.sampled_from([3, 16, 128]),
+        data=st.data(),
+    )
+    def check(ids, cuts, block_size, data):
+        doc_ids = np.array(sorted(ids), np.int64)
+        n = doc_ids.size
+        tfs = np.array(
+            data.draw(st.lists(st.integers(1, 9), min_size=n, max_size=n)), np.int64
+        )
+        dls = tfs + 3
+        bounds = [0] + sorted(c for c in cuts if c < n) + [n]
+        rows = []
+        for s, e in zip(bounds, bounds[1:]):
+            if e > s:
+                r = encode_posting(doc_ids[s:e], tfs[s:e], dls[s:e], block_size)
+                r["docs_enc"] = r["docs_enc"]
+                rows.append(r)
+        merged = merge_posting_rows(rows)
+        got_docs, got_tfs = decode_posting(
+            merged["docs_enc"], merged["tfs_enc"], merged["df"]
+        )
+        assert got_docs.tolist() == doc_ids.tolist()
+        assert got_tfs.tolist() == tfs.tolist()
+        assert merged["df"] == n and merged["cf"] == int(tfs.sum())
+        # block-wise decode through the merged (ragged) offsets
+        nblocks = len(merged["bm_first_doc"])
+        assert len(merged["bm_doc_off"]) == nblocks + 1
+        pos = 0
+        for bi in range(nblocks):
+            d, t = decode_block(
+                merged["docs_enc"], merged["tfs_enc"], merged["bm_doc_off"],
+                merged["bm_tf_off"], merged["bm_last_doc"], bi,
+            )
+            assert d[0] == merged["bm_first_doc"][bi]
+            assert d[-1] == merged["bm_last_doc"][bi]
+            assert int(t.max()) == merged["bm_tf_max"][bi]
+            assert d.tolist() == doc_ids[pos:pos + d.size].tolist()
+            assert t.tolist() == tfs[pos:pos + d.size].tolist()
+            pos += d.size
+        assert pos == n
+
+    check()
