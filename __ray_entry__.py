@@ -179,6 +179,66 @@ def q_bm25_topk_quantized(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_q"]]
 
 
+def q_bm25_topk_by_lang(sf_dir: str):
+    """End-to-end BM25 over an index built with the per-language analyzer
+    registry (build_index(lang_col="lang")): doc tokens follow each doc's
+    registered token class, query text uses the collection-wide class."""
+    index_dir = os.path.join(_work_dir(sf_dir, "docsidx-lang"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        lang_col="lang",
+        rows_per_segment=1000,
+        block_size=64,
+    )
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def _bm25_by_lang_sql() -> str:
+    """The bm25 oracle with the by-lang doc tokenization CTE substituted."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_by_lang_toks_sql()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toksl GROUP BY doc_id, term),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toksl GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def q_collection_stats(sf_dir: str):
     """Collection-level stats — the index_stats.json analog (mean L0 of doc
     reps + avgdl; transformer_evaluator.py:43-44,55-56,63-65)."""
@@ -627,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_bmw": q_bm25_topk_bmw,
         "bm25_topk_quantized": q_bm25_topk_quantized,
+        "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -802,6 +863,7 @@ FROM documents""",
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
+        "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "collection_stats": f"""
 WITH ds AS (

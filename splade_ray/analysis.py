@@ -80,16 +80,18 @@ def _split_pattern(token_pattern: str) -> str:
     return "[^" + token_pattern[1:-2] + "]+"
 
 
-def tokenize(text: str) -> list[str]:
+def tokenize(text: str, lang: str | None = None) -> list[str]:
     """Tokenize one string through the same Arrow kernel as the vectorized
     column path (see module docstring: Python ``str.lower`` diverges from
-    ``utf8_lower`` on full-Unicode case mapping)."""
-    terms, _, _ = tokenize_column(pa.array([text], pa.string()))
+    ``utf8_lower`` on full-Unicode case mapping). ``lang`` selects a
+    registered analyzer; None uses the collection-wide class."""
+    pattern = analyzer_pattern(lang) if lang is not None else None
+    terms, _, _ = tokenize_column(pa.array([text], pa.string()), pattern)
     return terms.to_pylist()
 
 
-def term_counts(text: str) -> Counter:
-    return Counter(tokenize(text))
+def term_counts(text: str, lang: str | None = None) -> Counter:
+    return Counter(tokenize(text, lang))
 
 
 def tokenize_column(texts: pa.Array | pa.ChunkedArray, token_pattern: str | None = None):
@@ -248,7 +250,13 @@ def doc_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def analyze_docs(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"):
+def analyze_docs(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+):
     """Analyze a batch fully in one pass for the segment builder.
 
     Returns ``(flat, doc_ids, doc_lens)`` where ``flat`` is a pyarrow table
@@ -256,9 +264,23 @@ def analyze_docs(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "te
     the batch, so posting lists come out doc-id-sorted as long as the batch
     rows are doc-id ascending (the builder guarantees it; the same invariant
     the reference gets from its sequential doc counter,
-    transformer_evaluator.py:47-51)."""
+    transformer_evaluator.py:47-51).
+
+    ``lang_col`` routes each doc through its language's registered analyzer
+    (``ANALYZERS``) instead of the collection-wide token class."""
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+    if lang_col is None:
+        tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+    else:
+        terms, par, doc_lens = tokenize_column_by_lang(batch[text_col], batch[lang_col])
+        g = (
+            pa.table({"row": pa.array(par, pa.int64()), "term": terms})
+            .group_by(["row", "term"])
+            .aggregate([([], "count_all")])
+        )
+        tf_tbl = pa.table(
+            {"row": g["row"], "term": g["term"], "tf": g["count_all"].cast(pa.int64())}
+        )
     flat = pa.table(
         {"term": tf_tbl["term"], "pos": tf_tbl["row"], "tf": tf_tbl["tf"]}
     ).sort_by([("term", "ascending"), ("pos", "ascending")])

@@ -108,7 +108,7 @@ def _seg_dir(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
 
 
-def _manifest_valid(seg_dir: str, spec: dict) -> dict | None:
+def _manifest_valid(seg_dir: str, spec: dict, lang_col: str | None = None) -> dict | None:
     mpath = os.path.join(seg_dir, "manifest.json")
     if not os.path.exists(mpath):
         return None
@@ -124,6 +124,7 @@ def _manifest_valid(seg_dir: str, spec: dict) -> dict | None:
         and m.get("row_start") == spec["row_start"]
         and m.get("num_rows") == spec["num_rows"]
         and m.get("doc_id_start") == spec["doc_id_start"]
+        and m.get("lang_col") == lang_col
         and os.path.exists(os.path.join(seg_dir, "postings.parquet"))
         and os.path.exists(os.path.join(seg_dir, "doclens.parquet"))
     )
@@ -138,6 +139,7 @@ def build_segments_batch(
     id_col: str | None,
     block_size: int = BLOCK_SIZE,
     extra_doc_cols: tuple[str, ...] = (),
+    lang_col: str | None = None,
     build_run: str | None = None,
     emit_term_stats: bool = False,
 ) -> pa.Table:
@@ -172,7 +174,7 @@ def build_segments_batch(
 
     for spec in batch.to_pylist():
         seg_dir = _seg_dir(index_dir, spec["seg_id"])
-        existing = _manifest_valid(seg_dir, spec)
+        existing = _manifest_valid(seg_dir, spec, lang_col)
         if existing is not None:
             emit(spec, existing, True)
             if emit_term_stats:
@@ -185,6 +187,8 @@ def build_segments_batch(
             continue
         t0 = time.monotonic()
         cols = [text_col] + [c for c in extra_doc_cols if c != text_col]
+        if lang_col and lang_col not in cols:
+            cols.append(lang_col)
         if id_col:
             cols = [id_col] + cols
         tbl = _read_slice(spec["path"], spec["row_start"], spec["num_rows"], cols)
@@ -203,7 +207,9 @@ def build_segments_batch(
             hashlib.sha256((x or "").encode("utf-8")).hexdigest()
             for x in tbl[text_col].to_pylist()
         ]
-        flat, doc_ids, doc_lens = analyze_docs(tbl, id_col=eff_id_col, text_col=text_col)
+        flat, doc_ids, doc_lens = analyze_docs(
+            tbl, id_col=eff_id_col, text_col=text_col, lang_col=lang_col
+        )
         postings = build_segment_tables(flat, doc_ids, doc_lens, block_size)
 
         tmp = os.path.join(index_dir, "segments", f".tmp-{spec['seg_id']:06d}-{uuid.uuid4().hex[:8]}")
@@ -222,6 +228,7 @@ def build_segments_batch(
             "completed": True,
             "build_run": build_run,
             **{k: spec[k] for k in ("seg_id", "path", "row_start", "num_rows", "doc_id_start")},
+            "lang_col": lang_col,
             "n_docs": int(len(doc_ids)),
             "n_postings": int(flat.num_rows),
             "n_terms": int(postings.num_rows),
@@ -257,12 +264,16 @@ def build_index(
     rows_per_segment: int = 50_000,
     block_size: int = BLOCK_SIZE,
     extra_doc_cols: tuple[str, ...] = (),
+    lang_col: str | None = None,
     concurrency: int | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns the global manifest dict.
 
     ``id_col=None`` assigns dense doc ids from the deterministic global row
     position; passing an existing id column preserves external ids.
+    ``lang_col`` analyzes each doc with its language's registered token
+    class (``analysis.ANALYZERS``) — the per-collection tokenizer-config
+    analog; a lang_col change invalidates segment skip-matching.
     """
     if isinstance(corpus_paths, str):
         p = corpus_paths
@@ -294,6 +305,7 @@ def build_index(
             id_col=id_col,
             block_size=block_size,
             extra_doc_cols=extra_doc_cols,
+            lang_col=lang_col,
             build_run=build_run,
             emit_term_stats=True,
         ),
@@ -347,6 +359,7 @@ def build_index(
         "schema_version": SCHEMA_VERSION,
         "block_size": block_size,
         "text_col": text_col,
+        "lang_col": lang_col,
         "id_col": id_col,
         "n_docs": n_docs,
         "n_postings": int(manifests["n_postings"].sum()),

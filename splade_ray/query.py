@@ -37,16 +37,24 @@ RUN_COLUMNS = ["query_id", "rank", "doc_id", "score"]
 
 
 def prepare_queries(
-    index_dir: str, queries: list[tuple[int, str]], params: BM25Params | None = None
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
 ) -> dict:
     """Driver-side query prep: tokenize, look up global df for the (few)
     query terms from the lexicon with predicate pushdown, precompute idf.
     The result is a small broadcastable dict — the global-stats side of the
-    scatter-gather (small-side broadcast, not a shuffle join)."""
+    scatter-gather (small-side broadcast, not a shuffle join).
+
+    ``query_lang`` selects the registered analyzer for the query text (use
+    it against indexes built with ``lang_col`` so query terms match the
+    target language's token class); None = collection-wide class."""
     params = params or BM25Params()
     manifest = load_manifest(index_dir)
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
-    tokenized = {int(qid): term_counts(text) for qid, text in queries}
+    tokenized = {int(qid): term_counts(text, query_lang) for qid, text in queries}
     all_terms = sorted({t for c in tokenized.values() for t in c})
     dfs: dict[str, int] = {}
     if all_terms:
@@ -241,6 +249,7 @@ def search(
     method: str = "exact",
     concurrency: int | None = None,
     query_chunk_size: int = 1024,
+    query_lang: str | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
@@ -274,7 +283,10 @@ def search(
         for i in range(0, len(queries), query_chunk_size)
     ] or [[]]
     prepared_refs = [
-        ray.put({**prepare_queries(index_dir, c, params), **quant_extra})
+        ray.put(
+            {**prepare_queries(index_dir, c, params, query_lang=query_lang),
+             **quant_extra}
+        )
         for c in chunks
     ]
     segs = segment_dirs(index_dir)

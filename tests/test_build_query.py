@@ -336,3 +336,53 @@ def test_quantized_bmw_matches_quantized_exact(built):
     exact = search(index_dir, QUERIES, p, method="quantized")
     bmw = search(index_dir, QUERIES, p, method="quantized_bmw")
     pd.testing.assert_frame_equal(exact, bmw)
+
+
+def test_lang_aware_build_and_query(ray_session, tmp_path):
+    """build_index(lang_col=...): each doc tokenized by its language's
+    registered analyzer; query analyzed per query_lang. Identifier
+    'alpha_beta' is searchable as 'alpha' in a py doc (underscore splits)
+    but only as the whole identifier in a js doc; changing lang_col
+    invalidates segment skip-matching."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "c"
+    d.mkdir()
+    t = pa.table(
+        {
+            "repo": ["r"] * 4,
+            "path": [f"p{i}" for i in range(4)],
+            "commit": ["x"] * 4,
+            "lang": ["py", "js", "py", "js"],
+            "content": [
+                "alpha_beta gamma",
+                "alpha_beta gamma",
+                "delta epsilon",
+                "delta epsilon",
+            ],
+        }
+    )
+    pq.write_table(t, str(d / "a.parquet"))
+    idx = str(tmp_path / "i")
+    m = build_index(str(d), idx, text_col="content", lang_col="lang",
+                    rows_per_segment=2)
+    assert m["lang_col"] == "lang"
+
+    p = BM25Params(top_k=5)
+    # 'alpha' exists only via the py analyzer's underscore split -> doc 0
+    run = search(idx, [(0, "alpha")], p, query_lang="py")
+    assert run["doc_id"].tolist() == [0]
+    # the whole identifier is a term only in the js doc -> doc 1
+    run = search(idx, [(0, "alpha_beta")], p)
+    assert run["doc_id"].tolist() == [1]
+    # terms common to both analyzers hit both docs
+    run = search(idx, [(0, "gamma")], p)
+    assert sorted(run["doc_id"]) == [0, 1]
+
+    # rebuild with same lang_col skips; without lang_col rebuilds everything
+    m2 = build_index(str(d), idx, text_col="content", lang_col="lang",
+                     rows_per_segment=2)
+    assert m2["n_segments_skipped"] == m2["n_segments"]
+    m3 = build_index(str(d), idx, text_col="content", rows_per_segment=2)
+    assert m3["n_segments_skipped"] == 0
