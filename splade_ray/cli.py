@@ -41,6 +41,7 @@ def cmd_build(args) -> int:
         id_col=args.id_col,
         rows_per_segment=args.rows_per_segment,
         block_size=args.block_size,
+        lang_col=args.lang_col,
     )
     print(json.dumps({k: manifest[k] for k in (
         "n_docs", "n_postings", "n_segments", "n_segments_skipped", "build_secs", "docs_per_sec"
@@ -183,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--text-col", default="content")
     b.add_argument("--id-col", default=None)
     b.add_argument("--rows-per-segment", type=int, default=50_000)
+    b.add_argument("--lang-col", default=None,
+                   help="per-language analyzer column (analysis.ANALYZERS)")
     b.add_argument("--block-size", type=int, default=128)
     b.set_defaults(fn=cmd_build)
 

@@ -357,9 +357,14 @@ class Searcher:
             for a in assignment
         ]
 
-    def search(self, queries: list[tuple[int, str]], params: BM25Params | None = None) -> pd.DataFrame:
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        query_lang: str | None = None,
+    ) -> pd.DataFrame:
         params = params or self.params_default
-        prepared = prepare_queries(self.index_dir, queries, params)
+        prepared = prepare_queries(self.index_dir, queries, params, query_lang=query_lang)
         results = ray.get([a.search.remote(prepared) for a in self.actors])
         rows = [r for part in results for r in part]
         if not rows:
