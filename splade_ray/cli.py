@@ -41,7 +41,7 @@ def cmd_build(args) -> int:
         id_col=args.id_col,
         rows_per_segment=args.rows_per_segment,
         block_size=args.block_size,
-        lang_col=args.lang_col,
+        lang_col=getattr(args, "lang_col", None),
     )
     print(json.dumps({k: manifest[k] for k in (
         "n_docs", "n_postings", "n_segments", "n_segments_skipped", "build_secs", "docs_per_sec"
