@@ -131,6 +131,14 @@ def run_bench() -> dict:
     # exact for dense ones (this corpus's 31-term vocab is the dense regime)
     p50_auto, _ = measure("auto")
 
+    # quantized integer scorer over the derived postings_q layer (the layer
+    # build is untimed — an index maintenance step, not query latency);
+    # served through the same persistent shard actors as the float kernels
+    from splade_ray.quantized import build_quantized_postings
+
+    build_quantized_postings(index_dir, params)
+    p50_quant, _ = measure("quantized")
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     import ray.data as rd
 
@@ -155,6 +163,7 @@ def run_bench() -> dict:
             "query_batch_p50": round(p50, 4),
             "query_batch_p95": round(p95, 4),
             "query_batch_p50_auto": round(p50_auto, 4),
+            "query_batch_p50_quantized": round(p50_quant, 4),
             "term_index_salted_groupby": round(term_index_s, 3),
         },
         "sf": sf_dir,

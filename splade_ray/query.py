@@ -323,15 +323,25 @@ class IndexShardActor:
     postings once in ``__init__`` and serves every query from RAM."""
 
     def __init__(self, seg_dirs: list[str], method: str = "exact"):
-        self.segments = [SegmentIndex(d, terms=None) for d in seg_dirs]
+        if method in ("quantized", "quantized_bmw"):
+            from splade_ray.quantized import QuantizedSegment
+
+            self.segments = [QuantizedSegment(d, terms=None) for d in seg_dirs]
+        else:
+            self.segments = [SegmentIndex(d, terms=None) for d in seg_dirs]
         self.method = method
 
     def search(self, prepared: dict) -> list[tuple[int, int, float]]:
         rows: list[tuple[int, int, float]] = []
         for seg in self.segments:
-            fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
-                self.method, seg.score_exact
-            )
+            if self.method == "quantized":
+                fn = seg.score
+            elif self.method == "quantized_bmw":
+                fn = seg.score_bmw
+            else:
+                fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
+                    self.method, seg.score_exact
+                )
             rows.extend(fn(prepared))
         return rows
 
@@ -343,6 +353,13 @@ class Searcher:
     def __init__(self, index_dir: str, num_shards: int = 8, method: str = "exact"):
         self.index_dir = index_dir
         self.params_default = BM25Params()
+        self.quant_extra: dict = {}
+        if method in ("quantized", "quantized_bmw"):
+            import json as _json
+
+            with open(os.path.join(index_dir, "quantized.json")) as fh:
+                qman = _json.load(fh)
+            self.quant_extra = {"quant_factor": qman["factor"]}
         segs = segment_dirs(index_dir)
         num_shards = max(1, min(num_shards, len(segs)))
         assignment: list[list[str]] = [[] for _ in range(num_shards)]
@@ -364,7 +381,10 @@ class Searcher:
         query_lang: str | None = None,
     ) -> pd.DataFrame:
         params = params or self.params_default
-        prepared = prepare_queries(self.index_dir, queries, params, query_lang=query_lang)
+        prepared = {
+            **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
+            **self.quant_extra,
+        }
         results = ray.get([a.search.remote(prepared) for a in self.actors])
         rows = [r for part in results for r in part]
         if not rows:
