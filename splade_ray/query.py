@@ -346,6 +346,64 @@ class IndexShardActor:
         return rows
 
 
+@ray.remote
+class QueryRouter:
+    """Serving router (ROADMAP #7): owns the shard actors and performs the
+    whole prepare → fan-out → heap-merge cycle INSIDE one actor, so a client
+    round-trip is a single ``router.search.remote(...)`` call instead of a
+    driver-side scatter-gather. Multiple routers can be created over the
+    same index for QPS scaling; each router's shards SPREAD across nodes.
+    The reference has no serving tier at all (its retriever is an in-process
+    loop, ``transformer_evaluator.py:142-193``) — this is the deployment
+    shape a long-lived index needs."""
+
+    def __init__(self, index_dir: str, num_shards: int = 8, method: str = "exact"):
+        segs = segment_dirs(index_dir)
+        num_shards = max(1, min(num_shards, len(segs)))
+        assignment: list[list[str]] = [[] for _ in range(num_shards)]
+        for i, s in enumerate(segs):
+            assignment[i % num_shards].append(s)
+        self.index_dir = index_dir
+        self.actors = [
+            IndexShardActor.options(scheduling_strategy="SPREAD").remote(a, method)
+            for a in assignment
+        ]
+        self.quant_extra: dict = {}
+        if method in ("quantized", "quantized_bmw"):
+            import json as _json
+
+            with open(os.path.join(index_dir, "quantized.json")) as fh:
+                self.quant_extra = {"quant_factor": _json.load(fh)["factor"]}
+
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        query_lang: str | None = None,
+    ) -> pd.DataFrame:
+        params = params or BM25Params()
+        prepared = {
+            **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
+            **self.quant_extra,
+        }
+        results = ray.get([a.search.remote(prepared) for a in self.actors])
+        rows = [r for part in results for r in part]
+        if not rows:
+            return pd.DataFrame(columns=RUN_COLUMNS)
+        df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+        out = (
+            df.groupby("query_id", group_keys=False)
+            .apply(lambda g: merge_topk(g, top_k=params.top_k))
+            .reset_index(drop=True)
+        )
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 class Searcher:
     """Driver-side handle over a pool of shard actors for low-latency
     repeated queries (used by bench.py for p50 latency)."""

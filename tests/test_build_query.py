@@ -386,3 +386,31 @@ def test_lang_aware_build_and_query(ray_session, tmp_path):
     assert m2["n_segments_skipped"] == m2["n_segments"]
     m3 = build_index(str(d), idx, text_col="content", rows_per_segment=2)
     assert m3["n_segments_skipped"] == 0
+
+
+def test_query_router_matches_searcher(built):
+    """The serving router (one-call fan-out/merge inside an actor) returns
+    the same runs as the driver-side Searcher, for float and quantized
+    kernels."""
+    import ray as _ray
+
+    from splade_ray.quantized import build_quantized_postings
+    from splade_ray.query import QueryRouter
+
+    _, index_dir, _ = built
+    build_quantized_postings(index_dir, BM25Params())
+    for method in ("exact", "quantized"):
+        router = QueryRouter.remote(index_dir, num_shards=3, method=method)
+        try:
+            got = _ray.get(router.search.remote(QUERIES, BM25Params(top_k=10)))
+        finally:
+            _ray.get(router.shutdown.remote())
+            _ray.kill(router)
+        s = Searcher(index_dir, num_shards=3, method=method)
+        try:
+            want = s.search(QUERIES, BM25Params(top_k=10))
+        finally:
+            s.shutdown()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
