@@ -154,6 +154,34 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Index maintenance for long-lived indexes: tiered-compact down to at
+    most --max-segments, then (optionally) refresh the quantized layer that
+    compaction invalidates."""
+    _ensure_ray()
+    import math
+
+    from splade_ray.build import load_manifest
+    from splade_ray.compact import compact_segments
+
+    m = load_manifest(args.index)
+    n = m["n_segments"]
+    report = {"n_segments_before": n, "compacted": False, "quantized": False}
+    if n > args.max_segments:
+        group = math.ceil(n / args.max_segments)
+        m = compact_segments(args.index, group_size=group)
+        report["compacted"] = True
+    report["n_segments"] = m["n_segments"]
+    if args.quantize:
+        from splade_ray.bm25 import BM25Params
+        from splade_ray.quantized import build_quantized_postings
+
+        build_quantized_postings(args.index, BM25Params(k1=args.k1, b=args.b))
+        report["quantized"] = True
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -227,6 +255,14 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--k1", type=float, default=1.2)
     z.add_argument("--b", type=float, default=0.75)
     z.set_defaults(fn=cmd_quantize)
+
+    mt = sub.add_parser("maintain", help="compact to a segment budget (+ optional re-quantize)")
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--max-segments", type=int, default=64)
+    mt.add_argument("--quantize", action="store_true")
+    mt.add_argument("--k1", type=float, default=1.2)
+    mt.add_argument("--b", type=float, default=0.75)
+    mt.set_defaults(fn=cmd_maintain)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)

@@ -77,3 +77,33 @@ def test_cli_build_resume(ray_session, corpus_dir, tmp_path, capsys):
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out["n_segments_skipped"] == expected_skipped
+
+
+def test_cli_maintain(ray_session, tmp_path, capsys):
+    """maintain: compacts to the segment budget and refreshes the quantized
+    layer; the served results are unchanged."""
+    import json
+
+    import pandas as pd
+
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.build import build_index
+    from splade_ray.cli import main
+    from splade_ray.corpus import write_synth_corpus
+    from splade_ray.query import search
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 200, seed=4, n_files=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=25)
+    before = search(idx, [(0, "def parse"), (1, "rare_token_20")], BM25Params(top_k=5))
+
+    assert main(["maintain", "--index", idx, "--max-segments", "2", "--quantize"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compacted"] and rep["quantized"] and rep["n_segments"] <= 2
+
+    after = search(idx, [(0, "def parse"), (1, "rare_token_20")], BM25Params(top_k=5))
+    pd.testing.assert_frame_equal(before, after)
+    quant = search(idx, [(0, "def parse"), (1, "rare_token_20")],
+                   BM25Params(top_k=5), method="quantized")
+    assert len(quant) == len(before)
