@@ -153,9 +153,23 @@ def build_quantized_postings(
     manifest = load_manifest(index_dir)
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     lexicon_dir = os.path.join(index_dir, "lexicon")
+    all_segs = segment_dirs(index_dir)
+    # existing per-segment files only count as done if they were built with
+    # THESE parameters — a (factor, k1, b) change invalidates the layer
+    qpath = os.path.join(index_dir, "quantized.json")
+    if os.path.exists(qpath):
+        with open(qpath) as fh:
+            prev = json.load(fh)
+        if (prev.get("factor"), prev.get("k1"), prev.get("b")) != (
+            factor, params.k1, params.b,
+        ):
+            for s in all_segs:
+                qp = os.path.join(s, "postings_q.parquet")
+                if os.path.exists(qp):
+                    os.remove(qp)
     segs = [
         s
-        for s in segment_dirs(index_dir)
+        for s in all_segs
         if not os.path.exists(os.path.join(s, "postings_q.parquet"))
     ]
 

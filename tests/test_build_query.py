@@ -414,3 +414,27 @@ def test_query_router_matches_searcher(built):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_requantize_with_new_params_invalidates_layer(ray_session, tmp_path):
+    """Changing (factor, k1, b) must rebuild every segment's postings_q, not
+    skip stale files under a fresh manifest."""
+    from splade_ray.quantized import build_quantized_postings
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 80, seed=6, n_files=1)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=40)
+    r1 = build_quantized_postings(idx, BM25Params(), factor=100)
+    assert r1["segments_quantized"] == 2
+    # same params -> all skipped
+    r2 = build_quantized_postings(idx, BM25Params(), factor=100)
+    assert r2["segments_quantized"] == 0
+    # new factor -> full rebuild, and scores scale with the new factor
+    r3 = build_quantized_postings(idx, BM25Params(), factor=1000)
+    assert r3["segments_quantized"] == 2
+    run100 = None
+    run1000 = search(idx, [(0, "def parse")], BM25Params(top_k=3), method="quantized")
+    build_quantized_postings(idx, BM25Params(), factor=100)
+    run100 = search(idx, [(0, "def parse")], BM25Params(top_k=3), method="quantized")
+    assert (run1000["score"].to_numpy() > run100["score"].to_numpy() * 5).all()
