@@ -664,7 +664,15 @@ def q_media_frames(sf_dir: str):
 
 
 def q_flagship_run(sf_dir: str):
-    return run_flagship(sf_dir, _work_dir(sf_dir, "flagship"))
+    """End-to-end flagship: corpus-shape ingest -> resumable index build ->
+    scatter-gather BM25 top-k -> pushdown external-id join. Oracle-checked:
+    ``documents_as_corpus`` maps doc_id -> (repo=source, path='docs/<id>.txt')
+    deterministically, and dense row-position ids equal documents.doc_id, so
+    the SQL mirror is the bm25 oracle joined back to documents."""
+    out = run_flagship(sf_dir, _work_dir(sf_dir, "flagship")).copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r", "repo", "path"]]
 
 
 # --------------------------------------------------------------------------
@@ -987,6 +995,10 @@ WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
 r AS (SELECT term, df, cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank FROM agg)
 SELECT rank::BIGINT AS rank, term, df, cf FROM r WHERE rank <= 20""",
+        "flagship_run": f"""{_bm25_cte()}
+SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id, {_round4_sql('r.score')} AS score_r,
+       d.source AS repo, 'docs/' || d.doc_id || '.txt' AS path
+FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= {TOP_K}""",
         "ann_cosine_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

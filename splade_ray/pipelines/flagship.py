@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import pyarrow.parquet as pq
+import pyarrow as pa
 
 from splade_ray.bm25 import BM25Params
 from splade_ray.build import build_index, segment_dirs
@@ -30,6 +30,59 @@ FLAGSHIP_QUERIES = [
     (6, "zzzoov"),
     (7, "the a fast slow big small data"),
 ]
+
+
+def fetch_doc_info(
+    index_dir: str,
+    doc_ids: list[int],
+    *,
+    columns: tuple[str, ...] = ("repo", "path"),
+) -> pa.Table:
+    """Candidate-set doc-metadata fetch with predicate pushdown: ONE
+    ``pyarrow.dataset`` scan over every segment's ``doclens.parquet`` with an
+    ``isin(doc_ids)`` filter, so only row groups whose doc-id range overlaps
+    the candidates are read and only candidate rows are returned — O(k)
+    driver state, never O(corpus). This is the output-boundary analog of the
+    reference's ``doc_ids`` positional remap (transformer_evaluator.py:173),
+    same strategy as the rerank pushdown (rerank.py:57-65)."""
+    import pyarrow.dataset as pads
+
+    paths = [os.path.join(seg, "doclens.parquet") for seg in segment_dirs(index_dir)]
+    cand = sorted({int(d) for d in doc_ids})
+    return pads.dataset(paths).to_table(
+        columns=["doc_id", *columns], filter=pads.field("doc_id").isin(cand)
+    )
+
+
+def join_doc_info(
+    index_dir: str,
+    run: pd.DataFrame,
+    *,
+    columns: tuple[str, ...] = ("repo", "path"),
+    pushdown_max_ids: int = 100_000,
+) -> pd.DataFrame:
+    """Join a run's dense doc ids back to external doc metadata.
+
+    Top-k-sized runs (the common case) use the pushdown scan above; a run
+    larger than ``pushdown_max_ids`` distinct docs (a full-corpus sweep) is
+    joined with a Ray Data hash join instead — the doclens tables stream,
+    nothing corpus-sized lands on the driver."""
+    cand = run["doc_id"].unique()
+    if len(cand) <= pushdown_max_ids:
+        info = fetch_doc_info(index_dir, cand.tolist(), columns=columns).to_pandas()
+        return run.merge(info, on="doc_id", how="left")
+    import ray.data as rd
+
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.prune import join_partitions
+
+    paths = [os.path.join(seg, "doclens.parquet") for seg in segment_dirs(index_dir)]
+    info_ds = read_parquet_clean(paths, columns=["doc_id", *columns])
+    n = join_partitions(8)
+    joined = rd.from_pandas(run).repartition(n).join(
+        info_ds, join_type="inner", num_partitions=n, on=("doc_id",)
+    )
+    return joined.to_pandas()
 
 
 def run_flagship(sf_dir: str, work_dir: str, *, params: BM25Params | None = None,
@@ -49,14 +102,6 @@ def run_flagship(sf_dir: str, work_dir: str, *, params: BM25Params | None = None
         extra_doc_cols=("repo", "path"),
     )
     run = search(index_dir, FLAGSHIP_QUERIES, params or BM25Params(), method=method)
-    # external-id join at the output boundary only
-    doc_info = pd.concat(
-        [
-            pq.read_table(
-                os.path.join(seg, "doclens.parquet"), columns=["doc_id", "repo", "path"]
-            ).to_pandas()
-            for seg in segment_dirs(index_dir)
-        ],
-        ignore_index=True,
-    )
-    return run.merge(doc_info, on="doc_id", how="left")
+    # external-id join at the output boundary only; run is top-k-sized ->
+    # pushdown fetch of exactly the candidate rows
+    return join_doc_info(index_dir, run)
