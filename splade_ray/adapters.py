@@ -78,8 +78,13 @@ def read_beir_queries(queries_jsonl: str) -> list[tuple[str, str]]:
 def read_beir_qrels(qrels_tsv: str) -> pd.DataFrame:
     """BEIR qrels TSV (header ``query-id corpus-id score``) → table
     (query_id, doc_id, rel) with string ids (external-id space)."""
-    df = pd.read_csv(qrels_tsv, sep="\t", dtype={0: str, 1: str})
+    # the TSV has a header row, so dtype keys must be the column NAMES —
+    # positional {0: str} keys would be silently ignored by pandas and the
+    # ids would parse as int64, breaking the string external-id contract
+    df = pd.read_csv(qrels_tsv, sep="\t", header=0)
     df.columns = ["query_id", "doc_id", "rel"]
+    df["query_id"] = df["query_id"].astype(str)
+    df["doc_id"] = df["doc_id"].astype(str)
     df["rel"] = df["rel"].astype(int)
     return df
 
@@ -98,13 +103,29 @@ def read_ir_dataset(name: str, *, batch_size: int = 4096) -> rd.Dataset:
             "ir_datasets is not installed; the adapter is gated (SURVEY §2.1 S6)"
         ) from e
 
+    import ray
+
     dataset = ir_datasets.load(name)
-    rows = []
+    schema = pa.schema([("external_id", pa.string()), ("text", pa.string())])
+
+    def _chunk_table(ids: list[str], texts: list[str]) -> pa.Table:
+        return pa.table({"external_id": ids, "text": texts}, schema=schema)
+
+    # stream docs_iter() in batch_size-sized chunks: each chunk becomes one
+    # Arrow block ray.put() into the object store immediately, so driver
+    # memory is bounded by ONE chunk (the object store spills the rest) —
+    # unlike the reference's full-dict preload (datasets.py:171-186)
+    refs, ids, texts = [], [], []
     for doc in dataset.docs_iter():
         # mirrors the reference's field fold: everything after doc_id joined
         # (datasets.py:179-183 concatenates the non-id fields)
-        fields = [str(v) for v in tuple(doc)[1:]]
-        rows.append({"external_id": str(doc[0]), "text": " ".join(fields)})
-    if not rows:
-        return rd.from_items([{"external_id": "", "text": ""}]).limit(0)
-    return rd.from_items(rows)
+        ids.append(str(doc[0]))
+        texts.append(" ".join(str(v) for v in tuple(doc)[1:]))
+        if len(ids) >= batch_size:
+            refs.append(ray.put(_chunk_table(ids, texts)))
+            ids, texts = [], []
+    if ids:
+        refs.append(ray.put(_chunk_table(ids, texts)))
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow_refs(refs)

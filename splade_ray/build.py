@@ -203,10 +203,9 @@ def build_segments_batch(
         eff_id_col = id_col or "doc_id"
 
         # per-row content sha256 — the north-rule invariant vs the source table
-        shas = [
-            hashlib.sha256((x or "").encode("utf-8")).hexdigest()
-            for x in tbl[text_col].to_pylist()
-        ]
+        from splade_ray.codec import sha256_hex
+
+        shas = sha256_hex(tbl[text_col])
         flat, doc_ids, doc_lens = analyze_docs(
             tbl, id_col=eff_id_col, text_col=text_col, lang_col=lang_col
         )

@@ -113,3 +113,16 @@ def rewrite_first_delta(docs_enc: bytes, first_abs: int, prev_last: int) -> byte
     end = int(np.flatnonzero((b & 0x80) == 0)[0])
     new_first = varbyte_encode(np.array([first_abs - prev_last], np.int64))
     return new_first + b[end + 1 :].tobytes()
+
+
+def sha256_hex(values) -> list[str]:
+    """Per-row sha256 hexdigest of a string column (None -> empty string) —
+    the north-rule content invariant. One shared helper: there is no Arrow
+    sha256 kernel, so the per-row hashlib loop is inherent; keeping a single
+    copy avoids the three divergent implementations flagged in round 2."""
+    import hashlib
+
+    return [
+        hashlib.sha256((x or "").encode("utf-8")).hexdigest()
+        for x in (values.to_pylist() if hasattr(values, "to_pylist") else values)
+    ]

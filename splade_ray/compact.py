@@ -151,17 +151,94 @@ def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
     pq.write_table(merged_dl, os.path.join(tmp, "doclens.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(manifest, fh)
-    for d in seg_dirs:
-        shutil.rmtree(d)
-    os.rename(tmp, seg_dirs[0])
+    # STAGE only — the source dirs stay intact until the driver has
+    # journaled the whole compaction (crash-safety: a crash here leaves the
+    # index exactly as it was, plus a harmless staged dir that the next run
+    # overwrites)
+    staged = seg_dirs[0] + ".merged"
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    os.rename(tmp, staged)
     return manifest
+
+
+def _journal_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "compact-journal.json")
+
+
+def _finalize_compaction(index_dir: str, journal: dict) -> dict:
+    """Swap staged merged dirs into place, delete superseded source dirs,
+    rewrite the global manifest, drop derived quantized layers, remove the
+    journal. Every step is idempotent, so a crash anywhere in here is healed
+    by re-running (``recover_compaction``): staged dirs that were already
+    swapped are detected by their manifest's ``build_run``."""
+    from splade_ray.build import load_manifest
+
+    run = journal["run"]
+    for g in journal["groups"]:
+        keep_dir = _seg_dir(index_dir, int(g["keep"]))
+        staged = keep_dir + ".merged"
+        if os.path.exists(staged):
+            shutil.rmtree(keep_dir, ignore_errors=True)
+            os.rename(staged, keep_dir)
+        else:
+            # already swapped by a previous (crashed) finalize attempt
+            with open(os.path.join(keep_dir, "manifest.json")) as fh:
+                if json.load(fh).get("build_run") != run:
+                    raise RuntimeError(
+                        f"compaction journal {run} names {keep_dir} but neither a "
+                        "staged dir nor a swapped result exists — manual repair needed"
+                    )
+        for rid in g["remove"]:
+            shutil.rmtree(_seg_dir(index_dir, int(rid)), ignore_errors=True)
+
+    manifest = load_manifest(index_dir)
+    kept = sorted(int(s) for s in journal["kept"])
+    if manifest["segments"] != kept:  # idempotent across finalize retries
+        manifest["segments"] = kept
+        manifest["n_segments"] = len(kept)
+        manifest.setdefault("compactions", 0)
+        manifest["compactions"] += 1
+        with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+    # derived quantized layers are stale after a merge
+    qpath = os.path.join(index_dir, "quantized.json")
+    if os.path.exists(qpath):
+        os.remove(qpath)
+    for sid in kept:
+        qp = os.path.join(_seg_dir(index_dir, sid), "postings_q.parquet")
+        if os.path.exists(qp):
+            os.remove(qp)
+    os.remove(_journal_path(index_dir))
+    return manifest
+
+
+def recover_compaction(index_dir: str) -> dict | None:
+    """Complete a compaction that crashed after journaling (staged merged
+    dirs are self-contained, so finishing is always safe). Returns the
+    updated manifest, or None when no journal exists. A crash BEFORE the
+    journal was written needs no recovery at all — sources were untouched."""
+    jp = _journal_path(index_dir)
+    if not os.path.exists(jp):
+        return None
+    with open(jp) as fh:
+        journal = json.load(fh)
+    return _finalize_compaction(index_dir, journal)
 
 
 def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
     """Merge every run of ``group_size`` consecutive segments into one.
-    Returns the updated global manifest. One Ray task per output segment."""
+    Returns the updated global manifest. One Ray task per output segment.
+
+    Crash-safe protocol (round-2 ADVICE item 2): (1) every group's merged
+    segment is STAGED next to its target dir while the sources stay intact;
+    (2) the driver writes a journal naming every swap; (3) swaps + source
+    deletes + manifest rewrite happen journaled-forward — a crash at any
+    point either leaves the old index fully intact (pre-journal) or is
+    completed by ``recover_compaction`` (post-journal)."""
     from splade_ray.build import load_manifest
 
+    recover_compaction(index_dir)  # heal any previously crashed run first
     manifest = load_manifest(index_dir)
     segs = manifest["segments"]
     if len(segs) <= 1 or group_size <= 1:
@@ -184,18 +261,17 @@ def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
         .to_pandas()["seg_id"]
         .tolist()
     )
-    manifest["segments"] = sorted(kept)
-    manifest["n_segments"] = len(kept)
-    manifest.setdefault("compactions", 0)
-    manifest["compactions"] += 1
-    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    # derived quantized layers are stale after a merge
-    qpath = os.path.join(index_dir, "quantized.json")
-    if os.path.exists(qpath):
-        os.remove(qpath)
-    for sid in kept:
-        qp = os.path.join(_seg_dir(index_dir, sid), "postings_q.parquet")
-        if os.path.exists(qp):
-            os.remove(qp)
-    return manifest
+    journal = {
+        "run": compact_run,
+        "kept": sorted(int(k) for k in kept),
+        "groups": [
+            {"keep": int(g[0]), "remove": [int(i) for i in g[1:]]}
+            for g in groups
+            if len(g) > 1
+        ],
+    }
+    tmp_j = _journal_path(index_dir) + ".tmp"
+    with open(tmp_j, "w") as fh:
+        json.dump(journal, fh)
+    os.replace(tmp_j, _journal_path(index_dir))
+    return _finalize_compaction(index_dir, journal)

@@ -110,8 +110,8 @@ def documents_as_corpus(sf_dir: str, out_dir: str) -> list[str]:
 
 def sha256_column(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
     """Append the per-row content sha256 (hex) — the north-rule invariant."""
-    shas = [
-        hashlib.sha256((x or "").encode("utf-8")).hexdigest()
-        for x in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("content_sha256", pa.array(shas, pa.string()))
+    from splade_ray.codec import sha256_hex
+
+    return batch.append_column(
+        "content_sha256", pa.array(sha256_hex(batch[text_col]), pa.string())
+    )

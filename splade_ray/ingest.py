@@ -47,11 +47,9 @@ def canonicalize_corpus(
 
 
 def _sha_batch(batch: pa.Table, *, text_col: str) -> pa.Table:
-    shas = [
-        hashlib.sha256((x or "").encode("utf-8")).hexdigest()
-        for x in batch[text_col].to_pylist()
-    ]
-    return pa.table({"content_sha256": pa.array(shas, pa.string())})
+    from splade_ray.codec import sha256_hex
+
+    return pa.table({"content_sha256": pa.array(sha256_hex(batch[text_col]), pa.string())})
 
 
 def _rollup_batch(batch: pa.Table) -> pa.Table:

@@ -219,6 +219,17 @@ def ivf_search(
         parts.append(
             rd.read_parquet(part_dir).map_batches(_tag(c), batch_format="pyarrow")
         )
+    if not parts:  # every probed cluster was empty -> empty result, not a crash
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
     ctx_ref = ray.put(
         {"query_ids": np.asarray(query_ids, np.int64), "qmat": qmat, "probes": probes}
     )

@@ -17,6 +17,7 @@ All hash functions are seed-deterministic (no runtime randomness).
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -26,14 +27,26 @@ import ray
 from splade_ray.analysis import tokenize
 
 MERSENNE = (1 << 61) - 1
+SHINGLE_P = np.uint64(1099511628211)  # FNV prime, same fold as fingerprint_batch
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+_LOG = logging.getLogger("splade_ray.ops.dedup")
+
+# Quadratic-block guard (round-2 VERDICT item 3): a degenerate LSH bucket
+# (e.g. many empty/boilerplate docs sharing one band hash) would otherwise
+# run an unbounded O(n²) pair loop inside one task. Buckets larger than this
+# are truncated to their first `cap` doc ids (sorted — deterministic) and
+# logged; LSH candidate generation is approximate by contract, so a capped
+# degenerate bucket trades recall on pathological inputs for bounded work.
+# The EXACT operator (jaccard_block_pairs) never truncates — it sub-salts.
+MAX_BUCKET_DOCS = 1024
 
 
 def add_text_sha(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    shas = [
-        hashlib.sha256((x or "").encode("utf-8")).hexdigest()
-        for x in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("text_sha256", pa.array(shas, pa.string()))
+    from splade_ray.codec import sha256_hex
+
+    return batch.append_column(
+        "text_sha256", pa.array(sha256_hex(batch[text_col]), pa.string())
+    )
 
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -55,18 +68,82 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _shingles(tokens: list[str], k: int = 3) -> set[int]:
-    """Word k-shingles hashed to 61-bit ints (stable across processes)."""
-    if len(tokens) < k:
-        toks = tokens or [""]
-        return {
-            int.from_bytes(hashlib.blake2b(" ".join(toks).encode(), digest_size=8).digest(), "big")
-            % MERSENNE
-        }
-    out = set()
-    for i in range(len(tokens) - k + 1):
-        h = hashlib.blake2b(" ".join(tokens[i : i + k]).encode(), digest_size=8).digest()
-        out.add(int.from_bytes(h, "big") % MERSENNE)
-    return out
+    """Word k-shingles hashed to 61-bit ints — SCALAR REFERENCE for the
+    vectorized path (parity-tested): per-token blake2b hash, rolling
+    polynomial fold of each k-window mod 2^64, reduced mod MERSENNE. Docs
+    shorter than k contribute one shingle = fold of all tokens (empty -> 0)."""
+    from splade_ray.ops.textstats import hash_token
+
+    hs = [int(hash_token(t)) for t in tokens]
+    p = int(SHINGLE_P)
+
+    def fold(window: list[int]) -> int:
+        v = 0
+        for h in window:
+            v = (v * p + h) & 0xFFFFFFFFFFFFFFFF
+        return v % MERSENNE
+
+    if len(hs) < k:
+        return {fold(hs)}
+    return {fold(hs[i : i + k]) for i in range(len(hs) - k + 1)}
+
+
+def _flat_token_hashes(texts):
+    """Vectorized per-token 64-bit hashes over a string column: tokenize with
+    the Arrow kernel, hash each UNIQUE token once (dictionary-encode), gather.
+    Returns (hashes uint64, parents int64, doc_lens int64) — the
+    ``fingerprint_batch`` recipe (ops/textstats.py) shared by minhash/simhash."""
+    from splade_ray.analysis import tokenize_column
+    from splade_ray.ops.textstats import hash_token
+
+    terms, par, doc_lens = tokenize_column(texts)
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    enc = terms.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    if uniq:
+        uh = np.array([hash_token(t) for t in uniq], np.uint64)
+        hs = uh[enc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        hs = np.array([], np.uint64)
+    return hs, par, doc_lens
+
+
+def _shingle_hashes_flat(
+    hs: np.ndarray, par: np.ndarray, doc_lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (shingle_hash uint64 mod MERSENNE, doc_index) arrays for a whole
+    batch: the k-window rolling polynomial runs in ``k`` vectorized passes
+    over the flat token-hash array with doc-boundary windows masked out;
+    short docs (< k tokens) fold all their tokens in <=k-1 passes. Every doc
+    contributes at least one shingle (empty docs -> 0)."""
+    n_rows = doc_lens.size
+    parts_v: list[np.ndarray] = []
+    parts_p: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        m = hs.size - k + 1
+        long_mask = doc_lens >= k
+        if m > 0 and long_mask.any():
+            roll = np.zeros(m, np.uint64)
+            for i in range(k):
+                roll = roll * SHINGLE_P + hs[i : i + m]
+            valid = par[:m] == par[k - 1 : k - 1 + m]
+            parts_v.append(roll[valid])
+            parts_p.append(par[:m][valid])
+        short = ~long_mask
+        if short.any():
+            starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1].astype(np.int64)
+            max_len = int(doc_lens[short].max())
+            acc = np.zeros(n_rows, np.uint64)
+            for i in range(max_len):
+                sel = short & (doc_lens > i)
+                acc[sel] = acc[sel] * SHINGLE_P + hs[starts[sel] + i]
+            parts_v.append(acc[short])
+            parts_p.append(np.flatnonzero(short).astype(np.int64))
+    if not parts_v:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    vals = np.concatenate(parts_v) % np.uint64(MERSENNE)
+    return vals, np.concatenate(parts_p)
 
 
 def _minhash_params(num_perm: int, seed: int = 42):

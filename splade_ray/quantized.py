@@ -135,6 +135,32 @@ def _quantize_segment(
     return out.num_rows
 
 
+def load_quantized_manifest(index_dir: str, params: BM25Params | None = None) -> dict:
+    """Read + validate ``quantized.json``. Raises if the layer is missing,
+    still pending (a build crashed mid-way — its per-segment files may mix
+    parameter sets), or was built with different (k1, b) than ``params``
+    (quantized impacts bake the BM25 parameters in at build time)."""
+    qpath = os.path.join(index_dir, "quantized.json")
+    if not os.path.exists(qpath):
+        raise FileNotFoundError(
+            "quantized postings not built — run "
+            "splade_ray.quantized.build_quantized_postings(index_dir) first"
+        )
+    with open(qpath) as fh:
+        qman = json.load(fh)
+    if qman.get("pending"):
+        raise ValueError(
+            "quantized layer build is pending/crashed — re-run "
+            "build_quantized_postings(index_dir) to complete it"
+        )
+    if params is not None and (qman["k1"], qman["b"]) != (params.k1, params.b):
+        raise ValueError(
+            f"quantized layer built with k1={qman['k1']} b={qman['b']}, "
+            f"query uses k1={params.k1} b={params.b}"
+        )
+    return qman
+
+
 def build_quantized_postings(
     index_dir: str,
     params: BM25Params | None = None,
@@ -146,7 +172,14 @@ def build_quantized_postings(
     (one Ray task per segment; already-quantized segments are skipped, so a
     failed run resumes). Writes ``postings_q.parquet`` beside each segment's
     float postings plus a ``quantized.json`` manifest recording (factor, k1,
-    b) — the scorer refuses to run against mismatched parameters."""
+    b) — the scorer refuses to run against mismatched parameters.
+
+    Crash safety: the manifest is written with ``pending=true`` BEFORE any
+    segment task runs, and per-segment files are only treated as done when a
+    prior manifest (pending or complete) records the SAME parameters — so a
+    run that crashed before writing any manifest, or a param-changed run
+    that crashed mid-rebuild, can never leave a silently mixed-parameter
+    layer behind (round-2 ADVICE item 1)."""
     from splade_ray.build import load_manifest, segment_dirs
 
     params = params or BM25Params()
@@ -154,19 +187,28 @@ def build_quantized_postings(
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     lexicon_dir = os.path.join(index_dir, "lexicon")
     all_segs = segment_dirs(index_dir)
-    # existing per-segment files only count as done if they were built with
-    # THESE parameters — a (factor, k1, b) change invalidates the layer
+    # existing per-segment files only count as done if a manifest (complete
+    # OR pending from a crashed run) proves they were built with THESE
+    # parameters; no manifest at all means unknown provenance -> rebuild
     qpath = os.path.join(index_dir, "quantized.json")
+    prev = None
     if os.path.exists(qpath):
         with open(qpath) as fh:
             prev = json.load(fh)
-        if (prev.get("factor"), prev.get("k1"), prev.get("b")) != (
-            factor, params.k1, params.b,
-        ):
-            for s in all_segs:
-                qp = os.path.join(s, "postings_q.parquet")
-                if os.path.exists(qp):
-                    os.remove(qp)
+    reusable = prev is not None and (
+        prev.get("factor"), prev.get("k1"), prev.get("b")
+    ) == (factor, params.k1, params.b)
+    if not reusable:
+        for s in all_segs:
+            qp = os.path.join(s, "postings_q.parquet")
+            if os.path.exists(qp):
+                os.remove(qp)
+    # pending marker FIRST: records the params the upcoming per-segment
+    # files are built with, and blocks the scorer until the build completes
+    with open(qpath, "w") as fh:
+        json.dump(
+            {"factor": factor, "k1": params.k1, "b": params.b, "pending": True}, fh
+        )
     segs = [
         s
         for s in all_segs

@@ -260,24 +260,12 @@ def search(
     params = params or BM25Params()
     quant_extra: dict = {}
     if method in ("quantized", "quantized_bmw"):
-        # quantized layer must exist and must have been built with these
-        # scoring parameters — scores are only meaningful against them
-        import json as _json
+        # quantized layer must exist, be complete (not pending) and have
+        # been built with these scoring parameters — scores are only
+        # meaningful against them
+        from splade_ray.quantized import load_quantized_manifest
 
-        qpath = os.path.join(index_dir, "quantized.json")
-        if not os.path.exists(qpath):
-            raise FileNotFoundError(
-                "quantized postings not built — run "
-                "splade_ray.quantized.build_quantized_postings(index_dir) first"
-            )
-        with open(qpath) as fh:
-            qman = _json.load(fh)
-        if (qman["k1"], qman["b"]) != (params.k1, params.b):
-            raise ValueError(
-                f"quantized layer built with k1={qman['k1']} b={qman['b']}, "
-                f"query uses k1={params.k1} b={params.b}"
-            )
-        quant_extra = {"quant_factor": qman["factor"]}
+        quant_extra = {"quant_factor": load_quantized_manifest(index_dir, params)["factor"]}
     chunks = [
         queries[i : i + query_chunk_size]
         for i in range(0, len(queries), query_chunk_size)
@@ -369,11 +357,13 @@ class QueryRouter:
             for a in assignment
         ]
         self.quant_extra: dict = {}
+        self._quant_kb: tuple[float, float] | None = None
         if method in ("quantized", "quantized_bmw"):
-            import json as _json
+            from splade_ray.quantized import load_quantized_manifest
 
-            with open(os.path.join(index_dir, "quantized.json")) as fh:
-                self.quant_extra = {"quant_factor": _json.load(fh)["factor"]}
+            qman = load_quantized_manifest(index_dir)
+            self.quant_extra = {"quant_factor": qman["factor"]}
+            self._quant_kb = (qman["k1"], qman["b"])
 
     def search(
         self,
@@ -382,6 +372,11 @@ class QueryRouter:
         query_lang: str | None = None,
     ) -> pd.DataFrame:
         params = params or BM25Params()
+        if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
+            raise ValueError(
+                f"quantized layer built with k1={self._quant_kb[0]} "
+                f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
+            )
         prepared = {
             **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
             **self.quant_extra,
@@ -412,12 +407,13 @@ class Searcher:
         self.index_dir = index_dir
         self.params_default = BM25Params()
         self.quant_extra: dict = {}
+        self._quant_kb: tuple[float, float] | None = None
         if method in ("quantized", "quantized_bmw"):
-            import json as _json
+            from splade_ray.quantized import load_quantized_manifest
 
-            with open(os.path.join(index_dir, "quantized.json")) as fh:
-                qman = _json.load(fh)
+            qman = load_quantized_manifest(index_dir)
             self.quant_extra = {"quant_factor": qman["factor"]}
+            self._quant_kb = (qman["k1"], qman["b"])
         segs = segment_dirs(index_dir)
         num_shards = max(1, min(num_shards, len(segs)))
         assignment: list[list[str]] = [[] for _ in range(num_shards)]
@@ -439,6 +435,11 @@ class Searcher:
         query_lang: str | None = None,
     ) -> pd.DataFrame:
         params = params or self.params_default
+        if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
+            raise ValueError(
+                f"quantized layer built with k1={self._quant_kb[0]} "
+                f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
+            )
         prepared = {
             **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
             **self.quant_extra,

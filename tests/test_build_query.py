@@ -438,3 +438,111 @@ def test_requantize_with_new_params_invalidates_layer(ray_session, tmp_path):
     build_quantized_postings(idx, BM25Params(), factor=100)
     run100 = search(idx, [(0, "def parse")], BM25Params(top_k=3), method="quantized")
     assert (run1000["score"].to_numpy() > run100["score"].to_numpy() * 5).all()
+
+
+def test_quantized_pending_marker_blocks_and_recovers(ray_session, tmp_path):
+    """Crash-safe quantized layer (round-2 ADVICE item 1): the manifest is
+    written pending=true BEFORE segment tasks; a pending layer refuses to
+    serve; stale per-segment files from an unknown or crashed run are
+    invalidated, never silently mixed."""
+    import json as _json
+
+    from splade_ray.quantized import build_quantized_postings, load_quantized_manifest
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 80, seed=6, n_files=1)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=40)
+    r1 = build_quantized_postings(idx, BM25Params(), factor=100)
+    assert r1["segments_quantized"] == 2
+    assert not load_quantized_manifest(idx).get("pending")
+
+    # simulate a factor-change run that crashed right after the marker:
+    # pending manifest on disk -> every consumer must refuse
+    qpath = os.path.join(idx, "quantized.json")
+    with open(qpath, "w") as fh:
+        _json.dump({"factor": 1000, "k1": 1.2, "b": 0.75, "pending": True}, fh)
+    with pytest.raises(ValueError, match="pending"):
+        search(idx, [(0, "def parse")], BM25Params(top_k=3), method="quantized")
+    with pytest.raises(ValueError, match="pending"):
+        Searcher(idx, method="quantized")
+
+    # re-running with the ORIGINAL params must invalidate the (unknown-mix)
+    # per-segment files recorded under the crashed run's params
+    r2 = build_quantized_postings(idx, BM25Params(), factor=100)
+    assert r2["segments_quantized"] == 2  # full rebuild, nothing skipped
+    assert not load_quantized_manifest(idx).get("pending")
+    run = search(idx, [(0, "def parse")], BM25Params(top_k=3), method="quantized")
+    assert len(run) > 0
+
+    # missing manifest but files present (legacy/unknown provenance) ->
+    # rebuild everything
+    os.remove(qpath)
+    r3 = build_quantized_postings(idx, BM25Params(), factor=100)
+    assert r3["segments_quantized"] == 2
+
+
+def test_searcher_quantized_param_mismatch_raises(ray_session, tmp_path):
+    """Searcher/QueryRouter must validate per-call (k1, b) against the
+    quantized layer like search() does (round-2 ADVICE item 5)."""
+    from splade_ray.quantized import build_quantized_postings
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 60, seed=7, n_files=1)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=60)
+    build_quantized_postings(idx, BM25Params(), factor=100)
+    s = Searcher(idx, method="quantized")
+    try:
+        ok = s.search([(0, "def parse")], BM25Params(top_k=3))
+        assert len(ok) > 0
+        with pytest.raises(ValueError, match="k1"):
+            s.search([(0, "def parse")], BM25Params(k1=2.0, top_k=3))
+    finally:
+        s.shutdown()
+
+
+def test_compaction_crash_after_journal_recovers(ray_session, tmp_path):
+    """Crash-safe compaction (round-2 ADVICE item 2): a crash after the
+    journal is written loses nothing — recover_compaction completes the
+    swap and the index serves identical results. A crash BEFORE the journal
+    leaves the original segments untouched."""
+    from splade_ray import compact as compact_mod
+    from splade_ray.compact import compact_segments, recover_compaction
+
+    corpus = str(tmp_path / "c")
+    write_synth_corpus(corpus, 300, seed=9, n_files=2)
+    idx = str(tmp_path / "i")
+    build_index(corpus, idx, text_col="content", rows_per_segment=50)
+    before = search(idx, QUERIES, BM25Params(top_k=5))
+    n_segs_before = load_manifest(idx)["n_segments"]
+    assert n_segs_before > 2
+
+    # crash right after the journal lands: stage everything, journal, boom
+    real_finalize = compact_mod._finalize_compaction
+
+    def boom(index_dir, journal):
+        raise RuntimeError("simulated crash after journal write")
+
+    compact_mod._finalize_compaction = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            compact_segments(idx, group_size=3)
+    finally:
+        compact_mod._finalize_compaction = real_finalize
+
+    # journal exists; sources are fully intact -> index still serves
+    assert os.path.exists(os.path.join(idx, "compact-journal.json"))
+    assert load_manifest(idx)["n_segments"] == n_segs_before
+    mid = search(idx, QUERIES, BM25Params(top_k=5))
+    pd.testing.assert_frame_equal(mid, before)
+
+    # recovery completes the compaction
+    manifest = recover_compaction(idx)
+    assert manifest is not None
+    assert not os.path.exists(os.path.join(idx, "compact-journal.json"))
+    assert manifest["n_segments"] < n_segs_before
+    after = search(idx, QUERIES, BM25Params(top_k=5))
+    pd.testing.assert_frame_equal(after, before)
+    # idempotent: nothing left to recover
+    assert recover_compaction(idx) is None

@@ -422,3 +422,40 @@ def test_ir_datasets_adapter_gated(ray_session, monkeypatch):
     got = adapters.read_ir_dataset("stub/x").to_pandas()
     assert got["external_id"].tolist() == ["a", "b"]
     assert got["text"].tolist() == ["t1 b1", "t2 b2"]
+
+
+def test_beir_qrels_numeric_ids_stay_strings(tmp_path):
+    """Numeric-looking BEIR ids must still parse as strings (the dtype keys
+    must match the header names, not positions — round-2 ADVICE item 3)."""
+    from splade_ray.adapters import read_beir_qrels
+
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text("query-id\tcorpus-id\tscore\n100\t2003\t1\n101\t2004\t2\n")
+    qt = read_beir_qrels(str(qrels))
+    assert qt["query_id"].tolist() == ["100", "101"]
+    assert qt["doc_id"].tolist() == ["2003", "2004"]
+    assert qt["rel"].tolist() == [1, 2]
+
+
+def test_ir_datasets_adapter_streams_chunks(ray_session, monkeypatch):
+    """docs_iter() must stream into bounded per-chunk blocks, honoring
+    batch_size, not materialize the whole corpus driver-side (round-2
+    ADVICE item 4)."""
+    import sys
+    import types
+
+    from splade_ray import adapters
+
+    Doc = __import__("collections").namedtuple("Doc", ["doc_id", "body"])
+
+    class _DS:
+        def docs_iter(self):
+            return iter([Doc(str(i), f"body {i}") for i in range(10)])
+
+    stub = types.ModuleType("ir_datasets")
+    stub.load = lambda name: _DS()
+    monkeypatch.setitem(sys.modules, "ir_datasets", stub)
+    ds = adapters.read_ir_dataset("stub/x", batch_size=3)
+    assert ds.num_blocks() == 4  # ceil(10 / 3) chunk blocks, not one big list
+    got = ds.to_pandas()
+    assert got["external_id"].tolist() == [str(i) for i in range(10)]
