@@ -162,22 +162,34 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 class MinHashStage:
     """Actor-pool stage: per-doc minhash signatures ``(doc_id, sig)``.
-    Permutation params are built once per actor (``__init__``)."""
+    Permutation params are built once per actor (``__init__``).
+
+    Fully vectorized (round-2 VERDICT item 2): unique tokens are hashed
+    once per batch, shingle hashes come from ``k`` rolling-fold passes over
+    the flat token array, and the per-perm minima are ``np.minimum.at``
+    scatter reductions — no per-row Python, no per-shingle hashlib calls.
+    Parity with the scalar ``_shingles`` + ``minhash_signature`` path is
+    property-tested."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         self.a, self.b = _minhash_params(num_perm, seed)
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, sigs = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = _shingles(tokenize(text or ""), self.shingle_k)
-            sig = minhash_signature(sh, self.a, self.b)
-            doc_ids.append(did)
-            sigs.append(sig.tobytes())
+        hs, par, doc_lens = _flat_token_hashes(batch["text"])
+        vals, pars = _shingle_hashes_flat(hs, par, doc_lens, self.shingle_k)
+        n = doc_lens.size
+        num_perm = self.a.size
+        mins = np.full((num_perm, n), _U64_MAX, np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):  # num_perm vectorized passes over all shingles
+                hv = (self.a[p] * vals + self.b[p]) % np.uint64(MERSENNE)
+                np.minimum.at(mins[p], pars, hv)
+        sig_mat = np.ascontiguousarray(mins.T)  # (n_docs, num_perm)
+        sigs = [sig_mat[i].tobytes() for i in range(n)]
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
                 "sig": pa.array(sigs, pa.binary()),
             }
         )
@@ -187,37 +199,59 @@ def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
     """Expand signatures to banded LSH keys — ``(doc_id, band, band_hash)``
     ONLY. The 8·num_perm-byte signature stays behind in the (doc_id, sig)
     table instead of being duplicated into every band row, cutting the wide
-    bucket shuffle ~bands× (round-1 VERDICT item 6)."""
-    doc_ids, band_ids, band_hashes = [], [], []
-    for did, sig_bytes in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        sig = np.frombuffer(sig_bytes, np.uint64)
-        for band in range(bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            doc_ids.append(did)
-            band_ids.append(band)
-            band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+    bucket shuffle ~bands× (round-1 VERDICT item 6). Band hashes are a
+    vectorized polynomial fold of each band's (already uniformly-hashed)
+    signature values, emitted as int64 — lighter than the former per-band
+    blake2b hexdigest both to compute and to shuffle."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+            }
+        )
+    sig_mat = np.frombuffer(b"".join(batch["sig"].to_pylist()), np.uint64).reshape(
+        n, bands, rows_per_band
+    )
+    with np.errstate(over="ignore"):
+        bh = np.zeros((n, bands), np.uint64)
+        for r in range(rows_per_band):
+            bh = bh * SHINGLE_P + sig_mat[:, :, r]
+    band_hash = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(band_ids, pa.int64()),
-            "band_hash": pa.array(band_hashes, pa.string()),
+            "doc_id": pa.array(np.repeat(doc, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            "band_hash": pa.array(band_hash.reshape(-1)),
         }
     )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, *, max_bucket: int = MAX_BUCKET_DOCS) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket (ids only — signatures are not
-    carried here). Buckets are tiny (near-dup clusters), so the quadratic is
-    bounded; dedup of pairs across bands happens downstream."""
+    carried here). Near-dup buckets are tiny, so the quadratic is normally
+    bounded; a degenerate bucket beyond ``max_bucket`` docs is truncated to
+    its first (sorted) ``max_bucket`` ids and logged — see MAX_BUCKET_DOCS."""
     g = g.sort_values("doc_id").drop_duplicates("doc_id")
     n = len(g)
     if n < 2:
         return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
             {"doc_a": np.int64, "doc_b": np.int64}
         )
+    if n > max_bucket:
+        _LOG.warning(
+            "LSH bucket (band=%s) holds %d docs > cap %d; truncating — "
+            "degenerate band hash (e.g. near-empty docs)",
+            g["band"].iloc[0] if "band" in g else "?", n, max_bucket,
+        )
+        g = g.head(max_bucket)
+        n = max_bucket
     ids = g["doc_id"].to_numpy(np.int64)
-    rows = [(int(ids[i]), int(ids[j])) for i in range(n) for j in range(i + 1, n)]
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+    ia, ib = np.triu_indices(n, k=1)
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
@@ -340,11 +374,29 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    hs = [simhash64(tokenize(t or "")) for t in batch[text_col].to_pylist()]
+    """Vectorized weighted simhash over a batch (round-2 VERDICT item 2):
+    unique tokens are hashed once, their ±1 bit-sign rows gathered per token
+    occurrence, and per-doc bit sums come from one ``np.add.at`` scatter —
+    identical to the scalar ``simhash64`` (occurrence-summed == tf-weighted),
+    parity-tested."""
+    hs, par, doc_lens = _flat_token_hashes(batch[text_col])
+    n = doc_lens.size
+    fp = np.zeros(n, np.uint64)
+    if hs.size:
+        # 64 vectorized passes, one per output bit: the per-doc ±1 sum for
+        # bit b is one np.bincount over the flat token array. Small (~2 MB)
+        # temporaries on purpose — a (n_tokens, 64) bit matrix measured 50×
+        # slower on this box (first-touch page faults on large fresh
+        # allocations dominate). float64 weights are exact here (integer
+        # sums ≪ 2^53), so ties resolve identically to scalar simhash64.
+        for b in range(64):
+            w = (((hs >> np.uint64(b)) & np.uint64(1)).astype(np.float64) * 2.0) - 1.0
+            acc_b = np.bincount(par, weights=w, minlength=n)
+            fp |= (acc_b > 0).astype(np.uint64) << np.uint64(b)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(hs, np.uint64), pa.uint64()),
+            "simhash": pa.array(fp, pa.uint64()),
         }
     )
 
@@ -355,37 +407,61 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text"):
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        docs, chunks, keys, full = [], [], [], []
-        for c in range(4):
-            part = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            docs.extend(doc.tolist())
-            chunks.extend([c] * len(doc))
-            keys.extend(part.tolist())
-            full.extend(h.tolist())
+        n = doc.size
+        keys = np.concatenate(
+            [
+                ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+                for c in range(4)
+            ]
+        )
         return pa.table(
             {
-                "doc_id": pa.array(docs, pa.int64()),
-                "chunk": pa.array(chunks, pa.int64()),
-                "key": pa.array(keys, pa.int64()),
-                "simhash": pa.array(np.array(full, np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.tile(doc, 4)),
+                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(keys),
+                "simhash": pa.array(np.tile(h, 4), pa.uint64()),
             }
         )
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy(np.int64)
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[j]), d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
+        n = len(g)
+        if n > MAX_BUCKET_DOCS:  # degenerate chunk bucket: cap + log
+            _LOG.warning(
+                "simhash bucket (chunk=%s) holds %d docs > cap %d; truncating",
+                g["chunk"].iloc[0], n, MAX_BUCKET_DOCS,
+            )
+            g = g.head(MAX_BUCKET_DOCS)
+            n = MAX_BUCKET_DOCS
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
             {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
         )
+        if n < 2:
+            return empty
+        ids = g["doc_id"].to_numpy(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        # vectorized popcount: per-doc 64-bit -> (n, 64) unpacked bits once,
+        # pairwise hamming in bounded pair chunks (memory cap ~16 MB)
+        bits = np.unpackbits(hs.view(np.uint8).reshape(n, 8), axis=1)
+        ia, ib = np.triu_indices(n, k=1)
+        outs = []
+        step = 1 << 18
+        for s in range(0, ia.size, step):
+            d = (bits[ia[s : s + step]] != bits[ib[s : s + step]]).sum(axis=1)
+            keep = d <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ia[s : s + step][keep]],
+                            "doc_b": ids[ib[s : s + step][keep]],
+                            "hamming": d[keep].astype(np.int64),
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         sh.map_batches(explode, batch_format="pyarrow")
@@ -411,11 +487,24 @@ def ngram_set(text: str, n: int = 3) -> set[tuple[str, ...]]:
 
 def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: float = 0.8,
                         text_col: str = "text", lang_col: str = "lang",
-                        emit_counts: bool = False):
+                        emit_counts: bool = False, max_block_docs: int = 4096):
     """Exact word-n-gram Jaccard pairs within (lang, n_chars//band_chars)
     blocks. The blocking is part of the operator's contract (documented,
     deterministic, SQL-expressible) — pairs crossing a length band are out of
     scope by definition, which is what makes this oracle-checkable.
+
+    Skew guard (round-2 VERDICT item 3): a block larger than
+    ``max_block_docs`` is TRIANGLE-SALTED, not truncated — docs get a
+    deterministic salt ``doc_id % S`` (``S = ceil(size / max_block_docs)``)
+    and each doc is emitted into the S sub-groups ``(min(s,j), max(s,j))``,
+    so every pair of the block lands in exactly one bounded sub-group
+    (diagonal groups compare all their rows, off-diagonal groups compare
+    cross-salt rows only). The operator stays EXACT — total compare work is
+    unchanged (it's the operator's O(N²) contract) — but no single task sees
+    more than ~2·max_block_docs docs, so the quadratic parallelizes and its
+    memory is capped. Cost: oversized blocks shuffle S copies of each doc
+    (N·S rows ≈ N²/max_block_docs, the square root of the compare work).
+    Block sizes come from a metadata-sized pre-aggregate groupby.
 
     ``emit_counts=True`` outputs (doc_a, doc_b, inter, uni) integers instead
     of the rounded ratio, and the threshold becomes ``inter >= min_jaccard ·
@@ -423,35 +512,112 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
     integer-exact face a SQL oracle can reproduce without float-rounding
     hazards (see q_flops_metric)."""
 
+    def sizes_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bands = pc.floor(
+            pc.divide(pc.utf8_length(pc.fill_null(batch[text_col], "")), band_chars)
+        ).cast(pa.int64())
+        return pa.table({"lang": batch[lang_col], "band": bands})
+
+    # pass 1 (metadata-sized): docs per (lang, band) -> split counts for
+    # oversized blocks only; the result is O(#blocks), broadcast once
+    sizes = (
+        ds.map_batches(sizes_batch, batch_format="pyarrow")
+        .groupby(["lang", "band"])
+        .count()
+        .to_pandas()
+    )
+    cnt_col = [c for c in sizes.columns if c not in ("lang", "band")][0]
+    splits = {
+        (str(r["lang"]), int(r["band"])): int(-(-int(r[cnt_col]) // max_block_docs))
+        for _, r in sizes.iterrows()
+        if int(r[cnt_col]) > max_block_docs
+    }
+    splits_ref = ray.put(splits)
+
     def keyed(batch: pa.Table) -> pa.Table:
+        spl = ray.get(splits_ref)
+        if not spl:  # no oversized block anywhere: vectorized fast path
+            import pyarrow.compute as pc
+
+            bands = pc.floor(
+                pc.divide(pc.utf8_length(pc.fill_null(batch[text_col], "")), band_chars)
+            ).cast(pa.int64())
+            zeros = pa.array(np.zeros(batch.num_rows, np.int64))
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "lang": batch[lang_col].cast(pa.string()),
+                    "band": bands,
+                    "gi": zeros,
+                    "gj": zeros,
+                    "salt": zeros,
+                    "text": batch[text_col].cast(pa.string()),
+                }
+            )
         texts = batch[text_col].to_pylist()
-        bands = [len(t or "") // band_chars for t in texts]
+        langs = batch[lang_col].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"doc_id": [], "lang": [], "band": [], "gi": [], "gj": [], "salt": [], "text": []}
+        for did, lang, t in zip(doc_ids, langs, texts):
+            band = len(t or "") // band_chars
+            s_cnt = spl.get((str(lang), band), 1)
+            salt = int(did) % s_cnt
+            groups = (
+                [(salt, salt)]
+                if s_cnt == 1
+                else [(min(salt, j), max(salt, j)) for j in range(s_cnt)]
+            )
+            for gi, gj in groups:
+                out["doc_id"].append(int(did))
+                out["lang"].append(lang)
+                out["band"].append(band)
+                out["gi"].append(gi)
+                out["gj"].append(gj)
+                out["salt"].append(salt)
+                out["text"].append(t)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "lang": batch[lang_col],
-                "band": pa.array(bands, pa.int64()),
-                "text": batch[text_col],
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "band": pa.array(out["band"], pa.int64()),
+                "gi": pa.array(out["gi"], pa.int64()),
+                "gj": pa.array(out["gj"], pa.int64()),
+                "salt": pa.array(out["salt"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
             }
         )
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
+        gi, gj = int(g["gi"].iloc[0]), int(g["gj"].iloc[0])
         ids = g["doc_id"].to_numpy(np.int64)
+        salts = g["salt"].to_numpy(np.int64)
         sets = [ngram_set(t, n) for t in g["text"]]
+        if gi == gj:
+            # diagonal sub-group: every row has salt == gi; all pairs
+            pair_idx = [(i, j) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        else:
+            a_idx = np.flatnonzero(salts == gi)
+            b_idx = np.flatnonzero(salts == gj)
+            pair_idx = [
+                (i, j) if ids[i] < ids[j] else (j, i)
+                for i in a_idx
+                for j in b_idx
+            ]
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                si, sj = sets[i], sets[j]
-                inter = len(si & sj)
-                u = len(si) + len(sj) - inter
-                if emit_counts:
-                    if u == 0 or inter >= min_jaccard * u:
-                        rows.append((int(ids[i]), int(ids[j]), inter, u))
-                    continue
-                jac = (inter / u) if u else 1.0
-                if jac >= min_jaccard:
-                    rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
+        for i, j in pair_idx:
+            si, sj = sets[i], sets[j]
+            inter = len(si & sj)
+            u = len(si) + len(sj) - inter
+            if emit_counts:
+                if u == 0 or inter >= min_jaccard * u:
+                    rows.append((int(ids[i]), int(ids[j]), inter, u))
+                continue
+            jac = (inter / u) if u else 1.0
+            if jac >= min_jaccard:
+                rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
         if emit_counts:
             return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"]).astype(
                 {"doc_a": np.int64, "doc_b": np.int64, "inter": np.int64, "uni": np.int64}
@@ -462,7 +628,7 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby(["lang", "band"])
+        .groupby(["lang", "band", "gi", "gj"])
         .map_groups(block, batch_format="pandas")
     )
 

@@ -412,3 +412,146 @@ def test_ivf_search_no_probed_partitions_returns_empty(ray_session, tmp_path):
     # columns for 0-row datasets, so assert on the Dataset schema)
     assert set(out.schema().names) == {"query_id", "rank", "vec_id", "sim"}
     assert len(out.to_pandas()) == 0
+
+
+def test_minhash_vectorized_matches_scalar():
+    """Vectorized MinHashStage == scalar _shingles + minhash_signature per
+    doc (round-2 VERDICT item 2 parity gate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from splade_ray.analysis import tokenize
+    from splade_ray.ops.dedup import (
+        MinHashStage,
+        _minhash_params,
+        _shingles,
+        minhash_signature,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",  # identical twin
+        "one two",  # shorter than k
+        "",  # empty
+        "单 字 流 one two three four",  # unicode
+        "x " * 50,  # repeated token
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    stage = MinHashStage(num_perm=32, shingle_k=3, seed=42)
+    out = stage(batch)
+    a, b = _minhash_params(32, 42)
+    for i, text in enumerate(texts):
+        want = minhash_signature(_shingles(tokenize(text), 3), a, b)
+        got = np.frombuffer(out["sig"][i].as_py(), np.uint64)
+        assert np.array_equal(got, want), f"doc {i}"
+
+
+def test_simhash_vectorized_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from splade_ray.analysis import tokenize
+    from splade_ray.ops.dedup import simhash64, simhash_batch
+
+    texts = ["alpha beta beta gamma", "", "单字流 test", "x " * 40, "one"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = simhash_batch(batch)["simhash"].to_pylist()
+    want = [simhash64(tokenize(t)) for t in texts]
+    assert got == want
+
+
+def test_bucket_pairs_capped_on_degenerate_bucket():
+    """A degenerate LSH bucket (everything identical) must be truncated to
+    MAX_BUCKET_DOCS, not run an unbounded quadratic."""
+    import numpy as np
+    import pandas as pd
+
+    from splade_ray.ops.dedup import _bucket_pairs
+
+    g = pd.DataFrame(
+        {"doc_id": np.arange(5000, dtype=np.int64), "band": 0, "band_hash": 1}
+    )
+    out = _bucket_pairs(g, max_bucket=100)
+    assert len(out) == 100 * 99 // 2
+    assert out["doc_a"].max() < 100  # kept the first (sorted) cap docs
+
+
+def test_jaccard_triangle_salting_exact(ray_session):
+    """Sub-salted oversized blocks emit EXACTLY the same pairs as the
+    unsalted operator (every pair lands in exactly one bounded sub-group)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.dedup import jaccard_block_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = ["red", "blue", "green", "tok", "alpha", "beta"]
+    # 90 docs, all same lang and same length band -> one hot block
+    texts = [
+        " ".join(vocab[j] for j in rng.randint(0, len(vocab), 12)) for _ in range(90)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(90), pa.int64()),
+            "lang": pa.array(["en"] * 90, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    def run(cap):
+        out = (
+            jaccard_block_pairs(
+                rd.from_arrow(t), min_jaccard=0.2, emit_counts=True,
+                max_block_docs=cap,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        return out
+
+    unsalted = run(10**9)
+    salted = run(16)  # 90 docs -> S=6 sub-salts, groups of <= ~32 docs
+    assert len(unsalted) > 0
+    pd.testing.assert_frame_equal(salted, unsalted)
+
+
+def test_jaccard_salted_group_sizes_bounded(ray_session):
+    """The skew guard actually bounds per-task group sizes: with a hot
+    (lang, band) block of 400 docs and cap 50, no (gi, gj) sub-group may
+    exceed ~2 salt-partitions of rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    cap = 50
+    n_docs = 400
+    s = -(-n_docs // cap)  # ceil -> 8 sub-salts
+    # mirror the keyed() expansion arithmetic directly
+    doc_ids = np.arange(n_docs, dtype=np.int64)
+    salts = doc_ids % s
+    group_rows: dict[tuple[int, int], int] = {}
+    for did, salt in zip(doc_ids, salts):
+        for j in range(s):
+            k = (min(salt, j), max(salt, j))
+            group_rows[k] = group_rows.get(k, 0) + 1
+    per_salt = -(-n_docs // s) + 1
+    assert max(group_rows.values()) <= 2 * per_salt
+    # and every unordered pair is covered exactly once
+    cover = 0
+    for (gi, gj), _ in group_rows.items():
+        a = int((salts == gi).sum())
+        b = int((salts == gj).sum())
+        cover += a * (a - 1) // 2 if gi == gj else a * b
+    assert cover == n_docs * (n_docs - 1) // 2
