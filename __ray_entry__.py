@@ -626,6 +626,30 @@ def q_ann_ivf_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF at ``nprobe == n_clusters`` degrades to exact brute force (every
+    partition probed) — the oracle-checked face of the IVF operator: its SQL
+    mirror is the same full cosine ranking as ``ann_cosine_topk``. The
+    partition-pruned configuration stays rows-only (``ann_ivf_topk``)."""
+    from splade_ray.ops.ann import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    ids = np.array(qt["vec_id"].to_pylist())
+    mask = ids < 5
+    q_mat = np.stack(
+        [np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m]
+    )
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
+    out = ivf_topk(
+        ds, ids[mask], q_mat, n_clusters=16, nprobe=16, top_k=TOP_K,
+        index_dir=os.path.join(_work_dir(sf_dir, "ivf"), "index"),
+    ).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
 def q_ann_lsh_buckets(sf_dir: str):
     from splade_ray.ops.ann import lsh_buckets
 
@@ -722,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_pred": q_lang_id_pred,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,
@@ -1017,4 +1042,6 @@ def oracle_sql() -> dict[str, str]:
     # join-path quantizer computes the same numbers through a term-keyed
     # hash join instead of a vocab broadcast — same oracle by construction
     sql["quantized_export_join"] = sql["quantized_export"]
+    # IVF probed at every cluster IS exact brute-force cosine — same oracle
+    sql["ann_ivf_exact"] = sql["ann_cosine_topk"]
     return sql

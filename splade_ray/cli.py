@@ -82,17 +82,19 @@ def cmd_query(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
-    from splade_ray.evaluate import mrr_at_k, ndcg_at_k, recall_at_k
+    from splade_ray.evaluate import evaluate_run
     from splade_ray.io import qrel_to_table, read_run_json
 
     run = read_run_json(args.run)
     with open(args.qrel) as fh:
         qrel = qrel_to_table(json.load(fh))
-    res = {
-        f"mrr@{args.k}": mrr_at_k(run, qrel, args.k),
-        f"recall@{args.k}": recall_at_k(run, qrel, args.k),
-        f"ndcg@{args.k}": ndcg_at_k(run, qrel, args.k),
-    }
+    spec = getattr(args, "measures", None)  # cmd_all reuses this without the flag
+    measures = (
+        [m.strip() for m in spec.split(",") if m.strip()]
+        if spec
+        else [f"mrr@{args.k}", f"recall@{args.k}", f"ndcg@{args.k}"]
+    )
+    res = evaluate_run(run, qrel, measures)
     print(json.dumps(res))
     if args.out:
         with open(args.out, "w") as fh:
@@ -182,6 +184,32 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_beir_eval(args) -> int:
+    """One-entry BEIR flow (reference: ``splade/beir_eval.py:22-97``)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.pipelines.beir import beir_eval
+
+    measures = (
+        [m.strip() for m in args.measures.split(",") if m.strip()]
+        if args.measures
+        else None
+    )
+    res = beir_eval(
+        args.data,
+        args.work,
+        split=args.split,
+        params=BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        method=args.method,
+        measures=measures,
+    )
+    print(json.dumps(res["metrics"]))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(res["metrics"], fh)
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -228,10 +256,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--b", type=float, default=0.75)
     q.set_defaults(fn=cmd_query)
 
-    e = sub.add_parser("evaluate", help="MRR/recall/nDCG against qrels")
+    e = sub.add_parser("evaluate", help="MRR/MAP/recall/nDCG against qrels")
     e.add_argument("--run", required=True)
     e.add_argument("--qrel", required=True)
     e.add_argument("--k", type=int, default=10)
+    e.add_argument("--measures", default=None,
+                   help="comma list of measure@k strings (mrr, map, ndcg, recall)")
     e.add_argument("--out", default=None)
     e.set_defaults(fn=cmd_evaluate)
 
@@ -263,6 +293,22 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--k1", type=float, default=1.2)
     mt.add_argument("--b", type=float, default=0.75)
     mt.set_defaults(fn=cmd_maintain)
+
+    be = sub.add_parser(
+        "beir-eval",
+        help="BEIR dataset dir -> index -> retrieve -> self-hit filter -> metrics",
+    )
+    be.add_argument("--data", required=True, help="dir with corpus.jsonl/queries.jsonl/qrels/")
+    be.add_argument("--work", required=True, help="work dir (corpus parquet + index)")
+    be.add_argument("--split", default="test")
+    be.add_argument("--method", choices=["exact", "bmw", "auto"], default="auto")
+    be.add_argument("--top-k", type=int, default=10)
+    be.add_argument("--k1", type=float, default=1.2)
+    be.add_argument("--b", type=float, default=0.75)
+    be.add_argument("--measures", default=None,
+                    help="comma list of measure@k strings (default ndcg@10,recall@10)")
+    be.add_argument("--out", default=None, help="write metrics JSON here")
+    be.set_defaults(fn=cmd_beir_eval)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)
