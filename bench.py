@@ -145,8 +145,10 @@ def run_bench() -> dict:
     from splade_ray.analysis import postings_batch
     from splade_ray.term_index import build_term_index
 
+    from splade_ray.io import read_parquet_clean
+
     t1 = time.monotonic()
-    flat = rd.read_parquet(
+    flat = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
     n_terms = build_term_index(flat, salt_range=500).count()
@@ -185,17 +187,24 @@ def run_scaling() -> dict:
     bandwidth grows with the nodes), while 8->32 saturates the single
     box's shared memory controller and under-reports what the same code
     does across machines. `scaling_efficiency` is the 2->8 figure; both
-    are recorded."""
+    are recorded.
+
+    Sampling (round-2 VERDICT item 4): MEDIAN-of-N per level over
+    interleaved rounds (interleaving decorrelates box-noise windows from
+    CPU levels), and when a level's own samples spread more than
+    BENCH_SCALE_TOL (default 20% of the median) extra interleaved rounds
+    run automatically — a noisy window widens the sample set instead of
+    silently skewing a best-of figure. All samples are reported."""
     levels = [int(x) for x in os.environ.get("BENCH_SCALE_LEVELS", "2,8,32").split(",")]
-    results = {}
+    samples: dict[int, list[dict]] = {n: [] for n in levels}
     # larger corpus for the scaling legs so per-leg fixed costs (session
     # startup, lexicon merge) amortize into the measured throughput
     mult = os.environ.get("BENCH_SCALE_MULT", "300")
-    reps = int(os.environ.get("BENCH_SCALE_REPS", "2"))
-    # reps outer / levels inner: interleaving decorrelates box-noise windows
-    # from CPU levels (sequential same-level reps sample one noise window);
-    # best-of-N per level is then taken across interleaved samples
-    for rep in range(reps):
+    reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+    max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", str(reps + 2)))
+    tol = float(os.environ.get("BENCH_SCALE_TOL", "0.2"))
+
+    def one_round():
         for n in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_CORPUS_MULT=mult)
             out = subprocess.run(
@@ -205,21 +214,51 @@ def run_scaling() -> dict:
                 text=True,
                 check=True,
             ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if n not in results or r["docs_per_sec"] > results[n]["docs_per_sec"]:
-                results[n] = r
+            samples[n].append(json.loads(out.strip().splitlines()[-1]))
+
+    def spread(vals: list[float]) -> float:
+        med = sorted(vals)[len(vals) // 2]
+        return (max(vals) - min(vals)) / med if med else 0.0
+
+    rounds = 0
+    while rounds < reps:
+        one_round()
+        rounds += 1
+    while rounds < max_reps and any(
+        spread([s["docs_per_sec"] for s in samples[n]]) > tol for n in levels
+    ):
+        one_round()  # noisy window: widen the sample set
+        rounds += 1
+
+    def med(vals: list[float]) -> float:
+        sv = sorted(vals)
+        m = len(sv) // 2
+        return sv[m] if len(sv) % 2 else (sv[m - 1] + sv[m]) / 2.0
+
+    med_dps = {n: med([s["docs_per_sec"] for s in samples[n]]) for n in levels}
 
     def eff(lo, hi):
-        return round(
-            (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo), 3
-        )
+        return round((med_dps[hi] / med_dps[lo]) / (hi / lo), 3)
 
     out = {
-        "metric": "index-build scaling efficiency (N -> 4N cpus, fresh processes)",
+        "metric": "index-build scaling efficiency (N -> 4N cpus, fresh processes, median-of-N)",
         "levels": levels,
-        "docs_per_sec": {str(n): results[n]["docs_per_sec"] for n in levels},
-        "build_sec": {str(n): results[n]["queries"]["index_build"] for n in levels},
-        "query_p50": {str(n): results[n]["queries"]["query_batch_p50"] for n in levels},
+        "rounds": rounds,
+        "docs_per_sec": {str(n): round(med_dps[n], 1) for n in levels},
+        "docs_per_sec_samples": {
+            str(n): [s["docs_per_sec"] for s in samples[n]] for n in levels
+        },
+        "sample_spread": {
+            str(n): round(spread([s["docs_per_sec"] for s in samples[n]]), 3)
+            for n in levels
+        },
+        "build_sec": {
+            str(n): med([s["queries"]["index_build"] for s in samples[n]]) for n in levels
+        },
+        "query_p50": {
+            str(n): med([s["queries"]["query_batch_p50"] for s in samples[n]])
+            for n in levels
+        },
     }
     pairs = [(lo, hi) for lo in levels for hi in levels if hi == 4 * lo]
     for lo, hi in pairs:

@@ -123,6 +123,14 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_figure(args) -> int:
+    """Index-distribution figure (reference: utils/index_figure.py:13-31)."""
+    from splade_ray.figure import index_figure
+
+    print(json.dumps(index_figure(args.index, args.out)))
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Re-check the per-row content sha256 invariant (north rule)."""
     _ensure_ray()
@@ -181,6 +189,47 @@ def cmd_maintain(args) -> int:
         build_quantized_postings(args.index, BM25Params(k1=args.k1, b=args.b))
         report["quantized"] = True
     print(json.dumps(report))
+    return 0
+
+
+def cmd_rerank(args) -> int:
+    """Second-pass rerank of a first-stage run (``splade/rerank.py:18-100``
+    analog): run file ⋈ queries ⋈ docs -> actor-pool scorer -> re-ranked run.
+    ``--pairwise`` switches to the duoT5-style win-count aggregation."""
+    _ensure_ray()
+    from splade_ray.io import read_run_json, read_trec_run, write_run_json
+    from splade_ray.rerank import (
+        LexicalReranker,
+        pairwise_rerank,
+        rerank,
+        rerank_input,
+    )
+
+    run = (
+        read_run_json(args.run)
+        if args.run.endswith(".json")
+        else read_trec_run(args.run, top_k=args.top_k)
+    )
+    queries = _load_queries(args.queries)
+    pairs = rerank_input(None, run, queries, docs_path=args.docs,
+                         id_col=args.id_col, text_col=args.text_col)
+    if args.pairwise:
+        scored = pairs.map_batches(
+            LexicalReranker, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+        ).to_pandas()
+        out = pairwise_rerank(scored)
+        score_col = "wins2"
+    else:
+        out = rerank(pairs, top_k=args.top_k)
+        score_col = "overlap"
+    res = out.drop(columns=["rank"]).rename(  # drop the FIRST-stage rank
+        columns={"new_rank": "rank", score_col: "score"}
+    )[["query_id", "rank", "doc_id", "score"]]
+    if args.out.endswith(".json"):
+        write_run_json(res, args.out)
+    else:
+        res.to_parquet(args.out, index=False)
+    print(json.dumps({"pairs": len(out), "out": args.out}))
     return 0
 
 
@@ -269,6 +318,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
 
+    fg = sub.add_parser("figure", help="index_dist.json + log-log SVG (index_figure analog)")
+    fg.add_argument("--index", required=True)
+    fg.add_argument("--out", default=None, help="output dir (default: index dir)")
+    fg.set_defaults(fn=cmd_figure)
+
     v = sub.add_parser("verify", help="check content sha256 invariant vs source")
     v.add_argument("--index", required=True)
     v.add_argument("--corpus", default=None)
@@ -293,6 +347,18 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--k1", type=float, default=1.2)
     mt.add_argument("--b", type=float, default=0.75)
     mt.set_defaults(fn=cmd_maintain)
+
+    rr = sub.add_parser("rerank", help="second-pass rerank of a run file")
+    rr.add_argument("--run", required=True, help="run.json or TREC 6-col run file")
+    rr.add_argument("--queries", required=True, help="TSV: id\\ttext")
+    rr.add_argument("--docs", required=True, help="doc table parquet (id, text)")
+    rr.add_argument("--out", required=True, help="run.json or .parquet")
+    rr.add_argument("--id-col", default="doc_id")
+    rr.add_argument("--text-col", default="text")
+    rr.add_argument("--top-k", type=int, default=None)
+    rr.add_argument("--pairwise", action="store_true",
+                    help="duoT5-style pairwise win-count aggregation")
+    rr.set_defaults(fn=cmd_rerank)
 
     be = sub.add_parser(
         "beir-eval",

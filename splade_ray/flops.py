@@ -103,3 +103,41 @@ def flops_metric(
     return sum(
         (df_map[t] / n_docs) * (qdf / n_q) for t, qdf in q_df.items() if t in df_map
     )
+
+
+def flops_from_index(index_dir: str, queries: list[tuple[int, str]]) -> dict:
+    """FLOPS from a BUILT index — the reference's ``force_new=False`` reuse
+    path (``splade/flops.py:48``: the finished index doubles as the
+    statistics store, no corpus re-scan). Reads ONLY the lexicon rows of the
+    query's terms (predicate-pushdown ``isin``) plus the global manifest, so
+    cost is O(query vocabulary), independent of corpus size.
+
+    Returns the integer-exact form plus the float metric:
+    ``{"flops_num", "n_docs", "n_queries", "flops"}`` with
+    ``flops = flops_num / (n_docs · n_queries)``."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from splade_ray.build import load_manifest
+
+    q_df: dict[str, int] = {}
+    for _, text in queries:
+        for t in term_counts(text):
+            q_df[t] = q_df.get(t, 0) + 1
+    manifest = load_manifest(index_dir)
+    n_docs, n_q = int(manifest["n_docs"]), len(queries)
+    if not n_docs or not q_df:
+        return {"flops_num": 0, "n_docs": n_docs, "n_queries": n_q, "flops": 0.0}
+    lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+        columns=["term", "df"],
+        filter=pads.field("term").isin(sorted(q_df)),
+    )
+    df_map = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    num = sum(int(df_map[t]) * qdf for t, qdf in q_df.items() if t in df_map)
+    return {
+        "flops_num": int(num),
+        "n_docs": n_docs,
+        "n_queries": n_q,
+        "flops": num / (n_docs * n_q),
+    }

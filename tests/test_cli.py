@@ -107,3 +107,66 @@ def test_cli_maintain(ray_session, tmp_path, capsys):
     quant = search(idx, [(0, "def parse"), (1, "rare_token_20")],
                    BM25Params(top_k=5), method="quantized")
     assert len(quant) == len(before)
+
+
+def test_cli_figure(ray_session, tmp_path, capsys):
+    """index_figure analog: index_dist.json + a valid SVG next to the index."""
+    import json as _json
+    import os
+    import xml.etree.ElementTree as ET
+
+    from splade_ray.cli import main
+    from splade_ray.corpus import write_synth_corpus
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_synth_corpus(corpus, 120, seed=5, n_files=1)
+    assert main(["build", "--corpus", corpus, "--index", idx,
+                 "--rows-per-segment", "60"]) == 0
+    capsys.readouterr()
+    assert main(["figure", "--index", idx]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_terms"] > 10 and stats["max_df"] >= stats["median_df"]
+    with open(os.path.join(idx, "index_dist.json")) as fh:
+        dist = _json.load(fh)
+    assert len(dist) == stats["n_terms"]
+    assert "def" in dist  # ubiquitous token present
+    ET.parse(os.path.join(idx, "index_dist.svg"))  # well-formed SVG
+
+
+def test_cli_rerank(ray_session, tmp_path, capsys):
+    """rerank CLI: first-stage run -> pairs join -> lexical scorer -> run."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.cli import main
+    from splade_ray.io import read_run_json, write_run_json
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["apple pie recipe", "banana bread", "apple tart butter"], pa.string()
+            ),
+        }
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, docs_path)
+    run = pd.DataFrame(
+        {"query_id": [0, 0, 0], "rank": [1, 2, 3], "doc_id": [2, 1, 3],
+         "score": [3.0, 2.0, 1.0]}
+    )
+    run_path = str(tmp_path / "run.json")
+    write_run_json(run, run_path)
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\tapple butter\n")
+    out_path = str(tmp_path / "rerank.json")
+    rc = main(["rerank", "--run", run_path, "--queries", str(queries),
+               "--docs", docs_path, "--out", out_path])
+    assert rc == 0
+    out = read_run_json(out_path)
+    # doc 3 matches both "apple" and "butter" -> overlap 2, must rank first
+    assert out[out["rank"] == 1]["doc_id"].iloc[0] == 3

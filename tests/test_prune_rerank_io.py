@@ -459,3 +459,29 @@ def test_ir_datasets_adapter_streams_chunks(ray_session, monkeypatch):
     assert ds.num_blocks() == 4  # ceil(10 / 3) chunk blocks, not one big list
     got = ds.to_pandas()
     assert got["external_id"].tolist() == [str(i) for i in range(10)]
+
+
+def test_flops_from_index_matches_pipeline(ray_session, tmp_path):
+    """The index-reuse FLOPS path (lexicon pushdown, no corpus scan) equals
+    the distributed postings-pipeline numerator (flops.py:48 analog)."""
+    import ray.data as rd
+
+    from splade_ray.build import build_index
+    from splade_ray.corpus import synth_corpus, write_synth_corpus
+    from splade_ray.flops import flops_from_index, flops_numerator
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_synth_corpus(corpus, 150, seed=4, n_files=2)
+    build_index(corpus, idx, text_col="content", rows_per_segment=60)
+    queries = [(0, "def parse buffer"), (1, "merge heap zzz_nope"), (2, "def def import")]
+    import pyarrow as pa
+
+    t = synth_corpus(150, seed=4)
+    t = t.append_column("doc_id", pa.array(range(150), pa.int64()))
+    ds = rd.from_arrow(t)
+    num, n_docs = flops_numerator(ds, queries, text_col="content")
+    got = flops_from_index(idx, queries)
+    assert got["flops_num"] == num
+    assert got["n_docs"] == n_docs == 150
+    assert got["flops"] == num / (150 * 3)
