@@ -520,6 +520,119 @@ WHERE (p.sa + p.sb - coalesce(i.i, 0)) = 0
    OR coalesce(i.i, 0) >= 0.5 * (p.sa + p.sb - coalesce(i.i, 0))"""
 
 
+_M64 = "18446744073709551616"  # 2^64 — the uint64 wraparound modulus
+_HASH64_SQL = "('0x' || substr(sha256({t}), 1, 16))::UBIGINT::HUGEINT"
+
+
+def _fold_sql(terms: list[str], p: int) -> str:
+    """Nested-expression rolling polynomial fold ``v = (v*p + h) mod 2^64``
+    (HUGEINT-safe: v < 2^64, p < 2^41, so v*p < 2^105 < 2^127)."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * {p} + {t}) % {_M64}"
+    return expr
+
+
+def _token_hashes_cte() -> str:
+    """CTE ``hs(doc_id, h)``: per-doc list of 64-bit token hashes, exactly
+    ``ops.textstats.hash_token`` (sha256 prefix, big-endian)."""
+    th = _HASH64_SQL.format(t="t")
+    return f"""
+hs AS (
+  SELECT doc_id, list_transform(
+           regexp_extract_all(lower(text), '{TOKEN_SQL}'), t -> {th}) AS h
+  FROM documents
+)"""
+
+
+def _fingerprint_sql() -> str:
+    """SQL mirror of ops.textstats.fingerprint_batch: min of all 8-token
+    rolling polynomial hashes (mod 2^64); short docs fold all tokens; empty
+    docs -> 0. The FNV-prime fold constant matches fingerprint_batch's."""
+    p = 1099511628211
+    fold8 = _fold_sql([f"h[i+{j}]" for j in range(8)], p)
+    return f"""
+WITH {_token_hashes_cte()},
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN 0::HUGEINT
+         WHEN len(h) < 8 THEN list_reduce(h, (a, x) -> (a * {p} + x) % {_M64})
+         ELSE list_min(list_transform(range(1, len(h) - 6), i -> {fold8}))
+    END AS f
+  FROM hs
+)
+SELECT doc_id, f::UBIGINT AS fingerprint FROM fp"""
+
+
+def _shingles_cte(k: int = 3) -> str:
+    """CTE chain ending in ``flat(doc_id, x)``: distinct word-k-shingle
+    hashes per doc, exactly ``ops.dedup._shingles`` (rolling fold mod 2^64,
+    reduced mod the Mersenne prime 2^61-1; short docs fold all tokens,
+    empty docs -> {{0}})."""
+    from splade_ray.ops.dedup import MERSENNE, SHINGLE_P
+
+    p = int(SHINGLE_P)
+    foldk = _fold_sql([f"h[i+{j}]" for j in range(k)], p)
+    return f"""{_token_hashes_cte()},
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN [0::HUGEINT]
+         WHEN len(h) < {k} THEN [list_reduce(h, (a, x) -> (a * {p} + x) % {_M64}) % {MERSENNE}]
+         ELSE list_distinct(list_transform(range(1, len(h) - {k - 2}), i -> ({foldk}) % {MERSENNE}))
+    END AS s
+  FROM hs
+),
+flat AS (SELECT doc_id, unnest(s) AS x FROM sh)"""
+
+
+def _minhash_sigs_sql(num_perm: int = 64, seed: int = 42) -> str:
+    """SQL mirror of MinHashStage signatures: per (doc, permutation) the min
+    of ``((a·x + b) mod 2^64) mod p`` over the doc's shingle set — the
+    numpy kernel runs the affine step in wrapping uint64 arithmetic, so the
+    SQL mirrors that wrap explicitly (a·x < 2^122 < HUGEINT max).
+    Permutation constants are baked in from the same seeded RNG."""
+    from splade_ray.ops.dedup import MERSENNE, _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    vals = ",\n    ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    return f"""
+WITH {_shingles_cte(3)},
+perms(perm, a, b) AS (VALUES
+    {vals}
+)
+SELECT f.doc_id, p.perm::BIGINT AS perm,
+       min(((p.a::HUGEINT * f.x + p.b) % {_M64}) % {MERSENNE})::BIGINT AS minhash
+FROM flat f CROSS JOIN perms p
+GROUP BY f.doc_id, p.perm"""
+
+
+def _simhash_sigs_sql() -> str:
+    """SQL mirror of ops.dedup.simhash_batch: per doc and bit position b,
+    the tf-weighted ±1 sum over unique-token hash bits; fingerprint = sum of
+    2^b where the sum is positive. Bit extraction and the bit-63 power run
+    in HUGEINT."""
+    th = _HASH64_SQL.format(t="term")
+    bitvals = ",\n    ".join(f"({b}, {1 << b})" for b in range(64))
+    return f"""
+WITH {_TF},
+th AS (SELECT doc_id, term, tf, {th} AS h FROM tf),
+bits(b, p2) AS (VALUES
+    {bitvals}
+),
+acc AS (
+  SELECT th.doc_id, bits.p2,
+         sum(CASE WHEN (th.h // bits.p2) % 2 = 1 THEN th.tf ELSE -th.tf END) AS s
+  FROM th CROSS JOIN bits
+  GROUP BY th.doc_id, bits.p2
+),
+fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p2 ELSE 0 END)::HUGEINT AS f
+       FROM acc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.f, 0)::UBIGINT AS simhash
+FROM documents d LEFT JOIN fp USING (doc_id)"""
+
+
 def q_lang_id(sf_dir: str):
     from splade_ray.ops.textstats import langid_batch
 
@@ -589,6 +702,53 @@ def q_doc_fingerprint(sf_dir: str):
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_minhash_sigs(sf_dir: str):
+    """MinHash signatures unnested to (doc_id, perm, minhash) BIGINT rows —
+    the oracle-checked face of the MinHash operator: token hashes are
+    sha256-prefixes, shingles are rolling polynomial folds mod 2^64 reduced
+    mod the Mersenne prime, and each permutation is (a·x+b) mod p — all of
+    which DuckDB reproduces bit-for-bit in HUGEINT arithmetic (the banded
+    LSH pairing built ON these signatures stays rows-only)."""
+    from splade_ray.ops.dedup import MinHashStage
+
+    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashStage, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "perm": pa.array([], pa.int64()),
+                    "minhash": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.stack([np.frombuffer(s, np.uint64) for s in batch["sig"].to_pylist()])
+        n, p = mat.shape
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(docs, p), pa.int64()),
+                "perm": pa.array(np.tile(np.arange(p, dtype=np.int64), n), pa.int64()),
+                "minhash": pa.array(mat.reshape(-1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(unnest, batch_format="pyarrow")
+
+
+def q_simhash_sigs(sf_dir: str):
+    """Per-doc 64-bit simhash fingerprints (doc_id, simhash) — the
+    oracle-checked face of the SimHash operator (the hamming-ball pairing
+    stays rows-only)."""
+    from splade_ray.ops.dedup import simhash_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow", batch_size=512
     )
 
 
@@ -736,7 +896,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # rows-only (non-SQL-expressible) ops
+        "minhash_sigs": q_minhash_sigs,
+        "simhash_sigs": q_simhash_sigs,
+        "doc_fingerprint": q_doc_fingerprint,
+        # rows-only (pair estimates / float-sign ops; their signature inputs
+        # are oracle-checked above)
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_jaccard": q_near_dup_jaccard,
@@ -744,7 +908,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "lang_id_pred": q_lang_id_pred,
-        "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -898,6 +1061,9 @@ FROM documents""",
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "minhash_sigs": _minhash_sigs_sql(),
+        "simhash_sigs": _simhash_sigs_sql(),
         "collection_stats": f"""
 WITH ds AS (
   SELECT doc_id,

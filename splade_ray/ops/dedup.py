@@ -69,7 +69,7 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
 def _shingles(tokens: list[str], k: int = 3) -> set[int]:
     """Word k-shingles hashed to 61-bit ints — SCALAR REFERENCE for the
-    vectorized path (parity-tested): per-token blake2b hash, rolling
+    vectorized path (parity-tested): per-token sha256-prefix hash, rolling
     polynomial fold of each k-window mod 2^64, reduced mod MERSENNE. Docs
     shorter than k contribute one shingle = fold of all tokens (empty -> 0)."""
     from splade_ray.ops.textstats import hash_token
@@ -363,11 +363,11 @@ def simhash64(tokens: list[str]) -> int:
     acc = np.zeros(64, np.int64)
     from collections import Counter
 
+    from splade_ray.ops.textstats import hash_token
+
     shifts = np.arange(64, dtype=np.uint64)
     for tok, w in Counter(tokens).items():
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        )
+        h = hash_token(tok)
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, w, -w)
     return int(((acc > 0).astype(np.uint64) << shifts).sum())

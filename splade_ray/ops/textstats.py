@@ -176,8 +176,10 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", window: int = 
 
 
 def hash_token(t: str) -> np.uint64:
+    """64-bit token hash = first 8 bytes of sha256 (big-endian). sha256 is
+    chosen over blake2b so every hash-derived operator (fingerprint, minhash,
+    simhash) has an exact ANSI-SQL mirror:
+    ``('0x' || substr(sha256(t), 1, 16))::UBIGINT`` in DuckDB."""
     import hashlib
 
-    return np.uint64(
-        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-    )
+    return np.uint64(int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big"))
