@@ -481,6 +481,85 @@ def q_near_dup_jaccard_counts(sf_dir: str):
     )
 
 
+def _dup_edges(sf_dir: str):
+    """Oracle-expressible duplicate edge set: exact-dup star edges (min doc
+    per identical text -> every other copy) unioned with the blocked n-gram
+    Jaccard pairs (same config as the green `near_dup_jaccard_counts`)."""
+    from splade_ray.ops.dedup import add_text_sha, jaccard_block_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    hashed = docs.map_batches(add_text_sha, batch_format="pyarrow").select_columns(
+        ["text_sha256", "doc_id"]
+    )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64}
+            )
+        return pd.DataFrame({"doc_a": np.full(ids.size - 1, ids[0]), "doc_b": ids[1:]})
+
+    ex = hashed.groupby("text_sha256").map_groups(star, batch_format="pandas")
+    jc = jaccard_block_pairs(docs, min_jaccard=0.5, emit_counts=True)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+            return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+        return pa.table(
+            {"doc_a": batch["doc_a"].cast(pa.int64()), "doc_b": batch["doc_b"].cast(pa.int64())}
+        )
+
+    return ex.map_batches(pick, batch_format="pyarrow").union(
+        jc.map_batches(pick, batch_format="pyarrow")
+    )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Connected-components labels over the duplicate edge set: every paired
+    doc -> its component-min doc id (alternating large/small-star rounds,
+    ops/cluster.py). Oracle = DuckDB recursive-CTE transitive closure."""
+    from splade_ray.ops.cluster import connected_components
+
+    return connected_components(_dup_edges(sf_dir))
+
+
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end dedup filter: docs surviving cluster-canonical selection
+    (one doc per duplicate cluster + all unpaired docs)."""
+    from splade_ray.ops.cluster import connected_components, drop_near_duplicates
+
+    labels = connected_components(_dup_edges(sf_dir))
+    return drop_near_duplicates(_docs(sf_dir, ["doc_id"]), labels)
+
+
+def _dup_cluster_cte() -> str:
+    """Shared WITH-body: duplicate edges (exact + jaccard) -> recursive
+    closure -> per-node component-min labels `lab(doc_id, cluster_id)`."""
+    jac = _jaccard_counts_sql()
+    return f"""
+ex AS (
+  SELECT m.a AS doc_a, g.doc_id AS doc_b
+  FROM (SELECT sha256(text) AS s, doc_id FROM documents) g
+  JOIN (SELECT sha256(text) AS s, min(doc_id) AS a FROM documents GROUP BY 1) m
+    USING (s)
+  WHERE g.doc_id > m.a
+),
+jc AS (SELECT doc_a, doc_b FROM ({jac}) q),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM ex
+  UNION SELECT doc_b, doc_a FROM ex
+  UNION SELECT doc_a, doc_b FROM jc
+  UNION SELECT doc_b, doc_a FROM jc
+),
+r(n, m) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.n, und.v FROM r JOIN und ON r.m = und.u
+),
+lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)"""
+
+
 def _jaccard_counts_sql() -> str:
     """SQL mirror of jaccard_block_pairs(emit_counts=True): 3-gram sets per
     doc (short docs fold to one whole-token gram, empty docs to the empty
@@ -899,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sigs": q_minhash_sigs,
         "simhash_sigs": q_simhash_sigs,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         # rows-only (pair estimates / float-sign ops; their signature inputs
         # are oracle-checked above)
         "dedup_minhash": q_dedup_minhash,
@@ -1064,6 +1145,13 @@ FROM documents""",
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),
         "simhash_sigs": _simhash_sigs_sql(),
+        "dedup_clusters": f"""
+WITH RECURSIVE {_dup_cluster_cte()}
+SELECT doc_id, cluster_id FROM lab""",
+        "dedup_survivors": f"""
+WITH RECURSIVE {_dup_cluster_cte()}
+SELECT d.doc_id FROM documents d LEFT JOIN lab USING (doc_id)
+WHERE lab.cluster_id IS NULL OR lab.cluster_id = d.doc_id""",
         "collection_stats": f"""
 WITH ds AS (
   SELECT doc_id,

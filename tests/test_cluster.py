@@ -1,0 +1,100 @@
+"""Connected-components clustering + dedup-survivor filter tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from splade_ray.ops.cluster import connected_components, drop_near_duplicates
+
+
+def _uf_reference(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Scalar union-find oracle: node -> component-min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _pairs_ds(pairs, cols=("doc_a", "doc_b")):
+    return rd.from_items([{cols[0]: a, cols[1]: b} for a, b in pairs])
+
+
+def _labels_dict(ds) -> dict[int, int]:
+    df = ds.to_pandas()
+    return dict(zip(df["doc_id"].astype(int), df["cluster_id"].astype(int)))
+
+
+def test_cc_path_graph(ray_session):
+    # worst-case diameter: a 64-node path must still collapse to min=0
+    pairs = [(i, i + 1) for i in range(63)]
+    got = _labels_dict(connected_components(_pairs_ds(pairs), num_buckets=4))
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_components_and_noise(ray_session):
+    # two components, plus duplicate / reversed / self pairs in the input
+    pairs = [(5, 9), (9, 7), (7, 5), (5, 5), (9, 5), (20, 30), (30, 20)]
+    got = _labels_dict(connected_components(_pairs_ds(pairs)))
+    assert got == {5: 5, 7: 5, 9: 5, 20: 20, 30: 20}
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.RandomState(7)
+    nodes = rng.choice(10_000, size=400, replace=False)
+    pairs = [
+        (int(nodes[rng.randint(nodes.size)]), int(nodes[rng.randint(nodes.size)]))
+        for _ in range(300)
+    ]
+    want = _uf_reference([(a, b) for a, b in pairs if a != b])
+    got = _labels_dict(connected_components(_pairs_ds(pairs), num_buckets=8))
+    assert got == want
+
+
+def test_cc_empty_and_custom_columns(ray_session):
+    empty = connected_components(
+        rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        )
+    )
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"doc_id", "cluster_id"}
+
+    got = _labels_dict(
+        connected_components(_pairs_ds([(4, 2)], cols=("id_a", "id_b")), src="id_a", dst="id_b")
+    )
+    assert got == {2: 2, 4: 2}
+
+
+def test_drop_near_duplicates_broadcast_and_join_paths(ray_session):
+    docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    labels = connected_components(_pairs_ds([(1, 3), (3, 5), (7, 8)]))
+    want_survivors = [0, 1, 2, 4, 6, 7, 9]  # drop 3,5 (cluster 1) and 8 (cluster 7)
+
+    broadcast = drop_near_duplicates(docs, labels).to_pandas()
+    assert sorted(broadcast["doc_id"].tolist()) == want_survivors
+    assert list(broadcast.columns) == ["doc_id", "text"]
+
+    joined = drop_near_duplicates(docs, labels, broadcast_limit=0).to_pandas()
+    assert sorted(joined["doc_id"].tolist()) == want_survivors
+    assert sorted(joined.columns) == sorted(broadcast.columns)
+
+
+def test_drop_near_duplicates_no_pairs(ray_session):
+    docs = rd.from_items([{"doc_id": i} for i in range(5)])
+    labels = connected_components(
+        rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        )
+    )
+    out = drop_near_duplicates(docs, labels).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3, 4]
