@@ -831,6 +831,64 @@ def q_simhash_sigs(sf_dir: str):
     )
 
 
+def q_dedup_minhash_counts(sf_dir: str):
+    """Banded-LSH minhash pairs in integer-exact form (n_match of 64 perms;
+    threshold n_match >= 0.5·64) — the oracle-checked face of the full LSH
+    pairing: band folds, bucket pairing and signature verification are all
+    mirrored in SQL on the already-oracle-checked signature table."""
+    from splade_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), min_est_jaccard=0.5, emit_counts=True
+    )
+
+
+def _minhash_pairs_sql(num_perm: int = 64, bands: int = 16) -> str:
+    """SQL mirror of minhash_lsh_pairs(emit_counts=True): per-band polynomial
+    fold of the signature (wrapping mod 2^64, masked to 63 bits), bucket
+    pairing on (band, band_hash), and per-pair matched-perm counts."""
+    from splade_ray.ops.dedup import SHINGLE_P
+
+    rows = num_perm // bands
+    return f"""
+WITH sigs AS ({_minhash_sigs_sql(num_perm)}),
+bh AS (
+  SELECT doc_id, perm // {rows} AS band,
+         (list_reduce(list(minhash::HUGEINT ORDER BY perm),
+                      (a, x) -> (a * {int(SHINGLE_P)} + x) % {_M64})
+          % 9223372036854775808)::BIGINT AS band_hash
+  FROM sigs GROUP BY doc_id, perm // {rows}
+),
+p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bh x JOIN bh y
+        ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+m AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM p JOIN sigs s1 ON s1.doc_id = p.doc_a
+         JOIN sigs s2 ON s2.doc_id = p.doc_b AND s2.perm = s1.perm
+  GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a, doc_b, n_match FROM m WHERE n_match >= 0.5 * {num_perm}"""
+
+
+def _simhash_pairs_sql() -> str:
+    """SQL mirror of simhash_pairs: 16-bit chunk blocking over the
+    oracle-checked fingerprints, pairwise hamming = bit_count(xor)."""
+    return f"""
+WITH sims AS ({_simhash_sigs_sql()}),
+ch AS (
+  SELECT doc_id, simhash, t.c,
+         ((simhash // t.d::UBIGINT) % 65536)::BIGINT AS key
+  FROM sims,
+       (VALUES (0, 1), (1, 65536), (2, 4294967296), (3, 281474976710656)) AS t(c, d)
+),
+p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS ha, y.simhash AS hb
+      FROM ch x JOIN ch y ON x.c = y.c AND x.key = y.key AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM p WHERE bit_count(xor(ha, hb)) <= 3"""
+
+
 def q_dedup_embedding(sf_dir: str):
     from splade_ray.ops.dedup import embedding_near_dup_pairs
 
@@ -980,10 +1038,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
-        # rows-only (pair estimates / float-sign ops; their signature inputs
-        # are oracle-checked above)
-        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_counts": q_dedup_minhash_counts,
         "dedup_simhash": q_dedup_simhash,
+        # rows-only (float-ratio faces / float-sign ops; each has an
+        # integer-exact or signature-level oracle-checked twin above)
+        "dedup_minhash": q_dedup_minhash,
         "near_dup_jaccard": q_near_dup_jaccard,
         "near_dup_jaccard_counts": q_near_dup_jaccard_counts,
         "dedup_embedding": q_dedup_embedding,
@@ -1145,6 +1204,8 @@ FROM documents""",
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),
         "simhash_sigs": _simhash_sigs_sql(),
+        "dedup_minhash_counts": _minhash_pairs_sql(),
+        "dedup_simhash": _simhash_pairs_sql(),
         "dedup_clusters": f"""
 WITH RECURSIVE {_dup_cluster_cte()}
 SELECT doc_id, cluster_id FROM lab""",

@@ -255,7 +255,8 @@ def _bucket_pairs(g: pd.DataFrame, *, max_bucket: int = MAX_BUCKET_DOCS) -> pd.D
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                      min_est_jaccard: float = 0.5, num_partitions: int | None = None):
+                      min_est_jaccard: float = 0.5, num_partitions: int | None = None,
+                      emit_counts: bool = False):
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Shuffle design: the banded bucket groupby moves only (doc_id, band,
@@ -334,19 +335,31 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
     ).rename_columns({"sig": "sig_b"})
 
     def verify(batch: pa.Table) -> pa.Table:
-        ests = np.empty(batch.num_rows, np.float64)
+        match = np.empty(batch.num_rows, np.int64)
         for i, (sa, sb) in enumerate(
             zip(batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist())
         ):
-            ests[i] = float(
-                (np.frombuffer(sa, np.uint64) == np.frombuffer(sb, np.uint64)).mean()
+            match[i] = int(
+                (np.frombuffer(sa, np.uint64) == np.frombuffer(sb, np.uint64)).sum()
             )
-        keep = pa.array(ests >= min_est_jaccard)
+        # integer threshold: est = match/num_perm >= t  <=>  match >= t*num_perm
+        keep_np = match >= min_est_jaccard * num_perm
+        keep = pa.array(keep_np)
+        if emit_counts:
+            # integer-exact face for the SQL oracle (see q_flops_metric for
+            # why rounded rationals are hash-fragile)
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"].filter(keep),
+                    "doc_b": batch["doc_b"].filter(keep),
+                    "n_match": pa.array(match[keep_np], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "doc_a": batch["doc_a"].filter(keep),
                 "doc_b": batch["doc_b"].filter(keep),
-                "est_jaccard": pa.array(ests[ests >= min_est_jaccard], pa.float64()),
+                "est_jaccard": pa.array(match[keep_np] / num_perm, pa.float64()),
             }
         )
 
