@@ -488,19 +488,37 @@ def _dup_edges(sf_dir: str):
     from splade_ray.ops.dedup import add_text_sha, jaccard_block_pairs
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
-    hashed = docs.map_batches(add_text_sha, batch_format="pyarrow").select_columns(
-        ["text_sha256", "doc_id"]
-    )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = add_text_sha(batch)
+        return pa.table(
+            {
+                "gk": pc.utf8_slice_codeunits(t["text_sha256"], 0, 4),
+                "text_sha256": t["text_sha256"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+            }
+        )
 
     def star(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-                {"doc_a": np.int64, "doc_b": np.int64}
-            )
-        return pd.DataFrame({"doc_a": np.full(ids.size - 1, ids[0]), "doc_b": ids[1:]})
+        # one coarse sha-prefix group; vectorized star emission (group-min
+        # repeated against every non-first row) — no per-sha Python calls
+        g = g.sort_values(["text_sha256", "doc_id"])
+        sha = g["text_sha256"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        first = np.r_[True, sha[1:] != sha[:-1]]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, ids.size))
+        return pd.DataFrame(
+            {"doc_a": np.repeat(ids[starts], counts)[~first], "doc_b": ids[~first]}
+        )
 
-    ex = hashed.groupby("text_sha256").map_groups(star, batch_format="pandas")
+    ex = (
+        docs.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(star, batch_format="pandas")
+    )
     jc = jaccard_block_pairs(docs, min_jaccard=0.5, emit_counts=True)
 
     def pick(batch: pa.Table) -> pa.Table:

@@ -51,17 +51,37 @@ def add_text_sha(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the lowest doc_id per identical text; returns
-    (doc_id, n_copies). One shuffle over (hash, id) rows only."""
-    hashed = ds.map_batches(
-        add_text_sha, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
-    ).select_columns(["text_sha256", id_col])
+    (doc_id, n_copies). One shuffle over (prefix, hash, id) rows only.
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g[id_col].min())], "n_copies": [len(g)]}
+    The shuffle groups on a 4-hex-char sha prefix (<=65536 coarse groups,
+    each ~n/65536 docs), NOT per sha — per-sha map_groups would pay one
+    Python call per distinct document (see _bucket_pairs); the within-group
+    reduction is one vectorized sorted-boundary pass."""
+    import pyarrow.compute as pc
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        t = add_text_sha(batch, text_col=text_col)
+        return pa.table(
+            {
+                "gk": pc.utf8_slice_codeunits(t["text_sha256"], 0, 4),
+                "text_sha256": t["text_sha256"],
+                id_col: t[id_col].cast(pa.int64()),
+            }
         )
 
-    return hashed.groupby("text_sha256").map_groups(keep_first, batch_format="pandas")
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_sha256", id_col])
+        sha = g["text_sha256"].to_numpy()
+        ids = g[id_col].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, sha[1:] != sha[:-1]])
+        counts = np.diff(np.append(starts, ids.size))
+        return pd.DataFrame({"doc_id": ids[starts], "n_copies": counts.astype(np.int64)})
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(keep_first, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- minhash/LSH
@@ -230,40 +250,86 @@ def _band_rows(batch: pa.Table, *, bands: int, rows_per_band: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, *, max_bucket: int = MAX_BUCKET_DOCS) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (ids only — signatures are not
-    carried here). Near-dup buckets are tiny, so the quadratic is normally
-    bounded; a degenerate bucket beyond ``max_bucket`` docs is truncated to
-    its first (sorted) ``max_bucket`` ids and logged — see MAX_BUCKET_DOCS."""
-    g = g.sort_values("doc_id").drop_duplicates("doc_id")
-    n = len(g)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64}
-        )
-    if n > max_bucket:
-        _LOG.warning(
-            "LSH bucket (band=%s) holds %d docs > cap %d; truncating — "
-            "degenerate band hash (e.g. near-empty docs)",
-            g["band"].iloc[0] if "band" in g else "?", n, max_bucket,
-        )
-        g = g.head(max_bucket)
-        n = max_bucket
-    ids = g["doc_id"].to_numpy(np.int64)
-    ia, ib = np.triu_indices(n, k=1)
-    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+def _bucket_pairs(g: pd.DataFrame, *, max_bucket: int = MAX_BUCKET_DOCS,
+                  keys: tuple[str, ...] = ("band", "band_hash")) -> pd.DataFrame:
+    """Candidate pairs within the LSH buckets of ONE COARSE shuffle group
+    (ids only — signatures are not carried here).
+
+    The groupby shuffles on a salted coarse key (`_coarse_key`), NOT on the
+    raw bucket key: real corpora produce ~one bucket per doc (mostly
+    singletons), and per-bucket ``map_groups`` would pay a Python call per
+    bucket (the round-3 stats audit measured that at ~7 s for 80k buckets
+    of 5k docs — the dominant cost of the whole operator). One coarse group
+    holds ~rows/num_groups bucket rows; singleton buckets are filtered
+    VECTORIZED (transform('size')), and only genuinely multi-doc buckets —
+    rare by construction — reach the per-bucket pairing loop.
+
+    Near-dup buckets are tiny, so the quadratic is normally bounded; a
+    degenerate bucket beyond ``max_bucket`` docs is truncated to its first
+    (sorted) ``max_bucket`` ids and logged — see MAX_BUCKET_DOCS."""
+    empty = pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
+        {"doc_a": np.int64, "doc_b": np.int64}
+    )
+    g = g.drop_duplicates([*keys, "doc_id"])
+    sizes = g.groupby(list(keys))["doc_id"].transform("size")
+    g = g[sizes >= 2]
+    if g.empty:
+        return empty
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for key, grp in g.groupby(list(keys)):
+        ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+        if ids.size > max_bucket:
+            _LOG.warning(
+                "LSH bucket %s holds %d docs > cap %d; truncating — "
+                "degenerate bucket key (e.g. near-empty docs)",
+                key, ids.size, max_bucket,
+            )
+            ids = ids[:max_bucket]
+        ia, ib = np.triu_indices(ids.size, k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+
+
+def _coarse_key(cols: list[np.ndarray], num_groups: int) -> np.ndarray:
+    """Deterministic salted shuffle key folding the raw bucket key into
+    ``num_groups`` coarse groups (rows of one bucket always co-locate)."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(cols[0].shape[0], np.uint64)
+        for c in cols:
+            acc = acc * SHINGLE_P + c.astype(np.uint64)
+    return (acc % np.uint64(num_groups)).astype(np.int64)
+
+
+def _shuffle_groups(requested: int | None = None) -> int:
+    if requested is not None:
+        return requested
+    cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+    return max(32, int(cpus) * 8)
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
                       min_est_jaccard: float = 0.5, num_partitions: int | None = None,
-                      emit_counts: bool = False):
+                      emit_counts: bool = False, pushdown_max_pairs: int = 100_000):
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
     Shuffle design: the banded bucket groupby moves only (doc_id, band,
     band_hash) rows — ~24 bytes/doc/band, not the signature; the candidate
-    pair set (tiny) is then verified by joining the (doc_id, sig) table
-    twice (doc_a, doc_b) and estimating Jaccard from the matched signature
-    fraction. The documents themselves never shuffle."""
+    pair set (tiny) is then verified against the (doc_id, sig) table and
+    Jaccard estimated from the matched signature fraction. The documents
+    themselves never shuffle.
+
+    Verification strategy (round-3 stats audit): candidate sets at or below
+    ``pushdown_max_pairs`` are verified by PUSHDOWN — the pair-bounded
+    candidate id set is broadcast once, their signatures fetched with a
+    vectorized isin filter over the signature table (one streaming pass, no
+    shuffle) and looked up per pair. Above the threshold the two hash joins
+    run instead (everything stays distributed). The default bounds driver
+    state at ~2·100k·(8·num_perm) B ≈ 100 MB; the same small-side-broadcast
+    pattern as rerank.fetch_doc_info."""
     from splade_ray.prune import join_partitions
 
     rows_per_band = num_perm // bands
@@ -279,20 +345,45 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k),
         concurrency=4,
     ).materialize()
-    band_rows = sigs.map_batches(
-        _band_rows,
-        batch_format="pyarrow",
-        fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band),
-    )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
+    n_groups = _shuffle_groups(None)
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["doc_a", "doc_b"]]
+    def banded(batch: pa.Table) -> pa.Table:
+        t = _band_rows(batch, bands=bands, rows_per_band=rows_per_band)
+        gk = _coarse_key(
+            [t["band"].to_numpy(zero_copy_only=False), t["band_hash"].to_numpy(zero_copy_only=False)],
+            n_groups,
+        )
+        return t.append_column("gk", pa.array(gk))
 
-    uniq_pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first_row, batch_format="pandas"
+    # coarse-key shuffle: bounded group count, vectorized per-group kernels
+    # (see _bucket_pairs for why grouping on the raw bucket key is wrong)
+    band_rows = sigs.map_batches(banded, batch_format="pyarrow")
+    pairs = band_rows.groupby("gk").map_groups(_bucket_pairs, batch_format="pandas")
+
+    def add_pair_gk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+            return pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("gk", pa.int64())]
+            ).empty_table()
+        gk = _coarse_key(
+            [batch["doc_a"].to_numpy(zero_copy_only=False), batch["doc_b"].to_numpy(zero_copy_only=False)],
+            n_groups,
+        )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
+                "gk": pa.array(gk),
+            }
+        )
+
+    def uniq_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    uniq_pairs = (
+        pairs.map_batches(add_pair_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(uniq_kernel, batch_format="pandas")
     )
 
     # hash-shuffle partitions that received no rows emit schema-less empty
@@ -312,8 +403,74 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     uniq_pairs = uniq_pairs.map_batches(
         _conform(pair_schema), batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def emit(batch: pa.Table, match: np.ndarray) -> pa.Table:
+        # integer threshold: est = match/num_perm >= t  <=>  match >= t*num_perm
+        keep_np = match >= min_est_jaccard * num_perm
+        keep = pa.array(keep_np)
+        if emit_counts:
+            # integer-exact face for the SQL oracle (see q_flops_metric for
+            # why rounded rationals are hash-fragile)
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"].filter(keep),
+                    "doc_b": batch["doc_b"].filter(keep),
+                    "n_match": pa.array(match[keep_np], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(keep),
+                "doc_b": batch["doc_b"].filter(keep),
+                "est_jaccard": pa.array(match[keep_np] / num_perm, pa.float64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        + ([("n_match", pa.int64())] if emit_counts else [("est_jaccard", pa.float64())])
     )
-    # the verification joins move only pair-sized data; keep their
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_pairs <= pushdown_max_pairs:
+        # pushdown verification: broadcast the pair-bounded candidate ids,
+        # fetch their signatures in ONE vectorized filter pass over the
+        # signature table (no shuffle), verify pairs via dict lookup
+        pdf = uniq_pairs.to_pandas()
+        cand = np.unique(
+            np.concatenate([pdf["doc_a"].to_numpy(np.int64), pdf["doc_b"].to_numpy(np.int64)])
+        )
+        cand_ref = ray.put(cand)
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(ids, ray.get(cand_ref))))
+
+        srows = sigs.map_batches(fetch, batch_format="pyarrow").to_pandas()
+        sig_ref = ray.put(
+            dict(zip(srows["doc_id"].to_numpy(np.int64), srows["sig"]))
+        )
+
+        def verify_lookup(batch: pa.Table) -> pa.Table:
+            smap = ray.get(sig_ref)
+            match = np.empty(batch.num_rows, np.int64)
+            for i, (da, db) in enumerate(
+                zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())
+            ):
+                match[i] = int(
+                    (
+                        np.frombuffer(smap[da], np.uint64)
+                        == np.frombuffer(smap[db], np.uint64)
+                    ).sum()
+                )
+            return emit(batch, match)
+
+        return uniq_pairs.map_batches(verify_lookup, batch_format="pyarrow")
+
+    # large candidate set: distributed hash-join verification. Keep the
     # aggregator-actor count low by default (each partition reserves CPU and
     # this pipeline already runs two groupbys + two joins concurrently) —
     # callers with genuinely large candidate sets pass num_partitions up
@@ -342,26 +499,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
             match[i] = int(
                 (np.frombuffer(sa, np.uint64) == np.frombuffer(sb, np.uint64)).sum()
             )
-        # integer threshold: est = match/num_perm >= t  <=>  match >= t*num_perm
-        keep_np = match >= min_est_jaccard * num_perm
-        keep = pa.array(keep_np)
-        if emit_counts:
-            # integer-exact face for the SQL oracle (see q_flops_metric for
-            # why rounded rationals are hash-fragile)
-            return pa.table(
-                {
-                    "doc_a": batch["doc_a"].filter(keep),
-                    "doc_b": batch["doc_b"].filter(keep),
-                    "n_match": pa.array(match[keep_np], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "doc_a": batch["doc_a"].filter(keep),
-                "doc_b": batch["doc_b"].filter(keep),
-                "est_jaccard": pa.array(match[keep_np] / num_perm, pa.float64()),
-            }
-        )
+        return emit(batch, match)
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
@@ -419,6 +557,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text"):
     (any pair within hamming<=3 of 64 bits shares at least one of 4 chunks)."""
     sh = ds.map_batches(simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col})
 
+    n_groups = _shuffle_groups(None)
+
     def explode(batch: pa.Table) -> pa.Table:
         doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -429,63 +569,103 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text"):
                 for c in range(4)
             ]
         )
+        chunks = np.repeat(np.arange(4, dtype=np.int64), n)
+        gk = _coarse_key([chunks, keys], n_groups)
         return pa.table(
             {
                 "doc_id": pa.array(np.tile(doc, 4)),
-                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "chunk": pa.array(chunks),
                 "key": pa.array(keys),
                 "simhash": pa.array(np.tile(h, 4), pa.uint64()),
+                "gk": pa.array(gk),
             }
         )
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        n = len(g)
-        if n > MAX_BUCKET_DOCS:  # degenerate chunk bucket: cap + log
-            _LOG.warning(
-                "simhash bucket (chunk=%s) holds %d docs > cap %d; truncating",
-                g["chunk"].iloc[0], n, MAX_BUCKET_DOCS,
-            )
-            g = g.head(MAX_BUCKET_DOCS)
-            n = MAX_BUCKET_DOCS
+        """All (chunk, key) buckets of one coarse shuffle group; singleton
+        buckets are dropped vectorized, only multi-doc buckets loop (see
+        _bucket_pairs for the coarse-key rationale)."""
         empty = pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
             {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
         )
-        if n < 2:
+        g = g.drop_duplicates(["chunk", "key", "doc_id"])
+        sizes = g.groupby(["chunk", "key"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
             return empty
-        ids = g["doc_id"].to_numpy(np.int64)
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        # vectorized popcount: per-doc 64-bit -> (n, 64) unpacked bits once,
-        # pairwise hamming in bounded pair chunks (memory cap ~16 MB)
-        bits = np.unpackbits(hs.view(np.uint8).reshape(n, 8), axis=1)
-        ia, ib = np.triu_indices(n, k=1)
         outs = []
-        step = 1 << 18
-        for s in range(0, ia.size, step):
-            d = (bits[ia[s : s + step]] != bits[ib[s : s + step]]).sum(axis=1)
-            keep = d <= max_hamming
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": ids[ia[s : s + step][keep]],
-                            "doc_b": ids[ib[s : s + step][keep]],
-                            "hamming": d[keep].astype(np.int64),
-                        }
-                    )
+        for key, grp in g.groupby(["chunk", "key"]):
+            grp = grp.sort_values("doc_id")
+            n = len(grp)
+            if n > MAX_BUCKET_DOCS:  # degenerate chunk bucket: cap + log
+                _LOG.warning(
+                    "simhash bucket %s holds %d docs > cap %d; truncating",
+                    key, n, MAX_BUCKET_DOCS,
                 )
+                grp = grp.head(MAX_BUCKET_DOCS)
+                n = MAX_BUCKET_DOCS
+            ids = grp["doc_id"].to_numpy(np.int64)
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            # vectorized popcount: per-doc 64-bit -> (n, 64) unpacked bits
+            # once, pairwise hamming in bounded pair chunks (~16 MB cap)
+            bits = np.unpackbits(hs.view(np.uint8).reshape(n, 8), axis=1)
+            ia, ib = np.triu_indices(n, k=1)
+            step = 1 << 18
+            for s in range(0, ia.size, step):
+                d = (bits[ia[s : s + step]] != bits[ib[s : s + step]]).sum(axis=1)
+                keep = d <= max_hamming
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": ids[ia[s : s + step][keep]],
+                                "doc_b": ids[ib[s : s + step][keep]],
+                                "hamming": d[keep].astype(np.int64),
+                            }
+                        )
+                    )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "key"])
+        .groupby("gk")
         .map_groups(bucket, batch_format="pandas")
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["doc_a", "doc_b", "hamming"]]
+    def add_pair_gk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+            return pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("hamming", pa.int64()),
+                    ("gk", pa.int64()),
+                ]
+            ).empty_table()
+        gk = _coarse_key(
+            [
+                batch["doc_a"].to_numpy(zero_copy_only=False),
+                batch["doc_b"].to_numpy(zero_copy_only=False),
+            ],
+            n_groups,
+        )
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
+                "hamming": batch["hamming"].cast(pa.int64()),
+                "gk": pa.array(gk),
+            }
+        )
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    def uniq_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "hamming"]]
+
+    return (
+        pairs.map_batches(add_pair_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(uniq_kernel, batch_format="pandas")
+    )
 
 
 # ----------------------------------------------------- exact n-gram jaccard

@@ -34,10 +34,20 @@ def _labels_dict(ds) -> dict[int, int]:
     return dict(zip(df["doc_id"].astype(int), df["cluster_id"].astype(int)))
 
 
-def test_cc_path_graph(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_cc_path_graph(ray_session, local_threshold):
     # worst-case diameter: a 64-node path must still collapse to min=0
+    # (local_threshold=0 forces the distributed star rounds; the default
+    # takes the single-task vectorized path — parity pinned here)
     pairs = [(i, i + 1) for i in range(63)]
-    got = _labels_dict(connected_components(_pairs_ds(pairs), num_buckets=4))
+    got = _labels_dict(
+        connected_components(
+            _pairs_ds(pairs), num_buckets=4, local_threshold=local_threshold
+        )
+    )
     assert got == {i: 0 for i in range(64)}
 
 
@@ -48,7 +58,8 @@ def test_cc_components_and_noise(ray_session):
     assert got == {5: 5, 7: 5, 9: 5, 20: 20, 30: 20}
 
 
-def test_cc_random_graph_matches_union_find(ray_session):
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_cc_random_graph_matches_union_find(ray_session, local_threshold):
     rng = np.random.RandomState(7)
     nodes = rng.choice(10_000, size=400, replace=False)
     pairs = [
@@ -56,7 +67,11 @@ def test_cc_random_graph_matches_union_find(ray_session):
         for _ in range(300)
     ]
     want = _uf_reference([(a, b) for a, b in pairs if a != b])
-    got = _labels_dict(connected_components(_pairs_ds(pairs), num_buckets=8))
+    got = _labels_dict(
+        connected_components(
+            _pairs_ds(pairs), num_buckets=8, local_threshold=local_threshold
+        )
+    )
     assert got == want
 
 
