@@ -891,7 +891,41 @@ def embedding_near_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # pair dedup on a coarse salted key (bounded group count), not per pair
+    # — per-pair map_groups pays one Python call per candidate pair
+    n_groups = _shuffle_groups(None)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup, batch_format="pandas")
+    def add_gk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or {"id_a", "id_b"} - set(batch.column_names):
+            return pa.schema(
+                [
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("cos_sim", pa.float64()),
+                    ("gk", pa.int64()),
+                ]
+            ).empty_table()
+        gk = _coarse_key(
+            [
+                batch["id_a"].to_numpy(zero_copy_only=False),
+                batch["id_b"].to_numpy(zero_copy_only=False),
+            ],
+            n_groups,
+        )
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "cos_sim": batch["cos_sim"].cast(pa.float64()),
+                "gk": pa.array(gk),
+            }
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cos_sim"]]
+
+    return (
+        pairs.map_batches(add_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(uniq, batch_format="pandas")
+    )
