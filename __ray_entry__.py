@@ -392,7 +392,7 @@ def q_rerank_pairwise(sf_dir: str):
 
     scored = (
         _rerank_pairs(sf_dir)
-        .map_batches(LexicalReranker, batch_format="pyarrow", batch_size=512, concurrency=2)
+        .map_batches(LexicalReranker, batch_format="pyarrow", batch_size=512, concurrency=(1, 2))
         .to_pandas()
     )
     out = pairwise_rerank(scored)
@@ -485,40 +485,10 @@ def _dup_edges(sf_dir: str):
     """Oracle-expressible duplicate edge set: exact-dup star edges (min doc
     per identical text -> every other copy) unioned with the blocked n-gram
     Jaccard pairs (same config as the green `near_dup_jaccard_counts`)."""
-    from splade_ray.ops.dedup import add_text_sha, jaccard_block_pairs
+    from splade_ray.ops.dedup import exact_dup_pairs, jaccard_block_pairs
 
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
-
-    def key_rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = add_text_sha(batch)
-        return pa.table(
-            {
-                "gk": pc.utf8_slice_codeunits(t["text_sha256"], 0, 4),
-                "text_sha256": t["text_sha256"],
-                "doc_id": t["doc_id"].cast(pa.int64()),
-            }
-        )
-
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        # one coarse sha-prefix group; vectorized star emission (group-min
-        # repeated against every non-first row) — no per-sha Python calls
-        g = g.sort_values(["text_sha256", "doc_id"])
-        sha = g["text_sha256"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
-        first = np.r_[True, sha[1:] != sha[:-1]]
-        starts = np.flatnonzero(first)
-        counts = np.diff(np.append(starts, ids.size))
-        return pd.DataFrame(
-            {"doc_a": np.repeat(ids[starts], counts)[~first], "doc_b": ids[~first]}
-        )
-
-    ex = (
-        docs.map_batches(key_rows, batch_format="pyarrow")
-        .groupby("gk")
-        .map_groups(star, batch_format="pandas")
-    )
+    ex = exact_dup_pairs(docs)
     jc = jaccard_block_pairs(docs, min_jaccard=0.5, emit_counts=True)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -812,7 +782,7 @@ def q_minhash_sigs(sf_dir: str):
     from splade_ray.ops.dedup import MinHashStage
 
     sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        MinHashStage, batch_format="pyarrow", batch_size=512, concurrency=2
+        MinHashStage, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
     )
 
     def unnest(batch: pa.Table) -> pa.Table:
@@ -978,7 +948,7 @@ def q_media_decode(sf_dir: str):
     media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         attach_fake_payload, batch_format="pyarrow", batch_size=256
     )
-    return decode_media(media, batch_size=64, concurrency=2)
+    return decode_media(media, batch_size=64, concurrency=(1, 2))
 
 
 def q_anserini_docs(sf_dir: str):
@@ -999,7 +969,7 @@ def q_media_frames(sf_dir: str):
     media = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         attach_fake_payload, batch_format="pyarrow", batch_size=256
     )
-    return frame_sample(decode_media(media, batch_size=64, concurrency=2), every_n=4000)
+    return frame_sample(decode_media(media, batch_size=64, concurrency=(1, 2)), every_n=4000)
 
 
 def q_flagship_run(sf_dir: str):

@@ -259,6 +259,90 @@ def cmd_beir_eval(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Duplicate clustering + survivor filter over a parquet corpus:
+    pair generation (exact / minhash / jaccard) → connected components →
+    cluster-canonical survivors. Writes ``out/clusters`` (doc_id,
+    cluster_id) and ``out/survivors`` (all source columns) as partitioned
+    parquet; prints a summary JSON line."""
+    _ensure_ray()
+    import os
+
+    import pyarrow as pa
+
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.cluster import connected_components, drop_near_duplicates
+    from splade_ray.ops.dedup import (
+        exact_dup_pairs,
+        jaccard_block_pairs,
+        minhash_lsh_pairs,
+    )
+
+    methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+    unknown = set(methods) - {"exact", "minhash", "jaccard"}
+    if unknown:
+        print(f"unknown dedup method(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+    cols = [args.id_col, args.text_col] + (
+        [args.lang_col] if "jaccard" in methods else []
+    )
+    ds = read_parquet_clean(args.corpus, columns=cols)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": batch[args.id_col].cast(pa.int64()),
+            "text": batch[args.text_col].cast(pa.string()),
+        }
+        if "jaccard" in methods:
+            out["lang"] = batch[args.lang_col].cast(pa.string())
+        return pa.table(out)
+
+    nds = ds.map_batches(norm, batch_format="pyarrow")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+            return pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+        return pa.table(
+            {"doc_a": batch["doc_a"].cast(pa.int64()), "doc_b": batch["doc_b"].cast(pa.int64())}
+        )
+
+    edges = None
+    for m in methods:
+        if m == "exact":
+            es = exact_dup_pairs(nds)
+        elif m == "minhash":
+            es = minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+        else:
+            es = jaccard_block_pairs(
+                nds, min_jaccard=args.min_jaccard, emit_counts=True
+            )
+        es = es.map_batches(pick, batch_format="pyarrow")
+        edges = es if edges is None else edges.union(es)
+
+    labels = connected_components(edges).materialize()
+    survivors = drop_near_duplicates(
+        read_parquet_clean(args.corpus), labels, id_col=args.id_col
+    ).materialize()
+
+    os.makedirs(args.out, exist_ok=True)
+    labels.write_parquet(os.path.join(args.out, "clusters"))
+    survivors.write_parquet(os.path.join(args.out, "survivors"))
+    n_nodes = labels.count()
+    n_survivors = survivors.count()
+    print(
+        json.dumps(
+            {
+                "methods": methods,
+                "n_dup_nodes": n_nodes,
+                "n_survivors": n_survivors,
+                "n_dropped": ds.count() - n_survivors,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -375,6 +459,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of measure@k strings (default ndcg@10,recall@10)")
     be.add_argument("--out", default=None, help="write metrics JSON here")
     be.set_defaults(fn=cmd_beir_eval)
+
+    dd = sub.add_parser(
+        "dedup", help="duplicate clustering + survivor filter over a parquet corpus"
+    )
+    dd.add_argument("--corpus", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--lang-col", default="lang")
+    dd.add_argument("--methods", default="exact,minhash",
+                    help="comma list of exact|minhash|jaccard")
+    dd.add_argument("--min-est-jaccard", type=float, default=0.5)
+    dd.add_argument("--min-jaccard", type=float, default=0.8)
+    dd.set_defaults(fn=cmd_dedup)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)

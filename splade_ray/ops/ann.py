@@ -73,7 +73,7 @@ def cosine_topk(ds, query_ids: np.ndarray, query_matrix: np.ndarray, *, top_k: i
         batch_format="pyarrow",
         batch_size=2048,
         fn_constructor_kwargs={"queries_ref": ref, "top_k": top_k},
-        concurrency=4,
+        concurrency=(1, 4),
     )
     return cand.groupby("query_id").map_groups(
         _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
@@ -112,7 +112,7 @@ def lsh_buckets(ds, *, dim: int, n_planes: int = 12, seed: int = 42):
                 }
             )
 
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def kmeans_fit(sample: np.ndarray, k: int, *, iters: int = 10, seed: int = 42) -> np.ndarray:

@@ -84,6 +84,41 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def exact_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact-duplicate STAR edges (min doc per identical text -> every other
+    copy) — the pair-face of :func:`exact_dedup`, feeding
+    ``ops.cluster.connected_components``. Same coarse sha-prefix shuffle +
+    vectorized sorted-boundary emission as exact_dedup."""
+    import pyarrow.compute as pc
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        t = add_text_sha(batch, text_col=text_col)
+        return pa.table(
+            {
+                "gk": pc.utf8_slice_codeunits(t["text_sha256"], 0, 4),
+                "text_sha256": t["text_sha256"],
+                "doc_id": t[id_col].cast(pa.int64()),
+            }
+        )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_sha256", "doc_id"])
+        sha = g["text_sha256"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        first = np.r_[True, sha[1:] != sha[:-1]]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, ids.size))
+        return pd.DataFrame(
+            {"doc_a": np.repeat(ids[starts], counts)[~first], "doc_b": ids[~first]}
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(star, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- minhash/LSH
 
 
@@ -343,7 +378,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
         MinHashStage,
         batch_format="pyarrow",
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k),
-        concurrency=4,
+        concurrency=(1, 4),
     ).materialize()
     n_groups = _shuffle_groups(None)
 
@@ -886,7 +921,7 @@ def embedding_near_dup_pairs(
         )
 
     pairs = (
-        ds.map_batches(Sig, batch_format="pyarrow", batch_size=2048, concurrency=2)
+        ds.map_batches(Sig, batch_format="pyarrow", batch_size=2048, concurrency=(1, 2))
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

@@ -89,7 +89,7 @@ class DecodeStage:
         )
 
 
-def decode_media(ds, *, batch_size: int = 64, concurrency: int = 4, real: bool = False):
+def decode_media(ds, *, batch_size: int = 64, concurrency=(1, 4), real: bool = False):
     return ds.map_batches(
         DecodeStage,
         batch_format="pyarrow",
@@ -129,7 +129,7 @@ class ResizeStage:
 
 
 def resize_media(ds, *, width: int = 224, height: int = 224, batch_size: int = 64,
-                 concurrency: int = 4, real: bool = False):
+                 concurrency=(1, 4), real: bool = False):
     return ds.map_batches(
         ResizeStage,
         batch_format="pyarrow",

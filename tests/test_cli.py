@@ -170,3 +170,35 @@ def test_cli_rerank(ray_session, tmp_path, capsys):
     out = read_run_json(out_path)
     # doc 3 matches both "apple" and "butter" -> overlap 2, must rank first
     assert out[out["rank"] == 1]["doc_id"].iloc[0] == 3
+
+
+def test_cli_dedup(ray_session, tmp_path, capsys):
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["a b c d e f g h", "a b c d e f g h", "x y z w v u t s",
+             "unique document one", "unique document two"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "dedup_out")
+    rc = main(["dedup", "--corpus", str(d), "--out", out,
+               "--methods", "exact,minhash"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # docs 0,1 are identical -> one survivor; everything else unpaired
+    assert summary["n_dropped"] == 1
+    assert summary["n_survivors"] == 4
+    import ray.data as rd
+
+    clusters = rd.read_parquet(out + "/clusters").to_pandas()
+    assert dict(zip(clusters["doc_id"], clusters["cluster_id"])) == {0: 0, 1: 0}
+    surv = rd.read_parquet(out + "/survivors").to_pandas()
+    assert sorted(surv["doc_id"].tolist()) == [0, 2, 3, 4]
+    assert set(surv.columns) == {"doc_id", "text", "lang"}
