@@ -264,7 +264,16 @@ def cmd_dedup(args) -> int:
     pair generation (exact / minhash / jaccard) → connected components →
     cluster-canonical survivors. Writes ``out/clusters`` (doc_id,
     cluster_id) and ``out/survivors`` (all source columns) as partitioned
-    parquet; prints a summary JSON line."""
+    parquet; prints a summary JSON line.
+
+    Resumable per method: each method's pair table is checkpointed to
+    ``out/pairs/<method>`` (with a ``_DONE`` marker written after the
+    parquet lands — same pattern as build_index's per-segment manifests),
+    so a rerun after a failure skips every finished method and only
+    recomputes the missing pair tables. Pair generation dominates the
+    pipeline cost (it scans the documents; clustering touches only the
+    pair-sized edge list), so this is where a 100-TB run wants restarts
+    to be cheap."""
     _ensure_ray()
     import os
 
@@ -306,17 +315,37 @@ def cmd_dedup(args) -> int:
             {"doc_a": batch["doc_a"].cast(pa.int64()), "doc_b": batch["doc_b"].cast(pa.int64())}
         )
 
+    import ray.data as rd
+
+    def empty_pairs():
+        return rd.from_arrow(
+            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+        )
+
     edges = None
+    skipped: list[str] = []
     for m in methods:
-        if m == "exact":
-            es = exact_dup_pairs(nds)
-        elif m == "minhash":
-            es = minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+        pair_dir = os.path.join(args.out, "pairs", m)
+        marker = os.path.join(pair_dir, "_DONE")
+        if not os.path.exists(marker):
+            if m == "exact":
+                es = exact_dup_pairs(nds)
+            elif m == "minhash":
+                es = minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+            else:
+                es = jaccard_block_pairs(
+                    nds, min_jaccard=args.min_jaccard, emit_counts=True
+                )
+            os.makedirs(pair_dir, exist_ok=True)
+            es.map_batches(pick, batch_format="pyarrow").write_parquet(pair_dir)
+            with open(marker, "w") as f:
+                f.write("done\n")
         else:
-            es = jaccard_block_pairs(
-                nds, min_jaccard=args.min_jaccard, emit_counts=True
-            )
-        es = es.map_batches(pick, batch_format="pyarrow")
+            skipped.append(m)
+        # an empty pair set writes no parquet files; substitute a typed
+        # empty dataset so the union keeps its (doc_a, doc_b) schema
+        has_files = any(n.endswith(".parquet") for n in os.listdir(pair_dir))
+        es = read_parquet_clean(pair_dir) if has_files else empty_pairs()
         edges = es if edges is None else edges.union(es)
 
     labels = connected_components(edges).materialize()
@@ -324,7 +353,14 @@ def cmd_dedup(args) -> int:
         read_parquet_clean(args.corpus), labels, id_col=args.id_col
     ).materialize()
 
+    import shutil
+
     os.makedirs(args.out, exist_ok=True)
+    # clusters/survivors are derived wholly from the checkpointed pair
+    # tables — clear any partial previous write (write_parquet appends
+    # into an existing dir) and regenerate
+    for sub_dir in ("clusters", "survivors"):
+        shutil.rmtree(os.path.join(args.out, sub_dir), ignore_errors=True)
     labels.write_parquet(os.path.join(args.out, "clusters"))
     survivors.write_parquet(os.path.join(args.out, "survivors"))
     n_nodes = labels.count()
@@ -333,6 +369,7 @@ def cmd_dedup(args) -> int:
         json.dumps(
             {
                 "methods": methods,
+                "methods_skipped": skipped,
                 "n_dup_nodes": n_nodes,
                 "n_survivors": n_survivors,
                 "n_dropped": ds.count() - n_survivors,

@@ -202,3 +202,18 @@ def test_cli_dedup(ray_session, tmp_path, capsys):
     surv = rd.read_parquet(out + "/survivors").to_pandas()
     assert sorted(surv["doc_id"].tolist()) == [0, 2, 3, 4]
     assert set(surv.columns) == {"doc_id", "text", "lang"}
+
+    # resumability: pair tables are checkpointed per method; a rerun skips
+    # both finished methods and reproduces identical outputs
+    import os
+
+    assert os.path.exists(out + "/pairs/exact/_DONE")
+    assert os.path.exists(out + "/pairs/minhash/_DONE")
+    rc = main(["dedup", "--corpus", str(d), "--out", out,
+               "--methods", "exact,minhash"])
+    assert rc == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["methods_skipped"] == ["exact", "minhash"]
+    assert summary2["n_survivors"] == 4 and summary2["n_dropped"] == 1
+    surv2 = rd.read_parquet(out + "/survivors").to_pandas()
+    assert sorted(surv2["doc_id"].tolist()) == [0, 2, 3, 4]
