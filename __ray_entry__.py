@@ -409,6 +409,17 @@ def q_text_quality(sf_dir: str):
     )
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality-rule flags (ops/textstats.gopher_rules_batch):
+    integer fact counts + the pass_gopher conjunction, all integer-exact
+    and mirrored by RE2-identical DuckDB regex counts."""
+    from splade_ray.ops.textstats import gopher_rules_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
 def q_token_counts(sf_dir: str):
     from splade_ray.ops.textstats import token_count_batch
 
@@ -1018,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_lexical": q_rerank_lexical,
         "rerank_pairwise": q_rerank_pairwise,
         "text_quality": q_text_quality,
+        "gopher_rules": q_gopher_rules,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1318,6 +1330,33 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS bpe_tokens
 FROM documents""",
+        # RE2 patterns shared VERBATIM with gopher_rules_batch (Arrow and
+        # DuckDB both embed RE2); every rule is an integer-exact comparison
+        "gopher_rules": r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+         (length(text) - len(regexp_extract_all(text, '\s')))::BIGINT AS n_nonws_chars,
+         len(regexp_extract_all(text, '#|\.\.\.'))::BIGINT AS n_symbols,
+         len(regexp_extract_all(text, '\S*[a-zA-Z]\S*'))::BIGINT AS n_alpha_words,
+         (len(regexp_extract_all(text, '\n')) + 1)::BIGINT AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))::BIGINT AS n_bullet_lines,
+         len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$'))::BIGINT AS n_ellipsis_lines,
+         (CASE WHEN regexp_matches(text, '(?i)\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(?i)\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(?i)\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(?i)\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '(?i)\bin\b') THEN 1 ELSE 0 END)::BIGINT AS n_stop_present
+  FROM documents)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND 3 * n_words <= n_nonws_chars AND n_nonws_chars <= 10 * n_words
+        AND 10 * n_symbols <= n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND 10 * n_bullet_lines <= 9 * n_lines
+        AND 10 * n_ellipsis_lines <= 3 * n_lines
+        AND n_stop_present >= 2) AS pass_gopher
+FROM f""",
         "top_terms": f"""
 WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

@@ -55,6 +55,64 @@ def quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     )
 
 
+def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
+                       min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+    """Gopher-style quality-rule flags per doc (Rae et al. 2021, public
+    rule set), as one vectorized ``map_batches`` stage.
+
+    Every emitted fact is an INTEGER count and every rule an integer-exact
+    comparison (e.g. mean word length in [3,10] ⇔ ``3·n_words ≤
+    n_nonws_chars ≤ 10·n_words``) so the whole table — including the final
+    ``pass_gopher`` conjunction — has a bit-exact DuckDB mirror (the
+    flaky-rational-oracle lesson from the FLOPS metric: never round floats
+    at a comparison boundary). Regex counts use RE2 pattern strings shared
+    verbatim with the SQL mirror (Arrow and DuckDB both embed RE2).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# or ...) ≤ 0.1; ≥ 80% of words contain
+    an alphabetic char; ≤ 90% of lines start with a bullet; ≤ 30% of lines
+    end with an ellipsis; ≥ 2 distinct common stopwords present."""
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    n_words = _count_regex(texts, r"\S+")
+    n_ws = _count_regex(texts, r"\s")
+    n_chars = np.asarray(pc.utf8_length(texts).fill_null(0), dtype=np.int64)
+    n_nonws = n_chars - n_ws
+    n_symbols = _count_regex(texts, r"#|\.\.\.")
+    n_alpha_words = _count_regex(texts, r"\S*[a-zA-Z]\S*")
+    n_lines = _count_regex(texts, r"\n") + 1
+    n_bullet_lines = _count_regex(texts, r"(?m)^[ \t]*[-*•]")
+    n_ellipsis_lines = _count_regex(texts, r"(?m)(\.\.\.|…)[ \t]*$")
+    stop = np.zeros(len(n_words), dtype=np.int64)
+    for w in ("the", "and", "of", "to", "in"):
+        hit = pc.match_substring_regex(texts, rf"(?i)\b{w}\b").fill_null(False)
+        stop += np.asarray(hit, dtype=np.int64)
+    ok = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (3 * n_words <= n_nonws) & (n_nonws <= 10 * n_words)
+        & (10 * n_symbols <= n_words)
+        & (5 * n_alpha_words >= 4 * n_words)
+        & (10 * n_bullet_lines <= 9 * n_lines)
+        & (10 * n_ellipsis_lines <= 3 * n_lines)
+        & (stop >= 2)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_nonws_chars": pa.array(n_nonws, pa.int64()),
+            "n_symbols": pa.array(n_symbols, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha_words, pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_bullet_lines": pa.array(n_bullet_lines, pa.int64()),
+            "n_ellipsis_lines": pa.array(n_ellipsis_lines, pa.int64()),
+            "n_stop_present": pa.array(stop, pa.int64()),
+            "pass_gopher": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish sub-word piece count per doc —
     vectorized regex-count kernels."""

@@ -139,6 +139,35 @@ def test_quality_batch_ratios():
     assert out["digit_ratio_r"].to_pylist()[1] == 0.0
 
 
+def test_gopher_rules_flags():
+    from splade_ray.ops.textstats import gopher_rules_batch
+
+    good = "the cat and the dog ran to the house in the rain " * 6  # 72 words
+    short = "the and of to in"  # stopwords present but only 5 words
+    bullets = "\n".join(f"- item {i} the and" for i in range(10)) + "\nthe and plain"
+    symbols = ("the and " + "# " * 40) * 2  # symbol-to-word ratio >> 0.1
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [good, short, bullets, symbols],
+        }
+    )
+    out = gopher_rules_batch(t, min_words=10)
+    rows = {d: i for i, d in enumerate(out["doc_id"].to_pylist())}
+    assert out["pass_gopher"].to_pylist()[rows[0]] is True
+    # doc 1 fails the word-count floor only
+    assert out["n_words"].to_pylist()[rows[1]] == 5
+    assert out["pass_gopher"].to_pylist()[rows[1]] is False
+    # doc 2: 10 of 11 lines are bullets -> 10*10 > 9*11 fails the bullet rule
+    assert out["n_bullet_lines"].to_pylist()[rows[2]] == 10
+    assert out["n_lines"].to_pylist()[rows[2]] == 11
+    assert out["pass_gopher"].to_pylist()[rows[2]] is False
+    # doc 3: 80 '#' among 164 words fails the symbol rule
+    assert out["n_symbols"].to_pylist()[rows[3]] == 80
+    assert out["pass_gopher"].to_pylist()[rows[3]] is False
+    assert out["n_stop_present"].to_pylist()[rows[0]] == 4  # the/and/to/in
+
+
 def test_langid_heuristic():
     t = pa.table(
         {
