@@ -420,6 +420,19 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_repetition(sf_dir: str):
+    """Within-doc repetition stats (ops/textstats.repetition_batch): most
+    frequent 2/3-gram (count + hash), duplicated-5-gram mass, and the
+    Gopher-style repetition flags — every column an integer, a uint64 gram
+    hash or an integer-exact flag, mirrored bit-for-bit by the HUGEINT
+    rolling-fold SQL."""
+    from splade_ray.ops.textstats import repetition_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
 def q_token_counts(sf_dir: str):
     from splade_ray.ops.textstats import token_count_batch
 
@@ -640,6 +653,59 @@ fp AS (
   FROM hs
 )
 SELECT doc_id, f::UBIGINT AS fingerprint FROM fp"""
+
+
+def _repetition_sql() -> str:
+    """SQL mirror of ops.textstats.repetition_batch: n-gram hashes are the
+    same FNV rolling fold over sha256-prefix token hashes (HUGEINT mod 2^64
+    ≡ the numpy uint64 wraparound); top-gram pick = max count then min hash
+    (QUALIFY row_number); dup5 = occurrences − distinct; flags are the same
+    integer cross-multiplied comparisons."""
+    p = 1099511628211
+
+    def grams(n: int) -> str:
+        fold = _fold_sql([f"h[i+{j}]" for j in range(n)], p)
+        return f"""(
+  SELECT doc_id, unnest(list_transform(range(1, len(h) - {n - 2}), i -> {fold})) AS g
+  FROM hs WHERE len(h) >= {n}
+)"""
+
+    def top(n: int) -> str:
+        return f"""(
+  SELECT doc_id, c, g FROM c{n}
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+)"""
+
+    return f"""
+WITH {_token_hashes_cte()},
+g2 AS {grams(2)},
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+t2 AS {top(2)},
+g3 AS {grams(3)},
+c3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY doc_id, g),
+t3 AS {top(3)},
+g5 AS {grams(5)},
+d5 AS (SELECT doc_id, count(*)::BIGINT AS n5,
+              (count(*) - count(DISTINCT g))::BIGINT AS dup5
+       FROM g5 GROUP BY doc_id),
+nt AS (SELECT doc_id, len(h)::BIGINT AS n_tokens FROM hs)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(t2.c, 0)::BIGINT AS top2_count,
+       coalesce(t2.g, 0)::UBIGINT AS top2_gram,
+       coalesce(t3.c, 0)::BIGINT AS top3_count,
+       coalesce(t3.g, 0)::UBIGINT AS top3_gram,
+       coalesce(d5.n5, 0)::BIGINT AS n_grams5,
+       coalesce(d5.dup5, 0)::BIGINT AS dup5_count,
+       (10 * coalesce(t2.c, 0) > nt.n_tokens) AS rep_top2,
+       (50 * coalesce(t3.c, 0) > 3 * nt.n_tokens) AS rep_top3,
+       (20 * coalesce(d5.dup5, 0) > 3 * coalesce(d5.n5, 0)) AS rep_dup5,
+       NOT ((10 * coalesce(t2.c, 0) > nt.n_tokens)
+            OR (50 * coalesce(t3.c, 0) > 3 * nt.n_tokens)
+            OR (20 * coalesce(d5.dup5, 0) > 3 * coalesce(d5.n5, 0))) AS pass_repetition
+FROM nt
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)"""
 
 
 def _shingles_cte(k: int = 3) -> str:
@@ -1030,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_pairwise": q_rerank_pairwise,
         "text_quality": q_text_quality,
         "gopher_rules": q_gopher_rules,
+        "repetition_stats": q_repetition,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1357,6 +1424,7 @@ SELECT *,
         AND 10 * n_ellipsis_lines <= 3 * n_lines
         AND n_stop_present >= 2) AS pass_gopher
 FROM f""",
+        "repetition_stats": _repetition_sql(),
         "top_terms": f"""
 WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

@@ -233,6 +233,106 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text", window: int = 
     )
 
 
+def _gram_hashes(hs: np.ndarray, par: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat ``n``-gram rolling-fold hashes (uint64 wraparound, FNV prime —
+    the ``fingerprint_batch`` fold) over a batch's flat token-hash array,
+    with grams that cross a doc boundary masked out. Returns
+    ``(gram_hash uint64, doc_index int64)``; docs with < n tokens
+    contribute nothing."""
+    P = np.uint64(1099511628211)
+    m = hs.size - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    with np.errstate(over="ignore"):
+        roll = np.zeros(m, np.uint64)
+        for i in range(n):
+            roll = roll * P + hs[i : i + m]
+    valid = par[:m] == par[n - 1 : n - 1 + m]
+    return roll[valid], par[:m][valid]
+
+
+def _top_gram_per_doc(
+    grams: np.ndarray, par: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per doc: (count of the most frequent gram, that gram's hash) with a
+    deterministic tie-break (smallest hash among max-count grams). All
+    sort/reduceat kernels — no Python loop over docs."""
+    top_c = np.zeros(n_rows, np.int64)
+    top_g = np.zeros(n_rows, np.uint64)
+    if grams.size == 0:
+        return top_c, top_g
+    order = np.lexsort((grams, par))
+    g_s, p_s = grams[order], par[order]
+    bound = np.flatnonzero((p_s[1:] != p_s[:-1]) | (g_s[1:] != g_s[:-1])) + 1
+    starts = np.concatenate(([0], bound))
+    counts = np.diff(np.concatenate((starts, [g_s.size])))
+    run_p, run_g = p_s[starts], g_s[starts]
+    # pick per doc: max count, then min gram hash — order runs by
+    # (doc, -count, gram) and take the first run of each doc
+    pick = np.lexsort((run_g, -counts, run_p))
+    first = np.unique(run_p[pick], return_index=True)[1]
+    sel = pick[first]
+    top_c[run_p[sel]] = counts[sel]
+    top_g[run_p[sel]] = run_g[sel]
+    return top_c, top_g
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Within-document repetition stats (the Gopher repetition filters, Rae
+    et al. 2021 §A1.1, token-fraction variant): per doc the most frequent
+    2-gram / 3-gram and the duplicated-5-gram mass, plus integer-exact rule
+    flags. Every fact is an integer count or a 64-bit gram hash, and every
+    rule an integer cross-multiplied comparison, so the whole table has a
+    bit-exact DuckDB mirror (gram hash = the ``fingerprint_batch`` rolling
+    fold over sha256-prefix token hashes, reproduced in HUGEINT SQL).
+
+    Rules (token-fraction analogs of Gopher's character fractions):
+    top-2-gram mass ``2·top2_count ≤ 0.20·n_tokens``; top-3-gram mass
+    ``3·top3_count ≤ 0.18·n_tokens``; duplicate-5-gram occurrences
+    ``dup5_count ≤ 0.15·n_grams5``. Docs too short to form a gram pass
+    trivially (counts 0). Tie-breaks: smallest gram hash among max-count
+    grams."""
+    from splade_ray.ops.dedup import _flat_token_hashes
+
+    texts = batch[text_col]
+    hs, par, doc_lens = _flat_token_hashes(texts)
+    n_rows = doc_lens.size
+    top2_c, top2_g = _top_gram_per_doc(*_gram_hashes(hs, par, 2), n_rows)
+    top3_c, top3_g = _top_gram_per_doc(*_gram_hashes(hs, par, 3), n_rows)
+    g5, p5 = _gram_hashes(hs, par, 5)
+    n5 = np.bincount(p5, minlength=n_rows).astype(np.int64)
+    if g5.size:
+        # distinct 5-grams per doc: count run boundaries in the sorted stream
+        order = np.lexsort((g5, p5))
+        g_s, p_s = g5[order], p5[order]
+        new_run = np.concatenate(
+            ([True], (p_s[1:] != p_s[:-1]) | (g_s[1:] != g_s[:-1]))
+        )
+        distinct5 = np.bincount(p_s[new_run], minlength=n_rows).astype(np.int64)
+    else:
+        distinct5 = np.zeros(n_rows, np.int64)
+    dup5 = n5 - distinct5
+    rep2 = 10 * top2_c > doc_lens          # 2·c/n > 1/5
+    rep3 = 50 * top3_c > 3 * doc_lens      # 3·c/n > 9/50
+    rep5 = 20 * dup5 > 3 * n5              # dup/n5 > 3/20
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(doc_lens, pa.int64()),
+            "top2_count": pa.array(top2_c, pa.int64()),
+            "top2_gram": pa.array(top2_g, pa.uint64()),
+            "top3_count": pa.array(top3_c, pa.int64()),
+            "top3_gram": pa.array(top3_g, pa.uint64()),
+            "n_grams5": pa.array(n5, pa.int64()),
+            "dup5_count": pa.array(dup5, pa.int64()),
+            "rep_top2": pa.array(rep2, pa.bool_()),
+            "rep_top3": pa.array(rep3, pa.bool_()),
+            "rep_dup5": pa.array(rep5, pa.bool_()),
+            "pass_repetition": pa.array(~(rep2 | rep3 | rep5), pa.bool_()),
+        }
+    )
+
+
 def hash_token(t: str) -> np.uint64:
     """64-bit token hash = first 8 bytes of sha256 (big-endian). sha256 is
     chosen over blake2b so every hash-derived operator (fingerprint, minhash,

@@ -334,18 +334,46 @@ class IndexShardActor:
         return rows
 
 
+class RouterOverloaded(Exception):
+    """Raised (inside a RayTaskError) when a QueryRouter sheds a request
+    because its bounded in-flight admission window is full. Clients should
+    back off and retry, or route to another router replica."""
+
+
 @ray.remote
 class QueryRouter:
-    """Serving router (ROADMAP #7): owns the shard actors and performs the
-    whole prepare → fan-out → heap-merge cycle INSIDE one actor, so a client
+    """Serving router: owns the shard actors and performs the whole
+    prepare → fan-out → heap-merge cycle INSIDE one actor, so a client
     round-trip is a single ``router.search.remote(...)`` call instead of a
     driver-side scatter-gather. Multiple routers can be created over the
     same index for QPS scaling; each router's shards SPREAD across nodes.
     The reference has no serving tier at all (its retriever is an in-process
     loop, ``transformer_evaluator.py:142-193``) — this is the deployment
-    shape a long-lived index needs."""
+    shape a long-lived index needs.
 
-    def __init__(self, index_dir: str, num_shards: int = 8, method: str = "exact"):
+    Backpressure: the actor is ASYNC — while one batch awaits its shards,
+    further requests are admitted up to ``max_inflight``; beyond that the
+    router SHEDS (raises :class:`RouterOverloaded`) instead of queueing
+    unboundedly, so a slow shard surfaces as client-visible backpressure
+    rather than silent memory growth inside the router. Since every admitted
+    request puts exactly one task on each shard actor, ``max_inflight`` also
+    bounds each shard's queue depth."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_shards: int = 8,
+        method: str = "exact",
+        max_inflight: int = 8,
+        simulate_shard_latency_s: float = 0.0,
+    ):
+        self._max_inflight = max_inflight
+        self._inflight = 0
+        self._admitted = 0
+        self._shed = 0
+        # fault injection for admission-control tests: hold the in-flight
+        # slot this long before fanning out, as if the shards were slow
+        self._sim_latency = simulate_shard_latency_s
         segs = segment_dirs(index_dir)
         num_shards = max(1, min(num_shards, len(segs)))
         assignment: list[list[str]] = [[] for _ in range(num_shards)]
@@ -365,23 +393,43 @@ class QueryRouter:
             self.quant_extra = {"quant_factor": qman["factor"]}
             self._quant_kb = (qman["k1"], qman["b"])
 
-    def search(
+    async def search(
         self,
         queries: list[tuple[int, str]],
         params: BM25Params | None = None,
         query_lang: str | None = None,
     ) -> pd.DataFrame:
+        import asyncio
+
+        if self._inflight >= self._max_inflight:
+            self._shed += 1
+            raise RouterOverloaded(
+                f"router at max_inflight={self._max_inflight}; "
+                f"{self._shed} total requests shed"
+            )
         params = params or BM25Params()
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
             raise ValueError(
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
             )
-        prepared = {
-            **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
-            **self.quant_extra,
-        }
-        results = ray.get([a.search.remote(prepared) for a in self.actors])
+        self._inflight += 1
+        self._admitted += 1
+        try:
+            if self._sim_latency:
+                await asyncio.sleep(self._sim_latency)
+            # prepare_queries is small disk I/O (lexicon row-group reads);
+            # it runs inline — the await below is where other requests
+            # interleave
+            prepared = {
+                **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
+                **self.quant_extra,
+            }
+            results = await asyncio.gather(
+                *[a.search.remote(prepared) for a in self.actors]
+            )
+        finally:
+            self._inflight -= 1
         rows = [r for part in results for r in part]
         if not rows:
             return pd.DataFrame(columns=RUN_COLUMNS)
@@ -392,6 +440,15 @@ class QueryRouter:
             .reset_index(drop=True)
         )
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    def stats(self) -> dict:
+        """Admission-control counters (for load balancers / autoscalers)."""
+        return {
+            "inflight": self._inflight,
+            "max_inflight": self._max_inflight,
+            "admitted": self._admitted,
+            "shed": self._shed,
+        }
 
     def shutdown(self) -> None:
         for a in self.actors:

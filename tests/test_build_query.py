@@ -546,3 +546,37 @@ def test_compaction_crash_after_journal_recovers(ray_session, tmp_path):
     pd.testing.assert_frame_equal(after, before)
     # idempotent: nothing left to recover
     assert recover_compaction(idx) is None
+
+
+def test_query_router_backpressure_sheds(built):
+    """Bounded admission (ROADMAP: serving backpressure): with
+    max_inflight=2 and slow shards, a burst of 8 concurrent requests gets
+    exactly 2 admitted and 6 shed with RouterOverloaded — the router never
+    queues unboundedly. Admitted requests return correct runs; counters
+    reconcile."""
+    import ray as _ray
+
+    from splade_ray.query import QueryRouter, RouterOverloaded
+
+    _, index_dir, _ = built
+    router = QueryRouter.remote(
+        index_dir, num_shards=2, max_inflight=2, simulate_shard_latency_s=1.0
+    )
+    try:
+        refs = [router.search.remote(QUERIES, BM25Params(top_k=10)) for _ in range(8)]
+        runs, n_shed = [], 0
+        for r in refs:
+            try:
+                runs.append(_ray.get(r))
+            except _ray.exceptions.RayTaskError as e:
+                assert isinstance(e.cause, RouterOverloaded), e.cause
+                n_shed += 1
+        stats = _ray.get(router.stats.remote())
+        assert n_shed == 6 and stats["shed"] == 6 and stats["admitted"] == 2
+        assert stats["inflight"] == 0
+        want = search(index_dir, QUERIES, BM25Params(top_k=10))
+        for run in runs:
+            pd.testing.assert_frame_equal(run.reset_index(drop=True), want)
+    finally:
+        _ray.get(router.shutdown.remote())
+        _ray.kill(router)

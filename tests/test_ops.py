@@ -584,3 +584,121 @@ def test_jaccard_salted_group_sizes_bounded(ray_session):
         b = int((salts == gj).sum())
         cover += a * (a - 1) // 2 if gi == gj else a * b
     assert cover == n_docs * (n_docs - 1) // 2
+
+
+def test_repetition_scalar_parity():
+    """repetition_batch (vectorized sort/reduceat kernels) matches a direct
+    Counter-based scalar reference on edge cases: empty doc, 1 token,
+    exactly-n tokens, heavy phrase repetition, count ties."""
+    from collections import Counter
+
+    from splade_ray.analysis import tokenize_column
+    from splade_ray.ops.textstats import hash_token, repetition_batch
+
+    P, M = 1099511628211, 1 << 64
+
+    def scalar(text):
+        terms, _, _ = tokenize_column(pa.array([text], pa.string()))
+        hs = [int(hash_token(t)) for t in terms.to_pylist()]
+
+        def gram(i, n):
+            v = 0
+            for h in hs[i : i + n]:
+                v = (v * P + h) % M
+            return v
+
+        def top(n):
+            if len(hs) < n:
+                return 0, 0
+            c = Counter(gram(i, n) for i in range(len(hs) - n + 1))
+            mx = max(c.values())
+            return mx, min(g for g, v in c.items() if v == mx)
+
+        n5 = max(len(hs) - 4, 0)
+        d5 = Counter(gram(i, 5) for i in range(n5))
+        return {
+            "n_tokens": len(hs),
+            "top2": top(2),
+            "top3": top(3),
+            "n_grams5": n5,
+            "dup5_count": n5 - len(d5),
+        }
+
+    texts = [
+        "",
+        "one",
+        "two tokens",
+        "spark spark spark spark spark spark",          # one gram repeated
+        "a b a b a b a b c d e f g h",                  # heavy 2-gram repetition
+        "x y z x y z x y z x y z",                      # repeated 3-phrase
+        "all distinct tokens here never repeat at once",  # tie: every gram count 1
+        "exactly five tokens right here",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_batch(t)
+    rows = {d: i for i, d in enumerate(out["doc_id"].to_pylist())}
+    for did, text in enumerate(texts):
+        ref = scalar(text)
+        i = rows[did]
+        assert out["n_tokens"][i].as_py() == ref["n_tokens"], did
+        assert out["top2_count"][i].as_py() == ref["top2"][0], did
+        assert out["top2_gram"][i].as_py() == ref["top2"][1], did
+        assert out["top3_count"][i].as_py() == ref["top3"][0], did
+        assert out["top3_gram"][i].as_py() == ref["top3"][1], did
+        assert out["n_grams5"][i].as_py() == ref["n_grams5"], did
+        assert out["dup5_count"][i].as_py() == ref["dup5_count"], did
+
+
+def test_repetition_flags():
+    from splade_ray.ops.textstats import repetition_batch
+
+    clean = " ".join(f"tok{i}" for i in range(40))       # all grams unique
+    loop2 = "a b " * 20                                   # top 2-gram dominates
+    loop5 = " ".join(["v w x y z"] * 8)                   # duplicated 5-grams
+    t = pa.table({"doc_id": [0, 1, 2], "text": [clean, loop2, loop5]})
+    out = repetition_batch(t)
+    rows = {d: i for i, d in enumerate(out["doc_id"].to_pylist())}
+    assert out["pass_repetition"][rows[0]].as_py() is True
+    assert out["rep_top2"][rows[1]].as_py() is True
+    assert out["pass_repetition"][rows[1]].as_py() is False
+    assert out["rep_dup5"][rows[2]].as_py() is True
+    assert out["pass_repetition"][rows[2]].as_py() is False
+
+
+def test_repetition_oracle_parity_duckdb():
+    """The HUGEINT rolling-fold SQL mirror reproduces repetition_batch
+    bit-for-bit on a fixture corpus (the local twin of the driver's
+    correctness gate for `repetition_stats`)."""
+    import duckdb
+
+    from splade_ray.ops.textstats import repetition_batch
+
+    sys_path_root = __import__("os").path.dirname(__import__("os").path.dirname(__file__))
+    import sys
+
+    sys.path.insert(0, sys_path_root)
+    import __ray_entry__ as e
+
+    texts = [
+        "",
+        "one",
+        "spark spark spark spark spark spark",
+        "a b a b a b a b c d e f g h",
+        "x y z x y z x y z x y z",
+        "the quick brown fox jumps over the lazy dog the quick brown fox",
+    ]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(e._repetition_sql()).df()
+    want = repetition_batch(
+        pa.table({"doc_id": docs.doc_id.tolist(), "text": texts})
+    ).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values("doc_id").reset_index(drop=True)[sorted(want.columns)]
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        assert (
+            got[c].astype("uint64" if c.endswith("_gram") else got[c].dtype).tolist()
+            == want[c].tolist()
+        ), c
