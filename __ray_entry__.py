@@ -456,6 +456,55 @@ def q_top_terms(sf_dir: str):
     return pdf[["rank", "term", "df", "cf"]]
 
 
+# Fixed phrase set for the positional-index queries: drawn from the
+# synthetic corpus's vocabulary so multi-token phrases actually occur;
+# includes a single-term phrase (tf face) and a no-hit phrase.
+PHRASE_QUERIES = [
+    (1, "batch batch"),
+    (2, "data line join"),
+    (3, "merge part window"),
+    (4, "spark"),
+    (5, "the fast key order sort"),
+    (6, "warehouse nonexistent"),
+]
+
+# Fixed boolean query set: must / should / must_not clauses over the same
+# vocabulary (semantics pinned in splade_ray.boolq).
+BOOL_QUERIES = [
+    (1, {"must": "spark window", "should": "merge sort"}),
+    (2, {"must": "customer", "must_not": "spark"}),
+    (3, {"should": "slow query filter"}),
+    (4, {"must": "data", "must_not": "dup vector"}),
+    (5, {"must": "stream", "should": "agg", "must_not": "customer"}),
+]
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional-index phrase matching (splade_ray.positions): derive the
+    per-segment positional layer from the built index (resumable, one task
+    per segment), then intersect doc lists + shifted position sets per
+    phrase. Counts are overlapping start positions — identical to the SQL
+    oracle's sliding window over the token array."""
+    from splade_ray.positions import build_positions, phrase_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return phrase_search(index_dir, PHRASE_QUERIES)
+
+
+def q_boolean_topk(sf_dir: str):
+    """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
+    `must` term and no `must_not` term; score = BM25 over must+should."""
+    from splade_ray.boolq import boolean_search
+
+    index_dir = _index_for(sf_dir)
+    run = boolean_search(index_dir, BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_ann_cosine_topk(sf_dir: str):
     from splade_ray.ops.ann import cosine_topk
 
@@ -706,6 +755,111 @@ FROM nt
 LEFT JOIN t2 USING (doc_id)
 LEFT JOIN t3 USING (doc_id)
 LEFT JOIN d5 USING (doc_id)"""
+
+
+def _phrase_sql() -> str:
+    """SQL mirror of positions.phrase_search over PHRASE_QUERIES: a sliding
+    window over each doc's token ARRAY counts every start index where the
+    phrase matches (overlapping occurrences, exactly the engine's packed
+    (doc, position) intersection). Generated FROM the same phrase list +
+    tokenizer, so the two sides can't drift."""
+    from splade_ray.analysis import tokenize
+
+    branches = []
+    for pid, text in PHRASE_QUERIES:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        k = len(toks)
+        if k == 1:
+            expr = f"len(list_filter(t, x -> x = '{toks[0]}'))"
+            guard = "len(t) >= 1"
+        else:
+            conds = " AND ".join(
+                f"t[i+{j}] = '{w}'" if j else f"t[i] = '{w}'"
+                for j, w in enumerate(toks)
+            )
+            expr = f"len(list_filter(range(1, len(t) - {k - 2}), i -> {conds}))"
+            guard = f"len(t) >= {k}"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, ({expr})::BIGINT AS phrase_count\n"
+            f"  FROM ta WHERE {guard}"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+            FROM documents),
+p AS (
+{body}
+)
+SELECT phrase_id, doc_id, phrase_count FROM p WHERE phrase_count > 0"""
+
+
+def _boolean_sql() -> str:
+    """SQL mirror of boolq.boolean_search over BOOL_QUERIES: the bm25 score
+    CTE restricted by must (NOT EXISTS a must term absent from the doc) and
+    must_not (NOT EXISTS a banned term present) — clause term lists and qtfs
+    generated from the same fixture + tokenizer as the Ray side."""
+    score_vals, mt_vals, mn_vals = [], [], []
+    for qid, spec in BOOL_QUERIES:
+        must = term_counts(spec.get("must", "") or "")
+        should = term_counts(spec.get("should", "") or "")
+        mustnot = term_counts(spec.get("must_not", "") or "")
+        for t, qtf in sorted((must + should).items()):
+            score_vals.append(f"({qid}, '{t}', {qtf})")
+        for t in sorted(must):
+            mt_vals.append(f"({qid}, '{t}')")
+        for t in sorted(mustnot):
+            mn_vals.append(f"({qid}, '{t}')")
+    sep = ",\n    "
+    sv, mv, nv = sep.join(score_vals), sep.join(mt_vals), sep.join(mn_vals)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {sv}
+),
+mt(query_id, term) AS (VALUES
+    {mv}
+),
+mn(query_id, term) AS (VALUES
+    {nv}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+qual AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scores s
+  WHERE s.score > 0
+    AND NOT EXISTS (
+      SELECT 1 FROM mt
+      WHERE mt.query_id = s.query_id
+        AND NOT EXISTS (SELECT 1 FROM tf
+                        WHERE tf.doc_id = s.doc_id AND tf.term = mt.term))
+    AND NOT EXISTS (
+      SELECT 1 FROM mn JOIN tf ON tf.term = mn.term AND tf.doc_id = s.doc_id
+      WHERE mn.query_id = s.query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM qual
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def _shingles_cte(k: int = 3) -> str:
@@ -1097,6 +1251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
+        "phrase_search": q_phrase_search,
+        "boolean_topk": q_boolean_topk,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1425,6 +1581,8 @@ SELECT *,
         AND n_stop_present >= 2) AS pass_gopher
 FROM f""",
         "repetition_stats": _repetition_sql(),
+        "phrase_search": _phrase_sql(),
+        "boolean_topk": _boolean_sql(),
         "top_terms": f"""
 WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

@@ -1,0 +1,189 @@
+"""Boolean-filtered BM25 retrieval: must / should / must_not clauses.
+
+Beyond-reference operator (the reference scores pure bags of words,
+``transformer_evaluator.py:142-193``): a query is three clause texts —
+documents must contain EVERY ``must`` term, must contain NO ``must_not``
+term, and are scored by BM25 over the ``must`` + ``should`` terms. This is
+the classic boolean+ranked fulltext shape (Lucene's BooleanQuery with
+MUST/SHOULD/MUST_NOT occurs).
+
+Execution reuses the scatter-gather skeleton of ``splade_ray.query``:
+clause terms are prepared driver-side (idf from the lexicon via
+predicate-pushdown read), broadcast to one task per segment, filtered and
+scored against the segment's postings, and the per-segment candidate heaps
+merge through the same small ``groupby(query_id)`` reduce. Segments
+partition the doc space, so clause evaluation is local to a segment: a doc
+satisfies its must/must_not constraints entirely within the one segment
+that holds it.
+
+Semantics pinned for the oracle: a doc qualifies iff (every must term has
+tf > 0) AND (no must_not term present) AND score > 0; score = the exact
+BM25 sum over distinct must+should terms (clause texts are bags — a term's
+qtf is its count across both clauses). Ties break (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from splade_ray.analysis import term_counts
+from splade_ray.bm25 import BM25Params, idf, tf_component, topk_from_scores
+from splade_ray.build import load_manifest, segment_dirs
+from splade_ray.query import RUN_COLUMNS, SegmentIndex, merge_topk
+
+
+def prepare_bool_queries(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
+) -> dict:
+    """Driver-side prep. Each query is ``(qid, {"must": text, "should":
+    text, "must_not": text})`` (clauses optional). Returns the small
+    broadcastable dict: per query the must term list, must_not term list,
+    and (term, qtf, idf) scoring list over must+should."""
+    params = params or BM25Params()
+    manifest = load_manifest(index_dir)
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    prepared = {}
+    for qid, spec in queries:
+        must = term_counts(spec.get("must", "") or "", query_lang)
+        should = term_counts(spec.get("should", "") or "", query_lang)
+        must_not = term_counts(spec.get("must_not", "") or "", query_lang)
+        prepared[int(qid)] = {
+            "must": sorted(must),
+            "must_not": sorted(must_not),
+            "score_tf": dict(must + should),  # Counter + Counter sums counts
+        }
+    score_terms = sorted({t for p in prepared.values() for t in p["score_tf"]})
+    dfs: dict[str, int] = {}
+    if score_terms:
+        lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(score_terms)
+        )
+        dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    for p in prepared.values():
+        p["score"] = [
+            (t, int(qtf), idf(dfs[t], n_docs))
+            for t, qtf in sorted(p["score_tf"].items())
+            if t in dfs
+        ]
+        del p["score_tf"]
+    all_terms = sorted(
+        {t for p in prepared.values() for t, _, _ in p["score"]}
+        | {t for p in prepared.values() for t in p["must_not"]}
+        | {t for p in prepared.values() for t in p["must"]}
+    )
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "params": params,
+        "queries": prepared,
+        "terms": all_terms,
+    }
+
+
+def score_segment_bool(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int, float]]:
+    """Boolean-filtered BM25 over one segment. Docs excluded by must /
+    must_not clauses are masked OUT of the accumulator before the top-k."""
+    p: BM25Params = prepared["params"]
+    avgdl = prepared["avgdl"]
+    n = seg.doc_ids.size
+    rows: list[tuple[int, int, float]] = []
+
+    def positions(term: str) -> np.ndarray | None:
+        got = seg._decoded.get(term)
+        if got is None:
+            post = seg.posting(term)
+            if post is None:
+                got = (np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                docs, tfs, _ = post
+                got = (np.searchsorted(seg.doc_ids, docs), tfs)
+            seg._decoded[term] = got
+        return got
+
+    for qid, q in prepared["queries"].items():
+        allowed = np.ones(n, bool)
+        dead = False
+        for t in q["must"]:
+            pos, _ = positions(t)
+            if pos.size == 0:
+                dead = True
+                break
+            m = np.zeros(n, bool)
+            m[pos] = True
+            allowed &= m
+        if dead or not allowed.any():
+            continue
+        for t in q["must_not"]:
+            pos, _ = positions(t)
+            if pos.size:
+                allowed[pos] = False
+        if not allowed.any():
+            continue
+        scores = np.zeros(n, np.float64)
+        for term, qtf, w in q["score"]:
+            pos, tfs = positions(term)
+            if pos.size == 0:
+                continue
+            scores[pos] += (w * qtf) * tf_component(tfs, seg.doc_lens[pos], avgdl, p)
+        scores[~allowed] = 0.0
+        docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+    return rows
+
+
+def _bool_batch(batch: pa.Table, *, prepared: dict) -> pa.Table:
+    rows: list[tuple[int, int, float]] = []
+    for seg_dir in batch["seg_dir"].to_pylist():
+        seg = SegmentIndex(seg_dir, prepared["terms"])
+        rows.extend(score_segment_bool(seg, prepared))
+    return pa.table(
+        {
+            "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+            "doc_id": pa.array(np.array([r[1] for r in rows], np.int64)),
+            "score": pa.array(np.array([r[2] for r in rows], np.float64)),
+        }
+    )
+
+
+def boolean_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """One-shot boolean retrieval: run table (query_id, rank, doc_id, score)
+    sorted by (query_id, rank). Same fan-out shape as ``query.search`` —
+    one task per segment, lexicon-pruned parquet reads, heap merge."""
+    params = params or BM25Params()
+    prepared = prepare_bool_queries(index_dir, queries, params, query_lang=query_lang)
+    segs = segment_dirs(index_dir)
+    cand = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        _bool_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs={"prepared": prepared},
+        concurrency=concurrency,
+    )
+    run = cand.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas", fn_kwargs={"top_k": params.top_k}
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -164,6 +164,49 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_positions(args) -> int:
+    """Derive the positional layer (phrase-query support)."""
+    _ensure_ray()
+    from splade_ray.positions import build_positions
+
+    rep = build_positions(args.index)
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_phrase(args) -> int:
+    """Phrase matching over the positional layer."""
+    _ensure_ray()
+    from splade_ray.positions import phrase_search
+
+    phrases = _load_queries(args.phrases)
+    res = phrase_search(args.index, phrases)
+    res.to_parquet(args.out, index=False)
+    print(json.dumps({"phrases": len(phrases), "rows": len(res), "out": args.out}))
+    return 0
+
+
+def cmd_boolsearch(args) -> int:
+    """Boolean-filtered BM25: queries file is JSON
+    [[qid, {"must": ..., "should": ..., "must_not": ...}], ...]."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.boolq import boolean_search
+    from splade_ray.io import write_run_json
+
+    with open(args.queries) as fh:
+        queries = [(int(q), spec) for q, spec in json.load(fh)]
+    run = boolean_search(
+        args.index, queries, BM25Params(k1=args.k1, b=args.b, top_k=args.top_k)
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Index maintenance for long-lived indexes: tiered-compact down to at
     most --max-segments, then (optionally) refresh the quantized layer that
@@ -460,6 +503,25 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--k1", type=float, default=1.2)
     z.add_argument("--b", type=float, default=0.75)
     z.set_defaults(fn=cmd_quantize)
+
+    ps = sub.add_parser("positions", help="build positional layer (phrase queries)")
+    ps.add_argument("--index", required=True)
+    ps.set_defaults(fn=cmd_positions)
+
+    ph = sub.add_parser("phrase", help="phrase matching over the positional layer")
+    ph.add_argument("--index", required=True)
+    ph.add_argument("--phrases", required=True, help="TSV: id\\tphrase text")
+    ph.add_argument("--out", required=True, help=".parquet")
+    ph.set_defaults(fn=cmd_phrase)
+
+    bq = sub.add_parser("boolsearch", help="boolean-filtered BM25 (must/should/must_not)")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--queries", required=True, help="JSON [[qid, {clauses}], ...]")
+    bq.add_argument("--out", required=True, help="run.json or .parquet")
+    bq.add_argument("--top-k", type=int, default=10)
+    bq.add_argument("--k1", type=float, default=1.2)
+    bq.add_argument("--b", type=float, default=0.75)
+    bq.set_defaults(fn=cmd_boolsearch)
 
     mt = sub.add_parser("maintain", help="compact to a segment budget (+ optional re-quantize)")
     mt.add_argument("--index", required=True)

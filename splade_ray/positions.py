@@ -1,0 +1,424 @@
+"""Positional index layer + phrase matching.
+
+The reference has no positional index (its retrieval is bag-of-words over
+learned impacts, ``splade/tasks/transformer_evaluator.py:142-193``); phrase
+queries are a beyond-reference fulltext capability this engine adds. The
+layer is DERIVED from a built index the same way the quantized layer is
+(``splade_ray.quantized``): one resumable Ray task per segment re-reads that
+segment's corpus slice (the per-segment lineage manifest records exactly
+which rows: path, row_start, num_rows), re-tokenizes with the index's own
+analyzer config, and writes ``positions.parquet`` beside the segment's
+postings — crash-safe via the same pending-marker protocol.
+
+Storage per term row (term-sorted):
+``term``, ``df``, ``n_pos`` (total occurrences), ``docs_enc`` (delta+varbyte
+doc ids, ascending), ``tf_enc`` (varbyte per-doc occurrence counts),
+``len_enc`` (varbyte per-doc byte lengths of the position runs) and
+``pos_enc`` — the concatenation of per-doc position streams, each stream
+delta+varbyte with the first position absolute. ``len_enc`` makes any doc's
+stream sliceable without decoding its neighbours, so phrase evaluation
+decodes positions ONLY for docs that survive the doc-id intersection.
+
+Phrase evaluation per segment (segments partition the doc space, so results
+concatenate with no merge shuffle): intersect the phrase terms' doc-id
+lists, batch-decode the survivors' position streams, then intersect the
+shifted position sets ``{p - i : p ∈ pos(term_i)}`` as packed
+``(doc, position)`` int64 keys — occurrences are start positions, so
+overlapping matches count (same semantics as the SQL oracle's sliding
+window). Everything is numpy; the only Python loops are per phrase term
+(k ≈ 2-5) and per posting row at encode time (same granularity as the main
+segment builder).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from splade_ray.analysis import tokenize, tokenize_column, tokenize_column_by_lang
+from splade_ray.codec import varbyte_decode, varbyte_encode
+
+POSITIONS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("n_pos", pa.int64()),
+        ("docs_enc", pa.binary()),
+        ("tf_enc", pa.binary()),
+        ("len_enc", pa.binary()),
+        ("pos_enc", pa.binary()),
+    ]
+)
+
+# packed (doc_rank, shifted_position) key layout. Positions are bounded by
+# doc length; 2^32 tokens in one doc would be a >4-billion-token document.
+_POS_BITS = np.uint64(32)
+_POS_MASK = (1 << 32) - 1
+
+
+def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (7 data bits per byte) — lets one
+    ``varbyte_encode`` call over a whole concatenated stream be sliced at
+    run boundaries without re-encoding per run."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(a.size, np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += v > 0
+        v >>= np.uint64(7)
+    return nbytes
+
+
+def build_positions_table(
+    texts: pa.Array | pa.ChunkedArray,
+    doc_ids: np.ndarray,
+    langs: pa.Array | pa.ChunkedArray | None = None,
+) -> pa.Table:
+    """Positional postings for one segment's documents (doc_ids ascending).
+
+    Fully vectorized up to the per-term assembly loop: tokenization is the
+    shared Arrow kernel, within-doc token positions / run boundaries /
+    position deltas / byte offsets are all numpy, and the position payload
+    is ONE ``varbyte_encode`` call sliced per term."""
+    if langs is None:
+        terms, par, _ = tokenize_column(texts)
+    else:
+        terms, par, _ = tokenize_column_by_lang(texts, langs)
+    n_tok = len(par)
+    if n_tok == 0:
+        return pa.table({k: [] for k in POSITIONS_SCHEMA.names}, schema=POSITIONS_SCHEMA)
+
+    # within-doc position of each token: tokens arrive in within-doc order
+    # (possibly grouped by lang), so a stable sort by doc recovers sequence
+    ord0 = np.argsort(par, kind="stable")
+    par_s = par[ord0]
+    doc_start = np.concatenate(([0], np.flatnonzero(par_s[1:] != par_s[:-1]) + 1))
+    seq = np.arange(n_tok, dtype=np.int64) - np.repeat(
+        doc_start, np.diff(np.concatenate((doc_start, [n_tok])))
+    )
+    pos_in_doc = np.empty(n_tok, np.int64)
+    pos_in_doc[ord0] = seq
+
+    te = (terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms).dictionary_encode()
+    tid = te.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = te.dictionary.to_pylist()
+
+    # one global ordering: (term, doc, position)
+    order = np.lexsort((pos_in_doc, par, tid))
+    t_s, d_s, p_s = tid[order], par[order], pos_in_doc[order]
+
+    # posting runs = (term, doc) groups
+    new_run = np.concatenate(([True], (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])))
+    run_start = np.flatnonzero(new_run)
+    run_counts = np.diff(np.concatenate((run_start, [n_tok])))
+
+    # position deltas (first position of each run absolute)
+    dp = np.empty(n_tok, np.int64)
+    dp[0] = p_s[0]
+    np.subtract(p_s[1:], p_s[:-1], out=dp[1:])
+    dp[run_start] = p_s[run_start]
+
+    pos_enc_all = varbyte_encode(dp)
+    byte_len = _varbyte_lengths(dp)
+    byte_end = np.cumsum(byte_len)
+    run_byte_start = byte_end[run_start] - byte_len[run_start]
+    run_byte_len = np.add.reduceat(byte_len, run_start)
+
+    # per-term slices over the runs
+    run_tid = t_s[run_start]
+    term_first_run = np.concatenate(
+        ([0], np.flatnonzero(run_tid[1:] != run_tid[:-1]) + 1)
+    )
+    term_run_counts = np.diff(np.concatenate((term_first_run, [run_start.size])))
+    run_doc = doc_ids[d_s[run_start]]
+
+    rows = {k: [] for k in POSITIONS_SCHEMA.names}
+    for i in range(term_first_run.size):
+        r0 = int(term_first_run[i])
+        r1 = r0 + int(term_run_counts[i])
+        docs = run_doc[r0:r1]
+        deltas = np.empty(docs.size, np.int64)
+        deltas[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+        b0 = int(run_byte_start[r0])
+        b1 = int(run_byte_start[r1 - 1] + run_byte_len[r1 - 1])
+        rows["term"].append(vocab[int(run_tid[r0])])
+        rows["df"].append(docs.size)
+        rows["n_pos"].append(int(run_counts[r0:r1].sum()))
+        rows["docs_enc"].append(varbyte_encode(deltas))
+        rows["tf_enc"].append(varbyte_encode(run_counts[r0:r1]))
+        rows["len_enc"].append(varbyte_encode(run_byte_len[r0:r1]))
+        rows["pos_enc"].append(pos_enc_all[b0:b1])
+    t = pa.table(rows, schema=POSITIONS_SCHEMA)
+    return t.take(pa.compute.sort_indices(t["term"]))
+
+
+def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang_col: str | None) -> int:
+    """Build one segment's positions.parquet by re-reading its lineage slice
+    (manifest path/row_start/num_rows) — the corpus itself is the source of
+    truth, not a second copy of the text."""
+    from splade_ray.build import _read_slice
+
+    with open(os.path.join(seg_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    cols = [text_col]
+    if lang_col:
+        cols.append(lang_col)
+    if id_col:
+        cols.append(id_col)
+    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    if id_col:
+        doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        doc_id_arr = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
+    order = np.argsort(doc_id_arr, kind="stable")  # same invariant as the builder
+    if not np.array_equal(order, np.arange(len(tbl))):
+        tbl = tbl.take(pa.array(order))
+        doc_id_arr = doc_id_arr[order]
+    out = build_positions_table(
+        tbl[text_col], doc_id_arr, tbl[lang_col] if lang_col else None
+    )
+    tmp = os.path.join(seg_dir, ".tmp-positions.parquet")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(seg_dir, "positions.parquet"))
+    return out.num_rows
+
+
+def build_positions(index_dir: str, *, concurrency: int | None = None) -> dict:
+    """Derive the positional layer for every segment (one Ray task per
+    segment; segments with an existing positions.parquet are skipped, so a
+    failed run resumes). Pending-marker protocol as in the quantized layer:
+    ``positions.json`` is written pending=true BEFORE segment tasks, and
+    existing per-segment files are only reused when a prior manifest proves
+    the same analyzer config (text_col/lang_col)."""
+    from splade_ray.build import load_manifest, segment_dirs
+
+    man = load_manifest(index_dir)
+    text_col, id_col, lang_col = man["text_col"], man.get("id_col"), man.get("lang_col")
+    ppath = os.path.join(index_dir, "positions.json")
+    prev = None
+    if os.path.exists(ppath):
+        with open(ppath) as fh:
+            prev = json.load(fh)
+    all_segs = segment_dirs(index_dir)
+    reusable = prev is not None and (prev.get("text_col"), prev.get("lang_col")) == (
+        text_col,
+        lang_col,
+    )
+    if not reusable:
+        for s in all_segs:
+            p = os.path.join(s, "positions.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+    with open(ppath, "w") as fh:
+        json.dump({"text_col": text_col, "lang_col": lang_col, "pending": True}, fh)
+    segs = [s for s in all_segs if not os.path.exists(os.path.join(s, "positions.parquet"))]
+
+    def task(batch: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)  # one core per task (see build.py)
+        counts = [
+            _positions_for_segment(s, text_col, id_col, lang_col)
+            for s in batch["seg"].to_pylist()
+        ]
+        return pa.table({"n_terms": pa.array(counts, pa.int64())})
+
+    n_terms = 0
+    if segs:
+        n_terms = int(
+            rd.from_items([{"seg": s} for s in segs], override_num_blocks=len(segs))
+            .map_batches(task, batch_format="pyarrow", concurrency=concurrency)
+            .sum("n_terms")
+        )
+    manifest = {
+        "text_col": text_col,
+        "lang_col": lang_col,
+        "n_segments": len(all_segs),
+        "n_segments_skipped": len(all_segs) - len(segs),
+        "n_terms_built": n_terms,
+    }
+    with open(ppath, "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def load_positions_manifest(index_dir: str) -> dict:
+    ppath = os.path.join(index_dir, "positions.json")
+    if not os.path.exists(ppath):
+        raise FileNotFoundError(
+            "positional layer not built — run "
+            "splade_ray.positions.build_positions(index_dir) first"
+        )
+    with open(ppath) as fh:
+        man = json.load(fh)
+    if man.get("pending"):
+        raise ValueError(
+            "positional layer build is pending/crashed — re-run "
+            "build_positions(index_dir) to complete it"
+        )
+    return man
+
+
+# ------------------------------------------------------------------ querying
+
+
+def _decode_runs(
+    pos_enc: bytes, tf: np.ndarray, blen: np.ndarray, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the position streams of the selected posting rows only.
+
+    ``tf``/``blen`` are the full per-doc occurrence counts and byte lengths;
+    ``sel`` indexes the surviving docs. Returns ``(positions, run_index)``
+    flat arrays — one varbyte_decode over the concatenated selected slices,
+    with the per-run cumsum reset done vectorized."""
+    if sel.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    byte_start = np.concatenate(([0], np.cumsum(blen)))
+    buf = np.frombuffer(pos_enc, np.uint8)
+    parts = [buf[byte_start[i] : byte_start[i + 1]] for i in sel.tolist()]
+    vals = varbyte_decode(np.concatenate(parts)).astype(np.int64)
+    counts = tf[sel]
+    cs = np.cumsum(vals)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    base = np.where(starts > 0, cs[starts - 1], 0)
+    pos = cs - np.repeat(base, counts)
+    run_idx = np.repeat(np.arange(sel.size, dtype=np.int64), counts)
+    return pos, run_idx
+
+
+class SegmentPositions:
+    """One segment's positional postings, pruned to the query's terms."""
+
+    def __init__(self, seg_dir: str, terms: list[str]):
+        src = pads.dataset(os.path.join(seg_dir, "positions.parquet"))
+        self.tbl = src.to_table(filter=pads.field("term").isin(terms))
+        self._by_term = {t: i for i, t in enumerate(self.tbl["term"].to_pylist())}
+        self._cache: dict[str, tuple] = {}
+
+    def term_entry(self, term: str):
+        """(doc_ids asc, tfs, byte_lens, pos_enc) for one term, decoded once."""
+        got = self._cache.get(term)
+        if got is not None:
+            return got
+        i = self._by_term.get(term)
+        if i is None:
+            return None
+        df = self.tbl["df"][i].as_py()
+        docs = np.cumsum(
+            varbyte_decode(self.tbl["docs_enc"][i].as_py(), df).astype(np.int64)
+        )
+        tf = varbyte_decode(self.tbl["tf_enc"][i].as_py(), df).astype(np.int64)
+        blen = varbyte_decode(self.tbl["len_enc"][i].as_py(), df).astype(np.int64)
+        got = (docs, tf, blen, self.tbl["pos_enc"][i].as_py())
+        self._cache[term] = got
+        return got
+
+    def phrase_counts(self, phrase: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, counts>0) of phrase occurrences (overlapping starts)."""
+        entries = []
+        for t in phrase:
+            e = self.term_entry(t)
+            if e is None:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            entries.append(e)
+        if len(phrase) == 1:
+            docs, tf, _, _ = entries[0]
+            return docs, tf
+        common = entries[0][0]
+        for docs, _, _, _ in entries[1:]:
+            common = common[np.isin(common, docs, assume_unique=True)]
+            if common.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        k = len(phrase)
+        inter: np.ndarray | None = None
+        for i, (docs, tf, blen, pos_enc) in enumerate(entries):
+            sel = np.searchsorted(docs, common)
+            pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+            # shift so a phrase start aligns across terms; +k keeps keys
+            # non-negative for every i < k
+            keys = (run_idx.astype(np.uint64) << _POS_BITS) | (
+                (pos + k - i).astype(np.uint64)
+            )
+            inter = keys if inter is None else np.intersect1d(inter, keys, assume_unique=True)
+            if inter.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        counts = np.bincount(
+            (inter >> _POS_BITS).astype(np.int64), minlength=common.size
+        )
+        keep = counts > 0
+        return common[keep], counts[keep].astype(np.int64)
+
+
+def phrase_match_batch(batch: pa.Table, *, phrases: dict[int, list[str]], terms: list[str]) -> pa.Table:
+    """map_batches task: evaluate every phrase against each segment in the
+    batch. Segments partition the doc space, so outputs concatenate."""
+    pids, docs_out, counts_out = [], [], []
+    for seg_dir in batch["seg_dir"].to_pylist():
+        seg = SegmentPositions(seg_dir, terms)
+        for pid, phrase in phrases.items():
+            docs, counts = seg.phrase_counts(phrase)
+            pids.extend([pid] * docs.size)
+            docs_out.append(docs)
+            counts_out.append(counts)
+    return pa.table(
+        {
+            "phrase_id": pa.array(np.asarray(pids, np.int64)),
+            "doc_id": pa.array(
+                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+            ),
+            "phrase_count": pa.array(
+                np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
+            ),
+        }
+    )
+
+
+def phrase_search(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """Distributed phrase matching: (phrase_id, doc_id, phrase_count) for
+    every document containing each phrase as a contiguous token sequence
+    (overlapping occurrences counted). Phrase text goes through the same
+    analyzer as the index; phrases with no tokens match nothing.
+
+    One Ray task per segment, results concatenated (no shuffle — segments
+    partition docs). The parquet read inside each task prunes to the
+    phrases' terms."""
+    import pandas as pd
+
+    from splade_ray.build import segment_dirs
+
+    load_positions_manifest(index_dir)
+    tokenized = {
+        int(pid): tokenize(text, query_lang) if query_lang else tokenize(text)
+        for pid, text in phrases
+    }
+    tokenized = {pid: ts for pid, ts in tokenized.items() if ts}
+    out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
+    if not tokenized:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    all_terms = sorted({t for ts in tokenized.values() for t in ts})
+    segs = segment_dirs(index_dir)
+    ds = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        phrase_match_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs={"phrases": tokenized, "terms": all_terms},
+        concurrency=concurrency,
+    )
+    pdf = ds.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)

@@ -217,3 +217,42 @@ def test_cli_dedup(ray_session, tmp_path, capsys):
     assert summary2["n_survivors"] == 4 and summary2["n_dropped"] == 1
     surv2 = rd.read_parquet(out + "/survivors").to_pandas()
     assert sorted(surv2["doc_id"].tolist()) == [0, 2, 3, 4]
+
+
+def test_cli_positions_phrase_boolsearch(ray_session, tmp_path, capsys):
+    """positions -> phrase -> boolsearch CLI flow over a synth corpus."""
+    import json
+    import pandas as pd
+
+    from splade_ray.cli import main
+    from splade_ray.corpus import write_synth_corpus
+
+    corpus = str(tmp_path / "c")
+    idx = str(tmp_path / "i")
+    write_synth_corpus(corpus, 100, seed=9, n_files=1)
+    assert main(["build", "--corpus", corpus, "--index", idx,
+                 "--rows-per-segment", "40"]) == 0
+    capsys.readouterr()
+    assert main(["positions", "--index", idx]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_segments"] == 3 and rep["n_segments_skipped"] == 0
+
+    phrases = str(tmp_path / "p.tsv")
+    with open(phrases, "w") as fh:
+        fh.write("1\tdef\n2\tzzz not_here\n")
+    pout = str(tmp_path / "phrase.parquet")
+    assert main(["phrase", "--index", idx, "--phrases", phrases, "--out", pout]) == 0
+    res = pd.read_parquet(pout)
+    assert (res["phrase_id"] == 1).sum() > 0  # 'def' is ubiquitous
+    assert (res["phrase_id"] == 2).sum() == 0
+
+    bq = str(tmp_path / "bq.json")
+    with open(bq, "w") as fh:
+        json.dump([[1, {"must": "def", "should": "parse"}],
+                   [2, {"must": "zzz"}]], fh)
+    bout = str(tmp_path / "bool.parquet")
+    capsys.readouterr()
+    assert main(["boolsearch", "--index", idx, "--queries", bq,
+                 "--out", bout, "--top-k", "5"]) == 0
+    run = pd.read_parquet(bout)
+    assert set(run["query_id"]) == {1} and len(run) == 5

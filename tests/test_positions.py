@@ -1,0 +1,341 @@
+"""Positional layer + phrase search + boolean retrieval tests."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.analysis import tokenize
+from splade_ray.bm25 import BM25Params, idf, tf_component, topk_from_scores
+from splade_ray.build import build_index
+from splade_ray.codec import varbyte_decode
+from splade_ray.corpus import synth_corpus
+from splade_ray.positions import (
+    SegmentPositions,
+    build_positions,
+    build_positions_table,
+    load_positions_manifest,
+    phrase_search,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog the quick brown fox",
+    "a b a b a b",
+    "",
+    "!!! ...",                       # tokenizes to nothing
+    "quick brown",
+    "fox fox fox",
+    "x a a a y",                     # overlapping 'a a' -> 2
+    "one_token",
+]
+
+
+def scalar_positions(texts):
+    """{term: {doc_i: [positions]}} by direct Python iteration."""
+    out = {}
+    for i, text in enumerate(texts):
+        for p, t in enumerate(tokenize(text)):
+            out.setdefault(t, {}).setdefault(i, []).append(p)
+    return out
+
+
+def scalar_phrase_count(text, phrase_toks):
+    toks = tokenize(text)
+    k = len(phrase_toks)
+    if k == 0 or len(toks) < k:
+        return 0
+    return sum(
+        1 for i in range(len(toks) - k + 1) if toks[i : i + k] == phrase_toks
+    )
+
+
+def test_positions_table_scalar_parity():
+    """Every (term, doc) position stream decodes back to the direct Python
+    scan, across empty docs, repeats and single-token docs."""
+    doc_ids = np.arange(10, 10 + len(TEXTS), dtype=np.int64)
+    t = build_positions_table(pa.array(TEXTS, pa.string()), doc_ids)
+    ref = scalar_positions(TEXTS)
+    assert sorted(t["term"].to_pylist()) == sorted(ref)
+    for i, term in enumerate(t["term"].to_pylist()):
+        df = t["df"][i].as_py()
+        docs = np.cumsum(varbyte_decode(t["docs_enc"][i].as_py(), df).astype(np.int64))
+        tf = varbyte_decode(t["tf_enc"][i].as_py(), df).astype(np.int64)
+        blen = varbyte_decode(t["len_enc"][i].as_py(), df).astype(np.int64)
+        want = ref[term]
+        assert docs.tolist() == [10 + d for d in sorted(want)], term
+        assert tf.tolist() == [len(want[d]) for d in sorted(want)], term
+        assert t["n_pos"][i].as_py() == sum(len(v) for v in want.values())
+        # decode every stream and compare positions
+        buf = np.frombuffer(t["pos_enc"][i].as_py(), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(blen)))
+        for j, d in enumerate(sorted(want)):
+            deltas = varbyte_decode(buf[starts[j] : starts[j + 1]], int(tf[j]))
+            assert np.cumsum(deltas.astype(np.int64)).tolist() == want[d], (term, d)
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("positions")
+    corpus = str(root / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": np.arange(len(TEXTS), dtype=np.int64), "text": TEXTS}
+        ),
+        corpus,
+    )
+    index_dir = str(root / "index")
+    build_index(corpus, index_dir, text_col="text", id_col="doc_id", rows_per_segment=3)
+    build_positions(index_dir)
+    return index_dir
+
+
+PHRASES = [
+    (0, "quick brown fox"),
+    (1, "a b"),
+    (2, "a a"),
+    (3, "fox"),
+    (4, "the quick brown fox jumps"),
+    (5, "zzz not_here"),
+    (6, "..."),           # tokenizes to nothing -> matches nothing
+    (7, "one_token"),
+]
+
+
+def test_phrase_search_matches_python(pos_index):
+    got = phrase_search(pos_index, PHRASES)
+    rows = []
+    for pid, text in PHRASES:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        for d, doc_text in enumerate(TEXTS):
+            c = scalar_phrase_count(doc_text, toks)
+            if c:
+                rows.append((pid, d, c))
+    want = pd.DataFrame(rows, columns=["phrase_id", "doc_id", "phrase_count"])
+    want = want.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), want.astype(np.int64)
+    )
+    # spot-check overlapping semantics: 'a a' in 'x a a a y' counts 2
+    assert got[(got.phrase_id == 2) & (got.doc_id == 6)].phrase_count.item() == 2
+
+
+def test_phrase_search_synth_corpus_parity(ray_session, tmp_path):
+    """Larger randomized corpus across many segments: engine == Python scan
+    for bigram/trigram phrases drawn from the corpus itself."""
+    t = synth_corpus(300, seed=7)
+    texts = t["content"].to_pylist()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(300, dtype=np.int64), "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id", rows_per_segment=40)
+    build_positions(index_dir)
+    toks0 = tokenize(texts[0])
+    phrases = [
+        (0, " ".join(toks0[:2])),
+        (1, " ".join(toks0[3:6])),
+        (2, " ".join(toks0[:1])),
+    ]
+    got = phrase_search(index_dir, phrases)
+    rows = []
+    for pid, text in phrases:
+        ptoks = tokenize(text)
+        for d, doc_text in enumerate(texts):
+            c = scalar_phrase_count(doc_text, ptoks)
+            if c:
+                rows.append((pid, d, c))
+    want = (
+        pd.DataFrame(rows, columns=["phrase_id", "doc_id", "phrase_count"])
+        .sort_values(["phrase_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_build_positions_resumable_and_pending(pos_index):
+    # second run skips every segment
+    man = build_positions(pos_index)
+    assert man["n_segments_skipped"] == man["n_segments"]
+    # pending marker blocks querying
+    ppath = os.path.join(pos_index, "positions.json")
+    with open(ppath) as fh:
+        good = json.load(fh)
+    with open(ppath, "w") as fh:
+        json.dump({**good, "pending": True}, fh)
+    with pytest.raises(ValueError, match="pending"):
+        load_positions_manifest(pos_index)
+    with pytest.raises(ValueError, match="pending"):
+        phrase_search(pos_index, PHRASES)
+    # completing the build recovers (skips segments, rewrites manifest)
+    man = build_positions(pos_index)
+    assert man["n_segments_skipped"] == man["n_segments"]
+    load_positions_manifest(pos_index)
+
+
+def test_positions_by_lang_analyzer(ray_session, tmp_path):
+    """Index built with lang_col: positions follow each doc's registered
+    token class (py splits identifiers on underscores), so a phrase over
+    the split tokens matches."""
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["foo_bar baz", "foo_bar baz"],
+                "lang": ["py", "en"],
+            }
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(
+        corpus, index_dir, text_col="text", id_col="doc_id",
+        lang_col="lang", rows_per_segment=10,
+    )
+    build_positions(index_dir)
+    # doc 0 (py): tokens foo, bar, baz -> phrase "foo bar" matches
+    # doc 1 (en fallback): token foo_bar stays whole -> no match
+    got = phrase_search(index_dir, [(0, "foo bar"), (1, "foo_bar baz")])
+    by = {(r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()}
+    assert by == {(0, 0): 1, (1, 1): 1}
+
+
+# ----------------------------------------------------------------- boolean
+
+
+def brute_boolean(texts, doc_ids, queries, params):
+    """Direct Python boolean+BM25 reference (OracleIndex semantics with
+    clause filters)."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.oracle import OracleIndex
+
+    oi = OracleIndex(doc_ids, texts, params)
+    rows = []
+    for qid, spec in queries:
+        must = sorted(term_counts(spec.get("must", "") or ""))
+        must_not = sorted(term_counts(spec.get("must_not", "") or ""))
+        score_tf = term_counts(spec.get("must", "") or "") + term_counts(
+            spec.get("should", "") or ""
+        )
+        scores = np.zeros(oi.n_docs, np.float64)
+        for term in sorted(score_tf):
+            if term not in oi.postings:
+                continue
+            pos, tf = oi.postings[term]
+            w = idf(len(pos), oi.n_docs) * score_tf[term]
+            scores[pos] += w * tf_component(tf, oi.doc_lens[pos], oi.avgdl, params)
+        allowed = np.ones(oi.n_docs, bool)
+        for t in must:
+            m = np.zeros(oi.n_docs, bool)
+            if t in oi.postings:
+                m[oi.postings[t][0]] = True
+            allowed &= m
+        for t in must_not:
+            if t in oi.postings:
+                allowed[oi.postings[t][0]] = False
+        scores[~allowed] = 0.0
+        docs, scs = topk_from_scores(oi.doc_ids, scores, params.top_k, params.threshold)
+        for r, (d, s) in enumerate(zip(docs, scs), start=1):
+            rows.append((int(qid), r, int(d), float(s)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+BOOL_QS = [
+    (1, {"must": "fox", "should": "lazy dog"}),
+    (2, {"must": "quick brown", "must_not": "dog"}),
+    (3, {"should": "a b"}),
+    (4, {"must": "zzz"}),
+    (5, {"must": "fox", "must_not": "fox"}),
+    (6, {"must_not": "the", "should": "quick fox a"}),
+]
+
+
+def test_boolean_search_matches_bruteforce(pos_index):
+    from splade_ray.boolq import boolean_search
+
+    params = BM25Params(top_k=5)
+    got = boolean_search(pos_index, BOOL_QS, params)
+    want = brute_boolean(
+        TEXTS, np.arange(len(TEXTS), dtype=np.int64), BOOL_QS, params
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rank": np.int64}),
+        want.astype({"rank": np.int64}),
+    )
+    # semantics spot checks
+    by_q = {q: set(g.doc_id) for q, g in got.groupby("query_id")}
+    assert by_q.get(4) is None          # must term absent everywhere
+    assert by_q.get(5) is None          # must & must_not same term
+    assert 0 not in by_q.get(2, set())  # doc 0 has 'dog' -> excluded
+
+
+def test_boolean_search_synth_corpus(ray_session, tmp_path):
+    from splade_ray.boolq import boolean_search
+
+    t = synth_corpus(250, seed=11)
+    texts = t["content"].to_pylist()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(250, dtype=np.int64), "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id", rows_per_segment=40)
+    toks = tokenize(texts[0])
+    qs = [
+        (0, {"must": toks[0], "should": " ".join(toks[1:3])}),
+        (1, {"must": " ".join(toks[:2]), "must_not": toks[3]}),
+        (2, {"should": " ".join(toks[:4]), "must_not": toks[0]}),
+    ]
+    params = BM25Params(top_k=10)
+    got = boolean_search(index_dir, qs, params)
+    want = brute_boolean(texts, np.arange(250, dtype=np.int64), qs, params)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rank": np.int64}),
+        want.astype({"rank": np.int64}),
+    )
+
+
+def test_phrase_and_boolean_oracle_parity_duckdb(ray_session, tmp_path):
+    """Local twin of the driver's correctness gate for `phrase_search` and
+    `boolean_topk`: the generated DuckDB SQL reproduces the Ray results on
+    a small documents table."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __ray_entry__ as e
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    t = synth_corpus(120, seed=3)
+    docs = pa.table(
+        {"doc_id": np.arange(120, dtype=np.int64), "text": t["content"]}
+    )
+    pq.write_table(docs, os.path.join(sf_dir, "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    for name, qfn, sql in [
+        ("phrase_search", e.q_phrase_search, e._phrase_sql()),
+        ("boolean_topk", e.q_boolean_topk, e._boolean_sql()),
+    ]:
+        got = qfn(sf_dir)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), name
+        key = [c for c in cols if not c.startswith("score")]
+        got = got.sort_values(key).reset_index(drop=True)[cols]
+        want = want.sort_values(key).reset_index(drop=True)[cols]
+        for c in cols:
+            assert got[c].astype(np.float64).tolist() == pytest.approx(
+                want[c].astype(np.float64).tolist()
+            ), (name, c)
