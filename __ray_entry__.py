@@ -505,6 +505,58 @@ def q_boolean_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+WINDOW_1H_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events(sf_dir: str, columns=None):
+    from splade_ray.io import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1h windows per event_type over `events` (ops/windows):
+    count + sum/min/max value in integer cents; batch-local combiners, the
+    shuffle carries only (window, type) partials."""
+    from splade_ray.ops.windows import tumbling_window_agg
+
+    return tumbling_window_agg(
+        _events(sf_dir, ["ts", "event_type", "value"]), WINDOW_1H_US
+    )
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user over `events`: salted
+    coarse-key shuffle + one vectorized multi-user kernel per group."""
+    from splade_ray.ops.windows import sessionize
+
+    return sessionize(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]), SESSION_GAP_US
+    )
+
+
+def q_asof_purchase_signup(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent signup at
+    or before it (ties: later signup ts, then larger event id); unmatched
+    keep -1 sentinels."""
+    import pyarrow.dataset as pads
+
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.windows import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "ts", "user_id"]
+    # row filter pushed into the parquet read (prune at the read)
+    left = read_parquet_clean(
+        path, columns=cols, filter=pads.field("event_type") == "purchase"
+    )
+    right = read_parquet_clean(
+        path, columns=cols, filter=pads.field("event_type") == "signup"
+    )
+    return asof_join(left, right)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     from splade_ray.ops.ann import cosine_topk
 
@@ -860,6 +912,65 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _window_agg_sql() -> str:
+    """SQL mirror of ops.windows.tumbling_window_agg: integer-cent value
+    aggregates per (1h window, event_type) — epoch-µs floor division is the
+    same arithmetic on both sides."""
+    w = WINDOW_1H_US
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {w}) * {w} AS window_start_us, event_type,
+         floor(value * 100 + 0.5)::BIGINT AS c
+  FROM events)
+SELECT window_start_us::BIGINT AS window_start_us, event_type,
+       count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value_c,
+       min(c)::BIGINT AS min_value_c, max(c)::BIGINT AS max_value_c
+FROM e GROUP BY 1, 2"""
+
+
+def _sessions_sql() -> str:
+    """SQL mirror of ops.windows.sessionize: lag-gap flags + running sum =
+    session ids, per (user, ts, event_id) ordering — exactly the engine's
+    lexsort + gap-scan."""
+    g = SESSION_GAP_US
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+o AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      FROM e),
+f AS (SELECT *, (prev IS NULL OR ts_us - prev > {g})::INT AS new_s FROM o),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
+       max(ts_us)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value_c
+FROM s GROUP BY user_id, sid"""
+
+
+def _asof_sql() -> str:
+    """SQL mirror of ops.windows.asof_join on (purchase <- signup): the
+    most recent signup with ts <= purchase ts, ties to (later ts, larger
+    event id), unmatched -1 — the engine's merged-rank pick as a
+    row_number() window."""
+    return """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'signup'),
+m AS (
+  SELECT l.event_id AS left_id, r.event_id AS r_id, r.ts_us AS r_ts,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+  FROM l JOIN r ON r.user_id = l.user_id AND r.ts_us <= l.ts_us
+)
+SELECT l.event_id AS left_id, l.user_id, l.ts_us::BIGINT AS left_ts_us,
+       coalesce(m.r_id, -1)::BIGINT AS right_id,
+       coalesce(m.r_ts, -1)::BIGINT AS right_ts_us,
+       coalesce(l.ts_us - m.r_ts, -1)::BIGINT AS gap_us
+FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.left_id = l.event_id"""
 
 
 def _shingles_cte(k: int = 3) -> str:
@@ -1253,6 +1364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
         "boolean_topk": q_boolean_topk,
+        "window_agg_1h": q_window_agg,
+        "sessions_30m": q_sessions,
+        "asof_purchase_signup": q_asof_purchase_signup,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1583,6 +1697,9 @@ FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
         "boolean_topk": _boolean_sql(),
+        "window_agg_1h": _window_agg_sql(),
+        "sessions_30m": _sessions_sql(),
+        "asof_purchase_signup": _asof_sql(),
         "top_terms": f"""
 WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

@@ -1,0 +1,275 @@
+"""Temporal operators over event streams: tumbling windows, session
+windows, as-of joins.
+
+The reference is strictly batch with no temporal concepts (SURVEY §2.9);
+these are the streaming-shaped operators a large-scale training-data /
+telemetry pipeline needs, built from Ray Data primitives:
+
+- **Tumbling-window aggregate** — the partial-aggregation pattern: each
+  ``map_batches`` task pre-aggregates its batch per (window, key) so the
+  ``groupby`` shuffle moves O(windows × keys) combiner rows, not O(events).
+- **Sessionization** — gap-based session windows. A per-user
+  ``groupby(user).map_groups`` would pay one Python call per user (the
+  round-3 coarse-key lesson, BASELINE.md stats audit); instead events
+  shuffle on a SALTED COARSE user key (``user_id % n_groups``, ≤ a few ×
+  cluster cores groups) and each group sessionizes ALL its users in one
+  vectorized lexsort + gap-scan kernel. A user's events land in exactly one
+  group, so results are exact; skew is bounded by the hash of user ids.
+- **As-of join** — for each left event the most recent right event of the
+  same key with ``right.ts <= left.ts`` (ties: larger right ts, then larger
+  right event id — pinned so the SQL oracle can mirror it). Both sides
+  shuffle on the same coarse key and each group resolves matches with one
+  merged lexsort + cumulative-count pass (no per-user loop, no per-row
+  search).
+
+All value aggregates are integer cents (``floor(value·100 + 0.5)``) and all
+times int64 epoch-µs, so every operator has a bit-exact DuckDB mirror.
+
+Partitioning assumption (documented per the north rule): sessionize /
+asof_join co-locate rows by ``user_id % n_groups``; at 100 TB the shuffle
+is one all-to-all of the (pruned) event columns, and n_groups should be
+sized ≥ cluster cores. A single user's events must fit one task's memory —
+true for any real per-user event history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+DEFAULT_GROUPS = 256
+
+
+def _check_groups(n_groups: int) -> None:
+    """Coarse keys use ``user & (n_groups-1)``: power of two, ids >= 0."""
+    if n_groups < 1 or n_groups & (n_groups - 1):
+        raise ValueError(f"n_groups must be a power of two, got {n_groups}")
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * 100 + 0.5).astype(np.int64)
+
+
+def _ts_us(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_agg(
+    ds: Dataset,
+    window_us: int,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Dataset:
+    """Per (tumbling window, key): event count and sum/min/max of the value
+    in integer cents. Pre-aggregated inside each batch (combiner), then a
+    windows×keys-sized ``groupby`` merge — the shuffle never carries event
+    rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        win = (ts // window_us) * window_us
+        cents = _cents(batch[value_col])
+        t = pa.table(
+            {
+                "window_start_us": pa.array(win),
+                key_col: batch[key_col],
+                "c": pa.array(cents),
+            }
+        )
+        g = t.group_by(["window_start_us", key_col]).aggregate(
+            [("c", "count"), ("c", "sum"), ("c", "min"), ("c", "max")]
+        )
+        return pa.table(
+            {
+                "window_start_us": g["window_start_us"],
+                key_col: g[key_col],
+                "n_events": g["c_count"].cast(pa.int64()),
+                "sum_value_c": g["c_sum"].cast(pa.int64()),
+                "min_value_c": g["c_min"].cast(pa.int64()),
+                "max_value_c": g["c_max"].cast(pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    return part.groupby(["window_start_us", key_col]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_c", alias_name="sum_value_c"),
+        Min("min_value_c", alias_name="min_value_c"),
+        Max("max_value_c", alias_name="max_value_c"),
+    )
+
+
+def _sessionize_group(
+    batch: pa.Table, *, gap_us: int, user_col: str, id_col: str, has_value: bool
+) -> pa.Table:
+    """Vectorized multi-user sessionization of one coarse group."""
+    users = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch["_ts_us"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, ts, users))
+    u_s, t_s, i_s = users[order], ts[order], ids[order]
+    n = u_s.size
+    if n == 0:
+        cols = {
+            user_col: pa.array([], pa.int64()),
+            "session_start_us": pa.array([], pa.int64()),
+            "session_end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+        if has_value:
+            cols["sum_value_c"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    new_sess = np.concatenate(
+        ([True], (u_s[1:] != u_s[:-1]) | (t_s[1:] - t_s[:-1] > gap_us))
+    )
+    starts = np.flatnonzero(new_sess)
+    counts = np.diff(np.concatenate((starts, [n])))
+    ends = starts + counts - 1
+    cols = {
+        user_col: pa.array(u_s[starts]),
+        "session_start_us": pa.array(t_s[starts]),
+        "session_end_us": pa.array(t_s[ends]),
+        "n_events": pa.array(counts.astype(np.int64)),
+    }
+    if has_value:
+        cents = _cents(batch["_value"])[order]
+        cols["sum_value_c"] = pa.array(np.add.reduceat(cents, starts))
+    return pa.table(cols)
+
+
+def sessionize(
+    ds: Dataset,
+    gap_us: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str | None = "value",
+    n_groups: int = DEFAULT_GROUPS,
+) -> Dataset:
+    """Gap-based session windows per user: one output row per session with
+    (user, start, end, n_events[, sum_value_c]). A new session starts when
+    the gap to the previous event of the same user EXCEEDS ``gap_us``
+    (ordering ties broken by event id, pinned for the oracle)."""
+    _check_groups(n_groups)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {
+            user_col: batch[user_col].cast(pa.int64()),
+            id_col: batch[id_col].cast(pa.int64()),
+            "_ts_us": pa.array(_ts_us(batch[ts_col])),
+            "_cg": pc.cast(
+                pc.bit_wise_and(batch[user_col].cast(pa.int64()), n_groups - 1),
+                pa.int64(),
+            ),
+        }
+        if value_col is not None:
+            cols["_value"] = batch[value_col]
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return prepped.groupby("_cg").map_groups(
+        _sessionize_group,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "gap_us": gap_us,
+            "user_col": user_col,
+            "id_col": id_col,
+            "has_value": value_col is not None,
+        },
+    )
+
+
+def _asof_group(
+    batch: pa.Table, *, user_col: str, id_col: str
+) -> pa.Table:
+    """Merged-rank as-of resolution for one coarse group: counts, for every
+    left row, the right rows of the same user at or before it in one
+    lexsort + cumsum — no per-user loop."""
+    side = batch["_side"].to_numpy(zero_copy_only=False)  # 0=right, 1=left
+    users = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch["_ts_us"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # primary (user, ts); rights before lefts at equal ts (inclusive <=);
+    # ids last so right ties resolve to the LARGEST id being "most recent"
+    order = np.lexsort((ids, side, ts, users))
+    u_o, t_o, i_o, s_o = users[order], ts[order], ids[order], side[order]
+    is_right = s_o == 0
+    cum_right = np.cumsum(is_right)
+    # right rows in their own sorted order (same relative order as in `order`)
+    r_pos = np.flatnonzero(is_right)
+    r_users, r_ts, r_ids = u_o[r_pos], t_o[r_pos], i_o[r_pos]
+    l_pos = np.flatnonzero(~is_right)
+    l_users, l_ts, l_ids = u_o[l_pos], t_o[l_pos], i_o[l_pos]
+    if r_pos.size == 0:  # group holds no right rows: every left unmatched
+        out_rid = np.full(l_pos.size, -1, np.int64)
+        out_rts = np.full(l_pos.size, -1, np.int64)
+        gap = np.full(l_pos.size, -1, np.int64)
+    else:
+        n_le = cum_right[l_pos]  # rights at-or-before each left (any user <= u)
+        prefix = np.searchsorted(r_users, l_users, side="left")
+        idx = n_le - prefix - 1  # within-user right index, -1 = none
+        matched = idx >= 0
+        sel = prefix + np.where(matched, idx, 0)
+        sel = np.minimum(sel, r_pos.size - 1)  # unmatched rows: any valid index
+        out_rid = np.where(matched, r_ids[sel], -1)
+        out_rts = np.where(matched, r_ts[sel], -1)
+        gap = np.where(matched, l_ts - r_ts[sel], -1)
+    return pa.table(
+        {
+            "left_id": pa.array(l_ids),
+            user_col: pa.array(l_users),
+            "left_ts_us": pa.array(l_ts),
+            "right_id": pa.array(out_rid),
+            "right_ts_us": pa.array(out_rts),
+            "gap_us": pa.array(gap),
+        }
+    )
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_groups: int = DEFAULT_GROUPS,
+) -> Dataset:
+    """As-of join: each left row matched to the most recent right row of the
+    same user with ``right.ts <= left.ts`` (ties: larger right ts wins, then
+    larger right id). Unmatched lefts keep -1 sentinels. Both sides shuffle
+    once on the coarse user key; each group resolves every match in one
+    vectorized pass."""
+    _check_groups(n_groups)
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = batch[user_col].cast(pa.int64())
+            return pa.table(
+                {
+                    user_col: u,
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "_ts_us": pa.array(_ts_us(batch[ts_col])),
+                    "_side": pa.array(np.full(len(batch), side, np.int64)),
+                    "_cg": pc.cast(pc.bit_wise_and(u, n_groups - 1), pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = right.map_batches(prep(0), batch_format="pyarrow").union(
+        left.map_batches(prep(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("_cg").map_groups(
+        _asof_group,
+        batch_format="pyarrow",
+        fn_kwargs={"user_col": user_col, "id_col": id_col},
+    )

@@ -1,0 +1,214 @@
+"""Temporal operators (ops/windows): tumbling windows, sessions, as-of."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.windows import asof_join, sessionize, tumbling_window_agg
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+def _events_table(rows):
+    """rows = [(event_id, ts_us, user_id, event_type, value)]"""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_tumbling_window_agg(ray_session):
+    rows = [
+        (0, 10 * US, 1, "click", 1.10),
+        (1, HOUR - 1, 1, "click", 2.00),     # same window as 0
+        (2, HOUR, 2, "click", 3.33),         # boundary -> next window
+        (3, HOUR + 5, 2, "view", 0.07),
+        (4, 3 * HOUR, 3, "click", -1.50),    # negative value
+    ]
+    out = (
+        tumbling_window_agg(rd.from_arrow(_events_table(rows)), HOUR)
+        .to_pandas()
+        .sort_values(["window_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            (0, "click", 2, 310, 110, 200),
+            (HOUR, "click", 1, 333, 333, 333),
+            (HOUR, "view", 1, 7, 7, 7),
+            (3 * HOUR, "click", 1, -150, -150, -150),
+        ],
+        columns=[
+            "window_start_us", "event_type", "n_events",
+            "sum_value_c", "min_value_c", "max_value_c",
+        ],
+    )
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def scalar_sessions(rows, gap_us):
+    by_user = {}
+    for eid, ts, u, _, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    out = []
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for ts, eid, v in evs:
+            c = int(np.floor(v * 100 + 0.5))
+            if cur is None or ts - cur[1] > gap_us:
+                if cur:
+                    out.append((u, *cur))
+                cur = [ts, ts, 1, c]
+            else:
+                cur[1] = ts
+                cur[2] += 1
+                cur[3] += c
+        if cur:
+            out.append((u, *cur))
+    return (
+        pd.DataFrame(
+            out,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events", "sum_value_c"],
+        )
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
+def test_sessionize_matches_scalar(ray_session):
+    gap = 60 * US
+    rows = [
+        (0, 0, 1, "e", 1.0),
+        (1, 30 * US, 1, "e", 1.0),
+        (2, 90 * US, 1, "e", 1.0),            # exactly gap after #1 -> SAME session
+        (3, 90 * US + 60 * US + 1, 1, "e", 1.0),  # gap+1 -> new session
+        (4, 0, 2, "e", 2.5),                  # other user, own session
+        (5, 10 * US, 3, "e", 0.0),            # single-event session
+    ]
+    out = (
+        sessionize(rd.from_arrow(_events_table(rows)), gap, n_groups=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = scalar_sessions(rows, gap)
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+    # boundary semantics: events 0,1,2 are one session (gap == gap_us keeps)
+    u1 = want[want.user_id == 1]
+    assert u1.n_events.tolist() == [3, 1]
+
+
+def test_sessionize_randomized_scalar_parity(ray_session):
+    rng = np.random.default_rng(5)
+    n = 600
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 50_000) * US),
+            int(rng.integers(0, 12)),
+            "e",
+            float(np.round(rng.normal(10, 5), 2)),
+        )
+        for i in range(n)
+    ]
+    gap = 500 * US
+    out = (
+        sessionize(rd.from_arrow(_events_table(rows)), gap, n_groups=8)
+        .to_pandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+    want = scalar_sessions(rows, gap)
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def test_sessionize_rejects_bad_groups(ray_session):
+    with pytest.raises(ValueError, match="power of two"):
+        sessionize(rd.from_arrow(_events_table([])), 1, n_groups=6)
+
+
+def scalar_asof(left_rows, right_rows):
+    out = []
+    for eid, ts, u, _, _ in left_rows:
+        cands = [
+            (rts, rid)
+            for rid, rts, ru, _, _ in right_rows
+            if ru == u and rts <= ts
+        ]
+        if cands:
+            rts, rid = max(cands)
+            out.append((eid, u, ts, rid, rts, ts - rts))
+        else:
+            out.append((eid, u, ts, -1, -1, -1))
+    return (
+        pd.DataFrame(
+            out,
+            columns=["left_id", "user_id", "left_ts_us", "right_id", "right_ts_us", "gap_us"],
+        )
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_matches_scalar(ray_session):
+    right = [
+        (100, 10 * US, 1, "s", 0.0),
+        (101, 50 * US, 1, "s", 0.0),
+        (102, 50 * US, 1, "s", 0.0),   # tie ts with 101 -> larger id wins
+        (103, 5 * US, 2, "s", 0.0),
+    ]
+    left = [
+        (0, 5 * US, 1, "p", 0.0),      # before any signup of user 1 -> -1
+        (1, 10 * US, 1, "p", 0.0),     # equal ts -> inclusive match 100
+        (2, 60 * US, 1, "p", 0.0),     # tie: id 102 over 101
+        (3, 7 * US, 2, "p", 0.0),
+        (4, 1 * US, 3, "p", 0.0),      # user with no signups
+    ]
+    out = (
+        asof_join(
+            rd.from_arrow(_events_table(left)),
+            rd.from_arrow(_events_table(right)),
+            n_groups=4,
+        )
+        .to_pandas()
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+    want = scalar_asof(left, right)
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+    assert out.set_index("left_id").right_id.to_dict() == {
+        0: -1, 1: 100, 2: 102, 3: 103, 4: -1
+    }
+
+
+def test_asof_join_randomized_scalar_parity(ray_session):
+    rng = np.random.default_rng(9)
+    left = [
+        (i, int(rng.integers(0, 10_000) * US), int(rng.integers(0, 10)), "p", 0.0)
+        for i in range(300)
+    ]
+    right = [
+        (1000 + i, int(rng.integers(0, 10_000) * US), int(rng.integers(0, 10)), "s", 0.0)
+        for i in range(200)
+    ]
+    out = (
+        asof_join(
+            rd.from_arrow(_events_table(left)),
+            rd.from_arrow(_events_table(right)),
+            n_groups=8,
+        )
+        .to_pandas()
+        .sort_values("left_id")
+        .reset_index(drop=True)
+    )
+    want = scalar_asof(left, right)
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
