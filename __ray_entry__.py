@@ -515,6 +515,36 @@ def _events(sf_dir: str, columns=None):
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+def q_phrase_topk(sf_dir: str):
+    """BM25-ranked phrase retrieval (positions.phrase_topk): phrase df from
+    a phrase-sized groupby, vectorized scoring over matches, per-phrase
+    top-k merge."""
+    from splade_ray.positions import build_positions, phrase_topk
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    run = phrase_topk(index_dir, PHRASE_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["phrase_id", "rank", "doc_id", "score_r"]]
+
+
+HOP_15M_US = 900_000_000
+
+
+def q_window_hop(sf_dir: str):
+    """Hopping windows: 1h length, 15-min hop — each event replicated into
+    its 4 windows batch-locally; the shuffle still carries only (window,
+    type) combiner rows."""
+    from splade_ray.ops.windows import tumbling_window_agg
+
+    return tumbling_window_agg(
+        _events(sf_dir, ["ts", "event_type", "value"]), WINDOW_1H_US,
+        hop_us=HOP_15M_US,
+    )
+
+
 def q_window_agg(sf_dir: str):
     """Tumbling 1h windows per event_type over `events` (ops/windows):
     count + sum/min/max value in integer cents; batch-local combiners, the
@@ -809,12 +839,12 @@ LEFT JOIN t3 USING (doc_id)
 LEFT JOIN d5 USING (doc_id)"""
 
 
-def _phrase_sql() -> str:
-    """SQL mirror of positions.phrase_search over PHRASE_QUERIES: a sliding
-    window over each doc's token ARRAY counts every start index where the
-    phrase matches (overlapping occurrences, exactly the engine's packed
-    (doc, position) intersection). Generated FROM the same phrase list +
-    tokenizer, so the two sides can't drift."""
+def _phrase_cte() -> str:
+    """WITH-clause body ending in ``p(phrase_id, doc_id, phrase_count)``:
+    a sliding window over each doc's token ARRAY counts every start index
+    where the phrase matches (overlapping occurrences, exactly the engine's
+    packed (doc, position) intersection). Generated FROM the same phrase
+    list + tokenizer, so the two sides can't drift."""
     from splade_ray.analysis import tokenize
 
     branches = []
@@ -838,13 +868,40 @@ def _phrase_sql() -> str:
             f"  FROM ta WHERE {guard}"
         )
     body = "\n  UNION ALL\n".join(branches)
-    return f"""
-WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+    return f"""ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
             FROM documents),
 p AS (
 {body}
-)
+)"""
+
+
+def _phrase_sql() -> str:
+    return f"""
+WITH {_phrase_cte()}
 SELECT phrase_id, doc_id, phrase_count FROM p WHERE phrase_count > 0"""
+
+
+def _phrase_topk_sql() -> str:
+    """SQL mirror of positions.phrase_topk: the phrase as one virtual BM25
+    term (tf = occurrence count, df = docs containing the phrase)."""
+    return f"""
+WITH {_phrase_cte()},
+m AS (SELECT phrase_id, doc_id, phrase_count FROM p WHERE phrase_count > 0),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::DOUBLE AS dl
+       FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+pdf AS (SELECT phrase_id, count(*)::DOUBLE AS df FROM m GROUP BY phrase_id),
+sc AS (SELECT m.phrase_id, m.doc_id,
+              ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * m.phrase_count * ({K1} + 1)
+              / (m.phrase_count + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS score
+       FROM m JOIN pdf USING (phrase_id) JOIN dl USING (doc_id) CROSS JOIN stats s),
+ranked AS (SELECT phrase_id, doc_id, score,
+                  row_number() OVER (PARTITION BY phrase_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM sc WHERE score > 0)
+SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def _boolean_sql() -> str:
@@ -912,6 +969,22 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _window_hop_sql() -> str:
+    """SQL mirror of hopping windows: each event cross-joined to its
+    window_us/hop_us window starts — same floor-division arithmetic."""
+    w, h = WINDOW_1H_US, HOP_15M_US
+    n_win = w // h
+    return f"""
+WITH e AS (
+  SELECT ((epoch_us(ts) // {h}) - j.j) * {h} AS window_start_us, event_type,
+         floor(value * 100 + 0.5)::BIGINT AS c
+  FROM events CROSS JOIN range(0, {n_win}) AS j(j))
+SELECT window_start_us::BIGINT AS window_start_us, event_type,
+       count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value_c,
+       min(c)::BIGINT AS min_value_c, max(c)::BIGINT AS max_value_c
+FROM e GROUP BY 1, 2"""
 
 
 def _window_agg_sql() -> str:
@@ -1364,7 +1437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
         "boolean_topk": q_boolean_topk,
+        "phrase_topk": q_phrase_topk,
         "window_agg_1h": q_window_agg,
+        "window_hop_1h_15m": q_window_hop,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "token_counts": q_token_counts,
@@ -1697,7 +1772,9 @@ FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
         "boolean_topk": _boolean_sql(),
+        "phrase_topk": _phrase_topk_sql(),
         "window_agg_1h": _window_agg_sql(),
+        "window_hop_1h_15m": _window_hop_sql(),
         "sessions_30m": _sessions_sql(),
         "asof_purchase_signup": _asof_sql(),
         "top_terms": f"""

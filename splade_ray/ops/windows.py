@@ -63,24 +63,47 @@ def tumbling_window_agg(
     ds: Dataset,
     window_us: int,
     *,
+    hop_us: int | None = None,
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> Dataset:
-    """Per (tumbling window, key): event count and sum/min/max of the value
-    in integer cents. Pre-aggregated inside each batch (combiner), then a
+    """Per (window, key): event count and sum/min/max of the value in
+    integer cents. Pre-aggregated inside each batch (combiner), then a
     windows×keys-sized ``groupby`` merge — the shuffle never carries event
-    rows."""
+    rows.
+
+    ``hop_us`` turns tumbling into HOPPING (sliding) windows: every
+    ``hop_us`` a window of length ``window_us`` opens, so each event lands
+    in ``window_us // hop_us`` windows (must divide evenly). The combiner
+    replicates events into their windows batch-locally; the shuffle still
+    carries only (window, key) partials."""
+    hop = hop_us or window_us
+    if window_us % hop:
+        raise ValueError(f"hop_us {hop} must divide window_us {window_us}")
+    n_win = window_us // hop
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch[ts_col])
-        win = (ts // window_us) * window_us
+        base = (ts // hop) * hop
         cents = _cents(batch[value_col])
+        if n_win == 1:
+            win, keys_rep, cents_rep = base, batch[key_col], pa.array(cents)
+        else:
+            win = np.concatenate([base - j * hop for j in range(n_win)])
+            keys = (
+                batch[key_col].combine_chunks()
+                if isinstance(batch[key_col], pa.ChunkedArray)
+                else batch[key_col]
+            )
+            idx = pa.array(np.tile(np.arange(len(batch), dtype=np.int64), n_win))
+            keys_rep = keys.take(idx)
+            cents_rep = pa.array(np.tile(cents, n_win))
         t = pa.table(
             {
                 "window_start_us": pa.array(win),
-                key_col: batch[key_col],
-                "c": pa.array(cents),
+                key_col: keys_rep,
+                "c": cents_rep,
             }
         )
         g = t.group_by(["window_start_us", key_col]).aggregate(

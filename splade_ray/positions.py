@@ -295,11 +295,24 @@ def _decode_runs(
 class SegmentPositions:
     """One segment's positional postings, pruned to the query's terms."""
 
-    def __init__(self, seg_dir: str, terms: list[str]):
+    def __init__(self, seg_dir: str, terms: list[str], with_doc_len: bool = False):
         src = pads.dataset(os.path.join(seg_dir, "positions.parquet"))
         self.tbl = src.to_table(filter=pads.field("term").isin(terms))
         self._by_term = {t: i for i, t in enumerate(self.tbl["term"].to_pylist())}
         self._cache: dict[str, tuple] = {}
+        self._dl: tuple[np.ndarray, np.ndarray] | None = None
+        if with_doc_len:
+            dl = pq.read_table(
+                os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id", "doc_len"]
+            )
+            self._dl = (
+                dl["doc_id"].to_numpy().astype(np.int64),
+                dl["doc_len"].to_numpy().astype(np.int64),
+            )
+
+    def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
+        ids, lens = self._dl
+        return lens[np.searchsorted(ids, doc_ids)]
 
     def term_entry(self, term: str):
         """(doc_ids asc, tfs, byte_lens, pos_enc) for one term, decoded once."""
@@ -355,27 +368,77 @@ class SegmentPositions:
         return common[keep], counts[keep].astype(np.int64)
 
 
-def phrase_match_batch(batch: pa.Table, *, phrases: dict[int, list[str]], terms: list[str]) -> pa.Table:
+def phrase_match_batch(
+    batch: pa.Table,
+    *,
+    phrases: dict[int, list[str]],
+    terms: list[str],
+    with_doc_len: bool = False,
+) -> pa.Table:
     """map_batches task: evaluate every phrase against each segment in the
-    batch. Segments partition the doc space, so outputs concatenate."""
-    pids, docs_out, counts_out = [], [], []
+    batch. Segments partition the doc space, so outputs concatenate.
+    ``with_doc_len`` adds each matching doc's token count (from the
+    segment's doclens sidecar) for BM25-style phrase ranking."""
+    pids, docs_out, counts_out, dls_out = [], [], [], []
     for seg_dir in batch["seg_dir"].to_pylist():
-        seg = SegmentPositions(seg_dir, terms)
+        seg = SegmentPositions(seg_dir, terms, with_doc_len=with_doc_len)
         for pid, phrase in phrases.items():
             docs, counts = seg.phrase_counts(phrase)
             pids.extend([pid] * docs.size)
             docs_out.append(docs)
             counts_out.append(counts)
-    return pa.table(
-        {
-            "phrase_id": pa.array(np.asarray(pids, np.int64)),
-            "doc_id": pa.array(
-                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
-            ),
-            "phrase_count": pa.array(
-                np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
-            ),
-        }
+            if with_doc_len:
+                dls_out.append(seg.doc_lens(docs))
+    cols = {
+        "phrase_id": pa.array(np.asarray(pids, np.int64)),
+        "doc_id": pa.array(
+            np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+        ),
+        "phrase_count": pa.array(
+            np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
+        ),
+    }
+    if with_doc_len:
+        cols["doc_len"] = pa.array(
+            np.concatenate(dls_out) if dls_out else np.empty(0, np.int64)
+        )
+    return pa.table(cols)
+
+
+def _phrase_candidates(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+    with_doc_len: bool = False,
+):
+    """Shared fan-out: tokenized phrases -> per-segment match Dataset (or
+    None when no phrase tokenizes to anything)."""
+    from splade_ray.build import segment_dirs
+
+    load_positions_manifest(index_dir)
+    tokenized = {
+        int(pid): tokenize(text, query_lang) if query_lang else tokenize(text)
+        for pid, text in phrases
+    }
+    tokenized = {pid: ts for pid, ts in tokenized.items() if ts}
+    if not tokenized:
+        return None
+    all_terms = sorted({t for ts in tokenized.values() for t in ts})
+    segs = segment_dirs(index_dir)
+    return rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        phrase_match_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs={
+            "phrases": tokenized,
+            "terms": all_terms,
+            "with_doc_len": with_doc_len,
+        },
+        concurrency=concurrency,
     )
 
 
@@ -396,29 +459,93 @@ def phrase_search(
     phrases' terms."""
     import pandas as pd
 
-    from splade_ray.build import segment_dirs
-
-    load_positions_manifest(index_dir)
-    tokenized = {
-        int(pid): tokenize(text, query_lang) if query_lang else tokenize(text)
-        for pid, text in phrases
-    }
-    tokenized = {pid: ts for pid, ts in tokenized.items() if ts}
-    out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
-    if not tokenized:
-        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
-    all_terms = sorted({t for ts in tokenized.values() for t in ts})
-    segs = segment_dirs(index_dir)
-    ds = rd.from_items(
-        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
-    ).map_batches(
-        phrase_match_batch,
-        batch_format="pyarrow",
-        batch_size=1,
-        fn_kwargs={"phrases": tokenized, "terms": all_terms},
-        concurrency=concurrency,
+    ds = _phrase_candidates(
+        index_dir, phrases, query_lang=query_lang, concurrency=concurrency
     )
+    out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
+    if ds is None:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
     pdf = ds.to_pandas()
     if pdf.empty:
         return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
     return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
+def phrase_topk(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    params=None,
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """BM25-ranked phrase retrieval: each phrase acts as ONE virtual term
+    whose per-doc tf is the phrase occurrence count and whose df is the
+    number of docs containing the phrase. score = idf(df_phrase) ·
+    tf_component(count, doc_len); ties (score desc, doc_id asc).
+
+    Three small stages over the candidate Dataset (matches only, never the
+    corpus): a phrase-count groupby for global dfs (phrase-sized), a
+    vectorized scoring map, and the per-phrase top-k merge."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from splade_ray.bm25 import BM25Params, idf, tf_component
+    from splade_ray.build import load_manifest
+
+    params = params or BM25Params()
+    man = load_manifest(index_dir)
+    n_docs, avgdl = man["n_docs"], man["avgdl"]
+    out_cols = ["phrase_id", "rank", "doc_id", "score"]
+    out_types = {
+        "phrase_id": np.int64, "rank": np.int32,
+        "doc_id": np.int64, "score": np.float64,
+    }
+    cand = _phrase_candidates(
+        index_dir, phrases, query_lang=query_lang,
+        concurrency=concurrency, with_doc_len=True,
+    )
+    if cand is None:
+        return pd.DataFrame(columns=out_cols).astype(out_types)
+    cand = cand.materialize()  # consumed twice: df groupby + scoring
+    dfs = {
+        int(r["phrase_id"]): int(r["df"])
+        for r in cand.groupby("phrase_id").aggregate(Count(alias_name="df")).take_all()
+    }
+    if not dfs:
+        return pd.DataFrame(columns=out_cols).astype(out_types)
+    w = {pid: idf(df, n_docs) for pid, df in dfs.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        pids = batch["phrase_id"].to_numpy(zero_copy_only=False)
+        tf = batch["phrase_count"].to_numpy(zero_copy_only=False)
+        dl = batch["doc_len"].to_numpy(zero_copy_only=False)
+        ws = np.zeros(pids.size, np.float64)
+        for pid, wv in w.items():  # loop over phrases, not rows
+            ws[pids == pid] = wv
+        s = ws * tf_component(tf, dl, avgdl, params)
+        return pa.table(
+            {
+                "phrase_id": batch["phrase_id"],
+                "doc_id": batch["doc_id"],
+                "score": pa.array(s),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["score"] > params.threshold].sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        g = g.head(params.top_k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[out_cols]
+
+    run = (
+        cand.map_batches(score, batch_format="pyarrow")
+        .groupby("phrase_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=out_cols).astype(out_types)
+    return pdf.sort_values(["phrase_id", "rank"]).reset_index(drop=True)

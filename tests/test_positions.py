@@ -339,3 +339,48 @@ def test_phrase_and_boolean_oracle_parity_duckdb(ray_session, tmp_path):
             assert got[c].astype(np.float64).tolist() == pytest.approx(
                 want[c].astype(np.float64).tolist()
             ), (name, c)
+
+
+def test_phrase_topk_matches_bruteforce(pos_index):
+    """phrase_topk == brute-force BM25 with the phrase as one virtual term
+    (tf = occurrence count, df = matching docs)."""
+    from splade_ray.positions import phrase_topk
+
+    params = BM25Params(top_k=3)
+    got = phrase_topk(pos_index, PHRASES, params)
+    # brute force over TEXTS
+    doc_lens = [len(tokenize(t)) for t in TEXTS]
+    n = len(TEXTS)
+    avgdl = sum(doc_lens) / n
+    rows = []
+    for pid, text in PHRASES:
+        ptoks = tokenize(text)
+        if not ptoks:
+            continue
+        matches = [
+            (d, scalar_phrase_count(t, ptoks))
+            for d, t in enumerate(TEXTS)
+            if scalar_phrase_count(t, ptoks) > 0
+        ]
+        if not matches:
+            continue
+        w = idf(len(matches), n)
+        scored = sorted(
+            (
+                (
+                    -w * float(tf_component(
+                        np.array([c], np.int64), np.array([doc_lens[d]], np.int64),
+                        avgdl, params,
+                    )[0]),
+                    d,
+                )
+                for d, c in matches
+            ),
+        )[: params.top_k]
+        for r, (negs, d) in enumerate(scored, start=1):
+            rows.append((pid, r, d, -negs))
+    want = pd.DataFrame(rows, columns=["phrase_id", "rank", "doc_id", "score"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rank": np.int64}),
+        want.astype({"rank": np.int64}),
+    )

@@ -212,3 +212,40 @@ def test_asof_join_randomized_scalar_parity(ray_session):
     )
     want = scalar_asof(left, right)
     pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def test_hopping_window_agg(ray_session):
+    """1h window, 30m hop: each event lands in 2 windows; totals replicate."""
+    rows = [
+        (0, 10 * US, 1, "click", 1.00),        # windows starting 0 and -30m
+        (1, 45 * 60 * US, 1, "click", 2.00),   # windows 30m and 0
+        (2, HOUR + 10, 2, "view", 4.00),       # windows 1h and 30m
+    ]
+    hop = 30 * 60 * US
+    out = (
+        tumbling_window_agg(rd.from_arrow(_events_table(rows)), HOUR, hop_us=hop)
+        .to_pandas()
+        .sort_values(["window_start_us", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            (-hop, "click", 1, 100, 100, 100),
+            (0, "click", 2, 300, 100, 200),
+            (hop, "click", 1, 200, 200, 200),
+            (hop, "view", 1, 400, 400, 400),
+            (HOUR, "view", 1, 400, 400, 400),
+        ],
+        columns=[
+            "window_start_us", "event_type", "n_events",
+            "sum_value_c", "min_value_c", "max_value_c",
+        ],
+    )
+    pd.testing.assert_frame_equal(out[want.columns].astype(want.dtypes.to_dict()), want)
+    # every event appears in exactly window/hop = 2 windows
+    assert out.n_events.sum() == 2 * len(rows)
+
+
+def test_hopping_rejects_nondivisible(ray_session):
+    with pytest.raises(ValueError, match="divide"):
+        tumbling_window_agg(rd.from_arrow(_events_table([])), HOUR, hop_us=7)
