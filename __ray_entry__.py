@@ -515,6 +515,37 @@ def _events(sf_dir: str, columns=None):
     return read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
+SAMPLE_SEED = 7
+SAMPLE_RATE = 0.1
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+BOTTOMK = 100
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic Bernoulli sample (ops/sample.hash_sample): membership
+    is a pure function of doc_id — identical across partitionings and
+    re-runs."""
+    from splade_ray.ops.sample import hash_sample
+
+    return hash_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), SAMPLE_RATE, seed=SAMPLE_SEED
+    )
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment by hash-bucket thresholds."""
+    from splade_ray.ops.sample import split_assign
+
+    return split_assign(_docs(sf_dir, ["doc_id"]), SPLIT_FRACTIONS, seed=SAMPLE_SEED)
+
+
+def q_sample_bottomk(sf_dir: str):
+    """Fixed-size uniform sample (bottom-k sketch over the id hash)."""
+    from splade_ray.ops.sample import bottomk_sample
+
+    return bottomk_sample(_docs(sf_dir, ["doc_id"]), BOTTOMK, seed=SAMPLE_SEED)
+
+
 def q_phrase_topk(sf_dir: str):
     """BM25-ranked phrase retrieval (positions.phrase_topk): phrase df from
     a phrase-sized groupby, vectorized scoring over matches, per-phrase
@@ -969,6 +1000,33 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _sample_sqls() -> dict[str, str]:
+    """SQL mirrors of the ops/sample family, generated from the SAME hash
+    constants + thresholds (splade_ray.ops.sample.bucket_sql/hash_sql)."""
+    from splade_ray.ops.sample import BUCKETS, bucket_sql, hash_sql, threshold
+
+    b = bucket_sql("doc_id", SAMPLE_SEED)
+    names = sorted(SPLIT_FRACTIONS)
+    cuts = np.cumsum([SPLIT_FRACTIONS[n] for n in names])
+    bounds = [threshold(c) for c in cuts]
+    bounds[-1] = BUCKETS
+    case = " ".join(
+        f"WHEN {b} < {t} THEN '{n}'" for n, t in zip(names[:-1], bounds[:-1])
+    )
+    return {
+        "sample_hash": f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < {threshold(SAMPLE_RATE)}""",
+        "split_assign": f"""
+SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split FROM documents""",
+        "sample_bottomk": f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {hash_sql('doc_id', SAMPLE_SEED)}, doc_id) AS sample_rank
+FROM documents
+ORDER BY sample_rank LIMIT {BOTTOMK}""",
+    }
 
 
 def _window_hop_sql() -> str:
@@ -1438,6 +1496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
+        "sample_hash": q_sample_hash,
+        "split_assign": q_split_assign,
+        "sample_bottomk": q_sample_bottomk,
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,
         "sessions_30m": q_sessions,
@@ -1773,6 +1834,7 @@ FROM f""",
         "phrase_search": _phrase_sql(),
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),
+        **_sample_sqls(),
         "window_agg_1h": _window_agg_sql(),
         "window_hop_1h_15m": _window_hop_sql(),
         "sessions_30m": _sessions_sql(),

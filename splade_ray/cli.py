@@ -207,6 +207,33 @@ def cmd_boolsearch(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic sampling / split assignment over a parquet corpus."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.sample import bottomk_sample, hash_sample, split_assign
+
+    ds = read_parquet_clean(args.corpus)
+    if args.mode == "hash":
+        out = hash_sample(ds, args.rate, id_col=args.id_col, seed=args.seed)
+        out.write_parquet(args.out)
+        n = out.count()
+    elif args.mode == "split":
+        fractions = {}
+        for part in args.fractions.split(","):
+            name, frac = part.split("=")
+            fractions[name] = float(frac)
+        out = split_assign(ds, fractions, id_col=args.id_col, seed=args.seed)
+        out.write_parquet(args.out)
+        n = out.count()
+    else:  # bottomk
+        pdf = bottomk_sample(ds, args.k, id_col=args.id_col, seed=args.seed)
+        pdf.to_parquet(args.out, index=False)
+        n = len(pdf)
+    print(json.dumps({"mode": args.mode, "rows": int(n), "out": args.out}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Index maintenance for long-lived indexes: tiered-compact down to at
     most --max-segments, then (optionally) refresh the quantized layer that
@@ -522,6 +549,18 @@ def main(argv: list[str] | None = None) -> int:
     bq.add_argument("--k1", type=float, default=1.2)
     bq.add_argument("--b", type=float, default=0.75)
     bq.set_defaults(fn=cmd_boolsearch)
+
+    sm = sub.add_parser("sample", help="deterministic hash sampling / split assignment")
+    sm.add_argument("--corpus", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--mode", choices=["hash", "split", "bottomk"], default="hash")
+    sm.add_argument("--rate", type=float, default=0.1, help="hash mode: keep fraction")
+    sm.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
+                    help="split mode: name=frac,...")
+    sm.add_argument("--k", type=int, default=1000, help="bottomk mode: sample size")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--seed", type=int, default=0)
+    sm.set_defaults(fn=cmd_sample)
 
     mt = sub.add_parser("maintain", help="compact to a segment budget (+ optional re-quantize)")
     mt.add_argument("--index", required=True)

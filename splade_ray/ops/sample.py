@@ -1,0 +1,140 @@
+"""Deterministic sampling & split assignment — training-data pipeline ops.
+
+The reference's only sampling is ``random.sample`` for training negatives
+(``splade/datasets/datasets.py:156-158``) — driver-local and seed-fragile.
+At 100 TB, sampling must be a pure function of the ROW, not of iteration
+order: every task can decide membership locally, re-runs are idempotent
+(resumable shards agree), and no coordinator hands out quotas. All three
+operators here key on a 64-bit multiplicative hash of a stable id column,
+so each is one stateless ``map_batches`` (no shuffle at all except the
+k-sized merge in bottom-k) and each has a bit-exact DuckDB mirror via the
+same HUGEINT mod-2^64 arithmetic the signature oracles use.
+
+- ``hash_sample``  — keep rows whose hash bucket < rate · 2^20 (Bernoulli
+  sampling, deterministic per id: a row is in or out regardless of
+  partitioning, batch size or cluster shape).
+- ``split_assign`` — train/val/test labels from cumulative bucket
+  thresholds; the complement invariant (every row gets exactly one label,
+  fractions hit to within 2^-20) holds by construction.
+- ``bottomk_sample`` — fixed-size uniform sample without replacement: the
+  k rows with the smallest (hash, id); a distributed bottom-k sketch (each
+  batch keeps its local bottom-k, the driver merges k·n_blocks candidate
+  rows). Deterministic, mergeable across shards.
+
+Hash: ``h(id) = (id · A + seed · C) mod 2^64`` with odd constants;
+buckets take the TOP 20 bits (low bits of a multiplicative hash are
+affine in sequential ids — the high bits mix). Not cryptographic;
+membership privacy is out of scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+_A = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_C = np.uint64(0xBF58476D1CE4E5B9)
+_BUCKET_SHIFT = np.uint64(44)  # top 20 bits -> buckets 0 .. 2^20-1
+BUCKETS = 1 << 20
+_M = 1 << 64
+
+
+def _hash64(ids: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ids.astype(np.uint64) * _A + np.uint64(seed) * _C
+
+
+def _buckets(ids: np.ndarray, seed: int) -> np.ndarray:
+    return (_hash64(ids, seed) >> _BUCKET_SHIFT).astype(np.int64)
+
+
+def hash_sql(id_expr: str, seed: int) -> str:
+    """DuckDB HUGEINT mirror of ``_hash64`` (mod 2^64 ≡ uint64 wraparound)."""
+    a, c = int(_A), int(_C)
+    return f"((({id_expr})::HUGEINT * {a} + {seed} * {c}::HUGEINT) % {_M} + {_M}) % {_M}"
+
+
+def bucket_sql(id_expr: str, seed: int) -> str:
+    return f"(({hash_sql(id_expr, seed)}) // {1 << 44})::BIGINT"
+
+
+def threshold(rate: float) -> int:
+    """Bucket threshold for a sampling rate (granularity 2^-20)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(np.floor(rate * BUCKETS + 0.5))
+
+
+def hash_sample(
+    ds: Dataset, rate: float, *, id_col: str = "doc_id", seed: int = 0
+) -> Dataset:
+    """Deterministic Bernoulli sample: keep rows with bucket < rate·2^20."""
+    thr = threshold(rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_buckets(ids, seed) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_assign(
+    ds: Dataset,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> Dataset:
+    """Add a ``split`` column assigning each row to exactly one named split
+    by cumulative bucket thresholds (iteration order = sorted split names,
+    pinned for the oracle; fractions must sum to 1 within 2^-20)."""
+    names = sorted(fractions)
+    cuts = np.cumsum([fractions[n] for n in names])
+    if abs(cuts[-1] - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {cuts[-1]}")
+    bounds = np.array([threshold(c) for c in cuts], np.int64)
+    bounds[-1] = BUCKETS  # close the last interval exactly
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _buckets(ids, seed)
+        idx = np.searchsorted(bounds, b, side="right")
+        labels = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def bottomk_sample(
+    ds: Dataset, k: int, *, id_col: str = "doc_id", seed: int = 0
+) -> pd.DataFrame:
+    """Fixed-size uniform sample without replacement: the k rows with the
+    smallest (hash, id) — a bottom-k sketch. Each batch emits its local
+    bottom-k (id, hash as int64 view for Arrow transport); the driver
+    merges the k·n_blocks candidates. Returns (doc_id, sample_rank)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids, seed)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "_h": pa.array(h[order].view(np.int64)),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64),
+             "sample_rank": pd.Series(dtype=np.int64)}
+        )
+    h = cand["_h"].to_numpy().view(np.uint64)
+    ids = cand[id_col].to_numpy()
+    order = np.lexsort((ids, h))[:k]
+    return pd.DataFrame(
+        {id_col: ids[order], "sample_rank": np.arange(1, order.size + 1, dtype=np.int64)}
+    )

@@ -256,3 +256,36 @@ def test_cli_positions_phrase_boolsearch(ray_session, tmp_path, capsys):
                  "--out", bout, "--top-k", "5"]) == 0
     run = pd.read_parquet(bout)
     assert set(run["query_id"]) == {1} and len(run) == 5
+
+
+def test_cli_sample(ray_session, tmp_path, capsys):
+    import json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.cli import main
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(500, dtype=np.int64),
+                  "text": ["x"] * 500}),
+        corpus,
+    )
+    out1 = str(tmp_path / "s1")
+    assert main(["sample", "--corpus", corpus, "--out", out1,
+                 "--mode", "hash", "--rate", "0.2", "--seed", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.1 < rep["rows"] / 500 < 0.3
+
+    out2 = str(tmp_path / "s2.parquet")
+    assert main(["sample", "--corpus", corpus, "--out", out2,
+                 "--mode", "bottomk", "--k", "25"]) == 0
+    assert len(pd.read_parquet(out2)) == 25
+
+    out3 = str(tmp_path / "s3")
+    assert main(["sample", "--corpus", corpus, "--out", out3,
+                 "--mode", "split", "--fractions", "a=0.5,b=0.5"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 500

@@ -1,0 +1,91 @@
+"""Deterministic sampling / split-assignment tests (ops/sample)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.sample import (
+    BUCKETS,
+    _buckets,
+    bottomk_sample,
+    hash_sample,
+    split_assign,
+    threshold,
+)
+
+
+def _ds(n, blocks=5):
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                  "lang": ["l%d" % (i % 3) for i in range(n)]})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    a = sorted(hash_sample(_ds(2000, blocks=3), 0.2, seed=1).to_pandas().doc_id)
+    b = sorted(hash_sample(_ds(2000, blocks=17), 0.2, seed=1).to_pandas().doc_id)
+    assert a == b and len(a) > 0
+    # scalar reference: bucket < threshold
+    ids = np.arange(2000, dtype=np.int64)
+    want = ids[_buckets(ids, 1) < threshold(0.2)].tolist()
+    assert a == want
+    # rate ~ 20% (law of large numbers at n=2000, generous band)
+    assert 0.1 < len(a) / 2000 < 0.3
+    # different seed -> different membership
+    c = sorted(hash_sample(_ds(2000), 0.2, seed=2).to_pandas().doc_id)
+    assert c != a
+
+
+def test_hash_sample_rate_edges(ray_session):
+    assert len(hash_sample(_ds(300), 0.0).to_pandas()) == 0
+    assert len(hash_sample(_ds(300), 1.0).to_pandas()) == 300
+    with pytest.raises(ValueError):
+        hash_sample(_ds(10), 1.5)
+
+
+def test_split_assign_partitions_exactly(ray_session):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(_ds(3000), fr, seed=3).to_pandas()
+    assert len(out) == 3000
+    assert set(out.split) <= set(fr)
+    # every row exactly one label; fractions roughly honored
+    frac = out.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    # scalar reference via bucket thresholds
+    names = sorted(fr)
+    bounds = np.array([threshold(c) for c in np.cumsum([fr[n] for n in names])])
+    bounds[-1] = BUCKETS
+    b = _buckets(out.doc_id.to_numpy().astype(np.int64), 3)
+    want = np.array(names, dtype=object)[np.searchsorted(bounds, b, side="right")]
+    assert (out.split.to_numpy() == want).all()
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(_ds(10), {"a": 0.5, "b": 0.4})
+
+
+def test_split_disjoint_from_sample_seeds(ray_session):
+    """Same seed: hash_sample(rate) == rows whose split falls in the first
+    rate-mass of sorted split names — membership composes consistently."""
+    out = split_assign(_ds(500), {"a": 0.1, "b": 0.9}, seed=5).to_pandas()
+    samp = hash_sample(_ds(500), 0.1, seed=5).to_pandas()
+    assert sorted(out[out.split == "a"].doc_id) == sorted(samp.doc_id)
+
+
+def test_bottomk_sample(ray_session):
+    got = bottomk_sample(_ds(1000, blocks=7), 50, seed=9)
+    assert got.sample_rank.tolist() == list(range(1, 51))
+    # scalar reference: 50 smallest (hash, id)
+    from splade_ray.ops.sample import _hash64
+
+    ids = np.arange(1000, dtype=np.int64)
+    h = _hash64(ids, 9)
+    want = ids[np.lexsort((ids, h))[:50]].tolist()
+    assert got.doc_id.tolist() == want
+    # k > n returns all rows ranked
+    small = bottomk_sample(_ds(7, blocks=3), 50, seed=9)
+    assert len(small) == 7
+    # empty dataset
+    empty = bottomk_sample(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())})), 5
+    )
+    assert len(empty) == 0 and list(empty.columns) == ["doc_id", "sample_rank"]
