@@ -576,6 +576,33 @@ def q_window_hop(sf_dir: str):
     )
 
 
+TOPN_PER_TYPE = 5
+
+
+def q_top_events_per_type(sf_dir: str):
+    """Grouped top-N (ops/topn.grouped_topn): the 5 highest-value events
+    per event_type — batch-local top-N pruning before the shuffle, so at
+    most N × keys × blocks candidate rows move."""
+    from splade_ray.ops.topn import grouped_topn
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return grouped_topn(
+        ds, "event_type", "value_c", n=TOPN_PER_TYPE, tie_col="event_id"
+    )
+
+
 def q_window_agg(sf_dir: str):
     """Tumbling 1h windows per event_type over `events` (ops/windows):
     count + sum/min/max value in integer cents; batch-local combiners, the
@@ -1045,6 +1072,17 @@ SELECT window_start_us::BIGINT AS window_start_us, event_type,
 FROM e GROUP BY 1, 2"""
 
 
+def _topn_per_type_sql() -> str:
+    return f"""
+WITH e AS (SELECT event_type, event_id,
+                  floor(value * 100 + 0.5)::BIGINT AS value_c FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value_c DESC, event_id ASC) AS rank
+      FROM e)
+SELECT event_type, rank::BIGINT AS rank, event_id, value_c
+FROM r WHERE rank <= {TOPN_PER_TYPE}"""
+
+
 def _window_agg_sql() -> str:
     """SQL mirror of ops.windows.tumbling_window_agg: integer-cent value
     aggregates per (1h window, event_type) — epoch-µs floor division is the
@@ -1499,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "split_assign": q_split_assign,
         "sample_bottomk": q_sample_bottomk,
+        "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,
         "sessions_30m": q_sessions,
@@ -1835,6 +1874,7 @@ FROM f""",
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),
+        "top_events_per_type": _topn_per_type_sql(),
         "window_agg_1h": _window_agg_sql(),
         "window_hop_1h_15m": _window_hop_sql(),
         "sessions_30m": _sessions_sql(),

@@ -456,6 +456,89 @@ class QueryRouter:
         self.actors = []
 
 
+class RouterPool:
+    """Client-side replica pool over :class:`QueryRouter` actors: requests
+    round-robin across replicas; a shed (``RouterOverloaded``) fails over
+    to the next replica, and after a full sweep the client backs off and
+    retries — so the router's bounded admission window composes into
+    end-to-end load balancing instead of surfacing raw errors. Each replica
+    owns its own shard actors (QPS scales with ``n_routers``); spreading
+    across nodes is inherited from the routers' shard placement."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_routers: int = 2,
+        *,
+        num_shards: int = 8,
+        method: str = "exact",
+        max_inflight: int = 8,
+        **router_kwargs,
+    ):
+        if n_routers < 1:
+            raise ValueError("n_routers must be >= 1")
+        self.routers = [
+            QueryRouter.remote(
+                index_dir, num_shards=num_shards, method=method,
+                max_inflight=max_inflight, **router_kwargs,
+            )
+            for _ in range(n_routers)
+        ]
+        self._rr = 0
+        self._retries = 0
+
+    def submit(self, queries, params: BM25Params | None = None):
+        """Fire one request at the next replica (round-robin); returns the
+        ObjectRef. The caller handles shedding (see :meth:`search`)."""
+        r = self.routers[self._rr % len(self.routers)]
+        self._rr += 1
+        return r.search.remote(queries, params)
+
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        *,
+        max_sweeps: int = 4,
+        backoff_s: float = 0.05,
+    ) -> pd.DataFrame:
+        """Blocking search with shed failover: try every replica once per
+        sweep; between sweeps sleep ``backoff_s`` (doubling). Raises
+        ``RouterOverloaded`` only after ``max_sweeps`` full sweeps shed."""
+        import time as _time
+
+        delay = backoff_s
+        last: Exception | None = None
+        for sweep in range(max_sweeps):
+            for _ in range(len(self.routers)):
+                try:
+                    return ray.get(self.submit(queries, params))
+                except ray.exceptions.RayTaskError as e:
+                    if not isinstance(e.cause, RouterOverloaded):
+                        raise
+                    last = e.cause
+                    self._retries += 1
+            if sweep < max_sweeps - 1:
+                _time.sleep(delay)
+                delay *= 2
+        raise last  # every replica shed on every sweep
+
+    def stats(self) -> dict:
+        per = ray.get([r.stats.remote() for r in self.routers])
+        return {
+            "replicas": per,
+            "admitted": sum(p["admitted"] for p in per),
+            "shed": sum(p["shed"] for p in per),
+            "client_retries": self._retries,
+        }
+
+    def shutdown(self) -> None:
+        for r in self.routers:
+            ray.get(r.shutdown.remote())
+            ray.kill(r)
+        self.routers = []
+
+
 class Searcher:
     """Driver-side handle over a pool of shard actors for low-latency
     repeated queries (used by bench.py for p50 latency)."""

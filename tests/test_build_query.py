@@ -580,3 +580,62 @@ def test_query_router_backpressure_sheds(built):
     finally:
         _ray.get(router.shutdown.remote())
         _ray.kill(router)
+
+
+def test_router_pool_failover_and_backoff(built):
+    """RouterPool: sequential searches round-robin both replicas and
+    return correct runs; under slow-shard load a shed request fails over /
+    retries instead of raising, and only an impossible budget surfaces
+    RouterOverloaded to the caller."""
+    import ray as _ray
+
+    from splade_ray.query import RouterPool, RouterOverloaded
+
+    _, index_dir, _ = built
+    want = search(index_dir, QUERIES, BM25Params(top_k=10))
+
+    pool = RouterPool(index_dir, n_routers=2, num_shards=2, max_inflight=1)
+    try:
+        for _ in range(4):  # hits each replica twice
+            run = pool.search(QUERIES, BM25Params(top_k=10))
+            pd.testing.assert_frame_equal(run.reset_index(drop=True), want)
+        st = pool.stats()
+        assert st["admitted"] == 4 and st["shed"] == 0
+        assert [p["admitted"] for p in st["replicas"]] == [2, 2]  # round-robin
+    finally:
+        pool.shutdown()
+
+    # slow replicas, one in-flight slot each: saturate both, then a pooled
+    # search with backoff must still succeed (retries > 0), and one with
+    # max_sweeps exhausted under persistent saturation raises. Async actors
+    # do NOT guarantee task start order, so wait until the hogs are
+    # actually ADMITTED (inflight == 1 on each replica) before probing.
+    import time
+
+    pool = RouterPool(
+        index_dir, n_routers=2, num_shards=2, max_inflight=1,
+        simulate_shard_latency_s=1.2,
+    )
+    try:
+        hog1 = pool.submit(QUERIES, BM25Params(top_k=10))
+        hog2 = pool.submit(QUERIES, BM25Params(top_k=10))
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            if all(p["inflight"] == 1 for p in pool.stats()["replicas"]):
+                break
+            time.sleep(0.02)
+        else:
+            raise AssertionError("hogs never admitted")
+        try:
+            pool.search(QUERIES, BM25Params(top_k=10), max_sweeps=1)
+            raised = False
+        except RouterOverloaded:
+            raised = True
+        assert raised  # one sweep, both replicas busy -> surfaces shed
+        run = pool.search(QUERIES, BM25Params(top_k=10), max_sweeps=10, backoff_s=0.2)
+        pd.testing.assert_frame_equal(run.reset_index(drop=True), want)
+        assert pool.stats()["client_retries"] >= 2
+        for h in (hog1, hog2):
+            pd.testing.assert_frame_equal(_ray.get(h).reset_index(drop=True), want)
+    finally:
+        pool.shutdown()
