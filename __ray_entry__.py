@@ -624,6 +624,23 @@ def q_sessions(sf_dir: str):
     )
 
 
+FUNNEL_STEPS = ["signup", "click", "purchase"]
+FUNNEL_WITHIN_US = 48 * 3_600_000_000  # 48h
+
+
+def q_funnel(sf_dir: str):
+    """Greedy first-touch funnel (ops/windows.funnel): per user the depth
+    reached through signup -> click -> purchase within 48h of the first
+    signup; one coarse-key shuffle, chain evaluated vectorized per group."""
+    from splade_ray.ops.windows import funnel
+
+    return funnel(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        FUNNEL_STEPS,
+        FUNNEL_WITHIN_US,
+    )
+
+
 def q_asof_purchase_signup(sf_dir: str):
     """As-of join: each purchase matched to the user's most recent signup at
     or before it (ties: later signup ts, then larger event id); unmatched
@@ -1119,6 +1136,43 @@ SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
 FROM s GROUP BY user_id, sid"""
 
 
+def _funnel_sql() -> str:
+    """SQL mirror of ops.windows.funnel: per step a QUALIFY row_number()=1
+    pick of the first event strictly after the previous match (ts, id
+    order) within the anchor window — generated from FUNNEL_STEPS."""
+    w = FUNNEL_WITHIN_US
+    ctes = [
+        "e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts FROM events)"
+    ]
+    ctes.append(f"""s1 AS (
+  SELECT user_id, ts, event_id, ts AS t1 FROM e WHERE event_type = '{FUNNEL_STEPS[0]}'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1)""")
+    for j in range(1, len(FUNNEL_STEPS)):
+        p = f"s{j}"
+        ctes.append(f"""s{j + 1} AS (
+  SELECT e.user_id, e.ts, e.event_id, {p}.t1 AS t1
+  FROM e JOIN {p} USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[j]}'
+    AND (e.ts > {p}.ts OR (e.ts = {p}.ts AND e.event_id > {p}.event_id))
+    AND e.ts <= {p}.t1 + {w}
+  QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) = 1)""")
+    k = len(FUNNEL_STEPS)
+    depth_case = " ".join(
+        f"WHEN s{j}.user_id IS NOT NULL THEN {j}" for j in range(k, 0, -1)
+    )
+    last_coalesce = ", ".join(f"s{j}.ts" for j in range(k, 0, -1))
+    joins = "\n".join(f"LEFT JOIN s{j} USING (user_id)" for j in range(1, k + 1))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT u.user_id,
+       (CASE {depth_case} ELSE 0 END)::BIGINT AS depth,
+       coalesce(s1.ts, -1)::BIGINT AS t_first_us,
+       coalesce({last_coalesce}, -1)::BIGINT AS t_last_us
+FROM (SELECT DISTINCT user_id FROM events) u
+{joins}"""
+
+
 def _asof_sql() -> str:
     """SQL mirror of ops.windows.asof_join on (purchase <- signup): the
     most recent signup with ts <= purchase ts, ties to (later ts, larger
@@ -1542,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hop_1h_15m": q_window_hop,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "funnel_48h": q_funnel,
         "token_counts": q_token_counts,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1879,6 +1934,7 @@ FROM f""",
         "window_hop_1h_15m": _window_hop_sql(),
         "sessions_30m": _sessions_sql(),
         "asof_purchase_signup": _asof_sql(),
+        "funnel_48h": _funnel_sql(),
         "top_terms": f"""
 WITH {_TF},
 agg AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),

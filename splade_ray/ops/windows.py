@@ -273,6 +273,121 @@ def _asof_group(
     )
 
 
+def _funnel_group(
+    batch: pa.Table, *, steps: list[str], within_us: int, user_col: str, id_col: str
+) -> pa.Table:
+    """Vectorized greedy funnel for one coarse group: all users advance
+    through the step chain together — per step one searchsorted over that
+    step's event indices, no per-user loop."""
+    users = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = batch["_ts_us"].to_numpy(zero_copy_only=False)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    types = batch["_type"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ts, users))
+    u_s, t_s, ty_s = users[order], ts[order], types[order]
+    n = u_s.size
+    if n == 0:
+        return pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "depth": pa.array([], pa.int64()),
+                "t_first_us": pa.array([], pa.int64()),
+                "t_last_us": pa.array([], pa.int64()),
+            }
+        )
+    ustart = np.concatenate(([0], np.flatnonzero(u_s[1:] != u_s[:-1]) + 1))
+    uend = np.concatenate((ustart[1:], [n]))
+    uniq_users = u_s[ustart]
+    nu = uniq_users.size
+    depth = np.zeros(nu, np.int64)
+    t_first = np.full(nu, -1, np.int64)
+    t_last = np.full(nu, -1, np.int64)
+    # cur = index (in sorted order) of the last matched step; advance past it
+    cur = ustart - 1  # "before the user's first event"
+    deadline = np.full(nu, np.iinfo(np.int64).max)
+    alive = np.ones(nu, bool)
+    for j, step in enumerate(steps):
+        m = np.flatnonzero(ty_s == step)  # ascending global indices
+        if m.size == 0:
+            break
+        # per-user slice of m, then first match strictly after cur
+        lo = np.searchsorted(m, ustart)
+        hi = np.searchsorted(m, uend)
+        cand = np.maximum(np.searchsorted(m, cur, side="right"), lo)
+        ok = alive & (cand < hi)
+        sel = m[np.minimum(cand, m.size - 1)]
+        ok &= t_s[sel] <= deadline
+        alive = ok
+        if not ok.any():
+            break
+        cur = np.where(ok, sel, cur)
+        depth[ok] = j + 1
+        t_last[ok] = t_s[sel][ok]
+        if j == 0:
+            t_first[ok] = t_s[sel][ok]
+            deadline = np.where(ok, t_first + within_us, deadline)
+    return pa.table(
+        {
+            user_col: pa.array(uniq_users),
+            "depth": pa.array(depth),
+            "t_first_us": pa.array(t_first),
+            "t_last_us": pa.array(t_last),
+        }
+    )
+
+
+def funnel(
+    ds: Dataset,
+    steps: list[str],
+    within_us: int,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_groups: int = DEFAULT_GROUPS,
+) -> Dataset:
+    """Greedy funnel analysis: per user, how deep into the ordered step
+    chain they get. Semantics pinned for the oracle: step 1 anchors at the
+    user's FIRST step-1 event (by (ts, id)); each later step matches the
+    first event strictly after the previous match (in (ts, id) order) of
+    the right type with ``ts <= t_first + within_us``. Greedy-first, not
+    maximal — the classic first-touch funnel. Output per user:
+    (depth, t_first_us, t_last_us), -1 sentinels when depth is 0.
+
+    One coarse-key shuffle of the pruned event columns; each group runs the
+    whole chain vectorized (one searchsorted per step over that step's
+    event indices — no per-user loop)."""
+    _check_groups(n_groups)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].cast(pa.int64())
+        return pa.table(
+            {
+                user_col: u,
+                id_col: batch[id_col].cast(pa.int64()),
+                "_ts_us": pa.array(_ts_us(batch[ts_col])),
+                "_type": batch[type_col],
+                "_cg": pc.cast(pc.bit_wise_and(u, n_groups - 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_cg", num_partitions=_shuffle_partitions(n_groups))
+        .map_groups(
+            _funnel_group,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "steps": steps, "within_us": within_us,
+                "user_col": user_col, "id_col": id_col,
+            },
+        )
+    )
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

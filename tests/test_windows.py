@@ -249,3 +249,109 @@ def test_hopping_window_agg(ray_session):
 def test_hopping_rejects_nondivisible(ray_session):
     with pytest.raises(ValueError, match="divide"):
         tumbling_window_agg(rd.from_arrow(_events_table([])), HOUR, hop_us=7)
+
+
+def scalar_funnel(rows, steps, within_us):
+    """Greedy first-touch funnel by direct iteration."""
+    by_user = {}
+    for eid, ts, u, ty, _ in rows:
+        by_user.setdefault(u, []).append((ts, eid, ty))
+    out = []
+    for u, evs in by_user.items():
+        evs.sort()
+        depth, t_first, t_last = 0, -1, -1
+        pos = -1  # index of last matched event in evs
+        deadline = None
+        for step in steps:
+            nxt = next(
+                (
+                    i
+                    for i in range(pos + 1, len(evs))
+                    if evs[i][2] == step
+                    and (deadline is None or evs[i][0] <= deadline)
+                ),
+                None,
+            )
+            if nxt is None:
+                break
+            pos = nxt
+            depth += 1
+            t_last = evs[nxt][0]
+            if depth == 1:
+                t_first = evs[nxt][0]
+                deadline = t_first + within_us
+        out.append((u, depth, t_first, t_last))
+    return (
+        pd.DataFrame(out, columns=["user_id", "depth", "t_first_us", "t_last_us"])
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_funnel_matches_scalar(ray_session):
+    from splade_ray.ops.windows import funnel
+
+    steps = ["signup", "click", "purchase"]
+    W = 100 * US
+    rows = [
+        # user 1: full conversion inside window
+        (0, 0, 1, "signup", 0.0),
+        (1, 10 * US, 1, "click", 0.0),
+        (2, 50 * US, 1, "purchase", 0.0),
+        # user 2: purchase BEFORE click -> depth 2 only
+        (3, 0, 2, "signup", 0.0),
+        (4, 5 * US, 2, "purchase", 0.0),
+        (5, 10 * US, 2, "click", 0.0),
+        (6, 200 * US, 2, "purchase", 0.0),  # outside window
+        # user 3: no signup -> depth 0
+        (7, 0, 3, "click", 0.0),
+        # user 4: second signup would convert, greedy anchors on first
+        (8, 0, 4, "signup", 0.0),
+        (9, 500 * US, 4, "signup", 0.0),
+        (10, 510 * US, 4, "click", 0.0),
+        (11, 520 * US, 4, "purchase", 0.0),
+        # user 5: click at exactly the deadline (inclusive)
+        (12, 0, 5, "signup", 0.0),
+        (13, 100 * US, 5, "click", 0.0),
+    ]
+    got = (
+        funnel(rd.from_arrow(_events_table(rows)), steps, W, n_groups=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = scalar_funnel(rows, steps, W)
+    pd.testing.assert_frame_equal(got[want.columns].astype(want.dtypes.to_dict()), want)
+    by = want.set_index("user_id")
+    assert by.loc[1].depth == 3
+    assert by.loc[2].depth == 2          # greedy: early purchase not reused
+    assert by.loc[3].depth == 0 and by.loc[3].t_first_us == -1
+    assert by.loc[4].depth == 1          # anchored on FIRST signup, window passed
+    assert by.loc[5].depth == 2          # deadline inclusive
+
+
+def test_funnel_randomized_scalar_parity(ray_session):
+    from splade_ray.ops.windows import funnel
+
+    rng = np.random.default_rng(13)
+    types = ["signup", "click", "purchase", "view"]
+    rows = [
+        (
+            i,
+            int(rng.integers(0, 5_000) * US),
+            int(rng.integers(0, 15)),
+            types[int(rng.integers(0, 4))],
+            0.0,
+        )
+        for i in range(800)
+    ]
+    steps = ["signup", "click", "purchase"]
+    W = 800 * US
+    got = (
+        funnel(rd.from_arrow(_events_table(rows)), steps, W, n_groups=8)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = scalar_funnel(rows, steps, W)
+    pd.testing.assert_frame_equal(got[want.columns].astype(want.dtypes.to_dict()), want)
