@@ -546,6 +546,70 @@ def q_sample_bottomk(sf_dir: str):
     return bottomk_sample(_docs(sf_dir, ["doc_id"]), BOTTOMK, seed=SAMPLE_SEED)
 
 
+DECONTAM_K = 4  # eval-overlap gram width (Brown et al. 2020 use 13; the
+DECONTAM_MOD = 10  # synthetic 31-word vocab needs a narrower gram to mix)
+PACK_BUDGET = 512  # tokens per training pack
+REDACT_PATTERNS = {
+    # two real PII patterns (absent from the synthetic corpus — zero-count
+    # columns still oracle-verified) plus two corpus-word patterns that
+    # actually fire, exercising the replace path and the sequential-order
+    # contract (b_pair runs on text a_dup already rewrote).
+    "a_dup": r"\bdup\b",
+    "b_pair": r"\b(join|sort)\b",
+    "email": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _mod_filter(ds, mod: int, keep_equal: bool):
+    """doc_id % mod == 0 (eval slice) or != 0 (train slice), vectorized."""
+
+    def f(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rem = ids % mod == 0
+        return batch.filter(pa.array(rem if keep_equal else ~rem))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (ops/curation.decontaminate): docs with
+    doc_id % 10 == 0 act as the held-out eval set; every other doc is
+    flagged with its eval k-gram overlap. Eval gram set broadcast once via
+    ray.put; train side is a pure streaming scan (no shuffle)."""
+    from splade_ray.ops.curation import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return decontaminate(
+        _mod_filter(docs, DECONTAM_MOD, False),
+        _mod_filter(docs, DECONTAM_MOD, True),
+        k=DECONTAM_K,
+    )
+
+
+def q_pack_assign(sf_dir: str):
+    """Sequence-pack assignment (ops/curation.pack_assign): global-order
+    exclusive token cumsum // budget, computed as a distributed prefix-scan
+    (per-id-range totals -> driver prefix offsets -> per-range local
+    cumsum). Only the (doc_id, n_tokens) pair table shuffles."""
+    from splade_ray.ops.curation import pack_assign
+
+    return pack_assign(_docs(sf_dir, ["doc_id", "text"]), budget=PACK_BUDGET)
+
+
+def q_redact(sf_dir: str):
+    """PII/regex redaction scan (ops/curation.redact_batch): per-label
+    match counts + redacted text, labels applied in sorted order."""
+    from splade_ray.ops.curation import redact_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact_batch,
+        batch_format="pyarrow",
+        batch_size=512,
+        fn_kwargs={"patterns": REDACT_PATTERNS},
+    )
+
+
 def q_phrase_topk(sf_dir: str):
     """BM25-ranked phrase retrieval (positions.phrase_topk): phrase df from
     a phrase-sized groupby, vectorized scoring over matches, per-phrase
@@ -1598,6 +1662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "funnel_48h": q_funnel,
         "token_counts": q_token_counts,
+        "decontam_grams": q_decontam,
+        "pack_assign": q_pack_assign,
+        "redact_docs": q_redact,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_sigs": q_minhash_sigs,
@@ -1746,6 +1813,63 @@ imp AS (
 )"""
 
 
+def _decontam_sql() -> str:
+    """Eval-overlap decontamination mirror: k-grams via list slicing over
+    the tokenized text (DuckDB list slices are 1-based inclusive, so
+    ``t[i:i+k-1]`` is a k-token window), distinct eval grams, left join."""
+    k1 = DECONTAM_K - 1
+    m = DECONTAM_MOD
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+gi AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-{k1},0))) AS i FROM tl),
+g AS (SELECT doc_id, array_to_string(t[i:i+{k1}], ' ') AS gram FROM gi),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {m} = 0),
+cnt AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+        FROM g LEFT JOIN eg ON g.gram = eg.gram
+        WHERE g.doc_id % {m} != 0 GROUP BY g.doc_id)
+SELECT tl.doc_id,
+       coalesce(cnt.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(cnt.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(cnt.n_contaminated, 0) > 0 AS contaminated
+FROM tl LEFT JOIN cnt USING (doc_id)
+WHERE tl.doc_id % {m} != 0"""
+
+
+def _pack_assign_sql() -> str:
+    return f"""
+WITH tc AS (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens
+            FROM documents)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens) // {PACK_BUDGET})::BIGINT AS pack_id
+FROM tc"""
+
+
+def _redact_sql() -> str:
+    """Chained regexp_replace mirror of redact_batch: one CTE per label in
+    sorted order, each counting on — and rewriting — the previous stage's
+    text."""
+    labels = sorted(REDACT_PATTERNS)
+    ctes, carried = ["s0 AS (SELECT doc_id, text AS t FROM documents)"], []
+    for i, label in enumerate(labels):
+        pat = REDACT_PATTERNS[label]
+        prev = ", ".join(carried)
+        prev = prev + ", " if prev else ""
+        ctes.append(
+            f"s{i+1} AS (SELECT doc_id, {prev}"
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{label}, "
+            f"regexp_replace(t, '{pat}', '<{label.upper()}>', 'g') AS t FROM s{i})"
+        )
+        carried.append(f"n_{label}")
+    cols = ", ".join(f"n_{l}" for l in labels)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {cols}, t AS text_redacted FROM s{len(labels)}"
+    )
+
+
 def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
@@ -1762,6 +1886,9 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '{TOKEN_SQL}'))::BIGINT AS n_tokens,
        len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_SQL}')))::BIGINT AS n_distinct
 FROM documents""",
+        "decontam_grams": _decontam_sql(),
+        "pack_assign": _pack_assign_sql(),
+        "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),

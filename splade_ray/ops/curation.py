@@ -1,0 +1,275 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, sequence-pack assignment, and PII/regex redaction.
+
+These extend the beyond-reference LLM-data-pipeline family (ops/dedup.py,
+ops/textstats.py). The reference engine has no data-curation surface at
+all (its corpus enters pre-cleaned, splade/beir_eval.py:22); at 100-TB
+pretraining scale these are the stages that run BEFORE anything in
+SURVEY.md §2, so they follow the same Ray-Data contract as the rest of the
+repo: single-pass ``map_batches`` scans with Arrow kernels, broadcast
+small sides via ``ray.put``, and exactly one bounded shuffle where a
+global ordering is semantically required (pack assignment).
+
+Scale notes per operator:
+
+- **Decontamination** (Brown et al. 2020 §C, the 13-gram eval-overlap
+  filter): the eval side is benchmark-sized (MBs even for a large suite),
+  so its distinct k-gram set is collected to the driver once, ``ray.put``
+  once, and every scan task reads it zero-copy from the object store. The
+  corpus side is a pure streaming scan — no shuffle, no materialization.
+- **Pack assignment**: a distributed exclusive prefix-scan. Pass 1 reduces
+  the corpus to (id, n_tokens) rows (16 B/doc — three orders of magnitude
+  smaller than the text) and materializes that; pass 2 computes per-range
+  token totals (one small groupby), the driver prefix-sums the range
+  totals (num_buckets rows), and pass 3 assigns packs inside each range
+  with the broadcast base offsets. Only the 16 B/doc table ever shuffles.
+- **Redaction**: stateless vectorized scan (RE2 kernels via
+  ``pyarrow.compute``); patterns are compiled per call, not per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from splade_ray.analysis import tokenize_column
+
+# --------------------------------------------------------------------------
+# k-gram construction (shared by decontamination)
+# --------------------------------------------------------------------------
+
+
+def kgram_strings(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Space-joined token k-grams of a string column, fully vectorized.
+
+    Returns ``(grams, gram_parents, doc_lens)``: the flat gram array, the
+    row index of each gram, and per-row token counts. A row with fewer
+    than ``k`` tokens contributes no grams. Gram construction is ``k``
+    shifted slices of the flat token array joined element-wise — no
+    per-row Python; doc boundaries are enforced by requiring the first and
+    last token of a window to share a parent row.
+    """
+    import pyarrow.compute as pc
+
+    terms, par, doc_lens = tokenize_column(texts)
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    if n < k:
+        return pa.array([], pa.string()), np.array([], np.int64), doc_lens
+    m = n - k + 1
+    parts = [terms.slice(j, m) for j in range(k)]
+    grams_all = pc.binary_join_element_wise(*parts, " ")
+    valid = par[:m] == par[k - 1 :]
+    return grams_all.filter(pa.array(valid)), par[:m][valid], doc_lens
+
+
+def collect_eval_grams(eval_docs, k: int, *, text_col: str = "text") -> pa.Array:
+    """Distinct k-grams of an eval/benchmark Dataset, collected to the
+    driver. Benchmarks are small by nature (the contamination check only
+    makes sense against a held-out set you could score on), so the distinct
+    gram set is driver-safe; per-batch dedup happens worker-side first so
+    only unique grams cross the object store."""
+    import pyarrow.compute as pc
+
+    def batch_grams(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_col not in batch.column_names:
+            return pa.table({"gram": pa.array([], pa.string())})
+        grams, _, _ = kgram_strings(batch[text_col], k)
+        return pa.table({"gram": pc.unique(grams)})
+
+    parts = eval_docs.map_batches(batch_grams, batch_format="pyarrow").to_pandas()
+    return pa.array(np.unique(parts["gram"].to_numpy(dtype=object)), pa.string())
+
+
+class DecontaminateStage:
+    """Actor-pool scan flagging training docs that share any k-gram with a
+    broadcast eval-gram set (GPT-3-style decontamination, Brown et al. 2020
+    appendix C; 13-gram overlap there, ``k`` a parameter here).
+
+    ``eval_grams_ref`` is a ``ray.put`` handle to the distinct eval gram
+    array — fetched once per actor in ``__init__``, shared zero-copy by
+    every task on the node."""
+
+    def __init__(self, eval_grams_ref, *, k: int, text_col: str = "text"):
+        self.eval_grams = ray.get(eval_grams_ref)
+        self.k = k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or self.text_col not in batch.column_names:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_grams", pa.int64()),
+                    ("n_contaminated", pa.int64()),
+                    ("contaminated", pa.bool_()),
+                ]
+            ).empty_table()
+        grams, gpar, doc_lens = kgram_strings(batch[self.text_col], self.k)
+        n = batch.num_rows
+        n_grams = np.maximum(doc_lens - self.k + 1, 0)
+        hit = np.asarray(pc.is_in(grams, value_set=self.eval_grams))
+        n_contam = np.bincount(gpar[hit], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_contaminated": pa.array(n_contam, pa.int64()),
+                "contaminated": pa.array(n_contam > 0),
+            }
+        )
+
+
+def decontaminate(
+    train_docs,
+    eval_docs,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    concurrency: tuple[int, int] | None = None,
+    batch_size: int = 512,
+):
+    """(doc_id, n_grams, n_contaminated, contaminated) for every training
+    doc, against the distinct k-gram set of ``eval_docs``. The eval set is
+    collected and broadcast once; the training side is a pure streaming
+    scan (no shuffle)."""
+    grams_ref = ray.put(collect_eval_grams(eval_docs, k, text_col=text_col))
+    if concurrency is None:
+        cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        concurrency = (1, max(2, int(cpus)))
+    return train_docs.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs={"eval_grams_ref": grams_ref, "k": k, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence-pack assignment (distributed exclusive prefix-scan)
+# --------------------------------------------------------------------------
+
+
+def pack_assign(
+    docs,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+):
+    """Assign each doc to a training pack: in global ``id_col`` order,
+    ``pack_id = floor(exclusive_cumsum(n_tokens) / budget)`` — contiguous
+    token-budget chunking, the deterministic cousin of greedy sequence
+    packing (docs never reorder, so the assignment is reproducible and
+    SQL-mirrorable as a window cumsum).
+
+    Distributed as the classic three-step prefix-scan: (1) reduce the
+    corpus to (id, n_tokens) rows and materialize that pair table (16 B/doc,
+    ~1000x smaller than the text); (2) one small groupby computes per
+    id-range token totals, which the driver prefix-sums into base offsets
+    (``num_buckets`` rows); (3) each range independently cumsums its own
+    rows on top of its broadcast base. Only the pair table shuffles; the
+    text column never leaves step 1's streaming scan.
+    """
+    import pandas as pd
+
+    if num_buckets is None:
+        cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        num_buckets = max(4, 2 * int(cpus))
+
+    def counts_batch(batch: pa.Table) -> pa.Table:
+        _, _, doc_lens = tokenize_column(batch[text_col])
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_tokens": pa.array(doc_lens, pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(counts_batch, batch_format="pyarrow").materialize()
+    if counts.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("n_tokens", pa.int64()), ("pack_id", pa.int64())]
+            ).empty_table()
+        )
+    max_id = int(counts.max(id_col))
+    min_id = int(counts.min(id_col))
+    span = max(1, (max_id - min_id) // num_buckets + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array((ids - min_id) // span, pa.int64()))
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    totals = bucketed.groupby("bucket").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("bucket").reset_index(drop=True)
+    tok_col = [c for c in totals.columns if c != "bucket"][0]
+    base = np.zeros(num_buckets + 1, np.int64)
+    np.add.at(
+        base,
+        totals["bucket"].to_numpy(np.int64) + 1,
+        totals[tok_col].to_numpy(np.int64),
+    )
+    base = np.cumsum(base)  # base[b] = tokens in all ranges before b
+    base_ref = ray.put(base)
+
+    def assign_group(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(base_ref)
+        g = g.sort_values(id_col).reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy(np.int64)
+        excl = offsets[int(g["bucket"].iloc[0])] + np.cumsum(toks) - toks
+        g["pack_id"] = excl // budget
+        return g[[id_col, "n_tokens", "pack_id"]]
+
+    return bucketed.groupby("bucket").map_groups(assign_group, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# PII / regex redaction
+# --------------------------------------------------------------------------
+
+# Conservative RE2-safe PII patterns (both pyarrow.compute and DuckDB use
+# RE2, so the exact same pattern strings drive kernel and oracle).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\+?\d[\d\-() ]{7,}\d\b",
+}
+
+
+def redact_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> pa.Table:
+    """Per-doc redaction scan: for each (label, regex) in sorted label
+    order, count non-overlapping matches on the current text and replace
+    them with ``<LABEL>``. Emits the match count per label plus the
+    redacted text. Vectorized RE2 kernels; sequential label order is part
+    of the contract (a later pattern sees earlier replacements), matching
+    a nested ``regexp_replace`` SQL mirror."""
+    import pyarrow.compute as pc
+
+    pats = PII_PATTERNS if patterns is None else patterns
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"].cast(pa.int64())}
+    for label in sorted(pats):
+        pat = pats[label]
+        cnt = pc.count_substring_regex(texts, pat).fill_null(0)
+        cols[f"n_{label}"] = cnt.cast(pa.int64())
+        texts = pc.replace_substring_regex(texts, pat, f"<{label.upper()}>")
+    cols["text_redacted"] = texts
+    return pa.table(cols)

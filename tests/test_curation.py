@@ -1,0 +1,150 @@
+"""Curation operators: decontamination, pack assignment, redaction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.curation import (
+    DecontaminateStage,
+    collect_eval_grams,
+    decontaminate,
+    kgram_strings,
+    pack_assign,
+    redact_batch,
+)
+
+
+def _py_grams(text: str, k: int) -> list[str]:
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def test_kgram_strings_matches_python_reference():
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 12))) for _ in range(50)
+    ] + ["", "one two"]
+    for k in (2, 3, 5):
+        grams, gpar, doc_lens = kgram_strings(pa.array(texts), k)
+        got = {}
+        for g, p in zip(grams.to_pylist(), gpar):
+            got.setdefault(int(p), []).append(g)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _py_grams(t, k), (i, k)
+            assert doc_lens[i] == len(t.split())
+
+
+def test_decontaminate_end_to_end(ray_session):
+    eval_docs = rd.from_items(
+        [
+            {"doc_id": 100, "text": "alpha beta gamma delta"},
+            {"doc_id": 101, "text": "zeta eta theta"},
+        ]
+    )
+    train = rd.from_items(
+        [
+            # contains eval 3-gram "beta gamma delta"
+            {"doc_id": 1, "text": "x alpha beta gamma delta y"},
+            # shares tokens but no full 3-gram
+            {"doc_id": 2, "text": "alpha beta zeta eta iota"},
+            {"doc_id": 3, "text": "clean text with nothing shared"},
+            {"doc_id": 4, "text": "zeta eta theta zeta eta theta"},
+            {"doc_id": 5, "text": "xy"},  # fewer than k tokens
+        ]
+    )
+    out = (
+        decontaminate(train, eval_docs, k=3, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_grams"].tolist() == [4, 3, 3, 4, 0]
+    # doc 1: grams at positions 1,2 hit ("alpha beta gamma","beta gamma delta")
+    # doc 4: "zeta eta theta" occurs at positions 0 and 3; "eta theta zeta",
+    # "theta zeta eta" are not eval grams.
+    assert out["n_contaminated"].tolist() == [2, 0, 0, 2, 0]
+    assert out["contaminated"].tolist() == [True, False, False, True, False]
+
+
+def test_collect_eval_grams_dedups(ray_session):
+    docs = rd.from_items([{"text": "a b a b"}, {"text": "a b c"}])
+    grams = collect_eval_grams(docs, 2)
+    assert sorted(grams.to_pylist()) == ["a b", "b a", "b c"]
+
+
+def test_pack_assign_matches_sequential_cumsum(ray_session):
+    rng = np.random.RandomState(11)
+    rows = [
+        {"doc_id": int(i), "text": " ".join(["tok"] * int(rng.randint(0, 30)))}
+        for i in rng.permutation(200)
+    ]
+    docs = rd.from_items(rows).repartition(7)
+    got = (
+        pack_assign(docs, budget=100, num_buckets=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        pd.DataFrame(rows)
+        .assign(n_tokens=lambda d: d["text"].str.split().str.len())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    excl = ref["n_tokens"].cumsum() - ref["n_tokens"]
+    ref["pack_id"] = excl // 100
+    assert got["n_tokens"].tolist() == ref["n_tokens"].tolist()
+    assert got["pack_id"].tolist() == ref["pack_id"].tolist()
+    # packs are contiguous in doc_id order and non-decreasing
+    assert (np.diff(got["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_pack_assign_empty(ray_session):
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = pack_assign(empty, budget=10)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_tokens", "pack_id"}
+
+
+def test_redact_batch_pii_defaults():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "write to jane.doe+x@corp.example.org today",
+                    "server 192.168.0.12 called 555-123-4567 twice",
+                    "nothing here",
+                ]
+            ),
+        }
+    )
+    out = redact_batch(b).to_pandas()
+    assert out["n_email"].tolist() == [1, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 1, 0]
+    assert out["n_phone"].tolist() == [0, 1, 0]
+    assert out["text_redacted"].tolist() == [
+        "write to <EMAIL> today",
+        "server <IPV4> called <PHONE> twice",
+        "nothing here",
+    ]
+
+
+def test_redact_batch_sequential_order():
+    # the 'b_digits' pattern must see text already redacted by 'a_word'
+    b = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["secret 42 secret"])}
+    )
+    out = redact_batch(
+        b, patterns={"a_word": r"secret", "b_digits": r"\d+"}
+    ).to_pandas()
+    assert out["n_a_word"].tolist() == [2]
+    assert out["n_b_digits"].tolist() == [1]
+    assert out["text_redacted"].tolist() == ["<A_WORD> <B_DIGITS> <A_WORD>"]
