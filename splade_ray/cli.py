@@ -450,6 +450,189 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation: quality filter → dedup → eval-overlap
+    decontamination → PII redaction → sequence-pack assignment, the
+    pretraining-data pipeline the reference assumes already ran
+    (splade/beir_eval.py:22 takes a clean corpus as given).
+
+    Every stage checkpoints its full output to ``out/<stage>`` parquet with
+    a ``_DONE`` marker (build_index's per-segment protocol), so a rerun
+    resumes at the first unfinished stage — each stage is itself a
+    streaming Ray Data pipeline, so the checkpoint spacing equals the
+    restart granularity a 100-TB run wants. Stage list and order come from
+    ``--stages``; all original columns flow through every stage."""
+    _ensure_ray()
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from splade_ray.io import read_parquet_clean
+
+    known = ["quality", "dedup", "decontam", "redact", "pack"]
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = set(stages) - set(known)
+    if unknown:
+        print(f"unknown curate stage(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+    id_col, text_col = args.id_col, args.text_col
+    langs = [s.strip() for s in args.langs.split(",") if s.strip()] if args.langs else None
+
+    def stage_quality(ds):
+        from splade_ray.ops.textstats import gopher_rules_batch
+
+        def f(batch: pa.Table) -> pa.Table:
+            flags = gopher_rules_batch(
+                batch, text_col=text_col, min_words=args.min_words
+            )
+            keep = flags["pass_gopher"].to_numpy(zero_copy_only=False)
+            if langs and args.lang_col in batch.column_names:
+                lang = batch[args.lang_col].to_numpy(zero_copy_only=False)
+                keep = keep & np.isin(lang, langs)
+            return batch.filter(pa.array(keep))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def stage_dedup(ds):
+        from splade_ray.ops.cluster import connected_components, drop_near_duplicates
+        from splade_ray.ops.dedup import exact_dup_pairs, minhash_lsh_pairs
+
+        def norm(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch[id_col].cast(pa.int64()),
+                    "text": batch[text_col].cast(pa.string()),
+                }
+            )
+
+        nds = ds.map_batches(norm, batch_format="pyarrow")
+        methods = [m.strip() for m in args.dedup_methods.split(",") if m.strip()]
+        edges = None
+        for m in methods:
+            es = (
+                exact_dup_pairs(nds)
+                if m == "exact"
+                else minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+            )
+            edges = es if edges is None else edges.union(es)
+        labels = connected_components(edges).materialize()
+        return drop_near_duplicates(ds, labels, id_col=id_col)
+
+    def stage_decontam(ds):
+        from splade_ray.ops.curation import decontaminate
+
+        if args.eval_corpus:
+            eval_ds, train = read_parquet_clean(args.eval_corpus), ds
+        else:
+            # mod-based holdout: the eval slice leaves the training output
+            def part(keep_eval):
+                def f(batch: pa.Table) -> pa.Table:
+                    rem = batch[id_col].to_numpy(zero_copy_only=False) % args.eval_mod == 0
+                    return batch.filter(pa.array(rem if keep_eval else ~rem))
+
+                return ds.map_batches(f, batch_format="pyarrow")
+
+            eval_ds, train = part(True), part(False)
+        flags = decontaminate(train, eval_ds, k=args.k, text_col=text_col)
+        bad = flags.map_batches(
+            lambda b: b.filter(b["contaminated"]), batch_format="pyarrow"
+        ).to_pandas()
+        # contaminated set is overlap-bounded (usually tiny); broadcast it
+        bad_ids = np.sort(bad["doc_id"].to_numpy(np.int64)) if len(bad) else np.empty(0, np.int64)
+        bad_ref = ray.put(bad_ids)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~np.isin(ids, ray.get(bad_ref))))
+
+        return train.map_batches(filt, batch_format="pyarrow")
+
+    def stage_redact(ds):
+        from splade_ray.ops.curation import redact_batch
+
+        def f(batch: pa.Table) -> pa.Table:
+            red = redact_batch(batch, text_col=text_col)
+            idx = batch.schema.get_field_index(text_col)
+            return batch.set_column(idx, text_col, red["text_redacted"])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def stage_pack(ds):
+        from splade_ray.ops.curation import pack_assign
+
+        packs = pack_assign(
+            ds, budget=args.budget, id_col=id_col, text_col=text_col
+        ).to_pandas()
+        # (id, pack_id) map is 16 B/doc; broadcast + searchsorted attach.
+        # (A corpus too large for that would reuse drop_near_duplicates'
+        # hash-join fallback; at that point packing feeds a trainer that
+        # shards the map anyway.)
+        packs = packs.sort_values(id_col)
+        map_ref = ray.put(
+            (packs[id_col].to_numpy(np.int64), packs["pack_id"].to_numpy(np.int64))
+        )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids_sorted, pack_ids = ray.get(map_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ids_sorted, ids)
+            return batch.append_column("pack_id", pa.array(pack_ids[pos], pa.int64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    fns = {
+        "quality": stage_quality,
+        "dedup": stage_dedup,
+        "decontam": stage_decontam,
+        "redact": stage_redact,
+        "pack": stage_pack,
+    }
+
+    os.makedirs(args.out, exist_ok=True)
+    src = args.corpus
+    counts: dict[str, int] = {}
+    skipped: list[str] = []
+    for name in stages:
+        stage_dir = os.path.join(args.out, name)
+        marker = os.path.join(stage_dir, "_DONE")
+        if os.path.exists(marker):
+            skipped.append(name)
+        else:
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            os.makedirs(stage_dir, exist_ok=True)
+            res = fns[name](read_parquet_clean(src))
+            res.write_parquet(stage_dir)
+            if not any(n.endswith(".parquet") for n in os.listdir(stage_dir)):
+                # an all-filtered stage writes no files; keep the dir
+                # readable (and typed) for the next stage
+                import pyarrow.parquet as pq
+
+                pq.write_table(
+                    res.schema().base_schema.empty_table(),
+                    os.path.join(stage_dir, "empty.parquet"),
+                )
+            with open(marker, "w") as f:
+                f.write("done\n")
+        src = stage_dir
+        counts[name] = read_parquet_clean(stage_dir).count()
+    print(
+        json.dumps(
+            {
+                "stages": stages,
+                "stages_skipped": skipped,
+                "n_input": read_parquet_clean(args.corpus).count(),
+                "rows_after": counts,
+                "out": src,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_all(args) -> int:
     """build → query → evaluate, sharing the filesystem contract
     (splade/all.py:14-21 minus training)."""
@@ -611,6 +794,28 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-est-jaccard", type=float, default=0.5)
     dd.add_argument("--min-jaccard", type=float, default=0.8)
     dd.set_defaults(fn=cmd_dedup)
+
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation: quality -> dedup -> decontam -> redact -> pack",
+    )
+    cu.add_argument("--corpus", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--stages", default="quality,dedup,decontam,redact,pack")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--lang-col", default="lang")
+    cu.add_argument("--langs", default=None, help="comma allowlist, e.g. en,de")
+    cu.add_argument("--min-words", type=int, default=50)
+    cu.add_argument("--dedup-methods", default="exact")
+    cu.add_argument("--min-est-jaccard", type=float, default=0.5)
+    cu.add_argument("--eval-corpus", default=None,
+                    help="parquet dir of held-out eval docs (decontam)")
+    cu.add_argument("--eval-mod", type=int, default=10,
+                    help="without --eval-corpus: doc_id %% MOD == 0 is the eval slice")
+    cu.add_argument("-k", type=int, default=4, help="decontam gram width")
+    cu.add_argument("--budget", type=int, default=512, help="tokens per pack")
+    cu.set_defaults(fn=cmd_curate)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")
     a.add_argument("--corpus", required=True)

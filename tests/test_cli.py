@@ -289,3 +289,59 @@ def test_cli_sample(ray_session, tmp_path, capsys):
                  "--mode", "split", "--fractions", "a=0.5,b=0.5"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == 500
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    d = tmp_path / "raw"
+    d.mkdir()
+    texts = [
+        "alpha beta gamma delta the and",            # 0: eval slice (id%10==0)
+        "start alpha beta gamma delta the of end",   # 1: contaminated 4-gram
+        "the and data table merge quick brown fox",  # 2: dup of 3 (kept, min id)
+        "the and data table merge quick brown fox",  # 3: dropped by dedup
+        "1 2 3 4 5",                                 # 4: fails gopher rules
+        "contact the and office via bob@corp.io today",  # 5: email redacted
+        "the and some other normal words here okay", # 6: clean
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    argv = ["curate", "--corpus", str(d), "--out", out,
+            "--min-words", "5", "--budget", "10"]
+    rc = main(argv)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["stages_skipped"] == []
+    assert summary["n_input"] == 7
+    # quality drops doc 4; dedup drops doc 3; decontam removes the eval
+    # slice (doc 0) and the contaminated doc 1; redact/pack keep rows
+    assert summary["rows_after"] == {
+        "quality": 6, "dedup": 5, "decontam": 3, "redact": 3, "pack": 3
+    }
+
+    import ray.data as rd
+
+    final = rd.read_parquet(out + "/pack").to_pandas().sort_values("doc_id")
+    assert final["doc_id"].tolist() == [2, 5, 6]
+    assert final.loc[final["doc_id"] == 5, "text"].iloc[0] == (
+        "contact the and office via <EMAIL> today"
+    )
+    # redacted text has 8+7+8 tokens in id order; budget 10 ->
+    # exclusive cumsums 0, 8, 15 -> packs 0, 0, 1
+    assert final["pack_id"].tolist() == [0, 0, 1]
+    assert set(final.columns) == {"doc_id", "text", "lang", "pack_id"}
+
+    # resume: every stage skips, counts identical
+    rc = main(argv)
+    assert rc == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["stages_skipped"] == summary["stages"]
+    assert summary2["rows_after"] == summary["rows_after"]
