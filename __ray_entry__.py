@@ -136,6 +136,51 @@ def _by_lang_toks_sql() -> str:
     return f"toksl AS (\n{body}\n)"
 
 
+FIELD_TITLE_NTOK = 8  # title field = first N body tokens (deterministic derivation)
+FIELD_WEIGHTS = {"text": 1.0, "title": 2.5}
+
+
+def q_bm25f_topk(sf_dir: str):
+    """Fielded BM25 (query.search_fielded): score = w_text·BM25_text +
+    w_title·BM25_title over two aligned per-field indexes, each with its own
+    df/doclen/avgdl — the weighted multi-field query a code-corpus user runs
+    over (path, content). The title field is derived deterministically as
+    the first {N} tokens of text so the SQL oracle can mirror it exactly."""
+    from splade_ray.analysis import TOKEN_RE
+    from splade_ray.query import search_fielded
+
+    work = _work_dir(sf_dir, "fieldedidx")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_title(batch: pa.Table) -> pa.Table:
+            titles = [
+                " ".join(TOKEN_RE.findall((t or "").lower())[:FIELD_TITLE_NTOK])
+                for t in batch["text"].to_pylist()
+            ]
+            return batch.append_column("title", pa.array(titles, pa.string()))
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            add_title, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    dirs = {}
+    for field in ("text", "title"):
+        d = os.path.join(work, f"idx-{field}")
+        build_index(
+            corpus_dir, d, text_col=field, id_col="doc_id",
+            rows_per_segment=1000, block_size=64,
+        )
+        dirs[field] = d
+    run = search_fielded(
+        dirs, BM25_QUERIES, FIELD_WEIGHTS, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_doc_token_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         doc_stats_batch, batch_format="pyarrow", batch_size=512
@@ -1634,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bmw": q_bm25_topk_bmw,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
+        "bm25f_topk": q_bm25f_topk,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -1777,6 +1823,62 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _bm25f_sql() -> str:
+    """Fielded-BM25 oracle: per-field (body=all tokens, title=first N tokens)
+    tf/df/doclen/avgdl, per-field Okapi score weighted and summed per
+    (query, doc), ranked with the engine's (score desc, doc_id asc)
+    tie-break. Mirrors q_bm25f_topk exactly (round4 both sides)."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    n = FIELD_TITLE_NTOK
+    w_text, w_title = FIELD_WEIGHTS["text"], FIELD_WEIGHTS["title"]
+
+    def field_score(tag: str, w: float) -> str:
+        return f"""s_{tag} AS (
+  SELECT q.query_id, tf.doc_id,
+         {w} * sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf_{tag} tf USING (term)
+  JOIN (SELECT term, count(*)::DOUBLE AS df FROM tf_{tag} GROUP BY term) df USING (term)
+  JOIN dl_{tag} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_{tag}) s
+  GROUP BY q.query_id, tf.doc_id
+)"""
+
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+            FROM documents),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+tf_body AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM tl) GROUP BY doc_id, term),
+tf_title AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id, unnest(toks[1:{n}]) AS term FROM tl) GROUP BY doc_id, term),
+dl_body AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tl),
+dl_title AS (SELECT doc_id, least(len(toks), {n})::DOUBLE AS dl FROM tl),
+{field_score('body', w_text)},
+{field_score('title', w_title)},
+scores AS (
+  SELECT query_id, doc_id, sum(score) AS score
+  FROM (SELECT * FROM s_body UNION ALL SELECT * FROM s_title)
+  GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _qvalues_sql() -> str:
     """VALUES list (query_id, q_text) for the fixed query set."""
     vals = ",\n    ".join(f"({qid}, '{text}')" for qid, text in BM25_QUERIES)
@@ -1894,6 +1996,7 @@ FROM documents""",
         "bm25_topk_quantized": _bm25_quantized_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),

@@ -115,29 +115,39 @@ class SegmentIndex:
             return None
         return {name: self.postings[name][i].as_py() for name in self.postings.column_names}
 
-    def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
+    def dense_query_scores(self, qid: int, prepared: dict) -> np.ndarray | None:
+        """Dense per-doc score array (aligned to ``self.doc_ids``) for one
+        prepared query — the exact kernel without the top-k cut. Returns
+        ``None`` when no query term has a posting in this segment. This is
+        the building block fielded scoring sums across per-field indexes
+        (:func:`search_fielded`)."""
         p: BM25Params = prepared["params"]
         avgdl = prepared["avgdl"]
         cache = self._decoded  # decode each needed term once, reuse across queries/calls
+        scores = np.zeros(self.doc_ids.size, np.float64)
+        hit = False
+        for term, qtf, w in prepared["queries"][qid]:  # pre-sorted -> fixed sum order
+            if term not in cache:
+                post = self.posting(term)
+                if post is None:
+                    cache[term] = (np.empty(0, np.int64), np.empty(0, np.int64))
+                else:
+                    docs, tfs, _ = post
+                    pos = np.searchsorted(self.doc_ids, docs)
+                    cache[term] = (pos, tfs)
+            pos, tfs = cache[term]
+            if pos.size == 0:
+                continue
+            hit = True
+            scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
+        return scores if hit else None
+
+    def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
+        p: BM25Params = prepared["params"]
         rows: list[tuple[int, int, float]] = []
-        for qid, terms in prepared["queries"].items():
-            scores = np.zeros(self.doc_ids.size, np.float64)
-            hit = False
-            for term, qtf, w in terms:  # terms pre-sorted -> fixed summation order
-                if term not in cache:
-                    post = self.posting(term)
-                    if post is None:
-                        cache[term] = (np.empty(0, np.int64), np.empty(0, np.int64))
-                    else:
-                        docs, tfs, _ = post
-                        pos = np.searchsorted(self.doc_ids, docs)
-                        cache[term] = (pos, tfs)
-                pos, tfs = cache[term]
-                if pos.size == 0:
-                    continue
-                hit = True
-                scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
-            if not hit:
+        for qid in prepared["queries"]:
+            scores = self.dense_query_scores(qid, prepared)
+            if scores is None:
                 continue
             docs, scs = topk_from_scores(self.doc_ids, scores, p.top_k, p.threshold)
             rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
@@ -288,6 +298,116 @@ def search(
         fn_constructor_kwargs={"prepared_refs": prepared_refs, "method": method},
         # autoscaling pool: starts small, grows to the CPU budget — a fixed
         # pool larger than the cluster deadlocks behind the downstream stages
+        concurrency=concurrency or (1, min(len(items), 16)),
+    )
+    run = cand.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas", fn_kwargs={"top_k": params.top_k}
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+class ScoreFieldedSegments:
+    """Actor-pool stage for fielded (BM25F-style weighted-field) scoring:
+    one work item per aligned segment ordinal, scoring EVERY field's segment
+    in the same task and summing weighted dense arrays before the top-k cut
+    — exact by construction (no per-field top-k approximation, no threshold
+    algorithm needed). The per-field prepared dicts + segment lists ship
+    once via ``ray.put`` and are fetched on first use per actor."""
+
+    def __init__(self, plan_ref):
+        plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        self.prepared: dict[str, dict] = plan["prepared"]
+        self.weights: dict[str, float] = plan["weights"]
+        self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.fields = sorted(self.prepared)  # fixed field order -> fixed fp sum order
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple[int, int, float]] = []
+        p: BM25Params = self.prepared[self.fields[0]]["params"]
+        for ord_ in batch["seg_ord"].to_pylist():
+            segs = {
+                f: SegmentIndex(self.seg_lists[f][ord_], self.prepared[f]["terms"])
+                for f in self.fields
+            }
+            base = segs[self.fields[0]].doc_ids
+            for f in self.fields[1:]:
+                if not np.array_equal(segs[f].doc_ids, base):
+                    raise ValueError(
+                        f"fielded indexes misaligned at segment {ord_}: field "
+                        f"{f!r} has different doc ids (build every field index "
+                        "from the same corpus with the same rows_per_segment "
+                        "and id_col)"
+                    )
+            qids = self.prepared[self.fields[0]]["queries"].keys()
+            for qid in qids:
+                total = None
+                for f in self.fields:
+                    dense = segs[f].dense_query_scores(qid, self.prepared[f])
+                    if dense is None:
+                        continue
+                    contrib = self.weights[f] * dense
+                    total = contrib if total is None else total + contrib
+                if total is None:
+                    continue
+                docs, scs = topk_from_scores(base, total, p.top_k, p.threshold)
+                rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+
+def search_fielded(
+    field_indexes: dict[str, str],
+    queries: list[tuple[int, str]],
+    weights: dict[str, float],
+    params: BM25Params | None = None,
+    *,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Fielded retrieval: ``score(q, d) = Σ_f w_f · BM25_f(q, d_f)`` over one
+    index per field, each with its own lexicon (df), doc lengths and avgdl —
+    the weighted multi-field query Lucene/Anserini users run against e.g.
+    (title, body) or, for the code corpus of the input hint, (path, content).
+    The reference scores a single learned-impact field
+    (transformer_evaluator.py:92-111); fields generalize that to structured
+    documents without changing the per-field index format.
+
+    All field indexes must be built from the SAME corpus (same id_col, same
+    ``rows_per_segment``) so segments align doc-for-doc; the kernel verifies
+    alignment per segment. Exactness: dense per-field arrays are summed
+    BEFORE the per-segment top-k, so the global merge sees true fielded
+    scores — no per-field-top-k union approximation. Scale shape: identical
+    to :func:`search` (segment-grid scatter, k-sized gather), with per-item
+    I/O multiplied by the (small) field count."""
+    params = params or BM25Params()
+    fields = sorted(field_indexes)
+    missing = sorted(set(weights) ^ set(fields))
+    if missing:
+        raise ValueError(f"weights/field_indexes key mismatch: {missing}")
+    prepared = {f: prepare_queries(field_indexes[f], queries, params) for f in fields}
+    seg_lists = {f: segment_dirs(field_indexes[f]) for f in fields}
+    counts = {f: len(s) for f, s in seg_lists.items()}
+    if len(set(counts.values())) != 1:
+        raise ValueError(f"fielded indexes have different segment counts: {counts}")
+    n_segs = counts[fields[0]]
+    plan_ref = ray.put(
+        {"prepared": prepared, "weights": dict(weights), "seg_lists": seg_lists}
+    )
+    items = [{"seg_ord": i} for i in range(n_segs)]
+    cand = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        ScoreFieldedSegments,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_constructor_kwargs={"plan_ref": plan_ref},
         concurrency=concurrency or (1, min(len(items), 16)),
     )
     run = cand.groupby("query_id").map_groups(
