@@ -136,6 +136,30 @@ def _by_lang_toks_sql() -> str:
     return f"toksl AS (\n{body}\n)"
 
 
+SNIPPET_WINDOW = 10
+
+
+def q_snippets_topk(sf_dir: str):
+    """Keyword-in-context snippets (splade_ray.snippets) over the exact BM25
+    run: per (query, doc) hit, the {W}-token window with the most query-term
+    occurrences (tie -> smallest 1-based start), text fetched with the
+    pushdown isin scan. All output columns integer/string — compared
+    bit-exactly against the SQL sliding-window mirror."""
+    from splade_ray.snippets import snippets_for_run
+
+    index_dir = _index_for(sf_dir)
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = snippets_for_run(
+        os.path.join(sf_dir, "documents.parquet"),
+        run,
+        BM25_QUERIES,
+        window=SNIPPET_WINDOW,
+    )
+    out["start"] = out["start"].astype(np.int64)
+    out["n_match"] = out["n_match"].astype(np.int64)
+    return out
+
+
 FIELD_TITLE_NTOK = 8  # title field = first N body tokens (deterministic derivation)
 FIELD_WEIGHTS = {"text": 1.0, "title": 2.5}
 
@@ -1616,6 +1640,54 @@ def q_ann_lsh_buckets(sf_dir: str):
     return lsh_buckets(ds, dim=64, n_planes=12, seed=42)
 
 
+LSH_INT_PLANES = 12
+LSH_INT_SEED = 42
+LSH_INT_SCALE_BITS = 20
+
+
+def q_ann_lsh_buckets_int(sf_dir: str):
+    """Integer-exact LSH buckets (ops/ann.RademacherLSH): ±1 seeded planes
+    over fixed-point embeddings — every dot an exact int64, so bucket ids
+    hash-compare against the SQL mirror with no float-sign ambiguity (the
+    Gaussian-plane face stays rows-only for exactly that reason)."""
+    from splade_ray.ops.ann import lsh_buckets_int
+
+    ds = _rpq(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return lsh_buckets_int(
+        ds, dim=64, n_planes=LSH_INT_PLANES, seed=LSH_INT_SEED,
+        scale_bits=LSH_INT_SCALE_BITS,
+    )
+
+
+def _lsh_int_sql() -> str:
+    """Mirror of RademacherLSH: the seeded ±1 sign matrix is embedded as
+    literals (generated from the SAME class, so Ray and SQL cannot drift);
+    fixed-point = floor(x·2^k + 0.5); bucket = Σ 2^p over planes with
+    strictly positive integer dots."""
+    from splade_ray.ops.ann import RademacherLSH
+
+    lsh = RademacherLSH(64, LSH_INT_PLANES, LSH_INT_SEED, LSH_INT_SCALE_BITS)
+    vals = ",\n    ".join(
+        f"({p}, {j}, {int(lsh.signs[p, j])})"
+        for p in range(lsh.signs.shape[0])
+        for j in range(lsh.signs.shape[1])
+    )
+    scale = lsh.scale
+    return f"""
+WITH ej AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   unnest(generate_series(0, len(embedding) - 1)) AS j
+            FROM embeddings),
+xi AS (SELECT vec_id, j, floor(x * {scale} + 0.5)::BIGINT AS v FROM ej),
+sgn(p, j, s) AS (VALUES
+    {vals}
+),
+dots AS (SELECT xi.vec_id, sgn.p, sum(sgn.s * xi.v)::BIGINT AS dot
+         FROM xi JOIN sgn USING (j) GROUP BY xi.vec_id, sgn.p)
+SELECT vec_id,
+       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+FROM dots GROUP BY vec_id"""
+
+
 def q_media_decode(sf_dir: str):
     from splade_ray.ops.media import attach_fake_payload, decode_media
 
@@ -1680,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "bm25f_topk": q_bm25f_topk,
+        "snippets_topk": q_snippets_topk,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -1731,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_buckets_int": q_ann_lsh_buckets_int,
         "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -1821,6 +1895,38 @@ def _bm25_sql() -> str:
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def _snippets_sql() -> str:
+    """Sliding-window snippet mirror: hits from the shared bm25 `ranked`
+    CTE, candidate docs' token arrays, per-start match counts via a range
+    join on zipped token ordinals, best window by (count desc, start asc)."""
+    w = SNIPPET_WINDOW
+    return f"""{_bm25_cte()},
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+{_qterm_values_sql()},
+dt AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+       FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS j FROM dt),
+m AS (SELECT h.query_id, t.doc_id, t.j
+      FROM hits h JOIN tok t USING (doc_id)
+      JOIN qterm q ON q.query_id = h.query_id AND q.term = t.term),
+starts AS (SELECT h.query_id, h.doc_id,
+                  unnest(generate_series(1, greatest(len(d.toks) - {w} + 1, 1))) AS i
+           FROM hits h JOIN dt d USING (doc_id)),
+cnt AS (SELECT s.query_id, s.doc_id, s.i,
+               count(m.j)::BIGINT AS n_match
+        FROM starts s LEFT JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+                                 AND m.j BETWEEN s.i AND s.i + {w} - 1
+        GROUP BY s.query_id, s.doc_id, s.i),
+best AS (SELECT query_id, doc_id, i, n_match,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_match DESC, i ASC) AS rn
+         FROM cnt)
+SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_match,
+       array_to_string(d.toks[b.i : b.i + {w} - 1], ' ') AS snippet
+FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
 
 
 def _bm25f_sql() -> str:
@@ -1997,6 +2103,8 @@ FROM documents""",
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "snippets_topk": _snippets_sql(),
+        "ann_lsh_buckets_int": _lsh_int_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),

@@ -81,6 +81,57 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_fsearch(args) -> int:
+    """Fielded BM25: --index-field NAME=DIR --weight NAME=W (repeatable)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.query import search_fielded
+
+    def kv(pairs, cast):
+        out = {}
+        for p in pairs:
+            k, _, v = p.partition("=")
+            if not _ or not k:
+                raise SystemExit(f"expected NAME=VALUE, got {p!r}")
+            out[k] = cast(v)
+        return out
+
+    queries = _load_queries(args.queries)
+    run = search_fielded(
+        kv(args.index_field, str),
+        queries,
+        kv(args.weight, float),
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_snippets(args) -> int:
+    """Keyword-in-context snippets for a run file against its corpus."""
+    from splade_ray.io import read_run_json
+    from splade_ray.snippets import snippets_for_run
+
+    run = (
+        read_run_json(args.run)
+        if args.run.endswith(".json")
+        else __import__("pandas").read_parquet(args.run)
+    )
+    queries = _load_queries(args.queries)
+    out = snippets_for_run(
+        args.corpus, run, queries,
+        window=args.window, id_col=args.id_col, text_col=args.text_col,
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"rows": len(out), "out": args.out}))
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     from splade_ray.evaluate import evaluate_run
     from splade_ray.io import qrel_to_table, read_run_json
@@ -678,6 +729,29 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--k1", type=float, default=1.2)
     q.add_argument("--b", type=float, default=0.75)
     q.set_defaults(fn=cmd_query)
+
+    fs = sub.add_parser("fsearch", help="fielded BM25 (weighted per-field indexes)")
+    fs.add_argument("--index-field", action="append", required=True,
+                    metavar="NAME=DIR", help="per-field index dir (repeat)")
+    fs.add_argument("--weight", action="append", required=True,
+                    metavar="NAME=W", help="per-field weight (repeat)")
+    fs.add_argument("--queries", required=True, help="TSV: id\\ttext")
+    fs.add_argument("--out", required=True, help="run.json or .parquet")
+    fs.add_argument("--top-k", type=int, default=10)
+    fs.add_argument("--threshold", type=float, default=0.0)
+    fs.add_argument("--k1", type=float, default=1.2)
+    fs.add_argument("--b", type=float, default=0.75)
+    fs.set_defaults(fn=cmd_fsearch)
+
+    sn = sub.add_parser("snippets", help="keyword-in-context snippets for a run")
+    sn.add_argument("--corpus", required=True, help="corpus parquet file/dir")
+    sn.add_argument("--run", required=True, help="run.json or .parquet")
+    sn.add_argument("--queries", required=True, help="TSV: id\\ttext")
+    sn.add_argument("--out", required=True, help="snippets parquet")
+    sn.add_argument("--window", type=int, default=10)
+    sn.add_argument("--id-col", default="doc_id")
+    sn.add_argument("--text-col", default="text")
+    sn.set_defaults(fn=cmd_snippets)
 
     e = sub.add_parser("evaluate", help="MRR/MAP/recall/nDCG against qrels")
     e.add_argument("--run", required=True)

@@ -94,6 +94,62 @@ class HyperplaneLSH:
         return bits.astype(np.int64) @ weights
 
 
+class RademacherLSH:
+    """Integer-exact LSH: ±1 (Rademacher) hyperplanes — the sparse random
+    projections of Achlioptas (JCSS 2003) at density 1 — over fixed-point
+    embeddings. Every dot product is an exact int64 (|x|·2^scale_bits ≤ 2^21
+    per element, dim ≤ 2^12 ⇒ |dot| < 2^33), so bucket ids are reproducible
+    bit-for-bit in ANY engine that can sum integers — unlike Gaussian-plane
+    float projections whose near-zero sums can flip sign under different
+    summation orders. Plane signs derive from sha256 of (seed, plane, dim) so
+    they are stable across processes and embeddable as SQL literals."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, scale_bits: int = 20):
+        import hashlib
+
+        self.scale = 1 << scale_bits
+        signs = np.empty((n_planes, dim), np.int64)
+        for p in range(n_planes):
+            for j in range(dim):
+                h = hashlib.sha256(f"{seed}:{p}:{j}".encode()).digest()
+                signs[p, j] = 1 if (h[0] & 1) else -1
+        self.signs = signs
+
+    def fixed_point(self, m: np.ndarray) -> np.ndarray:
+        # float32 -> float64 is exact; *2^k is exact; floor(x+0.5) = the
+        # repo-wide round-half-up — bit-identical to the SQL mirror
+        return np.floor(m.astype(np.float64) * self.scale + 0.5).astype(np.int64)
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        dots = self.fixed_point(m) @ self.signs.T  # exact int64 matmul
+        bits = dots > 0
+        weights = 1 << np.arange(self.signs.shape[0], dtype=np.int64)
+        return bits.astype(np.int64) @ weights
+
+
+def lsh_buckets_int(
+    ds, *, dim: int, n_planes: int = 12, seed: int = 42, scale_bits: int = 20
+):
+    """Integer-exact LSH bucket assignment (RademacherLSH): same co-bucket
+    candidate semantics as :func:`lsh_buckets`, but deterministic across
+    engines/summation orders — the oracle-checkable face of the LSH path."""
+
+    class Stage:
+        def __init__(self):
+            self.lsh = RademacherLSH(dim, n_planes, seed, scale_bits)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "bucket": pa.array(self.lsh.signature(mat), pa.int64()),
+                }
+            )
+
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 2))
+
+
 def lsh_buckets(ds, *, dim: int, n_planes: int = 12, seed: int = 42):
     """Attach an LSH bucket id to each vector (the scale path for ANN:
     co-bucket candidates only; recall controlled by n_planes)."""

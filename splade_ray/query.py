@@ -90,8 +90,14 @@ class SegmentIndex:
         self.doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
         self.doc_lens = dl["doc_len"].to_numpy().astype(np.int64)
         src = pads.dataset(os.path.join(seg_dir, "postings.parquet"))
-        flt = pads.field("term").isin(terms) if terms is not None else None
-        self.postings = src.to_table(filter=flt)
+        if terms is not None and len(terms) == 0:
+            # isin([]) binds a null-typed value set and Arrow raises; an
+            # empty term list means "load no postings" (e.g. a fielded query
+            # whose terms all miss this field's lexicon)
+            self.postings = src.schema.empty_table()
+        else:
+            flt = pads.field("term").isin(terms) if terms is not None else None
+            self.postings = src.to_table(filter=flt)
         self._by_term = {t: i for i, t in enumerate(self.postings["term"].to_pylist())}
         # decoded-posting cache: populated lazily, shared across queries in a
         # batch and across calls when the segment lives in a persistent actor

@@ -1,0 +1,103 @@
+"""Search-result snippets (keyword-in-context): for every (query, doc) hit
+of a run, the contiguous ``window``-token span of the document with the most
+query-term occurrences — what a search UI shows under each result.
+
+The reference surfaces ranked ids only (``transformer_evaluator.py:173``
+remaps ids, no text); snippets are the standard retrieval-engine output
+boundary on top (Lucene's highlighter). Engine shape:
+
+- The run is top-k-sized, so document text is fetched with the same
+  predicate-pushdown ``isin`` scan as the doc-metadata join
+  (``pipelines/flagship.fetch_doc_info``): O(k) rows leave storage, never
+  O(corpus).
+- Window selection is vectorized per doc (token membership mask + cumsum
+  sliding sum + argmax); the loop is over the k-sized hit list, mirroring
+  ``merge_topk``'s candidate-sized pandas work.
+
+Semantics (pinned for the SQL oracle): tokens = collection analyzer over
+``lower(text)``; window score = number of token POSITIONS in the window
+whose token is a query term (occurrences, not distinct terms); best window
+= max score, tie -> smallest start; ``start`` is 1-based; a doc shorter
+than ``window`` is one whole-doc window; the snippet is the lowered tokens
+joined by single spaces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+
+from splade_ray.analysis import tokenize, term_counts
+
+SNIPPET_COLUMNS = ["query_id", "doc_id", "start", "n_match", "snippet"]
+
+
+def best_window(tokens: list[str], terms: set[str], window: int) -> tuple[int, int, str]:
+    """(1-based start, match count, snippet text) of the best window."""
+    n = len(tokens)
+    if n == 0:
+        return 1, 0, ""
+    hit = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+    if n <= window:
+        return 1, int(hit.sum()), " ".join(tokens)
+    # sliding occurrence count via cumsum; argmax takes the FIRST max -> the
+    # smallest-start tie-break the oracle pins
+    c = np.concatenate([[0], np.cumsum(hit)])
+    sums = c[window:] - c[:-window]
+    i = int(np.argmax(sums))
+    return i + 1, int(sums[i]), " ".join(tokens[i : i + window])
+
+
+def fetch_texts(
+    corpus_paths: str | list[str],
+    doc_ids: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Candidate-set text fetch with predicate pushdown (one scan, isin
+    filter) — only row groups overlapping the k-sized candidate id set are
+    read."""
+    cand = sorted({int(d) for d in doc_ids})
+    t = pads.dataset(corpus_paths).to_table(
+        columns=[id_col, text_col], filter=pads.field(id_col).isin(cand)
+    )
+    return t.to_pandas()
+
+
+def snippets_for_run(
+    corpus_paths: str | list[str],
+    run: pd.DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_lang: str | None = None,
+) -> pd.DataFrame:
+    """Snippets for every (query_id, doc_id) row of a run table. Returns
+    (query_id, doc_id, start, n_match, snippet) sorted by (query_id,
+    doc_id). ``run`` must be candidate-sized (a top-k run); the corpus is
+    only touched through the pushdown text fetch."""
+    if run.empty:
+        return pd.DataFrame(columns=SNIPPET_COLUMNS).astype(
+            {"query_id": np.int64, "doc_id": np.int64, "start": np.int64,
+             "n_match": np.int64, "snippet": str}
+        )
+    texts = fetch_texts(corpus_paths, run["doc_id"].tolist(),
+                        id_col=id_col, text_col=text_col)
+    tok_cache = {
+        int(d): tokenize(t or "", query_lang)
+        for d, t in zip(texts[id_col], texts[text_col])
+    }
+    qterms = {int(qid): set(term_counts(text, query_lang)) for qid, text in queries}
+    rows = []
+    for qid, doc in zip(run["query_id"], run["doc_id"]):
+        qid, doc = int(qid), int(doc)
+        start, n_match, snip = best_window(
+            tok_cache.get(doc, []), qterms.get(qid, set()), window
+        )
+        rows.append((qid, doc, start, n_match, snip))
+    out = pd.DataFrame(rows, columns=SNIPPET_COLUMNS)
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -345,3 +345,48 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["stages_skipped"] == summary["stages"]
     assert summary2["rows_after"] == summary["rows_after"]
+
+
+def test_cli_fsearch_snippets(ray_session, corpus_dir, tmp_path, capsys):
+    """fsearch over (path, content) field indexes; snippets over the run."""
+    import pandas as pd
+
+    idx_c = str(tmp_path / "idx-content")
+    idx_p = str(tmp_path / "idx-path")
+    for col, idx in (("content", idx_c), ("path", idx_p)):
+        assert main(["build", "--corpus", corpus_dir, "--index", idx,
+                     "--text-col", col, "--rows-per-segment", "3"]) == 0
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\thash join merge\n1\twindow rows\n")
+    run_path = str(tmp_path / "run.parquet")
+    rc = main([
+        "fsearch",
+        "--index-field", f"content={idx_c}", "--index-field", f"path={idx_p}",
+        "--weight", "content=1.0", "--weight", "path=3.0",
+        "--queries", str(queries), "--out", run_path, "--top-k", "3",
+    ])
+    assert rc == 0
+    run = pd.read_parquet(run_path)
+    assert len(run) > 0 and set(run.columns) == {"query_id", "rank", "doc_id", "score"}
+
+    # the built index assigned dense ids; the raw corpus lacks an id column,
+    # so snippet against a doc_id-bearing copy (ids = global row position,
+    # matching the build's dense assignment)
+    snip_path = str(tmp_path / "snips.parquet")
+    import pyarrow.parquet as _pq
+    import pyarrow as _pa
+
+    src = _pq.read_table(corpus_dir + "/corpus-000.parquet")
+    with_ids = src.append_column("doc_id", _pa.array(range(src.num_rows), _pa.int64()))
+    idc = str(tmp_path / "with_ids.parquet")
+    _pq.write_table(with_ids, idc)
+    rc = main([
+        "snippets", "--corpus", idc, "--run", run_path,
+        "--queries", str(queries), "--out", snip_path,
+        "--window", "4", "--text-col", "content",
+    ])
+    assert rc == 0
+    snips = pd.read_parquet(snip_path)
+    assert set(snips.columns) == {"query_id", "doc_id", "start", "n_match", "snippet"}
+    assert len(snips) == len(run)
+    assert (snips["n_match"] >= 1).all()  # every BM25 hit contains a query term

@@ -132,3 +132,15 @@ def test_fielded_misaligned_raises(ray_session, tmp_path):
     build_index(p, d2, text_col="title", id_col="doc_id", rows_per_segment=60)
     with pytest.raises(ValueError, match="segment counts"):
         search_fielded({"body": d1, "title": d2}, QUERIES, WEIGHTS, PARAMS)
+
+
+def test_segment_index_empty_term_list(fielded):
+    """A field whose query terms all miss its lexicon loads NO postings
+    (regression: isin([]) binds a null-typed set and Arrow raises)."""
+    from splade_ray.build import segment_dirs
+    from splade_ray.query import SegmentIndex
+
+    dirs, *_ = fielded
+    si = SegmentIndex(segment_dirs(dirs["body"])[0], terms=[])
+    assert si.postings.num_rows == 0
+    assert si.posting("anything") is None

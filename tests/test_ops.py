@@ -702,3 +702,40 @@ def test_repetition_oracle_parity_duckdb():
             got[c].astype("uint64" if c.endswith("_gram") else got[c].dtype).tolist()
             == want[c].tolist()
         ), c
+
+
+def test_rademacher_lsh_scalar_parity_and_determinism():
+    """Integer-exact LSH: vectorized signature == plain-Python-int reference
+    (no float ambiguity anywhere), stable across instances (seeded sha256
+    signs), sign matrix is ±1 only."""
+    import hashlib
+
+    from splade_ray.ops.ann import RademacherLSH
+
+    dim, n_planes, seed, bits = 16, 6, 42, 20
+    lsh = RademacherLSH(dim, n_planes, seed, bits)
+    assert set(np.unique(lsh.signs)) == {-1, 1}
+    # signs derive from sha256(seed:p:j) low bit
+    for p, j in [(0, 0), (3, 7), (5, 15)]:
+        h = hashlib.sha256(f"{seed}:{p}:{j}".encode()).digest()
+        assert lsh.signs[p, j] == (1 if h[0] & 1 else -1)
+
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(40, dim)).astype(np.float32)
+    got = lsh.signature(m)
+
+    scale = 1 << bits
+    for r in range(m.shape[0]):
+        xi = [int(np.floor(float(np.float64(x)) * scale + 0.5)) for x in m[r]]
+        bucket = 0
+        for p in range(n_planes):
+            dot = sum(int(lsh.signs[p, j]) * xi[j] for j in range(dim))
+            if dot > 0:
+                bucket |= 1 << p
+        assert got[r] == bucket, r
+
+    # a second instance with the same seed is identical; a different seed isn't
+    assert np.array_equal(RademacherLSH(dim, n_planes, seed, bits).signature(m), got)
+    assert not np.array_equal(
+        RademacherLSH(dim, n_planes, seed + 1, bits).signature(m), got
+    )

@@ -1,0 +1,78 @@
+"""Snippet (keyword-in-context) extraction: pinned semantics + brute-force parity."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.analysis import tokenize
+from splade_ray.snippets import best_window, snippets_for_run
+
+
+def brute_best(tokens, terms, window):
+    """O(n·w) reference: max occurrences, smallest start, 1-based."""
+    n = len(tokens)
+    if n == 0:
+        return 1, 0, ""
+    if n <= window:
+        return 1, sum(t in terms for t in tokens), " ".join(tokens)
+    best = (-1, -1)
+    for i in range(n - window + 1):
+        c = sum(t in terms for t in tokens[i : i + window])
+        if c > best[0]:
+            best = (c, i)
+    i = best[1]
+    return i + 1, best[0], " ".join(tokens[i : i + window])
+
+
+def test_best_window_pinned_cases():
+    toks = "a b q q b a q a a a".split()
+    # window 3: counts at starts 1..8 = [1,2,2,1,1,1,1,0]; first max at start 2
+    assert best_window(toks, {"q"}, 3) == (2, 2, "b q q")
+    # whole doc shorter than window
+    assert best_window(["x", "q"], {"q"}, 5) == (1, 1, "x q")
+    # no matches anywhere -> first window, count 0
+    assert best_window(toks, {"zz"}, 4) == (1, 0, "a b q q")
+    assert best_window([], {"q"}, 4) == (1, 0, "")
+
+
+def test_best_window_matches_bruteforce_randomized():
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        terms = {vocab[int(i)] for i in rng.integers(0, len(vocab), 3)}
+        w = int(rng.integers(1, 12))
+        assert best_window(toks, terms, w) == brute_best(toks, terms, w)
+
+
+def test_snippets_for_run_pushdown(tmp_path):
+    docs = {
+        0: "alpha beta gamma delta alpha alpha zeta",
+        1: "beta beta beta alpha",
+        2: "unrelated words only here",
+    }
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(docs), "text": list(docs.values())}), p
+    )
+    run = pd.DataFrame(
+        {"query_id": [7, 7, 8], "rank": [1, 2, 1], "doc_id": [0, 1, 2],
+         "score": [2.0, 1.0, 0.5]}
+    )
+    queries = [(7, "alpha zeta"), (8, "nothing matches")]
+    out = snippets_for_run(p, run, queries, window=3)
+    assert list(out.columns) == ["query_id", "doc_id", "start", "n_match", "snippet"]
+    by = {(r.query_id, r.doc_id): r for r in out.itertuples()}
+    assert by[(7, 0)].start == 5 and by[(7, 0)].n_match == 3
+    assert by[(7, 0)].snippet == "alpha alpha zeta"
+    assert by[(7, 1)].start == 2 and by[(7, 1)].n_match == 1
+    assert by[(7, 1)].snippet == "beta beta alpha"
+    assert by[(8, 2)].n_match == 0 and by[(8, 2)].start == 1
+
+    # analyzer semantics: snippet is over lowered analyzer tokens
+    assert by[(7, 0)].snippet == " ".join(tokenize(docs[0])[4:7])
