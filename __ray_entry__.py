@@ -615,6 +615,22 @@ def q_sample_bottomk(sf_dir: str):
     return bottomk_sample(_docs(sf_dir, ["doc_id"]), BOTTOMK, seed=SAMPLE_SEED)
 
 
+STRATA_RATES = {"en": 0.05, "de": 0.5, "zh": 1.0}
+STRATA_DEFAULT = 0.2
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-stratum Bernoulli rates (ops/sample.stratified_sample): training
+    mix re-weighting — keep all of a rare language, a sliver of the
+    dominant one; same id hash as sample_hash so per-stratum samples nest."""
+    from splade_ray.ops.sample import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), STRATA_RATES,
+        strata_col="lang", seed=SAMPLE_SEED, default_rate=STRATA_DEFAULT,
+    )
+
+
 DECONTAM_K = 4  # eval-overlap gram width (Brown et al. 2020 use 13; the
 DECONTAM_MOD = 10  # synthetic 31-word vocab needs a narrower gram to mix)
 PACK_BUDGET = 512  # tokens per training pack
@@ -1192,6 +1208,9 @@ def _sample_sqls() -> dict[str, str]:
     case = " ".join(
         f"WHEN {b} < {t} THEN '{n}'" for n, t in zip(names[:-1], bounds[:-1])
     )
+    strata_case = " ".join(
+        f"WHEN '{k}' THEN {threshold(v)}" for k, v in sorted(STRATA_RATES.items())
+    )
     return {
         "sample_hash": f"""
 SELECT doc_id, lang FROM documents
@@ -1203,6 +1222,9 @@ SELECT doc_id,
        row_number() OVER (ORDER BY {hash_sql('doc_id', SAMPLE_SEED)}, doc_id) AS sample_rank
 FROM documents
 ORDER BY sample_rank LIMIT {BOTTOMK}""",
+        "sample_stratified": f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < CASE lang {strata_case} ELSE {threshold(STRATA_DEFAULT)} END""",
     }
 
 
@@ -1774,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": q_sample_hash,
         "split_assign": q_split_assign,
         "sample_bottomk": q_sample_bottomk,
+        "sample_stratified": q_sample_stratified,
         "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,

@@ -80,6 +80,35 @@ def hash_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: Dataset,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> Dataset:
+    """Per-stratum Bernoulli sampling: keep a row iff its id bucket is below
+    its STRATUM's threshold — how a training mix is rebalanced (e.g. keep
+    100% of a rare language, 5% of the dominant one). Same hash/seed as
+    :func:`hash_sample`, so samples are NESTED: raising a stratum's rate
+    only ADDS rows (the rate-r sample is a subset of the rate-r' sample for
+    r < r'), which makes mix re-weighting reproducible across runs.
+    Stateless single map_batches — no shuffle, partitioning-invariant."""
+    thr = {k: threshold(v) for k, v in rates.items()}
+    dflt = threshold(default_rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _buckets(ids, seed)
+        strata = batch[strata_col].to_pandas()
+        t = strata.map(thr).fillna(dflt).to_numpy(np.int64)
+        return batch.filter(pa.array(b < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_assign(
     ds: Dataset,
     fractions: dict[str, float],

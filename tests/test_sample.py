@@ -89,3 +89,39 @@ def test_bottomk_sample(ray_session):
         rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())})), 5
     )
     assert len(empty) == 0 and list(empty.columns) == ["doc_id", "sample_rank"]
+
+
+def test_stratified_sample_nesting_and_parity(ray_session):
+    """Per-stratum membership == hash_sample at that stratum's rate; raising
+    a rate only adds rows (nesting); unknown strata use default_rate."""
+    from splade_ray.ops.sample import stratified_sample
+
+    rates = {"l0": 0.05, "l1": 0.5}
+    ds = _ds(2000, blocks=7)
+    out = stratified_sample(
+        ds, rates, strata_col="lang", seed=7, default_rate=0.25
+    ).to_pandas()
+
+    for lang, rate in rates.items():
+        sub = _ds(2000).filter(lambda r, L=lang: r["lang"] == L)
+        want = set(hash_sample(sub, rate, seed=7).to_pandas()["doc_id"])
+        got = set(out[out["lang"] == lang]["doc_id"])
+        assert got == want, lang
+
+    # default-rate stratum (l2, unlisted): membership == hash_sample at 0.25
+    l2 = _ds(2000).filter(lambda r: r["lang"] == "l2")
+    want = set(hash_sample(l2, 0.25, seed=7).to_pandas()["doc_id"])
+    assert set(out[out["lang"] == "l2"]["doc_id"]) == want
+
+    # nesting: raising a rate is a superset
+    bigger = stratified_sample(
+        _ds(2000), {"l0": 0.1, "l1": 0.5}, strata_col="lang", seed=7,
+        default_rate=0.25,
+    ).to_pandas()
+    assert set(out["doc_id"]) <= set(bigger["doc_id"])
+
+    # partitioning invariance
+    again = stratified_sample(
+        _ds(2000, blocks=17), rates, strata_col="lang", seed=7, default_rate=0.25
+    ).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
