@@ -160,6 +160,26 @@ def q_snippets_topk(sf_dir: str):
     return out
 
 
+def q_snippets_topk_distinct(sf_dir: str):
+    """Distinct-coverage snippets (snippets.best_window_distinct): windows
+    covering more DISTINCT query terms win, occurrences break ties, then
+    smallest start — the production-highlighter ordering."""
+    from splade_ray.snippets import snippets_for_run
+
+    index_dir = _index_for(sf_dir)
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = snippets_for_run(
+        os.path.join(sf_dir, "documents.parquet"),
+        run,
+        BM25_QUERIES,
+        window=SNIPPET_WINDOW,
+        mode="distinct",
+    )
+    for c in ("start", "n_distinct", "n_match"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 FIELD_TITLE_NTOK = 8  # title field = first N body tokens (deterministic derivation)
 FIELD_WEIGHTS = {"text": 1.0, "title": 2.5}
 
@@ -1775,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "bm25f_topk": q_bm25f_topk,
         "snippets_topk": q_snippets_topk,
+        "snippets_topk_distinct": q_snippets_topk_distinct,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -1948,6 +1969,39 @@ best AS (SELECT query_id, doc_id, i, n_match,
                                    ORDER BY n_match DESC, i ASC) AS rn
          FROM cnt)
 SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_match,
+       array_to_string(d.toks[b.i : b.i + {w} - 1], ' ') AS snippet
+FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
+
+
+def _snippets_distinct_sql() -> str:
+    """Distinct-coverage snippet mirror: same CTEs as _snippets_sql plus the
+    matched term carried into the range join; best window by
+    (distinct terms desc, occurrences desc, start asc)."""
+    w = SNIPPET_WINDOW
+    return f"""{_bm25_cte()},
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+{_qterm_values_sql()},
+dt AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+       FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS j FROM dt),
+m AS (SELECT h.query_id, t.doc_id, t.term, t.j
+      FROM hits h JOIN tok t USING (doc_id)
+      JOIN qterm q ON q.query_id = h.query_id AND q.term = t.term),
+starts AS (SELECT h.query_id, h.doc_id,
+                  unnest(generate_series(1, greatest(len(d.toks) - {w} + 1, 1))) AS i
+           FROM hits h JOIN dt d USING (doc_id)),
+cnt AS (SELECT s.query_id, s.doc_id, s.i,
+               count(DISTINCT m.term)::BIGINT AS n_distinct,
+               count(m.j)::BIGINT AS n_match
+        FROM starts s LEFT JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+                                 AND m.j BETWEEN s.i AND s.i + {w} - 1
+        GROUP BY s.query_id, s.doc_id, s.i),
+best AS (SELECT query_id, doc_id, i, n_distinct, n_match,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_distinct DESC, n_match DESC, i ASC) AS rn
+         FROM cnt)
+SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_distinct, b.n_match,
        array_to_string(d.toks[b.i : b.i + {w} - 1], ' ') AS snippet
 FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
 
@@ -2127,6 +2181,7 @@ FROM documents""",
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "bm25f_topk": _bm25f_sql(),
         "snippets_topk": _snippets_sql(),
+        "snippets_topk_distinct": _snippets_distinct_sql(),
         "ann_lsh_buckets_int": _lsh_int_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),

@@ -126,6 +126,7 @@ def cmd_snippets(args) -> int:
     out = snippets_for_run(
         args.corpus, run, queries,
         window=args.window, id_col=args.id_col, text_col=args.text_col,
+        mode=args.mode,
     )
     out.to_parquet(args.out, index=False)
     print(json.dumps({"rows": len(out), "out": args.out}))
@@ -749,6 +750,7 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--queries", required=True, help="TSV: id\\ttext")
     sn.add_argument("--out", required=True, help="snippets parquet")
     sn.add_argument("--window", type=int, default=10)
+    sn.add_argument("--mode", choices=["occurrences", "distinct"], default="occurrences")
     sn.add_argument("--id-col", default="doc_id")
     sn.add_argument("--text-col", default="text")
     sn.set_defaults(fn=cmd_snippets)

@@ -33,6 +33,11 @@ from splade_ray.analysis import tokenize, term_counts
 SNIPPET_COLUMNS = ["query_id", "doc_id", "start", "n_match", "snippet"]
 
 
+def _sliding_sums(mask: np.ndarray, window: int) -> np.ndarray:
+    c = np.concatenate([[0], np.cumsum(mask)])
+    return c[window:] - c[:-window]
+
+
 def best_window(tokens: list[str], terms: set[str], window: int) -> tuple[int, int, str]:
     """(1-based start, match count, snippet text) of the best window."""
     n = len(tokens)
@@ -43,10 +48,41 @@ def best_window(tokens: list[str], terms: set[str], window: int) -> tuple[int, i
         return 1, int(hit.sum()), " ".join(tokens)
     # sliding occurrence count via cumsum; argmax takes the FIRST max -> the
     # smallest-start tie-break the oracle pins
-    c = np.concatenate([[0], np.cumsum(hit)])
-    sums = c[window:] - c[:-window]
+    sums = _sliding_sums(hit, window)
     i = int(np.argmax(sums))
     return i + 1, int(sums[i]), " ".join(tokens[i : i + window])
+
+
+def best_window_distinct(
+    tokens: list[str], terms: set[str], window: int
+) -> tuple[int, int, int, str]:
+    """(1-based start, distinct-term count, occurrence count, snippet) of the
+    best window under the production-highlighter ordering: windows covering
+    MORE DISTINCT query terms win (a window with both terms of a two-term
+    query beats one repeating a single term), occurrences break ties, then
+    smallest start. One vectorized sliding pass PER QUERY TERM (queries are
+    a handful of terms) + one for occurrences."""
+    n = len(tokens)
+    if n == 0:
+        return 1, 0, 0, ""
+    arr_terms = sorted(terms)
+    masks = [
+        np.fromiter((t == q for t in tokens), dtype=np.int64, count=n)
+        for q in arr_terms
+    ]
+    occ = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+    if n <= window:
+        nd = sum(int(m.sum() > 0) for m in masks)
+        return 1, nd, int(occ.sum()), " ".join(tokens)
+    distinct = np.zeros(n - window + 1, np.int64)
+    for m in masks:
+        distinct += _sliding_sums(m, window) > 0
+    occs = _sliding_sums(occ, window)
+    # lexicographic argmax (distinct desc, occurrences desc, start asc):
+    # occs < window+1 always, so the fold is collision-free
+    combined = distinct * np.int64(window + 1) + occs
+    i = int(np.argmax(combined))
+    return i + 1, int(distinct[i]), int(occs[i]), " ".join(tokens[i : i + window])
 
 
 def fetch_texts(
@@ -75,16 +111,27 @@ def snippets_for_run(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_lang: str | None = None,
+    mode: str = "occurrences",
 ) -> pd.DataFrame:
-    """Snippets for every (query_id, doc_id) row of a run table. Returns
-    (query_id, doc_id, start, n_match, snippet) sorted by (query_id,
-    doc_id). ``run`` must be candidate-sized (a top-k run); the corpus is
-    only touched through the pushdown text fetch."""
+    """Snippets for every (query_id, doc_id) row of a run table, sorted by
+    (query_id, doc_id). ``mode="occurrences"`` (default) returns
+    (query_id, doc_id, start, n_match, snippet): most query-term
+    occurrences wins. ``mode="distinct"`` returns (query_id, doc_id, start,
+    n_distinct, n_match, snippet): most DISTINCT query terms covered wins,
+    occurrences break ties — the production-highlighter ordering. ``run``
+    must be candidate-sized (a top-k run); the corpus is only touched
+    through the pushdown text fetch."""
+    if mode not in ("occurrences", "distinct"):
+        raise ValueError(f"unknown snippet mode: {mode!r}")
+    cols = (
+        SNIPPET_COLUMNS
+        if mode == "occurrences"
+        else ["query_id", "doc_id", "start", "n_distinct", "n_match", "snippet"]
+    )
     if run.empty:
-        return pd.DataFrame(columns=SNIPPET_COLUMNS).astype(
-            {"query_id": np.int64, "doc_id": np.int64, "start": np.int64,
-             "n_match": np.int64, "snippet": str}
-        )
+        types = {c: np.int64 for c in cols if c != "snippet"}
+        types["snippet"] = str
+        return pd.DataFrame(columns=cols).astype(types)
     texts = fetch_texts(corpus_paths, run["doc_id"].tolist(),
                         id_col=id_col, text_col=text_col)
     tok_cache = {
@@ -95,9 +142,10 @@ def snippets_for_run(
     rows = []
     for qid, doc in zip(run["query_id"], run["doc_id"]):
         qid, doc = int(qid), int(doc)
-        start, n_match, snip = best_window(
-            tok_cache.get(doc, []), qterms.get(qid, set()), window
-        )
-        rows.append((qid, doc, start, n_match, snip))
-    out = pd.DataFrame(rows, columns=SNIPPET_COLUMNS)
+        toks, terms = tok_cache.get(doc, []), qterms.get(qid, set())
+        if mode == "occurrences":
+            rows.append((qid, doc, *best_window(toks, terms, window)))
+        else:
+            rows.append((qid, doc, *best_window_distinct(toks, terms, window)))
+    out = pd.DataFrame(rows, columns=cols)
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -76,3 +76,69 @@ def test_snippets_for_run_pushdown(tmp_path):
 
     # analyzer semantics: snippet is over lowered analyzer tokens
     assert by[(7, 0)].snippet == " ".join(tokenize(docs[0])[4:7])
+
+
+def brute_best_distinct(tokens, terms, window):
+    n = len(tokens)
+    if n == 0:
+        return 1, 0, 0, ""
+    if n <= window:
+        nd = len({t for t in tokens if t in terms})
+        return 1, nd, sum(t in terms for t in tokens), " ".join(tokens)
+    best = (-1, -1, -1)  # (nd, occ, -i) maximized
+    for i in range(n - window + 1):
+        w = tokens[i : i + window]
+        nd = len({t for t in w if t in terms})
+        occ = sum(t in w for t in []) or sum(t in terms for t in w)
+        key = (nd, occ, -i)
+        if key > best:
+            best = key
+    nd, occ, neg_i = best
+    i = -neg_i
+    return i + 1, nd, occ, " ".join(tokens[i : i + window])
+
+
+def test_best_window_distinct_prefers_coverage():
+    from splade_ray.snippets import best_window_distinct
+
+    toks = "q q q x x a b x q x".split()
+    # occurrences mode would pick start 1 (q q q = 3 occ); distinct mode
+    # must pick the window covering both a and b
+    start, nd, occ, snip = best_window_distinct(toks, {"q", "a", "b"}, 3)
+    assert (start, nd, occ, snip) == (5, 2, 2, "x a b")  # ties -> smallest start
+
+
+def test_best_window_distinct_matches_bruteforce_randomized():
+    import numpy as np
+
+    from splade_ray.snippets import best_window_distinct
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(8)]
+    for _ in range(300):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        terms = {vocab[int(i)] for i in rng.integers(0, len(vocab), 3)}
+        w = int(rng.integers(1, 10))
+        assert best_window_distinct(toks, terms, w) == brute_best_distinct(
+            toks, terms, w
+        ), (toks, sorted(terms), w)
+
+
+def test_snippets_distinct_mode(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.snippets import snippets_for_run
+
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [0], "text": ["q q q x x a b x q x"]}), p
+    )
+    run = pd.DataFrame({"query_id": [1], "rank": [1], "doc_id": [0], "score": [1.0]})
+    out = snippets_for_run(p, run, [(1, "q a b")], window=3, mode="distinct")
+    assert list(out.columns) == [
+        "query_id", "doc_id", "start", "n_distinct", "n_match", "snippet"
+    ]
+    assert out.iloc[0].tolist() == [1, 0, 5, 2, 2, "x a b"]
