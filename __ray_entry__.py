@@ -184,14 +184,11 @@ FIELD_TITLE_NTOK = 8  # title field = first N body tokens (deterministic derivat
 FIELD_WEIGHTS = {"text": 1.0, "title": 2.5}
 
 
-def q_bm25f_topk(sf_dir: str):
-    """Fielded BM25 (query.search_fielded): score = w_text·BM25_text +
-    w_title·BM25_title over two aligned per-field indexes, each with its own
-    df/doclen/avgdl — the weighted multi-field query a code-corpus user runs
-    over (path, content). The title field is derived deterministically as
-    the first {N} tokens of text so the SQL oracle can mirror it exactly."""
+def _fielded_index_dirs(sf_dir: str) -> dict[str, str]:
+    """Two aligned per-field indexes over documents: text = full body,
+    title = first {FIELD_TITLE_NTOK} tokens (deterministic derivation so the
+    SQL oracle can mirror the field exactly)."""
     from splade_ray.analysis import TOKEN_RE
-    from splade_ray.query import search_fielded
 
     work = _work_dir(sf_dir, "fieldedidx")
     corpus_dir = os.path.join(work, "corpus")
@@ -216,8 +213,37 @@ def q_bm25f_topk(sf_dir: str):
             rows_per_segment=1000, block_size=64,
         )
         dirs[field] = d
+    return dirs
+
+
+def q_bm25f_topk(sf_dir: str):
+    """Fielded BM25 (query.search_fielded): score = w_text·BM25_text +
+    w_title·BM25_title over two aligned per-field indexes, each with its own
+    df/doclen/avgdl — the weighted multi-field query a code-corpus user runs
+    over (path, content)."""
+    from splade_ray.query import search_fielded
+
     run = search_fielded(
-        dirs, BM25_QUERIES, FIELD_WEIGHTS, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
+        BM25Params(k1=K1, b=B, top_k=TOP_K),
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_bm25f_true_topk(sf_dir: str):
+    """TRUE BM25F (Robertson & Zaragoza 2004; query.ScoreBM25FSegments):
+    per-field tf length-normalized and weight-folded into one
+    pseudo-frequency BEFORE k1 saturation, idf over the document-level union
+    df (term in ANY field) computed by a pushdown pass over the query
+    terms' postings."""
+    from splade_ray.query import search_fielded
+
+    run = search_fielded(
+        _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
+        BM25Params(k1=K1, b=B, top_k=TOP_K), mode="bm25f",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
@@ -1794,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "bm25f_topk": q_bm25f_topk,
+        "bm25f_true_topk": q_bm25f_true_topk,
         "snippets_topk": q_snippets_topk,
         "snippets_topk_distinct": q_snippets_topk_distinct,
         "collection_stats": q_collection_stats,
@@ -2062,6 +2089,71 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _bm25f_true_sql() -> str:
+    """True-BM25F oracle: fold w_f·tf/B_f across fields into tfa per
+    (doc, term) BEFORE saturation, idf over the document-level union df
+    (term appears in ANY field). Mirrors q_bm25f_true_topk (round4 both
+    sides; sum order differs, absorbed by the rounding like every other
+    float oracle here)."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    n = FIELD_TITLE_NTOK
+    w_text, w_title = FIELD_WEIGHTS["text"], FIELD_WEIGHTS["title"]
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+            FROM documents),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+tf_body AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM tl) GROUP BY doc_id, term),
+tf_title AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id, unnest(toks[1:{n}]) AS term FROM tl) GROUP BY doc_id, term),
+dl_body AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tl),
+dl_title AS (SELECT doc_id, least(len(toks), {n})::DOUBLE AS dl FROM tl),
+df_u AS (
+  SELECT term, count(*)::DOUBLE AS df
+  FROM (SELECT term, doc_id FROM tf_body UNION SELECT term, doc_id FROM tf_title)
+  GROUP BY term
+),
+tfa AS (
+  SELECT doc_id, term, sum(contrib) AS tfa
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           {w_text} * tf.tf / (1 - {B} + {B} * dl.dl / s.avgdl) AS contrib
+    FROM tf_body tf JOIN dl_body dl USING (doc_id)
+    CROSS JOIN (SELECT avg(dl) AS avgdl FROM dl_body) s
+    UNION ALL
+    SELECT tf.doc_id, tf.term,
+           {w_title} * tf.tf / (1 - {B} + {B} * dl.dl / s.avgdl) AS contrib
+    FROM tf_title tf JOIN dl_title dl USING (doc_id)
+    CROSS JOIN (SELECT avg(dl) AS avgdl FROM dl_title) s
+  )
+  GROUP BY doc_id, term
+),
+scores AS (
+  SELECT q.query_id, t.doc_id,
+         sum( q.qtf * ln(1 + (s.n - du.df + 0.5) / (du.df + 0.5))
+              * ({K1} + 1) * t.tfa / ({K1} + t.tfa) ) AS score
+  FROM q
+  JOIN tfa t USING (term)
+  JOIN df_u du USING (term)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM dl_body) s
+  GROUP BY q.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def _qvalues_sql() -> str:
     """VALUES list (query_id, q_text) for the fixed query set."""
     vals = ",\n    ".join(f"({qid}, '{text}')" for qid, text in BM25_QUERIES)
@@ -2180,6 +2272,7 @@ FROM documents""",
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "bm25f_true_topk": _bm25f_true_sql(),
         "snippets_topk": _snippets_sql(),
         "snippets_topk_distinct": _snippets_distinct_sql(),
         "ann_lsh_buckets_int": _lsh_int_sql(),

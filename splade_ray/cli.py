@@ -103,6 +103,10 @@ def cmd_fsearch(args) -> int:
         queries,
         kv(args.weight, float),
         BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
+        mode=args.mode,
+        field_b=kv(args.field_b, float) if args.field_b else None,
+        analyzers=kv(args.analyzer, str) if args.analyzer else None,
+        query_analyzer=args.query_analyzer,
     )
     if args.out.endswith(".json"):
         write_run_json(run, args.out)
@@ -742,6 +746,16 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--threshold", type=float, default=0.0)
     fs.add_argument("--k1", type=float, default=1.2)
     fs.add_argument("--b", type=float, default=0.75)
+    fs.add_argument("--mode", choices=["sum", "bm25f"], default="sum",
+                    help="sum = Σ w_f·BM25_f; bm25f = fold tf across fields "
+                         "before saturation (union-df idf)")
+    fs.add_argument("--field-b", action="append", default=None,
+                    metavar="NAME=B", help="bm25f per-field b (repeat)")
+    fs.add_argument("--analyzer", action="append", default=None,
+                    metavar="NAME=LANG", help="sum-mode per-field registered "
+                                              "query analyzer (repeat)")
+    fs.add_argument("--query-analyzer", default=None,
+                    help="bm25f-mode registered analyzer for query text")
     fs.set_defaults(fn=cmd_fsearch)
 
     sn = sub.add_parser("snippets", help="keyword-in-context snippets for a run")

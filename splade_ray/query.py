@@ -121,6 +121,22 @@ class SegmentIndex:
             return None
         return {name: self.postings[name][i].as_py() for name in self.postings.column_names}
 
+    def pos_tfs(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded posting for ``term`` as (positions into ``doc_ids``, tfs),
+        cached across queries in a batch and across calls in a persistent
+        actor. Empty arrays when the term has no posting in this segment."""
+        cache = self._decoded
+        got = cache.get(term)
+        if got is None:
+            post = self.posting(term)
+            if post is None:
+                got = (np.empty(0, np.int64), np.empty(0, np.int64))
+            else:
+                docs, tfs, _ = post
+                got = (np.searchsorted(self.doc_ids, docs), tfs)
+            cache[term] = got
+        return got
+
     def dense_query_scores(self, qid: int, prepared: dict) -> np.ndarray | None:
         """Dense per-doc score array (aligned to ``self.doc_ids``) for one
         prepared query — the exact kernel without the top-k cut. Returns
@@ -129,19 +145,10 @@ class SegmentIndex:
         (:func:`search_fielded`)."""
         p: BM25Params = prepared["params"]
         avgdl = prepared["avgdl"]
-        cache = self._decoded  # decode each needed term once, reuse across queries/calls
         scores = np.zeros(self.doc_ids.size, np.float64)
         hit = False
         for term, qtf, w in prepared["queries"][qid]:  # pre-sorted -> fixed sum order
-            if term not in cache:
-                post = self.posting(term)
-                if post is None:
-                    cache[term] = (np.empty(0, np.int64), np.empty(0, np.int64))
-                else:
-                    docs, tfs, _ = post
-                    pos = np.searchsorted(self.doc_ids, docs)
-                    cache[term] = (pos, tfs)
-            pos, tfs = cache[term]
+            pos, tfs = self.pos_tfs(term)
             if pos.size == 0:
                 continue
             hit = True
@@ -317,13 +324,34 @@ def search(
     return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _load_aligned_segments(
+    seg_lists: dict[str, list[str]],
+    fields: list[str],
+    ord_: int,
+    terms: dict[str, list[str]],
+) -> dict[str, SegmentIndex]:
+    """Load one aligned segment per field and verify the doc-id alignment
+    contract (every field index built from the same corpus rows)."""
+    segs = {f: SegmentIndex(seg_lists[f][ord_], terms[f]) for f in fields}
+    base = segs[fields[0]].doc_ids
+    for f in fields[1:]:
+        if not np.array_equal(segs[f].doc_ids, base):
+            raise ValueError(
+                f"fielded indexes misaligned at segment {ord_}: field "
+                f"{f!r} has different doc ids (build every field index "
+                "from the same corpus with the same rows_per_segment "
+                "and id_col)"
+            )
+    return segs
+
+
 class ScoreFieldedSegments:
-    """Actor-pool stage for fielded (BM25F-style weighted-field) scoring:
-    one work item per aligned segment ordinal, scoring EVERY field's segment
-    in the same task and summing weighted dense arrays before the top-k cut
-    — exact by construction (no per-field top-k approximation, no threshold
-    algorithm needed). The per-field prepared dicts + segment lists ship
-    once via ``ray.put`` and are fetched on first use per actor."""
+    """Actor-pool stage for fielded weighted-sum scoring: one work item per
+    aligned segment ordinal, scoring EVERY field's segment in the same task
+    and summing weighted dense arrays before the top-k cut — exact by
+    construction (no per-field top-k approximation, no threshold algorithm
+    needed). The per-field prepared dicts + segment lists ship once via
+    ``ray.put`` and are fetched on first use per actor."""
 
     def __init__(self, plan_ref):
         plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
@@ -336,19 +364,13 @@ class ScoreFieldedSegments:
         rows: list[tuple[int, int, float]] = []
         p: BM25Params = self.prepared[self.fields[0]]["params"]
         for ord_ in batch["seg_ord"].to_pylist():
-            segs = {
-                f: SegmentIndex(self.seg_lists[f][ord_], self.prepared[f]["terms"])
-                for f in self.fields
-            }
+            segs = _load_aligned_segments(
+                self.seg_lists,
+                self.fields,
+                ord_,
+                {f: self.prepared[f]["terms"] for f in self.fields},
+            )
             base = segs[self.fields[0]].doc_ids
-            for f in self.fields[1:]:
-                if not np.array_equal(segs[f].doc_ids, base):
-                    raise ValueError(
-                        f"fielded indexes misaligned at segment {ord_}: field "
-                        f"{f!r} has different doc ids (build every field index "
-                        "from the same corpus with the same rows_per_segment "
-                        "and id_col)"
-                    )
             qids = self.prepared[self.fields[0]]["queries"].keys()
             for qid in qids:
                 total = None
@@ -371,25 +393,185 @@ class ScoreFieldedSegments:
         )
 
 
+class FieldedUnionDf:
+    """Pass-1 stage of true BM25F: per-segment document frequency of each
+    query term counting a doc once if the term appears in ANY field (the
+    document-level df BM25F's idf is defined over — Robertson & Zaragoza
+    2004, §BM25F). Reads ONLY the query terms' postings per field (same
+    parquet pushdown as scoring) and decodes doc ids, not tfs, into a union
+    count; emits (term, df) partials summed driver-side (k-terms-sized)."""
+
+    def __init__(self, plan_ref):
+        plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        self.terms: list[str] = plan["terms"]
+        self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.fields = sorted(self.seg_lists)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_t: list[str] = []
+        out_df: list[int] = []
+        for ord_ in batch["seg_ord"].to_pylist():
+            segs = _load_aligned_segments(
+                self.seg_lists, self.fields, ord_, {f: self.terms for f in self.fields}
+            )
+            for term in self.terms:
+                seen: np.ndarray | None = None
+                for f in self.fields:
+                    pos, _ = segs[f].pos_tfs(term)
+                    if pos.size == 0:
+                        continue
+                    seen = pos if seen is None else np.union1d(seen, pos)
+                if seen is not None:
+                    out_t.append(term)
+                    out_df.append(int(seen.size))
+        return pa.table(
+            {"term": pa.array(out_t, pa.string()), "df": pa.array(out_df, pa.int64())}
+        )
+
+
+class ScoreBM25FSegments:
+    """Actor-pool stage for TRUE BM25F (Robertson & Zaragoza 2004): per-field
+    tf is length-normalized and weight-folded into a single pseudo-frequency
+    BEFORE the k1 saturation —
+
+        B_f(d)   = (1 - b_f) + b_f · len_f(d) / avgdl_f
+        tf~(t,d) = Σ_f w_f · tf_f(t,d) / B_f(d)
+        score    = Σ_t qtf · idf_union(t) · tf~ · (k1+1) / (k1 + tf~)
+
+    with idf over the document-level union df from :class:`FieldedUnionDf`.
+    Contrast the weighted-sum mode (``ScoreFieldedSegments``), which
+    saturates each field separately then sums — BM25F rewards a term spread
+    across fields less than weighted-sum does, the behavior the original
+    paper argues for. The (k1+1) numerator matches this engine's simple-BM25
+    convention (a per-term constant scale; rank-neutral)."""
+
+    def __init__(self, plan_ref):
+        plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        self.qterms: dict[int, list[tuple[str, int]]] = plan["qterms"]
+        self.idf: dict[str, float] = plan["idf"]
+        self.weights: dict[str, float] = plan["weights"]
+        self.field_b: dict[str, float] = plan["field_b"]
+        self.avgdl: dict[str, float] = plan["avgdl"]
+        self.params: BM25Params = plan["params"]
+        self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.fields = sorted(self.seg_lists)
+        self.terms = sorted(self.idf)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.params
+        rows: list[tuple[int, int, float]] = []
+        for ord_ in batch["seg_ord"].to_pylist():
+            segs = _load_aligned_segments(
+                self.seg_lists, self.fields, ord_, {f: self.terms for f in self.fields}
+            )
+            base = segs[self.fields[0]].doc_ids
+            n = base.size
+            # per-field length normalizer, computed once per segment
+            B = {
+                f: (1.0 - self.field_b[f])
+                + self.field_b[f] * segs[f].doc_lens.astype(np.float64) / self.avgdl[f]
+                for f in self.fields
+            }
+            # fold each term's pseudo-frequency once per segment (shared by
+            # every query containing the term), cached locally
+            tfa_cache: dict[str, np.ndarray | None] = {}
+
+            def folded(term: str) -> np.ndarray | None:
+                got = tfa_cache.get(term, False)
+                if got is not False:
+                    return got
+                tfa: np.ndarray | None = None
+                for f in self.fields:  # fixed field order -> fixed fp sum order
+                    pos, tfs = segs[f].pos_tfs(term)
+                    if pos.size == 0:
+                        continue
+                    if tfa is None:
+                        tfa = np.zeros(n, np.float64)
+                    tfa[pos] += (self.weights[f] * tfs.astype(np.float64)) / B[f][pos]
+                tfa_cache[term] = tfa
+                return tfa
+
+            for qid, terms in self.qterms.items():
+                scores = np.zeros(n, np.float64)
+                hit = False
+                for term, qtf in terms:  # pre-sorted -> fixed sum order
+                    w = self.idf.get(term)
+                    if w is None:
+                        continue
+                    tfa = folded(term)
+                    if tfa is None:
+                        continue
+                    hit = True
+                    scores += (qtf * w * (p.k1 + 1.0)) * (tfa / (p.k1 + tfa))
+                if not hit:
+                    continue
+                docs, scs = topk_from_scores(base, scores, p.top_k, p.threshold)
+                rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+
+def _fielded_run(items, stage_cls, plan_ref, top_k, concurrency) -> pd.DataFrame:
+    """Shared scatter (segment-ordinal grid) → k-sized merge for both
+    fielded modes."""
+    cand = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        stage_cls,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_constructor_kwargs={"plan_ref": plan_ref},
+        concurrency=concurrency or (1, min(len(items), 16)),
+    )
+    run = cand.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def search_fielded(
     field_indexes: dict[str, str],
     queries: list[tuple[int, str]],
     weights: dict[str, float],
     params: BM25Params | None = None,
     *,
+    mode: str = "sum",
+    field_b: dict[str, float] | None = None,
+    analyzers: dict[str, str] | None = None,
+    query_analyzer: str | None = None,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
-    """Fielded retrieval: ``score(q, d) = Σ_f w_f · BM25_f(q, d_f)`` over one
-    index per field, each with its own lexicon (df), doc lengths and avgdl —
-    the weighted multi-field query Lucene/Anserini users run against e.g.
-    (title, body) or, for the code corpus of the input hint, (path, content).
-    The reference scores a single learned-impact field
-    (transformer_evaluator.py:92-111); fields generalize that to structured
-    documents without changing the per-field index format.
+    """Fielded retrieval over one index per field — the multi-field query a
+    Lucene/Anserini user runs against e.g. (title, body) or, for the code
+    corpus of the input hint, (path, content). The reference scores a single
+    learned-impact field (transformer_evaluator.py:92-111); fields
+    generalize that to structured documents without changing the per-field
+    index format. Two scoring modes:
+
+    - ``mode="sum"`` (default): ``score = Σ_f w_f · BM25_f(q, d_f)`` — each
+      field scored with its own df/doclen/avgdl, weighted and summed. The
+      per-field ``analyzers`` mapping (registered analyzer name per field,
+      e.g. a path tokenizer for a ``path`` field) selects how the QUERY text
+      is tokenized against each field's index.
+    - ``mode="bm25f"``: true BM25F — per-field tf is length-normalized
+      (per-field ``field_b``, default ``params.b``) and weight-folded into
+      one pseudo-frequency BEFORE k1 saturation, with idf over the
+      document-level union df (term in ANY field). Costs one extra cheap
+      pass over the query terms' postings to count union df. The query is
+      tokenized ONCE (``query_analyzer``) since BM25F is defined over a
+      single query term set.
 
     All field indexes must be built from the SAME corpus (same id_col, same
-    ``rows_per_segment``) so segments align doc-for-doc; the kernel verifies
-    alignment per segment. Exactness: dense per-field arrays are summed
+    ``rows_per_segment``) so segments align doc-for-doc; the kernels verify
+    alignment per segment. Exactness: dense per-field arrays are combined
     BEFORE the per-segment top-k, so the global merge sees true fielded
     scores — no per-field-top-k union approximation. Scale shape: identical
     to :func:`search` (segment-grid scatter, k-sized gather), with per-item
@@ -399,32 +581,73 @@ def search_fielded(
     missing = sorted(set(weights) ^ set(fields))
     if missing:
         raise ValueError(f"weights/field_indexes key mismatch: {missing}")
-    prepared = {f: prepare_queries(field_indexes[f], queries, params) for f in fields}
     seg_lists = {f: segment_dirs(field_indexes[f]) for f in fields}
     counts = {f: len(s) for f, s in seg_lists.items()}
     if len(set(counts.values())) != 1:
         raise ValueError(f"fielded indexes have different segment counts: {counts}")
     n_segs = counts[fields[0]]
-    plan_ref = ray.put(
-        {"prepared": prepared, "weights": dict(weights), "seg_lists": seg_lists}
-    )
     items = [{"seg_ord": i} for i in range(n_segs)]
-    cand = rd.from_items(items, override_num_blocks=len(items)).map_batches(
-        ScoreFieldedSegments,
-        batch_format="pyarrow",
-        batch_size=1,
-        fn_constructor_kwargs={"plan_ref": plan_ref},
-        concurrency=concurrency or (1, min(len(items), 16)),
-    )
-    run = cand.groupby("query_id").map_groups(
-        merge_topk, batch_format="pandas", fn_kwargs={"top_k": params.top_k}
-    )
-    pdf = run.to_pandas()
-    if pdf.empty:
-        return pd.DataFrame(columns=RUN_COLUMNS).astype(
-            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+
+    if mode == "sum":
+        prepared = {
+            f: prepare_queries(
+                field_indexes[f],
+                queries,
+                params,
+                query_lang=(analyzers or {}).get(f),
+            )
+            for f in fields
+        }
+        plan_ref = ray.put(
+            {"prepared": prepared, "weights": dict(weights), "seg_lists": seg_lists}
         )
-    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return _fielded_run(
+            items, ScoreFieldedSegments, plan_ref, params.top_k, concurrency
+        )
+    if mode != "bm25f":
+        raise ValueError(f"unknown fielded mode {mode!r} (expected 'sum' or 'bm25f')")
+
+    manifests = {f: load_manifest(field_indexes[f]) for f in fields}
+    n_docs = {f: m["n_docs"] for f, m in manifests.items()}
+    if len(set(n_docs.values())) != 1:
+        raise ValueError(f"fielded indexes have different doc counts: {n_docs}")
+    tokenized = {
+        int(qid): sorted(term_counts(text, query_analyzer).items())
+        for qid, text in queries
+    }
+    all_terms = sorted({t for ts in tokenized.values() for t, _ in ts})
+    b_map = {f: (field_b or {}).get(f, params.b) for f in fields}
+    # pass 1: document-level union df for idf (term present in ANY field)
+    idf_map: dict[str, float] = {}
+    if all_terms and n_segs:
+        df_ref = ray.put({"terms": all_terms, "seg_lists": seg_lists})
+        partials = (
+            rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(
+                FieldedUnionDf,
+                batch_format="pyarrow",
+                batch_size=1,
+                fn_constructor_kwargs={"plan_ref": df_ref},
+                concurrency=concurrency or (1, min(len(items), 16)),
+            )
+            .to_pandas()  # ≤ terms × segments rows — query-sized, not corpus-sized
+        )
+        if not partials.empty:
+            N = float(n_docs[fields[0]])
+            for term, df in partials.groupby("term")["df"].sum().items():
+                idf_map[str(term)] = idf(float(df), N)
+    plan_ref = ray.put(
+        {
+            "qterms": tokenized,
+            "idf": idf_map,
+            "weights": dict(weights),
+            "field_b": b_map,
+            "avgdl": {f: float(m["avgdl"]) for f, m in manifests.items()},
+            "params": params,
+            "seg_lists": seg_lists,
+        }
+    )
+    return _fielded_run(items, ScoreBM25FSegments, plan_ref, params.top_k, concurrency)
 
 
 @ray.remote

@@ -144,3 +144,169 @@ def test_segment_index_empty_term_list(fielded):
     si = SegmentIndex(segment_dirs(dirs["body"])[0], terms=[])
     assert si.postings.num_rows == 0
     assert si.posting("anything") is None
+
+
+# ------------------------------------------------------------------ BM25F
+
+def _oracle_bm25f(doc_ids, fields_texts, weights, params, field_b=None):
+    """True BM25F in the kernel's exact float order: per segmentless corpus,
+    fold w_f·tf/B_f across sorted fields into tfa per term, saturate once,
+    idf over the document-level union df."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.bm25 import idf
+
+    ois = {f: OracleIndex(doc_ids, texts, params) for f, texts in fields_texts.items()}
+    fields = sorted(ois)
+    ids = np.asarray(doc_ids, np.int64)
+    n = ids.size
+    b_map = {f: (field_b or {}).get(f, params.b) for f in fields}
+    B = {
+        f: (1.0 - b_map[f]) + b_map[f] * ois[f].doc_lens.astype(np.float64) / ois[f].avgdl
+        for f in fields
+    }
+    # union df per term over all fields
+    union_df = {}
+    all_terms = set()
+    for f in fields:
+        all_terms |= set(ois[f].postings)
+    for t in all_terms:
+        seen = None
+        for f in fields:
+            got = ois[f].postings.get(t)
+            if got is None:
+                continue
+            seen = got[0] if seen is None else np.union1d(seen, got[0])
+        union_df[t] = int(seen.size)
+    rows = []
+    for qid, text in QUERIES:
+        q = term_counts(text)
+        scores = np.zeros(n, np.float64)
+        hit = False
+        for term in sorted(q):
+            if term not in union_df:
+                continue
+            tfa = np.zeros(n, np.float64)
+            for f in fields:
+                got = ois[f].postings.get(term)
+                if got is None:
+                    continue
+                pos, tf = got
+                tfa[pos] += (weights[f] * tf.astype(np.float64)) / B[f][pos]
+            w = idf(union_df[term], ois[fields[0]].n_docs)
+            scores += (q[term] * w * (params.k1 + 1.0)) * (tfa / (params.k1 + tfa))
+            hit = True
+        if not hit:
+            continue
+        docs, scs = topk_from_scores(ids, scores, params.top_k, params.threshold)
+        rows.extend(
+            (int(qid), r, int(d), float(s))
+            for r, (d, s) in enumerate(zip(docs, scs), start=1)
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def test_bm25f_matches_oracle(fielded):
+    """Kernel BM25F == in-memory oracle (same fold/sum order; exact doc ids
+    and ranks, scores to float tolerance across the segment split)."""
+    dirs, doc_ids, body, titles = fielded
+    run = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="bm25f")
+    want = _oracle_bm25f(doc_ids, {"body": body, "title": titles}, WEIGHTS, PARAMS)
+    got = run.reset_index(drop=True)
+    assert got[["query_id", "rank", "doc_id"]].astype(int).values.tolist() == \
+        want[["query_id", "rank", "doc_id"]].astype(int).values.tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-12)
+
+
+def test_bm25f_per_field_b(fielded):
+    """Per-field b changes scores (title unnormalized, body fully normalized)
+    and still matches the oracle under the same field_b map."""
+    dirs, doc_ids, body, titles = fielded
+    fb = {"body": 0.9, "title": 0.0}
+    run = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="bm25f", field_b=fb)
+    want = _oracle_bm25f(
+        doc_ids, {"body": body, "title": titles}, WEIGHTS, PARAMS, field_b=fb
+    )
+    got = run.reset_index(drop=True)
+    assert got[["query_id", "rank", "doc_id"]].astype(int).values.tolist() == \
+        want[["query_id", "rank", "doc_id"]].astype(int).values.tolist()
+    np.testing.assert_allclose(got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-12)
+    base = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="bm25f")
+    assert not base.equals(run)
+
+
+def test_bm25f_single_field_reduces_to_bm25(fielded):
+    """One field, weight 1: tfa = tf/B and idf_union = idf, so
+    idf·(k1+1)·tfa/(k1+tfa) = idf·tf·(k1+1)/(tf+k1·B) — algebraically plain
+    BM25. Ranks/docs must match `search`; scores to float tolerance."""
+    dirs, *_ = fielded
+    a = search_fielded({"body": dirs["body"]}, QUERIES, {"body": 1.0}, PARAMS, mode="bm25f")
+    b = search(dirs["body"], QUERIES, PARAMS)
+    assert a[["query_id", "rank", "doc_id"]].astype(int).values.tolist() == \
+        b[["query_id", "rank", "doc_id"]].astype(int).values.tolist()
+    np.testing.assert_allclose(a["score"].to_numpy(), b["score"].to_numpy(), rtol=1e-9)
+
+
+def test_bm25f_differs_from_weighted_sum(fielded):
+    """Fold-before-saturation must NOT equal saturate-then-sum on a corpus
+    where query terms hit both fields (the semantic point of BM25F)."""
+    dirs, *_ = fielded
+    f = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="bm25f")
+    s = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="sum")
+    assert not np.allclose(
+        f.sort_values(["query_id", "rank"])["score"].to_numpy()[: len(s)],
+        s.sort_values(["query_id", "rank"])["score"].to_numpy()[: len(f)],
+    )
+
+
+def test_bm25f_unknown_mode_raises(fielded):
+    dirs, *_ = fielded
+    with pytest.raises(ValueError, match="unknown fielded mode"):
+        search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="bm25g")
+
+
+def test_fielded_per_field_analyzer(ray_session, tmp_path):
+    """sum-mode `analyzers` routes QUERY tokenization per field: a 'py'
+    (underscore-splitting) analyzer on the path field makes the query term
+    `parse_buffer` match a path index built with the same analyzer, while
+    the body field (collection-wide class, underscore kept) does not split
+    it."""
+    docs = [
+        "src/parse/buffer.py",
+        "src/merge/heap.py",
+        "docs/readme.md",
+    ]
+    bodies = [
+        "parse_buffer reads bytes",
+        "heap merge for runs",
+        "plain prose here",
+    ]
+    corpus = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "body": bodies,
+            "path": docs,
+            "pl": ["py"] * 3,
+        }
+    )
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(corpus, p)
+    dirs = {}
+    for field, lang_col in (("body", None), ("path", "pl")):
+        d = str(tmp_path / f"i-{field}")
+        build_index(
+            p, d, text_col=field, id_col="doc_id", rows_per_segment=10,
+            lang_col=lang_col,
+        )
+        dirs[field] = d
+    run = search_fielded(
+        dirs,
+        [(0, "parse_buffer")],
+        {"body": 1.0, "path": 1.0},
+        BM25Params(top_k=3),
+        analyzers={"path": "py"},
+    )
+    # 'py' analyzer splits the query into parse+buffer -> hits doc 0's path
+    # AND doc 0's body keeps the whole-token parse_buffer match
+    assert 0 in set(run["doc_id"])
+    top = run[run["rank"] == 1].iloc[0]
+    assert int(top["doc_id"]) == 0
