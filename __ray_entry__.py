@@ -180,6 +180,27 @@ def q_snippets_topk_distinct(sf_dir: str):
     return out
 
 
+def q_snippets_topk_sentence(sf_dir: str):
+    """Sentence-aligned snippets (snippets.best_window_sentence): the
+    distinct-coverage ordering plus a preference for windows starting at a
+    sentence boundary (split on [.!?\\n]+) — the readability tie-break
+    production highlighters apply."""
+    from splade_ray.snippets import snippets_for_run
+
+    index_dir = _index_for(sf_dir)
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = snippets_for_run(
+        os.path.join(sf_dir, "documents.parquet"),
+        run,
+        BM25_QUERIES,
+        window=SNIPPET_WINDOW,
+        mode="sentence",
+    )
+    for c in ("start", "n_distinct", "n_match", "aligned"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 FIELD_TITLE_NTOK = 8  # title field = first N body tokens (deterministic derivation)
 FIELD_WEIGHTS = {"text": 1.0, "title": 2.5}
 
@@ -1823,6 +1844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_true_topk": q_bm25f_true_topk,
         "snippets_topk": q_snippets_topk,
         "snippets_topk_distinct": q_snippets_topk_distinct,
+        "snippets_topk_sentence": q_snippets_topk_sentence,
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
@@ -2029,6 +2051,58 @@ best AS (SELECT query_id, doc_id, i, n_distinct, n_match,
                                    ORDER BY n_distinct DESC, n_match DESC, i ASC) AS rn
          FROM cnt)
 SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_distinct, b.n_match,
+       array_to_string(d.toks[b.i : b.i + {w} - 1], ' ') AS snippet
+FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
+
+
+def _snippets_sentence_sql() -> str:
+    """Sentence-aligned snippet mirror: distinct-coverage CTEs plus per-token
+    sentence-start flags rebuilt by splitting the lowered text on
+    [.!?\\n]+ (chars outside the token class, so the flat token sequence is
+    unchanged) and tokenizing each sentence; a window is aligned when its
+    first token starts a sentence. Ordering: distinct desc, occurrences
+    desc, aligned desc, start asc."""
+    from splade_ray.snippets import SENT_SPLIT_SQL
+
+    w = SNIPPET_WINDOW
+    return f"""{_bm25_cte()},
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+{_qterm_values_sql()},
+dt AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+       FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS j FROM dt),
+sents AS (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '{SENT_SPLIT_SQL}')) AS sent,
+                 generate_subscripts(regexp_split_to_array(lower(text), '{SENT_SPLIT_SQL}'), 1) AS si
+          FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+stok AS (SELECT doc_id, si, regexp_extract_all(sent, '{TOKEN_SQL}') AS stoks FROM sents),
+flag AS (SELECT doc_id,
+                row_number() OVER (PARTITION BY doc_id ORDER BY si, tj) AS j,
+                CASE WHEN tj = 1 THEN 1 ELSE 0 END AS sstart
+         FROM (SELECT doc_id, si, unnest(generate_series(1, len(stoks))) AS tj
+               FROM stok)),
+m AS (SELECT h.query_id, t.doc_id, t.term, t.j
+      FROM hits h JOIN tok t USING (doc_id)
+      JOIN qterm q ON q.query_id = h.query_id AND q.term = t.term),
+starts AS (SELECT h.query_id, h.doc_id,
+                  unnest(generate_series(1, greatest(len(d.toks) - {w} + 1, 1))) AS i
+           FROM hits h JOIN dt d USING (doc_id)),
+cnt AS (SELECT s.query_id, s.doc_id, s.i,
+               count(DISTINCT m.term)::BIGINT AS n_distinct,
+               count(m.j)::BIGINT AS n_match
+        FROM starts s LEFT JOIN m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+                                 AND m.j BETWEEN s.i AND s.i + {w} - 1
+        GROUP BY s.query_id, s.doc_id, s.i),
+cnta AS (SELECT c.*, coalesce(f.sstart, 1)::BIGINT AS aligned
+         FROM cnt c LEFT JOIN flag f ON f.doc_id = c.doc_id AND f.j = c.i),
+best AS (SELECT query_id, doc_id, i, n_distinct, n_match, aligned,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_distinct DESC, n_match DESC,
+                                            aligned DESC, i ASC) AS rn
+         FROM cnta)
+SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_distinct, b.n_match,
+       b.aligned,
        array_to_string(d.toks[b.i : b.i + {w} - 1], ' ') AS snippet
 FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
 
@@ -2275,6 +2349,7 @@ FROM documents""",
         "bm25f_true_topk": _bm25f_true_sql(),
         "snippets_topk": _snippets_sql(),
         "snippets_topk_distinct": _snippets_distinct_sql(),
+        "snippets_topk_sentence": _snippets_sentence_sql(),
         "ann_lsh_buckets_int": _lsh_int_sql(),
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),

@@ -764,7 +764,8 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--queries", required=True, help="TSV: id\\ttext")
     sn.add_argument("--out", required=True, help="snippets parquet")
     sn.add_argument("--window", type=int, default=10)
-    sn.add_argument("--mode", choices=["occurrences", "distinct"], default="occurrences")
+    sn.add_argument("--mode", choices=["occurrences", "distinct", "sentence"],
+                    default="occurrences")
     sn.add_argument("--id-col", default="doc_id")
     sn.add_argument("--text-col", default="text")
     sn.set_defaults(fn=cmd_snippets)

@@ -24,13 +24,26 @@ joined by single spaces.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from splade_ray.analysis import tokenize, term_counts
 
 SNIPPET_COLUMNS = ["query_id", "doc_id", "start", "n_match", "snippet"]
+
+# Sentence enders for the "sentence" mode. Every char is outside every
+# registered analyzer's token class, so splitting on them FIRST and
+# tokenizing each chunk yields exactly the plain token sequence — the
+# property that lets the SQL mirror rebuild the same flags
+# (regexp_split_to_array then regexp_extract_all per sentence).
+SENT_SPLIT_PATTERN = r"[.!?\n]+"
+SENT_SPLIT_RE = re.compile(SENT_SPLIT_PATTERN)
+SENT_SPLIT_SQL = SENT_SPLIT_PATTERN.replace("\n", "\\n")
 
 
 def _sliding_sums(mask: np.ndarray, window: int) -> np.ndarray:
@@ -85,6 +98,64 @@ def best_window_distinct(
     return i + 1, int(distinct[i]), int(occs[i]), " ".join(tokens[i : i + window])
 
 
+def tokens_with_sentence_flags(
+    text: str, lang: str | None = None
+) -> tuple[list[str], np.ndarray]:
+    """(tokens, flags) where flags[i] = 1 iff token i is the first token of
+    a sentence (chunks of the lowered text split on ``SENT_SPLIT_RE``).
+    The token sequence is identical to ``tokenize(text, lang)`` because the
+    split chars are outside every analyzer's token class."""
+    lowered = pc.utf8_lower(pa.array([text or ""], pa.string()))[0].as_py()
+    toks: list[str] = []
+    flags: list[int] = []
+    for chunk in SENT_SPLIT_RE.split(lowered):
+        ctoks = tokenize(chunk, lang)
+        if not ctoks:
+            continue
+        toks.extend(ctoks)
+        flags.append(1)
+        flags.extend([0] * (len(ctoks) - 1))
+    return toks, np.asarray(flags, np.int64)
+
+
+def best_window_sentence(
+    tokens: list[str], flags: np.ndarray, terms: set[str], window: int
+) -> tuple[int, int, int, int, str]:
+    """(1-based start, distinct count, occurrence count, sentence-aligned
+    flag, snippet) under the full highlighter ordering: distinct terms desc,
+    occurrences desc, windows STARTING AT A SENTENCE BOUNDARY preferred,
+    then smallest start — Lucene highlighters' fragment scoring shape
+    (coverage first, boundary alignment as the readability tie-break)."""
+    n = len(tokens)
+    if n == 0:
+        return 1, 0, 0, 1, ""
+    arr_terms = sorted(terms)
+    masks = [
+        np.fromiter((t == q for t in tokens), dtype=np.int64, count=n)
+        for q in arr_terms
+    ]
+    occ = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+    if n <= window:
+        nd = sum(int(m.sum() > 0) for m in masks)
+        return 1, nd, int(occ.sum()), 1, " ".join(tokens)
+    distinct = np.zeros(n - window + 1, np.int64)
+    for m in masks:
+        distinct += _sliding_sums(m, window) > 0
+    occs = _sliding_sums(occ, window)
+    aligned = flags[: n - window + 1]
+    # lexicographic argmax (distinct desc, occs desc, aligned desc, start
+    # asc): occs < window+1 and aligned < 2, so the fold is collision-free
+    combined = (distinct * np.int64(window + 1) + occs) * np.int64(2) + aligned
+    i = int(np.argmax(combined))
+    return (
+        i + 1,
+        int(distinct[i]),
+        int(occs[i]),
+        int(aligned[i]),
+        " ".join(tokens[i : i + window]),
+    )
+
+
 def fetch_texts(
     corpus_paths: str | list[str],
     doc_ids: list[int],
@@ -118,26 +189,38 @@ def snippets_for_run(
     (query_id, doc_id, start, n_match, snippet): most query-term
     occurrences wins. ``mode="distinct"`` returns (query_id, doc_id, start,
     n_distinct, n_match, snippet): most DISTINCT query terms covered wins,
-    occurrences break ties — the production-highlighter ordering. ``run``
-    must be candidate-sized (a top-k run); the corpus is only touched
-    through the pushdown text fetch."""
-    if mode not in ("occurrences", "distinct"):
+    occurrences break ties — the production-highlighter ordering.
+    ``mode="sentence"`` adds a sentence-boundary preference after the
+    distinct ordering (columns + aligned flag). ``run`` must be
+    candidate-sized (a top-k run); the corpus is only touched through the
+    pushdown text fetch."""
+    mode_cols = {
+        "occurrences": SNIPPET_COLUMNS,
+        "distinct": ["query_id", "doc_id", "start", "n_distinct", "n_match", "snippet"],
+        "sentence": [
+            "query_id", "doc_id", "start", "n_distinct", "n_match", "aligned", "snippet",
+        ],
+    }
+    if mode not in mode_cols:
         raise ValueError(f"unknown snippet mode: {mode!r}")
-    cols = (
-        SNIPPET_COLUMNS
-        if mode == "occurrences"
-        else ["query_id", "doc_id", "start", "n_distinct", "n_match", "snippet"]
-    )
+    cols = mode_cols[mode]
     if run.empty:
         types = {c: np.int64 for c in cols if c != "snippet"}
         types["snippet"] = str
         return pd.DataFrame(columns=cols).astype(types)
     texts = fetch_texts(corpus_paths, run["doc_id"].tolist(),
                         id_col=id_col, text_col=text_col)
-    tok_cache = {
-        int(d): tokenize(t or "", query_lang)
-        for d, t in zip(texts[id_col], texts[text_col])
-    }
+    if mode == "sentence":
+        sent_cache = {
+            int(d): tokens_with_sentence_flags(t or "", query_lang)
+            for d, t in zip(texts[id_col], texts[text_col])
+        }
+        tok_cache = {d: toks for d, (toks, _) in sent_cache.items()}
+    else:
+        tok_cache = {
+            int(d): tokenize(t or "", query_lang)
+            for d, t in zip(texts[id_col], texts[text_col])
+        }
     qterms = {int(qid): set(term_counts(text, query_lang)) for qid, text in queries}
     rows = []
     for qid, doc in zip(run["query_id"], run["doc_id"]):
@@ -145,7 +228,10 @@ def snippets_for_run(
         toks, terms = tok_cache.get(doc, []), qterms.get(qid, set())
         if mode == "occurrences":
             rows.append((qid, doc, *best_window(toks, terms, window)))
-        else:
+        elif mode == "distinct":
             rows.append((qid, doc, *best_window_distinct(toks, terms, window)))
+        else:
+            flags = sent_cache[doc][1] if doc in sent_cache else np.zeros(0, np.int64)
+            rows.append((qid, doc, *best_window_sentence(toks, flags, terms, window)))
     out = pd.DataFrame(rows, columns=cols)
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -142,3 +142,123 @@ def test_snippets_distinct_mode(tmp_path):
         "query_id", "doc_id", "start", "n_distinct", "n_match", "snippet"
     ]
     assert out.iloc[0].tolist() == [1, 0, 5, 2, 2, "x a b"]
+
+
+def test_tokens_with_sentence_flags_parity():
+    """Sentence splitting must not change the flat token sequence."""
+    from splade_ray.snippets import tokens_with_sentence_flags
+
+    text = "Alpha beta. Gamma delta!\nEpsilon? zeta... eta"
+    toks, flags = tokens_with_sentence_flags(text)
+    assert toks == tokenize(text)
+    # sentence starts: alpha, gamma, epsilon, zeta, eta
+    assert flags.tolist() == [1, 0, 1, 0, 1, 1, 1]
+
+
+def test_best_window_sentence_prefers_boundary():
+    """Two windows with equal (distinct, occurrences): the sentence-aligned
+    one wins even though it starts LATER (the non-sentence mode would take
+    the earlier start)."""
+    from splade_ray.snippets import (
+        best_window_distinct,
+        best_window_sentence,
+        tokens_with_sentence_flags,
+    )
+
+    #            1   2 3   4   5 6   7
+    text = "pad q x. q y z. tail"
+    toks, flags = tokens_with_sentence_flags(text)
+    assert toks == ["pad", "q", "x", "q", "y", "z", "tail"]
+    assert flags.tolist() == [1, 0, 0, 1, 0, 0, 1]
+    # window 3, term q: starts 1..5 occurrences = [2,2,1,1,0]; distinct same
+    # shape. Distinct mode takes start 1; sentence mode has no aligned
+    # window among the maxima... make maxima {2,4}: use window 4:
+    # occurrences at starts 1..4 = [2,2,1,1] -> still first-max at 1.
+    d = best_window_distinct(toks, {"q"}, 4)
+    assert d[0] == 1
+    s = best_window_sentence(toks, flags, {"q"}, 4)
+    # starts 1..4: occ [2,2,1,1], aligned [1,0,0,1] -> (1,2,occ2,aligned1)
+    assert s[:4] == (1, 1, 2, 1)
+
+    # now a case where alignment flips the pick: equal-max at 2 and 4,
+    # only 4 aligned
+    text2 = "x q y. q z w"
+    toks2, flags2 = tokens_with_sentence_flags(text2)
+    # tokens: x q y q z w ; flags 1 0 0 1 0 0
+    # window 3 occ for {q}: starts 1..4 = [1,2,2,1]; maxima {2,3}; aligned
+    # flags at starts = [1,0,0,1] -> neither max aligned -> first max 2
+    s2 = best_window_sentence(toks2, flags2, {"q"}, 3)
+    assert s2[0] == 2 and s2[3] == 0
+    # terms {q, w}: occ starts 1..4 = [1,2,2,2]; distinct = [1,1,1,2] ->
+    # start 4 wins on distinct and is aligned
+    s3 = best_window_sentence(toks2, flags2, {"q", "w"}, 3)
+    assert s3[:4] == (4, 2, 2, 1)
+
+
+def test_best_window_sentence_matches_bruteforce_randomized():
+    from splade_ray.snippets import best_window_sentence
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(8)]
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        flags = rng.integers(0, 2, n).astype(np.int64)
+        if n:
+            flags[0] = 1
+        terms = {vocab[int(i)] for i in rng.integers(0, len(vocab), 2)}
+        w = int(rng.integers(1, 10))
+        got = best_window_sentence(toks, flags, terms, w)
+        # brute force the full ordering
+        if n == 0:
+            assert got == (1, 0, 0, 1, "")
+            continue
+        if n <= w:
+            nd = len({t for t in toks if t in terms})
+            assert got == (1, nd, sum(t in terms for t in toks), 1, " ".join(toks))
+            continue
+        best = None
+        for i in range(n - w + 1):
+            win = toks[i : i + w]
+            key = (
+                len({t for t in win if t in terms}),
+                sum(t in terms for t in win),
+                int(flags[i]),
+                -i,
+            )
+            if best is None or key > best[0]:
+                best = (key, i)
+        i = best[1]
+        want = (
+            i + 1,
+            len({t for t in toks[i : i + w] if t in terms}),
+            sum(t in terms for t in toks[i : i + w]),
+            int(flags[i]),
+            " ".join(toks[i : i + w]),
+        )
+        assert got == want
+
+
+def test_snippets_sentence_mode(tmp_path):
+    docs = {
+        0: "noise q here. q target sentence! trailing words",
+        1: "q alpha q",
+    }
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(docs), "text": list(docs.values())}
+        ),
+        p,
+    )
+    run = pd.DataFrame(
+        {"query_id": [0, 0], "rank": [1, 2], "doc_id": [0, 1], "score": [2.0, 1.0]}
+    )
+    out = snippets_for_run(p, run, [(0, "q")], window=3, mode="sentence")
+    assert list(out.columns) == [
+        "query_id", "doc_id", "start", "n_distinct", "n_match", "aligned", "snippet",
+    ]
+    row1 = out[out["doc_id"] == 1].iloc[0]
+    assert (int(row1["start"]), int(row1["aligned"]), row1["snippet"]) == (1, 1, "q alpha q")
+    with pytest.raises(ValueError, match="unknown snippet mode"):
+        snippets_for_run(p, run, [(0, "q")], window=3, mode="paragraph")
