@@ -7,14 +7,22 @@ pipeline: keep one survivor per cluster, drop the rest. The reference has
 no document dedup at all (SURVEY.md §2.7); this completes the
 beyond-reference LLM-data-pipeline operator family.
 
-Algorithm: alternating large-star / small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC 2014 — the classic
-shared-nothing formulation). Each half-round is ONE hash shuffle of the
-edge list, grouped on a BOUNDED bucket key (``node % num_buckets``) with a
-fully vectorized per-bucket kernel (argsort + ``np.minimum.reduceat``) —
-no joins, no per-node Python calls, no driver-side graph state. Converges
-in O(log n) rounds; every round's shuffle moves only edge-sized rows
-(16 B/edge), never documents.
+Two distributed algorithms (``method=``), both built from the same shape —
+ONE hash shuffle per round, grouped on a BOUNDED bucket key
+(``node % num_buckets``) with a fully vectorized per-bucket kernel
+(argsort + ``np.minimum.reduceat``), no joins, no per-node Python calls,
+no driver-side graph state; every round's shuffle moves only edge-sized
+rows (16 B/row), never documents:
+
+- ``"star"``: alternating large-star / small-star contraction (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC 2014). Keeps
+  the working set edge-sized every round; round count grows with
+  component depth.
+- ``"hashmin"``: hash-to-min (Rastogi et al., "Finding Connected
+  Components in Map-Reduce in Logarithmic Rounds", ICDE 2013) — O(log d)
+  rounds even on chain-shaped graphs (path-doubling through the component
+  min), at the cost of the min node holding its component's membership
+  rows.
 
 The per-round ``.materialize()`` is required and deliberate: the loop is
 iterative (each round's output feeds both the convergence checksum and the
@@ -138,6 +146,49 @@ def _small_kernel(g: pd.DataFrame) -> pd.DataFrame:
     return _uniq_pairs(a, b)
 
 
+def _hashmin_init(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Canonical edges -> initial hash-to-min membership rows
+    C(v) = {v} ∪ N(v), as (u=node, v=member) rows bucketed on u."""
+    if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+        return pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("bucket", pa.int64())]
+        ).empty_table()
+    a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.concatenate([a, b, a, b])
+    v = np.concatenate([b, a, a, b])
+    return pa.table({"u": pa.array(u), "v": pa.array(v), "bucket": pa.array(u % num_buckets)})
+
+
+def _bucket_members(batch: pa.Table, *, num_buckets: int) -> pa.Table:
+    """Re-bucket membership pair rows on the node key for the next round."""
+    if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
+        return pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("bucket", pa.int64())]
+        ).empty_table()
+    u = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"u": pa.array(u), "v": pa.array(v), "bucket": pa.array(u % num_buckets)})
+
+
+def _hashmin_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash-to-min round on one bucket of membership rows (Rastogi et
+    al., ICDE 2013): per node u with cluster set C(u), m = min(C(u));
+    send m to every member (rows (v, m)) and the whole C(u) to m (rows
+    (m, v)). Non-min nodes collapse to C = {component min} and the min node
+    accumulates its component in O(log d) rounds — the path-doubling bound
+    the star alternation lacks on chain-shaped duplicate graphs."""
+    df = g[["u", "v"]].drop_duplicates()
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    u, v, starts, minv = _group_mins(u, v)
+    counts = np.diff(np.append(starts, u.size))
+    m_edge = np.repeat(minv, counts)
+    a = np.concatenate([v, m_edge])
+    b = np.concatenate([m_edge, v])
+    return _uniq_pairs(a, b)
+
+
 def _conform_pairs(batch: pa.Table) -> pa.Table:
     if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
         return _PAIR_SCHEMA.empty_table()
@@ -195,6 +246,17 @@ def _local_cc(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(nodes), "cluster_id": pa.array(nodes[lab])})
 
 
+def _rename_min_column(labels):
+    name = [c for c in labels.schema().names if c != "doc_id"][0]
+    if name != "cluster_id":
+        # Dataset.rename_columns chokes on the pandas blocks groupby().min()
+        # emits (it calls pa.Table.rename_columns on them) — rename in pandas
+        labels = labels.map_batches(
+            lambda df: df.rename(columns={name: "cluster_id"}), batch_format="pandas"
+        )
+    return labels
+
+
 def connected_components(
     pairs,
     *,
@@ -203,6 +265,8 @@ def connected_components(
     num_buckets: int | None = None,
     max_rounds: int = 30,
     local_threshold: int = 2_000_000,
+    method: str = "star",
+    stats: dict | None = None,
 ):
     """Label every node of a pair Dataset with its connected-component
     minimum: returns a Dataset ``(doc_id, cluster_id)`` covering exactly the
@@ -215,7 +279,21 @@ def connected_components(
     over the whole (pair-bounded, ~32 MB at the default cap) edge list —
     the standard hybrid for iterative graph algorithms, since dup-pair
     edge sets are orders of magnitude smaller than the corpus. Above the
-    threshold the star rounds run fully distributed."""
+    threshold the distributed rounds run per ``method``:
+
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al. 2014). Round count grows with component depth — shallow dup
+      graphs (the common case) finish in a few rounds; edge rows stay
+      edge-set-sized every round.
+    - ``"hashmin"``: hash-to-min (Rastogi et al. 2013) — O(log d) rounds
+      even on chain-shaped graphs, at the cost of the component-min node
+      accumulating its whole component's membership rows (fine for
+      dup-pair graphs whose components are candidate-capped upstream).
+
+    ``stats`` (optional dict) receives {"method", "rounds", "n_edges",
+    "converged"} for observability/tests."""
+    if method not in ("star", "hashmin"):
+        raise ValueError(f"unknown connected-components method: {method!r}")
     if num_buckets is None:
         cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
         num_buckets = max(4, int(cpus))
@@ -227,14 +305,60 @@ def connected_components(
         _canonize, batch_format="pyarrow", fn_kwargs={"src": src, "dst": dst}
     ).materialize()
     n_edges = edges.count()
+    if stats is not None:
+        stats.update({"method": method, "rounds": 0, "n_edges": n_edges, "converged": True})
     if n_edges == 0:
         return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
     if n_edges <= local_threshold:
+        if stats is not None:
+            stats["method"] = "local"
         return edges.repartition(1).map_batches(
             _local_cc, batch_format="pyarrow", batch_size=None
         )
 
     prev: tuple[int, int] | None = None
+    converged = False
+    if method == "hashmin":
+        members = edges.map_batches(
+            _hashmin_init, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
+        )
+        for rnd in range(max_rounds):
+            edges = (
+                members.groupby("bucket")
+                .map_groups(_hashmin_kernel, batch_format="pandas")
+                .map_batches(_conform_pairs, batch_format="pyarrow")
+                .materialize()
+            )
+            chk = _checksum(edges)
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+            if chk == prev:
+                converged = True
+                _LOG.info("connected_components[hashmin]: fixpoint after %d rounds", rnd)
+                break
+            prev = chk
+            members = edges.map_batches(
+                _bucket_members, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
+            )
+        if not converged:
+            _LOG.warning(
+                "connected_components[hashmin]: no fixpoint certificate after "
+                "%d rounds; labels are the current membership minima", max_rounds,
+            )
+        if stats is not None:
+            stats["converged"] = converged
+        # membership rows ARE (doc_id, best-known-min ∈ members): label =
+        # per-node min member
+        labels = (
+            edges.map_batches(
+                lambda b: _conform_pairs(b).rename_columns(["doc_id", "cluster_id"]),
+                batch_format="pyarrow",
+            )
+            .groupby("doc_id")
+            .min("cluster_id")
+        )
+        return _rename_min_column(labels)
+
     for rnd in range(max_rounds):
         edges = (
             edges.map_batches(
@@ -251,15 +375,20 @@ def connected_components(
             .materialize()
         )
         chk = _checksum(edges)
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         if chk == prev:
+            converged = True
             _LOG.info("connected_components: fixpoint after %d rounds", rnd)
             break
         prev = chk
-    else:
+    if not converged:
         _LOG.warning(
             "connected_components: no fixpoint certificate after %d rounds; "
             "labels are the current star assignment", max_rounds,
         )
+    if stats is not None:
+        stats["converged"] = converged
 
     def to_labels(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
@@ -278,14 +407,7 @@ def connected_components(
         .groupby("doc_id")
         .min("cluster_id")
     )
-    name = [c for c in labels.schema().names if c != "doc_id"][0]
-    if name != "cluster_id":
-        # Dataset.rename_columns chokes on the pandas blocks groupby().min()
-        # emits (it calls pa.Table.rename_columns on them) — rename in pandas
-        labels = labels.map_batches(
-            lambda df: df.rename(columns={name: "cluster_id"}), batch_format="pandas"
-        )
-    return labels
+    return _rename_min_column(labels)
 
 
 def drop_near_duplicates(

@@ -113,3 +113,63 @@ def test_drop_near_duplicates_no_pairs(ray_session):
     )
     out = drop_near_duplicates(docs, labels).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("local_threshold", [0, 2_000_000])
+def test_cc_hashmin_path_graph(ray_session, local_threshold):
+    pairs = [(i, i + 1) for i in range(63)]
+    stats = {}
+    got = _labels_dict(
+        connected_components(
+            _pairs_ds(pairs), num_buckets=4, local_threshold=local_threshold,
+            method="hashmin", stats=stats,
+        )
+    )
+    assert got == {i: 0 for i in range(64)}
+    if local_threshold == 0:
+        assert stats["method"] == "hashmin" and stats["converged"]
+        # O(log d) bound: a 63-edge path must converge well under d rounds
+        # (+1 round to certify the fixpoint via checksum equality)
+        assert stats["rounds"] <= 10
+    else:
+        assert stats["method"] == "local"
+
+
+def test_cc_hashmin_random_graph_matches_union_find(ray_session):
+    rng = np.random.RandomState(11)
+    nodes = rng.choice(10_000, size=400, replace=False)
+    pairs = [
+        (int(nodes[rng.randint(nodes.size)]), int(nodes[rng.randint(nodes.size)]))
+        for _ in range(300)
+    ]
+    want = _uf_reference([(a, b) for a, b in pairs if a != b])
+    got = _labels_dict(
+        connected_components(
+            _pairs_ds(pairs), num_buckets=8, local_threshold=0, method="hashmin"
+        )
+    )
+    assert got == want
+
+
+def test_cc_both_methods_logarithmic_on_chain(ray_session):
+    """Chain-graph round counts: both methods must stay within a small
+    multiple of log2(d) on a depth-127 path (measured: star 8, hashmin 10 —
+    star alternation is also logarithmic in practice; hashmin's value is
+    the PROVEN O(log d) bound vs star's O(log² n)). Parity of labels
+    pinned too."""
+    pairs = [(i, i + 1) for i in range(127)]
+    s_star, s_hm = {}, {}
+    a = _labels_dict(connected_components(
+        _pairs_ds(pairs), num_buckets=4, local_threshold=0, stats=s_star))
+    b = _labels_dict(connected_components(
+        _pairs_ds(pairs), num_buckets=4, local_threshold=0,
+        method="hashmin", stats=s_hm))
+    assert a == b == {i: 0 for i in range(128)}
+    bound = 2 * 7 + 2  # 2·log2(128) + fixpoint-certificate rounds
+    assert s_hm["rounds"] <= bound and s_star["rounds"] <= bound
+    assert s_hm["converged"] and s_star["converged"]
+
+
+def test_cc_unknown_method_raises(ray_session):
+    with pytest.raises(ValueError, match="unknown connected-components"):
+        connected_components(_pairs_ds([(1, 2)]), method="bfs")
