@@ -684,9 +684,19 @@ class IndexShardActor:
 
 
 class RouterOverloaded(Exception):
-    """Raised (inside a RayTaskError) when a QueryRouter sheds a request
-    because its bounded in-flight admission window is full. Clients should
-    back off and retry, or route to another router replica."""
+    """Raised (inside a RayTaskError) when a QueryRouter sheds a request:
+    the admission window is full and the waiting queue is at ``queue_cap``
+    ("queue_full"), or the request's deadline expired before a slot freed
+    ("deadline"). Clients should back off and retry, or route to another
+    router replica. ``reason`` carries which policy shed the request."""
+
+    def __init__(self, msg: str, reason: str = "queue_full"):
+        super().__init__(msg)
+        self.reason = reason
+
+    def __reduce__(self):
+        # exceptions cross the actor boundary pickled via args; keep reason
+        return (RouterOverloaded, (str(self), self.reason))
 
 
 @ray.remote
@@ -701,12 +711,19 @@ class QueryRouter:
     shape a long-lived index needs.
 
     Backpressure: the actor is ASYNC — while one batch awaits its shards,
-    further requests are admitted up to ``max_inflight``; beyond that the
-    router SHEDS (raises :class:`RouterOverloaded`) instead of queueing
-    unboundedly, so a slow shard surfaces as client-visible backpressure
-    rather than silent memory growth inside the router. Since every admitted
-    request puts exactly one task on each shard actor, ``max_inflight`` also
-    bounds each shard's queue depth."""
+    further requests are admitted up to ``max_inflight``. Beyond that, up
+    to ``queue_cap`` requests WAIT for a slot (bounded queue); each waiter
+    holds at most ``deadline_s`` (per call, default ``default_deadline_s``)
+    and is shed with reason="deadline" if no slot frees in time — the
+    standard serving policy (don't start work the client has stopped
+    waiting for). Arrivals past the queue cap shed immediately with
+    reason="queue_full", so a slow shard surfaces as client-visible
+    backpressure rather than silent memory growth inside the router. The
+    default ``queue_cap=0`` is pure admission control (immediate shed when
+    the window is full). Since every admitted request puts exactly one task
+    on each shard actor, ``max_inflight`` also bounds each shard's queue
+    depth; per-shard latency EMAs are exported via :meth:`stats` for load
+    balancers."""
 
     def __init__(
         self,
@@ -714,12 +731,23 @@ class QueryRouter:
         num_shards: int = 8,
         method: str = "exact",
         max_inflight: int = 8,
+        queue_cap: int = 0,
+        default_deadline_s: float | None = None,
         simulate_shard_latency_s: float = 0.0,
     ):
+        import asyncio
+
         self._max_inflight = max_inflight
+        self._slots = asyncio.Semaphore(max_inflight)
+        self._queue_cap = queue_cap
+        self._default_deadline = default_deadline_s
         self._inflight = 0
+        self._waiting = 0
         self._admitted = 0
         self._shed = 0
+        self._shed_queue_full = 0
+        self._shed_deadline = 0
+        self._shard_lat_ema: list[float] = []
         # fault injection for admission-control tests: hold the in-flight
         # slot this long before fanning out, as if the shards were slow
         self._sim_latency = simulate_shard_latency_s
@@ -742,28 +770,60 @@ class QueryRouter:
             self.quant_extra = {"quant_factor": qman["factor"]}
             self._quant_kb = (qman["k1"], qman["b"])
 
+    async def _admit(self, deadline_s: float | None) -> None:
+        """Take an in-flight slot or raise RouterOverloaded. Full window +
+        full waiting queue sheds immediately; otherwise the request waits
+        (bounded) until a slot frees or its deadline expires."""
+        import asyncio
+
+        if self._inflight >= self._max_inflight and self._waiting >= self._queue_cap:
+            self._shed += 1
+            self._shed_queue_full += 1
+            raise RouterOverloaded(
+                f"router at max_inflight={self._max_inflight} with "
+                f"queue_cap={self._queue_cap} waiters; {self._shed} total "
+                "requests shed",
+                reason="queue_full",
+            )
+        self._waiting += 1
+        try:
+            if deadline_s is None:
+                await self._slots.acquire()
+            else:
+                try:
+                    await asyncio.wait_for(self._slots.acquire(), timeout=deadline_s)
+                except (asyncio.TimeoutError, TimeoutError):
+                    self._shed += 1
+                    self._shed_deadline += 1
+                    raise RouterOverloaded(
+                        f"no slot freed within deadline_s={deadline_s}; "
+                        f"{self._shed} total requests shed",
+                        reason="deadline",
+                    ) from None
+        finally:
+            self._waiting -= 1
+        self._inflight += 1
+        self._admitted += 1
+
     async def search(
         self,
         queries: list[tuple[int, str]],
         params: BM25Params | None = None,
         query_lang: str | None = None,
+        deadline_s: float | None = None,
     ) -> pd.DataFrame:
         import asyncio
+        import time as _time
 
-        if self._inflight >= self._max_inflight:
-            self._shed += 1
-            raise RouterOverloaded(
-                f"router at max_inflight={self._max_inflight}; "
-                f"{self._shed} total requests shed"
-            )
         params = params or BM25Params()
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
             raise ValueError(
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
             )
-        self._inflight += 1
-        self._admitted += 1
+        await self._admit(
+            deadline_s if deadline_s is not None else self._default_deadline
+        )
         try:
             if self._sim_latency:
                 await asyncio.sleep(self._sim_latency)
@@ -774,11 +834,23 @@ class QueryRouter:
                 **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
                 **self.quant_extra,
             }
+            t0 = _time.monotonic()
+
+            async def timed(i: int, ref):
+                part = await ref
+                lat = _time.monotonic() - t0
+                if not self._shard_lat_ema:
+                    self._shard_lat_ema = [0.0] * len(self.actors)
+                prev = self._shard_lat_ema[i]
+                self._shard_lat_ema[i] = lat if prev == 0.0 else 0.8 * prev + 0.2 * lat
+                return part
+
             results = await asyncio.gather(
-                *[a.search.remote(prepared) for a in self.actors]
+                *[timed(i, a.search.remote(prepared)) for i, a in enumerate(self.actors)]
             )
         finally:
             self._inflight -= 1
+            self._slots.release()
         rows = [r for part in results for r in part]
         if not rows:
             return pd.DataFrame(columns=RUN_COLUMNS)
@@ -791,12 +863,18 @@ class QueryRouter:
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
     def stats(self) -> dict:
-        """Admission-control counters (for load balancers / autoscalers)."""
+        """Admission-control counters + per-shard latency EMAs (for load
+        balancers / autoscalers)."""
         return {
             "inflight": self._inflight,
+            "waiting": self._waiting,
             "max_inflight": self._max_inflight,
+            "queue_cap": self._queue_cap,
             "admitted": self._admitted,
             "shed": self._shed,
+            "shed_queue_full": self._shed_queue_full,
+            "shed_deadline": self._shed_deadline,
+            "shard_latency_ema_s": list(self._shard_lat_ema),
         }
 
     def shutdown(self) -> None:
@@ -836,12 +914,13 @@ class RouterPool:
         self._rr = 0
         self._retries = 0
 
-    def submit(self, queries, params: BM25Params | None = None):
+    def submit(self, queries, params: BM25Params | None = None,
+               deadline_s: float | None = None):
         """Fire one request at the next replica (round-robin); returns the
         ObjectRef. The caller handles shedding (see :meth:`search`)."""
         r = self.routers[self._rr % len(self.routers)]
         self._rr += 1
-        return r.search.remote(queries, params)
+        return r.search.remote(queries, params, deadline_s=deadline_s)
 
     def search(
         self,
@@ -850,10 +929,12 @@ class RouterPool:
         *,
         max_sweeps: int = 4,
         backoff_s: float = 0.05,
+        deadline_s: float | None = None,
     ) -> pd.DataFrame:
         """Blocking search with shed failover: try every replica once per
         sweep; between sweeps sleep ``backoff_s`` (doubling). Raises
-        ``RouterOverloaded`` only after ``max_sweeps`` full sweeps shed."""
+        ``RouterOverloaded`` only after ``max_sweeps`` full sweeps shed.
+        ``deadline_s`` bounds each replica attempt's queue wait."""
         import time as _time
 
         delay = backoff_s
@@ -861,7 +942,7 @@ class RouterPool:
         for sweep in range(max_sweeps):
             for _ in range(len(self.routers)):
                 try:
-                    return ray.get(self.submit(queries, params))
+                    return ray.get(self.submit(queries, params, deadline_s))
                 except ray.exceptions.RayTaskError as e:
                     if not isinstance(e.cause, RouterOverloaded):
                         raise

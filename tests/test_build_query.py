@@ -639,3 +639,88 @@ def test_router_pool_failover_and_backoff(built):
             pd.testing.assert_frame_equal(_ray.get(h).reset_index(drop=True), want)
     finally:
         pool.shutdown()
+
+
+def test_query_router_queue_and_deadline(built):
+    """Bounded waiting queue + deadline shedding (ROADMAP: deadline-based
+    shedding instead of one admission window): (1) with queue_cap, a burst
+    over max_inflight queues and ALL complete; (2) a waiter whose deadline
+    expires sheds with reason='deadline'; (3) arrivals past the queue cap
+    shed immediately with reason='queue_full'."""
+    import time as _time
+
+    import ray as _ray
+
+    from splade_ray.query import QueryRouter, RouterOverloaded
+
+    _, index_dir, _ = built
+    want = search(index_dir, QUERIES, BM25Params(top_k=10))
+
+    # (1) queue absorbs the burst
+    router = QueryRouter.remote(
+        index_dir, num_shards=2, max_inflight=1, queue_cap=8,
+        simulate_shard_latency_s=0.25,
+    )
+    try:
+        refs = [router.search.remote(QUERIES, BM25Params(top_k=10)) for _ in range(4)]
+        for r in refs:
+            pd.testing.assert_frame_equal(_ray.get(r).reset_index(drop=True), want)
+        st = _ray.get(router.stats.remote())
+        assert st["admitted"] == 4 and st["shed"] == 0 and st["waiting"] == 0
+        assert len(st["shard_latency_ema_s"]) == 2  # per-shard EMAs exported
+    finally:
+        _ray.get(router.shutdown.remote())
+        _ray.kill(router)
+
+    # (2) + (3) deadline and queue_full shedding under a held slot
+    router = QueryRouter.remote(
+        index_dir, num_shards=2, max_inflight=1, queue_cap=1,
+        simulate_shard_latency_s=1.5,
+    )
+    try:
+        hog = router.search.remote(QUERIES, BM25Params(top_k=10))
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            if _ray.get(router.stats.remote())["inflight"] == 1:
+                break
+            _time.sleep(0.02)
+        else:
+            raise AssertionError("hog never admitted")
+        # waiter with a too-short deadline -> sheds with reason=deadline;
+        # wait for it to actually shed so it frees the single queue slot
+        w = router.search.remote(QUERIES, BM25Params(top_k=10), deadline_s=0.2)
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            if _ray.get(router.stats.remote())["shed_deadline"] >= 1:
+                break
+            _time.sleep(0.02)
+        else:
+            raise AssertionError("deadline waiter never shed")
+        # occupy the single queue slot with a patient waiter, then overflow
+        patient = router.search.remote(QUERIES, BM25Params(top_k=10))
+        deadline = _time.monotonic() + 10
+        while _time.monotonic() < deadline:
+            if _ray.get(router.stats.remote())["waiting"] >= 1:
+                break
+            _time.sleep(0.02)
+        else:
+            raise AssertionError("patient waiter never queued")
+        overflow = router.search.remote(QUERIES, BM25Params(top_k=10))
+        reasons = {}
+        for name, ref in (("w", w), ("overflow", overflow)):
+            try:
+                _ray.get(ref)
+            except _ray.exceptions.RayTaskError as e:
+                assert isinstance(e.cause, RouterOverloaded), e.cause
+                reasons[name] = e.cause.reason
+        assert reasons.get("w") == "deadline"
+        assert reasons.get("overflow") == "queue_full"
+        # hog and the patient waiter both complete correctly
+        pd.testing.assert_frame_equal(_ray.get(hog).reset_index(drop=True), want)
+        pd.testing.assert_frame_equal(_ray.get(patient).reset_index(drop=True), want)
+        st = _ray.get(router.stats.remote())
+        assert st["shed_deadline"] >= 1 and st["shed_queue_full"] >= 1
+        assert st["admitted"] == 2 and st["inflight"] == 0 and st["waiting"] == 0
+    finally:
+        _ray.get(router.shutdown.remote())
+        _ray.kill(router)
