@@ -641,6 +641,47 @@ def q_boolean_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# Fixed substring / regex query sets over the documents vocabulary: a
+# multi-token substring, a selective one, a guaranteed miss, a case-mixed
+# needle, and a sub-3-byte needle that exercises the documented
+# full-verification fallback (trigram pruning impossible below 3 bytes).
+SUBSTR_QUERIES = [
+    (1, "batch batch"),
+    (2, "merge part win"),
+    (3, "no_such_substring_zzz"),
+    (4, "SPARK WIN"),
+    (5, "agg"),
+]
+
+GREP_QUERIES = [
+    (1, r"batch\s+batch"),
+    (2, r"mer(ge|ged)"),
+    (3, r"zzz+"),
+    (4, r"spark win[a-z]*"),
+]
+
+
+def q_substr_search(sf_dir: str):
+    """Exact substring search via the per-segment trigram layer
+    (splade_ray.trigram): candidate docs from rarest-first posting-list
+    intersection of the needle's trigrams, then verification against the
+    actual text — exact by construction, trigrams only prune I/O."""
+    from splade_ray.trigram import build_trigrams, substring_search
+
+    index_dir = _index_for(sf_dir)
+    build_trigrams(index_dir)
+    return substring_search(index_dir, SUBSTR_QUERIES)
+
+
+def q_grep_scan(sf_dir: str):
+    """Full-scan RE2 regex search (splade_ray.trigram.grep_scan) — the
+    no-index baseline; both sides (Arrow and DuckDB) run RE2 with
+    case-insensitive, leftmost non-overlapping extraction."""
+    from splade_ray.trigram import grep_scan
+
+    return grep_scan(_docs(sf_dir, ["doc_id", "text"]), GREP_QUERIES, regex=True)
+
+
 WINDOW_1H_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
@@ -1193,6 +1234,36 @@ ranked AS (SELECT phrase_id, doc_id, score,
            FROM sc WHERE score > 0)
 SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _substr_sql() -> str:
+    """SQL mirror of trigram.substring_search over SUBSTR_QUERIES: the
+    engine lowers both sides, counts non-overlapping occurrences (Arrow
+    count_substring ≡ the replace-trick below — both scan left-to-right)."""
+    values = ", ".join(
+        f"({qid}, '{ndl.lower()}')" for qid, ndl in SUBSTR_QUERIES
+    )
+    return f"""
+WITH needles(query_id, needle) AS (VALUES {values})
+SELECT n.query_id::BIGINT AS query_id, d.doc_id,
+       ((length(lower(d.text)) - length(replace(lower(d.text), n.needle, '')))
+        // length(n.needle))::BIGINT AS n_occurrences
+FROM documents d CROSS JOIN needles n
+WHERE contains(lower(d.text), n.needle)"""
+
+
+def _grep_sql() -> str:
+    """SQL mirror of trigram.grep_scan over GREP_QUERIES: both engines run
+    RE2 with the 'i' flag; occurrence count = leftmost non-overlapping
+    extraction count."""
+    values = ", ".join(f"({qid}, '{pat}')" for qid, pat in GREP_QUERIES)
+    return f"""
+WITH pats(query_id, pat) AS (VALUES {values}),
+m AS (SELECT p.query_id, d.doc_id,
+             len(regexp_extract_all(d.text, p.pat, 0, 'i'))::BIGINT AS n_occurrences
+      FROM documents d CROSS JOIN pats p)
+SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences FROM m
+WHERE n_occurrences > 0"""
 
 
 def _boolean_sql() -> str:
@@ -1861,6 +1932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
+        "substr_search": q_substr_search,
+        "grep_scan": q_grep_scan,
         "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
         "sample_hash": q_sample_hash,
@@ -2510,6 +2583,8 @@ SELECT *,
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
+        "substr_search": _substr_sql(),
+        "grep_scan": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),

@@ -242,6 +242,44 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_trigrams(args) -> int:
+    """Derive the trigram layer (exact substring search support)."""
+    _ensure_ray()
+    from splade_ray.trigram import build_trigrams
+
+    rep = build_trigrams(args.index)
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_grep(args) -> int:
+    """Exact substring search: trigram-pruned (--index) or full scan
+    (--corpus, also the regex path)."""
+    _ensure_ray()
+    from splade_ray.trigram import grep_scan, substring_search
+
+    needles = _load_queries(args.needles)
+    if args.index:
+        if args.regex:
+            raise SystemExit("regex search needs --corpus (full scan); the "
+                             "trigram layer prunes literal substrings only")
+        res = substring_search(args.index, needles)
+    else:
+        from splade_ray.io import read_parquet_clean
+
+        ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+        res = (
+            grep_scan(ds, needles, id_col=args.id_col, text_col=args.text_col,
+                      regex=args.regex)
+            .to_pandas()
+            .sort_values(["query_id", args.id_col])
+            .reset_index(drop=True)
+        )
+    res.to_parquet(args.out, index=False)
+    print(json.dumps({"needles": len(needles), "rows": len(res), "out": args.out}))
+    return 0
+
+
 def cmd_boolsearch(args) -> int:
     """Boolean-filtered BM25: queries file is JSON
     [[qid, {"must": ..., "should": ..., "must_not": ...}], ...]."""
@@ -814,6 +852,20 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--phrases", required=True, help="TSV: id\\tphrase text")
     ph.add_argument("--out", required=True, help=".parquet")
     ph.set_defaults(fn=cmd_phrase)
+
+    tg = sub.add_parser("trigrams", help="build trigram layer (substring search)")
+    tg.add_argument("--index", required=True)
+    tg.set_defaults(fn=cmd_trigrams)
+
+    gr = sub.add_parser("grep", help="substring/regex search (trigram-pruned or scan)")
+    gr.add_argument("--index", help="trigram-pruned literal search over this index")
+    gr.add_argument("--corpus", help="full-scan path (required for --regex)")
+    gr.add_argument("--needles", required=True, help="TSV: id\\tneedle")
+    gr.add_argument("--out", required=True, help=".parquet")
+    gr.add_argument("--regex", action="store_true")
+    gr.add_argument("--id-col", default="doc_id")
+    gr.add_argument("--text-col", default="text")
+    gr.set_defaults(fn=cmd_grep)
 
     bq = sub.add_parser("boolsearch", help="boolean-filtered BM25 (must/should/must_not)")
     bq.add_argument("--index", required=True)

@@ -1,0 +1,405 @@
+"""Trigram index layer + exact substring search (code-search style).
+
+The reference retrieves by bag-of-words impact scoring
+(``splade/tasks/transformer_evaluator.py:142-193``) and has no substring
+capability; for a source-code corpus (the ``input_hint`` table) exact
+substring/identifier search is the other query users run every day. This
+layer implements the classic trigram-index design (Google Code Search /
+``rg``-style candidate pruning): per segment, a posting list of ascending
+doc ids for every distinct byte trigram of ``lower(content)``; a query for
+needle ``q`` intersects the posting lists of the needle's trigrams
+(rarest-first, early exit) to get a candidate set, then VERIFIES candidates
+against the actual text — so results are exact regardless of trigram
+collisions, and the oracle mirror is plain ``contains(lower(text), q)``.
+
+Build is a DERIVED layer over a built index, exactly like the positional
+layer (``splade_ray.positions``): one resumable Ray task per segment
+re-reads that segment's corpus slice via its lineage manifest and writes
+``trigrams.parquet`` beside the segment's postings, crash-safe via the same
+pending-marker protocol.
+
+Scale shape: posting lists are segment-local (doc ids within one segment),
+so no posting ever crosses the object store; the query scatter is the same
+segment grid as BM25 ``search``. Verification reads each candidate
+segment's text slice ONLY when candidates survive the intersection — for
+selective needles most segments are pruned by a missing trigram before any
+text I/O. Occurrence counts use non-overlapping left-to-right semantics
+(Arrow ``count_substring``), which equals DuckDB's
+``(length(x)-length(replace(x,q,'')))/length(q)``.
+
+Needles shorter than 3 bytes cannot be pruned by trigrams; they fall back
+to a verification scan of every segment (documented, logged).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from splade_ray.codec import varbyte_decode, varbyte_encode
+
+logger = logging.getLogger(__name__)
+
+TRIGRAM_SCHEMA = pa.schema(
+    [
+        ("tri", pa.int32()),  # b0<<16 | b1<<8 | b2 of the lowered UTF-8 bytes
+        ("df", pa.int64()),
+        ("docs_enc", pa.binary()),  # delta+varbyte ascending doc ids
+    ]
+)
+
+
+def _lowered_bytes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 byte buffer, per-row offsets) of ``utf8_lower(texts)``."""
+    low = pc.utf8_lower(texts)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    low = low.cast(pa.large_string())  # one offset dtype for both inputs
+    n = len(low)
+    off = np.frombuffer(low.buffers()[1], np.int64)[low.offset : low.offset + n + 1]
+    data = low.buffers()[2]
+    buf = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
+    return buf[off[0] : off[-1]], (off - off[0]).astype(np.int64)
+
+
+def _trigram_keys(buf: np.ndarray) -> np.ndarray:
+    """int32 packed trigram at every byte position (positions 0..len-3)."""
+    if buf.size < 3:
+        return np.empty(0, np.int32)
+    k = (
+        (buf[:-2].astype(np.int32) << 16)
+        | (buf[1:-1].astype(np.int32) << 8)
+        | buf[2:].astype(np.int32)
+    )
+    return k
+
+
+def doc_trigrams(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (row_index, trigram) pairs over a text column, vectorized:
+    one trigram scan over the flat lowered byte buffer, boundary-crossing
+    positions masked out by per-row offsets, dedup via one packed
+    ``np.unique``. Returns (rows, tris) sorted by (tri, row)."""
+    buf, off = _lowered_bytes(texts)
+    keys = _trigram_keys(buf)
+    if keys.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    pos = np.arange(keys.size, dtype=np.int64)
+    row = np.searchsorted(off, pos, side="right") - 1
+    # keep positions whose full 3 bytes sit inside one row
+    keep = pos + 3 <= off[row + 1]
+    row, keys = row[keep], keys[keep]
+    packed = (row.astype(np.int64) << 24) | keys.astype(np.int64)
+    packed = np.unique(packed)
+    rows = packed >> 24
+    tris = (packed & 0xFFFFFF).astype(np.int32)
+    order = np.lexsort((rows, tris))
+    return rows[order], tris[order]
+
+
+def build_trigram_table(texts: pa.Array | pa.ChunkedArray, doc_ids: np.ndarray) -> pa.Table:
+    """Trigram postings for one segment's documents (doc_ids ascending)."""
+    rows, tris = doc_trigrams(texts)
+    if rows.size == 0:
+        return pa.table({k: [] for k in TRIGRAM_SCHEMA.names}, schema=TRIGRAM_SCHEMA)
+    docs = doc_ids[rows]
+    start = np.concatenate(([0], np.flatnonzero(tris[1:] != tris[:-1]) + 1))
+    counts = np.diff(np.concatenate((start, [tris.size])))
+    deltas = np.empty(docs.size, np.int64)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    deltas[start] = docs[start]
+    out = {
+        "tri": pa.array(tris[start], pa.int32()),
+        "df": pa.array(counts, pa.int64()),
+        "docs_enc": pa.array(
+            [
+                varbyte_encode(deltas[s : s + c])
+                for s, c in zip(start.tolist(), counts.tolist())
+            ],
+            pa.binary(),
+        ),
+    }
+    return pa.table(out, schema=TRIGRAM_SCHEMA)
+
+
+def _trigrams_for_segment(seg_dir: str, text_col: str, id_col: str | None) -> int:
+    from splade_ray.build import _read_slice
+
+    with open(os.path.join(seg_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    cols = [text_col] + ([id_col] if id_col else [])
+    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    if id_col:
+        doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        doc_id_arr = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
+    order = np.argsort(doc_id_arr, kind="stable")
+    if not np.array_equal(order, np.arange(len(tbl))):
+        tbl = tbl.take(pa.array(order))
+        doc_id_arr = doc_id_arr[order]
+    out = build_trigram_table(tbl[text_col], doc_id_arr)
+    tmp = os.path.join(seg_dir, ".tmp-trigrams.parquet")
+    pq.write_table(out, tmp)
+    os.replace(tmp, os.path.join(seg_dir, "trigrams.parquet"))
+    return out.num_rows
+
+
+def build_trigrams(index_dir: str, *, concurrency: int | None = None) -> dict:
+    """Derive the trigram layer for every segment (one Ray task per segment;
+    existing trigrams.parquet reused — resumable; pending-marker protocol as
+    in the positional/quantized layers)."""
+    from splade_ray.build import load_manifest, segment_dirs
+
+    man = load_manifest(index_dir)
+    text_col, id_col = man["text_col"], man.get("id_col")
+    tpath = os.path.join(index_dir, "trigrams.json")
+    prev = None
+    if os.path.exists(tpath):
+        with open(tpath) as fh:
+            prev = json.load(fh)
+    all_segs = segment_dirs(index_dir)
+    if prev is None or prev.get("text_col") != text_col:
+        for s in all_segs:
+            p = os.path.join(s, "trigrams.parquet")
+            if os.path.exists(p):
+                os.remove(p)
+    with open(tpath, "w") as fh:
+        json.dump({"text_col": text_col, "pending": True}, fh)
+    segs = [s for s in all_segs if not os.path.exists(os.path.join(s, "trigrams.parquet"))]
+
+    def task(batch: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        counts = [
+            _trigrams_for_segment(s, text_col, id_col) for s in batch["seg"].to_pylist()
+        ]
+        return pa.table({"n_tris": pa.array(counts, pa.int64())})
+
+    n_tris = 0
+    if segs:
+        n_tris = int(
+            rd.from_items([{"seg": s} for s in segs], override_num_blocks=len(segs))
+            .map_batches(task, batch_format="pyarrow", concurrency=concurrency)
+            .sum("n_tris")
+        )
+    manifest = {
+        "text_col": text_col,
+        "n_segments": len(all_segs),
+        "n_segments_skipped": len(all_segs) - len(segs),
+        "n_tris_built": n_tris,
+    }
+    with open(tpath, "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def load_trigrams_manifest(index_dir: str) -> dict:
+    tpath = os.path.join(index_dir, "trigrams.json")
+    if not os.path.exists(tpath):
+        raise FileNotFoundError(
+            "trigram layer not built — run splade_ray.trigram.build_trigrams(index_dir) first"
+        )
+    with open(tpath) as fh:
+        man = json.load(fh)
+    if man.get("pending"):
+        raise ValueError(
+            "trigram layer build is pending/crashed — re-run build_trigrams(index_dir)"
+        )
+    return man
+
+
+# ------------------------------------------------------------------ querying
+
+
+def needle_trigrams(needle: str) -> np.ndarray:
+    """Distinct packed trigrams of the lowered needle (byte semantics match
+    the build side: both go through utf8_lower → UTF-8 bytes)."""
+    buf, off = _lowered_bytes(pa.array([needle], pa.string()))
+    return np.unique(_trigram_keys(buf))
+
+
+def _segment_candidates(seg_dir: str, tris: np.ndarray) -> np.ndarray | None:
+    """Doc ids in this segment containing ALL the needle's trigrams, or
+    None when the layer proves no doc can match (some trigram absent).
+    Rarest-first intersection with early exit."""
+    import pyarrow.dataset as pads
+
+    src = pads.dataset(os.path.join(seg_dir, "trigrams.parquet"))
+    tbl = src.to_table(filter=pads.field("tri").isin(pa.array(tris, pa.int32())))
+    if tbl.num_rows < tris.size:
+        return None  # some required trigram appears in no doc
+    dfs = tbl["df"].to_numpy()
+    order = np.argsort(dfs, kind="stable")
+    cand: np.ndarray | None = None
+    for i in order.tolist():
+        docs = np.cumsum(varbyte_decode(tbl["docs_enc"][i].as_py(), int(dfs[i])).astype(np.int64))
+        cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            return None
+    return cand
+
+
+def _verify_candidates(
+    seg_dir: str,
+    text_col: str,
+    id_col: str | None,
+    cand: np.ndarray | None,
+    needle: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, non-overlapping occurrence counts) of docs whose lowered
+    text actually contains the lowered needle. ``cand=None`` means scan the
+    whole segment (short-needle fallback)."""
+    from splade_ray.build import _read_slice
+
+    with open(os.path.join(seg_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    cols = [text_col] + ([id_col] if id_col else [])
+    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    if id_col:
+        doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        doc_id_arr = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
+    if cand is not None:
+        sel = np.flatnonzero(np.isin(doc_id_arr, cand))
+        tbl = tbl.take(pa.array(sel))
+        doc_id_arr = doc_id_arr[sel]
+    low = pc.utf8_lower(tbl[text_col])
+    counts = pc.count_substring(low, needle.lower()).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts).astype(np.int64)
+    keep = counts > 0
+    return doc_id_arr[keep], counts[keep]
+
+
+def substring_search(
+    index_dir: str,
+    needles: list[tuple[int, str]],
+    *,
+    concurrency: int | None = None,
+):
+    """Exact substring search over the indexed corpus.
+
+    Returns a pandas DataFrame ``(query_id, doc_id, n_occurrences)`` sorted
+    by (query_id, doc_id) — EVERY matching doc, not top-k, since substring
+    match is a filter, not a ranking. Segments partition the doc space, so
+    per-segment results concatenate with no merge shuffle; the driver sees
+    only match rows."""
+    import pandas as pd
+
+    from splade_ray.build import load_manifest, segment_dirs
+
+    load_trigrams_manifest(index_dir)
+    man = load_manifest(index_dir)
+    text_col, id_col = man["text_col"], man.get("id_col")
+    prepared: list[tuple[int, str, np.ndarray]] = []
+    for qid, needle in needles:
+        tris = needle_trigrams(needle)
+        if tris.size == 0:
+            logger.warning(
+                "needle %r shorter than 3 bytes: trigram pruning impossible, "
+                "falling back to full verification scan",
+                needle,
+            )
+        prepared.append((qid, needle, tris))
+
+    def task(batch: pa.Table) -> pa.Table:
+        qids, docs_out, cnts_out = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            for qid, needle, tris in prepared:
+                if tris.size > 0:
+                    cand = _segment_candidates(seg_dir, tris)
+                    if cand is None or cand.size == 0:
+                        continue
+                else:
+                    cand = None
+                docs, cnts = _verify_candidates(seg_dir, text_col, id_col, cand, needle)
+                qids.extend([qid] * docs.size)
+                docs_out.append(docs)
+                cnts_out.append(cnts)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, np.int64)),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+                ),
+                "n_occurrences": pa.array(
+                    np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    segs = segment_dirs(index_dir)
+    out = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", concurrency=concurrency)
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_occurrences": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def grep_scan(
+    ds,
+    patterns: list[tuple[int, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    regex: bool = False,
+    case_insensitive: bool = True,
+):
+    """Baseline full-scan substring/regex search over a Dataset — the
+    no-index path (and the only path for regex). One stateless map_batches;
+    Arrow ``match_substring(_regex)`` kernels, match rows only leave each
+    task."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        id_type = ids.type
+        text = batch[text_col]
+        qids, id_out, cnt_out = [], [], []
+        for qid, pat in patterns:
+            if regex:
+                c = pc.count_substring_regex(
+                    text, pat, ignore_case=case_insensitive
+                ).to_numpy(zero_copy_only=False)
+                c = np.nan_to_num(c).astype(np.int64)
+                keep = np.flatnonzero(c > 0)
+                cnts = c[keep]
+            else:
+                hay = pc.utf8_lower(text) if case_insensitive else text
+                ndl = pat.lower() if case_insensitive else pat
+                c = pc.count_substring(hay, ndl).to_numpy(zero_copy_only=False)
+                c = np.nan_to_num(c).astype(np.int64)
+                keep = np.flatnonzero(c > 0)
+                cnts = c[keep]
+            qids.extend([qid] * keep.size)
+            id_out.append(ids.take(pa.array(keep)))
+            cnt_out.append(cnts)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, np.int64)),
+                id_col: (
+                    pa.concat_arrays(id_out)
+                    if id_out
+                    else pa.array([], id_type)
+                ),
+                "n_occurrences": pa.array(
+                    np.concatenate(cnt_out) if cnt_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -390,3 +390,37 @@ def test_cli_fsearch_snippets(ray_session, corpus_dir, tmp_path, capsys):
     assert set(snips.columns) == {"query_id", "doc_id", "start", "n_match", "snippet"}
     assert len(snips) == len(run)
     assert (snips["n_match"] >= 1).all()  # every BM25 hit contains a query term
+
+
+def test_cli_trigrams_grep(ray_session, corpus_dir, tmp_path, capsys):
+    """trigram layer build + pruned literal grep + full-scan regex grep."""
+    import json as _json
+
+    import pandas as pd
+
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--corpus", corpus_dir, "--index", idx,
+                 "--rows-per-segment", "3"]) == 0
+    assert main(["trigrams", "--index", idx]) == 0
+    capsys.readouterr()
+
+    needles = tmp_path / "n.tsv"
+    needles.write_text("0\tmerge\n1\tzzz_absent\n2\tSELECT *\n")
+    out = str(tmp_path / "hits.parquet")
+    assert main(["grep", "--index", idx, "--needles", str(needles),
+                 "--out", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["needles"] == 3
+    hits = pd.read_parquet(out)
+    got = {(r.query_id, r.doc_id): r.n_occurrences for r in hits.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (2, 2): 1}  # sortmerge contains 'merge'
+
+    # regex requires the full-scan path
+    pats = tmp_path / "p.tsv"
+    pats.write_text("0\tmerge\\(\\w+\n")
+    out2 = str(tmp_path / "re.parquet")
+    assert main(["grep", "--corpus", corpus_dir, "--needles", str(pats),
+                 "--regex", "--text-col", "content", "--id-col", "path",
+                 "--out", out2]) == 0
+    re_hits = pd.read_parquet(out2)
+    assert list(re_hits["path"]) == ["f0.py"]

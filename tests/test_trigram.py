@@ -1,0 +1,135 @@
+"""Trigram substring-search layer tests."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.build import build_index
+from splade_ray.corpus import synth_corpus
+from splade_ray.trigram import (
+    build_trigram_table,
+    build_trigrams,
+    doc_trigrams,
+    grep_scan,
+    needle_trigrams,
+    substring_search,
+)
+
+TEXTS = [
+    "Hello World",
+    "def foo_bar(x): return x",
+    "",
+    "ab",                      # shorter than one trigram
+    "aaaa",                    # repeated trigram within one doc
+    "déf ünïcode",             # multi-byte UTF-8
+    "hello hello hello",
+]
+
+
+def scalar_trigrams(text):
+    b = text.lower().encode("utf-8")
+    return {b[i : i + 3] for i in range(len(b) - 2)}
+
+
+def test_doc_trigrams_scalar_parity():
+    rows, tris = doc_trigrams(pa.array(TEXTS, pa.string()))
+    got = {}
+    for r, t in zip(rows.tolist(), tris.tolist()):
+        got.setdefault(r, set()).add(bytes([t >> 16, (t >> 8) & 0xFF, t & 0xFF]))
+    for i, text in enumerate(TEXTS):
+        assert got.get(i, set()) == scalar_trigrams(text), f"doc {i}"
+
+
+def test_trigram_table_no_cross_doc_trigrams():
+    """Trigrams spanning adjacent docs in the flat buffer must not appear."""
+    t = build_trigram_table(pa.array(["xyz", "zyx"], pa.string()), np.array([0, 1]))
+    tris = {
+        bytes([k >> 16, (k >> 8) & 0xFF, k & 0xFF]) for k in t["tri"].to_pylist()
+    }
+    assert tris == {b"xyz", b"zyx"}
+
+
+def test_substring_search_matches_bruteforce(ray_session, tmp_path):
+    t = synth_corpus(200, seed=13)
+    texts = t["content"].to_pylist()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(200, dtype=np.int64), "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id", rows_per_segment=30)
+    man = build_trigrams(index_dir)
+    assert man["n_segments"] == 7
+
+    # needles: common token, rare token, absent string, case-mixed,
+    # sub-3-byte fallback, multi-byte unicode
+    needles = [
+        (0, "return"),
+        (1, "rare_token_37"),
+        (2, "no_such_string_anywhere"),
+        (3, "RETURN"),
+        (4, "x"),
+        (5, "注"),
+    ]
+    got = substring_search(index_dir, needles)
+    exp = []
+    for qid, ndl in needles:
+        n = ndl.lower()
+        for d, text in enumerate(texts):
+            c = text.lower().count(n)
+            if c > 0:
+                exp.append((qid, d, c))
+    exp.sort()
+    assert list(map(tuple, got[["query_id", "doc_id", "n_occurrences"]].values)) == exp
+
+
+def test_substring_search_resumable(ray_session, tmp_path):
+    t = synth_corpus(60, seed=5)
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": np.arange(60, dtype=np.int64), "content": t["content"]}
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id", rows_per_segment=20)
+    m1 = build_trigrams(index_dir)
+    assert m1["n_segments_skipped"] == 0
+    m2 = build_trigrams(index_dir)
+    assert m2["n_segments_skipped"] == m2["n_segments"] == 3
+
+    # crash mid-build: pending marker forces query-side refusal
+    tpath = os.path.join(index_dir, "trigrams.json")
+    import json
+
+    with open(tpath, "w") as fh:
+        json.dump({"text_col": "content", "pending": True}, fh)
+    with pytest.raises(ValueError, match="pending"):
+        substring_search(index_dir, [(0, "return")])
+    build_trigrams(index_dir)
+    substring_search(index_dir, [(0, "return")])
+
+
+def test_grep_scan_substring_and_regex(ray_session):
+    import ray.data as rd
+
+    texts = ["Foo bar foo", "bar", "foobar FOO", "", "fo"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+    )
+    sub = grep_scan(ds, [(0, "foo")], id_col="doc_id").to_pandas()
+    sub = sub.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert list(map(tuple, sub.values)) == [(0, 0, 2), (0, 2, 2)]
+
+    rex = grep_scan(
+        rd.from_arrow(pa.table({"doc_id": np.arange(5, dtype=np.int64), "text": texts})),
+        [(1, r"fo+")],
+        id_col="doc_id",
+        regex=True,
+    ).to_pandas()
+    rex = rex.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    assert list(map(tuple, rex.values)) == [(1, 0, 2), (1, 2, 2), (1, 4, 1)]
