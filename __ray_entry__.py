@@ -291,6 +291,55 @@ def q_bm25_topk(sf_dir: str):
     return _bm25_run(sf_dir, "exact")
 
 
+# deterministic deletion set for the tombstone/purge faces
+def _delete_ids(index_dir: str) -> list[int]:
+    from splade_ray.build import load_manifest
+
+    n = load_manifest(index_dir)["n_docs"]
+    return list(range(3, n, 7))  # doc_id % 7 == 3
+
+
+def _run_with_deletes(sf_dir: str, tag: str, purge: bool) -> pd.DataFrame:
+    """Own index copy under a distinct work dir (never mutates the shared
+    docsidx index the other query faces reuse)."""
+    from splade_ray.delete import delete_docs, purge_deletes
+
+    index_dir = os.path.join(_work_dir(sf_dir, tag), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+    )
+    delete_docs(index_dir, _delete_ids(index_dir))
+    if purge:
+        purge_deletes(index_dir)
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_bm25_topk_deleted(sf_dir: str):
+    """Tombstoned retrieval (splade_ray.delete): deleted docs are filtered
+    out of every decoded posting BEFORE the per-segment top-k cut while
+    df/avgdl/N keep build-time values — Lucene's visible-deletes-before-
+    merge semantics, mirrored in SQL by excluding deleted docs from the
+    full-statistics score table before ranking."""
+    return _run_with_deletes(sf_dir, "delidx", purge=False)
+
+
+def q_bm25_topk_purged(sf_dir: str):
+    """Physically purged retrieval: segments rewritten without the deleted
+    docs, lexicon + avgdl/N restated — scores must equal BM25 over the
+    reduced corpus (the SQL mirror computes every statistic over the live
+    doc set)."""
+    return _run_with_deletes(sf_dir, "purgeidx", purge=True)
+
+
 def q_bm25_topk_bmw(sf_dir: str):
     """Same result, block-max WAND early-termination kernel."""
     return _bm25_run(sf_dir, "bmw")
@@ -1236,6 +1285,41 @@ SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+_DELETE_PRED = "doc_id % 7 <> 3"  # mirror of _delete_ids
+
+
+def _bm25_deleted_sql() -> str:
+    """Tombstone semantics: statistics over the FULL corpus, deleted docs
+    excluded from the candidate set before ranking."""
+    return f"""{_bm25_cte()},
+live AS (SELECT query_id, doc_id, score FROM scores
+         WHERE score > 0 AND {_DELETE_PRED}),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM live)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _bm25_purged_sql() -> str:
+    """Purge semantics: every statistic (tf table, dl, avgdl, N, df)
+    computed over the live doc set only — textually the bm25 CTE with its
+    two `documents` scans redirected at a filtered CTE."""
+    cte = _bm25_cte()
+    assert cte.count("FROM documents\n") == 1 and cte.count("FROM documents d ") == 1
+    cte = cte.replace(
+        "WITH ",
+        f"WITH documents_live AS (SELECT * FROM documents WHERE {_DELETE_PRED}),\n",
+        1,
+    )
+    cte = cte.replace("FROM documents\n", "FROM documents_live\n")
+    cte = cte.replace("FROM documents d ", "FROM documents_live d ")
+    return f"""{cte}
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _substr_sql() -> str:
     """SQL mirror of trigram.substring_search over SUBSTR_QUERIES: the
     engine lowers both sides, counts non-overlapping occurrences (Arrow
@@ -1908,6 +1992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": q_lexicon,
         "doc_token_stats": q_doc_token_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_purged": q_bm25_topk_purged,
         "bm25_topk_bmw": q_bm25_topk_bmw,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
@@ -2414,6 +2500,8 @@ FROM documents""",
         "pack_assign": _pack_assign_sql(),
         "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
+        "bm25_topk_deleted": _bm25_deleted_sql(),
+        "bm25_topk_purged": _bm25_purged_sql(),
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
         "lang_id_pred": _lang_id_pred_sql(),

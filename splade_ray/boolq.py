@@ -98,17 +98,8 @@ def score_segment_bool(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int
     n = seg.doc_ids.size
     rows: list[tuple[int, int, float]] = []
 
-    def positions(term: str) -> np.ndarray | None:
-        got = seg._decoded.get(term)
-        if got is None:
-            post = seg.posting(term)
-            if post is None:
-                got = (np.empty(0, np.int64), np.empty(0, np.int64))
-            else:
-                docs, tfs, _ = post
-                got = (np.searchsorted(seg.doc_ids, docs), tfs)
-            seg._decoded[term] = got
-        return got
+    # the shared decoded-posting cache (also applies tombstone filtering)
+    positions = seg.pos_tfs
 
     for qid, q in prepared["queries"].items():
         allowed = np.ones(n, bool)
@@ -144,7 +135,9 @@ def score_segment_bool(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int
 def _bool_batch(batch: pa.Table, *, prepared: dict) -> pa.Table:
     rows: list[tuple[int, int, float]] = []
     for seg_dir in batch["seg_dir"].to_pylist():
-        seg = SegmentIndex(seg_dir, prepared["terms"])
+        seg = SegmentIndex(
+            seg_dir, prepared["terms"], tombstones=prepared.get("tombstones")
+        )
         rows.extend(score_segment_bool(seg, prepared))
     return pa.table(
         {
@@ -168,6 +161,14 @@ def boolean_search(
     one task per segment, lexicon-pruned parquet reads, heap merge."""
     params = params or BM25Params()
     prepared = prepare_bool_queries(index_dir, queries, params, query_lang=query_lang)
+    from splade_ray.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        # tombstoned docs drop out of every clause via pos_tfs filtering
+        # (a deleted doc can neither match a must clause nor block via
+        # must_not — it simply no longer exists)
+        prepared = {**prepared, "tombstones": tomb}
     segs = segment_dirs(index_dir)
     cand = rd.from_items(
         [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)

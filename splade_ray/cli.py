@@ -242,6 +242,27 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone docs (logical delete; all query paths filter instantly)."""
+    from splade_ray.delete import delete_docs
+
+    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    rep = delete_docs(args.index, ids)
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physically remove tombstoned docs (segment rewrite + restat)."""
+    _ensure_ray()
+    from splade_ray.delete import purge_deletes
+
+    rep = purge_deletes(args.index)
+    print(json.dumps({k: rep[k] for k in
+                      ("n_docs", "n_postings", "avgdl", "n_purged_docs")}))
+    return 0
+
+
 def cmd_trigrams(args) -> int:
     """Derive the trigram layer (exact substring search support)."""
     _ensure_ray()
@@ -852,6 +873,15 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--phrases", required=True, help="TSV: id\\tphrase text")
     ph.add_argument("--out", required=True, help=".parquet")
     ph.set_defaults(fn=cmd_phrase)
+
+    dl = sub.add_parser("delete", help="tombstone docs (logical delete)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+    dl.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser("purge", help="physically remove tombstoned docs")
+    pg.add_argument("--index", required=True)
+    pg.set_defaults(fn=cmd_purge)
 
     tg = sub.add_parser("trigrams", help="build trigram layer (substring search)")
     tg.add_argument("--index", required=True)

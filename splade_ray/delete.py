@@ -1,0 +1,238 @@
+"""Document deletion: tombstones (instant, logical) + purge (physical).
+
+The reference's index is immutable once written (``array_index.h5py``,
+``splade/indexing/inverted_index.py:81-94``) — removing a document means a
+full rebuild. This module adds the Lucene-style two-phase contract a served
+index needs:
+
+- :func:`delete_docs` appends doc ids to a sorted tombstone table at the
+  index root. Deletion is O(tombstones) and immediate: every query path
+  filters tombstoned docs BEFORE its per-segment top-k cut (so the global
+  merge stays exact), while corpus statistics (df, avgdl, N) keep their
+  build-time values — exactly Lucene's visible-deletes-before-merge
+  semantics.
+- :func:`purge_deletes` physically rewrites only the segments that contain
+  tombstoned docs (decode → mask → re-encode, block-max metadata rebuilt),
+  rebuilds the global lexicon through the same streaming (term, df, cf)
+  groupby as the initial build, refreshes the global manifest (so df/avgdl/N
+  now reflect the reduced corpus), invalidates derived layers
+  (quantized/positions/trigrams) for re-derivation, and clears the
+  tombstones. Resumable: a crash mid-purge leaves tombstones in place and
+  already-rewritten segments simply have nothing left to drop on re-run.
+
+Scale shape: tombstone filtering is a per-segment ``searchsorted`` against a
+broadcast sorted id array (``ray.put`` once, read per actor); purge is one
+task per AFFECTED segment plus the lexicon-sized shuffle the build already
+pays. Nothing corpus-sized sits on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from splade_ray.segments import decode_posting, encode_posting
+
+TOMBSTONES = "tombstones.parquet"
+# derived-layer sidecars a physical rewrite invalidates
+_LAYERS = {
+    "quantized.json": "postings_q.parquet",
+    "positions.json": "positions.parquet",
+    "trigrams.json": "trigrams.parquet",
+}
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted unique tombstoned doc ids (empty array when none)."""
+    p = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.exists(p):
+        return np.empty(0, np.int64)
+    return pq.read_table(p)["doc_id"].to_numpy().astype(np.int64)
+
+
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Tombstone docs (logical delete, visible to every query path at once).
+    Idempotent; unknown ids are accepted (they simply never match)."""
+    new = np.unique(np.asarray(list(doc_ids), np.int64))
+    old = load_tombstones(index_dir)
+    merged = np.union1d(old, new)
+    tmp = os.path.join(index_dir, ".tmp-" + TOMBSTONES)
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(index_dir, TOMBSTONES))
+    return {"n_tombstones": int(merged.size), "n_added": int(merged.size - old.size)}
+
+
+def deleted_mask_for(doc_ids: np.ndarray, tombstones: np.ndarray | None) -> np.ndarray | None:
+    """Bool mask (True = deleted) aligned to ``doc_ids`` (ascending), or
+    None when no doc in this segment is tombstoned."""
+    if tombstones is None or tombstones.size == 0 or doc_ids.size == 0:
+        return None
+    idx = np.searchsorted(tombstones, doc_ids)
+    idx = np.minimum(idx, tombstones.size - 1)
+    m = tombstones[idx] == doc_ids
+    return m if m.any() else None
+
+
+def _invalidate_layers(index_dir: str) -> None:
+    """Mark every existing derived-layer manifest pending — a physical
+    rewrite changes posting payloads, so the layers must be re-derived
+    (their builders resume per segment and only rebuild removed files)."""
+    for name in _LAYERS:
+        p = os.path.join(index_dir, name)
+        if os.path.exists(p):
+            with open(p) as fh:
+                man = json.load(fh)
+            man["pending"] = True
+            with open(p, "w") as fh:
+                json.dump(man, fh)
+
+
+def _purge_segment(seg_dir: str, tomb: np.ndarray, block_size: int) -> dict:
+    """Rewrite one segment without its tombstoned docs. Returns the updated
+    segment manifest. No-op (manifest returned as-is) when the segment holds
+    no tombstoned doc."""
+    with open(os.path.join(seg_dir, "manifest.json")) as fh:
+        man = json.load(fh)
+    dl = pq.read_table(os.path.join(seg_dir, "doclens.parquet"))
+    doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
+    deleted = deleted_mask_for(doc_ids, tomb)
+    if deleted is None:
+        return man
+    keep_rows = np.flatnonzero(~deleted)
+    new_dl = dl.take(pa.array(keep_rows))
+    live_ids = doc_ids[keep_rows]
+    live_lens = new_dl["doc_len"].to_numpy().astype(np.int64)
+
+    src = pq.read_table(os.path.join(seg_dir, "postings.parquet"))
+    rows: list[dict] = []
+    for i in range(src.num_rows):
+        df = src["df"][i].as_py()
+        docs, tfs = decode_posting(
+            src["docs_enc"][i].as_py(), src["tfs_enc"][i].as_py(), df
+        )
+        pos = np.searchsorted(doc_ids, docs)
+        keep = ~deleted[pos]
+        if not keep.any():
+            continue
+        docs, tfs = docs[keep], tfs[keep]
+        dls = live_lens[np.searchsorted(live_ids, docs)]
+        rows.append({"term": src["term"][i].as_py(), **encode_posting(docs, tfs, dls, block_size)})
+
+    from splade_ray.segments import POSTINGS_SCHEMA
+
+    new_post = (
+        pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+        if rows
+        else POSTINGS_SCHEMA.empty_table()
+    )
+    man = {
+        **man,
+        "n_docs": int(live_ids.size),
+        "n_postings": int(new_post["df"].to_numpy().sum()) if new_post.num_rows else 0,
+        "n_terms": int(new_post.num_rows),
+        "sum_doc_len": int(live_lens.sum()),
+        "purged": True,
+    }
+    # stage new files, then flip them in place (rename per file is atomic;
+    # a crash between renames is healed by the re-run: already-swapped
+    # files contain no tombstoned docs, so the re-run no-ops on them)
+    tmp_p = os.path.join(seg_dir, ".tmp-postings.parquet")
+    tmp_d = os.path.join(seg_dir, ".tmp-doclens.parquet")
+    tmp_m = os.path.join(seg_dir, ".tmp-manifest.json")
+    pq.write_table(new_post, tmp_p)
+    pq.write_table(new_dl, tmp_d)
+    with open(tmp_m, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp_p, os.path.join(seg_dir, "postings.parquet"))
+    os.replace(tmp_d, os.path.join(seg_dir, "doclens.parquet"))
+    os.replace(tmp_m, os.path.join(seg_dir, "manifest.json"))
+    # derived layers of THIS segment are stale — drop their files so the
+    # layer builders re-derive exactly these segments
+    for sidecar in _LAYERS.values():
+        p = os.path.join(seg_dir, sidecar)
+        if os.path.exists(p):
+            os.remove(p)
+    return man
+
+
+def purge_deletes(index_dir: str, *, concurrency: int | None = None) -> dict:
+    """Physically remove tombstoned docs (Lucene merge-with-deletes analog).
+
+    One Ray task per segment: segments without tombstoned docs only pay the
+    doclens read + the (term, df, cf) projection for the lexicon rebuild;
+    affected segments decode → mask → re-encode. The lexicon is rebuilt with
+    the same streaming groupby as ``build_index`` and the global manifest is
+    refreshed, so post-purge BM25 statistics reflect the reduced corpus."""
+    from ray.data.aggregate import Sum
+
+    from splade_ray.build import load_manifest, segment_dirs
+
+    man = load_manifest(index_dir)
+    tomb = load_tombstones(index_dir)
+    segs = segment_dirs(index_dir)
+    if tomb.size == 0:
+        return {**man, "n_purged_docs": 0}
+    _invalidate_layers(index_dir)
+    tomb_ref = ray.put(tomb)
+    block_size = man.get("block_size", 128)
+
+    def task(batch: pa.Table) -> pa.Table:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+        t = ray.get(tomb_ref)
+        out: list[pa.Table] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            _purge_segment(seg_dir, t, block_size)  # writes its manifest
+            out.append(
+                pq.read_table(
+                    os.path.join(seg_dir, "postings.parquet"),
+                    columns=["term", "df", "cf"],
+                )
+            )
+        return pa.concat_tables(out)
+
+    # ONE streaming pipeline: per-segment rewrite tasks emit their (term,
+    # df, cf) projections straight into the lexicon groupby (the same
+    # shuffle shape as build_index); per-segment manifests land on disk and
+    # are re-read segment-count-sized afterwards — nothing vocab×segments
+    # ever sits on the driver.
+    lex = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+        .groupby("term", num_partitions=max(1, len(segs) // 16))
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    import shutil
+    import uuid
+
+    tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
+    lex.write_parquet(tmp_lex)
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if os.path.exists(lex_dir):
+        shutil.rmtree(lex_dir)
+    os.rename(tmp_lex, lex_dir)
+
+    manifests = []
+    for s in segs:
+        with open(os.path.join(s, "manifest.json")) as fh:
+            manifests.append(json.load(fh))
+    n_docs = sum(m["n_docs"] for m in manifests)
+    sum_dl = sum(m["sum_doc_len"] for m in manifests)
+    n_purged = man["n_docs"] - n_docs
+    new_man = {
+        **man,
+        "n_docs": n_docs,
+        "n_postings": sum(m["n_postings"] for m in manifests),
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(new_man, fh, indent=1)
+    os.remove(os.path.join(index_dir, TOMBSTONES))
+    return {**new_man, "n_purged_docs": int(n_purged)}

@@ -39,6 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from splade_ray.analysis import tokenize, tokenize_column, tokenize_column_by_lang
@@ -181,6 +182,15 @@ def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang
     if not np.array_equal(order, np.arange(len(tbl))):
         tbl = tbl.take(pa.array(order))
         doc_id_arr = doc_id_arr[order]
+    # membership source of truth is the segment's doclens (the corpus slice
+    # still contains docs a purge physically removed)
+    live = pq.read_table(
+        os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy().astype(np.int64)
+    if live.size != doc_id_arr.size:
+        keep = np.flatnonzero(np.isin(doc_id_arr, live))
+        tbl = tbl.take(pa.array(keep))
+        doc_id_arr = doc_id_arr[keep]
     out = build_positions_table(
         tbl[text_col], doc_id_arr, tbl[lang_col] if lang_col else None
     )
@@ -427,7 +437,7 @@ def _phrase_candidates(
         return None
     all_terms = sorted({t for ts in tokenized.values() for t in ts})
     segs = segment_dirs(index_dir)
-    return rd.from_items(
+    ds = rd.from_items(
         [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
     ).map_batches(
         phrase_match_batch,
@@ -440,6 +450,23 @@ def _phrase_candidates(
         },
         concurrency=concurrency,
     )
+    from splade_ray.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        # logical deletes: the match table is complete (no per-segment
+        # cut), so filtering it is exact for both phrase_search and the
+        # phrase_topk scoring built on top (phrase df then counts live
+        # matches only — the phrase "term" has no build-time statistics)
+        tomb_ref = ray.put(tomb)
+
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            t = ray.get(tomb_ref)
+            keep = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), t)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+    return ds
 
 
 def phrase_search(

@@ -240,11 +240,20 @@ class QuantizedSegment:
     """One segment's quantized postings, term-filtered at read like the
     float ``SegmentIndex`` (query.py:77-91)."""
 
-    def __init__(self, seg_dir: str, terms: list[str] | None = None):
+    def __init__(
+        self,
+        seg_dir: str,
+        terms: list[str] | None = None,
+        tombstones=None,
+    ):
         dl = pq.read_table(
             os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
         )
         self.doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
+        from splade_ray.delete import deleted_mask_for
+
+        # logical deletes filtered pre-cut, as in SegmentIndex.pos_tfs
+        self.deleted = deleted_mask_for(self.doc_ids, tombstones)
         src = pads.dataset(os.path.join(seg_dir, "postings_q.parquet"))
         flt = pads.field("term").isin(terms) if terms is not None else None
         self.postings = src.to_table(filter=flt)
@@ -266,7 +275,11 @@ class QuantizedSegment:
                 imps = varbyte_decode(self.postings["imps_enc"][i].as_py(), df).astype(
                     np.int64
                 )
-                got = (np.searchsorted(self.doc_ids, docs), imps)
+                pos = np.searchsorted(self.doc_ids, docs)
+                if self.deleted is not None:
+                    keep = ~self.deleted[pos]
+                    pos, imps = pos[keep], imps[keep]
+                got = (pos, imps)
             self._decoded[term] = got
         return got
 
@@ -277,6 +290,11 @@ class QuantizedSegment:
         bit-identity is trivial, unlike the float BMW kernel). Regime per
         BASELINE.md's crossover study: large segments × selective queries;
         returns exactly ``score``'s results everywhere (tested)."""
+        if self.deleted is not None:
+            # integer block maxima don't account for deletions; the dense
+            # quantized kernel returns the identical result set (tested),
+            # so tombstoned segments route there until purge
+            return self.score(prepared)
         import heapq
 
         p: BM25Params = prepared["params"]

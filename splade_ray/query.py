@@ -82,13 +82,24 @@ def prepare_queries(
 class SegmentIndex:
     """One loaded segment: doc ids / lengths + (lazily filtered) postings."""
 
-    def __init__(self, seg_dir: str, terms: list[str] | None = None):
+    def __init__(
+        self,
+        seg_dir: str,
+        terms: list[str] | None = None,
+        tombstones: np.ndarray | None = None,
+    ):
         self.seg_dir = seg_dir
         dl = pq.read_table(
             os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id", "doc_len"]
         )
         self.doc_ids = dl["doc_id"].to_numpy().astype(np.int64)
         self.doc_lens = dl["doc_len"].to_numpy().astype(np.int64)
+        from splade_ray.delete import deleted_mask_for
+
+        # Lucene-style logical deletes: tombstoned docs are filtered out of
+        # every decoded posting (pos_tfs), i.e. BEFORE the per-segment top-k
+        # cut, while df/avgdl/N keep their build-time values until purge.
+        self.deleted = deleted_mask_for(self.doc_ids, tombstones)
         src = pads.dataset(os.path.join(seg_dir, "postings.parquet"))
         if terms is not None and len(terms) == 0:
             # isin([]) binds a null-typed value set and Arrow raises; an
@@ -133,7 +144,11 @@ class SegmentIndex:
                 got = (np.empty(0, np.int64), np.empty(0, np.int64))
             else:
                 docs, tfs, _ = post
-                got = (np.searchsorted(self.doc_ids, docs), tfs)
+                pos = np.searchsorted(self.doc_ids, docs)
+                if self.deleted is not None:
+                    keep = ~self.deleted[pos]
+                    pos, tfs = pos[keep], tfs[keep]
+                got = (pos, tfs)
             cache[term] = got
         return got
 
@@ -167,6 +182,12 @@ class SegmentIndex:
         return rows
 
     def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
+        if self.deleted is not None:
+            # block-max skip bounds don't account for deletions; the exact
+            # kernel (whose pos_tfs filters tombstones pre-cut) returns the
+            # identical result set, so tombstoned segments route there
+            # until purge restores the skip lists' validity
+            return self.score_exact(prepared)
         from splade_ray.wand import score_segment_bmw
 
         return score_segment_bmw(self, prepared)
@@ -211,10 +232,15 @@ class ScoreSegments:
     use per actor and cached (not re-shipped per batch); large query sets
     parallelize across the segments × chunks grid."""
 
-    def __init__(self, prepared_refs, method: str = "exact"):
+    def __init__(self, prepared_refs, method: str = "exact", tombstones_ref=None):
         self.refs = prepared_refs if isinstance(prepared_refs, list) else [prepared_refs]
         self.method = method
         self._cache: dict[int, dict] = {}
+        # broadcast sorted tombstone ids: ray.put once at the driver, read
+        # once per actor (never re-shipped per batch)
+        self.tombstones = (
+            ray.get(tombstones_ref) if tombstones_ref is not None else None
+        )
 
     def _prepared(self, chunk: int) -> dict:
         got = self._cache.get(chunk)
@@ -237,11 +263,13 @@ class ScoreSegments:
             if self.method in ("quantized", "quantized_bmw"):
                 from splade_ray.quantized import QuantizedSegment
 
-                qseg = QuantizedSegment(seg_dir, prepared["terms"])
+                qseg = QuantizedSegment(
+                    seg_dir, prepared["terms"], tombstones=self.tombstones
+                )
                 fn = qseg.score_bmw if self.method == "quantized_bmw" else qseg.score
                 rows.extend(fn(prepared))
                 continue
-            seg = SegmentIndex(seg_dir, prepared["terms"])
+            seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=self.tombstones)
             fn = {"bmw": seg.score_bmw, "auto": seg.score_auto}.get(
                 self.method, seg.score_exact
             )
@@ -300,6 +328,10 @@ def search(
         )
         for c in chunks
     ]
+    from splade_ray.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
     segs = segment_dirs(index_dir)
     items = [
         {"seg_dir": s, "chunk": ci} for ci in range(len(chunks)) for s in segs
@@ -308,7 +340,11 @@ def search(
         ScoreSegments,
         batch_format="pyarrow",
         batch_size=1,
-        fn_constructor_kwargs={"prepared_refs": prepared_refs, "method": method},
+        fn_constructor_kwargs={
+            "prepared_refs": prepared_refs,
+            "method": method,
+            "tombstones_ref": tomb_ref,
+        },
         # autoscaling pool: starts small, grows to the CPU budget — a fixed
         # pool larger than the cluster deadlocks behind the downstream stages
         concurrency=concurrency or (1, min(len(items), 16)),
@@ -324,15 +360,32 @@ def search(
     return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _union_tombstones(field_indexes: dict[str, str]) -> np.ndarray | None:
+    """Union of the field indexes' tombstone sets (None when all empty)."""
+    from splade_ray.delete import load_tombstones
+
+    arrs = [load_tombstones(d) for d in field_indexes.values()]
+    out = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    return out if out.size else None
+
+
 def _load_aligned_segments(
     seg_lists: dict[str, list[str]],
     fields: list[str],
     ord_: int,
     terms: dict[str, list[str]],
+    tombstones: np.ndarray | None = None,
 ) -> dict[str, SegmentIndex]:
     """Load one aligned segment per field and verify the doc-id alignment
-    contract (every field index built from the same corpus rows)."""
-    segs = {f: SegmentIndex(seg_lists[f][ord_], terms[f]) for f in fields}
+    contract (every field index built from the same corpus rows).
+    ``tombstones`` = union across field indexes (a doc deleted in any
+    field is gone from the fielded result); df statistics (FieldedUnionDf)
+    intentionally ignore tombstones until purge, like single-field search.
+    """
+    segs = {
+        f: SegmentIndex(seg_lists[f][ord_], terms[f], tombstones=tombstones)
+        for f in fields
+    }
     base = segs[fields[0]].doc_ids
     for f in fields[1:]:
         if not np.array_equal(segs[f].doc_ids, base):
@@ -358,6 +411,7 @@ class ScoreFieldedSegments:
         self.prepared: dict[str, dict] = plan["prepared"]
         self.weights: dict[str, float] = plan["weights"]
         self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.tombstones = plan.get("tombstones")
         self.fields = sorted(self.prepared)  # fixed field order -> fixed fp sum order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -369,6 +423,7 @@ class ScoreFieldedSegments:
                 self.fields,
                 ord_,
                 {f: self.prepared[f]["terms"] for f in self.fields},
+                self.tombstones,
             )
             base = segs[self.fields[0]].doc_ids
             qids = self.prepared[self.fields[0]]["queries"].keys()
@@ -454,6 +509,7 @@ class ScoreBM25FSegments:
         self.avgdl: dict[str, float] = plan["avgdl"]
         self.params: BM25Params = plan["params"]
         self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.tombstones = plan.get("tombstones")
         self.fields = sorted(self.seg_lists)
         self.terms = sorted(self.idf)
 
@@ -462,7 +518,8 @@ class ScoreBM25FSegments:
         rows: list[tuple[int, int, float]] = []
         for ord_ in batch["seg_ord"].to_pylist():
             segs = _load_aligned_segments(
-                self.seg_lists, self.fields, ord_, {f: self.terms for f in self.fields}
+                self.seg_lists, self.fields, ord_,
+                {f: self.terms for f in self.fields}, self.tombstones,
             )
             base = segs[self.fields[0]].doc_ids
             n = base.size
@@ -599,7 +656,8 @@ def search_fielded(
             for f in fields
         }
         plan_ref = ray.put(
-            {"prepared": prepared, "weights": dict(weights), "seg_lists": seg_lists}
+            {"prepared": prepared, "weights": dict(weights),
+             "seg_lists": seg_lists, "tombstones": _union_tombstones(field_indexes)}
         )
         return _fielded_run(
             items, ScoreFieldedSegments, plan_ref, params.top_k, concurrency
@@ -645,6 +703,7 @@ def search_fielded(
             "avgdl": {f: float(m["avgdl"]) for f, m in manifests.items()},
             "params": params,
             "seg_lists": seg_lists,
+            "tombstones": _union_tombstones(field_indexes),
         }
     )
     return _fielded_run(items, ScoreBM25FSegments, plan_ref, params.top_k, concurrency)
@@ -659,13 +718,23 @@ class IndexShardActor:
     the query's terms), the persistent actor loads its segments' full
     postings once in ``__init__`` and serves every query from RAM."""
 
-    def __init__(self, seg_dirs: list[str], method: str = "exact"):
+    def __init__(
+        self,
+        seg_dirs: list[str],
+        method: str = "exact",
+        tombstones: np.ndarray | None = None,
+    ):
         if method in ("quantized", "quantized_bmw"):
             from splade_ray.quantized import QuantizedSegment
 
-            self.segments = [QuantizedSegment(d, terms=None) for d in seg_dirs]
+            self.segments = [
+                QuantizedSegment(d, terms=None, tombstones=tombstones)
+                for d in seg_dirs
+            ]
         else:
-            self.segments = [SegmentIndex(d, terms=None) for d in seg_dirs]
+            self.segments = [
+                SegmentIndex(d, terms=None, tombstones=tombstones) for d in seg_dirs
+            ]
         self.method = method
 
     def search(self, prepared: dict) -> list[tuple[int, int, float]]:
@@ -757,8 +826,13 @@ class QueryRouter:
         for i, s in enumerate(segs):
             assignment[i % num_shards].append(s)
         self.index_dir = index_dir
+        from splade_ray.delete import load_tombstones
+
+        tomb = load_tombstones(index_dir)
         self.actors = [
-            IndexShardActor.options(scheduling_strategy="SPREAD").remote(a, method)
+            IndexShardActor.options(scheduling_strategy="SPREAD").remote(
+                a, method, tombstones=tomb if tomb.size else None
+            )
             for a in assignment
         ]
         self.quant_extra: dict = {}
@@ -993,8 +1067,13 @@ class Searcher:
         # postings then sit behind a different node's memory bandwidth and a
         # node loss takes out 1/num_shards of the index, not all of it.
         # No-op placement-wise in single-node mode.
+        from splade_ray.delete import load_tombstones
+
+        tomb = load_tombstones(index_dir)
         self.actors = [
-            IndexShardActor.options(scheduling_strategy="SPREAD").remote(a, method)
+            IndexShardActor.options(scheduling_strategy="SPREAD").remote(
+                a, method, tombstones=tomb if tomb.size else None
+            )
             for a in assignment
         ]
 

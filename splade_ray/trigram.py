@@ -144,6 +144,15 @@ def _trigrams_for_segment(seg_dir: str, text_col: str, id_col: str | None) -> in
     if not np.array_equal(order, np.arange(len(tbl))):
         tbl = tbl.take(pa.array(order))
         doc_id_arr = doc_id_arr[order]
+    # membership source of truth is the segment's doclens (the corpus slice
+    # still contains docs a purge physically removed)
+    live = pq.read_table(
+        os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+    )["doc_id"].to_numpy().astype(np.int64)
+    if live.size != doc_id_arr.size:
+        keep = np.flatnonzero(np.isin(doc_id_arr, live))
+        tbl = tbl.take(pa.array(keep))
+        doc_id_arr = doc_id_arr[keep]
     out = build_trigram_table(tbl[text_col], doc_id_arr)
     tmp = os.path.join(seg_dir, ".tmp-trigrams.parquet")
     pq.write_table(out, tmp)
@@ -266,8 +275,14 @@ def _verify_candidates(
         doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         doc_id_arr = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
-    if cand is not None:
-        sel = np.flatnonzero(np.isin(doc_id_arr, cand))
+    if cand is None:
+        # short-needle fallback scans every LIVE doc (the corpus slice may
+        # still contain docs a purge removed)
+        cand = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy().astype(np.int64)
+    sel = np.flatnonzero(np.isin(doc_id_arr, cand))
+    if sel.size != doc_id_arr.size:
         tbl = tbl.take(pa.array(sel))
         doc_id_arr = doc_id_arr[sel]
     low = pc.utf8_lower(tbl[text_col])
@@ -294,9 +309,13 @@ def substring_search(
 
     from splade_ray.build import load_manifest, segment_dirs
 
+    from splade_ray.delete import load_tombstones
+
     load_trigrams_manifest(index_dir)
     man = load_manifest(index_dir)
     text_col, id_col = man["text_col"], man.get("id_col")
+    _t = load_tombstones(index_dir)
+    tomb = _t if _t.size else None
     prepared: list[tuple[int, str, np.ndarray]] = []
     for qid, needle in needles:
         tris = needle_trigrams(needle)
@@ -319,6 +338,11 @@ def substring_search(
                 else:
                     cand = None
                 docs, cnts = _verify_candidates(seg_dir, text_col, id_col, cand, needle)
+                if tomb is not None and docs.size:
+                    # logical deletes: substring match is a filter (complete
+                    # result set), so post-filtering is exact
+                    keep = ~np.isin(docs, tomb)
+                    docs, cnts = docs[keep], cnts[keep]
                 qids.extend([qid] * docs.size)
                 docs_out.append(docs)
                 cnts_out.append(cnts)
