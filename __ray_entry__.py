@@ -710,6 +710,51 @@ GREP_QUERIES = [
 ]
 
 
+MLT_SEEDS = [0, 25, 123]
+MLT_TERMS = 5
+
+
+def q_more_like_this(sf_dir: str):
+    """Seed-doc similarity search (splade_ray.mlt): top-5 terms per seed by
+    the pinned integer ordering (tf desc, df asc, term asc), standard BM25
+    scatter-gather with qtf=1, seed excluded, ranks reassigned."""
+    from splade_ray.mlt import more_like_this
+
+    index_dir = _index_for(sf_dir)
+    run = more_like_this(
+        index_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        MLT_SEEDS,
+        m_terms=MLT_TERMS,
+        params=BM25Params(k1=K1, b=B, top_k=TOP_K),
+        text_col="text",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_facet_counts(sf_dir: str):
+    """Per-query facet counts over the lang column (splade_ray.facets):
+    exact count of live docs containing >=1 query term, counted segment-
+    locally (bincount over the doclens-carried facet column), merged as a
+    queries x langs table."""
+    from splade_ray.facets import facet_counts
+
+    index_dir = os.path.join(_work_dir(sf_dir, "facetidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+        extra_doc_cols=("lang",),
+    )
+    return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
+
+
 def q_substr_search(sf_dir: str):
     """Exact substring search via the per-segment trigram layer
     (splade_ray.trigram): candidate docs from rarest-first posting-list
@@ -1318,6 +1363,65 @@ def _bm25_purged_sql() -> str:
     return f"""{cte}
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _mlt_sql() -> str:
+    """SQL mirror of mlt.more_like_this over MLT_SEEDS: integer-exact term
+    selection (tf desc, df asc, term asc), bm25 with qtf=1, seed excluded
+    before ranking."""
+    seeds = ", ".join(f"({s})" for s in MLT_SEEDS)
+    return f"""
+WITH {_TF},
+lex AS (SELECT term, count(*)::BIGINT AS dfi FROM tf GROUP BY term),
+seeds(seed_id) AS (VALUES {seeds}),
+sel AS (SELECT s.seed_id, tf.term,
+               row_number() OVER (PARTITION BY s.seed_id
+                                  ORDER BY tf.tf DESC, l.dfi ASC, tf.term ASC) AS rn
+        FROM seeds s JOIN tf ON tf.doc_id = s.seed_id JOIN lex l USING (term)),
+q AS (SELECT seed_id AS query_id, term FROM sel WHERE rn <= {MLT_TERMS}),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0 AND doc_id <> query_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _facet_sql() -> str:
+    """SQL mirror of facets.facet_counts over BM25_QUERIES: distinct
+    (query, doc) matches via the token CTE, counted per lang."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term in sorted(term_counts(text)):
+            values.append(f"({qid}, '{term}')")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TOKS},
+q(query_id, term) AS (VALUES
+    {vals}
+),
+m AS (SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN toks t USING (term))
+SELECT m.query_id::BIGINT AS query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang"""
 
 
 def _substr_sql() -> str:
@@ -2018,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
+        "more_like_this": q_more_like_this,
+        "facet_counts": q_facet_counts,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
         "boolean_topk": q_boolean_topk,
@@ -2671,6 +2777,8 @@ SELECT *,
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
+        "more_like_this": _mlt_sql(),
+        "facet_counts": _facet_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),
         "boolean_topk": _boolean_sql(),

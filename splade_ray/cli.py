@@ -242,6 +242,39 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    """More-like-this: seed doc ids -> top-k similar docs."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.mlt import more_like_this
+
+    seeds = [int(x) for x in args.seeds.split(",") if x.strip()]
+    run = more_like_this(
+        args.index, args.corpus, seeds, m_terms=args.m_terms,
+        params=BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"seeds": len(seeds), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_facets(args) -> int:
+    """Per-query facet counts over a doclens-carried doc column."""
+    _ensure_ray()
+    from splade_ray.facets import facet_counts
+
+    queries = _load_queries(args.queries)
+    out = facet_counts(args.index, queries, facet_col=args.facet_col)
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(out), "out": args.out}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone docs (logical delete; all query paths filter instantly)."""
     from splade_ray.delete import delete_docs
@@ -873,6 +906,26 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--phrases", required=True, help="TSV: id\\tphrase text")
     ph.add_argument("--out", required=True, help=".parquet")
     ph.set_defaults(fn=cmd_phrase)
+
+    ml = sub.add_parser("mlt", help="more-like-this (seed-doc similarity)")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--corpus", required=True)
+    ml.add_argument("--seeds", required=True, help="comma-separated doc ids")
+    ml.add_argument("--out", required=True, help="run.json or .parquet")
+    ml.add_argument("--m-terms", type=int, default=10)
+    ml.add_argument("--top-k", type=int, default=10)
+    ml.add_argument("--k1", type=float, default=1.2)
+    ml.add_argument("--b", type=float, default=0.75)
+    ml.add_argument("--text-col", default="text")
+    ml.add_argument("--id-col", default="doc_id")
+    ml.set_defaults(fn=cmd_mlt)
+
+    fc = sub.add_parser("facets", help="per-query facet counts")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    fc.add_argument("--facet-col", default="lang")
+    fc.add_argument("--out", required=True, help=".parquet")
+    fc.set_defaults(fn=cmd_facets)
 
     dl = sub.add_parser("delete", help="tombstone docs (logical delete)")
     dl.add_argument("--index", required=True)

@@ -1,0 +1,110 @@
+"""Facet counts: per-query match counts grouped by a document attribute.
+
+The Lucene-faceting analog the reference lacks (its evaluator only emits
+ranked lists + metrics sidecars, ``transformer_evaluator.py:172-188``): for
+each query, how many LIVE documents match (contain ≥1 query term, i.e.
+would receive a BM25 score), broken down by a categorical doc column (lang,
+repo, source ...). The facet column rides in the segments' ``doclens``
+sidecar — build the index with ``extra_doc_cols=(facet_col,)``.
+
+Scale shape: counting is segment-local (union of the query terms' posting
+positions → one bincount over dictionary-encoded facet values); only
+(query, facet, count) rows — queries × facet-cardinality sized — leave each
+segment, and the final sum is a driver-side groupby over that tiny table.
+No shuffle, no doc ids cross the object store.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from splade_ray.bm25 import BM25Params
+from splade_ray.build import segment_dirs
+from splade_ray.query import SegmentIndex, prepare_queries
+
+
+def _facet_segment(
+    seg_dir: str, prepared: dict, facet_col: str, tombstones
+) -> list[tuple[int, str, int]]:
+    seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
+    fac = pq.read_table(
+        os.path.join(seg_dir, "doclens.parquet"), columns=[facet_col]
+    )[facet_col].combine_chunks().dictionary_encode()
+    codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = fac.dictionary.to_pylist()
+    rows: list[tuple[int, str, int]] = []
+    for qid, terms in prepared["queries"].items():
+        matched = np.zeros(seg.doc_ids.size, bool)
+        for term, _, _ in terms:
+            pos, _ = seg.pos_tfs(term)  # tombstone-filtered
+            matched[pos] = True
+        if not matched.any():
+            continue
+        counts = np.bincount(codes[matched], minlength=len(values))
+        for v, c in zip(values, counts.tolist()):
+            if c:
+                rows.append((qid, v, c))
+    return rows
+
+
+def facet_counts(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    facet_col: str = "lang",
+    params: BM25Params | None = None,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """(query_id, facet, n_docs) for every query — n_docs = live documents
+    containing at least one query term, counted exactly. Sorted by
+    (query_id, facet)."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+    segs = segment_dirs(index_dir)
+
+    def task(batch: pa.Table) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        rows: list[tuple[int, str, int]] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            rows.extend(_facet_segment(seg_dir, prep, facet_col, t))
+        return pa.table(
+            {
+                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+                "facet": pa.array([r[1] for r in rows], pa.string()),
+                "n_docs": pa.array(np.array([r[2] for r in rows], np.int64)),
+            }
+        )
+
+    pdf = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "facet": pd.Series([], dtype=str),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        pdf.groupby(["query_id", "facet"], as_index=False)["n_docs"]
+        .sum()  # queries × facet-cardinality rows — tiny
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    return out
