@@ -710,6 +710,46 @@ GREP_QUERIES = [
 ]
 
 
+QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+KMV_K = 256
+
+
+def q_doclen_quantiles(sf_dir: str):
+    """Exact per-lang quantiles of n_chars (ops/sketch.value_quantiles):
+    value-count partials + a distinct-value-sized groupby — no global sort.
+    Selection rank pinned to DuckDB quantile_disc (max(ceil(q*n), 1))."""
+    from splade_ray.ops.sketch import value_quantiles
+
+    return value_quantiles(
+        _docs(sf_dir, ["lang", "n_chars"]), "n_chars", QUANTILE_QS, by="lang"
+    )
+
+
+def q_distinct_terms_kmv(sf_dir: str):
+    """KMV distinct-term sketch per lang (ops/sketch.kmv_distinct): k
+    smallest sha256-prefix hashes per group, integer estimate
+    (k-1)*2^63 // kth_min — deterministic and HUGEINT-mirrorable."""
+    from splade_ray.analysis import tokenize_column
+    from splade_ray.ops.sketch import kmv_distinct
+
+    def flat_lang_terms(batch):
+        import pyarrow as _pa
+
+        terms, par, _ = tokenize_column(batch["text"])
+        langs = batch["lang"].to_pylist()
+        return _pa.table(
+            {
+                "lang": _pa.array([langs[i] for i in par.tolist()], _pa.string()),
+                "term": terms,
+            }
+        )
+
+    ds = _docs(sf_dir, ["lang", "text"]).map_batches(
+        flat_lang_terms, batch_format="pyarrow", batch_size=512
+    )
+    return kmv_distinct(ds, "term", k=KMV_K, by="lang")
+
+
 MLT_SEEDS = [0, 25, 123]
 MLT_TERMS = 5
 
@@ -1363,6 +1403,34 @@ def _bm25_purged_sql() -> str:
     return f"""{cte}
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _doclen_quantiles_sql() -> str:
+    mille = ", ".join(str(int(q * 1000)) for q in QUANTILE_QS)
+    qlist = ", ".join(str(q) for q in QUANTILE_QS)
+    return f"""
+SELECT lang,
+       unnest([{mille}])::BIGINT AS q_mille,
+       unnest(quantile_disc(n_chars, [{qlist}]))::BIGINT AS value
+FROM documents GROUP BY lang"""
+
+
+def _kmv_sql() -> str:
+    k, scale = KMV_K, 1 << 63
+    return f"""
+WITH {_TOKS},
+lt AS (SELECT d.lang, t.term FROM toks t JOIN documents d USING (doc_id)),
+h AS (SELECT DISTINCT lang,
+             (('0x' || substr(sha256(term), 1, 16))::UBIGINT >> 1)::BIGINT AS hv
+      FROM lt),
+r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+agg AS (SELECT lang, count(*)::BIGINT AS k_used, max(hv)::BIGINT AS kth_min
+        FROM r WHERE rn <= {k} GROUP BY lang)
+SELECT lang, k_used, kth_min,
+       (CASE WHEN k_used < {k} THEN k_used::HUGEINT
+             ELSE (({k} - 1)::HUGEINT * {scale}::HUGEINT) // kth_min END)::BIGINT
+         AS est_distinct
+FROM agg"""
 
 
 def _mlt_sql() -> str:
@@ -2122,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
+        "doclen_quantiles": q_doclen_quantiles,
+        "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
         "facet_counts": q_facet_counts,
         "substr_search": q_substr_search,
@@ -2777,6 +2847,8 @@ SELECT *,
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
+        "doclen_quantiles": _doclen_quantiles_sql(),
+        "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),
         "facet_counts": _facet_sql(),
         "substr_search": _substr_sql(),

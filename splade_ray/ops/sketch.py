@@ -1,0 +1,172 @@
+"""Distributed summary sketches: exact quantiles + KMV distinct counting.
+
+LLM-pipeline dataset profiling ops the reference lacks (its only stats are
+mean L0 / FLOPS sidecars, ``transformer_evaluator.py:174-185``):
+
+- :func:`value_quantiles` — EXACT quantiles of a bounded-cardinality integer
+  column (doc lengths, char counts, token counts ...) without a global
+  sort: per-batch value-count partials, one (group, value)-sized groupby,
+  driver-side cumsum over the distinct-value table. The shuffle carries
+  distinct-value rows, not data rows — for length-like columns that's
+  thousands of rows at any corpus scale, vs the full-data exchange
+  ``ds.sort`` would pay. Selection rule pinned to DuckDB ``quantile_disc``:
+  1-based rank ``max(ceil(q·n), 1)``.
+- :func:`kmv_distinct` — k-minimum-values distinct-count sketch (Bar-Yossef
+  et al. 2002): per group keep the k smallest 63-bit value hashes; estimate
+  ``(k-1) · 2^63 / kth_min``. Deterministic (no RNG — the hash is
+  sha256-prefix, the same mirror every signature oracle uses), mergeable
+  (min-merge), and integer-exact against a HUGEINT SQL twin. When a group
+  has fewer than k distinct values the sketch IS the exact count.
+
+Both ops are partitioning-invariant: partial states are commutative
+monoids, so re-runs and different block layouts give identical results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+_SCALE = 1 << 63  # hash domain after the >>1 fold (fits int64)
+
+
+def quantile_rank(q: float, n: int) -> int:
+    """DuckDB quantile_disc's 1-based rank: max(ceil(q·n), 1)."""
+    return max(int(np.ceil(q * n)), 1)
+
+
+def value_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    by: str | None = None,
+) -> pd.DataFrame:
+    """Exact quantiles of an integer column, optionally per group.
+
+    Returns ``(by?, q_mille, value)`` sorted — ``q_mille`` is the quantile
+    in integer permille (0.5 → 500) so every output column is integer/string
+    (hash-stable). Contract: ``col`` has bounded distinct cardinality (the
+    value-count table must fit on the driver); lengths/counts qualify,
+    arbitrary floats don't."""
+    keys = ([by] if by else []) + [col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys)
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-value-sized
+    )
+    rows = []
+    groups = counts.groupby(by) if by else [(None, counts)]
+    for gkey, g in groups:
+        g = g.sort_values(col)
+        vals = g[col].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        for q in qs:
+            r = quantile_rank(q, n)
+            v = vals[np.searchsorted(cum, r)]
+            row = {"q_mille": int(round(q * 1000)), "value": int(v)}
+            if by:
+                row[by] = gkey
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    sort_cols = ([by] if by else []) + ["q_mille"]
+    return out.sort_values(sort_cols).reset_index(drop=True)[
+        ([by] if by else []) + ["q_mille", "value"]
+    ]
+
+
+def hash_value63(v: str) -> int:
+    """63-bit value hash: sha256-prefix uint64 >> 1 (drops the sign bit so
+    the value fits BIGINT on both sides). DuckDB mirror:
+    ``(('0x' || substr(sha256(v), 1, 16))::UBIGINT >> 1)::BIGINT``."""
+    return int.from_bytes(hashlib.sha256(v.encode()).digest()[:8], "big") >> 1
+
+
+def kmv_estimate(k_used: int, k: int, kth_min: int) -> int:
+    """Integer KMV estimate: exact count below k, else (k-1)·2^63 // kth."""
+    if k_used < k:
+        return k_used
+    return ((k - 1) * _SCALE) // kth_min
+
+
+def kmv_distinct(
+    ds: Dataset,
+    col: str,
+    k: int = 1024,
+    *,
+    by: str | None = None,
+) -> pd.DataFrame:
+    """KMV distinct-count sketch over a string column, optionally grouped.
+
+    Returns ``(by?, k_used, kth_min, est_distinct)`` — all integers, so the
+    result is bit-exact reproducible and SQL-mirrorable. Each batch emits at
+    most k hashes per group (hash unique values once via dictionary
+    encoding); the driver min-merges k·n_blocks candidate rows per group."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        enc = vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        uh = np.array([hash_value63(v) for v in uniq], np.int64)
+        if by:
+            grp = batch[by]
+            if isinstance(grp, pa.ChunkedArray):
+                grp = grp.combine_chunks()
+            genc = grp.dictionary_encode()
+            gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            gvals = genc.dictionary.to_pylist()
+            pair = np.unique(gcodes * np.int64(len(uniq)) + codes)
+            g_out, h_out = [], []
+            pg = pair // len(uniq)
+            ph = uh[pair % len(uniq)]
+            for gi in np.unique(pg):
+                sel = np.sort(ph[pg == gi])[:k]
+                g_out.extend([gvals[int(gi)]] * sel.size)
+                h_out.append(sel)
+            return pa.table(
+                {
+                    by: pa.array(g_out, pa.string()),
+                    "hv": pa.array(
+                        np.concatenate(h_out) if h_out else np.empty(0, np.int64)
+                    ),
+                }
+            )
+        sel = np.sort(np.unique(uh))[:k]
+        return pa.table({"hv": pa.array(sel)})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    groups = pdf.groupby(by) if by else [(None, pdf)]
+    for gkey, g in groups:
+        hv = np.unique(g["hv"].to_numpy())[:k]
+        k_used = int(hv.size)
+        kth = int(hv[-1]) if k_used else 0
+        row = {
+            "k_used": k_used,
+            "kth_min": kth,
+            "est_distinct": kmv_estimate(k_used, k, kth),
+        }
+        if by:
+            row[by] = gkey
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    cols = ([by] if by else []) + ["k_used", "kth_min", "est_distinct"]
+    if by:
+        out = out.sort_values(by)
+    return out.reset_index(drop=True)[cols]

@@ -1,0 +1,108 @@
+"""Exact-quantile + KMV distinct-sketch tests."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+from splade_ray.ops.sketch import (
+    hash_value63,
+    kmv_distinct,
+    kmv_estimate,
+    quantile_rank,
+    value_quantiles,
+)
+
+
+def test_quantile_rank_matches_duckdb():
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 50, size=237)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    want = duckdb.sql(
+        "select quantile_disc(v, $qs) from (select unnest($v::BIGINT[]) v)",
+        params={"qs": qs, "v": vals.tolist()},
+    ).fetchone()[0]
+    s = np.sort(vals)
+    got = [int(s[quantile_rank(q, vals.size) - 1]) for q in qs]
+    assert got == list(want)
+
+
+def test_value_quantiles_grouped(ray_session):
+    rng = np.random.RandomState(7)
+    n = 5000
+    langs = np.array(["en", "fr", "zh"])[rng.randint(0, 3, n)]
+    vals = rng.randint(0, 400, n)
+    ds = rd.from_arrow(
+        pa.table({"lang": pa.array(langs.tolist()), "v": pa.array(vals, pa.int64())})
+    ).repartition(13)
+    qs = [0.1, 0.5, 0.9]
+    got = value_quantiles(ds, "v", qs, by="lang")
+    for lang in ["en", "fr", "zh"]:
+        sub = np.sort(vals[langs == lang])
+        for q in qs:
+            want = int(sub[quantile_rank(q, sub.size) - 1])
+            row = got[(got["lang"] == lang) & (got["q_mille"] == int(q * 1000))]
+            assert int(row["value"].iloc[0]) == want, (lang, q)
+
+    # partitioning invariance
+    got2 = value_quantiles(
+        rd.from_arrow(
+            pa.table({"lang": pa.array(langs.tolist()), "v": pa.array(vals, pa.int64())})
+        ).repartition(2),
+        "v", qs, by="lang",
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_hash_value63_sql_mirror():
+    vals = ["alpha", "beta", "注释", ""]
+    got = [hash_value63(v) for v in vals]
+    want = [
+        duckdb.sql(
+            "select (('0x' || substr(sha256($v), 1, 16))::UBIGINT >> 1)::BIGINT",
+            params={"v": v},
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_kmv_exact_below_k(ray_session):
+    ds = rd.from_arrow(
+        pa.table({"t": pa.array([f"tok{i % 37}" for i in range(1000)])})
+    ).repartition(5)
+    out = kmv_distinct(ds, "t", k=64)
+    assert out["k_used"].iloc[0] == 37 and out["est_distinct"].iloc[0] == 37
+
+
+def test_kmv_estimate_accuracy_and_determinism(ray_session):
+    n_true = 5000
+    vals = [f"value-{i}" for i in range(n_true)]
+    ds = rd.from_arrow(pa.table({"t": pa.array(vals * 2)})).repartition(17)
+    out = kmv_distinct(ds, "t", k=256)
+    est = int(out["est_distinct"].iloc[0])
+    assert abs(est - n_true) / n_true < 0.15  # k=256 -> ~6% std
+    # deterministic across partitionings
+    out2 = kmv_distinct(
+        rd.from_arrow(pa.table({"t": pa.array(vals * 2)})).repartition(3), "t", k=256
+    )
+    pd.testing.assert_frame_equal(out, out2)
+    # estimate formula is pure integer math
+    assert est == kmv_estimate(256, 256, int(out["kth_min"].iloc[0]))
+
+
+def test_kmv_grouped(ray_session):
+    rows_lang, rows_t = [], []
+    for i in range(800):
+        rows_lang.append("en" if i % 2 == 0 else "fr")
+        rows_t.append(f"w{i % (100 if i % 2 == 0 else 23)}")
+    ds = rd.from_arrow(
+        pa.table({"lang": pa.array(rows_lang), "t": pa.array(rows_t)})
+    ).repartition(7)
+    out = kmv_distinct(ds, "t", k=512, by="lang")
+    # even i -> even residues mod 100 only (50 distinct); odd i covers all 23
+    assert dict(zip(out["lang"], out["est_distinct"])) == {"en": 50, "fr": 23}
