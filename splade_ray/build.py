@@ -104,6 +104,19 @@ def _read_slice(path: str, row_start: int, num_rows: int, columns: list[str]) ->
     return t.slice(offset_in_sel or 0, num_rows)
 
 
+def read_lineage_slices(manifest: dict, columns: list[str]) -> pa.Table:
+    """Concatenate the corpus slices a segment was built from. Plain
+    segments have one (path, row_start, num_rows) slice; compacted segments
+    record their flattened ``sources`` (splade_ray.compact._lineage_slices),
+    in doc-id order."""
+    srcs = manifest.get("sources") or [
+        {k: manifest[k] for k in ("path", "row_start", "num_rows")}
+    ]
+    return pa.concat_tables(
+        [_read_slice(s["path"], s["row_start"], s["num_rows"], columns) for s in srcs]
+    )
+
+
 def _seg_dir(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
 

@@ -94,6 +94,15 @@ def _seg_dir(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
 
 
+def _lineage_slices(manifest: dict) -> list[dict]:
+    """A segment's corpus slices: its own (path, row_start, num_rows), or —
+    for an already-compacted segment — the recorded flattened sources."""
+    got = manifest.get("sources")
+    if got is not None:
+        return got
+    return [{k: manifest[k] for k in ("path", "row_start", "num_rows")}]
+
+
 def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
     """Merge one group of consecutive segments; returns the new manifest."""
     seg_dirs = [_seg_dir(index_dir, i) for i in ids]
@@ -143,6 +152,9 @@ def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
         "block_size": manifests[0]["block_size"],
         "build_secs": 0.0,
         "compacted_from": ids,
+        # flattened corpus lineage so derived layers (positions/trigrams)
+        # can re-read the merged segment's text after compaction
+        "sources": [s for m in manifests for s in _lineage_slices(m)],
     }
 
     tmp = os.path.join(index_dir, "segments", f".tmp-compact-{uuid.uuid4().hex[:8]}")
@@ -201,7 +213,16 @@ def _finalize_compaction(index_dir: str, journal: dict) -> dict:
         manifest["compactions"] += 1
         with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=1)
-    # derived quantized layers are stale after a merge
+    # EVERY derived layer (quantized/positions/trigrams) is stale after a
+    # merge: merged dirs are staged fresh without layer files, so a layer
+    # manifest claiming completeness would crash queries on the missing
+    # files. Mark existing layer manifests pending (queries refuse until the
+    # layer is re-derived); untouched segments keep their files, so the
+    # re-derive only rebuilds the merged segments. The quantized layer keeps
+    # its historical conservative behavior (params protocol): manifest
+    # removed + every postings_q dropped.
+    from splade_ray.delete import _invalidate_layers
+
     qpath = os.path.join(index_dir, "quantized.json")
     if os.path.exists(qpath):
         os.remove(qpath)
@@ -209,6 +230,7 @@ def _finalize_compaction(index_dir: str, journal: dict) -> dict:
         qp = os.path.join(_seg_dir(index_dir, sid), "postings_q.parquet")
         if os.path.exists(qp):
             os.remove(qp)
+    _invalidate_layers(index_dir)
     os.remove(_journal_path(index_dir))
     return manifest
 

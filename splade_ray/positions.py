@@ -164,7 +164,7 @@ def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang
     """Build one segment's positions.parquet by re-reading its lineage slice
     (manifest path/row_start/num_rows) — the corpus itself is the source of
     truth, not a second copy of the text."""
-    from splade_ray.build import _read_slice
+    from splade_ray.build import read_lineage_slices
 
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
         m = json.load(fh)
@@ -173,7 +173,7 @@ def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang
         cols.append(lang_col)
     if id_col:
         cols.append(id_col)
-    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    tbl = read_lineage_slices(m, cols)
     if id_col:
         doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     else:

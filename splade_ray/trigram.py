@@ -130,12 +130,12 @@ def build_trigram_table(texts: pa.Array | pa.ChunkedArray, doc_ids: np.ndarray) 
 
 
 def _trigrams_for_segment(seg_dir: str, text_col: str, id_col: str | None) -> int:
-    from splade_ray.build import _read_slice
+    from splade_ray.build import read_lineage_slices
 
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
         m = json.load(fh)
     cols = [text_col] + ([id_col] if id_col else [])
-    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    tbl = read_lineage_slices(m, cols)
     if id_col:
         doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     else:
@@ -265,12 +265,12 @@ def _verify_candidates(
     """(doc_ids, non-overlapping occurrence counts) of docs whose lowered
     text actually contains the lowered needle. ``cand=None`` means scan the
     whole segment (short-needle fallback)."""
-    from splade_ray.build import _read_slice
+    from splade_ray.build import read_lineage_slices
 
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
         m = json.load(fh)
     cols = [text_col] + ([id_col] if id_col else [])
-    tbl = _read_slice(m["path"], m["row_start"], m["num_rows"], cols)
+    tbl = read_lineage_slices(m, cols)
     if id_col:
         doc_id_arr = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     else:

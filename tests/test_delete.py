@@ -155,3 +155,33 @@ def test_cli_delete_purge(ray_session, tmp_path, capsys):
     assert main(["purge", "--index", idx]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n_purged_docs"] == 3 and rep["n_docs"] == 57
+
+
+def test_compaction_invalidates_all_derived_layers(ray_session, tmp_path):
+    """A merge leaves merged dirs without layer files — positions/trigram
+    manifests must flip to pending (queries refuse) and re-derive only the
+    merged segments."""
+    from splade_ray.compact import compact_segments
+    from splade_ray.positions import build_positions, phrase_search
+    from splade_ray.trigram import build_trigrams, substring_search
+
+    corpus = _write_corpus(tmp_path, n=100)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, text_col="content", id_col="doc_id",
+                rows_per_segment=20)
+    build_positions(idx)
+    build_trigrams(idx)
+    before = phrase_search(idx, [(0, "def")])
+    compact_segments(idx, group_size=2)
+    with pytest.raises(ValueError, match="pending"):
+        phrase_search(idx, [(0, "def")])
+    with pytest.raises(ValueError, match="pending"):
+        substring_search(idx, [(0, "merge")])
+    rep = build_positions(idx)
+    # 5 source segments merge as (0,1),(2,3),(4): the two merged dirs
+    # rebuild from their recorded lineage sources, the untouched singleton
+    # keeps its file and is skipped
+    assert rep["n_segments"] == 3 and rep["n_segments_skipped"] == 1
+    build_trigrams(idx)
+    after = phrase_search(idx, [(0, "def")])
+    pd.testing.assert_frame_equal(before, after)
