@@ -310,14 +310,15 @@ def cmd_grep(args) -> int:
     """Exact substring search: trigram-pruned (--index) or full scan
     (--corpus, also the regex path)."""
     _ensure_ray()
-    from splade_ray.trigram import grep_scan, substring_search
+    from splade_ray.trigram import grep_scan, regex_search, substring_search
 
     needles = _load_queries(args.needles)
     if args.index:
         if args.regex:
-            raise SystemExit("regex search needs --corpus (full scan); the "
-                             "trigram layer prunes literal substrings only")
-        res = substring_search(args.index, needles)
+            # required-literal trigram pruning + RE2 verification
+            res = regex_search(args.index, needles)
+        else:
+            res = substring_search(args.index, needles)
     else:
         from splade_ray.io import read_parquet_clean
 

@@ -375,6 +375,217 @@ def substring_search(
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
+# ------------------------------------------------ regex -> trigram pruning
+
+try:  # Python 3.11+: the sre parser moved under re._parser
+    from re import _parser as _sre
+except ImportError:  # pragma: no cover
+    import sre_parse as _sre
+
+
+def _seq_literals(seq) -> list[set[str]]:
+    """Conservative required-literal analysis of one sre node sequence
+    (the Cox code-search trick, simplified to AND-of-OR form): returns
+    groups where every match of the sequence must contain AT LEAST ONE
+    literal from EACH group. Sound but not complete — unanalyzable
+    constructs just contribute nothing (never a wrong prune)."""
+    groups: list[set[str]] = []
+    run: list[str] = []
+
+    def flush():
+        if run:
+            s = "".join(run).lower()
+            if len(s.encode("utf-8")) >= 3:
+                groups.append({s})
+            run.clear()
+
+    for op, av in seq:
+        name = str(op)
+        if name == "LITERAL":
+            run.append(chr(av))
+            continue
+        if name == "SUBPATTERN":
+            flush()
+            groups.extend(_seq_literals(av[3]))
+            continue
+        if name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            mn, _, sub = av
+            if mn >= 1 and all(str(o) == "LITERAL" for o, _ in sub):
+                # the repeat's FIRST iteration is adjacent to the preceding
+                # literal run, so run+body is one required substring (e.g.
+                # 'zzz+' requires 'zzz'); nothing after the repeat may
+                # extend the run (ab+c does NOT require 'abc')
+                run.extend(chr(a) for _, a in sub)
+                flush()
+                continue
+            flush()
+            if mn >= 1:  # the body must occur at least once
+                groups.extend(_seq_literals(sub))
+            continue
+        if name == "BRANCH":
+            flush()
+            # one representative required literal per alternative; the
+            # whole group is usable only if EVERY alternative yields one
+            reps: set[str] = set()
+            ok = True
+            for alt in av[1]:
+                alt_groups = _seq_literals(alt)
+                if not alt_groups:
+                    ok = False
+                    break
+                reps.add(max((lit for g in alt_groups for lit in g), key=len))
+            if ok:
+                groups.append(reps)
+            continue
+        if name == "ATOMIC_GROUP":
+            flush()
+            groups.extend(_seq_literals(av))
+            continue
+        if name == "AT":  # anchors don't break a literal run's adjacency
+            continue
+        # ANY, IN, NOT_LITERAL, ASSERT, GROUPREF, ... : breaks the run,
+        # contributes no requirement
+        flush()
+    flush()
+    return groups
+
+
+def required_trigram_groups(pattern: str) -> list[list[np.ndarray]]:
+    """AND-of-OR trigram condition for a regex: a matching doc must, for
+    every group, contain ALL trigrams of at least one of the group's
+    literals. Empty list = no pruning possible (full scan). Raises
+    ``re.error`` on an invalid pattern (same as the verifier would)."""
+    groups = _seq_literals(_sre.parse(pattern))
+    out: list[list[np.ndarray]] = []
+    for g in groups:
+        tri_alts = [needle_trigrams(lit) for lit in sorted(g)]
+        if any(t.size == 0 for t in tri_alts):
+            continue  # an alternative too short to prune voids the group
+        out.append(tri_alts)
+    return out
+
+
+def _regex_candidates(seg_dir: str, groups: list[list[np.ndarray]]) -> np.ndarray | None:
+    """Docs in this segment satisfying the AND-of-OR trigram condition, or
+    None when the layer proves no doc can match."""
+    cand: np.ndarray | None = None
+    for alts in groups:
+        docs: np.ndarray | None = None
+        for tris in alts:
+            d = _segment_candidates(seg_dir, tris)
+            if d is not None and d.size:
+                docs = d if docs is None else np.union1d(docs, d)
+        if docs is None:
+            return None  # no alternative of a required group matches
+        cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
+        if cand.size == 0:
+            return None
+    return cand
+
+
+def regex_search(
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    *,
+    case_insensitive: bool = True,
+    concurrency: int | None = None,
+):
+    """Exact regex search accelerated by the trigram layer: candidate docs
+    from the pattern's required-literal trigram condition, verified with
+    the RE2 kernel (leftmost non-overlapping occurrence counts). Patterns
+    with no extractable literals fall back to a full verification scan of
+    live docs (logged). Returns (query_id, doc_id, n_occurrences) sorted."""
+    import pandas as pd
+
+    from splade_ray.build import load_manifest, segment_dirs
+    from splade_ray.delete import load_tombstones
+
+    load_trigrams_manifest(index_dir)
+    man = load_manifest(index_dir)
+    text_col, id_col = man["text_col"], man.get("id_col")
+    _t = load_tombstones(index_dir)
+    tomb = _t if _t.size else None
+    prepared = []
+    for qid, pat in patterns:
+        groups = required_trigram_groups(pat)
+        if not groups:
+            logger.warning(
+                "regex %r has no extractable required literals >=3 bytes: "
+                "falling back to full verification scan",
+                pat,
+            )
+        prepared.append((qid, pat, groups))
+
+    def task(batch: pa.Table) -> pa.Table:
+        from splade_ray.build import read_lineage_slices
+
+        qids, docs_out, cnts_out = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            slice_cache: pa.Table | None = None
+            for qid, pat, groups in prepared:
+                if groups:
+                    cand = _regex_candidates(seg_dir, groups)
+                    if cand is None or cand.size == 0:
+                        continue
+                else:
+                    cand = None
+                with open(os.path.join(seg_dir, "manifest.json")) as fh:
+                    m = json.load(fh)
+                if slice_cache is None:
+                    cols = [text_col] + ([id_col] if id_col else [])
+                    slice_cache = read_lineage_slices(m, cols)
+                tbl = slice_cache
+                if id_col:
+                    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                else:
+                    ids = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
+                if cand is None:
+                    cand = pq.read_table(
+                        os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+                    )["doc_id"].to_numpy().astype(np.int64)
+                sel = np.flatnonzero(np.isin(ids, cand))
+                sub, ids = tbl.take(pa.array(sel)), ids[sel]
+                c = pc.count_substring_regex(
+                    sub[text_col], pat, ignore_case=case_insensitive
+                ).to_numpy(zero_copy_only=False)
+                c = np.nan_to_num(c).astype(np.int64)
+                keep = c > 0
+                docs, cnts = ids[keep], c[keep]
+                if tomb is not None and docs.size:
+                    live = ~np.isin(docs, tomb)
+                    docs, cnts = docs[live], cnts[live]
+                qids.extend([qid] * docs.size)
+                docs_out.append(docs)
+                cnts_out.append(cnts)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, np.int64)),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+                ),
+                "n_occurrences": pa.array(
+                    np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    segs = segment_dirs(index_dir)
+    out = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", concurrency=concurrency)
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_occurrences": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
 def grep_scan(
     ds,
     patterns: list[tuple[int, str]],

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -133,3 +134,70 @@ def test_grep_scan_substring_and_regex(ray_session):
     ).to_pandas()
     rex = rex.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     assert list(map(tuple, rex.values)) == [(1, 0, 2), (1, 2, 2), (1, 4, 1)]
+
+
+def test_required_trigram_groups_soundness():
+    from splade_ray.trigram import required_trigram_groups
+
+    def tris(s):
+        b = s.encode()
+        return {b[i:i + 3] for i in range(len(b) - 2)}
+
+    # group sizes / shapes for representative patterns
+    assert required_trigram_groups(r"ab+c") == []          # no 3-byte literal
+    assert len(required_trigram_groups(r"zzz+")) == 1       # run+body fold
+    assert len(required_trigram_groups(r"batch\s+batch")) == 2
+    assert required_trigram_groups(r"foo|ab") == []         # short alternative voids
+    g = required_trigram_groups(r"foobar|bazqux")
+    assert len(g) == 1 and len(g[0]) == 2                   # OR group
+
+
+def test_regex_search_matches_full_scan(ray_session, tmp_path):
+    import re
+
+    import ray.data as rd
+
+    from splade_ray.trigram import build_trigrams, grep_scan, regex_search
+
+    t = synth_corpus(150, seed=31)
+    texts = t["content"].to_pylist()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(150, dtype=np.int64), "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=25)
+    build_trigrams(index_dir)
+    pats = [
+        (0, r"return\s+\w+"),        # literal + class
+        (1, r"rare_token_\d+"),      # selective prefix
+        (2, r"def|class"),           # OR group, both >=3 bytes
+        (3, r"x\d"),                 # no pruning possible -> fallback
+        (4, r"no_such_literal_zzz"),
+    ]
+    pruned = regex_search(index_dir, pats)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": np.arange(150, dtype=np.int64), "text": texts})
+    )
+    full = (
+        grep_scan(ds, pats, regex=True)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pruned, full)
+    # and against plain re (overlap semantics: leftmost non-overlapping)
+    for qid, pat in pats:
+        want = {
+            (qid, i, len(re.findall(pat, tx, re.I)))
+            for i, tx in enumerate(texts)
+            if re.search(pat, tx, re.I)
+        }
+        got = {
+            tuple(r)
+            for r in pruned[pruned["query_id"] == qid][
+                ["query_id", "doc_id", "n_occurrences"]
+            ].values
+        }
+        assert got == want, pat
