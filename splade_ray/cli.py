@@ -301,7 +301,7 @@ def cmd_trigrams(args) -> int:
     _ensure_ray()
     from splade_ray.trigram import build_trigrams
 
-    rep = build_trigrams(args.index)
+    rep = build_trigrams(args.index, max_df_frac=args.max_df_frac)
     print(json.dumps(rep))
     return 0
 
@@ -939,6 +939,9 @@ def main(argv: list[str] | None = None) -> int:
 
     tg = sub.add_parser("trigrams", help="build trigram layer (substring search)")
     tg.add_argument("--index", required=True)
+    tg.add_argument("--max-df-frac", type=float, default=None,
+                    help="drop posting bytes of trigrams in > this fraction "
+                         "of a segment's docs (smaller layer, zero recall loss)")
     tg.set_defaults(fn=cmd_trigrams)
 
     gr = sub.add_parser("grep", help="substring/regex search (trigram-pruned or scan)")

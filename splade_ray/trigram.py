@@ -103,8 +103,22 @@ def doc_trigrams(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndar
     return rows[order], tris[order]
 
 
-def build_trigram_table(texts: pa.Array | pa.ChunkedArray, doc_ids: np.ndarray) -> pa.Table:
-    """Trigram postings for one segment's documents (doc_ids ascending)."""
+def build_trigram_table(
+    texts: pa.Array | pa.ChunkedArray,
+    doc_ids: np.ndarray,
+    *,
+    max_df: int | None = None,
+) -> pa.Table:
+    """Trigram postings for one segment's documents (doc_ids ascending).
+
+    ``max_df`` caps the layer's size: a trigram appearing in more than
+    ``max_df`` docs keeps its row (df intact) but stores EMPTY
+    ``docs_enc`` — the query side treats such a row as "present in
+    (effectively) every doc": it contributes no pruning but also never
+    proves absence, so capped layers stay exact (verification is the
+    source of truth either way). For code corpora ubiquitous trigrams
+    (``def``, ``ing``, `` = ``) dominate posting bytes while pruning
+    nothing."""
     rows, tris = doc_trigrams(texts)
     if rows.size == 0:
         return pa.table({k: [] for k in TRIGRAM_SCHEMA.names}, schema=TRIGRAM_SCHEMA)
@@ -115,12 +129,13 @@ def build_trigram_table(texts: pa.Array | pa.ChunkedArray, doc_ids: np.ndarray) 
     deltas[0] = docs[0]
     np.subtract(docs[1:], docs[:-1], out=deltas[1:])
     deltas[start] = docs[start]
+    cap = max_df if max_df is not None else np.iinfo(np.int64).max
     out = {
         "tri": pa.array(tris[start], pa.int32()),
         "df": pa.array(counts, pa.int64()),
         "docs_enc": pa.array(
             [
-                varbyte_encode(deltas[s : s + c])
+                varbyte_encode(deltas[s : s + c]) if c <= cap else b""
                 for s, c in zip(start.tolist(), counts.tolist())
             ],
             pa.binary(),
@@ -129,7 +144,12 @@ def build_trigram_table(texts: pa.Array | pa.ChunkedArray, doc_ids: np.ndarray) 
     return pa.table(out, schema=TRIGRAM_SCHEMA)
 
 
-def _trigrams_for_segment(seg_dir: str, text_col: str, id_col: str | None) -> int:
+def _trigrams_for_segment(
+    seg_dir: str,
+    text_col: str,
+    id_col: str | None,
+    max_df_frac: float | None = None,
+) -> int:
     from splade_ray.build import read_lineage_slices
 
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
@@ -153,17 +173,30 @@ def _trigrams_for_segment(seg_dir: str, text_col: str, id_col: str | None) -> in
         keep = np.flatnonzero(np.isin(doc_id_arr, live))
         tbl = tbl.take(pa.array(keep))
         doc_id_arr = doc_id_arr[keep]
-    out = build_trigram_table(tbl[text_col], doc_id_arr)
+    max_df = (
+        max(1, int(max_df_frac * doc_id_arr.size)) if max_df_frac is not None else None
+    )
+    out = build_trigram_table(tbl[text_col], doc_id_arr, max_df=max_df)
     tmp = os.path.join(seg_dir, ".tmp-trigrams.parquet")
     pq.write_table(out, tmp)
     os.replace(tmp, os.path.join(seg_dir, "trigrams.parquet"))
     return out.num_rows
 
 
-def build_trigrams(index_dir: str, *, concurrency: int | None = None) -> dict:
+def build_trigrams(
+    index_dir: str,
+    *,
+    max_df_frac: float | None = None,
+    concurrency: int | None = None,
+) -> dict:
     """Derive the trigram layer for every segment (one Ray task per segment;
     existing trigrams.parquet reused — resumable; pending-marker protocol as
-    in the positional/quantized layers)."""
+    in the positional/quantized layers).
+
+    ``max_df_frac``: drop posting bytes of trigrams present in more than
+    this fraction of a segment's docs (see ``build_trigram_table``) —
+    typically shrinks the layer several-fold on code corpora with zero
+    recall loss. Changing the cap invalidates and rebuilds the layer."""
     from splade_ray.build import load_manifest, segment_dirs
 
     man = load_manifest(index_dir)
@@ -174,20 +207,27 @@ def build_trigrams(index_dir: str, *, concurrency: int | None = None) -> dict:
         with open(tpath) as fh:
             prev = json.load(fh)
     all_segs = segment_dirs(index_dir)
-    if prev is None or prev.get("text_col") != text_col:
+    if (
+        prev is None
+        or prev.get("text_col") != text_col
+        or prev.get("max_df_frac") != max_df_frac
+    ):
         for s in all_segs:
             p = os.path.join(s, "trigrams.parquet")
             if os.path.exists(p):
                 os.remove(p)
     with open(tpath, "w") as fh:
-        json.dump({"text_col": text_col, "pending": True}, fh)
+        json.dump(
+            {"text_col": text_col, "max_df_frac": max_df_frac, "pending": True}, fh
+        )
     segs = [s for s in all_segs if not os.path.exists(os.path.join(s, "trigrams.parquet"))]
 
     def task(batch: pa.Table) -> pa.Table:
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)
         counts = [
-            _trigrams_for_segment(s, text_col, id_col) for s in batch["seg"].to_pylist()
+            _trigrams_for_segment(s, text_col, id_col, max_df_frac)
+            for s in batch["seg"].to_pylist()
         ]
         return pa.table({"n_tris": pa.array(counts, pa.int64())})
 
@@ -200,6 +240,7 @@ def build_trigrams(index_dir: str, *, concurrency: int | None = None) -> dict:
         )
     manifest = {
         "text_col": text_col,
+        "max_df_frac": max_df_frac,
         "n_segments": len(all_segs),
         "n_segments_skipped": len(all_segs) - len(segs),
         "n_tris_built": n_tris,
@@ -234,25 +275,34 @@ def needle_trigrams(needle: str) -> np.ndarray:
     return np.unique(_trigram_keys(buf))
 
 
+_NO_MATCH = np.empty(0, np.int64)  # proof: no doc in the segment can match
+
+
 def _segment_candidates(seg_dir: str, tris: np.ndarray) -> np.ndarray | None:
-    """Doc ids in this segment containing ALL the needle's trigrams, or
-    None when the layer proves no doc can match (some trigram absent).
-    Rarest-first intersection with early exit."""
+    """Doc ids in this segment containing ALL the needle's trigrams.
+    An EMPTY array means the layer PROVES no doc can match (some trigram
+    absent, or the intersection is empty); ``None`` means the layer proves
+    nothing (every required trigram row is df-capped: present but posting
+    bytes dropped) and the caller must verify all live docs. Rarest-first
+    intersection with early exit."""
     import pyarrow.dataset as pads
 
     src = pads.dataset(os.path.join(seg_dir, "trigrams.parquet"))
     tbl = src.to_table(filter=pads.field("tri").isin(pa.array(tris, pa.int32())))
     if tbl.num_rows < tris.size:
-        return None  # some required trigram appears in no doc
+        return _NO_MATCH  # some required trigram appears in no doc
     dfs = tbl["df"].to_numpy()
     order = np.argsort(dfs, kind="stable")
     cand: np.ndarray | None = None
     for i in order.tolist():
-        docs = np.cumsum(varbyte_decode(tbl["docs_enc"][i].as_py(), int(dfs[i])).astype(np.int64))
+        enc = tbl["docs_enc"][i].as_py()
+        if len(enc) == 0 and dfs[i] > 0:
+            continue  # df-capped row: present in "too many" docs to prune
+        docs = np.cumsum(varbyte_decode(enc, int(dfs[i])).astype(np.int64))
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
         if cand.size == 0:
-            return None
-    return cand
+            return _NO_MATCH
+    return cand  # None = every row capped: no pruning information
 
 
 def _verify_candidates(
@@ -333,8 +383,9 @@ def substring_search(
             for qid, needle, tris in prepared:
                 if tris.size > 0:
                     cand = _segment_candidates(seg_dir, tris)
-                    if cand is None or cand.size == 0:
-                        continue
+                    if cand is not None and cand.size == 0:
+                        continue  # layer proves no match in this segment
+                    # cand=None: all trigrams df-capped — verify all live docs
                 else:
                     cand = None
                 docs, cnts = _verify_candidates(seg_dir, text_col, id_col, cand, needle)
@@ -466,21 +517,28 @@ def required_trigram_groups(pattern: str) -> list[list[np.ndarray]]:
 
 
 def _regex_candidates(seg_dir: str, groups: list[list[np.ndarray]]) -> np.ndarray | None:
-    """Docs in this segment satisfying the AND-of-OR trigram condition, or
-    None when the layer proves no doc can match."""
+    """Docs in this segment satisfying the AND-of-OR trigram condition.
+    Same contract as ``_segment_candidates``: EMPTY array = the layer
+    proves no doc can match; ``None`` = no pruning information (every
+    group was voided by a df-capped alternative)."""
     cand: np.ndarray | None = None
     for alts in groups:
-        docs: np.ndarray | None = None
+        docs = np.empty(0, np.int64)
+        capped = False
         for tris in alts:
             d = _segment_candidates(seg_dir, tris)
-            if d is not None and d.size:
-                docs = d if docs is None else np.union1d(docs, d)
-        if docs is None:
-            return None  # no alternative of a required group matches
+            if d is None:
+                # this alternative can't prune, so the whole OR group can't
+                capped = True
+                break
+            if d.size:
+                docs = np.union1d(docs, d)
+        if capped:
+            continue
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
         if cand.size == 0:
-            return None
-    return cand
+            return cand  # proven: no alternative of a required group matches
+    return cand  # None = every group capped: no pruning information
 
 
 def regex_search(
@@ -525,8 +583,9 @@ def regex_search(
             for qid, pat, groups in prepared:
                 if groups:
                     cand = _regex_candidates(seg_dir, groups)
-                    if cand is None or cand.size == 0:
-                        continue
+                    if cand is not None and cand.size == 0:
+                        continue  # layer proves no match in this segment
+                    # cand=None: capped rows voided every group — verify all
                 else:
                     cand = None
                 with open(os.path.join(seg_dir, "manifest.json")) as fh:

@@ -201,3 +201,58 @@ def test_regex_search_matches_full_scan(ray_session, tmp_path):
             ].values
         }
         assert got == want, pat
+
+
+def test_df_capped_layer_exact_and_smaller(ray_session, tmp_path):
+    """max_df_frac drops posting bytes of ubiquitous trigrams; results stay
+    identical to the uncapped layer (capped rows read as 'all docs')."""
+    import glob
+
+    from splade_ray.trigram import regex_search
+
+    t = synth_corpus(200, seed=13)
+    texts = t["content"].to_pylist()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(200, dtype=np.int64), "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=30)
+    needles = [(0, "return"), (1, "rare_token_37"), (2, "absent_zzz_string"),
+               (3, "x")]
+    pats = [(0, r"return\s+\w+"), (1, r"rare_token_\d+")]
+
+    build_trigrams(index_dir)
+    uncapped_sub = substring_search(index_dir, needles)
+    uncapped_rex = regex_search(index_dir, pats)
+    size_full = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(index_dir, "segments", "seg=*", "trigrams.parquet"))
+    )
+
+    man = build_trigrams(index_dir, max_df_frac=0.2)  # cap change invalidates
+    assert man["n_segments_skipped"] == 0 and man["max_df_frac"] == 0.2
+    capped_sub = substring_search(index_dir, needles)
+    capped_rex = regex_search(index_dir, pats)
+    size_capped = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(index_dir, "segments", "seg=*", "trigrams.parquet"))
+    )
+
+    pd.testing.assert_frame_equal(capped_sub, uncapped_sub)
+    pd.testing.assert_frame_equal(capped_rex, uncapped_rex)
+    assert size_capped < size_full
+    # capped rows really exist: df intact, docs_enc emptied
+    seg = sorted(glob.glob(os.path.join(index_dir, "segments", "seg=*", "trigrams.parquet")))[0]
+    tt = pq.read_table(seg)
+    enc_len = np.array([len(b) for b in tt["docs_enc"].to_pylist()])
+    dfs = tt["df"].to_numpy()
+    assert ((enc_len == 0) & (dfs > 0)).any()
+    # a needle whose trigrams are ALL capped still verifies exactly
+    ndl = "return"  # ubiquitous in the synth corpus
+    tris_capped = {int(k) for k, e in zip(tt["tri"].to_pylist(), enc_len) if e == 0}
+    from splade_ray.trigram import needle_trigrams as _nt
+
+    if set(_nt(ndl).tolist()) <= tris_capped:
+        pass  # full-scan fallback exercised above by needle 0 already
