@@ -385,7 +385,8 @@ def cmd_sample(args) -> int:
 
 def cmd_maintain(args) -> int:
     """Index maintenance for long-lived indexes: tiered-compact down to at
-    most --max-segments, then (optionally) refresh the quantized layer that
+    most --max-segments (--purge fuses tombstone removal into the same
+    rewrite pass), then (optionally) refresh the quantized layer that
     compaction invalidates."""
     _ensure_ray()
     import math
@@ -395,11 +396,18 @@ def cmd_maintain(args) -> int:
 
     m = load_manifest(args.index)
     n = m["n_segments"]
-    report = {"n_segments_before": n, "compacted": False, "quantized": False}
+    report = {"n_segments_before": n, "compacted": False, "quantized": False,
+              "purged": False}
     if n > args.max_segments:
         group = math.ceil(n / args.max_segments)
-        m = compact_segments(args.index, group_size=group)
+        m = compact_segments(args.index, group_size=group, purge=args.purge)
         report["compacted"] = True
+        report["purged"] = args.purge
+    elif args.purge:
+        from splade_ray.delete import purge_deletes
+
+        m = purge_deletes(args.index)
+        report["purged"] = True
     report["n_segments"] = m["n_segments"]
     if args.quantize:
         from splade_ray.bm25 import BM25Params
@@ -978,6 +986,8 @@ def main(argv: list[str] | None = None) -> int:
     mt = sub.add_parser("maintain", help="compact to a segment budget (+ optional re-quantize)")
     mt.add_argument("--index", required=True)
     mt.add_argument("--max-segments", type=int, default=64)
+    mt.add_argument("--purge", action="store_true",
+                    help="fuse tombstone purging into the compaction rewrite")
     mt.add_argument("--quantize", action="store_true")
     mt.add_argument("--k1", type=float, default=1.2)
     mt.add_argument("--b", type=float, default=0.75)

@@ -36,6 +36,7 @@ import shutil
 import uuid
 from collections import defaultdict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
@@ -103,8 +104,49 @@ def _lineage_slices(manifest: dict) -> list[dict]:
     return [{k: manifest[k] for k in ("path", "row_start", "num_rows")}]
 
 
-def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
-    """Merge one group of consecutive segments; returns the new manifest."""
+def _purge_merge_posting_rows(
+    rows: list[dict],
+    all_doc_ids: "np.ndarray",
+    deleted: "np.ndarray",
+    live_ids: "np.ndarray",
+    live_lens: "np.ndarray",
+    block_size: int,
+) -> dict | None:
+    """Decode-path merge of one term's posting rows with tombstoned docs
+    masked out, re-encoded fresh (the byte-concat fast path can't drop
+    docs). Returns None when no live doc remains for the term."""
+    from splade_ray.segments import decode_posting, encode_posting
+
+    docs_parts, tf_parts = [], []
+    for r in rows:
+        d, t = decode_posting(bytes(r["docs_enc"]), bytes(r["tfs_enc"]), int(r["df"]))
+        docs_parts.append(d)
+        tf_parts.append(t)
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    keep = ~deleted[np.searchsorted(all_doc_ids, docs)]
+    if not keep.any():
+        return None
+    docs, tfs = docs[keep], tfs[keep]
+    dls = live_lens[np.searchsorted(live_ids, docs)]
+    return encode_posting(docs, tfs, dls, block_size)
+
+
+def _merge_group(
+    index_dir: str,
+    ids: list[int],
+    compact_run: str,
+    tomb: "np.ndarray | None" = None,
+) -> dict:
+    """Merge one group of consecutive segments; returns the new manifest.
+
+    ``tomb``: sorted tombstoned doc ids — when any fall inside this group,
+    the merge switches from byte-concat to a decode→mask→re-encode pass so
+    the rewrite both merges AND purges in one I/O pass (fused
+    ``maintain --purge``); groups untouched by tombstones keep the cheap
+    concat path."""
+    from splade_ray.delete import deleted_mask_for
+
     seg_dirs = [_seg_dir(index_dir, i) for i in ids]
     doclens = [pq.read_table(os.path.join(d, "doclens.parquet")) for d in seg_dirs]
     prev_max = None
@@ -119,6 +161,14 @@ def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
             prev_max = int(ids_np.max())
     merged_dl = pa.concat_tables(doclens)
 
+    all_doc_ids = merged_dl["doc_id"].to_numpy().astype(np.int64)
+    deleted = deleted_mask_for(all_doc_ids, tomb) if tomb is not None else None
+    if deleted is not None:
+        keep_rows = np.flatnonzero(~deleted)
+        merged_dl = merged_dl.take(pa.array(keep_rows))
+        live_ids = all_doc_ids[keep_rows]
+        live_lens = merged_dl["doc_len"].to_numpy().astype(np.int64)
+
     per_term: dict[str, list[dict]] = defaultdict(list)
     manifests = []
     for d in seg_dirs:
@@ -127,8 +177,16 @@ def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
         for row in pq.read_table(os.path.join(d, "postings.parquet")).to_pylist():
             per_term[row["term"]].append(row)
     rows_out = {name: [] for name in POSTINGS_SCHEMA.names}
+    block_size = manifests[0]["block_size"]
     for term in sorted(per_term):
-        merged = merge_posting_rows(per_term[term])
+        if deleted is None:
+            merged = merge_posting_rows(per_term[term])
+        else:
+            merged = _purge_merge_posting_rows(
+                per_term[term], all_doc_ids, deleted, live_ids, live_lens, block_size
+            )
+            if merged is None:
+                continue
         rows_out["term"].append(term)
         for k, v in merged.items():
             rows_out[k].append(v)
@@ -145,9 +203,17 @@ def _merge_group(index_dir: str, ids: list[int], compact_run: str) -> dict:
         "num_rows": int(sum(m["num_rows"] for m in manifests)),
         "doc_id_start": manifests[0].get("doc_id_start"),
         "n_docs": int(merged_dl.num_rows),
-        "n_postings": int(sum(m["n_postings"] for m in manifests)),
+        "n_postings": (
+            int(sum(m["n_postings"] for m in manifests))
+            if deleted is None
+            else (int(postings["df"].to_numpy().sum()) if postings.num_rows else 0)
+        ),
         "n_terms": int(postings.num_rows),
-        "sum_doc_len": int(sum(m["sum_doc_len"] for m in manifests)),
+        "sum_doc_len": (
+            int(sum(m["sum_doc_len"] for m in manifests))
+            if deleted is None
+            else int(live_lens.sum())
+        ),
         "content_sha_rollup": hashlib.sha256("".join(shas).encode()).hexdigest(),
         "block_size": manifests[0]["block_size"],
         "build_secs": 0.0,
@@ -248,7 +314,9 @@ def recover_compaction(index_dir: str) -> dict | None:
     return _finalize_compaction(index_dir, journal)
 
 
-def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
+def compact_segments(
+    index_dir: str, *, group_size: int = 8, purge: bool = False
+) -> dict:
     """Merge every run of ``group_size`` consecutive segments into one.
     Returns the updated global manifest. One Ray task per output segment.
 
@@ -257,23 +325,46 @@ def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
     (2) the driver writes a journal naming every swap; (3) swaps + source
     deletes + manifest rewrite happen journaled-forward — a crash at any
     point either leaves the old index fully intact (pre-journal) or is
-    completed by ``recover_compaction`` (post-journal)."""
+    completed by ``recover_compaction`` (post-journal).
+
+    ``purge=True`` fuses tombstone purging into the same rewrite pass
+    (Lucene's merge-with-deletes): merged groups decode→mask→re-encode in
+    one I/O pass instead of compact-then-purge writing everything twice;
+    singleton groups go through the in-place ``_purge_segment`` flip. A
+    crash between finalize and the lexicon/stats refresh leaves tombstones
+    in place, which every query path still filters logically — re-running
+    heals (purged segments no-op)."""
+    import ray
+
     from splade_ray.build import load_manifest
+    from splade_ray.delete import load_tombstones, rebuild_lexicon_and_stats
 
     recover_compaction(index_dir)  # heal any previously crashed run first
     manifest = load_manifest(index_dir)
     segs = manifest["segments"]
+    tomb = load_tombstones(index_dir) if purge else np.empty(0, np.int64)
     if len(segs) <= 1 or group_size <= 1:
+        if tomb.size:
+            from splade_ray.delete import purge_deletes
+
+            return purge_deletes(index_dir)
         return manifest
     groups = [segs[i : i + group_size] for i in range(0, len(segs), group_size)]
     compact_run = f"compact-{uuid.uuid4().hex}"
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    block_size = manifest.get("block_size", 128)
 
     def task(batch: pa.Table) -> pa.Table:
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
         done = []
         for ids in batch["ids"].to_pylist():
             ids = [int(i) for i in ids]
             if len(ids) > 1:
-                _merge_group(index_dir, ids, compact_run)
+                _merge_group(index_dir, ids, compact_run, tomb=t)
+            elif t is not None:
+                from splade_ray.delete import _purge_segment
+
+                _purge_segment(_seg_dir(index_dir, ids[0]), t, block_size)
             done.append(ids[0])
         return pa.table({"seg_id": pa.array(done, pa.int64())})
 
@@ -296,4 +387,7 @@ def compact_segments(index_dir: str, *, group_size: int = 8) -> dict:
     with open(tmp_j, "w") as fh:
         json.dump(journal, fh)
     os.replace(tmp_j, _journal_path(index_dir))
-    return _finalize_compaction(index_dir, journal)
+    manifest = _finalize_compaction(index_dir, journal)
+    if tomb.size:
+        manifest = rebuild_lexicon_and_stats(index_dir)
+    return manifest

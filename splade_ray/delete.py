@@ -236,3 +236,63 @@ def purge_deletes(index_dir: str, *, concurrency: int | None = None) -> dict:
         json.dump(new_man, fh, indent=1)
     os.remove(os.path.join(index_dir, TOMBSTONES))
     return {**new_man, "n_purged_docs": int(n_purged)}
+
+
+def rebuild_lexicon_and_stats(index_dir: str, *, concurrency: int | None = None) -> dict:
+    """Recompute the global lexicon + manifest statistics from the segments
+    as they are on disk, then drop the tombstones file (the caller asserts
+    the segments no longer contain tombstoned docs — e.g. after a fused
+    merge+purge compaction). Column-pruned (term, df, cf) reads only; the
+    shuffle is the same lexicon-sized groupby as ``build_index``."""
+    import shutil
+    import uuid
+
+    from ray.data.aggregate import Sum
+
+    from splade_ray.build import load_manifest, segment_dirs
+
+    man = load_manifest(index_dir)
+    segs = segment_dirs(index_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = [
+            pq.read_table(
+                os.path.join(s, "postings.parquet"), columns=["term", "df", "cf"]
+            )
+            for s in batch["seg_dir"].to_pylist()
+        ]
+        return pa.concat_tables(out)
+
+    lex = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(project, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+        .groupby("term", num_partitions=max(1, len(segs) // 16))
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
+    lex.write_parquet(tmp_lex)
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if os.path.exists(lex_dir):
+        shutil.rmtree(lex_dir)
+    os.rename(tmp_lex, lex_dir)
+
+    manifests = []
+    for s in segs:
+        with open(os.path.join(s, "manifest.json")) as fh:
+            manifests.append(json.load(fh))
+    n_docs = sum(m["n_docs"] for m in manifests)
+    sum_dl = sum(m["sum_doc_len"] for m in manifests)
+    n_purged = man["n_docs"] - n_docs
+    new_man = {
+        **man,
+        "n_docs": n_docs,
+        "n_postings": sum(m["n_postings"] for m in manifests),
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(new_man, fh, indent=1)
+    tp = os.path.join(index_dir, TOMBSTONES)
+    if os.path.exists(tp):
+        os.remove(tp)
+    return {**new_man, "n_purged_docs": int(n_purged)}

@@ -185,3 +185,35 @@ def test_compaction_invalidates_all_derived_layers(ray_session, tmp_path):
     build_trigrams(idx)
     after = phrase_search(idx, [(0, "def")])
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_fused_compact_purge_matches_fresh_build(built, tmp_path):
+    """maintain --purge semantics: ONE rewrite pass both merges segments
+    and drops tombstoned docs; scores equal a from-scratch index over the
+    reduced corpus (different segmentation — global stats restated)."""
+    from splade_ray.compact import compact_segments
+
+    params = BM25Params(top_k=10)
+    before = search(built, QUERIES, params)
+    # victims span merged groups AND the trailing singleton group (6
+    # segments of 25 docs, group_size=5 -> groups [5 segs] + [1 seg])
+    victims = sorted(set(before["doc_id"].head(4)) | {0, 37, 149})
+    delete_docs(built, victims)
+    man = compact_segments(built, group_size=5, purge=True)
+    assert man["n_segments"] == 2
+    assert man["n_purged_docs"] == len(victims)
+    assert load_tombstones(built).size == 0
+    assert load_manifest(built)["n_docs"] == 150 - len(victims)
+
+    fresh_corpus = _write_corpus(tmp_path, name="c2.parquet", exclude=victims)
+    fresh_idx = str(tmp_path / "index2")
+    build_index(fresh_corpus, fresh_idx, text_col="content", id_col="doc_id",
+                rows_per_segment=25)
+    for method in ("exact", "bmw"):
+        got = search(built, QUERIES, params, method=method)
+        want = search(fresh_idx, QUERIES, params, method=method)
+        pd.testing.assert_frame_equal(got, want), method
+
+    # idempotent: a second fused pass with nothing tombstoned no-ops
+    man2 = compact_segments(built, group_size=5, purge=True)
+    assert man2["n_segments"] == 1  # plain compaction proceeds
