@@ -102,19 +102,49 @@ def kmv_estimate(k_used: int, k: int, kth_min: int) -> int:
     return ((k - 1) * _SCALE) // kth_min
 
 
+def _kmv_min_merge(tbl: pa.Table, k: int, by: str | None) -> pa.Table:
+    """Min-merge KMV partials: per group keep the k smallest distinct
+    hashes. Same schema in and out, so it can run at any tree level."""
+    hv = tbl["hv"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if by is None:
+        sel = np.unique(hv)[:k]
+        return pa.table({"hv": pa.array(sel)})
+    grp = tbl[by]
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    genc = grp.dictionary_encode()
+    gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    gvals = genc.dictionary.to_pylist()
+    g_out, h_out = [], []
+    for gi in np.unique(gcodes):
+        sel = np.unique(hv[gcodes == gi])[:k]
+        g_out.extend([gvals[int(gi)]] * sel.size)
+        h_out.append(sel)
+    return pa.table(
+        {
+            by: pa.array(g_out, pa.string()),
+            "hv": pa.array(np.concatenate(h_out) if h_out else np.empty(0, np.int64)),
+        }
+    )
+
+
 def kmv_distinct(
     ds: Dataset,
     col: str,
     k: int = 1024,
     *,
     by: str | None = None,
+    fan_in: int = 32,
 ) -> pd.DataFrame:
     """KMV distinct-count sketch over a string column, optionally grouped.
 
     Returns ``(by?, k_used, kth_min, est_distinct)`` — all integers, so the
     result is bit-exact reproducible and SQL-mirrorable. Each batch emits at
     most k hashes per group (hash unique values once via dictionary
-    encoding); the driver min-merges k·n_blocks candidate rows per group."""
+    encoding); partials then coalesce into ``fan_in`` blocks that min-merge
+    in parallel (min-merge is associative), so the driver reads at most
+    ``fan_in·k`` rows per group no matter how many input blocks there were
+    — at 1e6-block scale the reduce is a tree, not a driver concat."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[col]
@@ -150,7 +180,18 @@ def kmv_distinct(
         sel = np.sort(np.unique(uh))[:k]
         return pa.table({"hv": pa.array(sel)})
 
-    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        # shuffle-less coalesce to fan_in blocks, each min-merged in place:
+        # bounds the driver's final merge input to fan_in·k rows per group
+        .repartition(fan_in)
+        .map_batches(
+            lambda t: _kmv_min_merge(t, k, by),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
     rows = []
     groups = pdf.groupby(by) if by else [(None, pdf)]
     for gkey, g in groups:

@@ -106,3 +106,17 @@ def test_kmv_grouped(ray_session):
     out = kmv_distinct(ds, "t", k=512, by="lang")
     # even i -> even residues mod 100 only (50 distinct); odd i covers all 23
     assert dict(zip(out["lang"], out["est_distinct"])) == {"en": 50, "fr": 23}
+
+
+def test_kmv_tree_reduce_invariant_to_fan_in(ray_session):
+    """The intermediate min-merge stage (bounds driver input to fan_in*k
+    rows per group) never changes the sketch: min-merge is associative."""
+    vals = [f"v{i % 700}" for i in range(3000)]
+    langs = ["en" if i % 3 else "de" for i in range(3000)]
+    tbl = pa.table({"lang": pa.array(langs), "t": pa.array(vals)})
+    base = kmv_distinct(rd.from_arrow(tbl).repartition(25), "t", k=128, by="lang")
+    for fan_in in (1, 2, 40):
+        got = kmv_distinct(
+            rd.from_arrow(tbl).repartition(25), "t", k=128, by="lang", fan_in=fan_in
+        )
+        pd.testing.assert_frame_equal(got, base), fan_in
