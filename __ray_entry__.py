@@ -816,6 +816,20 @@ def q_grep_scan(sf_dir: str):
     return grep_scan(_docs(sf_dir, ["doc_id", "text"]), GREP_QUERIES, regex=True)
 
 
+def q_regex_grep_pruned(sf_dir: str):
+    """Trigram-PRUNED regex search (splade_ray.trigram.regex_search):
+    required-literal analysis of each pattern (Cox code-search trick)
+    yields an AND-of-OR trigram condition; candidates come from the
+    per-segment trigram layer, verification is the same RE2 kernel as
+    grep_scan — so the oracle mirror is identical and checks the pruning
+    is lossless."""
+    from splade_ray.trigram import build_trigrams, regex_search
+
+    index_dir = _index_for(sf_dir)
+    build_trigrams(index_dir)
+    return regex_search(index_dir, GREP_QUERIES)
+
+
 WINDOW_1H_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
@@ -2196,6 +2210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": q_facet_counts,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
+        "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
         "sample_hash": q_sample_hash,
@@ -2853,6 +2868,7 @@ FROM f""",
         "facet_counts": _facet_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),
+        "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),
