@@ -549,26 +549,45 @@ def cmd_dedup(args) -> int:
             pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
         )
 
+    def gen_pairs(m: str):
+        if m == "exact":
+            return exact_dup_pairs(nds)
+        if m == "minhash":
+            return minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+        return jaccard_block_pairs(nds, min_jaccard=args.min_jaccard, emit_counts=True)
+
+    def write_pairs(m: str) -> None:
+        pair_dir = os.path.join(args.out, "pairs", m)
+        os.makedirs(pair_dir, exist_ok=True)
+        gen_pairs(m).map_batches(pick, batch_format="pyarrow").write_parquet(pair_dir)
+        with open(os.path.join(pair_dir, "_DONE"), "w") as f:
+            f.write("done\n")
+
+    skipped = [
+        m
+        for m in methods
+        if os.path.exists(os.path.join(args.out, "pairs", m, "_DONE"))
+    ]
+    todo = [m for m in methods if m not in skipped]
+    # OVERLAPPED pair generation (ROADMAP round-3 item 6): each unfinished
+    # method's streaming write runs on its own driver thread, so Ray
+    # schedules the scans/shuffles of all methods together — one method's
+    # serial tail (e.g. jaccard's in-group compare) no longer idles the
+    # cluster while the next method's corpus scan could be running. The
+    # per-method _DONE checkpoints are unchanged, so crash-resume semantics
+    # are identical to the sequential version.
+    if len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            for fut in [pool.submit(write_pairs, m) for m in todo]:
+                fut.result()  # re-raise the first failure
+    elif todo:
+        write_pairs(todo[0])
+
     edges = None
-    skipped: list[str] = []
     for m in methods:
         pair_dir = os.path.join(args.out, "pairs", m)
-        marker = os.path.join(pair_dir, "_DONE")
-        if not os.path.exists(marker):
-            if m == "exact":
-                es = exact_dup_pairs(nds)
-            elif m == "minhash":
-                es = minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
-            else:
-                es = jaccard_block_pairs(
-                    nds, min_jaccard=args.min_jaccard, emit_counts=True
-                )
-            os.makedirs(pair_dir, exist_ok=True)
-            es.map_batches(pick, batch_format="pyarrow").write_parquet(pair_dir)
-            with open(marker, "w") as f:
-                f.write("done\n")
-        else:
-            skipped.append(m)
         # an empty pair set writes no parquet files; substitute a typed
         # empty dataset so the union keeps its (doc_a, doc_b) schema
         has_files = any(n.endswith(".parquet") for n in os.listdir(pair_dir))

@@ -218,6 +218,18 @@ def test_cli_dedup(ray_session, tmp_path, capsys):
     surv2 = rd.read_parquet(out + "/survivors").to_pandas()
     assert sorted(surv2["doc_id"].tolist()) == [0, 2, 3, 4]
 
+    # partial resume: one method unfinished -> only it regenerates, and a
+    # jaccard method added later generates OVERLAPPED with it
+    import shutil
+    os.remove(out + "/pairs/minhash/_DONE")
+    shutil.rmtree(out + "/pairs/minhash")
+    rc = main(["dedup", "--corpus", str(d), "--out", out,
+               "--methods", "exact,minhash,jaccard"])
+    assert rc == 0
+    summary3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary3["methods_skipped"] == ["exact"]
+    assert summary3["n_survivors"] == 4 and summary3["n_dropped"] == 1
+
 
 def test_cli_positions_phrase_boolsearch(ray_session, tmp_path, capsys):
     """positions -> phrase -> boolsearch CLI flow over a synth corpus."""
