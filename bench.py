@@ -139,13 +139,60 @@ def run_bench() -> dict:
     build_quantized_postings(index_dir, params)
     p50_quant, _ = measure("quantized")
 
+    # trigram layer: build throughput, df-capped size ratio, and pruned
+    # substring/regex latency vs the full-scan baseline (all untimed work
+    # — layer builds — excluded from the headline `value` to stay
+    # comparable with earlier rounds)
+    import glob
+
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.trigram import (
+        build_trigrams,
+        grep_scan,
+        regex_search,
+        substring_search,
+    )
+
+    t2 = time.monotonic()
+    build_trigrams(index_dir)
+    tri_build_s = time.monotonic() - t2
+    tri_glob = os.path.join(index_dir, "segments", "seg=*", "trigrams.parquet")
+    tri_bytes = sum(os.path.getsize(p) for p in glob.glob(tri_glob))
+    build_trigrams(index_dir, max_df_frac=0.1)
+    tri_bytes_capped = sum(os.path.getsize(p) for p in glob.glob(tri_glob))
+
+    NEEDLES = [(0, "rep42 "), (1, "spark window")]
+    PATTERNS = [(0, r"rep42\s+rep\d+"), (1, r"spark\s+window\w*")]
+
+    def lat_of(fn, reps=5):
+        fn()  # warm
+        lat = []
+        for _ in range(reps):
+            q0 = time.monotonic()
+            fn()
+            lat.append(time.monotonic() - q0)
+        return float(np.percentile(lat, 50))
+
+    grep_p50 = lat_of(lambda: substring_search(index_dir, NEEDLES))
+    regex_p50 = lat_of(lambda: regex_search(index_dir, PATTERNS))
+    scan_ds = read_parquet_clean(corpus_dir, columns=["content"]).map_batches(
+        lambda b: b.append_column(
+            "doc_id", __import__("pyarrow").array(range(b.num_rows))
+        ),
+        batch_format="pyarrow",
+    )
+    scan_p50 = lat_of(
+        lambda: grep_scan(
+            scan_ds, PATTERNS, id_col="doc_id", text_col="content", regex=True
+        ).count(),
+        reps=3,
+    )
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     import ray.data as rd
 
     from splade_ray.analysis import postings_batch
     from splade_ray.term_index import build_term_index
-
-    from splade_ray.io import read_parquet_clean
 
     t1 = time.monotonic()
     flat = read_parquet_clean(
@@ -167,7 +214,13 @@ def run_bench() -> dict:
             "query_batch_p50_auto": round(p50_auto, 4),
             "query_batch_p50_quantized": round(p50_quant, 4),
             "term_index_salted_groupby": round(term_index_s, 3),
+            "trigram_build": round(tri_build_s, 3),
+            "grep_substr_p50": round(grep_p50, 4),
+            "grep_regex_pruned_p50": round(regex_p50, 4),
+            "grep_regex_fullscan_p50": round(scan_p50, 4),
         },
+        "trigram_bytes": tri_bytes,
+        "trigram_bytes_capped_0.1": tri_bytes_capped,
         "sf": sf_dir,
         "num_cpus": ncpu,
         "n_docs": n_docs,

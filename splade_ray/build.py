@@ -117,6 +117,46 @@ def read_lineage_slices(manifest: dict, columns: list[str]) -> pa.Table:
     )
 
 
+def _read_rows(path: str, abs_rows: np.ndarray, columns: list[str]) -> pa.Table | None:
+    """Read specific (sorted ascending) absolute row indices of one parquet
+    file, touching only the row groups that contain them."""
+    f = pq.ParquetFile(path)
+    first, i = 0, 0
+    parts = []
+    for g in range(f.metadata.num_row_groups):
+        if i >= abs_rows.size:
+            break
+        n = f.metadata.row_group(g).num_rows
+        j = int(np.searchsorted(abs_rows, first + n))
+        if j > i:
+            t = f.read_row_group(g, columns=columns)
+            parts.append(t.take(pa.array(abs_rows[i:j] - first)))
+            i = j
+        first += n
+    return pa.concat_tables(parts) if parts else None
+
+
+def read_lineage_rows(manifest: dict, columns: list[str], rows: np.ndarray) -> pa.Table | None:
+    """Read only the given SEGMENT-RELATIVE rows (sorted ascending) of the
+    segment's corpus lineage — candidate-pruned verification I/O: only row
+    groups containing a requested row are touched, so reading k candidate
+    docs out of an N-doc segment costs O(k/rows_per_group) group reads, not
+    a full slice scan. Returns None when ``rows`` is empty."""
+    srcs = manifest.get("sources") or [
+        {k: manifest[k] for k in ("path", "row_start", "num_rows")}
+    ]
+    out, base = [], 0
+    for s in srcs:
+        hi = base + s["num_rows"]
+        sel = rows[(rows >= base) & (rows < hi)]
+        if sel.size:
+            t = _read_rows(s["path"], sel - base + s["row_start"], columns)
+            if t is not None:
+                out.append(t)
+        base = hi
+    return pa.concat_tables(out) if out else None
+
+
 def _seg_dir(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
 

@@ -305,20 +305,48 @@ def _segment_candidates(seg_dir: str, tris: np.ndarray) -> np.ndarray | None:
     return cand  # None = every row capped: no pruning information
 
 
-def _verify_candidates(
+# read the full slice when candidates cover more than this fraction of the
+# segment (row-group takes would touch every group anyway)
+_ROW_PRUNE_FRAC = 0.25
+
+
+def _candidate_texts(
     seg_dir: str,
+    m: dict,
     text_col: str,
     id_col: str | None,
     cand: np.ndarray | None,
-    needle: str,
-) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids, non-overlapping occurrence counts) of docs whose lowered
-    text actually contains the lowered needle. ``cand=None`` means scan the
-    whole segment (short-needle fallback)."""
-    from splade_ray.build import read_lineage_slices
+    ids_cache: dict,
+):
+    """(doc_ids, text array) of the docs to verify in this segment.
+    ``cand=None`` = every live doc (full-slice read). Selective candidate
+    sets read ONLY the row groups containing candidate rows
+    (build.read_lineage_rows), so verification I/O scales with the
+    candidate count, not the segment size. ``ids_cache`` memoizes the
+    per-segment id column across needles."""
+    from splade_ray.build import read_lineage_rows, read_lineage_slices
 
-    with open(os.path.join(seg_dir, "manifest.json")) as fh:
-        m = json.load(fh)
+    n_total = int(sum(s["num_rows"] for s in m.get("sources") or [m]))
+    if cand is not None and cand.size <= _ROW_PRUNE_FRAC * n_total:
+        if id_col:
+            if seg_dir not in ids_cache:
+                ids_cache[seg_dir] = (
+                    read_lineage_slices(m, [id_col])[id_col]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            all_ids = ids_cache[seg_dir]
+            rows = np.flatnonzero(np.isin(all_ids, cand))
+            ids = all_ids[rows]
+        else:
+            rows = (cand - m["doc_id_start"]).astype(np.int64)
+            rows = rows[(rows >= 0) & (rows < n_total)]
+            ids = m["doc_id_start"] + rows
+        if rows.size == 0:
+            return ids[:0], pa.array([], pa.string())
+        tbl = read_lineage_rows(m, [text_col], rows)
+        return ids, tbl[text_col]
+
     cols = [text_col] + ([id_col] if id_col else [])
     tbl = read_lineage_slices(m, cols)
     if id_col:
@@ -326,7 +354,7 @@ def _verify_candidates(
     else:
         doc_id_arr = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
     if cand is None:
-        # short-needle fallback scans every LIVE doc (the corpus slice may
+        # full verification scans every LIVE doc (the corpus slice may
         # still contain docs a purge removed)
         cand = pq.read_table(
             os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
@@ -335,7 +363,24 @@ def _verify_candidates(
     if sel.size != doc_id_arr.size:
         tbl = tbl.take(pa.array(sel))
         doc_id_arr = doc_id_arr[sel]
-    low = pc.utf8_lower(tbl[text_col])
+    return doc_id_arr, tbl[text_col]
+
+
+def _verify_candidates(
+    seg_dir: str,
+    text_col: str,
+    id_col: str | None,
+    cand: np.ndarray | None,
+    needle: str,
+    ids_cache: dict,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, non-overlapping occurrence counts) of docs whose lowered
+    text actually contains the lowered needle. ``cand=None`` means scan the
+    whole segment (short-needle fallback)."""
+    with open(os.path.join(seg_dir, "manifest.json")) as fh:
+        m = json.load(fh)
+    doc_id_arr, texts = _candidate_texts(seg_dir, m, text_col, id_col, cand, ids_cache)
+    low = pc.utf8_lower(texts)
     counts = pc.count_substring(low, needle.lower()).to_numpy(zero_copy_only=False)
     counts = np.nan_to_num(counts).astype(np.int64)
     keep = counts > 0
@@ -379,6 +424,7 @@ def substring_search(
 
     def task(batch: pa.Table) -> pa.Table:
         qids, docs_out, cnts_out = [], [], []
+        ids_cache: dict = {}
         for seg_dir in batch["seg_dir"].to_pylist():
             for qid, needle, tris in prepared:
                 if tris.size > 0:
@@ -388,7 +434,9 @@ def substring_search(
                     # cand=None: all trigrams df-capped — verify all live docs
                 else:
                     cand = None
-                docs, cnts = _verify_candidates(seg_dir, text_col, id_col, cand, needle)
+                docs, cnts = _verify_candidates(
+                    seg_dir, text_col, id_col, cand, needle, ids_cache
+                )
                 if tomb is not None and docs.size:
                     # logical deletes: substring match is a filter (complete
                     # result set), so post-filtering is exact
@@ -575,11 +623,11 @@ def regex_search(
         prepared.append((qid, pat, groups))
 
     def task(batch: pa.Table) -> pa.Table:
-        from splade_ray.build import read_lineage_slices
-
         qids, docs_out, cnts_out = [], [], []
+        ids_cache: dict = {}
         for seg_dir in batch["seg_dir"].to_pylist():
-            slice_cache: pa.Table | None = None
+            with open(os.path.join(seg_dir, "manifest.json")) as fh:
+                m = json.load(fh)
             for qid, pat, groups in prepared:
                 if groups:
                     cand = _regex_candidates(seg_dir, groups)
@@ -588,24 +636,11 @@ def regex_search(
                     # cand=None: capped rows voided every group — verify all
                 else:
                     cand = None
-                with open(os.path.join(seg_dir, "manifest.json")) as fh:
-                    m = json.load(fh)
-                if slice_cache is None:
-                    cols = [text_col] + ([id_col] if id_col else [])
-                    slice_cache = read_lineage_slices(m, cols)
-                tbl = slice_cache
-                if id_col:
-                    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-                else:
-                    ids = m["doc_id_start"] + np.arange(len(tbl), dtype=np.int64)
-                if cand is None:
-                    cand = pq.read_table(
-                        os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
-                    )["doc_id"].to_numpy().astype(np.int64)
-                sel = np.flatnonzero(np.isin(ids, cand))
-                sub, ids = tbl.take(pa.array(sel)), ids[sel]
+                ids, texts = _candidate_texts(
+                    seg_dir, m, text_col, id_col, cand, ids_cache
+                )
                 c = pc.count_substring_regex(
-                    sub[text_col], pat, ignore_case=case_insensitive
+                    texts, pat, ignore_case=case_insensitive
                 ).to_numpy(zero_copy_only=False)
                 c = np.nan_to_num(c).astype(np.int64)
                 keep = c > 0

@@ -256,3 +256,48 @@ def test_df_capped_layer_exact_and_smaller(ray_session, tmp_path):
 
     if set(_nt(ndl).tolist()) <= tris_capped:
         pass  # full-scan fallback exercised above by needle 0 already
+
+
+def test_verification_reads_only_candidate_row_groups(ray_session, tmp_path, monkeypatch):
+    """Candidate-pruned verification I/O: a selective needle must touch only
+    the parquet row groups containing candidate rows, not the whole slice
+    (pattern: test_ivf_search_reads_only_probed_partitions)."""
+    from splade_ray.trigram import (
+        _segment_candidates,
+        _verify_candidates,
+        build_trigrams,
+        needle_trigrams,
+    )
+
+    texts = [f"common filler tokens row {i}" for i in range(200)]
+    texts[7] = texts[7] + " xqzneedle"
+    texts[150] = texts[150] + " xqzneedle"
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(200, dtype=np.int64), "content": texts}),
+        corpus,
+        row_group_size=10,  # 20 groups
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=200)
+    build_trigrams(index_dir)
+
+    seg = os.path.join(index_dir, "segments", "seg=000000")
+    cand = _segment_candidates(seg, needle_trigrams("xqzneedle"))
+    assert cand is not None and set(cand.tolist()) == {7, 150}
+
+    groups_read = []
+    orig = pq.ParquetFile.read_row_group
+
+    def spy(self, g, *a, **kw):
+        groups_read.append(g)
+        return orig(self, g, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+    docs, cnts = _verify_candidates(seg, "content", "doc_id", cand, "xqzneedle", {})
+    assert docs.tolist() == [7, 150] and cnts.tolist() == [1, 1]
+    # candidates sit in row groups 0 (row 7) and 15 (row 150); the id-column
+    # pass reads the full slice via read_row_groups (not read_row_group), so
+    # the spy sees ONLY the two text-group reads
+    assert sorted(set(groups_read)) == [0, 15]
