@@ -142,8 +142,56 @@ def run_bench() -> dict:
     # trigram layer: build throughput, df-capped size ratio, and pruned
     # substring/regex latency vs the full-scan baseline (all untimed work
     # — layer builds — excluded from the headline `value` to stay
-    # comparable with earlier rounds)
+    # comparable with earlier rounds). Skipped in the scaling legs, whose
+    # criterion is INDEX-BUILD throughput — the layer build would only
+    # stretch each leg's wall-clock.
+    tri_metrics = {}
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+        tri_metrics = _trigram_leg(index_dir, corpus_dir)
+
+    # wide-op stage: salted groupby(term) posting store over flat postings
+    from splade_ray.analysis import postings_batch
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.term_index import build_term_index
+
+    t1 = time.monotonic()
+    flat = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
+    n_terms = build_term_index(flat, salt_range=500).count()
+    term_index_s = time.monotonic() - t1
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    total = build_s + p50 + term_index_s
+    out = {
+        "metric": "index-build + BM25 top-k query + salted term-index (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(build_s, 3),
+            "query_batch_p50": round(p50, 4),
+            "query_batch_p95": round(p95, 4),
+            "query_batch_p50_auto": round(p50_auto, 4),
+            "query_batch_p50_quantized": round(p50_quant, 4),
+            "term_index_salted_groupby": round(term_index_s, 3),
+            **tri_metrics.get("queries", {}),
+        },
+        **{k: v for k, v in tri_metrics.items() if k != "queries"},
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "n_postings": manifest["n_postings"],
+        "n_terms_global": int(n_terms),
+        "docs_per_sec": round(n_docs / build_s, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def _trigram_leg(index_dir: str, corpus_dir: str) -> dict:
     import glob
+
+    import numpy as np
 
     from splade_ray.io import read_parquet_clean
     from splade_ray.trigram import (
@@ -187,33 +235,8 @@ def run_bench() -> dict:
         ).count(),
         reps=3,
     )
-
-    # wide-op stage: salted groupby(term) posting store over flat postings
-    import ray.data as rd
-
-    from splade_ray.analysis import postings_batch
-    from splade_ray.term_index import build_term_index
-
-    t1 = time.monotonic()
-    flat = read_parquet_clean(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
-    n_terms = build_term_index(flat, salt_range=500).count()
-    term_index_s = time.monotonic() - t1
-
-    shutil.rmtree(index_dir, ignore_errors=True)
-    total = build_s + p50 + term_index_s
-    out = {
-        "metric": "index-build + BM25 top-k query + salted term-index (sec)",
-        "value": round(total, 3),
-        "unit": "sec",
+    return {
         "queries": {
-            "index_build": round(build_s, 3),
-            "query_batch_p50": round(p50, 4),
-            "query_batch_p95": round(p95, 4),
-            "query_batch_p50_auto": round(p50_auto, 4),
-            "query_batch_p50_quantized": round(p50_quant, 4),
-            "term_index_salted_groupby": round(term_index_s, 3),
             "trigram_build": round(tri_build_s, 3),
             "grep_substr_p50": round(grep_p50, 4),
             "grep_regex_pruned_p50": round(regex_p50, 4),
@@ -221,15 +244,7 @@ def run_bench() -> dict:
         },
         "trigram_bytes": tri_bytes,
         "trigram_bytes_capped_0.1": tri_bytes_capped,
-        "sf": sf_dir,
-        "num_cpus": ncpu,
-        "n_docs": n_docs,
-        "n_postings": manifest["n_postings"],
-        "n_terms_global": int(n_terms),
-        "docs_per_sec": round(n_docs / build_s, 1),
     }
-    ray.shutdown()
-    return out
 
 
 def run_scaling() -> dict:
@@ -259,7 +274,12 @@ def run_scaling() -> dict:
 
     def one_round():
         for n in levels:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_CORPUS_MULT=mult)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                BENCH_CORPUS_MULT=mult,
+                BENCH_SKIP_TRIGRAM="1",  # scaling criterion is build throughput
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
