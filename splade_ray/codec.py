@@ -18,12 +18,15 @@ U7 = np.uint64(7)
 U0x7F = np.uint64(0x7F)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array as LEB128-style varbytes (7 data bits
-    per byte, high bit = continuation)."""
+def varbyte_encode_bulk(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a non-negative int array as LEB128-style varbytes, returning
+    (uint8 byte array, per-value byte counts). Encoding is per-value
+    independent, so the byte array of a concatenation equals the
+    concatenation of byte arrays — callers can encode MANY lists in one
+    call and slice per-list ranges out of the single buffer."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     nbytes = np.ones(a.size, np.int64)
     v = a >> U7
     while v.any():
@@ -40,7 +43,13 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] - 1 > k).astype(np.uint8)
         out[idx] = byte | (cont << 7)
         vals[mask] >>= U7
-    return out.tobytes()
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as LEB128-style varbytes (7 data bits
+    per byte, high bit = continuation)."""
+    return varbyte_encode_bulk(values)[0].tobytes()
 
 
 def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:

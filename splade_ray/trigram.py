@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from splade_ray.codec import varbyte_decode, varbyte_encode
+from splade_ray.codec import varbyte_decode, varbyte_encode_bulk
 
 logger = logging.getLogger(__name__)
 
@@ -129,17 +129,28 @@ def build_trigram_table(
     deltas[0] = docs[0]
     np.subtract(docs[1:], docs[:-1], out=deltas[1:])
     deltas[start] = docs[start]
-    cap = max_df if max_df is not None else np.iinfo(np.int64).max
+    # ONE bulk varbyte pass over all posting values (varbyte is per-value
+    # independent, so per-trigram encodings are byte ranges of the single
+    # buffer) instead of one encode call per trigram — the per-call numpy
+    # overhead dominated the layer build (ROADMAP round-3 #8)
+    capped = counts > max_df if max_df is not None else np.zeros(counts.size, bool)
+    if capped.any():
+        enc_vals = deltas[~np.repeat(capped, counts)]
+    else:
+        enc_vals = deltas
+    buf, nbytes = varbyte_encode_bulk(enc_vals)
+    bytes_cum = np.concatenate(([0], np.cumsum(nbytes)))
+    kept_ends = np.cumsum(np.where(capped, 0, counts))
+    offsets = np.concatenate(([0], bytes_cum[kept_ends])).astype(np.int32)
+    docs_enc = pa.Array.from_buffers(
+        pa.binary(),
+        counts.size,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
     out = {
         "tri": pa.array(tris[start], pa.int32()),
         "df": pa.array(counts, pa.int64()),
-        "docs_enc": pa.array(
-            [
-                varbyte_encode(deltas[s : s + c]) if c <= cap else b""
-                for s, c in zip(start.tolist(), counts.tolist())
-            ],
-            pa.binary(),
-        ),
+        "docs_enc": docs_enc,
     }
     return pa.table(out, schema=TRIGRAM_SCHEMA)
 
