@@ -816,6 +816,19 @@ def q_grep_scan(sf_dir: str):
     return grep_scan(_docs(sf_dir, ["doc_id", "text"]), GREP_QUERIES, regex=True)
 
 
+def q_grep_snippets(sf_dir: str):
+    """Substring search with snippet columns: pos (1-based char position of
+    the first occurrence in the lowered text) + snippet (char window of the
+    original text around it) — computed from the verification texts already
+    in memory, zero extra I/O (splade_ray.trigram._match_snippets)."""
+    from splade_ray.trigram import build_trigrams, substring_search
+
+    index_dir = _index_for(sf_dir)
+    build_trigrams(index_dir)
+    return substring_search(index_dir, SUBSTR_QUERIES, snippets=True,
+                            width=SNIPPET_WIDTH)
+
+
 def q_regex_grep_pruned(sf_dir: str):
     """Trigram-PRUNED regex search (splade_ray.trigram.regex_search):
     required-literal analysis of each pattern (Cox code-search trick)
@@ -1522,6 +1535,35 @@ FROM documents d CROSS JOIN needles n
 WHERE contains(lower(d.text), n.needle)"""
 
 
+SNIPPET_WIDTH = 12
+
+
+def _grep_snippets_sql() -> str:
+    """SQL mirror of substring_search(snippets=True): pos = 1-based char
+    position of the first needle occurrence in the lowered text (DuckDB
+    position() counts characters; the engine bridges Arrow's byte offsets
+    via a codepoint-prefix pass), snippet = chars
+    [pos-W, pos+len(needle)+W) of the ORIGINAL text."""
+    w = SNIPPET_WIDTH
+    values = ", ".join(
+        f"({qid}, '{ndl.lower()}', {len(ndl)})" for qid, ndl in SUBSTR_QUERIES
+    )
+    return f"""
+WITH needles(query_id, needle, nlen) AS (VALUES {values}),
+m AS (
+  SELECT n.query_id::BIGINT AS query_id, d.doc_id,
+         ((length(lower(d.text)) - length(replace(lower(d.text), n.needle, '')))
+          // length(n.needle))::BIGINT AS n_occurrences,
+         position(n.needle IN lower(d.text))::BIGINT AS pos,
+         substr(d.text,
+                greatest(1, position(n.needle IN lower(d.text)) - {w}),
+                position(n.needle IN lower(d.text)) + n.nlen + {w}
+                  - greatest(1, position(n.needle IN lower(d.text)) - {w})) AS snippet
+  FROM documents d CROSS JOIN needles n
+  WHERE contains(lower(d.text), n.needle))
+SELECT query_id, doc_id, n_occurrences, pos, snippet FROM m"""
+
+
 def _grep_sql() -> str:
     """SQL mirror of trigram.grep_scan over GREP_QUERIES: both engines run
     RE2 with the 'i' flag; occurrence count = leftmost non-overlapping
@@ -2210,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": q_facet_counts,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
+        "grep_snippets": q_grep_snippets,
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
@@ -2868,6 +2911,7 @@ FROM f""",
         "facet_counts": _facet_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),
+        "grep_snippets": _grep_snippets_sql(),
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),

@@ -314,11 +314,12 @@ def cmd_grep(args) -> int:
 
     needles = _load_queries(args.needles)
     if args.index:
+        kw = {"snippets": args.snippets, "width": args.width}
         if args.regex:
             # required-literal trigram pruning + RE2 verification
-            res = regex_search(args.index, needles)
+            res = regex_search(args.index, needles, **kw)
         else:
-            res = substring_search(args.index, needles)
+            res = substring_search(args.index, needles, **kw)
     else:
         from splade_ray.io import read_parquet_clean
 
@@ -977,6 +978,10 @@ def main(argv: list[str] | None = None) -> int:
     gr.add_argument("--needles", required=True, help="TSV: id\\tneedle")
     gr.add_argument("--out", required=True, help=".parquet")
     gr.add_argument("--regex", action="store_true")
+    gr.add_argument("--snippets", action="store_true",
+                    help="add first-match position + char-window snippet "
+                         "columns (index path only)")
+    gr.add_argument("--width", type=int, default=30, help="snippet context chars")
     gr.add_argument("--id-col", default="doc_id")
     gr.add_argument("--text-col", default="text")
     gr.set_defaults(fn=cmd_grep)

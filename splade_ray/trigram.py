@@ -56,17 +56,21 @@ TRIGRAM_SCHEMA = pa.schema(
 )
 
 
-def _lowered_bytes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint8 byte buffer, per-row offsets) of ``utf8_lower(texts)``."""
-    low = pc.utf8_lower(texts)
-    if isinstance(low, pa.ChunkedArray):
-        low = low.combine_chunks()
-    low = low.cast(pa.large_string())  # one offset dtype for both inputs
-    n = len(low)
-    off = np.frombuffer(low.buffers()[1], np.int64)[low.offset : low.offset + n + 1]
-    data = low.buffers()[2]
+def _string_bytes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 byte buffer, per-row offsets) of a string array."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.cast(pa.large_string())  # one offset dtype for both inputs
+    n = len(texts)
+    off = np.frombuffer(texts.buffers()[1], np.int64)[texts.offset : texts.offset + n + 1]
+    data = texts.buffers()[2]
     buf = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
     return buf[off[0] : off[-1]], (off - off[0]).astype(np.int64)
+
+
+def _lowered_bytes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 byte buffer, per-row offsets) of ``utf8_lower(texts)``."""
+    return _string_bytes(pc.utf8_lower(texts))
 
 
 def _trigram_keys(buf: np.ndarray) -> np.ndarray:
@@ -384,10 +388,11 @@ def _verify_candidates(
     cand: np.ndarray | None,
     needle: str,
     ids_cache: dict,
-) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids, non-overlapping occurrence counts) of docs whose lowered
-    text actually contains the lowered needle. ``cand=None`` means scan the
-    whole segment (short-needle fallback)."""
+    want_texts: bool = False,
+) -> tuple[np.ndarray, np.ndarray, pa.Array | None]:
+    """(doc_ids, non-overlapping occurrence counts, matched texts or None)
+    of docs whose lowered text actually contains the lowered needle.
+    ``cand=None`` means scan the whole segment (short-needle fallback)."""
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
         m = json.load(fh)
     doc_id_arr, texts = _candidate_texts(seg_dir, m, text_col, id_col, cand, ids_cache)
@@ -395,13 +400,88 @@ def _verify_candidates(
     counts = pc.count_substring(low, needle.lower()).to_numpy(zero_copy_only=False)
     counts = np.nan_to_num(counts).astype(np.int64)
     keep = counts > 0
-    return doc_id_arr[keep], counts[keep]
+    kept_texts = None
+    if want_texts:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        kept_texts = texts.take(pa.array(np.flatnonzero(keep)))
+    return doc_id_arr[keep], counts[keep], kept_texts
+
+
+# ---------------------------------------------------------------- snippets
+
+
+def _char_pos_from_byte(texts: pa.Array, byte_off: np.ndarray) -> np.ndarray:
+    """Per-row 0-based CHARACTER position of a per-row BYTE offset (Arrow's
+    find_substring returns bytes; DuckDB's position() counts characters —
+    this is the bridge that keeps the SQL mirror exact)."""
+    buf, off = _string_bytes(texts)
+    pref = np.concatenate(([0], np.cumsum((buf & 0xC0) != 0x80)))
+    g = off[:-1] + byte_off
+    return (pref[g] - pref[off[:-1]]).astype(np.int64)
+
+
+def _char_windows(texts: pa.Array, pos_chars: np.ndarray, width: int, tail: int) -> pa.Array:
+    """Snippet strings: characters ``[max(0, pos-width), pos+tail)`` of each
+    text, sliced on codepoint boundaries from the flat byte buffer (one
+    vectorized gather; no per-row Python). DuckDB mirror:
+    ``substr(text, greatest(1, pos1 - width), pos1 + tail - greatest(1, pos1 - width))``
+    with ``pos1`` the 1-based character position."""
+    buf, off = _string_bytes(texts)
+    cp = (buf & 0xC0) != 0x80
+    pref = np.concatenate(([0], np.cumsum(cp)))
+    base, end = pref[off[:-1]], pref[off[1:]]
+    starts_c = base + np.maximum(pos_chars - width, 0)
+    ends_c = np.minimum(base + pos_chars + tail, end)
+    cp_idx = np.append(np.flatnonzero(cp).astype(np.int64), buf.size)
+    b_s, b_e = cp_idx[starts_c], cp_idx[ends_c]
+    lens = b_e - b_s
+    total = int(lens.sum())
+    if total:
+        pos = np.arange(total, dtype=np.int64)
+        grp_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        values = buf[pos + np.repeat(b_s - grp_start, lens)]
+    else:
+        values = np.empty(0, np.uint8)
+    out_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.string(),
+        len(texts),
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(values.tobytes())],
+    )
+
+
+def _match_snippets(
+    texts: pa.Array, needle: str | None, pattern: str | None, width: int
+) -> tuple[np.ndarray, pa.Array]:
+    """(1-based char positions, snippet strings) of the FIRST match in each
+    text (every text is a verified match). The position is found in the
+    LOWERED text (same rule as the count kernels and the DuckDB
+    ``position(... in lower(text))`` mirror) and the window is cut from the
+    ORIGINAL text. Substring windows span ``len(needle)+width`` past the
+    start; regex windows use a fixed ``width+16`` tail (the match length is
+    not returned by the find kernel)."""
+    low = pc.utf8_lower(texts)
+    if needle is not None:
+        n = needle.lower()
+        bo = pc.find_substring(low, n)
+        tail = len(n) + width
+    else:
+        # ignore_case so patterns with uppercase literals still find their
+        # leftmost match in the lowered haystack (counts use the same flag)
+        bo = pc.find_substring_regex(low, pattern, ignore_case=True)
+        tail = width + 16
+    byte_off = bo.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = _char_pos_from_byte(low, byte_off)
+    return pos + 1, _char_windows(texts, pos, width, tail)
 
 
 def substring_search(
     index_dir: str,
     needles: list[tuple[int, str]],
     *,
+    snippets: bool = False,
+    width: int = 30,
     concurrency: int | None = None,
 ):
     """Exact substring search over the indexed corpus.
@@ -410,7 +490,13 @@ def substring_search(
     by (query_id, doc_id) — EVERY matching doc, not top-k, since substring
     match is a filter, not a ranking. Segments partition the doc space, so
     per-segment results concatenate with no merge shuffle; the driver sees
-    only match rows."""
+    only match rows.
+
+    ``snippets=True`` adds ``pos`` (1-based char position of the first
+    occurrence in the lowered text, = DuckDB ``position(n in lower(t))``)
+    and ``snippet`` (chars ``[pos-width, pos+len(needle)+width)`` of the
+    ORIGINAL text) — computed from the texts already in memory for
+    verification, zero extra I/O."""
     import pandas as pd
 
     from splade_ray.build import load_manifest, segment_dirs
@@ -435,6 +521,7 @@ def substring_search(
 
     def task(batch: pa.Table) -> pa.Table:
         qids, docs_out, cnts_out = [], [], []
+        pos_out, snip_out = [], []
         ids_cache: dict = {}
         for seg_dir in batch["seg_dir"].to_pylist():
             for qid, needle, tris in prepared:
@@ -445,28 +532,41 @@ def substring_search(
                     # cand=None: all trigrams df-capped — verify all live docs
                 else:
                     cand = None
-                docs, cnts = _verify_candidates(
-                    seg_dir, text_col, id_col, cand, needle, ids_cache
+                docs, cnts, texts = _verify_candidates(
+                    seg_dir, text_col, id_col, cand, needle, ids_cache,
+                    want_texts=snippets,
                 )
                 if tomb is not None and docs.size:
                     # logical deletes: substring match is a filter (complete
                     # result set), so post-filtering is exact
                     keep = ~np.isin(docs, tomb)
                     docs, cnts = docs[keep], cnts[keep]
+                    if snippets:
+                        texts = texts.take(pa.array(np.flatnonzero(keep)))
+                if snippets and docs.size:
+                    p, s = _match_snippets(texts, needle, None, width)
+                    pos_out.append(p)
+                    snip_out.append(s)
                 qids.extend([qid] * docs.size)
                 docs_out.append(docs)
                 cnts_out.append(cnts)
-        return pa.table(
-            {
-                "query_id": pa.array(np.asarray(qids, np.int64)),
-                "doc_id": pa.array(
-                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
-                ),
-                "n_occurrences": pa.array(
-                    np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
-                ),
-            }
-        )
+        cols = {
+            "query_id": pa.array(np.asarray(qids, np.int64)),
+            "doc_id": pa.array(
+                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+            ),
+            "n_occurrences": pa.array(
+                np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
+            ),
+        }
+        if snippets:
+            cols["pos"] = pa.array(
+                np.concatenate(pos_out) if pos_out else np.empty(0, np.int64)
+            )
+            cols["snippet"] = (
+                pa.concat_arrays(snip_out) if snip_out else pa.array([], pa.string())
+            )
+        return pa.table(cols)
 
     segs = segment_dirs(index_dir)
     out = (
@@ -475,13 +575,15 @@ def substring_search(
         .to_pandas()
     )
     if out.empty:
-        out = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "doc_id": pd.Series([], dtype=np.int64),
-                "n_occurrences": pd.Series([], dtype=np.int64),
-            }
-        )
+        cols = {
+            "query_id": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_occurrences": pd.Series([], dtype=np.int64),
+        }
+        if snippets:
+            cols["pos"] = pd.Series([], dtype=np.int64)
+            cols["snippet"] = pd.Series([], dtype=str)
+        out = pd.DataFrame(cols)
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 
@@ -605,13 +707,20 @@ def regex_search(
     patterns: list[tuple[int, str]],
     *,
     case_insensitive: bool = True,
+    snippets: bool = False,
+    width: int = 30,
     concurrency: int | None = None,
 ):
     """Exact regex search accelerated by the trigram layer: candidate docs
     from the pattern's required-literal trigram condition, verified with
     the RE2 kernel (leftmost non-overlapping occurrence counts). Patterns
     with no extractable literals fall back to a full verification scan of
-    live docs (logged). Returns (query_id, doc_id, n_occurrences) sorted."""
+    live docs (logged). Returns (query_id, doc_id, n_occurrences) sorted.
+
+    ``snippets=True`` adds ``pos`` (1-based char position of the leftmost
+    match in the lowered text) and ``snippet`` (chars
+    ``[pos-width, pos+width+16)`` of the ORIGINAL text — the find kernel
+    does not return the match length, so the tail is fixed)."""
     import pandas as pd
 
     from splade_ray.build import load_manifest, segment_dirs
@@ -635,6 +744,7 @@ def regex_search(
 
     def task(batch: pa.Table) -> pa.Table:
         qids, docs_out, cnts_out = [], [], []
+        pos_out, snip_out = [], []
         ids_cache: dict = {}
         for seg_dir in batch["seg_dir"].to_pylist():
             with open(os.path.join(seg_dir, "manifest.json")) as fh:
@@ -659,20 +769,34 @@ def regex_search(
                 if tomb is not None and docs.size:
                     live = ~np.isin(docs, tomb)
                     docs, cnts = docs[live], cnts[live]
+                    keep[np.flatnonzero(keep)[~live]] = False
+                if snippets and docs.size:
+                    if isinstance(texts, pa.ChunkedArray):
+                        texts = texts.combine_chunks()
+                    kept_texts = texts.take(pa.array(np.flatnonzero(keep)))
+                    p, s = _match_snippets(kept_texts, None, pat, width)
+                    pos_out.append(p)
+                    snip_out.append(s)
                 qids.extend([qid] * docs.size)
                 docs_out.append(docs)
                 cnts_out.append(cnts)
-        return pa.table(
-            {
-                "query_id": pa.array(np.asarray(qids, np.int64)),
-                "doc_id": pa.array(
-                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
-                ),
-                "n_occurrences": pa.array(
-                    np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
-                ),
-            }
-        )
+        cols = {
+            "query_id": pa.array(np.asarray(qids, np.int64)),
+            "doc_id": pa.array(
+                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+            ),
+            "n_occurrences": pa.array(
+                np.concatenate(cnts_out) if cnts_out else np.empty(0, np.int64)
+            ),
+        }
+        if snippets:
+            cols["pos"] = pa.array(
+                np.concatenate(pos_out) if pos_out else np.empty(0, np.int64)
+            )
+            cols["snippet"] = (
+                pa.concat_arrays(snip_out) if snip_out else pa.array([], pa.string())
+            )
+        return pa.table(cols)
 
     segs = segment_dirs(index_dir)
     out = (
@@ -681,13 +805,15 @@ def regex_search(
         .to_pandas()
     )
     if out.empty:
-        out = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "doc_id": pd.Series([], dtype=np.int64),
-                "n_occurrences": pd.Series([], dtype=np.int64),
-            }
-        )
+        cols = {
+            "query_id": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_occurrences": pd.Series([], dtype=np.int64),
+        }
+        if snippets:
+            cols["pos"] = pd.Series([], dtype=np.int64)
+            cols["snippet"] = pd.Series([], dtype=str)
+        out = pd.DataFrame(cols)
     return out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
 
 

@@ -295,9 +295,56 @@ def test_verification_reads_only_candidate_row_groups(ray_session, tmp_path, mon
         return orig(self, g, *a, **kw)
 
     monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
-    docs, cnts = _verify_candidates(seg, "content", "doc_id", cand, "xqzneedle", {})
+    docs, cnts, _ = _verify_candidates(seg, "content", "doc_id", cand, "xqzneedle", {})
     assert docs.tolist() == [7, 150] and cnts.tolist() == [1, 1]
     # candidates sit in row groups 0 (row 7) and 15 (row 150); the id-column
     # pass reads the full slice via read_row_groups (not read_row_group), so
     # the spy sees ONLY the two text-group reads
     assert sorted(set(groups_read)) == [0, 15]
+
+
+def test_snippets_substring_and_regex(ray_session, tmp_path):
+    """Snippet columns: pos = 1-based char position of the first match in
+    the lowered text (DuckDB position() parity), snippet = char window of
+    the ORIGINAL text; unicode-safe (codepoint slicing, not bytes)."""
+    import re
+
+    from splade_ray.trigram import regex_search, substring_search
+
+    texts = [
+        "Héllo wörld ZSEARCHZ end of line",
+        "zsearchz at the very start",
+        "tail position zsearchz",
+        "日本語の zsearchz テキストです",
+        "no match here",
+        "double zsearchz and zsearchz again",
+    ]
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=2)
+    build_trigrams(index_dir)
+
+    W = 5
+    got = substring_search(index_dir, [(0, "ZseArchZ")], snippets=True, width=W)
+    assert list(got.columns) == ["query_id", "doc_id", "n_occurrences", "pos", "snippet"]
+    for _, r in got.iterrows():
+        t = texts[int(r.doc_id)]
+        p0 = t.lower().index("zsearchz")
+        assert r.pos == p0 + 1
+        assert r.snippet == t[max(0, p0 - W): p0 + len("zsearchz") + W]
+
+    pat = r"zsearchz\s+\w+"
+    gotr = regex_search(index_dir, [(0, pat)], snippets=True, width=W)
+    # RE2 \w is ASCII-only (re.ASCII mirrors that): doc 3's unicode tail
+    # does not match, doc 0's upper-case hit does (ignore_case)
+    assert set(gotr.doc_id) == {0, 1, 5}
+    for _, r in gotr.iterrows():
+        t = texts[int(r.doc_id)]
+        m = re.search(pat, t.lower(), re.ASCII)
+        assert r.pos == m.start() + 1
+        assert r.snippet == t[max(0, m.start() - W): m.start() + W + 16]
