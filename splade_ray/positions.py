@@ -43,7 +43,7 @@ import ray
 import ray.data as rd
 
 from splade_ray.analysis import tokenize, tokenize_column, tokenize_column_by_lang
-from splade_ray.codec import varbyte_decode, varbyte_encode
+from splade_ray.codec import varbyte_decode, varbyte_encode_bulk
 
 POSITIONS_SCHEMA = pa.schema(
     [
@@ -63,19 +63,6 @@ _POS_BITS = np.uint64(32)
 _POS_MASK = (1 << 32) - 1
 
 
-def _varbyte_lengths(values: np.ndarray) -> np.ndarray:
-    """Per-value encoded byte length (7 data bits per byte) — lets one
-    ``varbyte_encode`` call over a whole concatenated stream be sliced at
-    run boundaries without re-encoding per run."""
-    a = np.ascontiguousarray(values, dtype=np.uint64)
-    nbytes = np.ones(a.size, np.int64)
-    v = a >> np.uint64(7)
-    while v.any():
-        nbytes += v > 0
-        v >>= np.uint64(7)
-    return nbytes
-
-
 def build_positions_table(
     texts: pa.Array | pa.ChunkedArray,
     doc_ids: np.ndarray,
@@ -83,10 +70,11 @@ def build_positions_table(
 ) -> pa.Table:
     """Positional postings for one segment's documents (doc_ids ascending).
 
-    Fully vectorized up to the per-term assembly loop: tokenization is the
-    shared Arrow kernel, within-doc token positions / run boundaries /
-    position deltas / byte offsets are all numpy, and the position payload
-    is ONE ``varbyte_encode`` call sliced per term."""
+    Fully vectorized, no per-term Python: tokenization is the shared Arrow
+    kernel; within-doc token positions / run boundaries / deltas are numpy;
+    every varbyte stream (positions, doc deltas, tfs, run lengths) is ONE
+    bulk encode pass sliced at term boundaries into the Arrow binary
+    columns."""
     if langs is None:
         terms, par, _ = tokenize_column(texts)
     else:
@@ -108,7 +96,6 @@ def build_positions_table(
 
     te = (terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms).dictionary_encode()
     tid = te.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = te.dictionary.to_pylist()
 
     # one global ordering: (term, doc, position)
     order = np.lexsort((pos_in_doc, par, tid))
@@ -125,8 +112,7 @@ def build_positions_table(
     np.subtract(p_s[1:], p_s[:-1], out=dp[1:])
     dp[run_start] = p_s[run_start]
 
-    pos_enc_all = varbyte_encode(dp)
-    byte_len = _varbyte_lengths(dp)
+    pos_buf, byte_len = varbyte_encode_bulk(dp)
     byte_end = np.cumsum(byte_len)
     run_byte_start = byte_end[run_start] - byte_len[run_start]
     run_byte_len = np.add.reduceat(byte_len, run_start)
@@ -139,24 +125,47 @@ def build_positions_table(
     term_run_counts = np.diff(np.concatenate((term_first_run, [run_start.size])))
     run_doc = doc_ids[d_s[run_start]]
 
-    rows = {k: [] for k in POSITIONS_SCHEMA.names}
-    for i in range(term_first_run.size):
-        r0 = int(term_first_run[i])
-        r1 = r0 + int(term_run_counts[i])
-        docs = run_doc[r0:r1]
-        deltas = np.empty(docs.size, np.int64)
-        deltas[0] = docs[0]
-        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
-        b0 = int(run_byte_start[r0])
-        b1 = int(run_byte_start[r1 - 1] + run_byte_len[r1 - 1])
-        rows["term"].append(vocab[int(run_tid[r0])])
-        rows["df"].append(docs.size)
-        rows["n_pos"].append(int(run_counts[r0:r1].sum()))
-        rows["docs_enc"].append(varbyte_encode(deltas))
-        rows["tf_enc"].append(varbyte_encode(run_counts[r0:r1]))
-        rows["len_enc"].append(varbyte_encode(run_byte_len[r0:r1]))
-        rows["pos_enc"].append(pos_enc_all[b0:b1])
-    t = pa.table(rows, schema=POSITIONS_SCHEMA)
+    # per-term doc deltas with a reset at every term's first run, then ONE
+    # bulk varbyte pass per stream sliced at term boundaries (the per-term
+    # Python loop with three tiny encode calls dominated the layer build —
+    # same fix as the trigram layer)
+    deltas = np.empty(run_doc.size, np.int64)
+    deltas[0] = run_doc[0]
+    np.subtract(run_doc[1:], run_doc[:-1], out=deltas[1:])
+    deltas[term_first_run] = run_doc[term_first_run]
+
+    n_terms = term_first_run.size
+    bounds = np.append(term_first_run, run_start.size)
+
+    def _sliced_binary(buf: np.ndarray, nbytes: np.ndarray) -> pa.Array:
+        cum = np.concatenate(([0], np.cumsum(nbytes)))
+        offs = cum[bounds].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n_terms,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+
+    d_buf, d_nb = varbyte_encode_bulk(deltas)
+    t_buf, t_nb = varbyte_encode_bulk(run_counts)
+    l_buf, l_nb = varbyte_encode_bulk(run_byte_len)
+    pos_offs = np.append(run_byte_start[term_first_run], int(byte_end[-1])).astype(np.int32)
+    t = pa.table(
+        {
+            "term": te.dictionary.take(pa.array(run_tid[term_first_run])),
+            "df": pa.array(term_run_counts, pa.int64()),
+            "n_pos": pa.array(np.add.reduceat(run_counts, term_first_run), pa.int64()),
+            "docs_enc": _sliced_binary(d_buf, d_nb),
+            "tf_enc": _sliced_binary(t_buf, t_nb),
+            "len_enc": _sliced_binary(l_buf, l_nb),
+            "pos_enc": pa.Array.from_buffers(
+                pa.binary(),
+                n_terms,
+                [None, pa.py_buffer(pos_offs.tobytes()), pa.py_buffer(pos_buf.tobytes())],
+            ),
+        },
+        schema=POSITIONS_SCHEMA,
+    )
     return t.take(pa.compute.sort_indices(t["term"]))
 
 
