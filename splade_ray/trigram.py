@@ -595,26 +595,49 @@ except ImportError:  # pragma: no cover
     import sre_parse as _sre
 
 
+# bounds for the literal-run alternative set: a char class with at most
+# _MAX_CLASS_CHARS literal chars multiplies the run's alternatives; the run
+# flushes when the product would exceed _MAX_RUN_ALTS (the flushed prefix is
+# still a sound requirement)
+_MAX_CLASS_CHARS = 4
+_MAX_RUN_ALTS = 16
+
+
 def _seq_literals(seq) -> list[set[str]]:
     """Conservative required-literal analysis of one sre node sequence
     (the Cox code-search trick, simplified to AND-of-OR form): returns
     groups where every match of the sequence must contain AT LEAST ONE
-    literal from EACH group. Sound but not complete — unanalyzable
-    constructs just contribute nothing (never a wrong prune)."""
+    literal from EACH group. The contiguous literal run is a bounded SET
+    of alternatives, so small character classes stay analyzable
+    (``[Tt]oken`` requires "token" after lowering; ``[ab]cde`` requires
+    "acde"-or-"bcde"). Sound but not complete — unanalyzable constructs
+    just contribute nothing (never a wrong prune)."""
     groups: list[set[str]] = []
-    run: list[str] = []
+    run: list[str] = [""]
 
     def flush():
-        if run:
-            s = "".join(run).lower()
-            if len(s.encode("utf-8")) >= 3:
-                groups.append({s})
-            run.clear()
+        nonlocal run
+        if run != [""]:
+            alts = {s.lower() for s in run}
+            # a match uses exactly ONE alternative, so the group is usable
+            # only if EVERY alternative is trigram-prunable
+            if all(len(s.encode("utf-8")) >= 3 for s in alts):
+                groups.append(alts)
+        run = [""]
 
     for op, av in seq:
         name = str(op)
         if name == "LITERAL":
-            run.append(chr(av))
+            run = [r + chr(av) for r in run]
+            continue
+        if name == "IN":
+            chars = [chr(a) for o, a in av if str(o) == "LITERAL"]
+            if len(chars) == len(av) and 0 < len(chars) <= _MAX_CLASS_CHARS:
+                if len(run) * len(chars) > _MAX_RUN_ALTS:
+                    flush()  # the prefix is still a sound requirement
+                run = [r + c for r in run for c in chars]
+                continue
+            flush()  # NEGATE/RANGE/CATEGORY or too wide: breaks the run
             continue
         if name == "SUBPATTERN":
             flush()
@@ -627,7 +650,8 @@ def _seq_literals(seq) -> list[set[str]]:
                 # literal run, so run+body is one required substring (e.g.
                 # 'zzz+' requires 'zzz'); nothing after the repeat may
                 # extend the run (ab+c does NOT require 'abc')
-                run.extend(chr(a) for _, a in sub)
+                body = "".join(chr(a) for _, a in sub)
+                run = [r + body for r in run]
                 flush()
                 continue
             flush()
@@ -645,7 +669,7 @@ def _seq_literals(seq) -> list[set[str]]:
                 if not alt_groups:
                     ok = False
                     break
-                reps.add(max((lit for g in alt_groups for lit in g), key=len))
+                reps.update(min(alt_groups, key=len))
             if ok:
                 groups.append(reps)
             continue
@@ -655,7 +679,7 @@ def _seq_literals(seq) -> list[set[str]]:
             continue
         if name == "AT":  # anchors don't break a literal run's adjacency
             continue
-        # ANY, IN, NOT_LITERAL, ASSERT, GROUPREF, ... : breaks the run,
+        # ANY, NOT_LITERAL, ASSERT, GROUPREF, ... : breaks the run,
         # contributes no requirement
         flush()
     flush()

@@ -152,6 +152,31 @@ def test_required_trigram_groups_soundness():
     assert len(g) == 1 and len(g[0]) == 2                   # OR group
 
 
+def test_required_literals_char_classes():
+    """Small character classes multiply the literal run's alternative set
+    (bounded); big/negated/range classes break the run conservatively."""
+    from splade_ray.trigram import _seq_literals, _sre
+
+    def lits(pat):
+        return _seq_literals(_sre.parse(pat))
+
+    assert lits(r"[Tt]oken") == [{"token"}]          # lowering dedupes
+    assert lits(r"colo[uU]r") == [{"colour"}]
+    assert lits(r"[ab]cde") == [{"acde", "bcde"}]
+    assert lits(r"[ab]cd[ef]") == [{"acde", "acdf", "bcde", "bcdf"}]
+    assert lits(r"[0-9]abc") == [{"abc"}]            # range breaks, run restarts
+    assert lits(r"[^x]abc") == [{"abc"}]             # negated class breaks
+    assert lits(r"[abcde]xyz") == [{"xyz"}]          # class too wide (5 > 4)
+    # alternative-set cap: 5 classes would be 32 alts; the first 4 flush
+    # as a sound 16-alt group, the 5th restarts the run
+    g = lits(r"[ab][cd][ef][gh][ij]kl")
+    assert len(g) == 2 and len(g[0]) == 16 and g[1] == {"ikl", "jkl"}
+    # nested-branch soundness regression: requiring only the longest
+    # literal of the inner OR group would wrongly prune 'bazqux' matches
+    g = lits(r"(?:(?:foobar|bazqux)|hello)")
+    assert g == [{"foobar", "bazqux", "hello"}]
+
+
 def test_regex_search_matches_full_scan(ray_session, tmp_path):
     import re
 
@@ -175,6 +200,9 @@ def test_regex_search_matches_full_scan(ray_session, tmp_path):
         (2, r"def|class"),           # OR group, both >=3 bytes
         (3, r"x\d"),                 # no pruning possible -> fallback
         (4, r"no_such_literal_zzz"),
+        (5, r"[Rr]eturn"),           # small char class folds into the run
+        (6, r"rare_[st]oken_1"),     # class mid-run
+        (7, r"[0-9]+ merge"),        # range class breaks, literal prunes
     ]
     pruned = regex_search(index_dir, pats)
     ds = rd.from_arrow(
