@@ -293,27 +293,40 @@ def needle_trigrams(needle: str) -> np.ndarray:
 _NO_MATCH = np.empty(0, np.int64)  # proof: no doc in the segment can match
 
 
-def _segment_candidates(seg_dir: str, tris: np.ndarray) -> np.ndarray | None:
-    """Doc ids in this segment containing ALL the needle's trigrams.
-    An EMPTY array means the layer PROVES no doc can match (some trigram
-    absent, or the intersection is empty); ``None`` means the layer proves
-    nothing (every required trigram row is df-capped: present but posting
-    bytes dropped) and the caller must verify all live docs. Rarest-first
-    intersection with early exit."""
+def _load_tri_rows(seg_dir: str, all_tris: np.ndarray) -> dict[int, tuple[int, bytes]]:
+    """ONE filtered read of a segment's trigram postings covering the union
+    of every query's trigrams — multi-query workloads pay one parquet read
+    per segment, not one per (segment, query). Returns tri -> (df, enc)."""
     import pyarrow.dataset as pads
 
     src = pads.dataset(os.path.join(seg_dir, "trigrams.parquet"))
-    tbl = src.to_table(filter=pads.field("tri").isin(pa.array(tris, pa.int32())))
-    if tbl.num_rows < tris.size:
+    tbl = src.to_table(filter=pads.field("tri").isin(pa.array(all_tris, pa.int32())))
+    return {
+        int(t): (int(d), e)
+        for t, d, e in zip(
+            tbl["tri"].to_pylist(), tbl["df"].to_pylist(), tbl["docs_enc"].to_pylist()
+        )
+    }
+
+
+def _segment_candidates(
+    rows: dict[int, tuple[int, bytes]], tris: np.ndarray
+) -> np.ndarray | None:
+    """Doc ids in this segment containing ALL the needle's trigrams, from a
+    preloaded ``_load_tri_rows`` map. An EMPTY array means the layer PROVES
+    no doc can match (some trigram absent, or the intersection is empty);
+    ``None`` means the layer proves nothing (every required trigram row is
+    df-capped: present but posting bytes dropped) and the caller must
+    verify all live docs. Rarest-first intersection with early exit."""
+    hits = [rows.get(int(t)) for t in tris]
+    if any(h is None for h in hits):
         return _NO_MATCH  # some required trigram appears in no doc
-    dfs = tbl["df"].to_numpy()
-    order = np.argsort(dfs, kind="stable")
+    hits.sort(key=lambda h: h[0])
     cand: np.ndarray | None = None
-    for i in order.tolist():
-        enc = tbl["docs_enc"][i].as_py()
-        if len(enc) == 0 and dfs[i] > 0:
+    for df, enc in hits:
+        if len(enc) == 0 and df > 0:
             continue  # df-capped row: present in "too many" docs to prune
-        docs = np.cumsum(varbyte_decode(enc, int(dfs[i])).astype(np.int64))
+        docs = np.cumsum(varbyte_decode(enc, df).astype(np.int64))
         cand = docs if cand is None else cand[np.isin(cand, docs, assume_unique=True)]
         if cand.size == 0:
             return _NO_MATCH
@@ -519,14 +532,17 @@ def substring_search(
             )
         prepared.append((qid, needle, tris))
 
+    all_tris = np.unique(np.concatenate([t for _, _, t in prepared] or [np.empty(0, np.int32)]))
+
     def task(batch: pa.Table) -> pa.Table:
         qids, docs_out, cnts_out = [], [], []
         pos_out, snip_out = [], []
         ids_cache: dict = {}
         for seg_dir in batch["seg_dir"].to_pylist():
+            tri_rows = _load_tri_rows(seg_dir, all_tris) if all_tris.size else {}
             for qid, needle, tris in prepared:
                 if tris.size > 0:
-                    cand = _segment_candidates(seg_dir, tris)
+                    cand = _segment_candidates(tri_rows, tris)
                     if cand is not None and cand.size == 0:
                         continue  # layer proves no match in this segment
                     # cand=None: all trigrams df-capped — verify all live docs
@@ -701,7 +717,9 @@ def required_trigram_groups(pattern: str) -> list[list[np.ndarray]]:
     return out
 
 
-def _regex_candidates(seg_dir: str, groups: list[list[np.ndarray]]) -> np.ndarray | None:
+def _regex_candidates(
+    tri_rows: dict[int, tuple[int, bytes]], groups: list[list[np.ndarray]]
+) -> np.ndarray | None:
     """Docs in this segment satisfying the AND-of-OR trigram condition.
     Same contract as ``_segment_candidates``: EMPTY array = the layer
     proves no doc can match; ``None`` = no pruning information (every
@@ -711,7 +729,7 @@ def _regex_candidates(seg_dir: str, groups: list[list[np.ndarray]]) -> np.ndarra
         docs = np.empty(0, np.int64)
         capped = False
         for tris in alts:
-            d = _segment_candidates(seg_dir, tris)
+            d = _segment_candidates(tri_rows, tris)
             if d is None:
                 # this alternative can't prune, so the whole OR group can't
                 capped = True
@@ -766,6 +784,13 @@ def regex_search(
             )
         prepared.append((qid, pat, groups))
 
+    all_tris = np.unique(
+        np.concatenate(
+            [t for _, _, gs in prepared for alts in gs for t in alts]
+            or [np.empty(0, np.int32)]
+        )
+    )
+
     def task(batch: pa.Table) -> pa.Table:
         qids, docs_out, cnts_out = [], [], []
         pos_out, snip_out = [], []
@@ -773,9 +798,10 @@ def regex_search(
         for seg_dir in batch["seg_dir"].to_pylist():
             with open(os.path.join(seg_dir, "manifest.json")) as fh:
                 m = json.load(fh)
+            tri_rows = _load_tri_rows(seg_dir, all_tris) if all_tris.size else {}
             for qid, pat, groups in prepared:
                 if groups:
-                    cand = _regex_candidates(seg_dir, groups)
+                    cand = _regex_candidates(tri_rows, groups)
                     if cand is not None and cand.size == 0:
                         continue  # layer proves no match in this segment
                     # cand=None: capped rows voided every group — verify all

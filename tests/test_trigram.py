@@ -311,8 +311,11 @@ def test_verification_reads_only_candidate_row_groups(ray_session, tmp_path, mon
                 rows_per_segment=200)
     build_trigrams(index_dir)
 
+    from splade_ray.trigram import _load_tri_rows
+
     seg = os.path.join(index_dir, "segments", "seg=000000")
-    cand = _segment_candidates(seg, needle_trigrams("xqzneedle"))
+    tris = needle_trigrams("xqzneedle")
+    cand = _segment_candidates(_load_tri_rows(seg, tris), tris)
     assert cand is not None and set(cand.tolist()) == {7, 150}
 
     groups_read = []
