@@ -829,6 +829,17 @@ def q_grep_snippets(sf_dir: str):
                             width=SNIPPET_WIDTH)
 
 
+def q_substr_search_cs(sf_dir: str):
+    """Case-SENSITIVE substring search: the lowered trigram layer still
+    prunes (lowered candidates are a sound superset of exact-case matches);
+    verification counts against the original text."""
+    from splade_ray.trigram import build_trigrams, substring_search
+
+    index_dir = _index_for(sf_dir)
+    build_trigrams(index_dir)
+    return substring_search(index_dir, SUBSTR_QUERIES, case_insensitive=False)
+
+
 def q_regex_grep_pruned(sf_dir: str):
     """Trigram-PRUNED regex search (splade_ray.trigram.regex_search):
     required-literal analysis of each pattern (Cox code-search trick)
@@ -1533,6 +1544,19 @@ SELECT n.query_id::BIGINT AS query_id, d.doc_id,
         // length(n.needle))::BIGINT AS n_occurrences
 FROM documents d CROSS JOIN needles n
 WHERE contains(lower(d.text), n.needle)"""
+
+
+def _substr_cs_sql() -> str:
+    """SQL mirror of substring_search(case_insensitive=False): exact-case
+    contains + replace-trick count, no lower() on either side."""
+    values = ", ".join(f"({qid}, '{ndl}')" for qid, ndl in SUBSTR_QUERIES)
+    return f"""
+WITH needles(query_id, needle) AS (VALUES {values})
+SELECT n.query_id::BIGINT AS query_id, d.doc_id,
+       ((length(d.text) - length(replace(d.text, n.needle, '')))
+        // length(n.needle))::BIGINT AS n_occurrences
+FROM documents d CROSS JOIN needles n
+WHERE contains(d.text, n.needle)"""
 
 
 SNIPPET_WIDTH = 12
@@ -2253,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
         "grep_snippets": q_grep_snippets,
+        "substr_search_cs": q_substr_search_cs,
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "phrase_topk": q_phrase_topk,
@@ -2912,6 +2937,7 @@ FROM f""",
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),
         "grep_snippets": _grep_snippets_sql(),
+        "substr_search_cs": _substr_cs_sql(),
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "phrase_topk": _phrase_topk_sql(),

@@ -313,8 +313,10 @@ def cmd_grep(args) -> int:
     from splade_ray.trigram import grep_scan, regex_search, substring_search
 
     needles = _load_queries(args.needles)
+    ci = not args.case_sensitive
     if args.index:
-        kw = {"snippets": args.snippets, "width": args.width}
+        kw = {"snippets": args.snippets, "width": args.width,
+              "case_insensitive": ci}
         if args.regex:
             # required-literal trigram pruning + RE2 verification
             res = regex_search(args.index, needles, **kw)
@@ -326,7 +328,7 @@ def cmd_grep(args) -> int:
         ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
         res = (
             grep_scan(ds, needles, id_col=args.id_col, text_col=args.text_col,
-                      regex=args.regex)
+                      regex=args.regex, case_insensitive=ci)
             .to_pandas()
             .sort_values(["query_id", args.id_col])
             .reset_index(drop=True)
@@ -978,6 +980,8 @@ def main(argv: list[str] | None = None) -> int:
     gr.add_argument("--needles", required=True, help="TSV: id\\tneedle")
     gr.add_argument("--out", required=True, help=".parquet")
     gr.add_argument("--regex", action="store_true")
+    gr.add_argument("--case-sensitive", action="store_true",
+                    help="match exact case (default: case-insensitive)")
     gr.add_argument("--snippets", action="store_true",
                     help="add first-match position + char-window snippet "
                          "columns (index path only)")

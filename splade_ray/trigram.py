@@ -402,15 +402,20 @@ def _verify_candidates(
     needle: str,
     ids_cache: dict,
     want_texts: bool = False,
+    case_insensitive: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, pa.Array | None]:
     """(doc_ids, non-overlapping occurrence counts, matched texts or None)
-    of docs whose lowered text actually contains the lowered needle.
-    ``cand=None`` means scan the whole segment (short-needle fallback)."""
+    of docs whose text actually contains the needle (both sides lowered in
+    case-insensitive mode). ``cand=None`` means scan the whole segment
+    (short-needle fallback)."""
     with open(os.path.join(seg_dir, "manifest.json")) as fh:
         m = json.load(fh)
     doc_id_arr, texts = _candidate_texts(seg_dir, m, text_col, id_col, cand, ids_cache)
-    low = pc.utf8_lower(texts)
-    counts = pc.count_substring(low, needle.lower()).to_numpy(zero_copy_only=False)
+    if case_insensitive:
+        hay, ndl = pc.utf8_lower(texts), needle.lower()
+    else:
+        hay, ndl = texts, needle
+    counts = pc.count_substring(hay, ndl).to_numpy(zero_copy_only=False)
     counts = np.nan_to_num(counts).astype(np.int64)
     keep = counts > 0
     kept_texts = None
@@ -465,27 +470,34 @@ def _char_windows(texts: pa.Array, pos_chars: np.ndarray, width: int, tail: int)
 
 
 def _match_snippets(
-    texts: pa.Array, needle: str | None, pattern: str | None, width: int
+    texts: pa.Array,
+    needle: str | None,
+    pattern: str | None,
+    width: int,
+    case_insensitive: bool = True,
 ) -> tuple[np.ndarray, pa.Array]:
     """(1-based char positions, snippet strings) of the FIRST match in each
-    text (every text is a verified match). The position is found in the
-    LOWERED text (same rule as the count kernels and the DuckDB
-    ``position(... in lower(text))`` mirror) and the window is cut from the
-    ORIGINAL text. Substring windows span ``len(needle)+width`` past the
-    start; regex windows use a fixed ``width+16`` tail (the match length is
-    not returned by the find kernel)."""
-    low = pc.utf8_lower(texts)
+    text (every text is a verified match). Case-insensitive mode finds the
+    position in the LOWERED text (same rule as the count kernels and the
+    DuckDB ``position(... in lower(text))`` mirror); case-sensitive mode
+    searches the original. The window is always cut from the ORIGINAL
+    text. Substring windows span ``len(needle)+width`` past the start;
+    regex windows use a fixed ``width+16`` tail (the match length is not
+    returned by the find kernel)."""
+    hay = pc.utf8_lower(texts) if case_insensitive else texts
+    if isinstance(hay, pa.ChunkedArray):
+        hay = hay.combine_chunks()
     if needle is not None:
-        n = needle.lower()
-        bo = pc.find_substring(low, n)
+        n = needle.lower() if case_insensitive else needle
+        bo = pc.find_substring(hay, n)
         tail = len(n) + width
     else:
-        # ignore_case so patterns with uppercase literals still find their
-        # leftmost match in the lowered haystack (counts use the same flag)
-        bo = pc.find_substring_regex(low, pattern, ignore_case=True)
+        # ignore_case (in ci mode) so patterns with uppercase literals
+        # still find their leftmost match in the lowered haystack
+        bo = pc.find_substring_regex(hay, pattern, ignore_case=case_insensitive)
         tail = width + 16
     byte_off = bo.to_numpy(zero_copy_only=False).astype(np.int64)
-    pos = _char_pos_from_byte(low, byte_off)
+    pos = _char_pos_from_byte(hay, byte_off)
     return pos + 1, _char_windows(texts, pos, width, tail)
 
 
@@ -493,6 +505,7 @@ def substring_search(
     index_dir: str,
     needles: list[tuple[int, str]],
     *,
+    case_insensitive: bool = True,
     snippets: bool = False,
     width: int = 30,
     concurrency: int | None = None,
@@ -505,11 +518,17 @@ def substring_search(
     per-segment results concatenate with no merge shuffle; the driver sees
     only match rows.
 
+    ``case_insensitive=False`` matches exact case: the lowered trigram
+    layer still prunes (``needle ⊂ text`` implies
+    ``lower(needle) ⊂ lower(text)``, so lowered candidates are a sound
+    superset) and verification counts against the original text.
+
     ``snippets=True`` adds ``pos`` (1-based char position of the first
-    occurrence in the lowered text, = DuckDB ``position(n in lower(t))``)
-    and ``snippet`` (chars ``[pos-width, pos+len(needle)+width)`` of the
-    ORIGINAL text) — computed from the texts already in memory for
-    verification, zero extra I/O."""
+    occurrence in the lowered text, = DuckDB ``position(n in lower(t))``;
+    original text in case-sensitive mode) and ``snippet`` (chars
+    ``[pos-width, pos+len(needle)+width)`` of the ORIGINAL text) —
+    computed from the texts already in memory for verification, zero
+    extra I/O."""
     import pandas as pd
 
     from splade_ray.build import load_manifest, segment_dirs
@@ -550,7 +569,7 @@ def substring_search(
                     cand = None
                 docs, cnts, texts = _verify_candidates(
                     seg_dir, text_col, id_col, cand, needle, ids_cache,
-                    want_texts=snippets,
+                    want_texts=snippets, case_insensitive=case_insensitive,
                 )
                 if tomb is not None and docs.size:
                     # logical deletes: substring match is a filter (complete
@@ -560,7 +579,9 @@ def substring_search(
                     if snippets:
                         texts = texts.take(pa.array(np.flatnonzero(keep)))
                 if snippets and docs.size:
-                    p, s = _match_snippets(texts, needle, None, width)
+                    p, s = _match_snippets(
+                        texts, needle, None, width, case_insensitive
+                    )
                     pos_out.append(p)
                     snip_out.append(s)
                 qids.extend([qid] * docs.size)
@@ -824,7 +845,9 @@ def regex_search(
                     if isinstance(texts, pa.ChunkedArray):
                         texts = texts.combine_chunks()
                     kept_texts = texts.take(pa.array(np.flatnonzero(keep)))
-                    p, s = _match_snippets(kept_texts, None, pat, width)
+                    p, s = _match_snippets(
+                        kept_texts, None, pat, width, case_insensitive
+                    )
                     pos_out.append(p)
                     snip_out.append(s)
                 qids.extend([qid] * docs.size)

@@ -379,3 +379,46 @@ def test_snippets_substring_and_regex(ray_session, tmp_path):
         m = re.search(pat, t.lower(), re.ASCII)
         assert r.pos == m.start() + 1
         assert r.snippet == t[max(0, m.start() - W): m.start() + W + 16]
+
+
+def test_case_sensitive_search(ray_session, tmp_path):
+    """case_insensitive=False: lowered trigram candidates are a sound
+    superset; verification (and snippets) use the original case."""
+    import re
+
+    from splade_ray.trigram import regex_search, substring_search
+
+    texts = [
+        "Return of the KING",
+        "return lowercase only",
+        "RETURN UPPER ONLY",
+        "no match at all",
+        "mixed Return and return twice",
+    ]
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "content": texts}), corpus
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=2)
+    build_trigrams(index_dir)
+
+    cs = substring_search(index_dir, [(0, "Return")], case_insensitive=False,
+                          snippets=True, width=3)
+    assert set(cs.doc_id) == {0, 4}
+    for _, r in cs.iterrows():
+        t = texts[int(r.doc_id)]
+        assert r.n_occurrences == t.count("Return")
+        p0 = t.index("Return")
+        assert r.pos == p0 + 1
+        assert r.snippet == t[max(0, p0 - 3): p0 + len("Return") + 3]
+
+    ci = substring_search(index_dir, [(0, "Return")])
+    assert set(ci.doc_id) == {0, 1, 2, 4}
+
+    csr = regex_search(index_dir, [(0, r"Return\s+\w+")], case_insensitive=False)
+    want = {(i, len(re.findall(r"Return\s+\w+", t, re.ASCII)))
+            for i, t in enumerate(texts) if re.search(r"Return\s+\w+", t, re.ASCII)}
+    assert {(d, c) for d, c in zip(csr.doc_id, csr.n_occurrences)} == want
