@@ -640,6 +640,16 @@ _MAX_CLASS_CHARS = 4
 _MAX_RUN_ALTS = 16
 
 
+def _literal_body(sub) -> str | None:
+    """The literal string a repeat body always matches, or None when the
+    body is not purely literal (groups unwrap: ``(abc){2}``)."""
+    if all(str(o) == "LITERAL" for o, _ in sub):
+        return "".join(chr(a) for _, a in sub)
+    if len(sub) == 1 and str(sub[0][0]) == "SUBPATTERN":
+        return _literal_body(sub[0][1][3])
+    return None
+
+
 def _seq_literals(seq) -> list[set[str]]:
     """Conservative required-literal analysis of one sre node sequence
     (the Cox code-search trick, simplified to AND-of-OR form): returns
@@ -681,15 +691,19 @@ def _seq_literals(seq) -> list[set[str]]:
             groups.extend(_seq_literals(av[3]))
             continue
         if name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
-            mn, _, sub = av
-            if mn >= 1 and all(str(o) == "LITERAL" for o, _ in sub):
-                # the repeat's FIRST iteration is adjacent to the preceding
-                # literal run, so run+body is one required substring (e.g.
-                # 'zzz+' requires 'zzz'); nothing after the repeat may
-                # extend the run (ab+c does NOT require 'abc')
-                body = "".join(chr(a) for _, a in sub)
-                run = [r + body for r in run]
-                flush()
+            mn, mx, sub = av
+            body = _literal_body(sub)
+            if mn >= 1 and body:
+                # the repeat's first mn iterations are adjacent to the
+                # preceding literal run, so run+body*mn is one required
+                # substring ('zzz+' requires 'zzz', 'ab{3}c' requires
+                # 'abbb', '(abc){2,}' requires 'abcabc'); for an EXACT
+                # repeat ({n}) the following literal is adjacent too, so
+                # the run continues ('ab{3}c' -> 'abbbc')
+                reps = min(int(mn), max(1, 32 // len(body)))
+                run = [r + body * reps for r in run]
+                if not (mn == mx and reps == mn):
+                    flush()
                 continue
             flush()
             if mn >= 1:  # the body must occur at least once

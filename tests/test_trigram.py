@@ -422,3 +422,18 @@ def test_case_sensitive_search(ray_session, tmp_path):
     want = {(i, len(re.findall(r"Return\s+\w+", t, re.ASCII)))
             for i, t in enumerate(texts) if re.search(r"Return\s+\w+", t, re.ASCII)}
     assert {(d, c) for d, c in zip(csr.doc_id, csr.n_occurrences)} == want
+
+
+def test_required_literals_repeat_counts():
+    """Exact/minimum repeat counts of literal bodies fold into the run."""
+    from splade_ray.trigram import _seq_literals, _sre
+
+    def lits(pat):
+        return _seq_literals(_sre.parse(pat))
+
+    assert lits(r"ab{3}c") == [{"abbbc"}]        # exact repeat: run continues
+    assert lits(r"(abc){2,}") == [{"abcabc"}]    # min 2: both required, then flush
+    assert lits(r"(ab){2}cd") == [{"ababcd"}]
+    assert lits(r"ab{2,5}c") == [{"abb"}]        # {2,5}: only 2 guaranteed, flush
+    assert lits(r"zzz+") == [{"zzz"}]
+    assert lits(r"(x){40}yz") == [{"x" * 32}]    # rep cap bounds the string
