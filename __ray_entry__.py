@@ -753,6 +753,11 @@ def q_distinct_terms_kmv(sf_dir: str):
 MLT_SEEDS = [0, 25, 123]
 MLT_TERMS = 5
 
+# RM3 pseudo-relevance feedback over the shared query set
+RM3_FB_DOCS = 5
+RM3_FB_TERMS = 6
+RM3_EXP_QTF = 1
+
 
 def q_more_like_this(sf_dir: str):
     """Seed-doc similarity search (splade_ray.mlt): top-5 terms per seed by
@@ -768,6 +773,48 @@ def q_more_like_this(sf_dir: str):
         m_terms=MLT_TERMS,
         params=BM25Params(k1=K1, b=B, top_k=TOP_K),
         text_col="text",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_rm3_terms(sf_dir: str):
+    """RM3 expansion-term mining (splade_ray.rm3.mine_expansion_terms):
+    feedback pass at top-RM3_FB_DOCS, then per query the top-RM3_FB_TERMS
+    candidate terms by the pinned integer ordering (sum-of-fb-tf desc,
+    corpus df asc, term asc), own analyzed terms excluded. All-integer
+    face of the two-pass loop (Abdul-Jaleel et al. 2004)."""
+    from splade_ray.query import search as _search
+    from splade_ray.rm3 import mine_expansion_terms
+
+    index_dir = _index_for(sf_dir)
+    fb_run = _search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=RM3_FB_DOCS))
+    return mine_expansion_terms(
+        index_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        BM25_QUERIES,
+        fb_run,
+        fb_terms=RM3_FB_TERMS,
+    )
+
+
+def q_rm3_topk(sf_dir: str):
+    """Full RM3 retrieval (splade_ray.rm3.rm3_search): feedback search,
+    integer term mining, expanded BM25 search — original terms keep their
+    query-tfs, expansion terms join at qtf=RM3_EXP_QTF."""
+    from splade_ray.rm3 import rm3_search
+
+    index_dir = _index_for(sf_dir)
+    run = rm3_search(
+        index_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        BM25_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=TOP_K),
+        fb_docs=RM3_FB_DOCS,
+        fb_terms=RM3_FB_TERMS,
+        exp_qtf=RM3_EXP_QTF,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
@@ -1509,6 +1556,63 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _rm3_exp_cte() -> str:
+    """Appends the RM3 feedback + term-mining CTEs to the shared bm25
+    `ranked` CTE: feedback docs at rank <= RM3_FB_DOCS, per-query candidate
+    sums over their tfs, own-query-term exclusion, the pinned integer
+    ordering (fb_tf desc, df asc, term asc) as `exp.rn`."""
+    return f""",
+fb AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {RM3_FB_DOCS}),
+sums AS (SELECT fb.query_id, tf.term, sum(tf.tf)::BIGINT AS fb_tf
+         FROM fb JOIN tf USING (doc_id) GROUP BY fb.query_id, tf.term),
+cand AS (SELECT s.query_id, s.term, s.fb_tf, df.df::BIGINT AS dfi
+         FROM sums s JOIN df USING (term)
+         WHERE NOT EXISTS (SELECT 1 FROM q
+                           WHERE q.query_id = s.query_id AND q.term = s.term)),
+exp AS (SELECT query_id, term, fb_tf, dfi,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY fb_tf DESC, dfi ASC, term ASC) AS rn
+        FROM cand)"""
+
+
+def _rm3_terms_sql() -> str:
+    """Integer-exact face of RM3 term mining (rm3.mine_expansion_terms)."""
+    return f"""{_bm25_cte()}{_rm3_exp_cte()}
+SELECT query_id::BIGINT AS query_id, term, fb_tf, dfi AS df
+FROM exp WHERE rn <= {RM3_FB_TERMS}"""
+
+
+def _rm3_sql() -> str:
+    """Full RM3 mirror (rm3.rm3_search): expanded query = original terms at
+    their qtfs UNION the top expansion terms at qtf=RM3_EXP_QTF, rescored
+    with the same BM25 formula."""
+    return f"""{_bm25_cte()}{_rm3_exp_cte()},
+q2 AS (SELECT query_id, term, qtf FROM q
+       UNION ALL
+       SELECT query_id, term, {RM3_EXP_QTF} AS qtf
+       FROM exp WHERE rn <= {RM3_FB_TERMS}),
+scores2 AS (
+  SELECT q2.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q2.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q2
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, tf.doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores2 WHERE score > 0
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       {_round4_sql('score')} AS score_r
+FROM ranked2 WHERE rank <= {TOP_K}"""
 
 
 def _facet_sql() -> str:
@@ -2273,6 +2377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": q_doclen_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
+        "rm3_terms": q_rm3_terms,
+        "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
@@ -2933,6 +3039,8 @@ FROM f""",
         "doclen_quantiles": _doclen_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),
+        "rm3_terms": _rm3_terms_sql(),
+        "rm3_topk": _rm3_sql(),
         "facet_counts": _facet_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

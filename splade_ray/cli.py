@@ -263,6 +263,28 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_rm3(args) -> int:
+    """RM3 pseudo-relevance feedback: two-pass expanded retrieval."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.rm3 import rm3_search
+
+    queries = _load_queries(args.queries)
+    run = rm3_search(
+        args.index, args.corpus, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        fb_docs=args.fb_docs, fb_terms=args.fb_terms, exp_qtf=args.exp_qtf,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     """Per-query facet counts over a doclens-carried doc column."""
     _ensure_ray()
@@ -950,6 +972,21 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--text-col", default="text")
     ml.add_argument("--id-col", default="doc_id")
     ml.set_defaults(fn=cmd_mlt)
+
+    r3 = sub.add_parser("rm3", help="RM3 pseudo-relevance-feedback search")
+    r3.add_argument("--index", required=True)
+    r3.add_argument("--corpus", required=True)
+    r3.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    r3.add_argument("--out", required=True, help="run.json or .parquet")
+    r3.add_argument("--fb-docs", type=int, default=5)
+    r3.add_argument("--fb-terms", type=int, default=8)
+    r3.add_argument("--exp-qtf", type=int, default=1)
+    r3.add_argument("--top-k", type=int, default=10)
+    r3.add_argument("--k1", type=float, default=1.2)
+    r3.add_argument("--b", type=float, default=0.75)
+    r3.add_argument("--text-col", default="text")
+    r3.add_argument("--id-col", default="doc_id")
+    r3.set_defaults(fn=cmd_rm3)
 
     fc = sub.add_parser("facets", help="per-query facet counts")
     fc.add_argument("--index", required=True)
