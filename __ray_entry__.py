@@ -999,6 +999,24 @@ def q_decontam(sf_dir: str):
     )
 
 
+DUP_K = 5
+DUP_MIN = 2
+
+
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring scan (ops/curation.duplicated_spans, the
+    k-gram formulation of Lee et al. 2022 ExactSubstr): per doc the count of
+    duplicated k-grams, token positions covered by a duplicated window, and
+    maximal covered spans. Pass 1 = batch-local gram-count combiners + one
+    (gram,count) groupby; pass 2 = streaming scan vs the broadcast
+    duplicated-gram set."""
+    from splade_ray.ops.curation import duplicated_spans
+
+    return duplicated_spans(
+        _docs(sf_dir, ["doc_id", "text"]), k=DUP_K, min_count=DUP_MIN
+    )
+
+
 def q_pack_assign(sf_dir: str):
     """Sequence-pack assignment (ops/curation.pack_assign): global-order
     exclusive token cumsum // budget, computed as a distributed prefix-scan
@@ -2400,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "decontam_grams": q_decontam,
         "pack_assign": q_pack_assign,
+        "dup_spans": q_dup_spans,
         "redact_docs": q_redact,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2811,6 +2830,38 @@ FROM tl LEFT JOIN cnt USING (doc_id)
 WHERE tl.doc_id % {m} != 0"""
 
 
+def _dup_spans_sql() -> str:
+    """Mirror of ops.curation.duplicated_spans: gram hashes are the same FNV
+    fold over sha256-prefix token hashes as the repetition/fingerprint
+    oracles; duplicated grams by total occurrence count (within-doc repeats
+    included); coverage = distinct positions under any duplicated window;
+    spans via gaps-and-islands (p - row_number)."""
+    p = 1099511628211
+    k = DUP_K
+    fold = _fold_sql([f"h[i+{j}]" for j in range(k)], p)
+    return f"""
+WITH {_token_hashes_cte()},
+gi AS (SELECT doc_id, h, unnest(generate_series(1, greatest(len(h) - {k - 1}, 0))) AS i
+       FROM hs),
+g AS (SELECT doc_id, i, {fold} AS g FROM gi),
+gc AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY g),
+dg AS (SELECT g.doc_id, g.i FROM g JOIN gc USING (g) WHERE gc.c >= {DUP_MIN}),
+cov AS (SELECT DISTINCT dg.doc_id, dg.i + r.range AS p FROM dg CROSS JOIN range({k}) r),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_dup_tokens,
+               count(DISTINCT grp)::BIGINT AS n_spans
+        FROM isl GROUP BY doc_id),
+dgc AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM dg GROUP BY doc_id),
+nt AS (SELECT doc_id, len(h)::BIGINT AS n_tokens FROM hs)
+SELECT nt.doc_id, nt.n_tokens,
+       coalesce(dgc.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(agg.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+       coalesce(agg.n_spans, 0)::BIGINT AS n_spans
+FROM nt LEFT JOIN agg USING (doc_id) LEFT JOIN dgc USING (doc_id)"""
+
+
 def _pack_assign_sql() -> str:
     return f"""
 WITH tc AS (SELECT doc_id,
@@ -2863,6 +2914,7 @@ SELECT doc_id,
 FROM documents""",
         "decontam_grams": _decontam_sql(),
         "pack_assign": _pack_assign_sql(),
+        "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
         "bm25_topk_deleted": _bm25_deleted_sql(),

@@ -672,7 +672,7 @@ def cmd_curate(args) -> int:
 
     from splade_ray.io import read_parquet_clean
 
-    known = ["quality", "dedup", "decontam", "redact", "pack"]
+    known = ["quality", "dedup", "dupspans", "decontam", "redact", "pack"]
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(known)
     if unknown:
@@ -720,6 +720,14 @@ def cmd_curate(args) -> int:
             edges = es if edges is None else edges.union(es)
         labels = connected_components(edges).materialize()
         return drop_near_duplicates(ds, labels, id_col=id_col)
+
+    def stage_dupspans(ds):
+        from splade_ray.ops.curation import drop_duplicated_spans
+
+        return drop_duplicated_spans(
+            ds, k=args.dup_k, min_count=args.dup_min_count,
+            text_col=text_col, id_col=id_col,
+        )
 
     def stage_decontam(ds):
         from splade_ray.ops.curation import decontaminate
@@ -786,6 +794,7 @@ def cmd_curate(args) -> int:
     fns = {
         "quality": stage_quality,
         "dedup": stage_dedup,
+        "dupspans": stage_dupspans,
         "decontam": stage_decontam,
         "redact": stage_redact,
         "pack": stage_pack,
@@ -1102,7 +1111,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cu = sub.add_parser(
         "curate",
-        help="corpus curation: quality -> dedup -> decontam -> redact -> pack",
+        help="corpus curation: quality -> dedup -> dupspans -> decontam -> redact -> pack",
     )
     cu.add_argument("--corpus", required=True)
     cu.add_argument("--out", required=True)
@@ -1119,6 +1128,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--eval-mod", type=int, default=10,
                     help="without --eval-corpus: doc_id %% MOD == 0 is the eval slice")
     cu.add_argument("-k", type=int, default=4, help="decontam gram width")
+    cu.add_argument("--dup-k", type=int, default=20,
+                    help="dupspans: min duplicated-substring length (tokens)")
+    cu.add_argument("--dup-min-count", type=int, default=2,
+                    help="dupspans: occurrences for a gram to count as duplicated")
     cu.add_argument("--budget", type=int, default=512, help="tokens per pack")
     cu.set_defaults(fn=cmd_curate)
 

@@ -235,6 +235,233 @@ def pack_assign(
 
 
 # --------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, ExactSubstr family)
+# --------------------------------------------------------------------------
+
+
+def _gram_hash_positions(
+    hs: np.ndarray, par: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat k-gram rolling-fold hashes with their start offsets: returns
+    ``(gram_hash uint64, doc_index int64, flat_start int64)`` where
+    ``flat_start`` indexes the batch's flat token array (the textstats
+    ``_gram_hashes`` fold, FNV prime, uint64 wraparound — HUGEINT-mirrorable
+    in SQL). Grams crossing a doc boundary are masked out."""
+    P = np.uint64(1099511628211)
+    m = hs.size - k + 1
+    if m <= 0:
+        e = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), e, e
+    with np.errstate(over="ignore"):
+        roll = np.zeros(m, np.uint64)
+        for i in range(k):
+            roll = roll * P + hs[i : i + m]
+    valid = par[:m] == par[k - 1 : k - 1 + m]
+    fi = np.flatnonzero(valid).astype(np.int64)
+    return roll[valid], par[:m][valid], fi
+
+
+def collect_dup_grams(
+    docs, *, k: int, min_count: int = 2, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted uint64 hashes of every k-gram occurring >= ``min_count`` times
+    across the corpus (within-doc repeats count). Pass 1 of the duplicated-
+    span scan: each batch pre-aggregates its gram counts locally (np.unique
+    combiner), one gram-hash-keyed groupby sums the partials, and only rows
+    with total >= min_count reach the driver — the duplicated DISTINCT gram
+    set, which for non-pathological corpora is orders of magnitude smaller
+    than the token stream. At extreme scale run this per corpus shard or
+    raise ``min_count``; the broadcast contract is the decontamination one
+    (``ray.put`` once, zero-copy per task)."""
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        from splade_ray.ops.dedup import _flat_token_hashes
+
+        hs, par, _ = _flat_token_hashes(batch[text_col])
+        g, _, _ = _gram_hash_positions(hs, par, k)
+        u, c = np.unique(g, return_counts=True)
+        # int64 reinterpretation: uint64 survives neither the pandas block
+        # conversion inside the groupby nor parquet round-trips cleanly;
+        # equality (all the shuffle needs) is bit-pattern-preserving
+        return pa.table(
+            {"gram": pa.array(u.view(np.int64), pa.int64()), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    totals = docs.map_batches(count_batch, batch_format="pyarrow").groupby("gram").sum("cnt")
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        cnt_col = [c for c in batch.column_names if c != "gram"][0]
+        keep = np.asarray(batch[cnt_col].to_numpy(zero_copy_only=False)) >= min_count
+        return pa.table({"gram": batch["gram"].filter(pa.array(keep))})
+
+    parts = totals.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    return np.sort(parts["gram"].to_numpy(np.int64))
+
+
+class DupSpanStage:
+    """Pass-2 scan of the duplicated-span operator: against the broadcast
+    duplicated-gram set, mark every token position covered by a duplicated
+    k-gram window and reduce to per-doc stats (plus optionally the text with
+    covered spans removed). Coverage is one bincount-difference cumsum over
+    the batch's flat token array — no per-row Python."""
+
+    def __init__(
+        self,
+        grams_ref,
+        *,
+        k: int,
+        text_col: str,
+        id_col: str,
+        rewrite: bool,
+        replace: bool = False,
+    ):
+        self.grams = ray.get(grams_ref)
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.rewrite = rewrite or replace
+        self.replace = replace  # return the ORIGINAL batch, text swapped
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from splade_ray.ops.textstats import hash_token
+
+        terms, par, doc_lens = tokenize_column(batch[self.text_col])
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        if uniq:
+            uh = np.array([hash_token(t) for t in uniq], np.uint64)
+            hs = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            hs = np.array([], np.uint64)
+
+        n = batch.num_rows
+        g, gpar, fi = _gram_hash_positions(hs, par, self.k)
+        if self.grams.size and g.size:
+            gi = g.view(np.int64)  # the broadcast set is int64-reinterpreted
+            idx = np.minimum(np.searchsorted(self.grams, gi), self.grams.size - 1)
+            member = self.grams[idx] == gi
+        else:
+            member = np.zeros(g.size, bool)
+        starts = fi[member]
+        T = hs.size
+        diff = np.bincount(starts, minlength=T + 1).astype(np.int64) - np.bincount(
+            starts + self.k, minlength=T + 1
+        ).astype(np.int64)
+        covered = np.cumsum(diff[:T]) > 0
+        n_dup_tokens = np.bincount(par[covered], minlength=n).astype(np.int64)
+        prev = np.concatenate(([False], covered[:-1]))
+        same_doc = np.concatenate(([False], par[1:] == par[:-1])) if T else np.zeros(0, bool)
+        island = covered & ~(prev & same_doc)
+        n_spans = np.bincount(par[island], minlength=n).astype(np.int64)
+        n_dup_grams = np.bincount(gpar[member], minlength=n).astype(np.int64)
+        cols = {
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "n_tokens": pa.array(doc_lens, pa.int64()),
+            "n_dup_grams": pa.array(n_dup_grams, pa.int64()),
+            "n_dup_tokens": pa.array(n_dup_tokens, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+        }
+        if self.rewrite:
+            kept = ~covered
+            counts_kept = np.bincount(par[kept], minlength=n)
+            offsets = np.zeros(n + 1, np.int32)
+            np.cumsum(counts_kept, out=offsets[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), terms.filter(pa.array(kept))
+            )
+            cols["text_dedup"] = pc.binary_join(la, " ")
+        if self.replace:
+            idx = batch.schema.get_field_index(self.text_col)
+            return batch.set_column(
+                idx, self.text_col, cols["text_dedup"].cast(pa.string())
+            )
+        return pa.table(cols)
+
+
+def duplicated_spans(
+    docs,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rewrite: bool = False,
+    concurrency: tuple[int, int] | None = None,
+    batch_size: int = 512,
+):
+    """Exact duplicated-substring scan (the k-gram formulation of Lee et al.
+    2022's ExactSubstr dedup: any substring of >= k tokens shared between two
+    positions in the corpus is exactly the union of duplicated k-gram
+    windows). Returns per doc: token count, number of duplicated k-grams,
+    number of token positions covered by a duplicated window, and the count
+    of maximal covered spans — plus, with ``rewrite=True``, ``text_dedup``:
+    the analyzed token stream with covered spans removed (the Lee et al.
+    cut; lowercased-token join, the documented normalization of every
+    token-level rewrite in this repo).
+
+    Two passes, mirroring the reference-scale design: (1) batch-local gram
+    counting + one (gram, count) groupby — the only shuffle, carrying 16-byte
+    rows; (2) a pure streaming scan against the ``ray.put``-broadcast
+    duplicated-gram set. The corpus text never shuffles.
+    """
+    grams_ref = ray.put(collect_dup_grams(docs, k=k, min_count=min_count, text_col=text_col))
+    if concurrency is None:
+        cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        concurrency = (1, max(2, int(cpus)))
+    return docs.map_batches(
+        DupSpanStage,
+        fn_constructor_kwargs={
+            "grams_ref": grams_ref,
+            "k": k,
+            "text_col": text_col,
+            "id_col": id_col,
+            "rewrite": rewrite,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def drop_duplicated_spans(
+    docs,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: tuple[int, int] | None = None,
+    batch_size: int = 512,
+):
+    """The Lee et al. cut as an in-place curation stage: every column flows
+    through unchanged except ``text_col``, which is replaced by the analyzed
+    token stream with duplicated spans removed. Same two-pass shape as
+    :func:`duplicated_spans`."""
+    grams_ref = ray.put(collect_dup_grams(docs, k=k, min_count=min_count, text_col=text_col))
+    if concurrency is None:
+        cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        concurrency = (1, max(2, int(cpus)))
+    return docs.map_batches(
+        DupSpanStage,
+        fn_constructor_kwargs={
+            "grams_ref": grams_ref,
+            "k": k,
+            "text_col": text_col,
+            "id_col": id_col,
+            "rewrite": True,
+            "replace": True,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
 # PII / regex redaction
 # --------------------------------------------------------------------------
 

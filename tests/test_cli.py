@@ -436,3 +436,40 @@ def test_cli_trigrams_grep(ray_session, corpus_dir, tmp_path, capsys):
                  "--out", out2]) == 0
     re_hits = pd.read_parquet(out2)
     assert list(re_hits["path"]) == ["f0.py"]
+
+
+def test_cli_curate_dupspans_stage(ray_session, tmp_path, capsys):
+    d = tmp_path / "raw"
+    d.mkdir()
+    boiler = "copyright acme corp all rights reserved"
+    texts = [
+        f"alpha beta {boiler} gamma delta",
+        f"one two three {boiler} four five",
+        "totally unique content here with nothing shared",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--corpus", str(d), "--out", out,
+        "--stages", "dupspans", "--dup-k", "4",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] == {"dupspans": 3}
+
+    import ray.data as rd
+
+    got = rd.read_parquet(out + "/dupspans").to_pandas().sort_values("doc_id")
+    assert got.loc[got["doc_id"] == 0, "text"].iloc[0] == "alpha beta gamma delta"
+    assert got.loc[got["doc_id"] == 1, "text"].iloc[0] == "one two three four five"
+    assert got.loc[got["doc_id"] == 2, "text"].iloc[0] == texts[2]
+    assert set(got.columns) == {"doc_id", "text", "lang"}

@@ -148,3 +148,103 @@ def test_redact_batch_sequential_order():
     assert out["n_a_word"].tolist() == [2]
     assert out["n_b_digits"].tolist() == [1]
     assert out["text_redacted"].tolist() == ["<A_WORD> <B_DIGITS> <A_WORD>"]
+
+
+# --------------------------------------------------------------------------
+# duplicated-substring spans (Lee et al. 2022 ExactSubstr family)
+# --------------------------------------------------------------------------
+
+
+def _scalar_dup_spans(texts, k, min_count=2):
+    """Brute-force reference: global gram counts on token tuples, covered
+    positions, maximal spans, kept-token rewrite."""
+    from splade_ray.analysis import tokenize
+
+    toks = [tokenize(t or "") for t in texts]
+    counts = {}
+    for tt in toks:
+        for i in range(len(tt) - k + 1):
+            g = tuple(tt[i : i + k])
+            counts[g] = counts.get(g, 0) + 1
+    rows = []
+    for did, tt in enumerate(toks):
+        covered = [False] * len(tt)
+        n_dup_grams = 0
+        for i in range(len(tt) - k + 1):
+            if counts[tuple(tt[i : i + k])] >= min_count:
+                n_dup_grams += 1
+                for j in range(i, i + k):
+                    covered[j] = True
+        n_spans = sum(
+            1 for i, c in enumerate(covered) if c and (i == 0 or not covered[i - 1])
+        )
+        kept = " ".join(t for t, c in zip(tt, covered) if not c)
+        rows.append((did, len(tt), n_dup_grams, sum(covered), n_spans, kept))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "n_tokens", "n_dup_grams", "n_dup_tokens", "n_spans", "text_dedup"],
+    )
+
+
+def _dup_texts():
+    boiler = "copyright acme corp all rights reserved do not redistribute"
+    texts = [
+        f"alpha beta {boiler} gamma delta epsilon",
+        f"one two three {boiler} four five",
+        "totally unique content with no shared windows at all here",
+        f"{boiler} leading position and also trailing {boiler}",  # two spans + within-doc dup
+        "",
+        "short doc",
+        "repeat me repeat me repeat me repeat me repeat me",  # within-doc repetition only
+    ]
+    return texts
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_duplicated_spans_matches_scalar(ray_session, k):
+    from splade_ray.ops.curation import duplicated_spans
+
+    texts = _dup_texts()
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+    ).repartition(3)
+    got = (
+        duplicated_spans(ds, k=k, rewrite=True, batch_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _scalar_dup_spans(texts, k)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duplicated_spans_within_doc_and_boundaries(ray_session):
+    from splade_ray.ops.curation import duplicated_spans
+
+    texts = _dup_texts()
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    got = duplicated_spans(ds, k=3, rewrite=False).to_pandas().set_index("doc_id")
+    # the unique doc is untouched
+    assert got.loc[2, "n_dup_tokens"] == 0 and got.loc[2, "n_spans"] == 0
+    # doc 3 carries the boilerplate twice -> two separate spans
+    assert got.loc[3, "n_spans"] == 2
+    # within-doc repetition alone (doc 6) is a duplicate under total-count semantics
+    assert got.loc[6, "n_dup_tokens"] > 0
+    # empty doc contributes nothing
+    assert got.loc[4, "n_tokens"] == 0 and got.loc[4, "n_dup_tokens"] == 0
+
+
+def test_collect_dup_grams_min_count(ray_session):
+    from splade_ray.ops.curation import collect_dup_grams
+
+    texts = ["a b c d", "a b c e", "a b c f"]  # "a b c" x3, others < 3
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}))
+    g2 = collect_dup_grams(ds, k=3, min_count=2, text_col="text")
+    g3 = collect_dup_grams(ds, k=3, min_count=3, text_col="text")
+    assert g3.size == 1 and set(g3).issubset(set(g2))
