@@ -434,7 +434,13 @@ def cmd_maintain(args) -> int:
         m = purge_deletes(args.index)
         report["purged"] = True
     report["n_segments"] = m["n_segments"]
-    if args.quantize:
+    if args.rederive:
+        from splade_ray.delete import rederive_layers
+
+        rep = rederive_layers(args.index)
+        report["rederived"] = sorted(rep)
+        report["quantized"] = "quantized" in rep
+    if args.quantize and not report.get("quantized"):
         from splade_ray.bm25 import BM25Params
         from splade_ray.quantized import build_quantized_postings
 
@@ -1063,6 +1069,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--purge", action="store_true",
                     help="fuse tombstone purging into the compaction rewrite")
     mt.add_argument("--quantize", action="store_true")
+    mt.add_argument("--rederive", action="store_true",
+                    help="re-derive ALL present layers (quantized/positions/"
+                         "trigrams) under their recorded configs")
     mt.add_argument("--k1", type=float, default=1.2)
     mt.add_argument("--b", type=float, default=0.75)
     mt.set_defaults(fn=cmd_maintain)

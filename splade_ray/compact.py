@@ -283,19 +283,15 @@ def _finalize_compaction(index_dir: str, journal: dict) -> dict:
     # merge: merged dirs are staged fresh without layer files, so a layer
     # manifest claiming completeness would crash queries on the missing
     # files. Mark existing layer manifests pending (queries refuse until the
-    # layer is re-derived); untouched segments keep their files, so the
-    # re-derive only rebuilds the merged segments. The quantized layer keeps
-    # its historical conservative behavior (params protocol): manifest
-    # removed + every postings_q dropped.
+    # layer is re-derived); untouched segments keep their files. For
+    # positions/trigrams (per-segment text) the re-derive then only rebuilds
+    # merged segments; the quantized builder additionally compares its
+    # recorded corpus_stats against the post-compaction manifest and
+    # rebuilds EVERYTHING when a fused purge changed the global statistics
+    # (impacts bake them in) — and reuses untouched segments when a pure
+    # merge left the stats intact.
     from splade_ray.delete import _invalidate_layers
 
-    qpath = os.path.join(index_dir, "quantized.json")
-    if os.path.exists(qpath):
-        os.remove(qpath)
-    for sid in kept:
-        qp = os.path.join(_seg_dir(index_dir, sid), "postings_q.parquet")
-        if os.path.exists(qp):
-            os.remove(qp)
     _invalidate_layers(index_dir)
     os.remove(_journal_path(index_dir))
     return manifest

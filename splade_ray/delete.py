@@ -93,6 +93,39 @@ def _invalidate_layers(index_dir: str) -> None:
                 json.dump(man, fh)
 
 
+def rederive_layers(index_dir: str) -> dict:
+    """Re-derive every derived layer present on this index, each under the
+    config its own manifest records (quantized: factor/k1/b; trigrams:
+    max_df_frac; positions: analyzer cols). The builders are per-segment
+    resumable, so after a purge/compaction only invalidated segments pay
+    I/O — except the quantized layer, which rebuilds fully whenever the
+    global stats changed (its impacts bake them in). One call restores a
+    maintained index to fully-derived state (ROADMAP round-3 #5)."""
+    report: dict = {}
+    qpath = os.path.join(index_dir, "quantized.json")
+    if os.path.exists(qpath):
+        from splade_ray.bm25 import BM25Params
+        from splade_ray.quantized import build_quantized_postings
+
+        with open(qpath) as fh:
+            q = json.load(fh)
+        report["quantized"] = build_quantized_postings(
+            index_dir, BM25Params(k1=q["k1"], b=q["b"]), factor=q["factor"]
+        )
+    if os.path.exists(os.path.join(index_dir, "positions.json")):
+        from splade_ray.positions import build_positions
+
+        report["positions"] = build_positions(index_dir)
+    tpath = os.path.join(index_dir, "trigrams.json")
+    if os.path.exists(tpath):
+        from splade_ray.trigram import build_trigrams
+
+        with open(tpath) as fh:
+            t = json.load(fh)
+        report["trigrams"] = build_trigrams(index_dir, max_df_frac=t.get("max_df_frac"))
+    return report
+
+
 def _purge_segment(seg_dir: str, tomb: np.ndarray, block_size: int) -> dict:
     """Rewrite one segment without its tombstoned docs. Returns the updated
     segment manifest. No-op (manifest returned as-is) when the segment holds

@@ -104,6 +104,13 @@ def _quantize_segment(
     seg_doc_ids = dl_tbl["doc_id"].to_numpy().astype(np.int64)
     seg_doc_lens = dl_tbl["doc_len"].to_numpy().astype(np.int64)
     terms = postings["term"].to_pylist()
+    if not terms:
+        # a purge can empty a segment entirely; isin([]) binds as a
+        # null-typed value set and crashes the scanner
+        tmp = os.path.join(seg_dir, ".tmp-postings_q.parquet")
+        pq.write_table(QUANT_SCHEMA.empty_table(), tmp)
+        os.replace(tmp, os.path.join(seg_dir, "postings_q.parquet"))
+        return 0
     lex = pads.dataset(lexicon_dir).to_table(
         columns=["term", "df"], filter=pads.field("term").isin(terms)
     )
@@ -195,9 +202,22 @@ def build_quantized_postings(
     if os.path.exists(qpath):
         with open(qpath) as fh:
             prev = json.load(fh)
-    reusable = prev is not None and (
-        prev.get("factor"), prev.get("k1"), prev.get("b")
-    ) == (factor, params.k1, params.b)
+    # quantized impacts bake in the GLOBAL statistics (n_docs, avgdl, df),
+    # so per-segment files are only reusable if the corpus stats they were
+    # built under still hold — a purge/compact-with-purge changes them and
+    # must rebuild EVERY segment, not just the rewritten ones (else the
+    # layer silently mixes old-N and new-N impacts)
+    corpus_stats = {
+        "n_docs": manifest.get("n_docs"),
+        "n_postings": manifest.get("n_postings"),
+        "sum_doc_len": manifest.get("sum_doc_len"),
+    }
+    reusable = (
+        prev is not None
+        and (prev.get("factor"), prev.get("k1"), prev.get("b"))
+        == (factor, params.k1, params.b)
+        and prev.get("corpus_stats") == corpus_stats
+    )
     if not reusable:
         for s in all_segs:
             qp = os.path.join(s, "postings_q.parquet")
@@ -207,7 +227,14 @@ def build_quantized_postings(
     # files are built with, and blocks the scorer until the build completes
     with open(qpath, "w") as fh:
         json.dump(
-            {"factor": factor, "k1": params.k1, "b": params.b, "pending": True}, fh
+            {
+                "factor": factor,
+                "k1": params.k1,
+                "b": params.b,
+                "corpus_stats": corpus_stats,
+                "pending": True,
+            },
+            fh,
         )
     segs = [
         s
@@ -230,10 +257,15 @@ def build_quantized_postings(
             .sum("n_terms")
         )
         n_terms = int(out or 0)
-    qman = {"factor": factor, "k1": params.k1, "b": params.b}
+    qman = {"factor": factor, "k1": params.k1, "b": params.b, "corpus_stats": corpus_stats}
     with open(os.path.join(index_dir, "quantized.json"), "w") as fh:
         json.dump(qman, fh)
-    return {"segments_quantized": len(segs), "terms": n_terms, **qman}
+    return {
+        "segments_quantized": len(segs),
+        "n_segments_skipped": len(all_segs) - len(segs),
+        "terms": n_terms,
+        **qman,
+    }
 
 
 class QuantizedSegment:

@@ -217,3 +217,60 @@ def test_fused_compact_purge_matches_fresh_build(built, tmp_path):
     # idempotent: a second fused pass with nothing tombstoned no-ops
     man2 = compact_segments(built, group_size=5, purge=True)
     assert man2["n_segments"] == 1  # plain compaction proceeds
+
+
+def test_quantized_rederive_after_purge_matches_fresh_build(built, ray_session, tmp_path):
+    """Quantized impacts bake in GLOBAL stats (n_docs, avgdl, df); after a
+    purge the layer must rebuild EVERY segment, not just rewritten ones —
+    partial reuse mixes old-N and new-N impacts (regression: corpus_stats
+    reuse key). Also covers the empty-segment quantize crash (isin([]))."""
+    from splade_ray.quantized import build_quantized_postings
+
+    build_quantized_postings(built)
+    gone = list(range(0, 25)) + [30, 40]  # segment 0 fully emptied + spread
+    delete_docs(built, gone)
+    purge_deletes(built)
+    rep = build_quantized_postings(built)
+    assert rep["n_segments_skipped"] == 0  # stats changed -> full rebuild
+
+    corpus2 = _write_corpus(tmp_path, name="c2.parquet", exclude=gone)
+    idx2 = str(tmp_path / "index2")
+    build_index(corpus2, idx2, text_col="content", id_col="doc_id",
+                rows_per_segment=25)
+    build_quantized_postings(idx2)
+    a = search(built, QUERIES, BM25Params(top_k=10), method="quantized")
+    b = search(idx2, QUERIES, BM25Params(top_k=10), method="quantized")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+    # unchanged stats + same params -> every segment reused
+    rep2 = build_quantized_postings(built)
+    assert rep2["segments_quantized"] == 0 and rep2["n_segments_skipped"] > 0
+
+
+def test_maintain_rederive_restores_all_layers(built, ray_session, capsys):
+    """`maintain --purge --rederive` leaves the index fully derived: every
+    layer rebuilt under its recorded config and immediately queryable."""
+    from splade_ray.cli import main
+    from splade_ray.positions import phrase_search
+    from splade_ray.quantized import build_quantized_postings
+    from splade_ray.positions import build_positions
+    from splade_ray.trigram import build_trigrams, substring_search
+
+    build_quantized_postings(built)
+    build_positions(built)
+    build_trigrams(built, max_df_frac=0.5)
+    delete_docs(built, [5, 6, 7])
+    rc = main(["maintain", "--index", built, "--max-segments", "3",
+               "--purge", "--rederive"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["purged"] and set(rep["rederived"]) == {"quantized", "positions", "trigrams"}
+    # all three layers answer queries again, without the purged docs
+    run = search(built, QUERIES, BM25Params(top_k=10), method="quantized")
+    assert not set(run["doc_id"]) & {5, 6, 7}
+    phrase_search(built, [(0, "def parse")])
+    hits = substring_search(built, [(0, "merge")])
+    assert not set(hits["doc_id"]) & {5, 6, 7}
+    # trigram cap preserved from the layer's own manifest
+    with open(os.path.join(built, "trigrams.json")) as fh:
+        assert json.load(fh)["max_df_frac"] == 0.5
