@@ -291,6 +291,74 @@ def q_bm25_topk(sf_dir: str):
     return _bm25_run(sf_dir, "exact")
 
 
+QL_MU = 2000.0
+
+# prefix / fuzzy expansion probes (misspellings + prefixes of corpus terms)
+SUGGEST_QUERIES = [(1, "qery"), (2, "jion"), (3, "streem")]
+PREFIX_QUERIES = [(1, "s"), (2, "qu"), (3, "win")]
+SUGG_MAXD = 2
+SUGG_M = 5
+FUZZY_MAX_TERMS = 16
+PREFIX_MAX_TERMS = 128
+
+
+def q_suggest_terms(sf_dir: str):
+    """Did-you-mean suggestions (splade_ray.suggest.suggest_terms): per probe
+    the top-SUGG_M lexicon terms by (levenshtein asc, df desc, term asc)
+    within SUGG_MAXD — streamed over the lexicon with the vectorized DP."""
+    from splade_ray.suggest import suggest_terms
+
+    return suggest_terms(
+        _index_for(sf_dir), SUGGEST_QUERIES, max_dist=SUGG_MAXD, m=SUGG_M
+    )
+
+
+def q_prefix_topk(sf_dir: str):
+    """PrefixQuery retrieval (suggest.prefix_search): pushdown lexicon range
+    expansion (ascending, capped) -> BM25 OR-query with qtf=1 per term."""
+    from splade_ray.suggest import prefix_search
+
+    run = prefix_search(
+        _index_for(sf_dir), PREFIX_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=TOP_K), max_terms=PREFIX_MAX_TERMS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_fuzzy_topk(sf_dir: str):
+    """FuzzyQuery retrieval (suggest.fuzzy_search): edit-distance expansion
+    under the pinned suggestion ordering -> BM25 OR-query, qtf=1."""
+    from splade_ray.suggest import fuzzy_search
+
+    run = fuzzy_search(
+        _index_for(sf_dir), SUGGEST_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=TOP_K),
+        max_dist=SUGG_MAXD, max_terms=FUZZY_MAX_TERMS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_ql_topk(sf_dir: str):
+    """Dirichlet query-likelihood retrieval (query.search scoring='ql'):
+    qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu))) over matching terms
+    (Zhai & Lafferty 2001; Lucene LMDirichletSimilarity shape) — the second
+    member of the similarity registry, same scatter-gather skeleton."""
+    index_dir = _index_for(sf_dir)
+    run = search(
+        index_dir, BM25_QUERIES, BM25Params(top_k=TOP_K), scoring="ql", mu=QL_MU
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # deterministic deletion set for the tombstone/purge faces
 def _delete_ids(index_dir: str) -> list[int]:
     from splade_ray.build import load_manifest
@@ -2370,6 +2438,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_purged": q_bm25_topk_purged,
         "bm25_topk_bmw": q_bm25_topk_bmw,
         "bm25_topk_quantized": q_bm25_topk_quantized,
+        "ql_topk": q_ql_topk,
+        "suggest_terms": q_suggest_terms,
+        "prefix_topk": q_prefix_topk,
+        "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "bm25f_topk": q_bm25f_topk,
         "bm25f_true_topk": q_bm25f_true_topk,
@@ -2497,6 +2569,119 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )"""
+
+
+def _ql_sql() -> str:
+    """Dirichlet query-likelihood mirror of q_ql_topk: same formula, same
+    per-term clamp, same (score desc, doc_id asc) ranking and score>0 run
+    contract as the engine kernel."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT sum(dl) AS c FROM dl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * greatest(0.0,
+              ln(1 + tf.tf / ({QL_MU} * cf.cf / s.c))
+              + ln({QL_MU} / (dl.dl + {QL_MU})) ) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _suggest_cte() -> str:
+    """Shared suggestion CTEs ending in `r` (query_id, term, dist, df, rn):
+    lexicon df from the token CTE, DuckDB levenshtein (mirrors
+    suggest.levenshtein_bulk exactly), the pinned (dist asc, df desc,
+    term asc) ordering."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in SUGGEST_QUERIES)
+    return f"""
+WITH {_TF},
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sq(query_id, qt) AS (VALUES {vals}),
+d AS (SELECT sq.query_id, l.term, levenshtein(sq.qt, l.term)::BIGINT AS dist, l.df
+      FROM sq CROSS JOIN lex l
+      WHERE levenshtein(sq.qt, l.term) <= {SUGG_MAXD}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, df DESC, term ASC) AS rn
+      FROM d)"""
+
+
+def _suggest_sql() -> str:
+    return f"""{_suggest_cte()}
+SELECT query_id::BIGINT AS query_id, term, dist, df FROM r WHERE rn <= {SUGG_M}"""
+
+
+_EXPANDED_BM25 = f"""
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q2.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q2
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q2.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _prefix_sql() -> str:
+    """PrefixQuery mirror: ascending-term capped expansion per prefix, then
+    BM25 with qtf=1 per expanded term (suggest.prefix_search contract)."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+WITH {_TF},
+pq(query_id, p) AS (VALUES {vals}),
+exp AS (SELECT pq.query_id, l.term
+        FROM pq JOIN (SELECT DISTINCT term FROM tf) l
+          ON l.term LIKE pq.p || '%'
+        QUALIFY row_number() OVER (PARTITION BY pq.query_id ORDER BY l.term)
+                <= {PREFIX_MAX_TERMS}),
+q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
+
+
+def _fuzzy_sql() -> str:
+    """FuzzyQuery mirror: the suggestion CTE capped at FUZZY_MAX_TERMS is
+    the expansion set, then BM25 with qtf=1 (suggest.fuzzy_search)."""
+    return f"""{_suggest_cte()},
+q2 AS (SELECT query_id, term FROM r WHERE rn <= {FUZZY_MAX_TERMS}),{_EXPANDED_BM25}"""
 
 
 def _bm25_quantized_sql() -> str:
@@ -2921,6 +3106,10 @@ FROM documents""",
         "bm25_topk_purged": _bm25_purged_sql(),
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
+        "ql_topk": _ql_sql(),
+        "suggest_terms": _suggest_sql(),
+        "prefix_topk": _prefix_sql(),
+        "fuzzy_topk": _fuzzy_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "bm25f_topk": _bm25f_sql(),

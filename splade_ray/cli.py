@@ -72,6 +72,8 @@ def cmd_query(args) -> int:
         queries,
         BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
         method=args.method,
+        scoring=args.scoring,
+        mu=args.mu,
     )
     if args.out.endswith(".json"):
         write_run_json(run, args.out)
@@ -260,6 +262,30 @@ def cmd_mlt(args) -> int:
     else:
         run.to_parquet(args.out, index=False)
     print(json.dumps({"seeds": len(seeds), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    """Did-you-mean term suggestions / prefix / fuzzy retrieval."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.suggest import fuzzy_search, prefix_search, suggest_terms
+
+    queries = _load_queries(args.queries)
+    if args.mode == "terms":
+        out = suggest_terms(args.index, queries, max_dist=args.max_dist, m=args.m)
+    elif args.mode == "prefix":
+        out = prefix_search(
+            args.index, queries, BM25Params(top_k=args.top_k), max_terms=args.max_terms
+        )
+    else:  # fuzzy
+        out = fuzzy_search(
+            args.index, queries, BM25Params(top_k=args.top_k),
+            max_dist=args.max_dist, max_terms=args.max_terms,
+        )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"mode": args.mode, "queries": len(queries),
+                      "rows": len(out), "out": args.out}))
     return 0
 
 
@@ -553,7 +579,6 @@ def cmd_dedup(args) -> int:
     cols = [args.id_col, args.text_col] + (
         [args.lang_col] if "jaccard" in methods else []
     )
-    ds = read_parquet_clean(args.corpus, columns=cols)
 
     def norm(batch: pa.Table) -> pa.Table:
         out = {
@@ -564,7 +589,13 @@ def cmd_dedup(args) -> int:
             out["lang"] = batch[args.lang_col].cast(pa.string())
         return pa.table(out)
 
-    nds = ds.map_batches(norm, batch_format="pyarrow")
+    def make_source():
+        # one source per method: each read_parquet captures its OWN
+        # DataContext copy, so per-method resource shares (below) apply to
+        # exactly one pipeline
+        return read_parquet_clean(args.corpus, columns=cols).map_batches(
+            norm, batch_format="pyarrow"
+        )
 
     def pick(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or {"doc_a", "doc_b"} - set(batch.column_names):
@@ -581,16 +612,33 @@ def cmd_dedup(args) -> int:
         )
 
     def gen_pairs(m: str):
+        nds = make_source()
         if m == "exact":
             return exact_dup_pairs(nds)
         if m == "minhash":
             return minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
         return jaccard_block_pairs(nds, min_jaccard=args.min_jaccard, emit_counts=True)
 
-    def write_pairs(m: str) -> None:
+    def build_pipeline(m: str, cpu_share: float | None = None):
+        # pipeline construction happens on the MAIN thread (read_parquet's
+        # lazy fsspec import is not thread-safe); worker threads only drive
+        # execution
+        out_ds = gen_pairs(m).map_batches(pick, batch_format="pyarrow")
+        if cpu_share is not None:
+            # explicit per-pipeline scheduler share (ROADMAP round-3 #6):
+            # each overlapped method's streaming executor gets a soft CPU
+            # limit instead of all three contending for the full budget
+            from ray.data import ExecutionResources
+
+            out_ds.context.execution_options.resource_limits = ExecutionResources(
+                cpu=cpu_share
+            )
+        return out_ds
+
+    def write_pairs(m: str, out_ds=None) -> None:
         pair_dir = os.path.join(args.out, "pairs", m)
         os.makedirs(pair_dir, exist_ok=True)
-        gen_pairs(m).map_batches(pick, batch_format="pyarrow").write_parquet(pair_dir)
+        (out_ds if out_ds is not None else build_pipeline(m)).write_parquet(pair_dir)
         with open(os.path.join(pair_dir, "_DONE"), "w") as f:
             f.write("done\n")
 
@@ -610,8 +658,16 @@ def cmd_dedup(args) -> int:
     if len(todo) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        import ray
+
+        from splade_ray.io import stub_fsspec_http
+
+        stub_fsspec_http()  # concurrent writes race this probe otherwise
+        total = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
+        share = max(2.0, total / len(todo))
+        pipelines = [(m, build_pipeline(m, share)) for m in todo]
         with ThreadPoolExecutor(max_workers=len(todo)) as pool:
-            for fut in [pool.submit(write_pairs, m) for m in todo]:
+            for fut in [pool.submit(write_pairs, m, ds) for m, ds in pipelines]:
                 fut.result()  # re-raise the first failure
     elif todo:
         write_pairs(todo[0])
@@ -642,6 +698,7 @@ def cmd_dedup(args) -> int:
     survivors.write_parquet(os.path.join(args.out, "survivors"))
     n_nodes = labels.count()
     n_survivors = survivors.count()
+    n_input = read_parquet_clean(args.corpus, columns=[args.id_col]).count()
     print(
         json.dumps(
             {
@@ -649,7 +706,7 @@ def cmd_dedup(args) -> int:
                 "methods_skipped": skipped,
                 "n_dup_nodes": n_nodes,
                 "n_survivors": n_survivors,
-                "n_dropped": ds.count() - n_survivors,
+                "n_dropped": n_input - n_survivors,
                 "out": args.out,
             }
         )
@@ -893,6 +950,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--threshold", type=float, default=0.0)
     q.add_argument("--k1", type=float, default=1.2)
     q.add_argument("--b", type=float, default=0.75)
+    q.add_argument("--scoring", choices=["bm25", "ql"], default="bm25",
+                   help="similarity: Okapi BM25 or Dirichlet query likelihood")
+    q.add_argument("--mu", type=float, default=2000.0,
+                   help="Dirichlet smoothing parameter (scoring=ql)")
     q.set_defaults(fn=cmd_query)
 
     fs = sub.add_parser("fsearch", help="fielded BM25 (weighted per-field indexes)")
@@ -987,6 +1048,19 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--text-col", default="text")
     ml.add_argument("--id-col", default="doc_id")
     ml.set_defaults(fn=cmd_mlt)
+
+    sg = sub.add_parser("suggest", help="did-you-mean / prefix / fuzzy queries")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--queries", required=True,
+                    help="TSV: id\\tterm-or-prefix")
+    sg.add_argument("--out", required=True, help=".parquet")
+    sg.add_argument("--mode", choices=["terms", "prefix", "fuzzy"], default="terms")
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("-m", type=int, default=5, help="suggestions per query")
+    sg.add_argument("--max-terms", type=int, default=128,
+                    help="expansion cap (prefix/fuzzy retrieval)")
+    sg.add_argument("--top-k", type=int, default=10)
+    sg.set_defaults(fn=cmd_suggest)
 
     r3 = sub.add_parser("rm3", help="RM3 pseudo-relevance-feedback search")
     r3.add_argument("--index", required=True)

@@ -27,6 +27,34 @@ import ray.data as rd
 EMPTY_DOC_FILLER = "a"  # analog of the reference's [unused993] filler token
 
 
+def stub_fsspec_http() -> None:
+    """Make Ray Data's ``fsspec.implementations.http`` probe deterministic.
+
+    Every read/write path probes ``from fsspec.implementations.http import
+    HTTPFileSystem`` (ray.data path_util._is_http_filesystem). In this env
+    fsspec is present but aiohttp is not, so the probe fails — and a FAILED
+    import is not cached, so two pipelines probing CONCURRENTLY (the
+    overlapped dedup writes) race the partially-initialized module: one
+    thread gets ``ImportError: cannot import name`` instead of
+    ``ModuleNotFoundError`` and Ray's narrow except lets it crash the write.
+    Registering a stub module with a never-instantiated HTTPFileSystem class
+    makes every probe succeed cheaply; isinstance checks against it are
+    False for all real filesystems, which is the correct semantics (no http
+    filesystem exists here). Idempotent."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return  # real import works; nothing to do
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+    mod.HTTPFileSystem = type("HTTPFileSystem", (), {})
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     """Zero-copy drop of schema-level metadata. Parquet files written by
     pandas attach a ``b'pandas'`` metadata blob; a ``pa.Schema`` carrying ANY

@@ -42,30 +42,57 @@ def prepare_queries(
     params: BM25Params | None = None,
     *,
     query_lang: str | None = None,
+    scoring: str = "bm25",
+    mu: float = 2000.0,
 ) -> dict:
-    """Driver-side query prep: tokenize, look up global df for the (few)
-    query terms from the lexicon with predicate pushdown, precompute idf.
-    The result is a small broadcastable dict — the global-stats side of the
-    scatter-gather (small-side broadcast, not a shuffle join).
+    """Driver-side query prep: tokenize, look up global df (and, for QL, cf)
+    for the (few) query terms from the lexicon with predicate pushdown,
+    precompute the per-term global weight. The result is a small
+    broadcastable dict — the global-stats side of the scatter-gather
+    (small-side broadcast, not a shuffle join).
 
     ``query_lang`` selects the registered analyzer for the query text (use
     it against indexes built with ``lang_col`` so query terms match the
-    target language's token class); None = collection-wide class."""
+    target language's token class); None = collection-wide class.
+
+    ``scoring`` picks the similarity (the Lucene similarity-registry analog):
+    ``"bm25"`` (default; per-term weight = idf) or ``"ql"`` — Dirichlet-
+    smoothed query likelihood (Zhai & Lafferty 2001; Lucene
+    LMDirichletSimilarity shape), where the per-term weight is
+    ``mu * cf/C`` (the smoothing denominator) and the kernel scores
+    ``qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu)))`` over matching
+    terms (per-term clamp as in Lucene, so scores stay positive and the
+    ``score > threshold`` run contract holds)."""
     params = params or BM25Params()
     manifest = load_manifest(index_dir)
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     tokenized = {int(qid): term_counts(text, query_lang) for qid, text in queries}
     all_terms = sorted({t for c in tokenized.values() for t in c})
     dfs: dict[str, int] = {}
+    cfs: dict[str, int] = {}
     if all_terms:
         lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
-            columns=["term", "df"], filter=pads.field("term").isin(all_terms)
+            columns=["term", "df", "cf"], filter=pads.field("term").isin(all_terms)
         )
         dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+        cfs = dict(zip(lex["term"].to_pylist(), lex["cf"].to_pylist()))
+    if scoring == "ql":
+        c_total = float(manifest.get("sum_doc_len") or (avgdl * n_docs))
+
+        def weight(t: str) -> float:
+            return mu * cfs[t] / c_total
+
+    elif scoring == "bm25":
+
+        def weight(t: str) -> float:
+            return idf(dfs[t], n_docs)
+
+    else:
+        raise ValueError(f"unknown scoring {scoring!r} (expected 'bm25' or 'ql')")
     prepared_queries = {}
     for qid, c in tokenized.items():
         terms = [
-            (t, int(c[t]), idf(dfs[t], n_docs))
+            (t, int(c[t]), weight(t))
             for t in sorted(c)
             if t in dfs
         ]
@@ -74,6 +101,8 @@ def prepare_queries(
         "n_docs": n_docs,
         "avgdl": avgdl,
         "params": params,
+        "scoring": scoring,
+        "mu": mu,
         "queries": prepared_queries,
         "terms": sorted({t for ts in prepared_queries.values() for t, _, _ in ts}),
     }
@@ -160,6 +189,10 @@ class SegmentIndex:
         (:func:`search_fielded`)."""
         p: BM25Params = prepared["params"]
         avgdl = prepared["avgdl"]
+        ql = prepared.get("scoring") == "ql"
+        if ql:
+            mu = float(prepared["mu"])
+            dl_norm = np.log(mu / (self.doc_lens.astype(np.float64) + mu))
         scores = np.zeros(self.doc_ids.size, np.float64)
         hit = False
         for term, qtf, w in prepared["queries"][qid]:  # pre-sorted -> fixed sum order
@@ -167,21 +200,40 @@ class SegmentIndex:
             if pos.size == 0:
                 continue
             hit = True
-            scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
+            if ql:
+                # w = mu*cf/C; Lucene-shape per-term clamp keeps scores >= 0
+                contrib = np.log1p(tfs.astype(np.float64) / w) + dl_norm[pos]
+                scores[pos] += qtf * np.maximum(contrib, 0.0)
+            else:
+                scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
         return scores if hit else None
 
     def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
         p: BM25Params = prepared["params"]
+        after: dict = prepared.get("after") or {}
         rows: list[tuple[int, int, float]] = []
         for qid in prepared["queries"]:
             scores = self.dense_query_scores(qid, prepared)
             if scores is None:
                 continue
+            cur = after.get(qid)
+            if cur is not None:
+                # Lucene search_after: keep docs sorting strictly AFTER the
+                # cursor in (score desc, doc_id asc) order — applied BEFORE
+                # the per-segment cut so deep pages stay exact
+                s0, d0 = float(cur[0]), int(cur[1])
+                keep = (scores < s0) | ((scores == s0) & (self.doc_ids > d0))
+                scores = np.where(keep, scores, -np.inf)
             docs, scs = topk_from_scores(self.doc_ids, scores, p.top_k, p.threshold)
             rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
         return rows
 
     def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
+        if prepared.get("scoring") == "ql" or prepared.get("after"):
+            # block-max bounds are BM25-specific (tf_max/dl_min monotonicity)
+            # and don't model the search_after cursor; both route to the
+            # exact kernel — identical results by contract
+            return self.score_exact(prepared)
         if self.deleted is not None:
             # block-max skip bounds don't account for deletions; the exact
             # kernel (whose pos_tfs filters tombstones pre-cut) returns the
@@ -301,14 +353,34 @@ def search(
     concurrency: int | None = None,
     query_chunk_size: int = 1024,
     query_lang: str | None = None,
+    scoring: str = "bm25",
+    mu: float = 2000.0,
+    after: dict[int, tuple[float, int]] | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
 
     Large query sets are split into ``query_chunk_size`` chunks; the work
     grid is segments × chunks, so both axes of parallelism scale and no
-    single broadcast grows with the full query count."""
+    single broadcast grows with the full query count.
+
+    ``scoring="ql"`` switches to Dirichlet query likelihood (see
+    :func:`prepare_queries`); BMW/auto kernels route QL queries to the exact
+    kernel (block-max bounds are BM25-specific), and the quantized layer is
+    BM25-only.
+
+    ``after`` paginates (Lucene IndexSearcher.searchAfter): per query an
+    exclusive ``(score, doc_id)`` cursor — usually the last row of the
+    previous page — and the returned page holds the next ``top_k`` results
+    strictly after it in (score desc, doc_id asc) order. The filter applies
+    inside each segment BEFORE its top-k cut, so deep pages are exact
+    without over-fetching; ranks restart at 1 per page."""
     params = params or BM25Params()
+    if after and method in ("quantized", "quantized_bmw"):
+        raise ValueError("search_after pagination is float-score only — "
+                         "use method='exact'/'bmw'/'auto'")
+    if scoring != "bm25" and method in ("quantized", "quantized_bmw"):
+        raise ValueError("quantized impacts bake in BM25 — use scoring='bm25'")
     quant_extra: dict = {}
     if method in ("quantized", "quantized_bmw"):
         # quantized layer must exist, be complete (not pending) and have
@@ -323,7 +395,10 @@ def search(
     ] or [[]]
     prepared_refs = [
         ray.put(
-            {**prepare_queries(index_dir, c, params, query_lang=query_lang),
+            {**prepare_queries(index_dir, c, params, query_lang=query_lang,
+                               scoring=scoring, mu=mu),
+             **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
+                if after else {}),
              **quant_extra}
         )
         for c in chunks
