@@ -910,6 +910,32 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+def q_collapse_topk(sf_dir: str):
+    """Field-collapsed retrieval (splade_ray.collapse): top-k per query with
+    at most one doc per lang — per-key best computed segment-locally over
+    the dense-score kernel, queries x keys rows merged at the driver."""
+    from splade_ray.collapse import collapse_search
+
+    index_dir = os.path.join(_work_dir(sf_dir, "facetidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+        extra_doc_cols=("lang",),
+    )
+    run = collapse_search(
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        collapse_col="lang",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
+
+
 def q_substr_search(sf_dir: str):
     """Exact substring search via the per-segment trigram layer
     (splade_ray.trigram): candidate docs from rarest-first posting-list
@@ -1701,6 +1727,26 @@ SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
 FROM ranked2 WHERE rank <= {TOP_K}"""
 
 
+def _collapse_sql() -> str:
+    """Field-collapse mirror: per (query, lang) best by (score desc, doc_id
+    asc) from the shared bm25 scores, survivors re-ranked, top-k."""
+    return f"""{_bm25_cte()},
+coll AS (
+  SELECT s.query_id, s.doc_id, s.score, d.lang,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS kr
+  FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score, lang,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM coll WHERE kr = 1
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, lang AS collapse_key,
+       {_round4_sql('score')} AS score_r
+FROM ranked2 WHERE rank <= {TOP_K}"""
+
+
 def _facet_sql() -> str:
     """SQL mirror of facets.facet_counts over BM25_QUERIES: distinct
     (query, doc) matches via the token CTE, counted per lang."""
@@ -2470,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_terms": q_rm3_terms,
         "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
+        "collapse_topk": q_collapse_topk,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
         "grep_snippets": q_grep_snippets,
@@ -3283,6 +3330,7 @@ FROM f""",
         "rm3_terms": _rm3_terms_sql(),
         "rm3_topk": _rm3_sql(),
         "facet_counts": _facet_sql(),
+        "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),
         "grep_snippets": _grep_snippets_sql(),

@@ -265,6 +265,23 @@ def cmd_mlt(args) -> int:
     return 0
 
 
+def cmd_collapse(args) -> int:
+    """Field-collapsed retrieval: top-k with at most one doc per key."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.collapse import collapse_search
+
+    queries = _load_queries(args.queries)
+    out = collapse_search(
+        args.index, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        collapse_col=args.collapse_col,
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(out), "out": args.out}))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     """Did-you-mean term suggestions / prefix / fuzzy retrieval."""
     _ensure_ray()
@@ -1048,6 +1065,17 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--text-col", default="text")
     ml.add_argument("--id-col", default="doc_id")
     ml.set_defaults(fn=cmd_mlt)
+
+    cl = sub.add_parser("collapse", help="field-collapsed retrieval (1 doc/key)")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    cl.add_argument("--out", required=True, help=".parquet")
+    cl.add_argument("--collapse-col", required=True,
+                    help="doclens-carried key column (build with extra_doc_cols)")
+    cl.add_argument("--top-k", type=int, default=10)
+    cl.add_argument("--k1", type=float, default=1.2)
+    cl.add_argument("--b", type=float, default=0.75)
+    cl.set_defaults(fn=cmd_collapse)
 
     sg = sub.add_parser("suggest", help="did-you-mean / prefix / fuzzy queries")
     sg.add_argument("--index", required=True)
