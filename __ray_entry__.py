@@ -673,6 +673,17 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_c4_rules(sf_dir: str):
+    """C4-style quality-rule flags (ops/textstats.c4_rules_batch): terminal-
+    punctuation line counts, short-line counts, lorem/brace/javascript
+    markers and the pass_c4 conjunction — integer-exact, RE2-shared."""
+    from splade_ray.ops.textstats import c4_rules_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        c4_rules_batch, batch_format="pyarrow", batch_size=512
+    )
+
+
 def q_repetition(sf_dir: str):
     """Within-doc repetition stats (ops/textstats.repetition_batch): most
     frequent 2/3-gram (count + hash), duplicated-5-gram mass, and the
@@ -2508,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_pairwise": q_rerank_pairwise,
         "text_quality": q_text_quality,
         "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3321,6 +3333,24 @@ SELECT *,
         AND 10 * n_bullet_lines <= 9 * n_lines
         AND 10 * n_ellipsis_lines <= 3 * n_lines
         AND n_stop_present >= 2) AS pass_gopher
+FROM f""",
+        # RE2 patterns shared VERBATIM with c4_rules_batch; the short-line
+        # count subtracts >=5-word lines from non-empty lines, exactly as
+        # the kernel does
+        "c4_rules": r"""
+WITH f AS (
+  SELECT doc_id,
+         (len(regexp_extract_all(text, '\n')) + 1)::BIGINT AS n_lines,
+         len(regexp_extract_all(text, '(?m)[.!?]["'')\]]?[ \t]*$'))::BIGINT AS n_terminal_lines,
+         (len(regexp_extract_all(text, '(?m)^[ \t]*\S.*$'))
+          - len(regexp_extract_all(text, '(?m)^[ \t]*(?:\S+[ \t]+){4,}\S+.*$')))::BIGINT AS n_short_lines,
+         regexp_matches(text, '(?i)lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         regexp_matches(text, '(?i)\bjavascript\b') AS has_javascript
+  FROM documents)
+SELECT *,
+       (NOT has_lorem AND NOT has_brace AND NOT has_javascript
+        AND n_terminal_lines >= 3) AS pass_c4
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),

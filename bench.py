@@ -149,6 +149,32 @@ def run_bench() -> dict:
     if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
         tri_metrics = _trigram_leg(index_dir, corpus_dir)
 
+    # duplicated-substring scan over the multiplied corpus (the heaviest
+    # LLM-curation op: gram-count groupby + broadcast-membership scan).
+    # Untimed in the headline value; skipped in scaling legs like trigrams.
+    dup_metrics = {}
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+        from splade_ray.io import read_parquet_clean as _rpc
+        from splade_ray.ops.curation import duplicated_spans
+
+        t2 = time.monotonic()
+        # bench corpus has no id column; a per-batch ordinal only labels
+        # output rows (the scan's work is id-independent)
+        dup_src = _rpc(corpus_dir, columns=["content"]).map_batches(
+            lambda b: b.append_column(
+                "doc_id", __import__("pyarrow").array(range(b.num_rows))
+            ),
+            batch_format="pyarrow",
+        )
+        n_rows = duplicated_spans(
+            dup_src, k=8, text_col="content", id_col="doc_id"
+        ).count()
+        dup_s = time.monotonic() - t2
+        dup_metrics = {
+            "dup_spans_scan": round(dup_s, 3),
+            "dup_spans_docs_per_sec": round(n_rows / dup_s, 1),
+        }
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     from splade_ray.analysis import postings_batch
     from splade_ray.io import read_parquet_clean
@@ -175,7 +201,9 @@ def run_bench() -> dict:
             "query_batch_p50_quantized": round(p50_quant, 4),
             "term_index_salted_groupby": round(term_index_s, 3),
             **tri_metrics.get("queries", {}),
+            **{k: v for k, v in dup_metrics.items() if k == "dup_spans_scan"},
         },
+        **{k: v for k, v in dup_metrics.items() if k != "dup_spans_scan"},
         **{k: v for k, v in tri_metrics.items() if k != "queries"},
         "sf": sf_dir,
         "num_cpus": ncpu,

@@ -932,7 +932,9 @@ def cmd_all(args) -> int:
     if rc:
         return rc
     args.out_run = os.path.join(args.out, "run.json")
-    ns = argparse.Namespace(**{**vars(args), "out": args.out_run})
+    ns = argparse.Namespace(
+        **{"scoring": "bm25", "mu": 2000.0, **vars(args), "out": args.out_run}
+    )
     rc = cmd_query(ns)
     if rc:
         return rc

@@ -113,6 +113,60 @@ def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
     )
 
 
+def c4_rules_batch(batch: pa.Table, *, text_col: str = "text",
+                   min_terminal_lines: int = 3, min_line_words: int = 5) -> pa.Table:
+    """C4-style quality-rule flags per doc (Raffel et al. 2020 §2.2, the
+    public heuristics), one vectorized stage in the gopher_rules mold —
+    every fact an integer count, every rule integer-exact, RE2 patterns
+    shared verbatim with the DuckDB mirror.
+
+    Facts/rules (the deterministic subset of C4's line filters, applied
+    doc-level since our unit is the document):
+    - ``n_lines`` / ``n_terminal_lines`` (lines ending in . ! ? or a
+      closing quote after one): C4 keeps only terminal-punctuation lines
+      and drops pages with fewer than ``min_terminal_lines`` sentences.
+    - ``n_short_lines``: lines with fewer than ``min_line_words`` words
+      (C4 drops those lines; we count them).
+    - ``has_lorem``: the lorem-ipsum boilerplate marker.
+    - ``has_brace``: a curly brace (C4 removes pages containing '{').
+    - ``has_javascript``: the word 'javascript' (C4's cookie-warning line
+      filter).
+    - ``pass_c4`` = no lorem, no brace, no javascript, and
+      ``n_terminal_lines >= min_terminal_lines``."""
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    n_lines = _count_regex(texts, r"\n") + 1
+    n_terminal = _count_regex(texts, r"(?m)[.!?][\"')\]]?[ \t]*$")
+    # a line with < min_line_words words = at most (min_line_words-1) \S+ runs
+    n_nonempty_lines = _count_regex(texts, r"(?m)^[ \t]*\S.*$")
+    upper = min_line_words - 1
+    n_long_lines = _count_regex(
+        texts, r"(?m)^[ \t]*(?:\S+[ \t]+){" + str(upper) + r",}\S+.*$"
+    )
+    n_short = n_nonempty_lines - n_long_lines
+    lorem = np.asarray(
+        pc.match_substring_regex(texts, r"(?i)lorem ipsum").fill_null(False)
+    )
+    brace = np.asarray(pc.match_substring(texts, "{").fill_null(False))
+    js = np.asarray(
+        pc.match_substring_regex(texts, r"(?i)\bjavascript\b").fill_null(False)
+    )
+    ok = ~lorem & ~brace & ~js & (n_terminal >= min_terminal_lines)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_terminal_lines": pa.array(n_terminal, pa.int64()),
+            "n_short_lines": pa.array(n_short, pa.int64()),
+            "has_lorem": pa.array(lorem, pa.bool_()),
+            "has_brace": pa.array(brace, pa.bool_()),
+            "has_javascript": pa.array(js, pa.bool_()),
+            "pass_c4": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def token_count_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish sub-word piece count per doc —
     vectorized regex-count kernels."""

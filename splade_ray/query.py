@@ -960,6 +960,10 @@ class QueryRouter:
         params: BM25Params | None = None,
         query_lang: str | None = None,
         deadline_s: float | None = None,
+        *,
+        scoring: str = "bm25",
+        mu: float = 2000.0,
+        after: dict[int, tuple[float, int]] | None = None,
     ) -> pd.DataFrame:
         import asyncio
         import time as _time
@@ -969,6 +973,11 @@ class QueryRouter:
             raise ValueError(
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
+            )
+        if self.quant_extra and (scoring != "bm25" or after):
+            raise ValueError(
+                "quantized shards score baked BM25 impacts — "
+                "scoring='ql' / search_after need a float-index router"
             )
         await self._admit(
             deadline_s if deadline_s is not None else self._default_deadline
@@ -980,7 +989,10 @@ class QueryRouter:
             # it runs inline — the await below is where other requests
             # interleave
             prepared = {
-                **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
+                **prepare_queries(self.index_dir, queries, params, query_lang=query_lang,
+                                  scoring=scoring, mu=mu),
+                **({"after": {int(q): after[int(q)] for q, _ in queries
+                              if int(q) in after}} if after else {}),
                 **self.quant_extra,
             }
             t0 = _time.monotonic()
@@ -1157,6 +1169,10 @@ class Searcher:
         queries: list[tuple[int, str]],
         params: BM25Params | None = None,
         query_lang: str | None = None,
+        *,
+        scoring: str = "bm25",
+        mu: float = 2000.0,
+        after: dict[int, tuple[float, int]] | None = None,
     ) -> pd.DataFrame:
         params = params or self.params_default
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
@@ -1164,8 +1180,16 @@ class Searcher:
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
             )
+        if self.quant_extra and (scoring != "bm25" or after):
+            raise ValueError(
+                "quantized shards score baked BM25 impacts — "
+                "scoring='ql' / search_after need a float-index Searcher"
+            )
         prepared = {
-            **prepare_queries(self.index_dir, queries, params, query_lang=query_lang),
+            **prepare_queries(self.index_dir, queries, params, query_lang=query_lang,
+                              scoring=scoring, mu=mu),
+            **({"after": {int(q): after[int(q)] for q, _ in queries if int(q) in after}}
+               if after else {}),
             **self.quant_extra,
         }
         results = ray.get([a.search.remote(prepared) for a in self.actors])

@@ -739,3 +739,32 @@ def test_rademacher_lsh_scalar_parity_and_determinism():
     assert not np.array_equal(
         RademacherLSH(dim, n_planes, seed + 1, bits).signature(m), got
     )
+
+
+def test_c4_rules_flags(ray_session):
+    import pyarrow as pa
+
+    from splade_ray.ops.textstats import c4_rules_batch
+
+    texts = [
+        "This is a fine sentence here.\nAnother good long sentence ends too!\nAnd a third one follows, truly?",
+        "contains lorem ipsum filler.\nSecond sentence is here.\nThird sentence is here.",
+        "code { block }\nSentence one is here.\nSentence two is here.\nSentence three is here.",
+        "Please enable JavaScript to view.\nOne more sentence right here.\nAnd another sentence right here.",
+        "short line\nno terminal punctuation at all",
+        "",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = c4_rules_batch(batch)
+    assert out["pass_c4"].to_pylist() == [True, False, False, False, False, False]
+    assert out["has_lorem"].to_pylist()[1] is True
+    assert out["has_brace"].to_pylist()[2] is True
+    assert out["has_javascript"].to_pylist()[3] is True
+    assert out["n_terminal_lines"].to_pylist()[0] == 3
+    # 'short line' (2 words) and 'no terminal punctuation at all' (5 words):
+    # one short line; doc 0's lines all have >= 5 words
+    assert out["n_short_lines"].to_pylist()[4] == 1
+    assert out["n_short_lines"].to_pylist()[0] == 0
+    assert out["n_lines"].to_pylist()[5] == 1  # empty doc: 1 line, nothing passes

@@ -158,3 +158,45 @@ def test_search_after_rejects_quantized(built):
     with pytest.raises(ValueError, match="search_after"):
         search(index_dir, [(1, "def")], BM25Params(), method="quantized",
                after={1: (1.0, 0)})
+
+
+def test_searcher_and_router_support_ql_and_after(built):
+    import ray
+
+    from splade_ray.query import QueryRouter, Searcher, search as _search
+
+    index_dir, texts = built
+    queries = [(1, texts[3][:50]), (2, "def parse merge")]
+    want_ql = _search(index_dir, queries, BM25Params(top_k=6), scoring="ql", mu=MU)
+    p1 = _search(index_dir, queries, BM25Params(top_k=3))
+    cursor = {
+        int(q): (float(g["score"].iloc[-1]), int(g["doc_id"].iloc[-1]))
+        for q, g in p1.groupby("query_id")
+    }
+    want_p2 = _search(index_dir, queries, BM25Params(top_k=3), after=cursor)
+
+    s = Searcher(index_dir, num_shards=2)
+    try:
+        got_ql = s.search(queries, BM25Params(top_k=6), scoring="ql", mu=MU)
+        pd.testing.assert_frame_equal(
+            got_ql.reset_index(drop=True), want_ql.reset_index(drop=True)
+        )
+        got_p2 = s.search(queries, BM25Params(top_k=3), after=cursor)
+        pd.testing.assert_frame_equal(
+            got_p2.reset_index(drop=True), want_p2.reset_index(drop=True)
+        )
+    finally:
+        s.shutdown()
+
+    r = QueryRouter.remote(index_dir, num_shards=2)
+    try:
+        got_ql = ray.get(r.search.remote(queries, BM25Params(top_k=6), scoring="ql", mu=MU))
+        pd.testing.assert_frame_equal(
+            got_ql.reset_index(drop=True), want_ql.reset_index(drop=True)
+        )
+        got_p2 = ray.get(r.search.remote(queries, BM25Params(top_k=3), after=cursor))
+        pd.testing.assert_frame_equal(
+            got_p2.reset_index(drop=True), want_p2.reset_index(drop=True)
+        )
+    finally:
+        ray.kill(r)
