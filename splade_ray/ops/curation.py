@@ -267,12 +267,18 @@ def collect_dup_grams(
     """Sorted uint64 hashes of every k-gram occurring >= ``min_count`` times
     across the corpus (within-doc repeats count). Pass 1 of the duplicated-
     span scan: each batch pre-aggregates its gram counts locally (np.unique
-    combiner), one gram-hash-keyed groupby sums the partials, and only rows
-    with total >= min_count reach the driver — the duplicated DISTINCT gram
-    set, which for non-pathological corpora is orders of magnitude smaller
-    than the token stream. At extreme scale run this per corpus shard or
-    raise ``min_count``; the broadcast contract is the decontamination one
-    (``ray.put`` once, zero-copy per task)."""
+    combiner), the partials shuffle on a salted COARSE key (bounded group
+    count — grouping on the raw gram hash pays a full-width sort and a
+    Python call per near-singleton group, the round-3 stats-audit lesson),
+    each coarse group sums with one vectorized np.unique pass, and only
+    grams with total >= min_count leave the shuffle — the duplicated
+    DISTINCT gram set, which for non-pathological corpora is orders of
+    magnitude smaller than the token stream. At extreme scale run this per
+    corpus shard or raise ``min_count``; the broadcast contract is the
+    decontamination one (``ray.put`` once, zero-copy per task)."""
+    from splade_ray.ops.dedup import _coarse_key, _shuffle_groups
+
+    n_groups = _shuffle_groups(None)
 
     def count_batch(batch: pa.Table) -> pa.Table:
         from splade_ray.ops.dedup import _flat_token_hashes
@@ -283,18 +289,28 @@ def collect_dup_grams(
         # int64 reinterpretation: uint64 survives neither the pandas block
         # conversion inside the groupby nor parquet round-trips cleanly;
         # equality (all the shuffle needs) is bit-pattern-preserving
+        ui = u.view(np.int64)
         return pa.table(
-            {"gram": pa.array(u.view(np.int64), pa.int64()), "cnt": pa.array(c.astype(np.int64))}
+            {
+                "gram": pa.array(ui, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64)),
+                "gk": pa.array(_coarse_key([ui], n_groups)),
+            }
         )
 
-    totals = docs.map_batches(count_batch, batch_format="pyarrow").groupby("gram").sum("cnt")
+    def dup_in_group(g: pa.Table) -> pa.Table:
+        grams = g["gram"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(grams, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=u.size)
+        return pa.table({"gram": pa.array(u[tot >= min_count], pa.int64())})
 
-    def dup_only(batch: pa.Table) -> pa.Table:
-        cnt_col = [c for c in batch.column_names if c != "gram"][0]
-        keep = np.asarray(batch[cnt_col].to_numpy(zero_copy_only=False)) >= min_count
-        return pa.table({"gram": batch["gram"].filter(pa.array(keep))})
-
-    parts = totals.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    parts = (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(dup_in_group, batch_format="pyarrow")
+        .to_pandas()
+    )
     return np.sort(parts["gram"].to_numpy(np.int64))
 
 
