@@ -42,6 +42,9 @@ def cmd_build(args) -> int:
         rows_per_segment=args.rows_per_segment,
         block_size=args.block_size,
         lang_col=getattr(args, "lang_col", None),
+        extra_doc_cols=tuple(
+            c for c in (getattr(args, "extra_doc_cols", None) or "").split(",") if c
+        ),
     )
     print(json.dumps({k: manifest[k] for k in (
         "n_docs", "n_postings", "n_segments", "n_segments_skipped", "build_secs", "docs_per_sec"
@@ -295,6 +298,12 @@ def cmd_suggest(args) -> int:
         out = prefix_search(
             args.index, queries, BM25Params(top_k=args.top_k), max_terms=args.max_terms
         )
+    elif args.mode == "wildcard":
+        from splade_ray.suggest import wildcard_search
+
+        out = wildcard_search(
+            args.index, queries, BM25Params(top_k=args.top_k), max_terms=args.max_terms
+        )
     else:  # fuzzy
         out = fuzzy_search(
             args.index, queries, BM25Params(top_k=args.top_k),
@@ -337,6 +346,60 @@ def cmd_facets(args) -> int:
     out = facet_counts(args.index, queries, facet_col=args.facet_col)
     out.to_parquet(args.out, index=False)
     print(json.dumps({"queries": len(queries), "rows": len(out), "out": args.out}))
+    return 0
+
+
+def cmd_dv(args) -> int:
+    """Doc-values queries: range-filtered BM25, sort-by-field, total-hit
+    counts, numeric histogram aggregation."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.docvalues import (
+        match_counts,
+        numeric_histogram,
+        range_search,
+        sort_search,
+    )
+
+    queries = _load_queries(args.queries)
+    if args.mode == "range":
+        out = range_search(
+            args.index, queries, BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+            numeric_col=args.col, lo=args.lo, hi=args.hi,
+        )
+    elif args.mode == "sort":
+        out = sort_search(
+            args.index, queries, sort_col=args.col,
+            descending=not args.ascending, top_k=args.top_k,
+        )
+    elif args.mode == "count":
+        out = match_counts(args.index, queries)
+    else:  # hist
+        out = numeric_histogram(
+            args.index, queries, numeric_col=args.col, interval=args.interval
+        )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"mode": args.mode, "queries": len(queries),
+                      "rows": len(out), "out": args.out}))
+    return 0
+
+
+def cmd_synsearch(args) -> int:
+    """BM25 retrieval with query-time synonym groups (SynonymQuery)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.synonyms import synonym_search
+
+    with open(args.synonyms) as f:
+        syn = json.load(f)
+    queries = _load_queries(args.queries)
+    out = synonym_search(
+        args.index, queries, syn,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "groups": len(syn),
+                      "rows": len(out), "out": args.out}))
     return 0
 
 
@@ -958,6 +1021,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--lang-col", default=None,
                    help="per-language analyzer column (analysis.ANALYZERS)")
     b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--extra-doc-cols", default=None,
+                   help="comma-separated doc columns carried in the doclens "
+                        "sidecar (facets/collapse/doc-values)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k retrieval")
@@ -1084,7 +1150,8 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--queries", required=True,
                     help="TSV: id\\tterm-or-prefix")
     sg.add_argument("--out", required=True, help=".parquet")
-    sg.add_argument("--mode", choices=["terms", "prefix", "fuzzy"], default="terms")
+    sg.add_argument("--mode", choices=["terms", "prefix", "fuzzy", "wildcard"],
+                    default="terms")
     sg.add_argument("--max-dist", type=int, default=2)
     sg.add_argument("-m", type=int, default=5, help="suggestions per query")
     sg.add_argument("--max-terms", type=int, default=128,
@@ -1113,6 +1180,34 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--facet-col", default="lang")
     fc.add_argument("--out", required=True, help=".parquet")
     fc.set_defaults(fn=cmd_facets)
+
+    dv = sub.add_parser("dv", help="doc-values: range filter / sort / count / histogram")
+    dv.add_argument("--index", required=True)
+    dv.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    dv.add_argument("--out", required=True, help=".parquet")
+    dv.add_argument("--mode", choices=["range", "sort", "count", "hist"],
+                    default="range")
+    dv.add_argument("--col", default="n_chars",
+                    help="sidecar numeric column (build with extra_doc_cols)")
+    dv.add_argument("--lo", type=float, default=None)
+    dv.add_argument("--hi", type=float, default=None)
+    dv.add_argument("--interval", type=int, default=100)
+    dv.add_argument("--ascending", action="store_true")
+    dv.add_argument("--top-k", type=int, default=10)
+    dv.add_argument("--k1", type=float, default=1.2)
+    dv.add_argument("--b", type=float, default=0.75)
+    dv.set_defaults(fn=cmd_dv)
+
+    sy = sub.add_parser("synsearch", help="BM25 with synonym groups (SynonymQuery)")
+    sy.add_argument("--index", required=True)
+    sy.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    sy.add_argument("--synonyms", required=True,
+                    help="JSON: {term: [synonym, ...]} in analyzed-term space")
+    sy.add_argument("--out", required=True, help=".parquet")
+    sy.add_argument("--top-k", type=int, default=10)
+    sy.add_argument("--k1", type=float, default=1.2)
+    sy.add_argument("--b", type=float, default=0.75)
+    sy.set_defaults(fn=cmd_synsearch)
 
     dl = sub.add_parser("delete", help="tombstone docs (logical delete)")
     dl.add_argument("--index", required=True)

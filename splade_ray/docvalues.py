@@ -1,0 +1,357 @@
+"""Numeric doc-values: range-filtered retrieval, sort-by-field, total-hit
+counts and histogram aggregations.
+
+The Lucene doc-values surface the reference lacks (its evaluator emits a
+flat BM25 run only, ``transformer_evaluator.py:172-188``): production
+engines filter matches by a numeric attribute (PointRangeQuery), sort
+results by a field instead of score (``Sort.LONG``), report total hit
+counts (TotalHitCountCollector) and aggregate matches into numeric buckets
+(the Elasticsearch ``histogram`` aggregation). All four run here over a
+numeric column carried in the segments' ``doclens`` sidecar — build the
+index with ``extra_doc_cols=(numeric_col,)``.
+
+Pinned semantics (SQL-mirrorable):
+
+- **range_search**: BM25 over live docs with ``lo <= v <= hi`` (inclusive;
+  ``None`` = unbounded). The filter applies INSIDE each segment before its
+  top-k cut, so deep results are exact without over-fetching — the same
+  pre-cut contract as tombstones and ``search_after``.
+- **sort_search**: docs matching >=1 query term (live), ordered by
+  ``(value desc|asc, doc_id asc)``, top-k; rows carry the sort value.
+- **match_counts**: per query, the exact number of live matching docs.
+- **numeric_histogram**: per query, live-match counts per bucket
+  ``(v // interval) * interval`` (int64 floor division — buckets are the
+  inclusive lower bounds, negative values floor toward -inf like DuckDB's
+  integer ``//``).
+
+Scale shape: everything is segment-local over the union of the query
+terms' posting positions (one decoded pass per term, shared across the
+four ops); what leaves each segment is candidate-sized (range_search,
+sort_search: <= top_k rows per query) or aggregate-sized (counts: one row
+per query; histogram: queries x buckets-in-segment rows). The driver
+reduce is a tiny groupby. No shuffle, no doc text moves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from splade_ray.bm25 import BM25Params, topk_from_scores
+from splade_ray.build import segment_dirs
+from splade_ray.query import RUN_COLUMNS, SegmentIndex, merge_topk, prepare_queries
+
+SORT_COLUMNS = ["query_id", "rank", "doc_id", "sort_value"]
+
+
+def _numeric_column(seg_dir: str, col: str) -> np.ndarray:
+    """The sidecar numeric column aligned to the segment's doc_ids."""
+    arr = pq.read_table(os.path.join(seg_dir, "doclens.parquet"), columns=[col])[
+        col
+    ].to_numpy(zero_copy_only=False)
+    if not np.issubdtype(arr.dtype, np.number):
+        raise TypeError(f"doc column {col!r} is not numeric (dtype {arr.dtype})")
+    return arr
+
+
+def _matched_mask(seg: SegmentIndex, terms: list[tuple[str, int, float]]) -> np.ndarray:
+    """Live docs containing >=1 of the query's terms (tombstone-filtered by
+    pos_tfs, decoded postings cached across queries in the segment)."""
+    matched = np.zeros(seg.doc_ids.size, bool)
+    for term, _, _ in terms:
+        pos, _ = seg.pos_tfs(term)
+        matched[pos] = True
+    return matched
+
+
+def _segment_pipeline(index_dir: str, segment_task, schema: pa.Table,
+                      concurrency=None) -> pd.DataFrame:
+    """Run ``segment_task(seg_dir) -> pa.Table`` over every segment (one
+    work item each) and collect the small per-segment outputs."""
+    segs = segment_dirs(index_dir)
+
+    def task(batch: pa.Table) -> pa.Table:
+        parts = [segment_task(s) for s in batch["seg_dir"].to_pylist()]
+        parts = [p for p in parts if p is not None and len(p)]
+        return pa.concat_tables(parts) if parts else schema
+
+    return (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1,
+                     concurrency=concurrency)
+        .to_pandas()
+    )
+
+
+def range_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    numeric_col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    query_lang: str | None = None,
+    scoring: str = "bm25",
+    mu: float = 2000.0,
+    concurrency=None,
+) -> pd.DataFrame:
+    """BM25 (or QL) top-k restricted to live docs whose ``numeric_col`` lies
+    in the inclusive range [lo, hi] — Lucene BooleanQuery(query MUST,
+    PointRangeQuery FILTER). Returns the standard run table."""
+    from splade_ray.delete import load_tombstones
+
+    params = params or BM25Params()
+    prepared = prepare_queries(
+        index_dir, queries, params, query_lang=query_lang, scoring=scoring, mu=mu
+    )
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        p: BM25Params = prep["params"]
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = _numeric_column(seg_dir, numeric_col)
+        keep = np.ones(vals.size, bool)
+        if lo is not None:
+            keep &= vals >= lo
+        if hi is not None:
+            keep &= vals <= hi
+        rows: list[tuple[int, int, float]] = []
+        for qid in prep["queries"]:
+            scores = seg.dense_query_scores(qid, prep)
+            if scores is None:
+                continue
+            # range filter BEFORE the per-segment cut — deep results exact
+            scores = np.where(keep, scores, -np.inf)
+            docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+            rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return pa.table(
+            {
+                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+                "doc_id": pa.array(np.array([r[1] for r in rows], np.int64)),
+                "score": pa.array(np.array([r[2] for r in rows], np.float64)),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
+             "score": np.float64}
+        )
+    out = (
+        pdf.groupby("query_id", group_keys=False)[pdf.columns]
+        .apply(merge_topk, top_k=params.top_k)
+        .reset_index(drop=True)
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[RUN_COLUMNS]
+
+
+def sort_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    sort_col: str,
+    descending: bool = True,
+    top_k: int = 10,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Top-k live docs matching >=1 query term, ordered by the sidecar
+    numeric column instead of score (Lucene ``Sort.LONG`` over
+    NumericDocValues; tie -> doc_id asc). Returns
+    (query_id, rank, doc_id, sort_value)."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sort_value": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = _numeric_column(seg_dir, sort_col)
+        out = {"query_id": [], "doc_id": [], "sort_value": []}
+        for qid, terms in prep["queries"].items():
+            cand = np.flatnonzero(_matched_mask(seg, terms))
+            if cand.size == 0:
+                continue
+            key = vals[cand]
+            order = np.lexsort((seg.doc_ids[cand], -key if descending else key))
+            take = cand[order[:top_k]]  # per-segment cut: only k rows leave
+            out["query_id"].extend([qid] * take.size)
+            out["doc_id"].extend(seg.doc_ids[take].tolist())
+            out["sort_value"].extend(vals[take].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "sort_value": pa.array(np.asarray(out["sort_value"])),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(columns=SORT_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
+             "sort_value": np.int64}
+        )
+    pdf = pdf.sort_values(
+        ["query_id", "sort_value", "doc_id"],
+        ascending=[True, not descending, True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount().add(1).astype(np.int32)
+    pdf = pdf[pdf["rank"] <= top_k]
+    return pdf.reset_index(drop=True)[SORT_COLUMNS]
+
+
+def match_counts(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """(query_id, n_docs): exact count of live docs containing >=1 query
+    term (Lucene TotalHitCountCollector). Queries with zero matches get a
+    zero row, so every input query appears."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())}
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        qids, counts = [], []
+        for qid, terms in prep["queries"].items():
+            n = int(_matched_mask(seg, terms).sum())
+            if n:
+                qids.append(qid)
+                counts.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    base = pd.DataFrame(
+        {"query_id": np.array(sorted({int(q) for q, _ in queries}), np.int64)}
+    )
+    if pdf.empty:
+        base["n_docs"] = np.int64(0)
+        return base
+    agg = pdf.groupby("query_id", as_index=False)["n_docs"].sum()
+    out = base.merge(agg, on="query_id", how="left")
+    out["n_docs"] = out["n_docs"].fillna(0).astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def numeric_histogram(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    numeric_col: str,
+    interval: int,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """(query_id, bucket, n_docs): live-match counts per numeric bucket,
+    ``bucket = (v // interval) * interval`` (inclusive lower bound; int64
+    floor division, negatives floor toward -inf) — the Elasticsearch
+    ``histogram`` aggregation over matches. Empty buckets are omitted;
+    sorted by (query_id, bucket)."""
+    from splade_ray.delete import load_tombstones
+
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = _numeric_column(seg_dir, numeric_col)
+        buckets = (vals.astype(np.int64) // interval) * interval
+        out = {"query_id": [], "bucket": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            matched = _matched_mask(seg, terms)
+            if not matched.any():
+                continue
+            # bucket codes are segment-local and few: one np.unique pass
+            uniq, counts = np.unique(buckets[matched], return_counts=True)
+            out["query_id"].extend([qid] * uniq.size)
+            out["bucket"].extend(uniq.tolist())
+            out["n_docs"].extend(counts.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "bucket": pa.array(out["bucket"], pa.int64()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pdf.groupby(["query_id", "bucket"], as_index=False)["n_docs"]
+        .sum()
+        .sort_values(["query_id", "bucket"])
+        .reset_index(drop=True)
+    )

@@ -91,6 +91,67 @@ def expand_prefix(index_dir: str, prefix: str, *, max_terms: int = 128) -> list[
     return sorted(tbl["term"].to_pylist())[:max_terms]
 
 
+def expand_wildcard(
+    index_dir: str, pattern: str, *, max_terms: int = 128
+) -> list[str]:
+    """Lexicon terms matching a Lucene WildcardQuery pattern (``*`` = any
+    run, ``?`` = exactly one char), ascending term order, first
+    ``max_terms``. The literal prefix before the first wildcard prunes the
+    lexicon read to a pushdown range (the Lucene PrefixCodedTerms seek
+    analog); the remainder is one anchored RE2 match over the pruned rows.
+    A pattern with no wildcard is an exact-term lookup."""
+    import re
+
+    if not pattern:
+        raise ValueError("empty pattern")
+    cut = min(
+        (i for i, ch in enumerate(pattern) if ch in "*?"), default=len(pattern)
+    )
+    prefix = pattern[:cut]
+    flt = None
+    if prefix:
+        flt = (pads.field("term") >= prefix) & (
+            pads.field("term") < prefix + "\U0010ffff"
+        )
+    tbl = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+        columns=["term"], filter=flt
+    )
+    rx = re.compile(
+        "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern
+        )
+    )
+    terms = [t for t in tbl["term"].to_pylist() if rx.fullmatch(t)]
+    return sorted(terms)[:max_terms]
+
+
+def wildcard_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    max_terms: int = 128,
+    method: str = "exact",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """WildcardQuery retrieval: each query string is a wildcard pattern; the
+    run is BM25 over the expanded OR-term set (qtf=1 per term, the same
+    documented contract as prefix_search)."""
+    params = params or BM25Params()
+    expanded = []
+    for qid, pattern in queries:
+        terms = expand_wildcard(index_dir, pattern, max_terms=max_terms)
+        if terms:
+            expanded.append((int(qid), " ".join(terms)))
+    if not expanded:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
+             "score": np.float64}
+        )
+    return search(index_dir, expanded, params, method=method, concurrency=concurrency)
+
+
 def suggest_terms(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -473,3 +473,66 @@ def test_cli_curate_dupspans_stage(ray_session, tmp_path, capsys):
     assert got.loc[got["doc_id"] == 1, "text"].iloc[0] == "one two three four five"
     assert got.loc[got["doc_id"] == 2, "text"].iloc[0] == texts[2]
     assert set(got.columns) == {"doc_id", "text", "lang"}
+
+
+def test_cli_dv_synsearch_wildcard(ray_session, tmp_path, capsys):
+    """dv (range/sort/count/hist) + synsearch + suggest --mode wildcard over
+    an index with a numeric doc-values column."""
+    import json as _json
+
+    import pandas as pd
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs = [
+        "def hash_join(left, right): return merge(left, right)",
+        "fn hash_probe(build, probe) { return probe }",
+        "class SortMerge: pass",
+        "stream window aggregate over rows",
+        "def merge_sort(xs): return xs",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "content": pa.array(docs),
+            "n_bytes": pa.array([len(x) for x in docs], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "c-000.parquet"))
+    index = str(tmp_path / "index")
+    assert main(["build", "--corpus", str(d), "--index", index,
+                 "--id-col", "doc_id", "--rows-per-segment", "2",
+                 "--extra-doc-cols", "n_bytes"]) == 0
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\thash merge\n1\twindow rows\n")
+
+    for mode, extra in (
+        ("range", ["--col", "n_bytes", "--lo", "30", "--hi", "60"]),
+        ("sort", ["--col", "n_bytes"]),
+        ("count", []),
+        ("hist", ["--col", "n_bytes", "--interval", "20"]),
+    ):
+        out = str(tmp_path / f"dv-{mode}.parquet")
+        rc = main(["dv", "--index", index, "--queries", str(queries),
+                   "--out", out, "--mode", mode, *extra])
+        assert rc == 0, mode
+        assert len(pd.read_parquet(out)) > 0, mode
+    counts = pd.read_parquet(str(tmp_path / "dv-count.parquet"))
+    # default analyzer keeps hash_join/hash_probe as single tokens, so
+    # "hash merge" matches only doc0 (standalone "merge")
+    assert counts["n_docs"].tolist() == [1, 1]
+
+    syn = tmp_path / "syn.json"
+    syn.write_text(_json.dumps({"hash": ["merge"]}))
+    out = str(tmp_path / "syn.parquet")
+    assert main(["synsearch", "--index", index, "--queries", str(queries),
+                 "--synonyms", str(syn), "--out", out, "--top-k", "3"]) == 0
+    assert len(pd.read_parquet(out)) > 0
+
+    wq = tmp_path / "wq.tsv"
+    wq.write_text("0\thash*\n")
+    out = str(tmp_path / "wild.parquet")
+    assert main(["suggest", "--index", index, "--queries", str(wq),
+                 "--out", out, "--mode", "wildcard", "--top-k", "5"]) == 0
+    wild = pd.read_parquet(out)
+    assert set(wild["doc_id"]) == {0, 1}  # hash_join + hash_probe docs

@@ -1,0 +1,228 @@
+"""Doc-values (range filter / sort-by-field / counts / histogram),
+SynonymQuery scoring, and wildcard expansion — brute-force parity tests."""
+
+import fnmatch
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.analysis import term_counts
+from splade_ray.bm25 import BM25Params, idf, tf_component, topk_from_scores
+from splade_ray.build import build_index
+from splade_ray.corpus import synth_corpus
+from splade_ray.docvalues import (
+    match_counts,
+    numeric_histogram,
+    range_search,
+    sort_search,
+)
+from splade_ray.oracle import OracleIndex
+from splade_ray.suggest import expand_wildcard, wildcard_search
+from splade_ray.synonyms import synonym_search
+
+N = 140
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    t = synth_corpus(N, seed=31)
+    texts = t["content"].to_pylist()
+    sizes = np.array([len(x) for x in texts], np.int64)
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(N, dtype=np.int64)),
+                "content": t["content"],
+                "n_bytes": pa.array(sizes),
+            }
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(
+        corpus, index_dir, text_col="content", id_col="doc_id",
+        rows_per_segment=35, extra_doc_cols=("n_bytes",),
+    )
+    return index_dir, texts, sizes
+
+
+QUERIES = [(1, "def parse merge"), (2, "return x1 += 1"), (3, "zzz_nosuchterm")]
+
+
+def _dense_scores(oi: OracleIndex, text: str, p: BM25Params) -> np.ndarray:
+    scores = np.zeros(oi.n_docs, np.float64)
+    q = term_counts(text)
+    for term in sorted(q):
+        if term not in oi.postings:
+            continue
+        pos, tf = oi.postings[term]
+        w = idf(len(pos), oi.n_docs) * q[term]
+        scores[pos] += w * tf_component(tf, oi.doc_lens[pos], oi.avgdl, p)
+    return scores
+
+
+def _matched(oi: OracleIndex, text: str) -> np.ndarray:
+    m = np.zeros(oi.n_docs, bool)
+    for term in term_counts(text):
+        if term in oi.postings:
+            m[oi.postings[term][0]] = True
+    return m
+
+
+def test_range_search_matches_bruteforce(built):
+    index_dir, texts, sizes = built
+    p = BM25Params(top_k=7)
+    lo, hi = 150, 700
+    got = range_search(index_dir, QUERIES, p, numeric_col="n_bytes", lo=lo, hi=hi)
+    oi = OracleIndex(list(range(N)), texts, p)
+    keep = (sizes >= lo) & (sizes <= hi)
+    rows = []
+    for qid, text in QUERIES:
+        scores = np.where(keep, _dense_scores(oi, text, p), -np.inf)
+        docs, scs = topk_from_scores(oi.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend(
+            (qid, r + 1, int(d), float(s)) for r, (d, s) in enumerate(zip(docs, scs))
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["doc_id"].map(lambda d: lo <= sizes[d] <= hi).all()
+
+
+def test_range_search_unbounded_equals_search(built):
+    index_dir, texts, _ = built
+    from splade_ray.query import search
+
+    p = BM25Params(top_k=5)
+    got = range_search(index_dir, QUERIES[:2], p, numeric_col="n_bytes")
+    want = search(index_dir, QUERIES[:2], p)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sort_search_matches_bruteforce(built):
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    for desc in (True, False):
+        got = sort_search(
+            index_dir, QUERIES, sort_col="n_bytes", descending=desc, top_k=6
+        )
+        rows = []
+        for qid, text in QUERIES:
+            cand = np.flatnonzero(_matched(oi, text))
+            order = cand[np.lexsort((cand, -sizes[cand] if desc else sizes[cand]))]
+            for r, d in enumerate(order[:6]):
+                rows.append((qid, r + 1, int(d), int(sizes[d])))
+        want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "sort_value"])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_match_counts_and_histogram(built):
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    got = match_counts(index_dir, QUERIES)
+    want = {qid: int(_matched(oi, text).sum()) for qid, text in QUERIES}
+    assert dict(zip(got["query_id"], got["n_docs"])) == want
+    assert want[3] == 0  # no-match query still gets its zero row
+
+    interval = 200
+    hist = numeric_histogram(
+        index_dir, QUERIES[:2], numeric_col="n_bytes", interval=interval
+    )
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        b = (sizes[m] // interval) * interval
+        wantc = pd.Series(b).value_counts().sort_index()
+        gotc = hist[hist["query_id"] == qid].set_index("bucket")["n_docs"]
+        assert gotc.to_dict() == wantc.to_dict()
+    # histogram mass equals the match count
+    tot = hist.groupby("query_id")["n_docs"].sum().to_dict()
+    assert tot == {q: want[q] for q in tot}
+
+
+def test_docvalues_respect_tombstones(built, tmp_path):
+    index_dir, texts, sizes = built
+    from splade_ray.delete import delete_docs
+
+    oi = OracleIndex(list(range(N)), texts)
+    qid, text = QUERIES[0]
+    dead = [int(d) for d in np.flatnonzero(_matched(oi, text))[:3]]
+    before = match_counts(index_dir, [(qid, text)])["n_docs"].iloc[0]
+    delete_docs(index_dir, dead)
+    after = match_counts(index_dir, [(qid, text)])["n_docs"].iloc[0]
+    assert after == before - len(dead)
+    got = sort_search(index_dir, [(qid, text)], sort_col="n_bytes", top_k=N)
+    assert not set(dead) & set(got["doc_id"])
+
+
+def test_synonym_search_matches_bruteforce(built):
+    index_dir, texts, sizes = built
+    p = BM25Params(top_k=8)
+    syn = {"def": ["fn", "func"], "merge": ["join"]}
+    queries = [(1, "def parse"), (2, "merge sort def")]
+    got = synonym_search(index_dir, queries, syn, p)
+
+    oi = OracleIndex(list(range(N)), texts, p)
+    rows = []
+    for qid, text in queries:
+        q = term_counts(text)
+        scores = np.zeros(N, np.float64)
+        for t in sorted(q):
+            members = sorted({t, *syn.get(t, [])} & set(oi.postings))
+            if not members:
+                continue
+            tf_fold = np.zeros(N, np.int64)
+            for m in members:
+                pos, tf = oi.postings[m]
+                tf_fold[pos] += tf
+            df_g = max(len(oi.postings[m][0]) for m in members)
+            mpos = np.flatnonzero(tf_fold)
+            w = idf(df_g, N) * q[t]
+            scores[mpos] += w * tf_component(
+                tf_fold[mpos], oi.doc_lens[mpos], oi.avgdl, p
+            )
+        docs, scs = topk_from_scores(oi.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend(
+            (qid, r + 1, int(d), float(s)) for r, (d, s) in enumerate(zip(docs, scs))
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_synonym_group_is_one_term_not_or_query(built):
+    """A doc containing both spellings is saturated once (summed tf), not
+    rewarded twice — the SynonymQuery-vs-BooleanQuery distinction."""
+    index_dir, texts, _ = built
+    from splade_ray.query import search
+
+    p = BM25Params(top_k=N)
+    syn_run = synonym_search(index_dir, [(1, "def")], {"def": ["return"]}, p)
+    or_run = search(index_dir, [(1, "def return")], p)
+    both = [
+        i for i, tx in enumerate(texts)
+        if "def" in term_counts(tx) and "return" in term_counts(tx)
+    ]
+    assert both, "fixture must contain docs with both terms"
+    s_syn = syn_run.set_index("doc_id")["score"]
+    s_or = or_run.set_index("doc_id")["score"]
+    d = both[0]
+    assert s_syn[d] < s_or[d]  # folded tf saturates below the two-term sum
+
+
+def test_wildcard_expansion_and_search(built):
+    index_dir, texts, _ = built
+    vocab = sorted({t for tx in texts for t in term_counts(tx)})
+    for pattern in ("par*", "*urn", "x?", "merge"):
+        got = expand_wildcard(index_dir, pattern, max_terms=50)
+        want = sorted(fnmatch.filter(vocab, pattern))[:50]
+        assert got == want, pattern
+
+    from splade_ray.query import search
+
+    p = BM25Params(top_k=6)
+    run = wildcard_search(index_dir, [(1, "par*")], p)
+    expanded = " ".join(expand_wildcard(index_dir, "par*", max_terms=128))
+    want = search(index_dir, [(1, expanded)], p)
+    pd.testing.assert_frame_equal(run, want, check_dtype=False)
