@@ -947,6 +947,112 @@ def q_collapse_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
 
 
+# doc-values probes over the n_chars sidecar column (splade_ray.docvalues)
+DV_LO, DV_HI = 150, 400
+HIST_INTERVAL = 100
+# SynonymQuery groups (analyzed-term space; Lucene semantics: summed tf,
+# max df per group)
+SYN_MAP = {"join": ["merge"], "scan": ["filter"]}
+WILDCARD_QUERIES = [(1, "s*"), (2, "*ow"), (3, "?ig"), (4, "col*n")]
+
+
+def _dv_index(sf_dir: str) -> str:
+    index_dir = os.path.join(_work_dir(sf_dir, "dvidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+        extra_doc_cols=("n_chars",),
+    )
+    return index_dir
+
+
+def q_range_topk(sf_dir: str):
+    """Range-filtered BM25 (splade_ray.docvalues.range_search): top-k over
+    docs with n_chars in [DV_LO, DV_HI]; the filter applies inside each
+    segment BEFORE its top-k cut (Lucene PointRangeQuery FILTER clause)."""
+    from splade_ray.docvalues import range_search
+
+    run = range_search(
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        numeric_col="n_chars", lo=DV_LO, hi=DV_HI,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_sort_by_field(sf_dir: str):
+    """Sort-by-field retrieval (docvalues.sort_search): matching docs ranked
+    by the n_chars doc-value desc (tie doc_id asc) — Lucene Sort.LONG."""
+    from splade_ray.docvalues import sort_search
+
+    out = sort_search(
+        _dv_index(sf_dir), BM25_QUERIES, sort_col="n_chars", descending=True,
+        top_k=TOP_K,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["sort_value"] = out["sort_value"].astype(np.int64)
+    return out
+
+
+def q_match_counts(sf_dir: str):
+    """Total-hit counts (docvalues.match_counts): exact live matching-doc
+    count per query, zero rows included (TotalHitCountCollector)."""
+    from splade_ray.docvalues import match_counts
+
+    return match_counts(_dv_index(sf_dir), BM25_QUERIES)
+
+
+def q_match_histogram(sf_dir: str):
+    """Histogram aggregation over matches (docvalues.numeric_histogram):
+    per-query match counts per n_chars bucket of width HIST_INTERVAL —
+    the Elasticsearch histogram agg; integer-exact."""
+    from splade_ray.docvalues import numeric_histogram
+
+    return numeric_histogram(
+        _dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars",
+        interval=HIST_INTERVAL,
+    )
+
+
+def q_synonym_topk(sf_dir: str):
+    """SynonymQuery retrieval (splade_ray.synonyms): each query term's
+    synonym group scored as ONE term — summed tf saturated once, idf from
+    the group's max df (the Lucene SynonymQuery contract)."""
+    from splade_ray.synonyms import synonym_search
+
+    run = synonym_search(
+        _index_for(sf_dir), BM25_QUERIES, SYN_MAP,
+        BM25Params(k1=K1, b=B, top_k=TOP_K),
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_wildcard_topk(sf_dir: str):
+    """WildcardQuery retrieval (suggest.wildcard_search): pattern expanded
+    over the lexicon (prefix-pushdown read + anchored RE2), ascending capped,
+    BM25 OR-query with qtf=1 per expanded term."""
+    from splade_ray.suggest import wildcard_search
+
+    run = wildcard_search(
+        _index_for(sf_dir), WILDCARD_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        max_terms=PREFIX_MAX_TERMS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_substr_search(sf_dir: str):
     """Exact substring search via the per-segment trigram layer
     (splade_ray.trigram): candidate docs from rarest-first posting-list
@@ -2529,6 +2635,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
         "collapse_topk": q_collapse_topk,
+        "range_topk": q_range_topk,
+        "sort_by_field": q_sort_by_field,
+        "match_counts": q_match_counts,
+        "match_histogram": q_match_histogram,
+        "synonym_topk": q_synonym_topk,
+        "wildcard_topk": q_wildcard_topk,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
         "grep_snippets": q_grep_snippets,
@@ -3140,6 +3252,126 @@ def _redact_sql() -> str:
     )
 
 
+def _range_topk_sql() -> str:
+    """Range-filtered BM25 mirror: the shared bm25 `ranked` CTE (scores over
+    the FULL corpus stats — the filter never changes df/avgdl/N, matching
+    Lucene FILTER-clause semantics), restricted to docs in the n_chars range,
+    then re-ranked."""
+    return f"""{_bm25_cte()},
+f AS (SELECT r.query_id, r.doc_id, r.score
+      FROM ranked r JOIN documents d USING (doc_id)
+      WHERE d.n_chars BETWEEN {DV_LO} AND {DV_HI}),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+_MATCHED = """
+m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qterm q JOIN tf USING (term))"""
+
+
+def _sort_by_field_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT query_id, rank::BIGINT AS rank, doc_id, n_chars::BIGINT AS sort_value
+FROM (SELECT m.query_id, m.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY m.query_id
+                                ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
+      FROM m JOIN documents d USING (doc_id))
+WHERE rank <= {TOP_K}"""
+
+
+def _match_counts_sql() -> str:
+    qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+ql(query_id) AS (VALUES {qids})
+SELECT ql.query_id::BIGINT AS query_id, coalesce(c.n, 0)::BIGINT AS n_docs
+FROM ql LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n FROM m GROUP BY query_id) c
+USING (query_id)"""
+
+
+def _match_histogram_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id, (d.n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
+def _synonym_sql() -> str:
+    """SynonymQuery mirror: per (query, group) the member list, group tf =
+    sum of member tfs per doc, group df = max member df (only members
+    present in the corpus survive the tf join, matching the engine's
+    lexicon-presence filter), BM25 saturation applied to the summed tf."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            for member in sorted({term, *SYN_MAP.get(term, [])}):
+                values.append(f"({qid}, '{term}', '{member}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+qg(query_id, gid, member, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+gtf AS (SELECT qg.query_id, qg.gid, tf.doc_id, qg.qtf, sum(tf.tf)::BIGINT AS tfg
+        FROM qg JOIN tf ON tf.term = qg.member
+        GROUP BY qg.query_id, qg.gid, tf.doc_id, qg.qtf),
+gdf AS (SELECT qg.query_id, qg.gid, max(df.df) AS dfg
+        FROM qg JOIN df ON df.term = qg.member
+        GROUP BY qg.query_id, qg.gid),
+scores AS (
+  SELECT g.query_id, g.doc_id,
+         sum( ln(1 + (s.n - gd.dfg + 0.5) / (gd.dfg + 0.5)) * g.qtf
+              * g.tfg * ({K1} + 1)
+              / (g.tfg + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM gtf g
+  JOIN gdf gd ON gd.query_id = g.query_id AND gd.gid = g.gid
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY g.query_id, g.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _wildcard_sql() -> str:
+    """WildcardQuery mirror: `*`->`%`, `?`->`_` LIKE expansion over the
+    distinct corpus terms, ascending capped, then the shared expanded-BM25
+    (qtf=1 per term) tail — the suggest.wildcard_search contract."""
+    vals = ", ".join(
+        f"({qid}, '{p.replace('*', '%').replace('?', '_')}')"
+        for qid, p in WILDCARD_QUERIES
+    )
+    return f"""
+WITH {_TF},
+wq(query_id, p) AS (VALUES {vals}),
+exp AS (SELECT wq.query_id, l.term
+        FROM wq JOIN (SELECT DISTINCT term FROM tf) l
+          ON l.term LIKE wq.p
+        QUALIFY row_number() OVER (PARTITION BY wq.query_id ORDER BY l.term)
+                <= {PREFIX_MAX_TERMS}),
+q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
+
+
 def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
@@ -3169,6 +3401,12 @@ FROM documents""",
         "suggest_terms": _suggest_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
+        "range_topk": _range_topk_sql(),
+        "sort_by_field": _sort_by_field_sql(),
+        "match_counts": _match_counts_sql(),
+        "match_histogram": _match_histogram_sql(),
+        "synonym_topk": _synonym_sql(),
+        "wildcard_topk": _wildcard_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "bm25f_topk": _bm25f_sql(),
