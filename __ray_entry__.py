@@ -1251,6 +1251,74 @@ def q_redact(sf_dir: str):
     )
 
 
+# DSIR importance resampling (Xie et al. 2023): target = the English slice,
+# raw = the whole corpus; hashed unigram+bigram features
+DSIR_NB = 512
+DSIR_MG = 2
+DSIR_TARGET_LANG = "en"
+DSIR_K = 50
+DSIR_SEED = 7
+
+
+def _docs_lang(sf_dir: str, lang: str):
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["lang"], lang))
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_dsir_counts(sf_dir: str):
+    """Hashed n-gram feature fit (ops/curation.dsir_bucket_counts): global
+    bucket counts of unigram+bigram sha256-prefix hashes mod DSIR_NB —
+    batch-local bincount partials, one bucket-sized groupby."""
+    from splade_ray.ops.curation import dsir_bucket_counts
+
+    vec = dsir_bucket_counts(
+        _docs(sf_dir, ["doc_id", "text"]), n_buckets=DSIR_NB, max_gram=DSIR_MG
+    )
+    nz = np.flatnonzero(vec)
+    return pd.DataFrame({"bucket": nz.astype(np.int64), "cnt": vec[nz]})
+
+
+def q_dsir_weights(sf_dir: str):
+    """Per-doc DSIR log importance weight ln p(doc)/q(doc) under Laplace-
+    smoothed hashed-n-gram bag distributions (target = lang='en' docs, raw =
+    all docs); n_feats is integer-exact, the weight mirrors via round4."""
+    from splade_ray.ops.curation import dsir_importance
+
+    w = dsir_importance(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _docs_lang(sf_dir, DSIR_TARGET_LANG),
+        n_buckets=DSIR_NB,
+        max_gram=DSIR_MG,
+    ).to_pandas()
+    w = w.sort_values("doc_id").reset_index(drop=True)
+    w["log_weight_r"] = _round4(w["log_weight"].to_numpy())
+    return w[["doc_id", "n_feats", "log_weight_r"]]
+
+
+def q_dsir_select(sf_dir: str):
+    """Gumbel top-k resampling (ops/curation.dsir_select): key =
+    log_weight + Gumbel(h(doc_id)) with the variate a pure function of the
+    id (ops/sample.py hash) — deterministic and partitioning-invariant."""
+    from splade_ray.ops.curation import dsir_importance, dsir_select
+
+    w = dsir_importance(
+        _docs(sf_dir, ["doc_id", "text"]),
+        _docs_lang(sf_dir, DSIR_TARGET_LANG),
+        n_buckets=DSIR_NB,
+        max_gram=DSIR_MG,
+    )
+    sel = dsir_select(w, DSIR_K, seed=DSIR_SEED)
+    sel = sel.reset_index(drop=True)
+    sel["rank"] = np.arange(1, len(sel) + 1, dtype=np.int64)
+    return sel[["rank", "doc_id"]]
+
+
 def q_phrase_topk(sf_dir: str):
     """BM25-ranked phrase retrieval (positions.phrase_topk): phrase df from
     a phrase-sized groupby, vectorized scoring over matches, per-phrase
@@ -2660,6 +2728,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_48h": q_funnel,
         "token_counts": q_token_counts,
         "decontam_grams": q_decontam,
+        "dsir_counts": q_dsir_counts,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "redact_docs": q_redact,
@@ -3372,6 +3443,73 @@ exp AS (SELECT wq.query_id, l.term
 q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
 
 
+def _dsir_buckets_cte() -> str:
+    """CTE ``b(doc_id, bucket)``: one row per unigram+bigram feature, bucket
+    = sha256-prefix hash mod DSIR_NB — exactly
+    ops/curation.hashed_ngram_buckets."""
+    h = _HASH64_SQL.format(t="gram")
+    return f"""
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+g1 AS (SELECT doc_id, unnest(t) AS gram FROM tl),
+gi AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i FROM tl),
+g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM gi),
+g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+b AS (SELECT doc_id, ({h} % {DSIR_NB})::BIGINT AS bucket FROM g)"""
+
+
+def _dsir_weights_cte() -> str:
+    """CTEs ending in ``w(doc_id, n_feats, logw)``: Laplace-smoothed
+    log-ratio per bucket (target = lang = DSIR_TARGET_LANG), summed per
+    gram instance."""
+    return f"""{_dsir_buckets_cte()},
+rawc AS (SELECT bucket, count(*)::DOUBLE AS c FROM b GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*)::DOUBLE AS c
+         FROM b JOIN documents d USING (doc_id)
+         WHERE d.lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgtc) AS tt,
+               (SELECT coalesce(sum(c), 0) FROM rawc) AS rt),
+lut AS (SELECT br.bucket,
+               ln((coalesce(t.c, 0) + 1.0) / (tot.tt + {DSIR_NB}.0))
+             - ln((coalesce(r.c, 0) + 1.0) / (tot.rt + {DSIR_NB}.0)) AS lr
+        FROM (SELECT DISTINCT bucket FROM b) br
+        LEFT JOIN tgtc t USING (bucket)
+        LEFT JOIN rawc r USING (bucket)
+        CROSS JOIN tot),
+w AS (SELECT b.doc_id, count(*)::BIGINT AS n_feats, sum(l.lr) AS logw
+      FROM b JOIN lut l USING (bucket) GROUP BY b.doc_id)"""
+
+
+def _dsir_counts_sql() -> str:
+    return f"""
+WITH {_dsir_buckets_cte()}
+SELECT bucket, count(*)::BIGINT AS cnt FROM b GROUP BY bucket"""
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+WITH {_dsir_weights_cte()}
+SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+       {_round4_sql('coalesce(w.logw, 0.0)')} AS log_weight_r
+FROM documents d LEFT JOIN w USING (doc_id)"""
+
+
+def _dsir_select_sql() -> str:
+    """Gumbel top-k mirror: u from the ops/sample.py multiplicative-hash
+    bucket (bit-exact HUGEINT arithmetic), key = logw - ln(-ln u)."""
+    from splade_ray.ops.sample import BUCKETS, bucket_sql
+
+    return f"""
+WITH {_dsir_weights_cte()},
+full_w AS (SELECT d.doc_id, coalesce(w.logw, 0.0) AS logw
+           FROM documents d LEFT JOIN w USING (doc_id)),
+keyed AS (SELECT doc_id,
+                 logw - ln(-ln(({bucket_sql('doc_id', DSIR_SEED)} + 0.5) / {BUCKETS})) AS key
+          FROM full_w),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
+      FROM keyed)
+SELECT rank::BIGINT AS rank, doc_id FROM r WHERE rank <= {DSIR_K}"""
+
+
 def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
@@ -3389,6 +3527,9 @@ SELECT doc_id,
        len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_SQL}')))::BIGINT AS n_distinct
 FROM documents""",
         "decontam_grams": _decontam_sql(),
+        "dsir_counts": _dsir_counts_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),

@@ -516,3 +516,247 @@ def redact_batch(
         texts = pc.replace_substring_regex(texts, pat, f"<{label.upper()}>")
     cols["text_redacted"] = texts
     return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023: "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+#
+# Select raw-corpus documents that look like a target corpus: fit hashed
+# n-gram (unigram+bigram) bag distributions p (target) and q (raw), weight
+# each raw doc by log w = sum_grams [ln p_b - ln q_b], and resample with
+# Gumbel top-k. Scale shape:
+#   - the FIT is batch-local bincount partials -> one bucket-keyed groupby
+#     (<= n_buckets rows cross the shuffle, not grams);
+#   - the SCORE is a pure streaming scan against a ray.put-broadcast
+#     log-ratio table (n_buckets float64s, read once per actor);
+#   - the SELECT keeps the Gumbel key a pure function of the doc id (the
+#     ops/sample.py multiplicative hash), so membership is partitioning-
+#     and rerun-invariant, and only per-batch top-k candidates (k rows per
+#     block) leave the scan.
+# Gram hashing = sha256-prefix (ops/textstats.hash_token) mod n_buckets, so
+# counts, weights and selection all have exact DuckDB mirrors.
+
+
+def hashed_ngram_buckets(
+    texts: pa.Array | pa.ChunkedArray, *, n_buckets: int, max_gram: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat hashed-feature bucket codes for every 1..max_gram token gram of
+    a string column, plus each gram's row index. Grams hash once per UNIQUE
+    gram (dictionary encode), the vectorized recipe of minhash/fingerprint."""
+    from splade_ray.ops.textstats import hash_token
+
+    codes_parts: list[np.ndarray] = []
+    par_parts: list[np.ndarray] = []
+    for k in range(1, max_gram + 1):
+        grams, gpar, _ = kgram_strings(texts, k)
+        if len(grams) == 0:
+            continue
+        d = grams.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        uh = np.array([int(hash_token(t)) for t in uniq], np.uint64)
+        buckets = (uh % np.uint64(n_buckets)).astype(np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes_parts.append(buckets[idx])
+        par_parts.append(gpar)
+    if not codes_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(codes_parts), np.concatenate(par_parts)
+
+
+def dsir_bucket_counts(
+    docs,
+    *,
+    n_buckets: int = 65536,
+    max_gram: int = 2,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Global hashed-feature counts (the DSIR distribution fit) as an
+    n_buckets int64 vector. Batch-local bincount partials shrink each block
+    to its nonzero (bucket, cnt) rows; one bucket groupby sums them — the
+    shuffle carries <= n_buckets · n_blocks 16-byte rows, never grams."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        codes, _ = hashed_ngram_buckets(
+            batch[text_col], n_buckets=n_buckets, max_gram=max_gram
+        )
+        cnt = np.bincount(codes, minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())}
+        )
+
+    pdf = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("cnt")
+        .to_pandas()
+    )
+    vec = np.zeros(n_buckets, np.int64)
+    if len(pdf):
+        vec[pdf["bucket"].to_numpy()] = pdf["sum(cnt)"].to_numpy()
+    return vec
+
+
+def dsir_log_lut(
+    target_counts: np.ndarray, raw_counts: np.ndarray, *, smoothing: float = 1.0
+) -> np.ndarray:
+    """Per-bucket log importance ratio ln p_b - ln q_b with Laplace
+    smoothing: p_b = (tc_b + s) / (T + s·m), q_b likewise over the raw fit."""
+    if target_counts.shape != raw_counts.shape:
+        raise ValueError("count vectors must share n_buckets")
+    m = target_counts.size
+    t_tot = float(target_counts.sum()) + smoothing * m
+    r_tot = float(raw_counts.sum()) + smoothing * m
+    return np.log((target_counts + smoothing) / t_tot) - np.log(
+        (raw_counts + smoothing) / r_tot
+    )
+
+
+class DsirScoreStage:
+    """Actor-pool scan scoring each doc's log importance weight against the
+    broadcast log-ratio table (fetched once per actor in __init__)."""
+
+    def __init__(self, lut_ref, *, n_buckets: int, max_gram: int,
+                 text_col: str, id_col: str):
+        self.lut = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+        self.n_buckets = n_buckets
+        self.max_gram = max_gram
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_feats": pa.array([], pa.int64()),
+                    "log_weight": pa.array([], pa.float64()),
+                }
+            )
+        codes, par = hashed_ngram_buckets(
+            batch[self.text_col], n_buckets=self.n_buckets, max_gram=self.max_gram
+        )
+        n_feats = np.bincount(par, minlength=n).astype(np.int64)
+        logw = np.bincount(par, weights=self.lut[codes], minlength=n)
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col].cast(pa.int64()),
+                "n_feats": pa.array(n_feats, pa.int64()),
+                "log_weight": pa.array(logw, pa.float64()),
+            }
+        )
+
+
+def dsir_log_weights(
+    raw_docs,
+    lut: np.ndarray,
+    *,
+    max_gram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+):
+    """(doc_id, n_feats, log_weight) for every raw doc — a pure streaming
+    scan; the lut broadcasts once via ray.put."""
+    lut_ref = ray.put(np.asarray(lut, np.float64))
+    return raw_docs.map_batches(
+        DsirScoreStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "lut_ref": lut_ref,
+            "n_buckets": int(lut.size),
+            "max_gram": max_gram,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def dsir_importance(
+    raw_docs,
+    target_docs,
+    *,
+    n_buckets: int = 65536,
+    max_gram: int = 2,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+):
+    """End-to-end DSIR weighting: fit target + raw hashed-n-gram
+    distributions, then score every raw doc. Returns the weights Dataset."""
+    tc = dsir_bucket_counts(
+        target_docs, n_buckets=n_buckets, max_gram=max_gram, text_col=text_col
+    )
+    rc = dsir_bucket_counts(
+        raw_docs, n_buckets=n_buckets, max_gram=max_gram, text_col=text_col
+    )
+    lut = dsir_log_lut(tc, rc, smoothing=smoothing)
+    return dsir_log_weights(
+        raw_docs, lut, max_gram=max_gram, text_col=text_col, id_col=id_col,
+        concurrency=concurrency,
+    )
+
+
+def dsir_select(
+    weights,
+    k: int,
+    *,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Gumbel top-k resampling over the weights table: key =
+    log_weight + Gumbel(h(id)) with the Gumbel variate a PURE FUNCTION of
+    the id (u = (bucket(id) + 0.5) / 2^20 over the ops/sample.py
+    multiplicative hash; g = -ln(-ln u)) — deterministic, partitioning- and
+    rerun-invariant, and exactly SQL-mirrorable. Per-batch local top-k
+    bounds the driver merge to k rows per block (the bottomk_sample shape).
+    Ties break (key desc, doc_id asc)."""
+    import pandas as pd
+
+    from splade_ray.ops.sample import BUCKETS, _buckets
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "log_weight": pa.array([], pa.float64()),
+                    "key": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        logw = batch["log_weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_buckets(ids, seed) + 0.5) / BUCKETS
+        key = logw - np.log(-np.log(u))
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "log_weight": pa.array(logw[order], pa.float64()),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    pdf = weights.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "log_weight": pd.Series([], dtype=np.float64),
+                "key": pd.Series([], dtype=np.float64),
+            }
+        )
+    pdf = pdf.sort_values(["key", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return pdf.reset_index(drop=True)

@@ -248,3 +248,93 @@ def test_collect_dup_grams_min_count(ray_session):
     g2 = collect_dup_grams(ds, k=3, min_count=2, text_col="text")
     g3 = collect_dup_grams(ds, k=3, min_count=3, text_col="text")
     assert g3.size == 1 and set(g3).issubset(set(g2))
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+
+def _dsir_brute(texts, n_buckets, max_gram):
+    """Per-doc hashed-gram bucket lists via plain Python (re + sha256)."""
+    import hashlib
+    import re
+
+    out = []
+    for t in texts:
+        toks = re.findall(r"[a-z0-9_]+", (t or "").lower())
+        grams = list(toks)
+        for k in range(2, max_gram + 1):
+            grams += [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        out.append(
+            [
+                int.from_bytes(hashlib.sha256(g.encode()).digest()[:8], "big")
+                % n_buckets
+                for g in grams
+            ]
+        )
+    return out
+
+
+def test_dsir_counts_weights_select_match_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.curation import (
+        dsir_bucket_counts,
+        dsir_importance,
+        dsir_log_lut,
+        dsir_select,
+    )
+    from splade_ray.ops.sample import BUCKETS, _buckets
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "def quick_sort(xs): return xs",
+        "the fox and the dog and the fox",
+        "select value from table where key = 1",
+        "",
+        "the the the quick quick fox",
+    ]
+    ids = np.arange(len(texts), dtype=np.int64)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(3)
+    target = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids[:2]), "text": pa.array(texts[:2])})
+    )
+    NB, MG = 512, 2
+
+    brute = _dsir_brute(texts, NB, MG)
+    want_raw = np.zeros(NB, np.int64)
+    for bs in brute:
+        for b in bs:
+            want_raw[b] += 1
+    got_raw = dsir_bucket_counts(docs, n_buckets=NB, max_gram=MG)
+    assert (got_raw == want_raw).all()
+
+    want_tgt = np.zeros(NB, np.int64)
+    for bs in brute[:2]:
+        for b in bs:
+            want_tgt[b] += 1
+    lut = dsir_log_lut(want_tgt, want_raw, smoothing=1.0)
+    w = dsir_importance(docs, target, n_buckets=NB, max_gram=MG).to_pandas()
+    w = w.sort_values("doc_id").reset_index(drop=True)
+    assert w["n_feats"].tolist() == [len(b) for b in brute]
+    want_logw = np.array([sum(lut[b] for b in bs) for bs in brute])
+    assert np.allclose(w["log_weight"].to_numpy(), want_logw)
+
+    # Gumbel top-k: deterministic, partitioning-invariant, brute-mirrored
+    weights = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids), "log_weight": pa.array(want_logw, pa.float64())}
+        )
+    )
+    sel = dsir_select(weights, 3, seed=7)
+    u = (_buckets(ids, 7) + 0.5) / BUCKETS
+    key = want_logw - np.log(-np.log(u))
+    want_ids = ids[np.lexsort((ids, -key))[:3]]
+    assert sel["doc_id"].tolist() == want_ids.tolist()
+    sel2 = dsir_select(weights.repartition(5), 3, seed=7)
+    assert sel2["doc_id"].tolist() == sel["doc_id"].tolist()
