@@ -175,6 +175,46 @@ def run_bench() -> dict:
             "dup_spans_docs_per_sec": round(n_rows / dup_s, 1),
         }
 
+    # DSIR importance weighting over the multiplied corpus: two hashed-
+    # n-gram distribution fits (5% hash-sample target + full raw corpus;
+    # bucket-sized shuffles) + the broadcast-lut scoring scan. Untimed in
+    # the headline value; skipped in scaling legs like trigrams.
+    dsir_metrics = {}
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+        from splade_ray.io import read_parquet_clean as _rpc2
+        from splade_ray.ops.curation import (
+            dsir_bucket_counts,
+            dsir_log_lut,
+            dsir_log_weights,
+        )
+        from splade_ray.ops.sample import hash_sample
+
+        def _with_ids(b):
+            return b.append_column(
+                "doc_id", __import__("pyarrow").array(range(b.num_rows))
+            )
+
+        t3 = time.monotonic()
+        raw = _rpc2(corpus_dir, columns=["content"]).map_batches(
+            _with_ids, batch_format="pyarrow"
+        )
+        target = hash_sample(
+            _rpc2(corpus_dir, columns=["content"]).map_batches(
+                _with_ids, batch_format="pyarrow"
+            ),
+            0.05, id_col="doc_id", seed=1,
+        )
+        tc = dsir_bucket_counts(target, n_buckets=65536, text_col="content")
+        rc = dsir_bucket_counts(raw, n_buckets=65536, text_col="content")
+        n_scored = dsir_log_weights(
+            raw, dsir_log_lut(tc, rc), text_col="content"
+        ).count()
+        dsir_s = time.monotonic() - t3
+        dsir_metrics = {
+            "dsir_fit_and_score": round(dsir_s, 3),
+            "dsir_docs_per_sec": round(n_scored / dsir_s, 1),
+        }
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     from splade_ray.analysis import postings_batch
     from splade_ray.io import read_parquet_clean
@@ -202,8 +242,10 @@ def run_bench() -> dict:
             "term_index_salted_groupby": round(term_index_s, 3),
             **tri_metrics.get("queries", {}),
             **{k: v for k, v in dup_metrics.items() if k == "dup_spans_scan"},
+            **{k: v for k, v in dsir_metrics.items() if k == "dsir_fit_and_score"},
         },
         **{k: v for k, v in dup_metrics.items() if k != "dup_spans_scan"},
+        **{k: v for k, v in dsir_metrics.items() if k != "dsir_fit_and_score"},
         **{k: v for k, v in tri_metrics.items() if k != "queries"},
         "sf": sf_dir,
         "num_cpus": ncpu,
