@@ -43,9 +43,9 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from splade_ray.bm25 import BM25Params, topk_from_scores
+from splade_ray.bm25 import BM25Params
 from splade_ray.build import segment_dirs
-from splade_ray.query import RUN_COLUMNS, SegmentIndex, merge_topk, prepare_queries
+from splade_ray.query import SegmentIndex, prepare_queries
 
 SORT_COLUMNS = ["query_id", "rank", "doc_id", "sort_value"]
 
@@ -104,65 +104,22 @@ def range_search(
 ) -> pd.DataFrame:
     """BM25 (or QL) top-k restricted to live docs whose ``numeric_col`` lies
     in the inclusive range [lo, hi] — Lucene BooleanQuery(query MUST,
-    PointRangeQuery FILTER). Returns the standard run table."""
-    from splade_ray.delete import load_tombstones
+    PointRangeQuery FILTER). A thin wrapper over
+    :func:`splade_ray.query.search` with ``range_filter`` — the mask is
+    applied inside each segment's exact kernel before its top-k cut, and the
+    same option works on the persistent Searcher / QueryRouter paths."""
+    from splade_ray.query import search
 
-    params = params or BM25Params()
-    prepared = prepare_queries(
-        index_dir, queries, params, query_lang=query_lang, scoring=scoring, mu=mu
+    return search(
+        index_dir,
+        queries,
+        params,
+        query_lang=query_lang,
+        scoring=scoring,
+        mu=mu,
+        concurrency=concurrency,
+        range_filter=(numeric_col, lo, hi),
     )
-    tomb = load_tombstones(index_dir)
-    tomb_ref = ray.put(tomb) if tomb.size else None
-    prepared_ref = ray.put(prepared)
-
-    empty = pa.table(
-        {
-            "query_id": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            "score": pa.array([], pa.float64()),
-        }
-    )
-
-    def per_segment(seg_dir: str) -> pa.Table:
-        prep = ray.get(prepared_ref)
-        t = ray.get(tomb_ref) if tomb_ref is not None else None
-        p: BM25Params = prep["params"]
-        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        vals = _numeric_column(seg_dir, numeric_col)
-        keep = np.ones(vals.size, bool)
-        if lo is not None:
-            keep &= vals >= lo
-        if hi is not None:
-            keep &= vals <= hi
-        rows: list[tuple[int, int, float]] = []
-        for qid in prep["queries"]:
-            scores = seg.dense_query_scores(qid, prep)
-            if scores is None:
-                continue
-            # range filter BEFORE the per-segment cut — deep results exact
-            scores = np.where(keep, scores, -np.inf)
-            docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
-            rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
-        return pa.table(
-            {
-                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
-                "doc_id": pa.array(np.array([r[1] for r in rows], np.int64)),
-                "score": pa.array(np.array([r[2] for r in rows], np.float64)),
-            }
-        )
-
-    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
-    if pdf.empty:
-        return pd.DataFrame(columns=RUN_COLUMNS).astype(
-            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
-             "score": np.float64}
-        )
-    out = (
-        pdf.groupby("query_id", group_keys=False)[pdf.columns]
-        .apply(merge_topk, top_k=params.top_k)
-        .reset_index(drop=True)
-    )
-    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[RUN_COLUMNS]
 
 
 def sort_search(

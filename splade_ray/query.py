@@ -142,6 +142,36 @@ class SegmentIndex:
         # decoded-posting cache: populated lazily, shared across queries in a
         # batch and across calls when the segment lives in a persistent actor
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # numeric doc-values cache (range_filter), same lifetime as _decoded
+        self._numcols: dict[str, np.ndarray] = {}
+
+    def numeric_values(self, col: str) -> np.ndarray:
+        """Sidecar numeric doc column aligned to doc_ids (cached — loaded
+        once per segment per actor, like decoded postings)."""
+        got = self._numcols.get(col)
+        if got is None:
+            got = pq.read_table(
+                os.path.join(self.seg_dir, "doclens.parquet"), columns=[col]
+            )[col].to_numpy(zero_copy_only=False)
+            if not np.issubdtype(got.dtype, np.number):
+                raise TypeError(f"doc column {col!r} is not numeric ({got.dtype})")
+            self._numcols[col] = got
+        return got
+
+    def range_keep_mask(self, prepared: dict) -> np.ndarray | None:
+        """Boolean keep-mask for the prepared dict's ``range_filter``
+        ``(col, lo, hi)`` (inclusive; None = unbounded), or None."""
+        rf = prepared.get("range_filter")
+        if rf is None:
+            return None
+        col, lo, hi = rf
+        vals = self.numeric_values(col)
+        keep = np.ones(vals.size, bool)
+        if lo is not None:
+            keep &= vals >= lo
+        if hi is not None:
+            keep &= vals <= hi
+        return keep
 
     def posting(self, term: str):
         i = self._by_term.get(term)
@@ -211,11 +241,16 @@ class SegmentIndex:
     def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
         p: BM25Params = prepared["params"]
         after: dict = prepared.get("after") or {}
+        keep = self.range_keep_mask(prepared)
         rows: list[tuple[int, int, float]] = []
         for qid in prepared["queries"]:
             scores = self.dense_query_scores(qid, prepared)
             if scores is None:
                 continue
+            if keep is not None:
+                # numeric doc-values filter BEFORE the per-segment cut
+                # (Lucene FILTER clause) — deep results stay exact
+                scores = np.where(keep, scores, -np.inf)
             cur = after.get(qid)
             if cur is not None:
                 # Lucene search_after: keep docs sorting strictly AFTER the
@@ -229,10 +264,14 @@ class SegmentIndex:
         return rows
 
     def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
-        if prepared.get("scoring") == "ql" or prepared.get("after"):
+        if (
+            prepared.get("scoring") == "ql"
+            or prepared.get("after")
+            or prepared.get("range_filter")
+        ):
             # block-max bounds are BM25-specific (tf_max/dl_min monotonicity)
-            # and don't model the search_after cursor; both route to the
-            # exact kernel — identical results by contract
+            # and model neither the search_after cursor nor a doc-values
+            # filter; all route to the exact kernel — identical results
             return self.score_exact(prepared)
         if self.deleted is not None:
             # block-max skip bounds don't account for deletions; the exact
@@ -356,6 +395,7 @@ def search(
     scoring: str = "bm25",
     mu: float = 2000.0,
     after: dict[int, tuple[float, int]] | None = None,
+    range_filter: tuple[str, float | None, float | None] | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
@@ -381,6 +421,9 @@ def search(
                          "use method='exact'/'bmw'/'auto'")
     if scoring != "bm25" and method in ("quantized", "quantized_bmw"):
         raise ValueError("quantized impacts bake in BM25 — use scoring='bm25'")
+    if range_filter and method in ("quantized", "quantized_bmw"):
+        raise ValueError("range_filter runs on the float kernels — "
+                         "use method='exact'/'bmw'/'auto'")
     quant_extra: dict = {}
     if method in ("quantized", "quantized_bmw"):
         # quantized layer must exist, be complete (not pending) and have
@@ -399,6 +442,7 @@ def search(
                                scoring=scoring, mu=mu),
              **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
                 if after else {}),
+             **({"range_filter": range_filter} if range_filter else {}),
              **quant_extra}
         )
         for c in chunks
@@ -964,6 +1008,7 @@ class QueryRouter:
         scoring: str = "bm25",
         mu: float = 2000.0,
         after: dict[int, tuple[float, int]] | None = None,
+        range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
         import asyncio
         import time as _time
@@ -974,10 +1019,10 @@ class QueryRouter:
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
             )
-        if self.quant_extra and (scoring != "bm25" or after):
+        if self.quant_extra and (scoring != "bm25" or after or range_filter):
             raise ValueError(
-                "quantized shards score baked BM25 impacts — "
-                "scoring='ql' / search_after need a float-index router"
+                "quantized shards score baked BM25 impacts — scoring='ql' / "
+                "search_after / range_filter need a float-index router"
             )
         await self._admit(
             deadline_s if deadline_s is not None else self._default_deadline
@@ -993,6 +1038,7 @@ class QueryRouter:
                                   scoring=scoring, mu=mu),
                 **({"after": {int(q): after[int(q)] for q, _ in queries
                               if int(q) in after}} if after else {}),
+                **({"range_filter": range_filter} if range_filter else {}),
                 **self.quant_extra,
             }
             t0 = _time.monotonic()
@@ -1173,6 +1219,7 @@ class Searcher:
         scoring: str = "bm25",
         mu: float = 2000.0,
         after: dict[int, tuple[float, int]] | None = None,
+        range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
         params = params or self.params_default
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
@@ -1180,16 +1227,17 @@ class Searcher:
                 f"quantized layer built with k1={self._quant_kb[0]} "
                 f"b={self._quant_kb[1]}, query uses k1={params.k1} b={params.b}"
             )
-        if self.quant_extra and (scoring != "bm25" or after):
+        if self.quant_extra and (scoring != "bm25" or after or range_filter):
             raise ValueError(
-                "quantized shards score baked BM25 impacts — "
-                "scoring='ql' / search_after need a float-index Searcher"
+                "quantized shards score baked BM25 impacts — scoring='ql' / "
+                "search_after / range_filter need a float-index Searcher"
             )
         prepared = {
             **prepare_queries(self.index_dir, queries, params, query_lang=query_lang,
                               scoring=scoring, mu=mu),
             **({"after": {int(q): after[int(q)] for q, _ in queries if int(q) in after}}
                if after else {}),
+            **({"range_filter": range_filter} if range_filter else {}),
             **self.quant_extra,
         }
         results = ray.get([a.search.remote(prepared) for a in self.actors])

@@ -226,3 +226,28 @@ def test_wildcard_expansion_and_search(built):
     expanded = " ".join(expand_wildcard(index_dir, "par*", max_terms=128))
     want = search(index_dir, [(1, expanded)], p)
     pd.testing.assert_frame_equal(run, want, check_dtype=False)
+
+
+def test_range_filter_on_all_serving_paths(built):
+    """search(range_filter) across exact/bmw/auto kernels and the persistent
+    Searcher all return the identical filtered run (BMW routes to exact)."""
+    from splade_ray.query import Searcher, search
+
+    index_dir, texts, sizes = built
+    p = BM25Params(top_k=7)
+    rf = ("n_bytes", 150, 700)
+    base = range_search(
+        index_dir, QUERIES, p, numeric_col="n_bytes", lo=150, hi=700
+    )
+    for method in ("exact", "bmw", "auto"):
+        got = search(index_dir, QUERIES, p, method=method, range_filter=rf)
+        pd.testing.assert_frame_equal(got, base, check_dtype=False)
+    s = Searcher(index_dir, num_shards=2)
+    got = s.search(QUERIES, p, range_filter=rf)
+    s.shutdown()
+    pd.testing.assert_frame_equal(got, base, check_dtype=False)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search(index_dir, QUERIES, p, method="quantized", range_filter=rf)
