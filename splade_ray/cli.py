@@ -815,7 +815,7 @@ def cmd_curate(args) -> int:
 
     from splade_ray.io import read_parquet_clean
 
-    known = ["quality", "dedup", "dupspans", "decontam", "redact", "pack"]
+    known = ["quality", "dedup", "dupspans", "decontam", "dsir", "redact", "pack"]
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(known)
     if unknown:
@@ -901,6 +901,29 @@ def cmd_curate(args) -> int:
 
         return train.map_batches(filt, batch_format="pyarrow")
 
+    def stage_dsir(ds):
+        """DSIR importance resampling (Xie et al. 2023): keep the
+        --dsir-keep docs whose hashed-n-gram distribution best matches the
+        --dsir-target corpus, via deterministic Gumbel top-k."""
+        from splade_ray.ops.curation import dsir_importance, dsir_select
+
+        if not args.dsir_target:
+            raise SystemExit("--dsir-target is required for the dsir stage")
+        target = read_parquet_clean(args.dsir_target)
+        w = dsir_importance(
+            ds, target, n_buckets=args.dsir_buckets,
+            text_col=text_col, id_col=id_col,
+        )
+        sel = dsir_select(w, args.dsir_keep, seed=args.seed)
+        keep_ids = np.sort(sel["doc_id"].to_numpy(np.int64))
+        keep_ref = ray.put(keep_ids)  # k-sized broadcast
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(ids, ray.get(keep_ref))))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
     def stage_redact(ds):
         from splade_ray.ops.curation import redact_batch
 
@@ -939,6 +962,7 @@ def cmd_curate(args) -> int:
         "dedup": stage_dedup,
         "dupspans": stage_dupspans,
         "decontam": stage_decontam,
+        "dsir": stage_dsir,
         "redact": stage_redact,
         "pack": stage_pack,
     }
@@ -1341,6 +1365,13 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--dup-min-count", type=int, default=2,
                     help="dupspans: occurrences for a gram to count as duplicated")
     cu.add_argument("--budget", type=int, default=512, help="tokens per pack")
+    cu.add_argument("--dsir-target", default=None,
+                    help="parquet dir of target-domain docs (dsir stage)")
+    cu.add_argument("--dsir-keep", type=int, default=1000,
+                    help="dsir: docs kept by Gumbel top-k")
+    cu.add_argument("--dsir-buckets", type=int, default=65536)
+    cu.add_argument("--seed", type=int, default=0,
+                    help="dsir: Gumbel hash seed (deterministic)")
     cu.set_defaults(fn=cmd_curate)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")

@@ -536,3 +536,51 @@ def test_cli_dv_synsearch_wildcard(ray_session, tmp_path, capsys):
                  "--out", out, "--mode", "wildcard", "--top-k", "5"]) == 0
     wild = pd.read_parquet(out)
     assert set(wild["doc_id"]) == {0, 1}  # hash_join + hash_probe docs
+
+
+def test_cli_curate_dsir_stage(ray_session, tmp_path, capsys):
+    """curate --stages dsir: keeps the --dsir-keep docs closest to the
+    target distribution under deterministic Gumbel top-k."""
+    import numpy as np
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    codey = [f"def fn{i} of x return x plus add {i}" for i in range(6)]
+    prose = [f"the quick brown fox jumps over the lazy dog {i}" for i in range(6)]
+    texts = codey + prose
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    tgt = tmp_path / "target"
+    tgt.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": pa.array(
+                    ["the quick brown fox jumps over the lazy dog again",
+                     "the slow brown fox walks past the lazy dog today"]
+                ),
+            }
+        ),
+        str(tgt / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "dsir", "--dsir-target", str(tgt),
+               "--dsir-keep", "6", "--dsir-buckets", "512"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] == {"dsir": 6}
+
+    import ray.data as rd
+
+    kept = sorted(rd.read_parquet(out + "/dsir").to_pandas()["doc_id"])
+    # the prose docs match the target n-gram distribution; code docs don't
+    assert kept == list(range(6, 12)), kept
