@@ -3444,17 +3444,22 @@ q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
 
 
 def _dsir_buckets_cte() -> str:
-    """CTE ``b(doc_id, bucket)``: one row per unigram+bigram feature, bucket
-    = sha256-prefix hash mod DSIR_NB — exactly
-    ops/curation.hashed_ngram_buckets."""
-    h = _HASH64_SQL.format(t="gram")
+    """CTE ``b(doc_id, bucket)``: one row per unigram+bigram feature.
+    Token hash = sha256 prefix; a k-gram's hash is the FNV rolling fold of
+    its token hashes (HUGEINT mod-2^64, the dup_spans idiom) — exactly
+    ops/curation.hashed_ngram_buckets (a 1-gram folds to the raw hash)."""
+    assert DSIR_MG == 2, "SQL mirror hardcodes unigrams+bigrams"
+    th = _HASH64_SQL.format(t="t")
+    p, m64 = 1099511628211, 1 << 64
     return f"""
-tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
-g1 AS (SELECT doc_id, unnest(t) AS gram FROM tl),
-gi AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-1, 0))) AS i FROM tl),
-g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM gi),
+hs0 AS (SELECT doc_id, list_transform(
+          regexp_extract_all(lower(text), '{TOKEN_SQL}'), t -> {th}) AS h
+        FROM documents),
+g1 AS (SELECT doc_id, unnest(h) AS gh FROM hs0),
+gi AS (SELECT doc_id, h, unnest(generate_series(1, greatest(len(h)-1, 0))) AS i FROM hs0),
+g2 AS (SELECT doc_id, (h[i] * {p} + h[i+1]) % {m64} AS gh FROM gi),
 g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
-b AS (SELECT doc_id, ({h} % {DSIR_NB})::BIGINT AS bucket FROM g)"""
+b AS (SELECT doc_id, (gh % {DSIR_NB})::BIGINT AS bucket FROM g)"""
 
 
 def _dsir_weights_cte() -> str:

@@ -543,25 +543,23 @@ def hashed_ngram_buckets(
     texts: pa.Array | pa.ChunkedArray, *, n_buckets: int, max_gram: int = 2
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat hashed-feature bucket codes for every 1..max_gram token gram of
-    a string column, plus each gram's row index. Grams hash once per UNIQUE
-    gram (dictionary encode), the vectorized recipe of minhash/fingerprint."""
-    from splade_ray.ops.textstats import hash_token
+    a string column, plus each gram's row index. Only UNIQUE TOKENS pay a
+    sha256 call (dictionary encode); k-grams are the vectorized FNV rolling
+    fold over the flat token-hash array (``_gram_hash_positions``, the
+    dup_spans kernel) — no per-gram Python, and the fold has an exact
+    HUGEINT SQL mirror. A k=1 "gram" folds to the raw token hash."""
+    from splade_ray.ops.dedup import _flat_token_hashes
 
+    hs, par, _ = _flat_token_hashes(texts)
+    nb = np.uint64(n_buckets)
     codes_parts: list[np.ndarray] = []
     par_parts: list[np.ndarray] = []
     for k in range(1, max_gram + 1):
-        grams, gpar, _ = kgram_strings(texts, k)
-        if len(grams) == 0:
+        g, gp, _ = _gram_hash_positions(hs, par, k)
+        if g.size == 0:
             continue
-        d = grams.dictionary_encode()
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        uniq = d.dictionary.to_pylist()
-        uh = np.array([int(hash_token(t)) for t in uniq], np.uint64)
-        buckets = (uh % np.uint64(n_buckets)).astype(np.int64)
-        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        codes_parts.append(buckets[idx])
-        par_parts.append(gpar)
+        codes_parts.append((g % nb).astype(np.int64))
+        par_parts.append(gp)
     if not codes_parts:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(codes_parts), np.concatenate(par_parts)

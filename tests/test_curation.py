@@ -256,23 +256,27 @@ def test_collect_dup_grams_min_count(ray_session):
 
 
 def _dsir_brute(texts, n_buckets, max_gram):
-    """Per-doc hashed-gram bucket lists via plain Python (re + sha256)."""
+    """Per-doc hashed-gram bucket lists via plain Python: sha256-prefix
+    token hashes, FNV rolling fold per k-gram (mirrors the engine kernel)."""
     import hashlib
     import re
 
+    P, M = 1099511628211, 1 << 64
     out = []
     for t in texts:
         toks = re.findall(r"[a-z0-9_]+", (t or "").lower())
-        grams = list(toks)
-        for k in range(2, max_gram + 1):
-            grams += [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        out.append(
-            [
-                int.from_bytes(hashlib.sha256(g.encode()).digest()[:8], "big")
-                % n_buckets
-                for g in grams
-            ]
-        )
+        hs = [
+            int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+            for tok in toks
+        ]
+        grams = []
+        for k in range(1, max_gram + 1):
+            for i in range(len(hs) - k + 1):
+                v = 0
+                for j in range(k):
+                    v = (v * P + hs[i + j]) % M
+                grams.append(v % n_buckets)
+        out.append(grams)
     return out
 
 
