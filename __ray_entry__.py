@@ -1021,6 +1021,15 @@ def q_match_histogram(sf_dir: str):
     )
 
 
+def q_match_stats(sf_dir: str):
+    """Metric aggregation over matches (docvalues.numeric_stats): per-query
+    n/sum/min/max of the n_chars doc-value over live matching docs — the ES
+    `stats` aggregation; all-integer columns."""
+    from splade_ray.docvalues import numeric_stats
+
+    return numeric_stats(_dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars")
+
+
 def q_synonym_topk(sf_dir: str):
     """SynonymQuery retrieval (splade_ray.synonyms): each query term's
     synonym group scored as ONE term — summed tf saturated once, idf from
@@ -2707,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": q_sort_by_field,
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
+        "match_stats": q_match_stats,
         "synonym_topk": q_synonym_topk,
         "wildcard_topk": q_wildcard_topk,
         "substr_search": q_substr_search,
@@ -3367,6 +3377,18 @@ FROM ql LEFT JOIN (SELECT query_id, count(*)::BIGINT AS n FROM m GROUP BY query_
 USING (query_id)"""
 
 
+def _match_stats_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS sum_value,
+       min(d.n_chars)::BIGINT AS min_value,
+       max(d.n_chars)::BIGINT AS max_value
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id"""
+
+
 def _match_histogram_sql() -> str:
     return f"""
 WITH {_TF},
@@ -3551,6 +3573,7 @@ FROM documents""",
         "sort_by_field": _sort_by_field_sql(),
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
+        "match_stats": _match_stats_sql(),
         "synonym_topk": _synonym_sql(),
         "wildcard_topk": _wildcard_sql(),
         "lang_id_pred": _lang_id_pred_sql(),

@@ -374,6 +374,10 @@ def cmd_dv(args) -> int:
         )
     elif args.mode == "count":
         out = match_counts(args.index, queries)
+    elif args.mode == "stats":
+        from splade_ray.docvalues import numeric_stats
+
+        out = numeric_stats(args.index, queries, numeric_col=args.col)
     else:  # hist
         out = numeric_histogram(
             args.index, queries, numeric_col=args.col, interval=args.interval
@@ -1209,7 +1213,7 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--index", required=True)
     dv.add_argument("--queries", required=True, help="TSV: id\\tquery text")
     dv.add_argument("--out", required=True, help=".parquet")
-    dv.add_argument("--mode", choices=["range", "sort", "count", "hist"],
+    dv.add_argument("--mode", choices=["range", "sort", "count", "hist", "stats"],
                     default="range")
     dv.add_argument("--col", default="n_chars",
                     help="sidecar numeric column (build with extra_doc_cols)")

@@ -242,6 +242,75 @@ def match_counts(
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def numeric_stats(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    numeric_col: str,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """(query_id, n_docs, sum_value, min_value, max_value): metric
+    aggregation of the sidecar numeric column over each query's live
+    matches (the Elasticsearch ``stats`` aggregation; avg = sum/n is left
+    to the caller so every emitted column stays integer-exact for int64
+    doc values). Queries with zero matches are omitted (min/max of an
+    empty set is undefined); sorted by query_id."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.int64()),
+            "min_value": pa.array([], pa.int64()),
+            "max_value": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = _numeric_column(seg_dir, numeric_col).astype(np.int64)
+        out = {k: [] for k in ("query_id", "n_docs", "sum_value",
+                               "min_value", "max_value")}
+        for qid, terms in prep["queries"].items():
+            m = _matched_mask(seg, terms)
+            if not m.any():
+                continue
+            v = vals[m]
+            out["query_id"].append(qid)
+            out["n_docs"].append(int(m.sum()))
+            out["sum_value"].append(int(v.sum()))
+            out["min_value"].append(int(v.min()))
+            out["max_value"].append(int(v.max()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=np.int64)
+             for k in ("query_id", "n_docs", "sum_value", "min_value", "max_value")}
+        )
+    return (
+        pdf.groupby("query_id", as_index=False)
+        .agg(
+            n_docs=("n_docs", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        )
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
 def numeric_histogram(
     index_dir: str,
     queries: list[tuple[int, str]],

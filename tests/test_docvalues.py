@@ -251,3 +251,23 @@ def test_range_filter_on_all_serving_paths(built):
 
     with _pytest.raises(ValueError):
         search(index_dir, QUERIES, p, method="quantized", range_filter=rf)
+
+
+def test_numeric_stats_matches_bruteforce(built):
+    from splade_ray.docvalues import numeric_stats
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    got = numeric_stats(index_dir, QUERIES, numeric_col="n_bytes")
+    rows = []
+    for qid, text in QUERIES:
+        m = _matched(oi, text)
+        if not m.any():
+            continue
+        v = sizes[m]
+        rows.append((qid, int(m.sum()), int(v.sum()), int(v.min()), int(v.max())))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "n_docs", "sum_value", "min_value", "max_value"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 3 not in got["query_id"].values  # zero-match query omitted
