@@ -130,12 +130,18 @@ def sort_search(
     descending: bool = True,
     top_k: int = 10,
     query_lang: str | None = None,
+    after: dict[int, tuple[float, int]] | None = None,
     concurrency=None,
 ) -> pd.DataFrame:
     """Top-k live docs matching >=1 query term, ordered by the sidecar
     numeric column instead of score (Lucene ``Sort.LONG`` over
     NumericDocValues; tie -> doc_id asc). Returns
-    (query_id, rank, doc_id, sort_value)."""
+    (query_id, rank, doc_id, sort_value).
+
+    ``after`` paginates (Lucene searchAfter with sort fields): per query an
+    exclusive ``(sort_value, doc_id)`` cursor; the page holds the next
+    ``top_k`` rows strictly after it in the sort order, filtered INSIDE
+    each segment before its cut — deep pages exact, ranks restart at 1."""
     from splade_ray.delete import load_tombstones
 
     prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
@@ -159,6 +165,15 @@ def sort_search(
         out = {"query_id": [], "doc_id": [], "sort_value": []}
         for qid, terms in prep["queries"].items():
             cand = np.flatnonzero(_matched_mask(seg, terms))
+            cur = (after or {}).get(qid)
+            if cur is not None:
+                # exclusive cursor, applied BEFORE the per-segment cut
+                v0, d0 = cur
+                cv, cd = vals[cand], seg.doc_ids[cand]
+                keep = (
+                    (cv < v0) if descending else (cv > v0)
+                ) | ((cv == v0) & (cd > d0))
+                cand = cand[keep]
             if cand.size == 0:
                 continue
             key = vals[cand]

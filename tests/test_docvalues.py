@@ -271,3 +271,26 @@ def test_numeric_stats_matches_bruteforce(built):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert 3 not in got["query_id"].values  # zero-match query omitted
+
+
+def test_sort_search_after_pages_tile(built):
+    index_dir, texts, sizes = built
+    qid, text = QUERIES[0]
+    full = sort_search(index_dir, [(qid, text)], sort_col="n_bytes", top_k=10_000)
+    pages, cur = [], None
+    while True:
+        page = sort_search(
+            index_dir, [(qid, text)], sort_col="n_bytes", top_k=5,
+            after={qid: cur} if cur else None,
+        )
+        if page.empty:
+            break
+        assert page["rank"].tolist() == list(range(1, len(page) + 1))
+        pages.append(page)
+        last = page.iloc[-1]
+        cur = (int(last["sort_value"]), int(last["doc_id"]))
+        if len(page) < 5:
+            break
+    tiled = pd.concat(pages, ignore_index=True)
+    assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
+    assert tiled["sort_value"].tolist() == full["sort_value"].tolist()
