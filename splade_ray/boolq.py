@@ -101,8 +101,14 @@ def score_segment_bool(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int
     # the shared decoded-posting cache (also applies tombstone filtering)
     positions = seg.pos_tfs
 
+    # numeric doc-values FILTER clause (Lucene BooleanQuery FILTER occur):
+    # constrains matches like a must clause, contributes no score
+    base_allowed = seg.range_keep_mask(prepared)
+
     for qid, q in prepared["queries"].items():
-        allowed = np.ones(n, bool)
+        allowed = (
+            base_allowed.copy() if base_allowed is not None else np.ones(n, bool)
+        )
         dead = False
         for t in q["must"]:
             pos, _ = positions(t)
@@ -154,13 +160,19 @@ def boolean_search(
     params: BM25Params | None = None,
     *,
     query_lang: str | None = None,
+    range_filter: tuple[str, float | None, float | None] | None = None,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """One-shot boolean retrieval: run table (query_id, rank, doc_id, score)
     sorted by (query_id, rank). Same fan-out shape as ``query.search`` —
-    one task per segment, lexicon-pruned parquet reads, heap merge."""
+    one task per segment, lexicon-pruned parquet reads, heap merge.
+
+    ``range_filter=(col, lo, hi)`` adds a numeric doc-values FILTER clause
+    (constrains every query's matches, contributes no score)."""
     params = params or BM25Params()
     prepared = prepare_bool_queries(index_dir, queries, params, query_lang=query_lang)
+    if range_filter:
+        prepared = {**prepared, "range_filter": range_filter}
     from splade_ray.delete import load_tombstones
 
     tomb = load_tombstones(index_dir)

@@ -294,3 +294,22 @@ def test_sort_search_after_pages_tile(built):
     tiled = pd.concat(pages, ignore_index=True)
     assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
     assert tiled["sort_value"].tolist() == full["sort_value"].tolist()
+
+
+def test_boolean_search_range_filter(built):
+    """BooleanQuery FILTER clause: range_filter constrains boolean matches
+    exactly like a post-filter on the unfiltered run."""
+    from splade_ray.boolq import boolean_search
+
+    index_dir, texts, sizes = built
+    q = [(1, {"should": "def parse merge return"})]
+    p = BM25Params(top_k=N)
+    full = boolean_search(index_dir, q, p)
+    lo, hi = 150, 700
+    got = boolean_search(index_dir, q, p, range_filter=("n_bytes", lo, hi))
+    keep = full[full["doc_id"].map(lambda d: lo <= sizes[d] <= hi)].copy()
+    keep["rank"] = np.arange(1, len(keep) + 1, dtype=np.int32)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), keep.reset_index(drop=True), check_dtype=False
+    )
+    assert len(got) < len(full)
