@@ -921,6 +921,27 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+FACET_TOP = 3
+
+
+def q_facet_top(sf_dir: str):
+    """ES terms aggregation: top-N facets per query by (n_docs desc, facet
+    asc), exact counts (no shard_size cap), re-sorted by (query_id, facet)."""
+    from splade_ray.facets import facet_counts
+
+    index_dir = os.path.join(_work_dir(sf_dir, "facetidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+        extra_doc_cols=("lang",),
+    )
+    return facet_counts(index_dir, BM25_QUERIES, facet_col="lang", top=FACET_TOP)
+
+
 def q_collapse_topk(sf_dir: str):
     """Field-collapsed retrieval (splade_ray.collapse): top-k per query with
     at most one doc per lang — per-key best computed segment-locally over
@@ -1960,6 +1981,18 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _facet_top_sql() -> str:
+    """Terms-aggregation mirror: the facet counts ranked per query by
+    (n_docs desc, facet asc), top FACET_TOP kept."""
+    return f"""
+WITH fc AS ({_facet_sql()})
+SELECT query_id, facet, n_docs
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_docs DESC, facet ASC) AS rn
+      FROM fc)
+WHERE rn <= {FACET_TOP}"""
+
+
 def _substr_sql() -> str:
     """SQL mirror of trigram.substring_search over SUBSTR_QUERIES: the
     engine lowers both sides, counts non-overlapping occurrences (Arrow
@@ -2711,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_terms": q_rm3_terms,
         "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
+        "facet_top": q_facet_top,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
         "sort_by_field": q_sort_by_field,
@@ -3767,6 +3801,7 @@ FROM f""",
         "rm3_terms": _rm3_terms_sql(),
         "rm3_topk": _rm3_sql(),
         "facet_counts": _facet_sql(),
+        "facet_top": _facet_top_sql(),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

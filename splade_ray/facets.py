@@ -31,7 +31,8 @@ from splade_ray.query import SegmentIndex, prepare_queries
 
 
 def _facet_segment(
-    seg_dir: str, prepared: dict, facet_col: str, tombstones
+    seg_dir: str, prepared: dict, facet_col: str, tombstones,
+    shard_size: int | None = None,
 ) -> list[tuple[int, str, int]]:
     seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
     fac = pq.read_table(
@@ -48,9 +49,14 @@ def _facet_segment(
         if not matched.any():
             continue
         counts = np.bincount(codes[matched], minlength=len(values))
-        for v, c in zip(values, counts.tolist()):
-            if c:
-                rows.append((qid, v, c))
+        nz = np.flatnonzero(counts)
+        if shard_size is not None and nz.size > shard_size:
+            # ES shard_size cap: local top by (count desc, facet asc)
+            vals_nz = np.array([values[i] for i in nz], object)
+            order = np.lexsort((vals_nz, -counts[nz]))[:shard_size]
+            nz = nz[order]
+        for i in nz.tolist():
+            rows.append((qid, values[i], int(counts[i])))
     return rows
 
 
@@ -61,11 +67,22 @@ def facet_counts(
     facet_col: str = "lang",
     params: BM25Params | None = None,
     query_lang: str | None = None,
+    top: int | None = None,
+    shard_size: int | None = None,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """(query_id, facet, n_docs) for every query — n_docs = live documents
     containing at least one query term, counted exactly. Sorted by
-    (query_id, facet)."""
+    (query_id, facet).
+
+    ``top`` keeps only the N most frequent facets per query (the ES terms
+    aggregation; ordering pinned to (n_docs desc, facet asc), output then
+    re-sorted by (query_id, facet)). Counts stay EXACT by default — every
+    segment emits its full per-query facet table. For high-cardinality
+    facet columns pass ``shard_size`` to cap each segment's emission to
+    its local top ``shard_size`` facets per query (the ES shard_size
+    approximation: global counts can then undercount facets that are
+    locally rare everywhere; ES defaults to ``1.5·top + 10``)."""
     from splade_ray.delete import load_tombstones
 
     prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
@@ -79,7 +96,7 @@ def facet_counts(
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         rows: list[tuple[int, str, int]] = []
         for seg_dir in batch["seg_dir"].to_pylist():
-            rows.extend(_facet_segment(seg_dir, prep, facet_col, t))
+            rows.extend(_facet_segment(seg_dir, prep, facet_col, t, shard_size))
         return pa.table(
             {
                 "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
@@ -107,4 +124,15 @@ def facet_counts(
         .sort_values(["query_id", "facet"])
         .reset_index(drop=True)
     )
+    if top is not None:
+        out = (
+            out.sort_values(
+                ["query_id", "n_docs", "facet"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("query_id", sort=True)
+            .head(top)
+            .sort_values(["query_id", "facet"])
+            .reset_index(drop=True)
+        )
     return out

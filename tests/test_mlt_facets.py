@@ -130,3 +130,29 @@ def test_cli_mlt_facets(corpus_and_index, tmp_path, capsys):
                  "--facet-col", "facet_lang", "--out", out2]) == 0
     fc = pd.read_parquet(out2)
     assert set(fc.columns) == {"query_id", "facet", "n_docs"} and len(fc) > 0
+
+
+def test_facet_counts_top_and_shard_size(corpus_and_index):
+    """top-N terms aggregation: pinned (n_docs desc, facet asc) cut; a
+    generous shard_size leaves exact counts untouched."""
+    corpus, index_dir, texts, langs = corpus_and_index
+    queries = [(0, "def parse"), (1, "rare_token_20")]
+    full = facet_counts(index_dir, queries, facet_col="facet_lang")
+    got = facet_counts(index_dir, queries, facet_col="facet_lang", top=2)
+    want = (
+        full.sort_values(["query_id", "n_docs", "facet"],
+                         ascending=[True, False, True], kind="mergesort")
+        .groupby("query_id", sort=True)
+        .head(2)
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got.groupby("query_id").size() <= 2).all()
+
+    exact = facet_counts(
+        index_dir, queries, facet_col="facet_lang", shard_size=1000
+    )
+    pd.testing.assert_frame_equal(exact, full, check_dtype=False)
