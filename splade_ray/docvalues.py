@@ -292,7 +292,15 @@ def numeric_stats(
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        vals = _numeric_column(seg_dir, numeric_col).astype(np.int64)
+        vals = _numeric_column(seg_dir, numeric_col)
+        if not np.issubdtype(vals.dtype, np.integer):
+            # int64 keeps every emitted column integer-exact; a float
+            # column would be silently truncated — make the caller choose
+            raise TypeError(
+                f"numeric_stats is integer-exact; {numeric_col!r} is "
+                f"{vals.dtype} — pre-cast or use numeric_histogram"
+            )
+        vals = vals.astype(np.int64)
         out = {k: [] for k in ("query_id", "n_docs", "sum_value",
                                "min_value", "max_value")}
         for qid, terms in prep["queries"].items():
@@ -362,7 +370,9 @@ def numeric_histogram(
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
         vals = _numeric_column(seg_dir, numeric_col)
-        buckets = (vals.astype(np.int64) // interval) * interval
+        # floor-divide BEFORE any int cast: int cast of a negative float
+        # truncates toward zero, flooring would put it one bucket off
+        buckets = np.floor_divide(vals, interval).astype(np.int64) * interval
         out = {"query_id": [], "bucket": [], "n_docs": []}
         for qid, terms in prep["queries"].items():
             matched = _matched_mask(seg, terms)
