@@ -921,6 +921,19 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+TV_DOC_IDS = [3, 57, 200, 411]
+
+
+def q_term_vectors(sf_dir: str):
+    """Per-doc term vectors (io.term_vectors): (doc_id, term, tf, positions)
+    for an API-sized doc set via the pushdown isin fetch — the Lucene
+    TermVectors analog; positions = comma-joined 1-based ordinals."""
+    from splade_ray.io import term_vectors
+
+    return term_vectors(os.path.join(sf_dir, "documents.parquet"), TV_DOC_IDS,
+                        text_col="text")
+
+
 FACET_TOP = 3
 
 
@@ -1981,6 +1994,18 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _term_vectors_sql() -> str:
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+            FROM documents WHERE doc_id IN ({ids})),
+tok AS (SELECT doc_id, unnest(t) AS term,
+               unnest(generate_series(1, len(t))) AS p FROM tl)
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       string_agg(p::VARCHAR, ',' ORDER BY p) AS positions
+FROM tok GROUP BY doc_id, term"""
+
+
 def _facet_top_sql() -> str:
     """Terms-aggregation mirror: the facet counts ranked per query by
     (n_docs desc, facet asc), top FACET_TOP kept."""
@@ -2745,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
         "facet_top": q_facet_top,
+        "term_vectors": q_term_vectors,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
         "sort_by_field": q_sort_by_field,
@@ -3802,6 +3828,7 @@ FROM f""",
         "rm3_topk": _rm3_sql(),
         "facet_counts": _facet_sql(),
         "facet_top": _facet_top_sql(),
+        "term_vectors": _term_vectors_sql(),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

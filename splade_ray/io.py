@@ -318,3 +318,41 @@ def anserini_query_line(query_id: int, term_freqs: dict[str, int]) -> str:
     (transformer_evaluator.py:243-247)."""
     body = " ".join(" ".join([t] * int(f)) for t, f in sorted(term_freqs.items()))
     return f"{query_id}\t{body}"
+
+
+def term_vectors(
+    corpus_paths: str | list[str],
+    doc_ids: list[int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str | None = None,
+) -> pd.DataFrame:
+    """Per-doc term vectors (doc_id, term, tf, positions) — the Lucene
+    TermVectors API analog (per-document view of the index the reference
+    never exposes; its vectors live only inside the HDF5 eval dump,
+    transformer_evaluator.py:208-218). ``positions`` is the comma-joined
+    ascending 1-based token ordinals of the term's occurrences.
+
+    Recomputed from the corpus with the pushdown ``isin`` fetch (Lucene
+    likewise stores term vectors beside the docs, not in the postings —
+    reconstructing from a term-major index would decode every posting).
+    The candidate set is API-sized (a handful of docs), so the per-doc
+    Python loop below is not a hot path. Sorted by (doc_id, term)."""
+    from splade_ray.analysis import tokenize
+    from splade_ray.snippets import fetch_texts
+
+    pdf = fetch_texts(corpus_paths, doc_ids, id_col=id_col, text_col=text_col)
+    rows: list[tuple[int, str, int, str]] = []
+    for did, text in zip(pdf[id_col], pdf[text_col]):
+        pos: dict[str, list[int]] = {}
+        for i, t in enumerate(tokenize(text or "", lang), start=1):
+            pos.setdefault(t, []).append(i)
+        for t in sorted(pos):
+            rows.append(
+                (int(did), t, len(pos[t]), ",".join(str(p) for p in pos[t]))
+            )
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "positions"])
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True).astype(
+        {"doc_id": "int64", "tf": "int64"}
+    )

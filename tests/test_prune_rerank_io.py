@@ -485,3 +485,33 @@ def test_flops_from_index_matches_pipeline(ray_session, tmp_path):
     assert got["flops_num"] == num
     assert got["n_docs"] == n_docs == 150
     assert got["flops"] == num / (150 * 3)
+
+
+def test_term_vectors(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.io import term_vectors
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["the cat and the hat", "", "cat cat dog"]),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    tv = term_vectors(p, [1, 3, 2])
+    want = pd.DataFrame(
+        [
+            (1, "and", 1, "3"),
+            (1, "cat", 1, "2"),
+            (1, "hat", 1, "5"),
+            (1, "the", 2, "1,4"),
+            (3, "cat", 2, "1,2"),
+            (3, "dog", 1, "3"),
+        ],
+        columns=["doc_id", "term", "tf", "positions"],
+    )
+    pd.testing.assert_frame_equal(tv, want, check_dtype=False)
