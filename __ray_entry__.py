@@ -921,6 +921,22 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+def q_percolate_all(sf_dir: str):
+    """Percolator (splade_ray.percolate): (doc_id, query_id) pairs where the
+    doc contains EVERY stored query's analyzed terms (mode='all') —
+    broadcast query table, streaming scan, zero shuffle."""
+    from splade_ray.percolate import percolate_df
+
+    return percolate_df(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERIES, mode="all")
+
+
+def q_percolate_any(sf_dir: str):
+    """Percolator, disjunctive mode: >=1 stored term present."""
+    from splade_ray.percolate import percolate_df
+
+    return percolate_df(_docs(sf_dir, ["doc_id", "text"]), BM25_QUERIES, mode="any")
+
+
 TV_DOC_IDS = [3, 57, 200, 411]
 
 
@@ -1994,6 +2010,23 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _percolate_sql(mode: str) -> str:
+    """Percolator mirror: distinct doc terms joined to the stored query
+    terms, matched-count per (doc, query) compared to the query's arity
+    (mode='all') or >= 1 (mode='any')."""
+    cond = "m.hits = qa.arity" if mode == "all" else "m.hits >= 1"
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+            FROM documents),
+{_qterm_values_sql()},
+qa AS (SELECT query_id, count(*)::BIGINT AS arity FROM qterm GROUP BY query_id),
+m AS (SELECT d.doc_id, q.query_id, count(*)::BIGINT AS hits
+      FROM dt d JOIN qterm q USING (term) GROUP BY d.doc_id, q.query_id)
+SELECT m.doc_id, m.query_id::BIGINT AS query_id
+FROM m JOIN qa USING (query_id) WHERE {cond}"""
+
+
 def _term_vectors_sql() -> str:
     ids = ", ".join(str(i) for i in TV_DOC_IDS)
     return f"""
@@ -2771,6 +2804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_counts": q_facet_counts,
         "facet_top": q_facet_top,
         "term_vectors": q_term_vectors,
+        "percolate_all": q_percolate_all,
+        "percolate_any": q_percolate_any,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
         "sort_by_field": q_sort_by_field,
@@ -3829,6 +3864,8 @@ FROM f""",
         "facet_counts": _facet_sql(),
         "facet_top": _facet_top_sql(),
         "term_vectors": _term_vectors_sql(),
+        "percolate_all": _percolate_sql("all"),
+        "percolate_any": _percolate_sql("any"),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

@@ -407,6 +407,23 @@ def cmd_synsearch(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """Reverse search: match a doc stream against stored queries."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.percolate import percolate_df
+
+    queries = _load_queries(args.queries)
+    docs = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+    out = percolate_df(
+        docs, queries, mode=args.match, text_col=args.text_col, id_col=args.id_col
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "matches": len(out),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone docs (logical delete; all query paths filter instantly)."""
     from splade_ray.delete import delete_docs
@@ -1236,6 +1253,15 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--k1", type=float, default=1.2)
     sy.add_argument("--b", type=float, default=0.75)
     sy.set_defaults(fn=cmd_synsearch)
+
+    pc = sub.add_parser("percolate", help="reverse search: doc stream vs stored queries")
+    pc.add_argument("--corpus", required=True)
+    pc.add_argument("--queries", required=True, help="TSV: id\\tquery text (stored)")
+    pc.add_argument("--out", required=True, help=".parquet of (doc_id, query_id)")
+    pc.add_argument("--match", choices=["all", "any"], default="all")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.set_defaults(fn=cmd_percolate)
 
     dl = sub.add_parser("delete", help="tombstone docs (logical delete)")
     dl.add_argument("--index", required=True)
