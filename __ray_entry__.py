@@ -921,6 +921,26 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+RRF_K = 60
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Reciprocal Rank Fusion (splade_ray.fusion, Cormack et al. 2009) of
+    the exact-BM25 and Dirichlet-QL runs — the hybrid-search primitive;
+    rank-based, so no score calibration between retrievers."""
+    from splade_ray.fusion import rrf_fuse
+
+    index_dir = _index_for(sf_dir)
+    p = BM25Params(k1=K1, b=B, top_k=TOP_K)
+    bm = search(index_dir, BM25_QUERIES, p)
+    ql = search(index_dir, BM25_QUERIES, p, scoring="ql", mu=QL_MU)
+    fused = rrf_fuse([bm, ql], k=RRF_K, top_k=TOP_K)
+    out = fused.copy()
+    out["rrf_r"] = _round4(out["rrf"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "rrf_r"]]
+
+
 def q_percolate_all(sf_dir: str):
     """Percolator (splade_ray.percolate): (doc_id, query_id) pairs where the
     doc contains EVERY stored query's analyzed terms (mode='all') —
@@ -2010,6 +2030,42 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _hybrid_rrf_sql() -> str:
+    """RRF mirror: the shared bm25 `ranked` CTE + a QL ranking over the
+    same toks/tf/dl CTEs, both truncated at TOP_K, fused by
+    sum(1/(RRF_K + rank)) and re-ranked (rrf desc, doc_id asc)."""
+    return f"""{_bm25_cte()},
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+stats2 AS (SELECT sum(dl) AS c FROM dl),
+qls AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * greatest(0.0,
+              ln(1 + tf.tf / ({QL_MU} * cf.cf / s2.c))
+              + ln({QL_MU} / (dl.dl + {QL_MU})) ) ) AS score
+  FROM q JOIN tf USING (term) JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats2 s2
+  GROUP BY q.query_id, tf.doc_id
+),
+qlranked AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC) AS rank
+             FROM qls WHERE score > 0),
+allr AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS rrf
+  FROM ranked WHERE rank <= {TOP_K}
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank)
+  FROM qlranked WHERE rank <= {TOP_K}
+),
+f AS (SELECT query_id, doc_id, sum(rrf) AS rrf FROM allr GROUP BY query_id, doc_id),
+fr AS (SELECT query_id, doc_id, rrf,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('rrf')} AS rrf_r
+FROM fr WHERE rank <= {TOP_K}"""
+
+
 def _percolate_sql(mode: str) -> str:
     """Percolator mirror: distinct doc terms joined to the stored query
     terms, matched-count per (doc, query) compared to the query's arity
@@ -2806,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": q_term_vectors,
         "percolate_all": q_percolate_all,
         "percolate_any": q_percolate_any,
+        "hybrid_rrf": q_hybrid_rrf,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
         "sort_by_field": q_sort_by_field,
@@ -3866,6 +3923,7 @@ FROM f""",
         "term_vectors": _term_vectors_sql(),
         "percolate_all": _percolate_sql("all"),
         "percolate_any": _percolate_sql("any"),
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

@@ -77,3 +77,35 @@ def test_string_external_ids_evaluate():
     assert recall_at_k(run, qrel, 10) == pytest.approx((2.0 / 2.0 + 0.0) / 2.0)
     assert mrr_at_k(run, qrel, 10) == pytest.approx((1.0 + 0.0) / 2.0)
     assert map_at_k(run, qrel, 10) == pytest.approx(((1.0 + 2.0 / 2.0) / 2.0) / 2.0)
+
+
+def test_rrf_fuse_pinned_and_bruteforce():
+    import numpy as np
+    import pandas as pd
+
+    from splade_ray.fusion import rrf_fuse
+
+    a = pd.DataFrame(
+        {"query_id": [1, 1, 1, 2], "rank": [1, 2, 3, 1],
+         "doc_id": [10, 11, 12, 20], "score": [9.0, 8.0, 7.0, 5.0]}
+    )
+    b = pd.DataFrame(
+        {"query_id": [1, 1, 2], "rank": [1, 2, 1],
+         "doc_id": [12, 10, 21], "score": [0.9, 0.8, 0.7]}
+    )
+    got = rrf_fuse([a, b], k=60, top_k=3)
+    want = {}
+    for run, w in ((a, 1.0), (b, 1.0)):
+        for r in run.itertuples():
+            want[(r.query_id, r.doc_id)] = (
+                want.get((r.query_id, r.doc_id), 0.0) + w / (60 + r.rank)
+            )
+    for row in got.itertuples():
+        assert np.isclose(row.rrf, want[(row.query_id, row.doc_id)])
+    # doc 12 (ranks 3+1) and doc 10 (ranks 1+2) beat doc 11 (rank 2 once)
+    q1 = got[got["query_id"] == 1]
+    assert set(q1.head(2)["doc_id"]) == {10, 12}
+    assert q1["rank"].tolist() == [1, 2, 3]
+    # weights: doubling run b must promote its top doc
+    wgot = rrf_fuse([a, b], k=60, weights=[1.0, 10.0], top_k=1)
+    assert wgot[wgot["query_id"] == 1]["doc_id"].iloc[0] == 12
