@@ -921,6 +921,22 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(index_dir, BM25_QUERIES, facet_col="lang")
 
 
+def q_explain(sf_dir: str):
+    """Per-term score breakdown (query.explain, the Lucene explain analog)
+    for every (query, top-k doc) pair: tf, GLOBAL df, idf weight and the
+    term's contribution — contribs sum bit-exactly to the run scores."""
+    from splade_ray.query import explain
+
+    index_dir = _index_for(sf_dir)
+    p = BM25Params(k1=K1, b=B, top_k=TOP_K)
+    run = search(index_dir, BM25_QUERIES, p)
+    exp = explain(index_dir, BM25_QUERIES, run["doc_id"].tolist(), p)
+    out = exp.copy()
+    out["weight_r"] = _round4(out["weight"].to_numpy())
+    out["contrib_r"] = _round4(out["contrib"].to_numpy())
+    return out[["query_id", "doc_id", "term", "tf", "df", "weight_r", "contrib_r"]]
+
+
 RRF_K = 60
 
 
@@ -2030,6 +2046,31 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _explain_sql() -> str:
+    """Explain mirror: target docs = distinct top-k doc ids from the shared
+    bm25 `ranked` CTE; one row per (query term, target doc) with tf in
+    the doc — the engine explains every query x target-doc pair."""
+    return f"""{_bm25_cte()},
+tgt AS (SELECT DISTINCT doc_id FROM ranked WHERE rank <= {TOP_K}),
+e AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf,
+         df.df::BIGINT AS dfi,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS weight,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+           * tf.tf * ({K1} + 1)
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM q
+  JOIN tf USING (term)
+  JOIN tgt ON tgt.doc_id = tf.doc_id
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT query_id, doc_id, term, tf, dfi AS df,
+       {_round4_sql('weight')} AS weight_r, {_round4_sql('contrib')} AS contrib_r
+FROM e"""
+
+
 def _hybrid_rrf_sql() -> str:
     """RRF mirror: the shared bm25 `ranked` CTE + a QL ranking over the
     same toks/tf/dl CTEs, both truncated at TOP_K, fused by
@@ -2863,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_all": q_percolate_all,
         "percolate_any": q_percolate_any,
         "hybrid_rrf": q_hybrid_rrf,
+        "explain_topk": q_explain,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
         "sort_by_field": q_sort_by_field,
@@ -3924,6 +3966,7 @@ FROM f""",
         "percolate_all": _percolate_sql("all"),
         "percolate_any": _percolate_sql("any"),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "explain_topk": _explain_sql(),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),
         "grep_scan": _grep_sql(),

@@ -105,6 +105,7 @@ def prepare_queries(
         "mu": mu,
         "queries": prepared_queries,
         "terms": sorted({t for ts in prepared_queries.values() for t, _, _ in ts}),
+        "dfs": dfs,  # global docFreq per term (explain's df column)
     }
 
 
@@ -477,6 +478,133 @@ def search(
             {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
         )
     return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+EXPLAIN_COLUMNS = ["query_id", "doc_id", "term", "tf", "df", "weight", "contrib"]
+
+
+def explain(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    doc_ids: list[int],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
+    scoring: str = "bm25",
+    mu: float = 2000.0,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Per-term score breakdown for every (query, target doc) pair — the
+    Lucene ``IndexSearcher.explain`` analog (the reference exposes only
+    final scores, ``transformer_evaluator.py:172-188``). For each query
+    term present in the doc: the doc's tf, the term's global df, the
+    per-term weight (idf for BM25, mu·cf/C for QL) and the term's score
+    contribution; summing ``contrib`` over a (query, doc) group reproduces
+    the run score bit-exactly (same per-term float ops as the kernels).
+
+    Scale shape: doc_ids is API-sized; each segment task decodes only the
+    query terms' postings (the standard pruned read) and emits rows only
+    for target docs it holds — tombstoned docs explain to nothing."""
+    from splade_ray.delete import load_tombstones
+
+    params = params or BM25Params()
+    prepared = prepare_queries(
+        index_dir, queries, params, query_lang=query_lang, scoring=scoring, mu=mu
+    )
+    targets = np.unique(np.asarray(sorted({int(d) for d in doc_ids}), np.int64))
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+    targets_ref = ray.put(targets)
+    segs = segment_dirs(index_dir)
+
+    def task(batch: pa.Table) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        tgt = ray.get(targets_ref)
+        p: BM25Params = prep["params"]
+        avgdl = prep["avgdl"]
+        ql = prep.get("scoring") == "ql"
+        rows: list[tuple] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+            present = np.intersect1d(seg.doc_ids, tgt)
+            if present.size == 0:
+                continue
+            if ql:
+                mu_f = float(prep["mu"])
+                dl_norm = np.log(mu_f / (seg.doc_lens.astype(np.float64) + mu_f))
+            for qid, terms in prep["queries"].items():
+                for term, qtf, w in terms:
+                    pos, tfs = seg.pos_tfs(term)
+                    if pos.size == 0:
+                        continue
+                    # restrict the decoded posting to the target docs
+                    sel = np.flatnonzero(np.isin(seg.doc_ids[pos], present))
+                    if sel.size == 0:
+                        continue
+                    dpos, dtfs = pos[sel], tfs[sel]
+                    df = int(prep["dfs"][term])  # GLOBAL docFreq (matches w)
+                    if ql:
+                        contrib = qtf * np.maximum(
+                            np.log1p(dtfs.astype(np.float64) / w) + dl_norm[dpos],
+                            0.0,
+                        )
+                    else:
+                        contrib = (w * qtf) * tf_component(
+                            dtfs, seg.doc_lens[dpos], avgdl, p
+                        )
+                    for j in range(dpos.size):
+                        rows.append(
+                            (qid, int(seg.doc_ids[dpos[j]]), term, int(dtfs[j]),
+                             df, float(w), float(contrib[j]))
+                        )
+        if not rows:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                    "contrib": pa.array([], pa.float64()),
+                }
+            )
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "query_id": pa.array(np.array(cols[0], np.int64)),
+                "doc_id": pa.array(np.array(cols[1], np.int64)),
+                "term": pa.array(list(cols[2]), pa.string()),
+                "tf": pa.array(np.array(cols[3], np.int64)),
+                "df": pa.array(np.array(cols[4], np.int64)),
+                "weight": pa.array(np.array(cols[5], np.float64)),
+                "contrib": pa.array(np.array(cols[6], np.float64)),
+            }
+        )
+
+    pdf = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1,
+                     concurrency=concurrency)
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+                "weight": pd.Series([], dtype=np.float64),
+                "contrib": pd.Series([], dtype=np.float64),
+            }
+        )
+    return pdf.sort_values(["query_id", "doc_id", "term"]).reset_index(drop=True)[
+        EXPLAIN_COLUMNS
+    ]
 
 
 def _union_tombstones(field_indexes: dict[str, str]) -> np.ndarray | None:

@@ -313,3 +313,39 @@ def test_boolean_search_range_filter(built):
         got.reset_index(drop=True), keep.reset_index(drop=True), check_dtype=False
     )
     assert len(got) < len(full)
+
+
+def test_explain_sums_to_run_score(built):
+    """Lucene explain analog: per-term contribs sum bit-exactly to the run
+    score for both BM25 and QL; global df column matches the corpus."""
+    from splade_ray.query import explain, search
+
+    index_dir, texts, _ = built
+    p = BM25Params(top_k=5)
+    oi = OracleIndex(list(range(N)), texts, p)
+    for scoring in ("bm25", "ql"):
+        run = search(index_dir, QUERIES[:2], p, scoring=scoring)
+        exp = explain(
+            index_dir, QUERIES[:2], run["doc_id"].tolist(), p, scoring=scoring
+        )
+        sums = exp.groupby(["query_id", "doc_id"])["contrib"].sum()
+        for r in run.itertuples():
+            # fixed per-term iteration order on both sides -> exact sums
+            # are equal up to summation-order association; allow 1e-12
+            assert abs(sums[(r.query_id, r.doc_id)] - r.score) < 1e-9
+    # df column is the GLOBAL docFreq
+    exp = explain(index_dir, [(1, "def")], [0, 1, 2, 3, 4, 5])
+    want_df = len(oi.postings["def"][0])
+    assert (exp[exp["term"] == "def"]["df"] == want_df).all()
+
+
+def test_explain_excludes_tombstoned_docs(built):
+    from splade_ray.delete import delete_docs
+    from splade_ray.query import explain, search
+
+    index_dir, texts, _ = built
+    run = search(index_dir, QUERIES[:1], BM25Params(top_k=3))
+    victim = int(run["doc_id"].iloc[0])
+    delete_docs(index_dir, [victim])
+    exp = explain(index_dir, QUERIES[:1], [victim])
+    assert exp.empty
