@@ -756,6 +756,21 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(index_dir, PHRASE_QUERIES)
 
 
+NEAR_QUERIES = [(1, "hash join"), (2, "sort merge"), (3, "group row key")]
+NEAR_SLOP = 2
+
+
+def q_near_search(sf_dir: str):
+    """Ordered proximity search (positions.near_search, the Lucene sloppy /
+    ordered-SpanNear shape): per (phrase, doc) the number of first-term
+    occurrences starting an ordered chain within span k-1+slop."""
+    from splade_ray.positions import build_positions, near_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return near_search(index_dir, NEAR_QUERIES, slop=NEAR_SLOP)
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -2046,6 +2061,42 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _near_sql() -> str:
+    """Ordered-proximity mirror: a start counts iff an ordered chain of the
+    remaining terms EXISTS within span k-1+slop (greedy minimizes the chain
+    end, so greedy-match ≡ exists-match). One EXISTS join per query."""
+    from splade_ray.analysis import tokenize as _tok
+
+    blocks = []
+    for pid, text in NEAR_QUERIES:
+        qt = _tok(text)
+        k = len(qt)
+        bound = k - 1 + NEAR_SLOP
+        # chain tables b1..b_{k-1}; a = the start term's positions
+        joins, conds = [], []
+        prev = "a"
+        for i, t in enumerate(qt[1:], start=1):
+            al = f"b{i}"
+            joins.append(
+                f"JOIN tk {al} ON {al}.doc_id = a.doc_id AND {al}.term = '{t}'"
+            )
+            conds.append(f"{al}.p > {prev}.p")
+            prev = al
+        conds.append(f"{prev}.p <= a.p + {bound}")
+        blocks.append(f"""
+SELECT {pid} AS phrase_id, doc_id, count(*)::BIGINT AS phrase_count
+FROM (SELECT DISTINCT a.doc_id, a.p
+      FROM tk a {' '.join(joins)}
+      WHERE a.term = '{qt[0]}' AND {' AND '.join(conds)})
+GROUP BY doc_id""")
+    union = "\nUNION ALL".join(blocks)
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS term,
+              unnest(generate_series(1, len(t))) AS p FROM tl)
+{union}"""
+
+
 def _explain_sql() -> str:
     """Explain mirror: target docs = distinct top-k doc ids from the shared
     bm25 `ranked` CTE; one row per (query term, target doc) with tf in
@@ -2893,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rules": q_c4_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
+        "near_search": q_near_search,
         "doclen_quantiles": q_doclen_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
@@ -3955,6 +4007,7 @@ SELECT *,
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
+        "near_search": _near_sql(),
         "doclen_quantiles": _doclen_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),

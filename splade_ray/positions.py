@@ -387,12 +387,70 @@ class SegmentPositions:
         return common[keep], counts[keep].astype(np.int64)
 
 
+    def near_counts(
+        self, terms: list[str], slop: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered proximity match (the Lucene sloppy-PhraseQuery / ordered
+        SpanNearQuery shape, pinned): a start = an occurrence ``p0`` of
+        ``terms[0]`` from which the GREEDY chain (each next term's first
+        occurrence strictly after the previous position) exists and spans
+        ``p_last - p0 <= len(terms) - 1 + slop``. Greedy minimizes the
+        chain end per start, so a start counts iff ANY ordered chain within
+        the span bound exists from it — slop=0 reduces to exact phrase
+        counts. Returns (doc_ids, per-doc start counts > 0)."""
+        entries = []
+        for t in terms:
+            e = self.term_entry(t)
+            if e is None:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            entries.append(e)
+        k = len(terms)
+        if k == 1:
+            docs, tf, _, _ = entries[0]
+            return docs, tf
+        common = entries[0][0]
+        for docs, _, _, _ in entries[1:]:
+            common = common[np.isin(common, docs, assume_unique=True)]
+            if common.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys_per_term = []
+        for docs, tf, blen, pos_enc in entries:
+            sel = np.searchsorted(docs, common)
+            pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+            # doc-major packed keys, ascending by construction
+            keys_per_term.append(
+                (run_idx.astype(np.uint64) << _POS_BITS) | pos.astype(np.uint64)
+            )
+        start = keys_per_term[0]
+        cur = start
+        for keys_i in keys_per_term[1:]:
+            idx = np.searchsorted(keys_i, cur, side="right")
+            ok = idx < keys_i.size
+            nxt = keys_i[np.minimum(idx, keys_i.size - 1)]
+            # chain must stay in the same doc run
+            ok &= (nxt >> _POS_BITS) == (start >> _POS_BITS)
+            start, cur = start[ok], nxt[ok]
+            if start.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        span = (cur & np.uint64((1 << int(_POS_BITS)) - 1)).astype(np.int64) - (
+            start & np.uint64((1 << int(_POS_BITS)) - 1)
+        ).astype(np.int64)
+        hit = span <= (k - 1 + slop)
+        if not hit.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        runs = (start[hit] >> _POS_BITS).astype(np.int64)
+        counts = np.bincount(runs, minlength=common.size)
+        keep = counts > 0
+        return common[keep], counts[keep].astype(np.int64)
+
+
 def phrase_match_batch(
     batch: pa.Table,
     *,
     phrases: dict[int, list[str]],
     terms: list[str],
     with_doc_len: bool = False,
+    slop: int | None = None,
 ) -> pa.Table:
     """map_batches task: evaluate every phrase against each segment in the
     batch. Segments partition the doc space, so outputs concatenate.
@@ -402,7 +460,11 @@ def phrase_match_batch(
     for seg_dir in batch["seg_dir"].to_pylist():
         seg = SegmentPositions(seg_dir, terms, with_doc_len=with_doc_len)
         for pid, phrase in phrases.items():
-            docs, counts = seg.phrase_counts(phrase)
+            docs, counts = (
+                seg.phrase_counts(phrase)
+                if slop is None
+                else seg.near_counts(phrase, slop)
+            )
             pids.extend([pid] * docs.size)
             docs_out.append(docs)
             counts_out.append(counts)
@@ -431,9 +493,11 @@ def _phrase_candidates(
     query_lang: str | None = None,
     concurrency: int | None = None,
     with_doc_len: bool = False,
+    slop: int | None = None,
 ):
     """Shared fan-out: tokenized phrases -> per-segment match Dataset (or
-    None when no phrase tokenizes to anything)."""
+    None when no phrase tokenizes to anything). ``slop`` routes to the
+    ordered-proximity kernel instead of exact phrase matching."""
     from splade_ray.build import segment_dirs
 
     load_positions_manifest(index_dir)
@@ -456,6 +520,7 @@ def _phrase_candidates(
             "phrases": tokenized,
             "terms": all_terms,
             "with_doc_len": with_doc_len,
+            "slop": slop,
         },
         concurrency=concurrency,
     )
@@ -585,3 +650,32 @@ def phrase_topk(
     if pdf.empty:
         return pd.DataFrame(columns=out_cols).astype(out_types)
     return pdf.sort_values(["phrase_id", "rank"]).reset_index(drop=True)
+
+
+def near_search(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    *,
+    slop: int = 2,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """Ordered proximity search (Lucene sloppy PhraseQuery / ordered
+    SpanNearQuery): (phrase_id, doc_id, phrase_count) where phrase_count is
+    the number of occurrences of the FIRST term from which an ordered chain
+    of the remaining terms exists within a span of ``len(terms)-1+slop``
+    positions (see ``SegmentPositions.near_counts``; slop=0 ≡ exact phrase).
+    Same per-segment fan-out and tombstone handling as phrase_search."""
+    import pandas as pd
+
+    ds = _phrase_candidates(
+        index_dir, phrases, query_lang=query_lang, concurrency=concurrency,
+        slop=slop,
+    )
+    out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
+    if ds is None:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    pdf = ds.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)

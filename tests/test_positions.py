@@ -384,3 +384,51 @@ def test_phrase_topk_matches_bruteforce(pos_index):
         got.reset_index(drop=True).astype({"rank": np.int64}),
         want.astype({"rank": np.int64}),
     )
+
+
+def _brute_near(texts, queries, slop):
+    """Greedy ordered-chain starts within span <= k-1+slop."""
+    from splade_ray.analysis import tokenize
+
+    out = {}
+    for pid, q in queries:
+        qt = tokenize(q)
+        k = len(qt)
+        for did, tx in enumerate(texts):
+            toks = tokenize(tx)
+            n = 0
+            for i, t0 in enumerate(toks):
+                if t0 != qt[0]:
+                    continue
+                cur = i
+                ok = True
+                for t in qt[1:]:
+                    nxt = next((j for j in range(cur + 1, len(toks))
+                                if toks[j] == t), None)
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and cur - i <= k - 1 + slop:
+                    n += 1
+            if n:
+                out[(pid, did)] = n
+    return out
+
+
+def test_near_search_matches_bruteforce(pos_index):
+    from splade_ray.positions import near_search
+
+    index_dir, texts = pos_index, TEXTS
+    queries = [(1, "quick fox"), (2, "a b"), (3, "fox dog"),
+               (4, "the quick fox"), (5, "a a")]
+    for slop in (0, 1, 3):
+        got = near_search(index_dir, queries, slop=slop)
+        want = _brute_near(texts, queries, slop)
+        assert {
+            (r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()
+        } == want, slop
+    # slop=0 == exact phrase semantics
+    near0 = near_search(index_dir, queries, slop=0)
+    ph = phrase_search(index_dir, queries)
+    pd.testing.assert_frame_equal(near0, ph, check_dtype=False)
