@@ -241,7 +241,12 @@ def cmd_phrase(args) -> int:
     from splade_ray.positions import phrase_search
 
     phrases = _load_queries(args.phrases)
-    res = phrase_search(args.index, phrases)
+    if getattr(args, "slop", None) is not None:
+        from splade_ray.positions import near_search
+
+        res = near_search(args.index, phrases, slop=args.slop)
+    else:
+        res = phrase_search(args.index, phrases)
     res.to_parquet(args.out, index=False)
     print(json.dumps({"phrases": len(phrases), "rows": len(res), "out": args.out}))
     return 0
@@ -1164,6 +1169,8 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--index", required=True)
     ph.add_argument("--phrases", required=True, help="TSV: id\\tphrase text")
     ph.add_argument("--out", required=True, help=".parquet")
+    ph.add_argument("--slop", type=int, default=None,
+                    help="ordered proximity: allow up to SLOP extra positions")
     ph.set_defaults(fn=cmd_phrase)
 
     ml = sub.add_parser("mlt", help="more-like-this (seed-doc similarity)")
