@@ -771,6 +771,17 @@ def q_near_search(sf_dir: str):
     return near_search(index_dir, NEAR_QUERIES, slop=NEAR_SLOP)
 
 
+def q_near_unordered(sf_dir: str):
+    """Unordered proximity (positions.near_search ordered=False, the
+    SpanNearQuery inOrder=false shape): starts = query-term occurrences p
+    with every query term present in [p, p+k-1+slop]."""
+    from splade_ray.positions import build_positions, near_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return near_search(index_dir, NEAR_QUERIES, slop=NEAR_SLOP, ordered=False)
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -2097,6 +2108,36 @@ tk AS (SELECT doc_id, unnest(t) AS term,
 {union}"""
 
 
+def _near_unordered_sql() -> str:
+    """Unordered-proximity mirror: starts = query-term occurrences; one
+    EXISTS-in-window clause per distinct query term."""
+    from splade_ray.analysis import tokenize as _tok
+
+    blocks = []
+    for pid, text in NEAR_QUERIES:
+        qt = _tok(text)
+        k = len(qt)
+        bound = k - 1 + NEAR_SLOP
+        distinct = sorted(set(qt))
+        in_list = ", ".join(f"'{t}'" for t in distinct)
+        exists = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tk x WHERE x.doc_id = s.doc_id "
+            f"AND x.term = '{t}' AND x.p >= s.p AND x.p <= s.p + {bound})"
+            for t in distinct
+        )
+        blocks.append(f"""
+SELECT {pid} AS phrase_id, doc_id, count(*)::BIGINT AS phrase_count
+FROM (SELECT DISTINCT doc_id, p FROM tk s
+      WHERE s.term IN ({in_list}) AND {exists}) s2
+GROUP BY doc_id""")
+    union = "\nUNION ALL".join(blocks)
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS term,
+              unnest(generate_series(1, len(t))) AS p FROM tl)
+{union}"""
+
+
 def _explain_sql() -> str:
     """Explain mirror: target docs = distinct top-k doc ids from the shared
     bm25 `ranked` CTE; one row per (query term, target doc) with tf in
@@ -2945,6 +2986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
         "near_search": q_near_search,
+        "near_unordered": q_near_unordered,
         "doclen_quantiles": q_doclen_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
@@ -4008,6 +4050,7 @@ FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
         "near_search": _near_sql(),
+        "near_unordered": _near_unordered_sql(),
         "doclen_quantiles": _doclen_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),

@@ -444,6 +444,55 @@ class SegmentPositions:
         return common[keep], counts[keep].astype(np.int64)
 
 
+    def near_counts_unordered(
+        self, terms: list[str], slop: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Unordered proximity (Lucene SpanNearQuery inOrder=false, pinned):
+        a start = an occurrence ``p`` of ANY query term such that EVERY
+        query term occurs in ``[p, p + k-1+slop]`` (a minimal covering
+        window always starts at a query-term occurrence, so candidate
+        starts lose no matches). Returns (doc_ids, start counts > 0).
+        Vectorized: one searchsorted per term over the union of starts."""
+        entries = []
+        for t in terms:
+            e = self.term_entry(t)
+            if e is None:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            entries.append(e)
+        k = len(terms)
+        if k == 1:
+            docs, tf, _, _ = entries[0]
+            return docs, tf
+        common = entries[0][0]
+        for docs, _, _, _ in entries[1:]:
+            common = common[np.isin(common, docs, assume_unique=True)]
+            if common.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys_per_term = []
+        for docs, tf, blen, pos_enc in entries:
+            sel = np.searchsorted(docs, common)
+            pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+            keys_per_term.append(
+                (run_idx.astype(np.uint64) << _POS_BITS) | pos.astype(np.uint64)
+            )
+        starts = np.unique(np.concatenate(keys_per_term))
+        bound = np.uint64(k - 1 + slop)
+        ok = np.ones(starts.size, bool)
+        for keys_t in keys_per_term:
+            idx = np.searchsorted(keys_t, starts, side="left")
+            valid = idx < keys_t.size
+            nxt = keys_t[np.minimum(idx, keys_t.size - 1)]
+            same_run = (nxt >> _POS_BITS) == (starts >> _POS_BITS)
+            within = nxt - starts <= bound  # same run => plain key distance
+            ok &= valid & same_run & within
+        if not ok.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        runs = (starts[ok] >> _POS_BITS).astype(np.int64)
+        counts = np.bincount(runs, minlength=common.size)
+        keep = counts > 0
+        return common[keep], counts[keep].astype(np.int64)
+
+
 def phrase_match_batch(
     batch: pa.Table,
     *,
@@ -451,6 +500,7 @@ def phrase_match_batch(
     terms: list[str],
     with_doc_len: bool = False,
     slop: int | None = None,
+    ordered: bool = True,
 ) -> pa.Table:
     """map_batches task: evaluate every phrase against each segment in the
     batch. Segments partition the doc space, so outputs concatenate.
@@ -460,11 +510,12 @@ def phrase_match_batch(
     for seg_dir in batch["seg_dir"].to_pylist():
         seg = SegmentPositions(seg_dir, terms, with_doc_len=with_doc_len)
         for pid, phrase in phrases.items():
-            docs, counts = (
-                seg.phrase_counts(phrase)
-                if slop is None
-                else seg.near_counts(phrase, slop)
-            )
+            if slop is None:
+                docs, counts = seg.phrase_counts(phrase)
+            elif ordered:
+                docs, counts = seg.near_counts(phrase, slop)
+            else:
+                docs, counts = seg.near_counts_unordered(phrase, slop)
             pids.extend([pid] * docs.size)
             docs_out.append(docs)
             counts_out.append(counts)
@@ -494,10 +545,12 @@ def _phrase_candidates(
     concurrency: int | None = None,
     with_doc_len: bool = False,
     slop: int | None = None,
+    ordered: bool = True,
 ):
     """Shared fan-out: tokenized phrases -> per-segment match Dataset (or
     None when no phrase tokenizes to anything). ``slop`` routes to the
-    ordered-proximity kernel instead of exact phrase matching."""
+    proximity kernels (ordered chain / unordered window) instead of exact
+    phrase matching."""
     from splade_ray.build import segment_dirs
 
     load_positions_manifest(index_dir)
@@ -521,6 +574,7 @@ def _phrase_candidates(
             "terms": all_terms,
             "with_doc_len": with_doc_len,
             "slop": slop,
+            "ordered": ordered,
         },
         concurrency=concurrency,
     )
@@ -657,20 +711,23 @@ def near_search(
     phrases: list[tuple[int, str]],
     *,
     slop: int = 2,
+    ordered: bool = True,
     query_lang: str | None = None,
     concurrency: int | None = None,
 ):
-    """Ordered proximity search (Lucene sloppy PhraseQuery / ordered
-    SpanNearQuery): (phrase_id, doc_id, phrase_count) where phrase_count is
-    the number of occurrences of the FIRST term from which an ordered chain
-    of the remaining terms exists within a span of ``len(terms)-1+slop``
-    positions (see ``SegmentPositions.near_counts``; slop=0 ≡ exact phrase).
-    Same per-segment fan-out and tombstone handling as phrase_search."""
+    """Proximity search (Lucene SpanNearQuery): (phrase_id, doc_id,
+    phrase_count). ``ordered=True`` counts occurrences of the FIRST term
+    from which an ordered chain of the remaining terms exists within a
+    span of ``len(terms)-1+slop`` positions (sloppy PhraseQuery shape;
+    slop=0 ≡ exact phrase). ``ordered=False`` counts query-term
+    occurrences ``p`` with EVERY term present in ``[p, p+k-1+slop]``
+    (inOrder=false). Same per-segment fan-out and tombstone handling as
+    phrase_search."""
     import pandas as pd
 
     ds = _phrase_candidates(
         index_dir, phrases, query_lang=query_lang, concurrency=concurrency,
-        slop=slop,
+        slop=slop, ordered=ordered,
     )
     out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
     if ds is None:

@@ -432,3 +432,40 @@ def test_near_search_matches_bruteforce(pos_index):
     near0 = near_search(index_dir, queries, slop=0)
     ph = phrase_search(index_dir, queries)
     pd.testing.assert_frame_equal(near0, ph, check_dtype=False)
+
+
+def _brute_near_unordered(texts, queries, slop):
+    """Starts = occurrences of any query term with every term in
+    [p, p+k-1+slop]."""
+    from splade_ray.analysis import tokenize
+
+    out = {}
+    for pid, q in queries:
+        qt = list(dict.fromkeys(tokenize(q)))
+        qt_set = set(tokenize(q))
+        k = len(tokenize(q))
+        bound = k - 1 + slop
+        for did, tx in enumerate(texts):
+            toks = tokenize(tx)
+            n = 0
+            for p, t in enumerate(toks):
+                if t not in qt_set:
+                    continue
+                window = set(toks[p : p + bound + 1])
+                if all(t2 in window for t2 in qt_set):
+                    n += 1
+            if n:
+                out[(pid, did)] = n
+    return out
+
+
+def test_near_search_unordered_matches_bruteforce(pos_index):
+    from splade_ray.positions import near_search
+
+    queries = [(1, "fox quick"), (2, "b a"), (3, "dog fox the"), (4, "a a")]
+    for slop in (0, 2, 5):
+        got = near_search(pos_index, queries, slop=slop, ordered=False)
+        want = _brute_near_unordered(TEXTS, queries, slop)
+        assert {
+            (r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()
+        } == want, slop
