@@ -782,6 +782,20 @@ def q_near_unordered(sf_dir: str):
     return near_search(index_dir, NEAR_QUERIES, slop=NEAR_SLOP, ordered=False)
 
 
+SPAN_FIRST_QUERIES = [(1, "hash"), (2, "window"), (3, "zzzoov")]
+SPAN_FIRST_LIMIT = 20
+
+
+def q_span_first(sf_dir: str):
+    """SpanFirstQuery (positions.span_first_search): docs with the term in
+    the first SPAN_FIRST_LIMIT token positions, with within-limit counts."""
+    from splade_ray.positions import build_positions, span_first_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return span_first_search(index_dir, SPAN_FIRST_QUERIES, limit=SPAN_FIRST_LIMIT)
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -2108,6 +2122,19 @@ tk AS (SELECT doc_id, unnest(t) AS term,
 {union}"""
 
 
+def _span_first_sql() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in SPAN_FIRST_QUERIES)
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS term,
+              unnest(generate_series(1, len(t))) AS p FROM tl),
+sq(query_id, term) AS (VALUES {vals})
+SELECT sq.query_id::BIGINT AS query_id, tk.doc_id, count(*)::BIGINT AS n_occ
+FROM sq JOIN tk USING (term)
+WHERE tk.p <= {SPAN_FIRST_LIMIT}
+GROUP BY sq.query_id, tk.doc_id"""
+
+
 def _near_unordered_sql() -> str:
     """Unordered-proximity mirror: starts = query-term occurrences; one
     EXISTS-in-window clause per distinct query term."""
@@ -2987,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "near_search": q_near_search,
         "near_unordered": q_near_unordered,
+        "span_first": q_span_first,
         "doclen_quantiles": q_doclen_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
@@ -4051,6 +4079,7 @@ FROM f""",
         "phrase_search": _phrase_sql(),
         "near_search": _near_sql(),
         "near_unordered": _near_unordered_sql(),
+        "span_first": _span_first_sql(),
         "doclen_quantiles": _doclen_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),

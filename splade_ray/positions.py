@@ -736,3 +736,84 @@ def near_search(
     if pdf.empty:
         return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
     return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
+def span_first_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    limit: int,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """SpanFirstQuery (Lucene): docs where the query term occurs within the
+    first ``limit`` token positions (0-based position < limit) — the
+    "match in title/lead" primitive for one-field indexes. One single-term
+    query per id; (query_id, doc_id, n_occurrences-within-limit) rows.
+    Same per-segment fan-out as phrase_search; tombstone-aware."""
+    import pandas as pd
+
+    from splade_ray.build import segment_dirs
+    from splade_ray.delete import load_tombstones
+
+    load_positions_manifest(index_dir)
+    tokenized: dict[int, list[str]] = {}
+    for qid, text in queries:
+        toks = tokenize(text, query_lang) if query_lang else tokenize(text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_first takes single-term queries; {text!r} -> {toks}"
+            )
+        tokenized[int(qid)] = toks
+    all_terms = sorted({t for ts in tokenized.values() for t in ts})
+    segs = segment_dirs(index_dir)
+
+    def task(batch: pa.Table) -> pa.Table:
+        qids_out, docs_out, counts_out = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentPositions(seg_dir, all_terms)
+            for qid, (term,) in tokenized.items():
+                e = seg.term_entry(term)
+                if e is None:
+                    continue
+                docs, tf, blen, pos_enc = e
+                sel = np.arange(docs.size, dtype=np.int64)
+                pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+                hit = pos < limit
+                if not hit.any():
+                    continue
+                counts = np.bincount(run_idx[hit], minlength=docs.size)
+                keep = counts > 0
+                qids_out.extend([qid] * int(keep.sum()))
+                docs_out.append(docs[keep])
+                counts_out.append(counts[keep].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids_out, np.int64)),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+                ),
+                "n_occ": pa.array(
+                    np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    ds = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        tomb_ref = ray.put(tomb)
+
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            t = ray.get(tomb_ref)
+            keep = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), t)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+    pdf = ds.to_pandas()
+    schema = {"query_id": np.int64, "doc_id": np.int64, "n_occ": np.int64}
+    if pdf.empty:
+        return pd.DataFrame(columns=list(schema)).astype(schema)
+    return pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -469,3 +469,22 @@ def test_near_search_unordered_matches_bruteforce(pos_index):
         assert {
             (r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()
         } == want, slop
+
+
+def test_span_first_matches_bruteforce(pos_index):
+    from splade_ray.positions import span_first_search
+
+    queries = [(1, "fox"), (2, "a"), (3, "one_token"), (4, "zzz_absent")]
+    for limit in (1, 3, 6):
+        got = span_first_search(pos_index, queries, limit=limit)
+        want = {}
+        for qid, q in queries:
+            (t,) = tokenize(q)
+            for did, tx in enumerate(TEXTS):
+                n = sum(1 for p, tok in enumerate(tokenize(tx))
+                        if tok == t and p < limit)
+                if n:
+                    want[(qid, did)] = n
+        assert {
+            (r.query_id, r.doc_id): r.n_occ for r in got.itertuples()
+        } == want, limit
