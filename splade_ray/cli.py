@@ -412,6 +412,25 @@ def cmd_synsearch(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Per-term score breakdown for (query, doc) pairs."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.query import explain
+
+    queries = _load_queries(args.queries)
+    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+    out = explain(
+        args.index, queries, ids,
+        BM25Params(k1=args.k1, b=args.b),
+        scoring=args.scoring, mu=args.mu,
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "docs": len(ids),
+                      "rows": len(out), "out": args.out}))
+    return 0
+
+
 def cmd_percolate(args) -> int:
     """Reverse search: match a doc stream against stored queries."""
     _ensure_ray()
@@ -1260,6 +1279,17 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--k1", type=float, default=1.2)
     sy.add_argument("--b", type=float, default=0.75)
     sy.set_defaults(fn=cmd_synsearch)
+
+    ex = sub.add_parser("explain", help="per-term score breakdown (Lucene explain)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    ex.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+    ex.add_argument("--out", required=True, help=".parquet")
+    ex.add_argument("--scoring", choices=["bm25", "ql"], default="bm25")
+    ex.add_argument("--mu", type=float, default=2000.0)
+    ex.add_argument("--k1", type=float, default=1.2)
+    ex.add_argument("--b", type=float, default=0.75)
+    ex.set_defaults(fn=cmd_explain)
 
     pc = sub.add_parser("percolate", help="reverse search: doc stream vs stored queries")
     pc.add_argument("--corpus", required=True)

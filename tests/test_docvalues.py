@@ -349,3 +349,23 @@ def test_explain_excludes_tombstoned_docs(built):
     delete_docs(index_dir, [victim])
     exp = explain(index_dir, QUERIES[:1], [victim])
     assert exp.empty
+
+
+def test_cli_explain(built, tmp_path, capsys):
+    import json
+
+    from splade_ray.cli import main
+    from splade_ray.query import explain, search
+
+    index_dir, texts, _ = built
+    q = tmp_path / "q.tsv"
+    q.write_text("1\tdef parse merge\n")
+    run = search(index_dir, [(1, "def parse merge")], BM25Params(top_k=3))
+    ids = ",".join(str(d) for d in run["doc_id"])
+    out = str(tmp_path / "explain.parquet")
+    assert main(["explain", "--index", index_dir, "--queries", str(q),
+                 "--doc-ids", ids, "--out", out]) == 0
+    got = pd.read_parquet(out)
+    want = explain(index_dir, [(1, "def parse merge")],
+                   run["doc_id"].tolist(), BM25Params())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
