@@ -113,23 +113,24 @@ def q_postings_flat_by_lang(sf_dir: str):
 
 def _by_lang_toks_sql() -> str:
     """CTE mirroring the analyzer registry: one UNION ALL branch per distinct
-    registered token class + the default fallback — generated FROM the
-    registry so SQL and Ray can't drift."""
-    from splade_ray.analysis import ANALYZERS, TOKEN_PATTERN
+    rendered analyzer (token class + filter chain, via analyzer_sql) + the
+    default fallback — generated FROM the registry so SQL and Ray can't
+    drift."""
+    from splade_ray.analysis import ANALYZERS, analyzer_sql
 
     groups: dict[str, list[str]] = {}
-    for lang, pat in sorted(ANALYZERS.items()):
-        groups.setdefault(pat, []).append(lang)
+    for lang in sorted(ANALYZERS):
+        groups.setdefault(analyzer_sql(lang), []).append(lang)
     branches = []
-    for pat in sorted(groups):
-        langs_in = ", ".join(f"'{lang}'" for lang in sorted(groups[pat]))
+    for expr in sorted(groups):
+        langs_in = ", ".join(f"'{lang}'" for lang in sorted(groups[expr]))
         branches.append(
-            f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{pat}')) AS term\n"
+            f"SELECT doc_id, unnest({expr}) AS term\n"
             f"  FROM documents WHERE lang IN ({langs_in})"
         )
     all_in = ", ".join(f"'{lang}'" for lang in sorted(ANALYZERS))
     branches.append(
-        f"SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term\n"
+        f"SELECT doc_id, unnest({analyzer_sql(None)}) AS term\n"
         f"  FROM documents WHERE lang NOT IN ({all_in})"
     )
     body = "\n  UNION ALL\n".join(branches)
@@ -468,6 +469,99 @@ q(query_id, term, qtf) AS (VALUES
 ),
 dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
        FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toksl GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+STEM_ANALYZER = "en_light"  # stopword removal + Harman s-stem (analysis.Analyzer)
+
+
+def q_postings_flat_stemmed(sf_dir: str):
+    """Flat postings through a token-FILTER chain (the Lucene TokenFilter
+    analog): the registered en_light analyzer = 33-word English stop set +
+    the Harman (1991) s-stemmer, both vectorized Arrow kernels whose DuckDB
+    mirror is rendered from the SAME registry entry (analysis.analyzer_sql)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings_batch,
+        batch_format="pyarrow",
+        batch_size=512,
+        fn_kwargs={"analyzer": STEM_ANALYZER},
+    )
+
+
+def q_bm25_topk_stemmed(sf_dir: str):
+    """End-to-end BM25 over an index built with one filtered analyzer for
+    every doc (build_index(analyzer="en_light")): doc lengths count
+    post-filter tokens, query text is analyzed through the SAME chain by
+    default (the manifest records the analyzer)."""
+    index_dir = os.path.join(_work_dir(sf_dir, "docsidx-stem"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        analyzer=STEM_ANALYZER,
+        rows_per_segment=1000,
+        block_size=64,
+    )
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def _stemmed_toks_sql() -> str:
+    from splade_ray.analysis import analyzer_sql
+
+    return (
+        f"toks AS (SELECT doc_id, unnest({analyzer_sql(STEM_ANALYZER)}) AS term\n"
+        f"  FROM documents)"
+    )
+
+
+def _postings_flat_stemmed_sql() -> str:
+    return f"""
+WITH {_stemmed_toks_sql()}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term"""
+
+
+def _bm25_stemmed_sql() -> str:
+    """The bm25 oracle with the en_light tokenization CTE substituted on BOTH
+    sides (doc tf/dl AND the query-term VALUES)."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text, STEM_ANALYZER).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_stemmed_toks_sql()},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
        USING (doc_id)),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
@@ -2990,6 +3084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
+        "postings_flat_stemmed": q_postings_flat_stemmed,
+        "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25f_topk": q_bm25f_topk,
         "bm25f_true_topk": q_bm25f_true_topk,
         "snippets_topk": q_snippets_topk,
@@ -3894,6 +3990,8 @@ FROM documents""",
         "wildcard_topk": _wildcard_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
+        "postings_flat_stemmed": _postings_flat_stemmed_sql(),
+        "bm25_topk_stemmed": _bm25_stemmed_sql(),
         "bm25f_topk": _bm25f_sql(),
         "bm25f_true_topk": _bm25f_true_sql(),
         "snippets_topk": _snippets_sql(),

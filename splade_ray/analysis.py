@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
@@ -48,8 +49,62 @@ SPLIT_PATTERN = r"[^a-z0-9_]+"  # complement class: split ≡ findall
 # split-on-complement kernel applies and (b) the DuckDB oracle can mirror it
 # verbatim with regexp_extract_all. Unregistered langs fall back to
 # TOKEN_PATTERN.
+#
+# An entry may also be an ``Analyzer``: the same char-class tokenizer plus
+# token FILTERS (the Lucene TokenFilter chain analog) — stopword removal
+# then light stemming — each filter vectorized Arrow on the Ray side and
+# rendered verbatim into the DuckDB oracle by ``analyzer_sql`` so the two
+# can't drift.
+
+
+def _split_pattern(token_pattern: str) -> str:
+    """Complement class of a `[...]+` token pattern (split ≡ findall)."""
+    if not (token_pattern.startswith("[") and token_pattern.endswith("]+")):
+        raise ValueError(f"analyzer pattern must be a char class: {token_pattern!r}")
+    return "[^" + token_pattern[1:-2] + "]+"
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Tokenizer char class + optional token-filter chain.
+
+    ``stopwords`` are removed AFTER tokenization and BEFORE stemming (the
+    Lucene EnglishAnalyzer filter order). ``stem`` currently supports
+    ``"s"`` — the Harman (1991) s-stemmer, three suffix rules with the
+    exclusions terminal (an excluded word is kept, it does not fall through
+    to a later rule) and minimum-length guards so stemming never produces a
+    sub-2-char token: ies→y (len≥4, not eies/aies), es→e (len≥4, not
+    aes/ees/oes), s→'' (len≥3, not us/ss).
+
+    BM25 doc length counts POST-filter tokens (Lucene: norms store the
+    number of indexed tokens)."""
+
+    pattern: str = r"[a-z0-9_]+"
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    stem: str | None = None
+
+    def __post_init__(self):
+        _split_pattern(self.pattern)  # validates the char-class shape
+        if self.stem not in (None, "s"):
+            raise ValueError(f"unknown stemmer {self.stem!r} (expected None or 's')")
+        object.__setattr__(self, "stopwords", frozenset(self.stopwords))
+
+    @property
+    def has_filters(self) -> bool:
+        return bool(self.stopwords) or self.stem is not None
+
+    def sort_key(self) -> tuple:
+        return (self.pattern, self.stem or "", ",".join(sorted(self.stopwords)))
+
+
+# The classic 33-word English stop set (Lucene EnglishAnalyzer default).
+EN_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
 _ACCENTED = "àáâäçèéêëìíîïñòóôöùúûüßœ"
-ANALYZERS: dict[str, str] = {
+ANALYZERS: dict[str, str | Analyzer] = {
     # CJK text: han runs are tokens too (not dropped)
     "zh": r"[a-z0-9_一-鿿]+",
     # latin languages: keep accented letters inside tokens
@@ -60,24 +115,107 @@ ANALYZERS: dict[str, str] = {
     "py": r"[a-z0-9]+",
     "go": r"[a-z0-9]+",
     "c": r"[a-z0-9]+",
+    # opt-in English filter chains (not tied to any corpus lang value)
+    "en_stop": Analyzer(stopwords=EN_STOPWORDS),
+    "en_light": Analyzer(stopwords=EN_STOPWORDS, stem="s"),
 }
 
 
-def register_analyzer(lang: str, token_pattern: str) -> None:
-    """Extension hook: register/override a language's token class."""
-    _split_pattern(token_pattern)  # validates the shape
-    ANALYZERS[lang] = token_pattern
+def register_analyzer(
+    lang: str,
+    token_pattern: str = TOKEN_PATTERN,
+    *,
+    stopwords=(),
+    stem: str | None = None,
+) -> None:
+    """Extension hook: register/override a language's analyzer (token class
+    + optional stopword/stem filter chain)."""
+    if stopwords or stem:
+        ANALYZERS[lang] = Analyzer(token_pattern, frozenset(stopwords), stem)
+    else:
+        _split_pattern(token_pattern)  # validates the shape
+        ANALYZERS[lang] = token_pattern
+
+
+def get_analyzer(lang: str | None) -> Analyzer:
+    """The full Analyzer for a lang name (pattern-only entries wrapped)."""
+    spec = ANALYZERS.get(lang or "", TOKEN_PATTERN)
+    return spec if isinstance(spec, Analyzer) else Analyzer(spec)
 
 
 def analyzer_pattern(lang: str | None) -> str:
-    return ANALYZERS.get(lang or "", TOKEN_PATTERN)
+    return get_analyzer(lang).pattern
 
 
-def _split_pattern(token_pattern: str) -> str:
-    """Complement class of a `[...]+` token pattern (split ≡ findall)."""
-    if not (token_pattern.startswith("[") and token_pattern.endswith("]+")):
-        raise ValueError(f"analyzer pattern must be a char class: {token_pattern!r}")
-    return "[^" + token_pattern[1:-2] + "]+"
+def s_stem_array(terms: pa.Array) -> pa.Array:
+    """Vectorized Harman s-stemmer (see ``Analyzer``). Priority waterfall
+    with terminal exclusions, mirrored character-for-character by
+    ``s_stem_sql`` — intended for ASCII token classes (suffix tests are
+    codepoint-based on both sides)."""
+    t = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    ln = pc.utf8_length(t)
+
+    def ends(s: str):
+        return pc.ends_with(t, pattern=s)
+
+    drop1 = pc.utf8_slice_codeunits(t, 0, stop=-1)
+    ies_y = pc.binary_join_element_wise(
+        pc.utf8_slice_codeunits(t, 0, stop=-3), pa.scalar("y"), ""
+    )
+    c_ies = pc.and_(ends("ies"), pc.greater_equal(ln, 4))
+    r_ies = pc.if_else(pc.or_(ends("eies"), ends("aies")), t, ies_y)
+    c_es = pc.and_(ends("es"), pc.greater_equal(ln, 4))
+    r_es = pc.if_else(
+        pc.or_(pc.or_(ends("aes"), ends("ees")), ends("oes")), t, drop1
+    )
+    c_s = pc.and_(ends("s"), pc.greater_equal(ln, 3))
+    r_s = pc.if_else(pc.or_(ends("us"), ends("ss")), t, drop1)
+    return pc.if_else(c_ies, r_ies, pc.if_else(c_es, r_es, pc.if_else(c_s, r_s, t)))
+
+
+def s_stem_sql(var: str = "t") -> str:
+    """DuckDB CASE expression mirroring ``s_stem_array`` exactly (LIKE is
+    safe here: tokens may contain '_' but the patterns don't)."""
+    return (
+        f"CASE WHEN {var} LIKE '%ies' AND length({var}) >= 4 THEN "
+        f"(CASE WHEN {var} LIKE '%eies' OR {var} LIKE '%aies' THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 3) || 'y' END) "
+        f"WHEN {var} LIKE '%es' AND length({var}) >= 4 THEN "
+        f"(CASE WHEN {var} LIKE '%aes' OR {var} LIKE '%ees' OR {var} LIKE '%oes' THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 1) END) "
+        f"WHEN {var} LIKE '%s' AND length({var}) >= 3 THEN "
+        f"(CASE WHEN {var} LIKE '%us' OR {var} LIKE '%ss' THEN {var} "
+        f"ELSE substr({var}, 1, length({var}) - 1) END) "
+        f"ELSE {var} END"
+    )
+
+
+def analyzer_sql(lang: str | None, var: str = "lower(text)") -> str:
+    """DuckDB list-of-tokens expression for a registered analyzer — the
+    oracle-side twin of ``tokenize_column(texts, get_analyzer(lang))``,
+    generated FROM the registry so SQL and Ray can't drift."""
+    a = get_analyzer(lang)
+    expr = f"regexp_extract_all({var}, '{a.pattern}')"
+    if a.stopwords:
+        stop_list = ", ".join(f"'{w}'" for w in sorted(a.stopwords))
+        expr = f"list_filter({expr}, t -> t NOT IN ({stop_list}))"
+    if a.stem == "s":
+        expr = f"list_transform({expr}, t -> {s_stem_sql('t')})"
+    return expr
+
+
+def _apply_token_filters(terms: pa.Array, par: np.ndarray, analyzer: Analyzer):
+    """Stopword removal then stemming over the flat token array (parents
+    kept aligned). Vectorized: one is_in mask + the branch-free stem CASE."""
+    if analyzer.stopwords:
+        keep = pc.invert(
+            pc.is_in(terms, value_set=pa.array(sorted(analyzer.stopwords), pa.string()))
+        )
+        terms = terms.filter(keep)
+        par = par[keep.to_numpy(zero_copy_only=False)]
+    if analyzer.stem == "s":
+        terms = s_stem_array(terms)
+    return terms, par
 
 
 def tokenize(text: str, lang: str | None = None) -> list[str]:
@@ -85,8 +223,8 @@ def tokenize(text: str, lang: str | None = None) -> list[str]:
     column path (see module docstring: Python ``str.lower`` diverges from
     ``utf8_lower`` on full-Unicode case mapping). ``lang`` selects a
     registered analyzer; None uses the collection-wide class."""
-    pattern = analyzer_pattern(lang) if lang is not None else None
-    terms, _, _ = tokenize_column(pa.array([text], pa.string()), pattern)
+    spec = get_analyzer(lang) if lang is not None else None
+    terms, _, _ = tokenize_column(pa.array([text], pa.string()), spec)
     return terms.to_pylist()
 
 
@@ -94,15 +232,21 @@ def term_counts(text: str, lang: str | None = None) -> Counter:
     return Counter(tokenize(text, lang))
 
 
-def tokenize_column(texts: pa.Array | pa.ChunkedArray, token_pattern: str | None = None):
+def tokenize_column(
+    texts: pa.Array | pa.ChunkedArray, token_pattern: str | Analyzer | None = None
+):
     """Vectorized tokenization of a string column.
 
     Returns ``(terms, parents, doc_lens)``: the flat token array, the row
     index of each token, and per-row token counts (nulls count as 0).
-    ``token_pattern`` (a ``[...]+`` char class) selects the analyzer;
-    default is the collection-wide ``TOKEN_PATTERN``.
+    ``token_pattern`` (a ``[...]+`` char class, or an ``Analyzer`` whose
+    filter chain is applied after tokenization) selects the analyzer;
+    default is the collection-wide ``TOKEN_PATTERN``. With filters,
+    ``doc_lens`` counts POST-filter tokens (the Lucene norm contract).
     """
-    split = SPLIT_PATTERN if token_pattern is None else _split_pattern(token_pattern)
+    analyzer = token_pattern if isinstance(token_pattern, Analyzer) else None
+    pattern = analyzer.pattern if analyzer is not None else token_pattern
+    split = SPLIT_PATTERN if pattern is None else _split_pattern(pattern)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
@@ -112,6 +256,8 @@ def tokenize_column(texts: pa.Array | pa.ChunkedArray, token_pattern: str | None
     mask = pc.not_equal(flat, "")  # boundary splits produce empty strings
     terms = flat.filter(mask)
     par = parents.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+    if analyzer is not None and analyzer.has_filters:
+        terms, par = _apply_token_filters(terms, par, analyzer)
     doc_lens = np.bincount(par, minlength=n).astype(np.int64)
     return terms, par, doc_lens
 
@@ -133,14 +279,14 @@ def tokenize_column_by_lang(
     doc_lens = np.zeros(n, np.int64)
     term_parts: list[pa.Array] = []
     par_parts: list[np.ndarray] = []
-    by_pattern: dict[str, list[np.ndarray]] = {}
+    by_pattern: dict[Analyzer, list[np.ndarray]] = {}
     for lang in set(lang_arr):
-        pat = analyzer_pattern(lang)
+        a = get_analyzer(lang)
         idx = np.flatnonzero(lang_arr == lang)
-        by_pattern.setdefault(pat, []).append(idx)
-    for pat in sorted(by_pattern):
-        idx = np.sort(np.concatenate(by_pattern[pat]))
-        sub_terms, sub_par, sub_lens = tokenize_column(texts.take(pa.array(idx)), pat)
+        by_pattern.setdefault(a, []).append(idx)
+    for a in sorted(by_pattern, key=Analyzer.sort_key):
+        idx = np.sort(np.concatenate(by_pattern[a]))
+        sub_terms, sub_par, sub_lens = tokenize_column(texts.take(pa.array(idx)), a)
         term_parts.append(sub_terms)
         par_parts.append(idx[sub_par])
         doc_lens[idx] = sub_lens
@@ -182,12 +328,14 @@ def postings_by_lang_batch(
     )
 
 
-def term_frequency_table(texts: pa.Array | pa.ChunkedArray):
+def term_frequency_table(
+    texts: pa.Array | pa.ChunkedArray, token_pattern: str | Analyzer | None = None
+):
     """Vectorized (row, term, tf) extraction for a string column.
 
     Returns ``(tf_table, doc_lens)`` where tf_table has columns
     ``row:int64, term:string, tf:int64`` (unordered — hash-group output)."""
-    terms, par, doc_lens = tokenize_column(texts)
+    terms, par, doc_lens = tokenize_column(texts, token_pattern)
     g = (
         pa.table({"row": pa.array(par, pa.int64()), "term": terms})
         .group_by(["row", "term"])
@@ -199,13 +347,21 @@ def term_frequency_table(texts: pa.Array | pa.ChunkedArray):
     return tf_tbl, doc_lens
 
 
-def postings_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+def postings_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str | None = None,
+) -> pa.Table:
     """Flat-map a batch of documents to postings rows ``(term, doc_id, tf)``.
 
     One input row expands to one output row per distinct term (COO triplets,
     the reference's central intermediate — transformer_evaluator.py:45-47).
-    """
-    tf_tbl, _ = term_frequency_table(batch[text_col])
+    ``analyzer`` (registered name) applies that analyzer — filters included —
+    to every row."""
+    spec = get_analyzer(analyzer) if analyzer is not None else None
+    tf_tbl, _ = term_frequency_table(batch[text_col], spec)
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     rows = tf_tbl["row"].to_numpy(zero_copy_only=False)
     return pa.table(
@@ -256,6 +412,7 @@ def analyze_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str | None = None,
+    analyzer: str | None = None,
 ):
     """Analyze a batch fully in one pass for the segment builder.
 
@@ -267,10 +424,13 @@ def analyze_docs(
     transformer_evaluator.py:47-51).
 
     ``lang_col`` routes each doc through its language's registered analyzer
-    (``ANALYZERS``) instead of the collection-wide token class."""
+    (``ANALYZERS``) instead of the collection-wide token class; ``analyzer``
+    (a registered name) applies ONE analyzer — filter chain included — to
+    every doc (mutually exclusive with lang_col)."""
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if lang_col is None:
-        tf_tbl, doc_lens = term_frequency_table(batch[text_col])
+        spec = get_analyzer(analyzer) if analyzer is not None else None
+        tf_tbl, doc_lens = term_frequency_table(batch[text_col], spec)
     else:
         terms, par, doc_lens = tokenize_column_by_lang(batch[text_col], batch[lang_col])
         g = (

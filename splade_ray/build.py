@@ -161,7 +161,9 @@ def _seg_dir(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg={seg_id:06d}")
 
 
-def _manifest_valid(seg_dir: str, spec: dict, lang_col: str | None = None) -> dict | None:
+def _manifest_valid(
+    seg_dir: str, spec: dict, lang_col: str | None = None, analyzer: str | None = None
+) -> dict | None:
     mpath = os.path.join(seg_dir, "manifest.json")
     if not os.path.exists(mpath):
         return None
@@ -178,6 +180,7 @@ def _manifest_valid(seg_dir: str, spec: dict, lang_col: str | None = None) -> di
         and m.get("num_rows") == spec["num_rows"]
         and m.get("doc_id_start") == spec["doc_id_start"]
         and m.get("lang_col") == lang_col
+        and m.get("analyzer") == analyzer
         and os.path.exists(os.path.join(seg_dir, "postings.parquet"))
         and os.path.exists(os.path.join(seg_dir, "doclens.parquet"))
     )
@@ -193,6 +196,7 @@ def build_segments_batch(
     block_size: int = BLOCK_SIZE,
     extra_doc_cols: tuple[str, ...] = (),
     lang_col: str | None = None,
+    analyzer: str | None = None,
     build_run: str | None = None,
     emit_term_stats: bool = False,
 ) -> pa.Table:
@@ -227,7 +231,7 @@ def build_segments_batch(
 
     for spec in batch.to_pylist():
         seg_dir = _seg_dir(index_dir, spec["seg_id"])
-        existing = _manifest_valid(seg_dir, spec, lang_col)
+        existing = _manifest_valid(seg_dir, spec, lang_col, analyzer)
         if existing is not None:
             emit(spec, existing, True)
             if emit_term_stats:
@@ -260,7 +264,8 @@ def build_segments_batch(
 
         shas = sha256_hex(tbl[text_col])
         flat, doc_ids, doc_lens = analyze_docs(
-            tbl, id_col=eff_id_col, text_col=text_col, lang_col=lang_col
+            tbl, id_col=eff_id_col, text_col=text_col, lang_col=lang_col,
+            analyzer=analyzer,
         )
         postings = build_segment_tables(flat, doc_ids, doc_lens, block_size)
 
@@ -281,6 +286,7 @@ def build_segments_batch(
             "build_run": build_run,
             **{k: spec[k] for k in ("seg_id", "path", "row_start", "num_rows", "doc_id_start")},
             "lang_col": lang_col,
+            "analyzer": analyzer,
             "n_docs": int(len(doc_ids)),
             "n_postings": int(flat.num_rows),
             "n_terms": int(postings.num_rows),
@@ -317,6 +323,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     extra_doc_cols: tuple[str, ...] = (),
     lang_col: str | None = None,
+    analyzer: str | None = None,
     concurrency: int | None = None,
 ) -> dict:
     """Build (or resume) the full index. Returns the global manifest dict.
@@ -326,7 +333,12 @@ def build_index(
     ``lang_col`` analyzes each doc with its language's registered token
     class (``analysis.ANALYZERS``) — the per-collection tokenizer-config
     analog; a lang_col change invalidates segment skip-matching.
+    ``analyzer`` (a registered name, e.g. "en_light") applies ONE analyzer
+    — token filters included — to every doc; recorded in the manifest so
+    ``search`` analyzes query text the same way by default.
     """
+    if lang_col and analyzer:
+        raise ValueError("pass lang_col or analyzer, not both")
     if isinstance(corpus_paths, str):
         p = corpus_paths
         corpus_paths = (
@@ -358,6 +370,7 @@ def build_index(
             block_size=block_size,
             extra_doc_cols=extra_doc_cols,
             lang_col=lang_col,
+            analyzer=analyzer,
             build_run=build_run,
             emit_term_stats=True,
         ),
@@ -412,6 +425,7 @@ def build_index(
         "block_size": block_size,
         "text_col": text_col,
         "lang_col": lang_col,
+        "analyzer": analyzer,
         "id_col": id_col,
         "n_docs": n_docs,
         "n_postings": int(manifests["n_postings"].sum()),

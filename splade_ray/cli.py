@@ -42,6 +42,7 @@ def cmd_build(args) -> int:
         rows_per_segment=args.rows_per_segment,
         block_size=args.block_size,
         lang_col=getattr(args, "lang_col", None),
+        analyzer=getattr(args, "analyzer", None),
         extra_doc_cols=tuple(
             c for c in (getattr(args, "extra_doc_cols", None) or "").split(",") if c
         ),
@@ -1089,6 +1090,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--rows-per-segment", type=int, default=50_000)
     b.add_argument("--lang-col", default=None,
                    help="per-language analyzer column (analysis.ANALYZERS)")
+    b.add_argument("--analyzer", default=None,
+                   help="ONE registered analyzer for every doc (e.g. en_light "
+                        "= stopwords + s-stem); queries follow automatically")
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--extra-doc-cols", default=None,
                    help="comma-separated doc columns carried in the doclens "

@@ -67,6 +67,7 @@ def build_positions_table(
     texts: pa.Array | pa.ChunkedArray,
     doc_ids: np.ndarray,
     langs: pa.Array | pa.ChunkedArray | None = None,
+    analyzer: str | None = None,
 ) -> pa.Table:
     """Positional postings for one segment's documents (doc_ids ascending).
 
@@ -76,7 +77,10 @@ def build_positions_table(
     bulk encode pass sliced at term boundaries into the Arrow binary
     columns."""
     if langs is None:
-        terms, par, _ = tokenize_column(texts)
+        from splade_ray.analysis import get_analyzer
+
+        spec = get_analyzer(analyzer) if analyzer is not None else None
+        terms, par, _ = tokenize_column(texts, spec)
     else:
         terms, par, _ = tokenize_column_by_lang(texts, langs)
     n_tok = len(par)
@@ -169,7 +173,10 @@ def build_positions_table(
     return t.take(pa.compute.sort_indices(t["term"]))
 
 
-def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang_col: str | None) -> int:
+def _positions_for_segment(
+    seg_dir: str, text_col: str, id_col: str | None, lang_col: str | None,
+    analyzer: str | None = None,
+) -> int:
     """Build one segment's positions.parquet by re-reading its lineage slice
     (manifest path/row_start/num_rows) — the corpus itself is the source of
     truth, not a second copy of the text."""
@@ -201,7 +208,8 @@ def _positions_for_segment(seg_dir: str, text_col: str, id_col: str | None, lang
         tbl = tbl.take(pa.array(keep))
         doc_id_arr = doc_id_arr[keep]
     out = build_positions_table(
-        tbl[text_col], doc_id_arr, tbl[lang_col] if lang_col else None
+        tbl[text_col], doc_id_arr, tbl[lang_col] if lang_col else None,
+        analyzer=analyzer,
     )
     tmp = os.path.join(seg_dir, ".tmp-positions.parquet")
     pq.write_table(out, tmp)
@@ -220,30 +228,36 @@ def build_positions(index_dir: str, *, concurrency: int | None = None) -> dict:
 
     man = load_manifest(index_dir)
     text_col, id_col, lang_col = man["text_col"], man.get("id_col"), man.get("lang_col")
+    analyzer = man.get("analyzer")
     ppath = os.path.join(index_dir, "positions.json")
     prev = None
     if os.path.exists(ppath):
         with open(ppath) as fh:
             prev = json.load(fh)
     all_segs = segment_dirs(index_dir)
-    reusable = prev is not None and (prev.get("text_col"), prev.get("lang_col")) == (
-        text_col,
-        lang_col,
-    )
+    reusable = prev is not None and (
+        prev.get("text_col"),
+        prev.get("lang_col"),
+        prev.get("analyzer"),
+    ) == (text_col, lang_col, analyzer)
     if not reusable:
         for s in all_segs:
             p = os.path.join(s, "positions.parquet")
             if os.path.exists(p):
                 os.remove(p)
     with open(ppath, "w") as fh:
-        json.dump({"text_col": text_col, "lang_col": lang_col, "pending": True}, fh)
+        json.dump(
+            {"text_col": text_col, "lang_col": lang_col, "analyzer": analyzer,
+             "pending": True},
+            fh,
+        )
     segs = [s for s in all_segs if not os.path.exists(os.path.join(s, "positions.parquet"))]
 
     def task(batch: pa.Table) -> pa.Table:
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)  # one core per task (see build.py)
         counts = [
-            _positions_for_segment(s, text_col, id_col, lang_col)
+            _positions_for_segment(s, text_col, id_col, lang_col, analyzer)
             for s in batch["seg"].to_pylist()
         ]
         return pa.table({"n_terms": pa.array(counts, pa.int64())})
@@ -258,6 +272,7 @@ def build_positions(index_dir: str, *, concurrency: int | None = None) -> dict:
     manifest = {
         "text_col": text_col,
         "lang_col": lang_col,
+        "analyzer": analyzer,
         "n_segments": len(all_segs),
         "n_segments_skipped": len(all_segs) - len(segs),
         "n_terms_built": n_terms,
@@ -553,7 +568,9 @@ def _phrase_candidates(
     phrase matching."""
     from splade_ray.build import segment_dirs
 
-    load_positions_manifest(index_dir)
+    pman = load_positions_manifest(index_dir)
+    if query_lang is None:
+        query_lang = pman.get("analyzer")  # match the layer's build analyzer
     tokenized = {
         int(pid): tokenize(text, query_lang) if query_lang else tokenize(text)
         for pid, text in phrases

@@ -53,7 +53,9 @@ def prepare_queries(
 
     ``query_lang`` selects the registered analyzer for the query text (use
     it against indexes built with ``lang_col`` so query terms match the
-    target language's token class); None = collection-wide class.
+    target language's token class); None defaults to the analyzer the index
+    was built with (``build_index(analyzer=...)``, recorded in its
+    manifest), else the collection-wide class.
 
     ``scoring`` picks the similarity (the Lucene similarity-registry analog):
     ``"bm25"`` (default; per-term weight = idf) or ``"ql"`` — Dirichlet-
@@ -66,6 +68,8 @@ def prepare_queries(
     params = params or BM25Params()
     manifest = load_manifest(index_dir)
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    if query_lang is None:
+        query_lang = manifest.get("analyzer")
     tokenized = {int(qid): term_counts(text, query_lang) for qid, text in queries}
     all_terms = sorted({t for c in tokenized.values() for t in c})
     dfs: dict[str, int] = {}
