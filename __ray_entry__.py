@@ -255,6 +255,27 @@ def q_bm25f_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+DISMAX_TIE = 0.3
+
+
+def q_dismax_topk(sf_dir: str):
+    """DisjunctionMaxQuery (Lucene / ES best_fields multi_match) over the
+    same aligned per-field indexes: score = max_f(w_f·BM25_f) +
+    tie_breaker·Σ_other — the best-matching field dominates instead of
+    double-counting a term that hits both title and body."""
+    from splade_ray.query import search_fielded
+
+    run = search_fielded(
+        _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
+        BM25Params(k1=K1, b=B, top_k=TOP_K), mode="dismax",
+        tie_breaker=DISMAX_TIE,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_bm25f_true_topk(sf_dir: str):
     """TRUE BM25F (Robertson & Zaragoza 2004; query.ScoreBM25FSegments):
     per-field tf length-normalized and weight-folded into one
@@ -3087,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_flat_stemmed": q_postings_flat_stemmed,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25f_topk": q_bm25f_topk,
+        "dismax_topk": q_dismax_topk,
         "bm25f_true_topk": q_bm25f_true_topk,
         "snippets_topk": q_snippets_topk,
         "snippets_topk_distinct": q_snippets_topk_distinct,
@@ -3499,11 +3521,12 @@ SELECT b.query_id, b.doc_id, b.i::BIGINT AS start, b.n_distinct, b.n_match,
 FROM best b JOIN dt d USING (doc_id) WHERE b.rn = 1"""
 
 
-def _bm25f_sql() -> str:
+def _bm25f_sql(combine: str = "sum(score)") -> str:
     """Fielded-BM25 oracle: per-field (body=all tokens, title=first N tokens)
-    tf/df/doclen/avgdl, per-field Okapi score weighted and summed per
-    (query, doc), ranked with the engine's (score desc, doc_id asc)
-    tie-break. Mirrors q_bm25f_topk exactly (round4 both sides)."""
+    tf/df/doclen/avgdl, per-field Okapi score weighted and combined per
+    (query, doc) by ``combine`` (sum for q_bm25f_topk, max+tie for
+    q_dismax_topk), ranked with the engine's (score desc, doc_id asc)
+    tie-break. Mirrors the Ray side exactly (round4 both sides)."""
     values = []
     for qid, text in BM25_QUERIES:
         for term, qtf in sorted(term_counts(text).items()):
@@ -3541,7 +3564,7 @@ dl_title AS (SELECT doc_id, least(len(toks), {n})::DOUBLE AS dl FROM tl),
 {field_score('body', w_text)},
 {field_score('title', w_title)},
 scores AS (
-  SELECT query_id, doc_id, sum(score) AS score
+  SELECT query_id, doc_id, {combine} AS score
   FROM (SELECT * FROM s_body UNION ALL SELECT * FROM s_title)
   GROUP BY query_id, doc_id
 ),
@@ -3553,6 +3576,14 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def _dismax_sql() -> str:
+    """DisjunctionMax oracle: per-field scores from the same CTEs, combined
+    as max + tie·(sum − max) per (query, doc)."""
+    return _bm25f_sql(
+        f"max(score) + {DISMAX_TIE} * (sum(score) - max(score))"
+    )
 
 
 def _bm25f_true_sql() -> str:
@@ -3993,6 +4024,7 @@ FROM documents""",
         "postings_flat_stemmed": _postings_flat_stemmed_sql(),
         "bm25_topk_stemmed": _bm25_stemmed_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "dismax_topk": _dismax_sql(),
         "bm25f_true_topk": _bm25f_true_sql(),
         "snippets_topk": _snippets_sql(),
         "snippets_topk_distinct": _snippets_distinct_sql(),

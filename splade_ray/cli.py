@@ -110,6 +110,7 @@ def cmd_fsearch(args) -> int:
         kv(args.weight, float),
         BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
         mode=args.mode,
+        tie_breaker=getattr(args, "tie_breaker", 0.0),
         field_b=kv(args.field_b, float) if args.field_b else None,
         analyzers=kv(args.analyzer, str) if args.analyzer else None,
         query_analyzer=args.query_analyzer,
@@ -1125,9 +1126,13 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--threshold", type=float, default=0.0)
     fs.add_argument("--k1", type=float, default=1.2)
     fs.add_argument("--b", type=float, default=0.75)
-    fs.add_argument("--mode", choices=["sum", "bm25f"], default="sum",
-                    help="sum = Σ w_f·BM25_f; bm25f = fold tf across fields "
-                         "before saturation (union-df idf)")
+    fs.add_argument("--mode", choices=["sum", "dismax", "bm25f"], default="sum",
+                    help="sum = Σ w_f·BM25_f; dismax = best field + "
+                         "tie_breaker×rest (Lucene DisjunctionMaxQuery); "
+                         "bm25f = fold tf across fields before saturation "
+                         "(union-df idf)")
+    fs.add_argument("--tie-breaker", type=float, default=0.0,
+                    help="dismax tie breaker in [0,1]")
     fs.add_argument("--field-b", action="append", default=None,
                     metavar="NAME=B", help="bm25f per-field b (repeat)")
     fs.add_argument("--analyzer", action="append", default=None,

@@ -663,6 +663,8 @@ class ScoreFieldedSegments:
         self.weights: dict[str, float] = plan["weights"]
         self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
         self.tombstones = plan.get("tombstones")
+        self.combine: str = plan.get("combine", "sum")
+        self.tie: float = float(plan.get("tie", 0.0))
         self.fields = sorted(self.prepared)  # fixed field order -> fixed fp sum order
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -679,15 +681,27 @@ class ScoreFieldedSegments:
             base = segs[self.fields[0]].doc_ids
             qids = self.prepared[self.fields[0]]["queries"].keys()
             for qid in qids:
-                total = None
+                denses = []
                 for f in self.fields:
                     dense = segs[f].dense_query_scores(qid, self.prepared[f])
-                    if dense is None:
-                        continue
-                    contrib = self.weights[f] * dense
-                    total = contrib if total is None else total + contrib
-                if total is None:
+                    if dense is not None:
+                        denses.append(self.weights[f] * dense)
+                if not denses:
                     continue
+                if self.combine == "dismax":
+                    # Lucene DisjunctionMaxQuery: best field + tie_breaker ×
+                    # the rest (BM25 scores are ≥ 0, so absent fields = 0
+                    # contribution and never win the max)
+                    best = np.maximum.reduce(denses)
+                    total = (
+                        best
+                        if self.tie == 0.0
+                        else best + self.tie * (np.add.reduce(denses) - best)
+                    )
+                else:
+                    total = denses[0]
+                    for d in denses[1:]:
+                        total = total + d
                 docs, scs = topk_from_scores(base, total, p.top_k, p.threshold)
                 rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
         return pa.table(
@@ -852,6 +866,7 @@ def search_fielded(
     params: BM25Params | None = None,
     *,
     mode: str = "sum",
+    tie_breaker: float = 0.0,
     field_b: dict[str, float] | None = None,
     analyzers: dict[str, str] | None = None,
     query_analyzer: str | None = None,
@@ -869,6 +884,13 @@ def search_fielded(
       per-field ``analyzers`` mapping (registered analyzer name per field,
       e.g. a path tokenizer for a ``path`` field) selects how the QUERY text
       is tokenized against each field's index.
+    - ``mode="dismax"``: Lucene DisjunctionMaxQuery / the ES ``best_fields``
+      multi_match — ``score = max_f(w_f·BM25_f) + tie_breaker · Σ_other``.
+      The best-matching field dominates (a term hitting both a short title
+      and its body shouldn't double-count); ``tie_breaker`` (0..1, Lucene
+      default 0) re-admits the other fields' evidence. Same per-field
+      ``analyzers`` routing and exactness argument as ``sum`` (dense arrays
+      combined before the per-segment cut).
     - ``mode="bm25f"``: true BM25F — per-field tf is length-normalized
       (per-field ``field_b``, default ``params.b``) and weight-folded into
       one pseudo-frequency BEFORE k1 saturation, with idf over the
@@ -896,7 +918,9 @@ def search_fielded(
     n_segs = counts[fields[0]]
     items = [{"seg_ord": i} for i in range(n_segs)]
 
-    if mode == "sum":
+    if mode in ("sum", "dismax"):
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
         prepared = {
             f: prepare_queries(
                 field_indexes[f],
@@ -908,13 +932,16 @@ def search_fielded(
         }
         plan_ref = ray.put(
             {"prepared": prepared, "weights": dict(weights),
-             "seg_lists": seg_lists, "tombstones": _union_tombstones(field_indexes)}
+             "seg_lists": seg_lists, "tombstones": _union_tombstones(field_indexes),
+             "combine": mode, "tie": float(tie_breaker)}
         )
         return _fielded_run(
             items, ScoreFieldedSegments, plan_ref, params.top_k, concurrency
         )
     if mode != "bm25f":
-        raise ValueError(f"unknown fielded mode {mode!r} (expected 'sum' or 'bm25f')")
+        raise ValueError(
+            f"unknown fielded mode {mode!r} (expected 'sum', 'dismax' or 'bm25f')"
+        )
 
     manifests = {f: load_manifest(field_indexes[f]) for f in fields}
     n_docs = {f: m["n_docs"] for f, m in manifests.items()}

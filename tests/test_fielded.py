@@ -310,3 +310,77 @@ def test_fielded_per_field_analyzer(ray_session, tmp_path):
     assert 0 in set(run["doc_id"])
     top = run[run["rank"] == 1].iloc[0]
     assert int(top["doc_id"]) == 0
+
+
+# ----------------------------------------------------------------- dis_max
+
+def _oracle_dismax(doc_ids, fields_texts, weights, params, tie):
+    """Per-field dense BM25 arrays (same float order as the kernel), combined
+    as max + tie·(sum − max)."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.bm25 import idf, tf_component
+
+    ois = {f: OracleIndex(doc_ids, texts, params) for f, texts in fields_texts.items()}
+    ids = np.asarray(doc_ids, np.int64)
+    rows = []
+    for qid, text in QUERIES:
+        denses = []
+        for f in sorted(ois):
+            oi = ois[f]
+            scores = np.zeros(ids.size, np.float64)
+            q = term_counts(text)
+            hit = False
+            for term in sorted(q):
+                if term not in oi.postings:
+                    continue
+                pos, tf = oi.postings[term]
+                w = idf(len(pos), oi.n_docs) * q[term]
+                scores[pos] += w * tf_component(tf, oi.doc_lens[pos], oi.avgdl, params)
+                hit = True
+            if hit:
+                denses.append(weights[f] * scores)
+        if not denses:
+            continue
+        best = np.maximum.reduce(denses)
+        total = best if tie == 0.0 else best + tie * (np.add.reduce(denses) - best)
+        docs, scs = topk_from_scores(ids, total, params.top_k, params.threshold)
+        rows.extend(
+            (int(qid), r, int(d), float(s))
+            for r, (d, s) in enumerate(zip(docs, scs), start=1)
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_dismax_matches_oracle(fielded, tie):
+    dirs, doc_ids, body, titles = fielded
+    run = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="dismax",
+                         tie_breaker=tie)
+    want = _oracle_dismax(
+        doc_ids, {"body": body, "title": titles}, WEIGHTS, PARAMS, tie
+    )
+    got = run.reset_index(drop=True)
+    got["rank"] = got["rank"].astype(int)
+    want["rank"] = want["rank"].astype(int)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dismax_differs_from_sum_and_single_field_reduces(fielded):
+    dirs, *_ = fielded
+    dm = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="dismax")
+    sm = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="sum")
+    assert not dm.equals(sm)  # max ≠ sum when terms hit both fields
+    # one field: max == sum == plain search
+    a = search_fielded({"body": dirs["body"]}, QUERIES, {"body": 1.0}, PARAMS,
+                       mode="dismax", tie_breaker=0.7)
+    b = search(dirs["body"], QUERIES, PARAMS)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_dismax_bad_tie_breaker_raises(fielded):
+    dirs, *_ = fielded
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="dismax",
+                       tie_breaker=1.5)
