@@ -1271,6 +1271,58 @@ def q_match_stats(sf_dir: str):
     return numeric_stats(_dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars")
 
 
+def _dv2_index(sf_dir: str) -> str:
+    """Index with string sidecar doc columns (lang, source) alongside
+    n_chars — the string doc-values probes."""
+    index_dir = os.path.join(_work_dir(sf_dir, "dvidx2"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        index_dir,
+        text_col="text",
+        id_col="doc_id",
+        rows_per_segment=1000,
+        block_size=64,
+        extra_doc_cols=("n_chars", "lang", "source"),
+    )
+    return index_dir
+
+
+STR_RANGE_LO, STR_RANGE_HI = "src1", "src5"
+
+
+def q_range_topk_str(sf_dir: str):
+    """String-range-filtered BM25 (docvalues.range_search with string
+    bounds): Lucene TermRangeQuery FILTER over the `source` sidecar column,
+    lexicographic binary collation — the filter applies inside each segment
+    BEFORE its top-k cut, never changing corpus stats."""
+    from splade_ray.docvalues import range_search
+
+    run = range_search(
+        _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        numeric_col="source", lo=STR_RANGE_LO, hi=STR_RANGE_HI,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_sort_multi(sf_dir: str):
+    """Multi-field sort (docvalues.sort_search with sort_keys): matching
+    docs ordered by (lang asc, n_chars desc, doc_id asc) — Lucene
+    multi-field Sort with SortField.STRING + LONG."""
+    from splade_ray.docvalues import sort_search
+
+    out = sort_search(
+        _dv2_index(sf_dir), BM25_QUERIES,
+        sort_keys=[("lang", False), ("n_chars", True)], top_k=TOP_K,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
 def q_synonym_topk(sf_dir: str):
     """SynonymQuery retrieval (splade_ray.synonyms): each query term's
     synonym group scored as ONE term — summed tf saturated once, idf from
@@ -3147,7 +3199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_topk": q_explain,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
+        "range_topk_str": q_range_topk_str,
         "sort_by_field": q_sort_by_field,
+        "sort_multi": q_sort_multi,
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
         "match_stats": q_match_stats,
@@ -3809,6 +3863,35 @@ FROM (SELECT m.query_id, m.doc_id, d.n_chars,
 WHERE rank <= {TOP_K}"""
 
 
+def _range_topk_str_sql() -> str:
+    """String TermRangeQuery mirror: the shared bm25 `ranked` CTE restricted
+    to docs whose `source` lies in the lexicographic range (DuckDB default
+    binary collation = the engine's codepoint order), then re-ranked."""
+    return f"""{_bm25_cte()},
+f AS (SELECT r.query_id, r.doc_id, r.score
+      FROM ranked r JOIN documents d USING (doc_id)
+      WHERE d.source >= '{STR_RANGE_LO}' AND d.source <= '{STR_RANGE_HI}'),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _sort_multi_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT query_id, rank::BIGINT AS rank, doc_id, lang, n_chars::BIGINT AS n_chars
+FROM (SELECT m.query_id, m.doc_id, d.lang, d.n_chars,
+             row_number() OVER (PARTITION BY m.query_id
+                                ORDER BY d.lang ASC, d.n_chars DESC,
+                                         m.doc_id ASC) AS rank
+      FROM m JOIN documents d USING (doc_id))
+WHERE rank <= {TOP_K}"""
+
+
 def _match_counts_sql() -> str:
     qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
     return f"""
@@ -4013,7 +4096,9 @@ FROM documents""",
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "range_topk": _range_topk_sql(),
+        "range_topk_str": _range_topk_str_sql(),
         "sort_by_field": _sort_by_field_sql(),
+        "sort_multi": _sort_multi_sql(),
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
         "match_stats": _match_stats_sql(),

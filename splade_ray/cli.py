@@ -368,17 +368,36 @@ def cmd_dv(args) -> int:
         sort_search,
     )
 
+    def bound(x):
+        # numeric-looking bounds filter a numeric column, anything else is a
+        # lexicographic string bound (TermRangeQuery)
+        if x is None:
+            return None
+        try:
+            return float(x)
+        except ValueError:
+            return x
+
     queries = _load_queries(args.queries)
     if args.mode == "range":
         out = range_search(
             args.index, queries, BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
-            numeric_col=args.col, lo=args.lo, hi=args.hi,
+            numeric_col=args.col, lo=bound(args.lo), hi=bound(args.hi),
         )
     elif args.mode == "sort":
-        out = sort_search(
-            args.index, queries, sort_col=args.col,
-            descending=not args.ascending, top_k=args.top_k,
-        )
+        if args.sort_keys:
+            keys = []
+            for part in args.sort_keys.split(","):
+                col, _, direction = part.partition(":")
+                keys.append((col, direction.lower() != "asc"))
+            out = sort_search(
+                args.index, queries, sort_keys=keys, top_k=args.top_k,
+            )
+        else:
+            out = sort_search(
+                args.index, queries, sort_col=args.col,
+                descending=not args.ascending, top_k=args.top_k,
+            )
     elif args.mode == "count":
         out = match_counts(args.index, queries)
     elif args.mode == "stats":
@@ -1269,8 +1288,12 @@ def main(argv: list[str] | None = None) -> int:
                     default="range")
     dv.add_argument("--col", default="n_chars",
                     help="sidecar numeric column (build with extra_doc_cols)")
-    dv.add_argument("--lo", type=float, default=None)
-    dv.add_argument("--hi", type=float, default=None)
+    dv.add_argument("--lo", default=None,
+                    help="range lower bound (numeric, or string for a "
+                         "lexicographic TermRangeQuery)")
+    dv.add_argument("--hi", default=None, help="range upper bound")
+    dv.add_argument("--sort-keys", default=None,
+                    help="sort mode: multi-key spec col:asc|desc,col2:...")
     dv.add_argument("--interval", type=int, default=100)
     dv.add_argument("--ascending", action="store_true")
     dv.add_argument("--top-k", type=int, default=10)

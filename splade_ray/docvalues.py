@@ -95,8 +95,8 @@ def range_search(
     params: BM25Params | None = None,
     *,
     numeric_col: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    lo: float | str | None = None,
+    hi: float | str | None = None,
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
@@ -104,7 +104,9 @@ def range_search(
 ) -> pd.DataFrame:
     """BM25 (or QL) top-k restricted to live docs whose ``numeric_col`` lies
     in the inclusive range [lo, hi] — Lucene BooleanQuery(query MUST,
-    PointRangeQuery FILTER). A thin wrapper over
+    PointRangeQuery FILTER). String bounds over a string sidecar column give
+    the lexicographic TermRangeQuery (binary collation, matching DuckDB's
+    default string order). A thin wrapper over
     :func:`splade_ray.query.search` with ``range_filter`` — the mask is
     applied inside each segment's exact kernel before its top-k cut, and the
     same option works on the persistent Searcher / QueryRouter paths."""
@@ -126,23 +128,39 @@ def sort_search(
     index_dir: str,
     queries: list[tuple[int, str]],
     *,
-    sort_col: str,
+    sort_col: str | None = None,
     descending: bool = True,
+    sort_keys: list[tuple[str, bool]] | None = None,
     top_k: int = 10,
     query_lang: str | None = None,
-    after: dict[int, tuple[float, int]] | None = None,
+    after: dict[int, tuple] | None = None,
     concurrency=None,
 ) -> pd.DataFrame:
-    """Top-k live docs matching >=1 query term, ordered by the sidecar
-    numeric column instead of score (Lucene ``Sort.LONG`` over
-    NumericDocValues; tie -> doc_id asc). Returns
-    (query_id, rank, doc_id, sort_value).
+    """Top-k live docs matching >=1 query term, ordered by sidecar doc
+    columns instead of score (Lucene ``Sort`` over doc-values; final tie ->
+    doc_id asc).
+
+    Two call shapes:
+
+    - ``sort_col=<numeric col>`` (Lucene ``Sort.LONG``): returns
+      (query_id, rank, doc_id, sort_value).
+    - ``sort_keys=[(col, descending), ...]`` (Lucene multi-field ``Sort``,
+      ``SortField.STRING`` included): columns may be numeric or string
+      (string order = codepoint / binary collation, matching DuckDB's
+      default); returns (query_id, rank, doc_id, <col>...) with one value
+      column per sort key, named after the column.
 
     ``after`` paginates (Lucene searchAfter with sort fields): per query an
-    exclusive ``(sort_value, doc_id)`` cursor; the page holds the next
+    exclusive ``(*sort_values, doc_id)`` cursor; the page holds the next
     ``top_k`` rows strictly after it in the sort order, filtered INSIDE
     each segment before its cut — deep pages exact, ranks restart at 1."""
     from splade_ray.delete import load_tombstones
+
+    if (sort_col is None) == (sort_keys is None):
+        raise ValueError("pass exactly one of sort_col / sort_keys")
+    single = sort_keys is None
+    keys = [(sort_col, descending)] if single else list(sort_keys)
+    value_names = ["sort_value"] if single else [c for c, _ in keys]
 
     prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
     tomb = load_tombstones(index_dir)
@@ -153,7 +171,7 @@ def sort_search(
         {
             "query_id": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
-            "sort_value": pa.array([], pa.int64()),
+            **{n: pa.array([], pa.int64()) for n in value_names},
         }
     )
 
@@ -161,49 +179,71 @@ def sort_search(
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        vals = _numeric_column(seg_dir, sort_col)
-        out = {"query_id": [], "doc_id": [], "sort_value": []}
+        if single:
+            colvals = {sort_col: _numeric_column(seg_dir, sort_col)}
+        else:
+            colvals = {c: seg.doc_values(c) for c, _ in keys}
+        out = {"query_id": [], "doc_id": []}
+        out.update({n: [] for n in value_names})
         for qid, terms in prep["queries"].items():
             cand = np.flatnonzero(_matched_mask(seg, terms))
             cur = (after or {}).get(qid)
             if cur is not None:
-                # exclusive cursor, applied BEFORE the per-segment cut
-                v0, d0 = cur
-                cv, cd = vals[cand], seg.doc_ids[cand]
-                keep = (
-                    (cv < v0) if descending else (cv > v0)
-                ) | ((cv == v0) & (cd > d0))
+                # exclusive cursor, applied BEFORE the per-segment cut:
+                # strictly-after = lexicographic tuple comparison over the
+                # sort keys, final tie broken by doc_id asc
+                *v0s, d0 = cur
+                if len(v0s) != len(keys):
+                    raise ValueError(
+                        f"after cursor for query {qid} has {len(v0s)} sort "
+                        f"values, expected {len(keys)}"
+                    )
+                cd = seg.doc_ids[cand]
+                keep = np.zeros(cand.size, bool)
+                eq = np.ones(cand.size, bool)
+                for (c, desc), v0 in zip(keys, v0s):
+                    cv = colvals[c][cand]
+                    keep |= eq & ((cv < v0) if desc else (cv > v0))
+                    eq &= cv == v0
+                keep |= eq & (cd > d0)
                 cand = cand[keep]
             if cand.size == 0:
                 continue
-            key = vals[cand]
-            order = np.lexsort((seg.doc_ids[cand], -key if descending else key))
+            # per-key codes via np.unique: one uniform, vectorized ordering
+            # for numeric AND string keys (descending = negated codes)
+            sortkeys = []
+            for c, desc in keys:
+                _, codes = np.unique(colvals[c][cand], return_inverse=True)
+                sortkeys.append(-codes if desc else codes)
+            order = np.lexsort((seg.doc_ids[cand], *reversed(sortkeys)))
             take = cand[order[:top_k]]  # per-segment cut: only k rows leave
             out["query_id"].extend([qid] * take.size)
             out["doc_id"].extend(seg.doc_ids[take].tolist())
-            out["sort_value"].extend(vals[take].tolist())
+            for (c, _), n in zip(keys, value_names):
+                out[n].extend(colvals[c][take].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], pa.int64()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "sort_value": pa.array(np.asarray(out["sort_value"])),
+                **{n: pa.array(np.asarray(out[n])) if out[n]
+                   else pa.array([], empty[n].type) for n in value_names},
             }
         )
 
+    out_columns = ["query_id", "rank", "doc_id", *value_names]
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
     if pdf.empty:
-        return pd.DataFrame(columns=SORT_COLUMNS).astype(
-            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
-             "sort_value": np.int64}
-        )
+        out = pd.DataFrame(columns=out_columns)
+        return out.astype({"query_id": np.int64, "rank": np.int32,
+                           "doc_id": np.int64})
     pdf = pdf.sort_values(
-        ["query_id", "sort_value", "doc_id"],
-        ascending=[True, not descending, True],
+        ["query_id", *value_names, "doc_id"],
+        ascending=[True, *[not d for _, d in keys], True],
         kind="mergesort",
     )
     pdf["rank"] = pdf.groupby("query_id").cumcount().add(1).astype(np.int32)
     pdf = pdf[pdf["rank"] <= top_k]
-    return pdf.reset_index(drop=True)[SORT_COLUMNS]
+    return pdf.reset_index(drop=True)[out_columns]
 
 
 def match_counts(

@@ -153,24 +153,47 @@ class SegmentIndex:
     def numeric_values(self, col: str) -> np.ndarray:
         """Sidecar numeric doc column aligned to doc_ids (cached — loaded
         once per segment per actor, like decoded postings)."""
+        got = self.doc_values(col)
+        if not np.issubdtype(got.dtype, np.number):
+            raise TypeError(f"doc column {col!r} is not numeric ({got.dtype})")
+        return got
+
+    def doc_values(self, col: str) -> np.ndarray:
+        """Sidecar doc column of any dtype aligned to doc_ids (cached).
+        String columns come back as numpy ``<U`` arrays so comparisons and
+        sorts are vectorized with codepoint (binary-collation) ordering —
+        the same total order as Python ``str`` and DuckDB's default."""
         got = self._numcols.get(col)
         if got is None:
             got = pq.read_table(
                 os.path.join(self.seg_dir, "doclens.parquet"), columns=[col]
             )[col].to_numpy(zero_copy_only=False)
-            if not np.issubdtype(got.dtype, np.number):
-                raise TypeError(f"doc column {col!r} is not numeric ({got.dtype})")
+            if got.dtype == object:
+                got = got.astype(str)
             self._numcols[col] = got
         return got
 
     def range_keep_mask(self, prepared: dict) -> np.ndarray | None:
         """Boolean keep-mask for the prepared dict's ``range_filter``
-        ``(col, lo, hi)`` (inclusive; None = unbounded), or None."""
+        ``(col, lo, hi)`` (inclusive; None = unbounded), or None. Numeric
+        bounds filter a numeric sidecar column (Lucene PointRangeQuery);
+        string bounds filter a string column lexicographically (Lucene
+        TermRangeQuery, binary collation)."""
         rf = prepared.get("range_filter")
         if rf is None:
             return None
         col, lo, hi = rf
-        vals = self.numeric_values(col)
+        if lo is None and hi is None:
+            return None  # unbounded range = no filter, any column dtype
+        if isinstance(lo, str) or isinstance(hi, str):
+            vals = self.doc_values(col)
+            if vals.dtype.kind != "U":
+                raise TypeError(
+                    f"string range bounds need a string doc column; "
+                    f"{col!r} is {vals.dtype}"
+                )
+        else:
+            vals = self.numeric_values(col)
         keep = np.ones(vals.size, bool)
         if lo is not None:
             keep &= vals >= lo

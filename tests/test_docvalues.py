@@ -38,6 +38,7 @@ def built(ray_session, tmp_path):
                 "doc_id": pa.array(np.arange(N, dtype=np.int64)),
                 "content": t["content"],
                 "n_bytes": pa.array(sizes),
+                "cat": pa.array(_cats(), pa.string()),
             }
         ),
         corpus,
@@ -45,9 +46,14 @@ def built(ray_session, tmp_path):
     index_dir = str(tmp_path / "index")
     build_index(
         corpus, index_dir, text_col="content", id_col="doc_id",
-        rows_per_segment=35, extra_doc_cols=("n_bytes",),
+        rows_per_segment=35, extra_doc_cols=("n_bytes", "cat"),
     )
     return index_dir, texts, sizes
+
+
+def _cats() -> list[str]:
+    """Deterministic string sidecar column (5 categories)."""
+    return [f"s{i % 5}" for i in range(N)]
 
 
 QUERIES = [(1, "def parse merge"), (2, "return x1 += 1"), (3, "zzz_nosuchterm")]
@@ -294,6 +300,80 @@ def test_sort_search_after_pages_tile(built):
     tiled = pd.concat(pages, ignore_index=True)
     assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
     assert tiled["sort_value"].tolist() == full["sort_value"].tolist()
+
+
+def test_string_range_filter_matches_postfilter(built):
+    """TermRangeQuery analog: string bounds on a string sidecar column
+    filter lexicographically, identical to a post-filter of the unfiltered
+    run (the filter never changes corpus stats)."""
+    index_dir, texts, _ = built
+    cats = np.array(_cats())
+    p = BM25Params(top_k=N)
+    full = range_search(index_dir, QUERIES[:2], p, numeric_col="cat")
+    lo, hi = "s1", "s3"
+    got = range_search(index_dir, QUERIES[:2], p, numeric_col="cat", lo=lo, hi=hi)
+    keep = full[full["doc_id"].map(lambda d: lo <= cats[d] <= hi)].copy()
+    keep["rank"] = (
+        keep.groupby("query_id").cumcount().add(1).to_numpy(np.int32)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), keep.reset_index(drop=True), check_dtype=False
+    )
+    assert 0 < len(got) < len(full)
+
+    # string bounds on a numeric column must raise, not silently compare
+    with pytest.raises((TypeError, Exception)):
+        range_search(index_dir, QUERIES[:1], p, numeric_col="n_bytes", lo="s1")
+
+
+def test_multi_sort_search_matches_bruteforce(built):
+    """Multi-field Sort (string asc, numeric desc, doc_id asc tie)."""
+    index_dir, texts, sizes = built
+    cats = np.array(_cats())
+    oi = OracleIndex(list(range(N)), texts)
+    got = sort_search(
+        index_dir, QUERIES, sort_keys=[("cat", False), ("n_bytes", True)],
+        top_k=9,
+    )
+    rows = []
+    for qid, text in QUERIES:
+        cand = np.flatnonzero(_matched(oi, text))
+        df = pd.DataFrame(
+            {"doc_id": cand, "cat": cats[cand], "n_bytes": sizes[cand]}
+        ).sort_values(
+            ["cat", "n_bytes", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        for r, t in enumerate(df.head(9).itertuples()):
+            rows.append((qid, r + 1, int(t.doc_id), t.cat, int(t.n_bytes)))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "cat", "n_bytes"]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_multi_sort_after_pages_tile(built):
+    index_dir, texts, _ = built
+    qid, text = QUERIES[0]
+    keys = [("cat", False), ("n_bytes", True)]
+    full = sort_search(index_dir, [(qid, text)], sort_keys=keys, top_k=10_000)
+    pages, cur = [], None
+    while True:
+        page = sort_search(
+            index_dir, [(qid, text)], sort_keys=keys, top_k=4,
+            after={qid: cur} if cur else None,
+        )
+        if page.empty:
+            break
+        assert page["rank"].tolist() == list(range(1, len(page) + 1))
+        pages.append(page)
+        last = page.iloc[-1]
+        cur = (str(last["cat"]), int(last["n_bytes"]), int(last["doc_id"]))
+        if len(page) < 4:
+            break
+    tiled = pd.concat(pages, ignore_index=True)
+    assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
+    assert tiled["cat"].tolist() == full["cat"].tolist()
 
 
 def test_boolean_search_range_filter(built):
