@@ -712,6 +712,8 @@ def dsir_select(
     *,
     seed: int = 0,
     id_col: str = "doc_id",
+    merge: str = "driver",
+    fan_in: int = 32,
 ) -> "pd.DataFrame":
     """Gumbel top-k resampling over the weights table: key =
     log_weight + Gumbel(h(id)) with the Gumbel variate a PURE FUNCTION of
@@ -719,7 +721,14 @@ def dsir_select(
     multiplicative hash; g = -ln(-ln u)) — deterministic, partitioning- and
     rerun-invariant, and exactly SQL-mirrorable. Per-batch local top-k
     bounds the driver merge to k rows per block (the bottomk_sample shape).
-    Ties break (key desc, doc_id asc)."""
+    Ties break (key desc, doc_id asc).
+
+    ``merge="driver"`` (default) concatenates the k-per-block candidates on
+    the driver — fine up to k x blocks rows. ``merge="tree"`` is the
+    billion-doc path: candidates repartition into ``fan_in`` blocks, each
+    re-pruned to its top-k, then one final task merges fan_in x k rows — the
+    driver only ever receives the final k rows. Top-k selection is
+    idempotent under re-pruning, so both modes return identical frames."""
     import pandas as pd
 
     from splade_ray.ops.sample import BUCKETS, _buckets
@@ -746,7 +755,29 @@ def dsir_select(
             }
         )
 
-    pdf = weights.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = weights.map_batches(local_topk, batch_format="pyarrow")
+    if merge == "tree":
+        # the re-prune keys off the already-computed `key` column so the
+        # Gumbel variates are never recomputed from a differently-typed id
+        def reprune(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            key = batch["key"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -key))[:k]
+            return batch.take(pa.array(np.sort(order)))
+
+        # batch_size=None = whole block per batch, so each level emits
+        # EXACTLY top-k per block and the final task sees fan_in x k rows
+        cand = (
+            cand.repartition(fan_in)
+            .map_batches(reprune, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(reprune, batch_format="pyarrow", batch_size=None)
+        )
+    elif merge != "driver":
+        raise ValueError(f"merge must be 'driver' or 'tree', got {merge!r}")
+    pdf = cand.to_pandas()
     if pdf.empty:
         return pd.DataFrame(
             {

@@ -342,3 +342,30 @@ def test_dsir_counts_weights_select_match_bruteforce(ray_session):
     assert sel["doc_id"].tolist() == want_ids.tolist()
     sel2 = dsir_select(weights.repartition(5), 3, seed=7)
     assert sel2["doc_id"].tolist() == sel["doc_id"].tolist()
+
+
+def test_dsir_select_tree_merge_matches_driver(ray_session):
+    """merge='tree' (the billion-doc scale path: fan-in re-prune, driver
+    receives only the final k rows) returns the identical frame as the
+    driver merge, across partitionings and fan-ins."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.curation import dsir_select
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    logw = rng.normal(size=n)
+    weights = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids),
+                  "log_weight": pa.array(logw, pa.float64())})
+    ).repartition(17)
+    base = dsir_select(weights, 40, seed=3)
+    for fan_in in (2, 8):
+        tree = dsir_select(weights, 40, seed=3, merge="tree", fan_in=fan_in)
+        pd.testing.assert_frame_equal(tree, base)
+    with pytest.raises(ValueError):
+        dsir_select(weights, 40, merge="bogus")
