@@ -1621,6 +1621,53 @@ def q_dsir_select(sf_dir: str):
     return sel[["rank", "doc_id"]]
 
 
+LM_NB = 512  # hashed bigram-LM bucket count (mirror hardcodes n=2)
+
+
+def _lm_fit(sf_dir: str) -> dict:
+    from splade_ray.ops.curation import ngram_lm_fit
+
+    return ngram_lm_fit(
+        _docs(sf_dir, ["doc_id", "text"]), n=2, n_buckets=LM_NB
+    )
+
+
+def q_lm_counts(sf_dir: str):
+    """Hashed add-alpha bigram LM fit (ops/curation.ngram_lm_fit, the CCNet
+    quality-LM recipe with KenLM replaced by hashed counts): nonzero
+    (k, bucket, cnt) rows of the gram (k=2) and context (k=1) count
+    vectors — all-integer, one streaming pass, bucket-sized shuffle."""
+    fit = _lm_fit(sf_dir)
+    rows = []
+    for k, vec in ((2, fit["gram"]), (1, fit["ctx"])):
+        nz = np.flatnonzero(vec)
+        rows.append(pd.DataFrame({
+            "k": np.full(nz.size, k, np.int64),
+            "bucket": nz.astype(np.int64),
+            "cnt": vec[nz].astype(np.int64),
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+def q_lm_ppl(sf_dir: str):
+    """Per-doc perplexity under the self-fit hashed bigram LM
+    (ops/curation.ngram_lm_scores): logprob = sum of
+    ln((c(bigram)+1)/(c(unigram ctx)+NB)) over full-context positions,
+    ppl = exp(-logprob/n_scored); docs shorter than 2 tokens emit the
+    (0, 0, 0) sentinel. Fit vectors broadcast once; scoring is a pure
+    streaming scan."""
+    from splade_ray.ops.curation import ngram_lm_scores
+
+    fit = _lm_fit(sf_dir)
+    got = (
+        ngram_lm_scores(_docs(sf_dir, ["doc_id", "text"]), fit, alpha=1.0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got["logprob_r"] = _round4(got["logprob"].to_numpy())
+    got["ppl_r"] = _round4(got["ppl"].to_numpy())
+    return got[["doc_id", "n_scored", "logprob_r", "ppl_r"]]
+
+
 def q_phrase_topk(sf_dir: str):
     """BM25-ranked phrase retrieval (positions.phrase_topk): phrase df from
     a phrase-sized groupby, vectorized scoring over matches, per-phrase
@@ -3229,6 +3276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_counts": q_dsir_counts,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "lm_counts": q_lm_counts,
+        "lm_ppl": q_lm_ppl,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "redact_docs": q_redact,
@@ -4063,6 +4112,53 @@ r AS (SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
 SELECT rank::BIGINT AS rank, doc_id FROM r WHERE rank <= {DSIR_K}"""
 
 
+def _lm_cte() -> str:
+    """CTEs for the hashed bigram LM mirror: per-doc token-hash lists,
+    bigram instances with their context (first-token) bucket, and the
+    gram/context bucket count tables — the dsir fold idiom (sha256-prefix
+    token hash, FNV HUGEINT fold)."""
+    th = _HASH64_SQL.format(t="t")
+    p, m64 = 1099511628211, 1 << 64
+    return f"""
+hs0 AS (SELECT doc_id, list_transform(
+          regexp_extract_all(lower(text), '{TOKEN_SQL}'), t -> {th}) AS h
+        FROM documents),
+uni AS (SELECT doc_id, unnest(h) AS gh FROM hs0),
+bi_i AS (SELECT doc_id, h, unnest(generate_series(1, greatest(len(h)-1, 0))) AS i FROM hs0),
+bi AS (SELECT doc_id,
+              (((h[i] * {p}) % {m64}) + h[i+1]) % {m64} AS gh,
+              h[i] % {LM_NB} AS cb
+       FROM bi_i),
+gramc AS (SELECT (gh % {LM_NB})::BIGINT AS bucket, count(*)::BIGINT AS cnt
+          FROM bi GROUP BY 1),
+ctxc AS (SELECT (gh % {LM_NB})::BIGINT AS bucket, count(*)::BIGINT AS cnt
+         FROM uni GROUP BY 1)"""
+
+
+def _lm_counts_sql() -> str:
+    return f"""
+WITH {_lm_cte()}
+SELECT 2::BIGINT AS k, bucket, cnt FROM gramc
+UNION ALL
+SELECT 1::BIGINT AS k, bucket, cnt FROM ctxc"""
+
+
+def _lm_ppl_sql() -> str:
+    return f"""
+WITH {_lm_cte()},
+s AS (SELECT b.doc_id,
+             ln(g.cnt + 1.0) - ln(c.cnt + {LM_NB}.0) AS lp
+      FROM bi b
+      JOIN gramc g ON (b.gh % {LM_NB})::BIGINT = g.bucket
+      JOIN ctxc c ON b.cb::BIGINT = c.bucket),
+w AS (SELECT doc_id, count(*)::BIGINT AS n_scored, sum(lp) AS logprob
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id, coalesce(w.n_scored, 0)::BIGINT AS n_scored,
+       {_round4_sql('coalesce(w.logprob, 0.0)')} AS logprob_r,
+       {_round4_sql('CASE WHEN w.n_scored > 0 THEN exp(-w.logprob / w.n_scored) ELSE 0.0 END')} AS ppl_r
+FROM documents d LEFT JOIN w USING (doc_id)"""
+
+
 def _oracle_sql_base() -> dict[str, str]:
     bm25 = _bm25_sql()
     return {
@@ -4083,6 +4179,8 @@ FROM documents""",
         "dsir_counts": _dsir_counts_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "dsir_select": _dsir_select_sql(),
+        "lm_counts": _lm_counts_sql(),
+        "lm_ppl": _lm_ppl_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),

@@ -385,6 +385,7 @@ def build_index(
     if os.path.exists(lex_dir):
         shutil.rmtree(lex_dir)
     os.rename(tmp_lex, lex_dir)
+    _write_lexicon_meta(index_dir, [s["seg_id"] for s in specs])
 
     # Collect per-segment manifests in the deterministic global segment
     # order. The result is manifest-sized either way (it becomes the global
@@ -427,6 +428,7 @@ def build_index(
         "lang_col": lang_col,
         "analyzer": analyzer,
         "id_col": id_col,
+        "extra_doc_cols": list(extra_doc_cols),
         "n_docs": n_docs,
         "n_postings": int(manifests["n_postings"].sum()),
         "sum_doc_len": sum_dl,
@@ -445,6 +447,235 @@ def build_index(
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         return json.load(fh)
+
+
+def _lexicon_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "lexicon_meta.json")
+
+
+def _write_lexicon_meta(index_dir: str, segments) -> None:
+    """Record which segments the lexicon on disk was aggregated from — the
+    idempotence guard for incremental appends (a crashed append that already
+    merged the lexicon must not merge the same stats twice on re-run)."""
+    tmp = _lexicon_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"segments": sorted(int(s) for s in segments)}, fh)
+    os.replace(tmp, _lexicon_meta_path(index_dir))
+
+
+def _read_lexicon_meta(index_dir: str) -> list[int] | None:
+    p = _lexicon_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return [int(s) for s in json.load(fh)["segments"]]
+
+
+def _max_doc_id(index_dir: str) -> int:
+    """Largest doc id on disk (-1 when empty), from Parquet footer
+    statistics only — no data pages read; falls back to a column read for
+    files written without stats."""
+    mx = -1
+    for s in segment_dirs(index_dir):
+        path = os.path.join(s, "doclens.parquet")
+        pf = pq.ParquetFile(path)
+        idx = pf.schema_arrow.get_field_index("doc_id")
+        seg_max = None
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(idx).statistics
+            if st is None or not st.has_min_max:
+                seg_max = None
+                break
+            seg_max = max(seg_max or -1, int(st.max))
+        if seg_max is None:
+            arr = pq.read_table(path, columns=["doc_id"])["doc_id"]
+            seg_max = int(pa.compute.max(arr).as_py()) if len(arr) else -1
+        mx = max(mx, seg_max)
+    return mx
+
+
+def append_index(
+    index_dir: str,
+    corpus_paths: str | list[str],
+    *,
+    rows_per_segment: int = 50_000,
+    extra_doc_cols: tuple[str, ...] | None = None,
+    concurrency: int | None = None,
+) -> dict:
+    """Append new documents to an existing index as NEW segments — the
+    Lucene ``addDocuments`` / incremental-indexing surface (the reference
+    can only rebuild from scratch, ``splade/index.py:14-35``).
+
+    Build config (text_col, id_col, analyzer, block_size, extra doc cols)
+    comes from the index's own manifest, so appended segments are
+    byte-compatible with the originals. Dense builds (``id_col=None``)
+    continue doc ids after the largest id on disk (footer statistics only);
+    external-id builds take ids from the id column — uniqueness vs the
+    existing corpus is the caller's contract, as with app-assigned Lucene
+    ids.
+
+    The lexicon is merged INCREMENTALLY: only the new segments' (term, df,
+    cf) partials stream into a groupby union with the existing lexicon —
+    O(new data + vocab), never a re-read of old segments. A
+    ``lexicon_meta.json`` guard records the segment set each lexicon
+    aggregated, so a crashed append re-runs to the identical state (skip-
+    valid segments rebuild for free, an already-merged lexicon is not
+    merged twice); an unrecognized meta (e.g. legacy index mid-maintenance)
+    falls back to a full rebuild from every segment.
+
+    Global stats (n_docs, avgdl) are restated, so all derived layers are
+    marked pending (quantized impacts bake the stats in; positions/trigram
+    builders resume per segment and only the new segments pay I/O on
+    ``maintain --rederive``). Tombstones are untouched.
+    """
+    man = load_manifest(index_dir)
+    text_col, id_col = man["text_col"], man["id_col"]
+    lang_col, analyzer = man.get("lang_col"), man.get("analyzer")
+    block_size = man["block_size"]
+    if extra_doc_cols is None:
+        extra_doc_cols = tuple(man.get("extra_doc_cols") or ())
+    if isinstance(corpus_paths, str):
+        p = corpus_paths
+        corpus_paths = (
+            sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+    old_segs = [int(s) for s in man["segments"]]
+    seg_base = (max(old_segs) + 1) if old_segs else 0
+    doc_base = (_max_doc_id(index_dir) + 1) if id_col is None else 0
+
+    t0 = time.monotonic()
+    specs = plan_segments(corpus_paths, rows_per_segment)
+
+    # source slices already in the index (by exact lineage triple) are
+    # skipped, so re-running a COMPLETED append is a no-op rather than a
+    # duplicate add — the retry contract a driver-managed pipeline needs
+    existing_slices = set()
+    for sid in old_segs:
+        with open(os.path.join(_seg_dir(index_dir, sid), "manifest.json")) as fh:
+            m = json.load(fh)
+        for src in m.get("sources") or [
+            {k: m[k] for k in ("path", "row_start", "num_rows")}
+        ]:
+            existing_slices.add(
+                (src["path"], int(src["row_start"]), int(src["num_rows"]))
+            )
+    specs = [
+        sp for sp in specs
+        if (sp["path"], sp["row_start"], sp["num_rows"]) not in existing_slices
+    ]
+    running = doc_base
+    for i, sp in enumerate(specs):
+        sp["seg_id"] = seg_base + i
+        if id_col is None:
+            sp["doc_id_start"] = running
+        running += sp["num_rows"]
+    if not specs:
+        return {**man, "n_segments_skipped": 0, "n_new_segments": 0}
+    build_run = uuid.uuid4().hex
+
+    stats_ds = rd.from_items(specs, override_num_blocks=len(specs)).map_batches(
+        build_segments_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs=dict(
+            index_dir=index_dir,
+            text_col=text_col,
+            id_col=id_col,
+            block_size=block_size,
+            extra_doc_cols=extra_doc_cols,
+            lang_col=lang_col,
+            analyzer=analyzer,
+            build_run=build_run,
+            emit_term_stats=True,
+        ),
+        concurrency=concurrency,
+    ).select_columns(["term", "df", "cf"])
+
+    new_ids = [sp["seg_id"] for sp in specs]
+    target = sorted(old_segs + new_ids)
+    meta = _read_lexicon_meta(index_dir)
+    lex_dir = os.path.join(index_dir, "lexicon")
+    if meta == target:
+        # crash recovery: lexicon already covers the appended segments;
+        # drive the pipeline anyway so missing segment dirs (a crash mid-
+        # build) are completed — valid ones skip
+        stats_ds.count()
+    else:
+        if meta is None or meta == sorted(old_segs):
+            # every completed index state has lexicon == manifest segments,
+            # so the incremental merge is sound; meta==None is a legacy
+            # index in a completed state
+            merged = stats_ds.union(
+                rd.read_parquet(lex_dir).select_columns(["term", "df", "cf"])
+            )
+        else:
+            # unknown coverage (interrupted maintenance op): full rebuild
+            def project(batch: pa.Table) -> pa.Table:
+                out = [
+                    pq.read_table(
+                        os.path.join(s, "postings.parquet"),
+                        columns=["term", "df", "cf"],
+                    )
+                    for s in batch["seg_dir"].to_pylist()
+                ]
+                return pa.concat_tables(out)
+
+            stats_ds.count()  # ensure new segments exist before re-reading
+            all_dirs = [_seg_dir(index_dir, s) for s in target]
+            merged = rd.from_items(
+                [{"seg_dir": s} for s in all_dirs],
+                override_num_blocks=len(all_dirs),
+            ).map_batches(project, batch_format="pyarrow", batch_size=1,
+                          concurrency=concurrency)
+        lex = merged.groupby(
+            "term", num_partitions=max(1, len(target) // 16)
+        ).aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        tmp_lex = os.path.join(index_dir, f".tmp-lexicon-{uuid.uuid4().hex[:8]}")
+        lex.write_parquet(tmp_lex)
+        if os.path.exists(lex_dir):
+            shutil.rmtree(lex_dir)
+        os.rename(tmp_lex, lex_dir)
+        _write_lexicon_meta(index_dir, target)
+
+    new_manifests = []
+    for sp in specs:
+        with open(os.path.join(_seg_dir(index_dir, sp["seg_id"]), "manifest.json")) as fh:
+            m = json.load(fh)
+        m.setdefault("build_run", None)
+        new_manifests.append(m)
+    n_new_docs = sum(m["n_docs"] for m in new_manifests)
+    n_docs = man["n_docs"] + n_new_docs
+    sum_dl = man["sum_doc_len"] + sum(m["sum_doc_len"] for m in new_manifests)
+
+    # stats change invalidates derived layers BEFORE the manifest flips —
+    # a crash between the two leaves pending layers over the old manifest,
+    # which a rederive restores harmlessly
+    from splade_ray.delete import _invalidate_layers
+
+    _invalidate_layers(index_dir)
+
+    global_manifest = {
+        **man,
+        "n_docs": n_docs,
+        "n_postings": man["n_postings"] + sum(m["n_postings"] for m in new_manifests),
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 1.0,
+        "n_segments": len(old_segs) + len(new_ids),
+        "segments": old_segs + new_ids,
+        "n_new_segments": len(new_ids),
+        "n_segments_skipped": sum(
+            1 for m in new_manifests if m["build_run"] != build_run
+        ),
+        "build_secs": time.monotonic() - t0,
+        "docs_per_sec": n_new_docs / max(time.monotonic() - t0, 1e-9),
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(global_manifest, fh, indent=1)
+    return global_manifest
 
 
 def segment_dirs(index_dir: str) -> list[str]:

@@ -53,6 +53,21 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    _ensure_ray()
+    from splade_ray.build import append_index
+
+    manifest = append_index(
+        args.index,
+        args.corpus,
+        rows_per_segment=args.rows_per_segment,
+    )
+    print(json.dumps({k: manifest[k] for k in (
+        "n_docs", "n_postings", "n_segments", "n_segments_skipped", "build_secs"
+    )}))
+    return 0
+
+
 def _load_queries(path: str) -> list[tuple[int, str]]:
     out = []
     with open(path) as fh:
@@ -881,7 +896,7 @@ def cmd_curate(args) -> int:
 
     from splade_ray.io import read_parquet_clean
 
-    known = ["quality", "dedup", "dupspans", "decontam", "dsir", "redact", "pack"]
+    known = ["quality", "dedup", "dupspans", "decontam", "dsir", "ppl", "redact", "pack"]
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(known)
     if unknown:
@@ -990,6 +1005,21 @@ def cmd_curate(args) -> int:
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
+    def stage_ppl(ds):
+        """CCNet-style LM quality filter (Wenzek et al. 2020): fit a hashed
+        add-alpha bigram LM on the --ppl-target reference corpus, keep docs
+        whose perplexity under it is <= --ppl-max (unscored docs — shorter
+        than the gram order — are kept; they carry no signal)."""
+        from splade_ray.ops.curation import ngram_lm_fit, ppl_filter
+
+        if not args.ppl_target:
+            raise SystemExit("--ppl-target is required for the ppl stage")
+        ref = read_parquet_clean(args.ppl_target)
+        fit = ngram_lm_fit(ref, n=2, n_buckets=args.ppl_buckets,
+                           text_col=text_col)
+        return ppl_filter(ds, fit, max_ppl=args.ppl_max,
+                          text_col=text_col, id_col=id_col)
+
     def stage_redact(ds):
         from splade_ray.ops.curation import redact_batch
 
@@ -1029,6 +1059,7 @@ def cmd_curate(args) -> int:
         "dupspans": stage_dupspans,
         "decontam": stage_decontam,
         "dsir": stage_dsir,
+        "ppl": stage_ppl,
         "redact": stage_redact,
         "pack": stage_pack,
     }
@@ -1118,6 +1149,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated doc columns carried in the doclens "
                         "sidecar (facets/collapse/doc-values)")
     b.set_defaults(fn=cmd_build)
+
+    ap = sub.add_parser(
+        "append",
+        help="append new docs to an existing index as new segments "
+             "(incremental indexing; config from the index manifest)",
+    )
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--corpus", required=True, help="parquet file/dir of NEW docs")
+    ap.add_argument("--rows-per-segment", type=int, default=50_000)
+    ap.set_defaults(fn=cmd_append)
 
     q = sub.add_parser("query", help="BM25 top-k retrieval")
     q.add_argument("--index", required=True)
@@ -1469,6 +1510,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--dsir-keep", type=int, default=1000,
                     help="dsir: docs kept by Gumbel top-k")
     cu.add_argument("--dsir-buckets", type=int, default=65536)
+    cu.add_argument("--ppl-target", default=None,
+                    help="parquet dir of reference docs (ppl stage LM fit)")
+    cu.add_argument("--ppl-max", type=float, default=1e6,
+                    help="ppl stage: keep docs with perplexity <= this")
+    cu.add_argument("--ppl-buckets", type=int, default=65536)
     cu.add_argument("--seed", type=int, default=0,
                     help="dsir: Gumbel hash seed (deterministic)")
     cu.set_defaults(fn=cmd_curate)

@@ -279,6 +279,12 @@ def _finalize_compaction(index_dir: str, journal: dict) -> dict:
         manifest["compactions"] += 1
         with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=1)
+    # a pure merge leaves the lexicon's CONTENT valid (df/cf totals are
+    # unchanged), only its segment coverage moved — restate the meta so a
+    # later append can still merge incrementally
+    from splade_ray.build import _write_lexicon_meta
+
+    _write_lexicon_meta(index_dir, kept)
     # EVERY derived layer (quantized/positions/trigrams) is stale after a
     # merge: merged dirs are staged fresh without layer files, so a layer
     # manifest claiming completeness would crash queries on the missing

@@ -250,6 +250,9 @@ def purge_deletes(index_dir: str, *, concurrency: int | None = None) -> dict:
     if os.path.exists(lex_dir):
         shutil.rmtree(lex_dir)
     os.rename(tmp_lex, lex_dir)
+    from splade_ray.build import _write_lexicon_meta
+
+    _write_lexicon_meta(index_dir, man["segments"])
 
     manifests = []
     for s in segs:
@@ -308,6 +311,9 @@ def rebuild_lexicon_and_stats(index_dir: str, *, concurrency: int | None = None)
     if os.path.exists(lex_dir):
         shutil.rmtree(lex_dir)
     os.rename(tmp_lex, lex_dir)
+    from splade_ray.build import _write_lexicon_meta
+
+    _write_lexicon_meta(index_dir, man["segments"])
 
     manifests = []
     for s in segs:

@@ -706,6 +706,241 @@ def dsir_importance(
     )
 
 
+def ngram_lm_fit(
+    ref_docs,
+    *,
+    n: int = 2,
+    n_buckets: int = 65536,
+    text_col: str = "text",
+) -> dict:
+    """Fit a hashed add-alpha n-gram language model over a reference corpus
+    — the CCNet quality-LM recipe (Wenzek et al. 2020: score documents by
+    the perplexity of an LM trained on a trusted reference; their KenLM is
+    replaced here by a hashed add-alpha model so the whole fit is two
+    integer count vectors with an exact SQL mirror).
+
+    Counts use the DSIR feature machinery: token hash = sha256 prefix paid
+    once per UNIQUE token, k-gram hash = vectorized FNV rolling fold
+    (HUGEINT-mirrorable). ``gram`` counts every n-gram occurrence, ``ctx``
+    every (n-1)-gram occurrence (for n=1 the context is the scalar token
+    total). ONE streaming pass: batch-local bincount partials, one
+    (order, bucket) groupby — the shuffle carries <= 2 x n_buckets x blocks
+    24-byte rows, never grams.
+
+    Returns ``{"n", "n_buckets", "gram": int64[nb], "ctx": int64[nb] | int}``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from splade_ray.ops.dedup import _flat_token_hashes
+
+    nb = np.uint64(n_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "order": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        hs, par, _ = _flat_token_hashes(batch[text_col])
+        orders, buckets, cnts = [], [], []
+
+        def add(order: int, codes: np.ndarray) -> None:
+            c = np.bincount(codes, minlength=n_buckets)
+            z = np.flatnonzero(c)
+            orders.append(np.full(z.size, order, np.int64))
+            buckets.append(z.astype(np.int64))
+            cnts.append(c[z].astype(np.int64))
+
+        g, _, _ = _gram_hash_positions(hs, par, n)
+        if g.size:
+            add(n, (g % nb).astype(np.int64))
+        if n > 1:
+            c, _, _ = _gram_hash_positions(hs, par, n - 1)
+            if c.size:
+                add(n - 1, (c % nb).astype(np.int64))
+        elif hs.size:
+            # n=1: the "context" is the corpus token total
+            orders.append(np.zeros(1, np.int64))
+            buckets.append(np.zeros(1, np.int64))
+            cnts.append(np.array([hs.size], np.int64))
+        if not orders:
+            return empty
+        return pa.table(
+            {
+                "order": pa.array(np.concatenate(orders)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    pdf = (
+        ref_docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["order", "bucket"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    gram = np.zeros(n_buckets, np.int64)
+    ctx: np.ndarray | int
+    if n > 1:
+        ctx = np.zeros(n_buckets, np.int64)
+    else:
+        ctx = 0
+    for order, bucket, cnt in zip(pdf["order"], pdf["bucket"], pdf["sum(cnt)"]):
+        if order == n:
+            gram[bucket] = cnt
+        elif n > 1:
+            ctx[bucket] = cnt
+        else:
+            ctx = int(cnt)
+    return {"n": n, "n_buckets": n_buckets, "gram": gram, "ctx": ctx}
+
+
+class _NgramLMScoreStage:
+    """Actor-pool scoring stage: the fit vectors are ray.put once and read
+    per actor, docs stream through — zero shuffle."""
+
+    def __init__(self, fit_ref, *, alpha: float, text_col: str, id_col: str):
+        import ray
+
+        self.fit = ray.get(fit_ref)
+        self.alpha = alpha
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _score_arrays(self, batch: pa.Table):
+        """(n_scored, logprob, ppl) arrays aligned to the batch rows."""
+        from splade_ray.ops.dedup import _flat_token_hashes
+
+        fit = self.fit
+        n, nbi = fit["n"], fit["n_buckets"]
+        nb = np.uint64(nbi)
+        alpha = self.alpha
+        hs, par, _ = _flat_token_hashes(batch[self.text_col])
+        ndocs = batch.num_rows
+        g, gp, fi = _gram_hash_positions(hs, par, n)
+        lp_doc = np.zeros(ndocs, np.float64)
+        nsc = np.zeros(ndocs, np.int64)
+        if g.size:
+            num = fit["gram"][(g % nb).astype(np.int64)].astype(np.float64)
+            if n > 1:
+                # context of the gram starting at flat position i is the
+                # (n-1)-gram at the SAME start — recompute the full
+                # (unmasked) fold and index it by the grams' start offsets
+                P = np.uint64(1099511628211)
+                m = hs.size - (n - 1) + 1
+                with np.errstate(over="ignore"):
+                    roll = np.zeros(m, np.uint64)
+                    for i in range(n - 1):
+                        roll = roll * P + hs[i : i + m]
+                den = fit["ctx"][(roll[fi] % nb).astype(np.int64)].astype(np.float64)
+            else:
+                den = np.full(g.size, float(fit["ctx"]))
+            logp = np.log(num + alpha) - np.log(den + alpha * nbi)
+            lp_doc = np.bincount(gp, weights=logp, minlength=ndocs)
+            nsc = np.bincount(gp, minlength=ndocs)
+        ppl = np.zeros(ndocs, np.float64)
+        scored = nsc > 0
+        ppl[scored] = np.exp(-lp_doc[scored] / nsc[scored])
+        return nsc, lp_doc, ppl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_scored": pa.array([], pa.int64()),
+                    "logprob": pa.array([], pa.float64()),
+                    "ppl": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nsc, lp_doc, ppl = self._score_arrays(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_scored": pa.array(nsc, pa.int64()),
+                "logprob": pa.array(lp_doc, pa.float64()),
+                "ppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+
+class _PplFilterStage(_NgramLMScoreStage):
+    """Score-and-filter in one streaming pass: keeps rows whose perplexity
+    is <= max_ppl (unscored rows — shorter than the gram order — are kept;
+    they carry no LM signal). All source columns flow through."""
+
+    def __init__(self, fit_ref, *, alpha, text_col, id_col, max_ppl):
+        super().__init__(fit_ref, alpha=alpha, text_col=text_col, id_col=id_col)
+        self.max_ppl = max_ppl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        nsc, _, ppl = self._score_arrays(batch)
+        keep = (nsc == 0) | (ppl <= self.max_ppl)
+        return batch.filter(pa.array(keep))
+
+
+def ppl_filter(
+    docs,
+    fit: dict,
+    *,
+    max_ppl: float,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style LM quality filter (Wenzek et al. 2020): keep docs whose
+    perplexity under the :func:`ngram_lm_fit` reference model is
+    <= ``max_ppl``. One stateless streaming scan — the fit is broadcast
+    once, per-doc scores are never collected anywhere."""
+    import ray
+
+    fit_ref = ray.put(fit)
+    return docs.map_batches(
+        _PplFilterStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            fit_ref=fit_ref, alpha=alpha, text_col=text_col, id_col=id_col,
+            max_ppl=max_ppl,
+        ),
+    )
+
+
+def ngram_lm_scores(
+    docs,
+    fit: dict,
+    *,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-doc log-likelihood and perplexity under a :func:`ngram_lm_fit`
+    model: for each position with a full n-token context,
+    ``ln((c(gram)+alpha) / (c(ctx)+alpha*n_buckets))``; ``ppl =
+    exp(-logprob/n_scored)``. Docs shorter than n tokens score
+    (n_scored=0, logprob=0, ppl=0) — sentinels, kept by filters.
+    Returns a Dataset of (doc_id, n_scored, logprob, ppl); streaming scan,
+    fit vectors broadcast once via ray.put."""
+    import ray
+
+    fit_ref = ray.put(fit)
+    return docs.map_batches(
+        _NgramLMScoreStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            fit_ref=fit_ref, alpha=alpha, text_col=text_col, id_col=id_col
+        ),
+    )
+
+
 def dsir_select(
     weights,
     k: int,

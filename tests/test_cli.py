@@ -584,3 +584,49 @@ def test_cli_curate_dsir_stage(ray_session, tmp_path, capsys):
     kept = sorted(rd.read_parquet(out + "/dsir").to_pandas()["doc_id"])
     # the prose docs match the target n-gram distribution; code docs don't
     assert kept == list(range(6, 12)), kept
+
+
+def test_cli_curate_ppl_stage(ray_session, tmp_path, capsys):
+    """curate --stages ppl: the CCNet LM filter keeps reference-like docs
+    and drops high-perplexity ones under the fitted bigram LM."""
+    import pandas as pd
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    proselike = [
+        f"the quick brown fox jumps over the lazy dog {i}" for i in range(4)
+    ]
+    garbage = ["zxq9 vbnm qq wert hjkl zz pp mm nn gg", "qqq www eee rrr ttt"]
+    texts = proselike + garbage
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "part-0.parquet"),
+    )
+    tgt = tmp_path / "ref"
+    tgt.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                  "text": pa.array(
+                      ["the quick brown fox jumps over the lazy dog",
+                       "a quick brown dog runs past the lazy fox"])}),
+        str(tgt / "part-0.parquet"),
+    )
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.curation import ngram_lm_fit, ngram_lm_scores
+
+    fit = ngram_lm_fit(read_parquet_clean(str(tgt)), n=2, n_buckets=4096)
+    scores = ngram_lm_scores(
+        read_parquet_clean(str(d)), fit
+    ).to_pandas().set_index("doc_id")
+    # threshold between the two populations
+    cut = (scores.loc[:3, "ppl"].max() + scores.loc[4:, "ppl"].min()) / 2
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "ppl", "--ppl-target", str(tgt),
+               "--ppl-max", str(cut), "--ppl-buckets", "4096"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] == {"ppl": 4}
+    kept = pd.read_parquet(out + "/ppl")
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3]

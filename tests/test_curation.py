@@ -344,6 +344,114 @@ def test_dsir_counts_weights_select_match_bruteforce(ray_session):
     assert sel2["doc_id"].tolist() == sel["doc_id"].tolist()
 
 
+def _lm_brute(texts, n, nb):
+    """Scalar-reference hashed n-gram LM counts: list of per-doc token-hash
+    lists + gram/ctx bucket count dicts."""
+    from splade_ray.ops.textstats import hash_token
+
+    P, M = 1099511628211, 1 << 64
+    doc_hashes = [
+        [int(hash_token(t)) for t in __import__("re").findall(r"[a-z0-9_]+", tx.lower())]
+        for tx in texts
+    ]
+
+    def grams(hs, k):
+        out = []
+        for i in range(len(hs) - k + 1):
+            v = 0
+            for j in range(k):
+                v = (v * P + hs[i + j]) % M
+            out.append(v % nb)
+        return out
+
+    gram_c, ctx_c = {}, {}
+    for hs in doc_hashes:
+        for b in grams(hs, n):
+            gram_c[b] = gram_c.get(b, 0) + 1
+        if n > 1:
+            for b in grams(hs, n - 1):
+                ctx_c[b] = ctx_c.get(b, 0) + 1
+    tot = sum(len(h) for h in doc_hashes)
+    return doc_hashes, grams, gram_c, ctx_c, tot
+
+
+def test_ngram_lm_fit_and_scores_match_bruteforce(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.curation import ngram_lm_fit, ngram_lm_scores
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat",
+        "def quick_sort(xs): return xs",
+        "a",  # shorter than a bigram: sentinel row
+        "",
+        "the the the quick quick fox",
+    ]
+    ids = list(range(len(texts)))
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(3)
+    NB = 256
+    for n in (1, 2, 3):
+        fit = ngram_lm_fit(docs, n=n, n_buckets=NB)
+        doc_hashes, grams, gram_c, ctx_c, tot = _lm_brute(texts, n, NB)
+        want_gram = [gram_c.get(b, 0) for b in range(NB)]
+        assert fit["gram"].tolist() == want_gram, n
+        if n > 1:
+            assert fit["ctx"].tolist() == [ctx_c.get(b, 0) for b in range(NB)]
+        else:
+            assert fit["ctx"] == tot
+
+        got = (
+            ngram_lm_scores(docs, fit, alpha=1.0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        for d, hs in enumerate(doc_hashes):
+            gs = grams(hs, n)
+            lp = 0.0
+            for i, b in enumerate(gs):
+                if n > 1:
+                    cb = grams(hs, n - 1)[i]
+                    den = ctx_c.get(cb, 0)
+                else:
+                    den = tot
+                lp += math.log(gram_c[b] + 1.0) - math.log(den + 1.0 * NB)
+            row = got.iloc[d]
+            assert row["n_scored"] == len(gs)
+            assert abs(row["logprob"] - lp) < 1e-9
+            want_ppl = math.exp(-lp / len(gs)) if gs else 0.0
+            assert abs(row["ppl"] - want_ppl) < 1e-9
+
+
+def test_ngram_lm_reference_fit_scores_held_out(ray_session):
+    """Fit on a clean reference, score a held-out mix: reference-like text
+    must get lower perplexity than garbage — the CCNet filter signal."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.curation import ngram_lm_fit, ngram_lm_scores
+
+    ref_texts = ["the quick brown fox jumps over the lazy dog"] * 20 + [
+        "a quick brown dog sleeps under the lazy fox"
+    ] * 20
+    ref = rd.from_arrow(pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                                  "text": pa.array(ref_texts)}))
+    fit = ngram_lm_fit(ref, n=2, n_buckets=4096)
+    probe = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox sleeps under the lazy dog",
+            "zxq9 vbnm qqqq wert hjkl zzzz pppp mmmm nnnn gggg",
+        ]),
+    }))
+    got = ngram_lm_scores(probe, fit).to_pandas().set_index("doc_id")
+    assert got.loc[0, "ppl"] < got.loc[1, "ppl"]
+
+
 def test_dsir_select_tree_merge_matches_driver(ray_session):
     """merge='tree' (the billion-doc scale path: fan-in re-prune, driver
     receives only the final k rows) returns the identical frame as the
