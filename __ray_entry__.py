@@ -1014,6 +1014,89 @@ def q_more_like_this(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+def q_multi_index_topk(sf_dir: str):
+    """Federated multi-index search (splade_ray.multi.search_multi): the
+    documents table split into two member indices, scored under combined
+    MultiReader statistics — bit-identical to one index over the union, so
+    the oracle is the plain bm25 mirror."""
+    import pyarrow.parquet as _pq
+
+    from splade_ray.multi import search_multi
+
+    wd = _work_dir(sf_dir, "multiidx")
+    full = _rpq(os.path.join(sf_dir, "documents.parquet")).to_pandas()
+    full = full.sort_values("doc_id").reset_index(drop=True)
+    half = len(full) // 2
+    members = []
+    for i, part in enumerate((full.iloc[:half], full.iloc[half:])):
+        src = os.path.join(wd, f"part{i}.parquet")
+        if not os.path.exists(src):
+            _pq.write_table(
+                pa.Table.from_pandas(part[["doc_id", "text"]],
+                                     preserve_index=False), src
+            )
+        d = os.path.join(wd, f"index{i}")
+        build_index(src, d, text_col="text", id_col="doc_id",
+                    rows_per_segment=1000, block_size=64)
+        members.append(d)
+    run = search_multi(
+        members, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+HH_TOP_N = 10
+
+
+def q_top_sources_hh(sf_dir: str):
+    """Heavy-hitters top sources (ops/sketch.heavy_hitters): Misra-Gries
+    sketch pass (<= k counters per block move, never a distinct-value
+    shuffle) + exact candidate recount; the certificate must prove the
+    frame equals the exact global top-n before it is returned here."""
+    from splade_ray.ops.sketch import heavy_hitters
+
+    frame, err, proven = heavy_hitters(
+        _docs(sf_dir, ["source"]), "source", k=64, top_n=HH_TOP_N
+    )
+    assert proven, f"MG certificate failed (err_bound={err})"
+    return frame
+
+
+def _top_sources_hh_sql() -> str:
+    return f"""
+SELECT row_number() OVER (ORDER BY count(*) DESC, source ASC)::BIGINT AS rank,
+       source AS value, count(*)::BIGINT AS count
+FROM documents GROUP BY source
+ORDER BY count DESC, value ASC LIMIT {HH_TOP_N}"""
+
+
+SIG_TOP_M = 8
+
+
+def q_sig_terms(sf_dir: str):
+    """Significant-terms aggregation (splade_ray.sigterms): JLH-scored
+    foreground-vs-background term contrast over each query's top-TOP_K
+    BM25 hits (the ES significant_text sampled shape) — foreground texts
+    via the pushdown isin scan, background df from one lexicon read."""
+    from splade_ray.sigterms import significant_terms
+
+    out = significant_terms(
+        _index_for(sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        BM25_QUERIES,
+        BM25Params(k1=K1, b=B),
+        fg_k=TOP_K,
+        top_m=SIG_TOP_M,
+    )
+    out = out.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    return out[["query_id", "rank", "term", "fg_count", "fg_total", "df",
+                "score_r"]]
+
+
 def q_rm3_terms(sf_dir: str):
     """RM3 expansion-term mining (splade_ray.rm3.mine_expansion_terms):
     feedback pass at top-RM3_FB_DOCS, then per query the top-RM3_FB_TERMS
@@ -3278,6 +3361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "lm_counts": q_lm_counts,
         "lm_ppl": q_lm_ppl,
+        "sig_terms": q_sig_terms,
+        "multi_index_topk": q_multi_index_topk,
+        "top_sources_hh": q_top_sources_hh,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "redact_docs": q_redact,
@@ -4112,6 +4198,37 @@ r AS (SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rank
 SELECT rank::BIGINT AS rank, doc_id FROM r WHERE rank <= {DSIR_K}"""
 
 
+def _sig_terms_sql() -> str:
+    """JLH mirror: foreground = ranked top-TOP_K docs, presence via the tf
+    CTE (a doc contains a term iff it has a tf row), fg% / bg% ratios in
+    the same float expression order as the engine."""
+    return f"""{_bm25_cte()},
+fg AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+fgt AS (SELECT query_id, count(*)::BIGINT AS fg_total FROM fg GROUP BY query_id),
+pres AS (SELECT DISTINCT f.query_id, tf.doc_id, tf.term
+         FROM fg f JOIN tf ON f.doc_id = tf.doc_id),
+fc AS (SELECT query_id, term, count(*)::BIGINT AS fg_count
+       FROM pres GROUP BY query_id, term),
+bgn AS (SELECT count(*)::BIGINT AS bg FROM documents),
+s AS (SELECT fc.query_id, fc.term, fc.fg_count, ft.fg_total,
+             df.df::BIGINT AS df,
+             ((fc.fg_count::DOUBLE / ft.fg_total) - (df.df::DOUBLE / n.bg))
+             * ((fc.fg_count::DOUBLE / ft.fg_total) / (df.df::DOUBLE / n.bg))
+               AS score
+      FROM fc
+      JOIN fgt ft USING (query_id)
+      JOIN df USING (term)
+      CROSS JOIN bgn n
+      WHERE (fc.fg_count::DOUBLE / ft.fg_total) > (df.df::DOUBLE / n.bg)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, fg_count DESC,
+                                            term ASC) AS rank
+      FROM s)
+SELECT query_id, rank::BIGINT AS rank, term, fg_count, fg_total, df,
+       {_round4_sql('score')} AS score_r
+FROM r WHERE rank <= {SIG_TOP_M}"""
+
+
 def _lm_cte() -> str:
     """CTEs for the hashed bigram LM mirror: per-doc token-hash lists,
     bigram instances with their context (first-token) bucket, and the
@@ -4181,6 +4298,9 @@ FROM documents""",
         "dsir_select": _dsir_select_sql(),
         "lm_counts": _lm_counts_sql(),
         "lm_ppl": _lm_ppl_sql(),
+        "sig_terms": _sig_terms_sql(),
+        "multi_index_topk": bm25,
+        "top_sources_hh": _top_sources_hh_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),

@@ -359,6 +359,45 @@ def cmd_rm3(args) -> int:
     return 0
 
 
+def cmd_msearch(args) -> int:
+    """Federated search over several indices under combined (MultiReader)
+    statistics."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.multi import search_multi
+
+    queries = _load_queries(args.queries)
+    run = search_multi(
+        args.index, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        method=args.method, scoring=args.scoring,
+    )
+    run.to_parquet(args.out, index=False)
+    print(json.dumps({"indices": len(args.index), "queries": len(queries),
+                      "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_sigterms(args) -> int:
+    """Significant-terms aggregation: JLH-scored foreground-vs-background
+    term contrast over the top-k hits (ES significant_text shape)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.sigterms import significant_terms
+
+    queries = _load_queries(args.queries)
+    out = significant_terms(
+        args.index, args.corpus, queries,
+        BM25Params(k1=args.k1, b=args.b),
+        fg_k=args.fg_k, top_m=args.top_m,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(out),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_facets(args) -> int:
     """Per-query facet counts over a doclens-carried doc column."""
     _ensure_ray()
@@ -1313,6 +1352,37 @@ def main(argv: list[str] | None = None) -> int:
     r3.add_argument("--text-col", default="text")
     r3.add_argument("--id-col", default="doc_id")
     r3.set_defaults(fn=cmd_rm3)
+
+    ms = sub.add_parser(
+        "msearch",
+        help="federated BM25 over several indices (MultiReader stats union)",
+    )
+    ms.add_argument("--index", action="append", required=True,
+                    help="member index dir (repeat per member)")
+    ms.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    ms.add_argument("--out", required=True, help=".parquet")
+    ms.add_argument("--method", choices=["exact", "bmw", "auto"], default="exact")
+    ms.add_argument("--scoring", choices=["bm25", "ql"], default="bm25")
+    ms.add_argument("--top-k", type=int, default=10)
+    ms.add_argument("--k1", type=float, default=1.2)
+    ms.add_argument("--b", type=float, default=0.75)
+    ms.set_defaults(fn=cmd_msearch)
+
+    sg = sub.add_parser(
+        "sigterms",
+        help="significant terms of the top hits (JLH fg-vs-bg contrast)",
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--corpus", required=True, help="doc table parquet")
+    sg.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    sg.add_argument("--out", required=True, help=".parquet")
+    sg.add_argument("--fg-k", type=int, default=10, help="foreground size")
+    sg.add_argument("--top-m", type=int, default=10, help="terms per query")
+    sg.add_argument("--text-col", default="text")
+    sg.add_argument("--id-col", default="doc_id")
+    sg.add_argument("--k1", type=float, default=1.2)
+    sg.add_argument("--b", type=float, default=0.75)
+    sg.set_defaults(fn=cmd_sigterms)
 
     fc = sub.add_parser("facets", help="per-query facet counts")
     fc.add_argument("--index", required=True)

@@ -128,6 +128,160 @@ def _kmv_min_merge(tbl: pa.Table, k: int, by: str | None) -> pa.Table:
     )
 
 
+def _mg_compress(
+    vals: np.ndarray, cnts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Compress exact/merged counters to <= k Misra-Gries counters: subtract
+    the (k+1)-th largest count from every counter and drop the non-positive
+    ones (the merge-compress of Agarwal et al., PODS'12 "Mergeable
+    Summaries"). Returns (vals, cnts, decrement)."""
+    if vals.size <= k:
+        return vals, cnts, 0
+    order = np.argsort(-cnts, kind="stable")
+    d = int(cnts[order[k]])
+    keep = order[:k]
+    new = cnts[keep] - d
+    pos = new > 0
+    if not pos.any():
+        # all counters cancelled (uniform distribution): keep one zeroed
+        # counter so the decrement mass (err) still has a row to ride on
+        return vals[keep[:1]], np.zeros(1, np.int64), d
+    return vals[keep][pos], new[pos], d
+
+
+def heavy_hitters(
+    ds: Dataset,
+    col: str,
+    *,
+    k: int = 256,
+    top_n: int = 10,
+    fan_in: int = 32,
+) -> tuple[pd.DataFrame, int, bool]:
+    """Top-``top_n`` most frequent values of a string column via a
+    Misra-Gries heavy-hitters sketch + an EXACT recount of the candidates.
+
+    Unlike the exact path (a full ``groupby(col)`` — a distinct-value-sized
+    shuffle), the sketch pass moves at most ``k`` counters per block: each
+    batch's exact counts compress to <= k Misra-Gries counters, partials
+    coalesce into ``fan_in`` blocks and merge-compress (mergeable-summaries
+    semantics: counter sums, then one decrement), and one final task yields
+    <= k candidates. A second streaming pass recounts ONLY the candidates
+    exactly (broadcast isin, bincount partials, k-sized groupby).
+
+    Returns ``(frame, err_bound, proven)``: frame = (rank, value, count)
+    with EXACT counts, ordered (count desc, value asc); ``err_bound`` = the
+    summed decrements, an upper bound on any non-candidate's true count;
+    ``proven`` = True when the top_n-th exact count exceeds ``err_bound``
+    + the largest non-top-n candidate count — then the frame IS the exact
+    global top-n (the classic MG certificate). Deterministic and
+    partitioning-safe: the certificate, not the partitioning, decides
+    whether the answer is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        enc = vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = np.bincount(codes, minlength=len(enc.dictionary))
+        uniq = np.asarray(enc.dictionary.to_pylist(), object)
+        v, c, d = _mg_compress(uniq, cnts.astype(np.int64), k)
+        return pa.table(
+            {
+                "value": pa.array(v.tolist(), pa.string()),
+                "cnt": pa.array(c, pa.int64()),
+                "err": pa.array(
+                    np.concatenate(([d], np.zeros(max(v.size - 1, 0), np.int64)))
+                    if v.size else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        vals = np.asarray(batch["value"].to_pylist(), object)
+        cnts = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        err = int(batch["err"].to_numpy(zero_copy_only=False).sum())
+        uniq, inv = np.unique(vals, return_inverse=True)
+        summed = np.zeros(uniq.size, np.int64)
+        np.add.at(summed, inv, cnts)
+        v, c, d = _mg_compress(uniq.astype(object), summed, k)
+        return pa.table(
+            {
+                "value": pa.array(v.tolist(), pa.string()),
+                "cnt": pa.array(c, pa.int64()),
+                "err": pa.array(
+                    np.concatenate(([err + d], np.zeros(max(v.size - 1, 0), np.int64)))
+                    if v.size else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sketch = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    if sketch.empty:
+        return (
+            pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                          "value": pd.Series([], dtype=object),
+                          "count": pd.Series([], dtype=np.int64)}),
+            0,
+            True,
+        )
+    err_bound = int(sketch["err"].sum())
+    candidates = sorted(sketch["value"].tolist())
+
+    # exact recount of the k-sized candidate set: broadcast isin filter,
+    # bincount partials, candidate-sized groupby
+    import ray
+
+    cand_ref = ray.put(np.asarray(candidates, object))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        arr = np.asarray(vals.to_pylist(), object)
+        pos = np.searchsorted(cand, arr)
+        pos = np.minimum(pos, cand.size - 1)
+        hit = cand[pos] == arr
+        cnts = np.bincount(pos[hit], minlength=cand.size)
+        nz = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "value": pa.array(cand[nz].tolist(), pa.string()),
+                "count": pa.array(cnts[nz], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("value")
+        .sum("count")
+        .to_pandas()
+        .rename(columns={"sum(count)": "count"})
+    )
+    exact = exact.sort_values(["count", "value"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    head = exact.head(top_n).copy()
+    head.insert(0, "rank", np.arange(1, len(head) + 1, dtype=np.int64))
+    # certificate: every non-candidate's true count is <= err_bound; the
+    # candidates' counts are exact, so the frame is the exact global top-n
+    # iff nothing outside the candidate set could reach the n-th count
+    nth = int(head["count"].iloc[-1]) if len(head) else 0
+    proven = err_bound == 0 or (len(head) == top_n and nth > err_bound)
+    return head.reset_index(drop=True), err_bound, bool(proven)
+
+
 def kmv_distinct(
     ds: Dataset,
     col: str,

@@ -44,6 +44,7 @@ def prepare_queries(
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
+    stats_override: dict | None = None,
 ) -> dict:
     """Driver-side query prep: tokenize, look up global df (and, for QL, cf)
     for the (few) query terms from the lexicon with predicate pushdown,
@@ -64,24 +65,40 @@ def prepare_queries(
     ``mu * cf/C`` (the smoothing denominator) and the kernel scores
     ``qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu)))`` over matching
     terms (per-term clamp as in Lucene, so scores stay positive and the
-    ``score > threshold`` run contract holds)."""
+    ``score > threshold`` run contract holds).
+
+    ``stats_override`` replaces the index's own corpus statistics with the
+    caller's — ``{"n_docs", "avgdl", "dfs", "cfs", "c_total"}`` — the
+    Lucene MultiReader hook: federated search combines the member
+    indices' stats once and scores every member under the union (see
+    :func:`splade_ray.multi.search_multi`)."""
     params = params or BM25Params()
     manifest = load_manifest(index_dir)
-    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     if query_lang is None:
         query_lang = manifest.get("analyzer")
     tokenized = {int(qid): term_counts(text, query_lang) for qid, text in queries}
     all_terms = sorted({t for c in tokenized.values() for t in c})
     dfs: dict[str, int] = {}
     cfs: dict[str, int] = {}
-    if all_terms:
-        lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
-            columns=["term", "df", "cf"], filter=pads.field("term").isin(all_terms)
-        )
-        dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
-        cfs = dict(zip(lex["term"].to_pylist(), lex["cf"].to_pylist()))
+    if stats_override is not None:
+        n_docs, avgdl = stats_override["n_docs"], stats_override["avgdl"]
+        dfs = {t: stats_override["dfs"][t] for t in all_terms
+               if t in stats_override["dfs"]}
+        cfs = {t: stats_override["cfs"][t] for t in all_terms
+               if t in stats_override["cfs"]}
+    else:
+        n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+        if all_terms:
+            lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+                columns=["term", "df", "cf"], filter=pads.field("term").isin(all_terms)
+            )
+            dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+            cfs = dict(zip(lex["term"].to_pylist(), lex["cf"].to_pylist()))
     if scoring == "ql":
-        c_total = float(manifest.get("sum_doc_len") or (avgdl * n_docs))
+        if stats_override is not None:
+            c_total = float(stats_override["c_total"])
+        else:
+            c_total = float(manifest.get("sum_doc_len") or (avgdl * n_docs))
 
         def weight(t: str) -> float:
             return mu * cfs[t] / c_total
@@ -424,6 +441,7 @@ def search(
     mu: float = 2000.0,
     after: dict[int, tuple[float, int]] | None = None,
     range_filter: tuple[str, float | None, float | None] | None = None,
+    stats_override: dict | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
@@ -467,7 +485,8 @@ def search(
     prepared_refs = [
         ray.put(
             {**prepare_queries(index_dir, c, params, query_lang=query_lang,
-                               scoring=scoring, mu=mu),
+                               scoring=scoring, mu=mu,
+                               stats_override=stats_override),
              **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
                 if after else {}),
              **({"range_filter": range_filter} if range_filter else {}),

@@ -120,3 +120,50 @@ def test_kmv_tree_reduce_invariant_to_fan_in(ray_session):
             rd.from_arrow(tbl).repartition(25), "t", k=128, by="lang", fan_in=fan_in
         )
         pd.testing.assert_frame_equal(got, base), fan_in
+
+
+def test_heavy_hitters_proven_exact_on_skew(ray_session):
+    """Zipf-skewed data, distinct >> k: the MG candidates + exact recount
+    reproduce the exact top-n with a positive certificate."""
+    from splade_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # 10 heavy values (thousands of occurrences) + 5000 singleton-ish tails
+    heavy = np.repeat([f"h{i:02d}" for i in range(10)],
+                      [4000 - 300 * i for i in range(10)])
+    tail = np.array([f"t{i:05d}" for i in rng.integers(0, 5000, 3000)])
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals.tolist(), pa.string())}))
+    ds = ds.repartition(8)
+
+    got, err, proven = heavy_hitters(ds, "v", k=64, top_n=10)
+    assert proven
+    exact = pd.Series(vals).value_counts()
+    want_vals = [f"h{i:02d}" for i in range(10)]
+    assert got["value"].tolist() == want_vals
+    assert got["count"].tolist() == [int(exact[v]) for v in want_vals]
+    assert err > 0  # compression really happened (distinct 5000 >> k 64)
+
+
+def test_heavy_hitters_exact_when_distinct_below_k(ray_session):
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    from splade_ray.ops.sketch import heavy_hitters
+
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(3)
+    got, err, proven = heavy_hitters(ds, "v", k=16, top_n=3)
+    assert err == 0 and proven
+    assert got["value"].tolist() == ["a", "b", "c"]
+    assert got["count"].tolist() == [5, 3, 2]
+
+
+def test_heavy_hitters_unproven_on_uniform(ray_session):
+    """Uniform data with distinct >> k cannot be certified — the op must
+    say so rather than return a silently-wrong top-n."""
+    from splade_ray.ops.sketch import heavy_hitters
+
+    vals = [f"u{i:04d}" for i in range(2000)] * 2
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(8)
+    got, err, proven = heavy_hitters(ds, "v", k=32, top_n=5)
+    assert not proven
+    assert err > 0
