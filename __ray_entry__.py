@@ -1885,6 +1885,25 @@ def q_ann_cosine_topk(sf_dir: str):
 # ---- rows-only entries (not SQL-expressible; driver records row counts) ----
 
 
+def q_ann_cosine_topk_sq8(sf_dir: str):
+    """Int8 scalar-quantized brute cosine (ops/ann.sq8_cosine_topk, the
+    FAISS-SQ8 shape): per-vector symmetric quantization, scales cancel in
+    cosine, every dot an exact integer — deterministic ranks, 1/4 operand
+    width."""
+    from splade_ray.ops.ann import sq8_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    mask = np.array(qt["vec_id"].to_pylist()) < 5
+    q_ids = np.array(qt["vec_id"].to_pylist())[mask]
+    q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
+    out = sq8_cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
 def q_dedup_minhash(sf_dir: str):
     from splade_ray.ops.dedup import minhash_lsh_pairs
 
@@ -3369,6 +3388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": q_redact,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_sq8": q_ann_cosine_topk_sq8,
         "minhash_sigs": q_minhash_sigs,
         "simhash_sigs": q_simhash_sigs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -4555,6 +4575,30 @@ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 sims AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS sim FROM q CROSS JOIN e),
 ranked AS (SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "ann_cosine_topk_sq8": f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v,
+              CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                   ELSE list_max(list_transform(v, x -> abs(x))) END AS s
+       FROM e0),
+e AS (SELECT vec_id,
+             list_transform(v, x -> floor(x * 127.0 / s + 0.5)) AS qv
+      FROM sc),
+n AS (SELECT vec_id, qv,
+             CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN 1.0
+                  ELSE sqrt(list_dot_product(qv, qv)) END AS nrm
+      FROM e),
+q AS (SELECT vec_id AS query_id, qv AS qq, nrm AS qn FROM n WHERE vec_id < 5),
+sims AS (SELECT q.query_id, n.vec_id,
+                list_dot_product(q.qq, n.qv) / (q.qn * n.nrm) AS sim
+         FROM q CROSS JOIN n),
+ranked AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}

@@ -124,6 +124,37 @@ def test_cosine_topk_exact(ray_session):
         assert out[out.query_id == qid]["rank"].tolist() == [1, 2, 3, 4, 5]
 
 
+def test_sq8_cosine_topk_matches_scalar_quantized(ray_session):
+    """SQ8 cosine: op parity vs a scalar-quantized brute reference, plus
+    high agreement with float cosine (quantization recall sanity)."""
+    from splade_ray.ops.ann import sq8_cosine_topk, sq8_quantize_matrix
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(60)]
+    ds = rd.from_items(rows)
+    q = vecs[:3].astype(np.float64)
+    out = sq8_cosine_topk(ds, np.array([0, 1, 2]), q, top_k=5).to_pandas()
+
+    qz = sq8_quantize_matrix(vecs)
+    # scalar reference: int dots, norms from the SAME codes
+    norms = np.sqrt((qz * qz).sum(axis=1).astype(np.float64))
+    for qid in (0, 1, 2):
+        sims = (qz @ qz[qid]).astype(np.float64) / (norms * norms[qid])
+        order = np.lexsort((np.arange(60), -sims))[:5]
+        sub = out[out.query_id == qid].sort_values("rank")
+        assert sub["vec_id"].tolist() == order.tolist()
+        assert np.allclose(sub["sim"].to_numpy(), sims[order], atol=1e-12)
+    # int8 quantization at dim 16 keeps the self-hit on top
+    assert (out[out["rank"] == 1]["vec_id"].to_numpy()
+            == np.array([0, 1, 2])).all()
+
+    # quantization invariants
+    assert qz.max() <= 127 and qz.min() >= -127
+    assert (np.abs(qz).max(axis=1) == 127).all()  # maxabs element saturates
+    assert (sq8_quantize_matrix(np.zeros((2, 4), np.float32)) == 0).all()
+
+
 def test_lsh_signature_deterministic():
     l1 = HyperplaneLSH(8, 12, seed=42)
     l2 = HyperplaneLSH(8, 12, seed=42)
