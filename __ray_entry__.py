@@ -1073,6 +1073,39 @@ FROM documents GROUP BY source
 ORDER BY count DESC, value ASC LIMIT {HH_TOP_N}"""
 
 
+BPE_MERGES = 24
+
+
+def q_bpe_word_counts(sf_dir: str):
+    """BPE fit input (ops/bpe.bpe_word_counts): the distributed word-count
+    dictionary classic BPE trains on — batch-local combiners, one
+    word-keyed groupby, sorted (count desc, word asc)."""
+    from splade_ray.ops.bpe import bpe_word_counts
+
+    return bpe_word_counts(_docs(sf_dir, ["doc_id", "text"]), text_col="text")
+
+
+def q_bpe_subword_stats(sf_dir: str):
+    """Per-doc subword budget under a corpus-learned BPE (ops/bpe:
+    bpe_train on the word dictionary — inherently sequential, hence no SQL
+    oracle — then the distributed bpe_apply streaming scan)."""
+    from splade_ray.ops.bpe import bpe_apply, bpe_train, bpe_word_counts
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    wc = bpe_word_counts(docs, text_col="text")
+    merges = bpe_train(wc, BPE_MERGES)
+    out = bpe_apply(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_word_counts_sql() -> str:
+    return f"""
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS word
+           FROM documents)
+SELECT word, count(*)::BIGINT AS count FROM t
+GROUP BY word ORDER BY count DESC, word ASC"""
+
+
 SIG_TOP_M = 8
 
 
@@ -3383,6 +3416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_terms": q_sig_terms,
         "multi_index_topk": q_multi_index_topk,
         "top_sources_hh": q_top_sources_hh,
+        "bpe_word_counts": q_bpe_word_counts,
+        "bpe_subword_stats": q_bpe_subword_stats,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "redact_docs": q_redact,
@@ -4321,6 +4356,7 @@ FROM documents""",
         "sig_terms": _sig_terms_sql(),
         "multi_index_topk": bm25,
         "top_sources_hh": _top_sources_hh_sql(),
+        "bpe_word_counts": _bpe_word_counts_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),

@@ -359,6 +359,34 @@ def cmd_rm3(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Learn a BPE subword vocabulary from the corpus (fit) or compute
+    per-doc subword budgets under a learned one (apply)."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.bpe import bpe_apply, bpe_train, bpe_word_counts
+
+    docs = read_parquet_clean(args.corpus)
+    if args.mode == "fit":
+        wc = bpe_word_counts(docs, text_col=args.text_col,
+                             min_count=args.min_count)
+        merges = bpe_train(wc, args.merges)
+        with open(args.out, "w") as fh:
+            json.dump({"merges": [list(p) for p in merges],
+                       "n_words": len(wc)}, fh)
+        print(json.dumps({"mode": "fit", "n_words": len(wc),
+                          "n_merges": len(merges), "out": args.out}))
+    else:
+        with open(args.model) as fh:
+            merges = [tuple(p) for p in json.load(fh)["merges"]]
+        out = bpe_apply(docs, merges, text_col=args.text_col,
+                        id_col=args.id_col)
+        out.write_parquet(args.out)
+        print(json.dumps({"mode": "apply", "n_merges": len(merges),
+                          "out": args.out}))
+    return 0
+
+
 def cmd_msearch(args) -> int:
     """Federated search over several indices under combined (MultiReader)
     statistics."""
@@ -1352,6 +1380,19 @@ def main(argv: list[str] | None = None) -> int:
     r3.add_argument("--text-col", default="text")
     r3.add_argument("--id-col", default="doc_id")
     r3.set_defaults(fn=cmd_rm3)
+
+    bp = sub.add_parser("bpe", help="learn/apply a BPE subword vocabulary")
+    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--out", required=True,
+                    help="fit: merges JSON; apply: stats parquet dir")
+    bp.add_argument("--mode", choices=["fit", "apply"], default="fit")
+    bp.add_argument("--merges", type=int, default=1000, help="fit: merge ops")
+    bp.add_argument("--min-count", type=int, default=1,
+                    help="fit: word-frequency floor")
+    bp.add_argument("--model", default=None, help="apply: merges JSON from fit")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
+    bp.set_defaults(fn=cmd_bpe)
 
     ms = sub.add_parser(
         "msearch",
