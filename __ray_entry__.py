@@ -959,6 +959,31 @@ def q_doclen_quantiles(sf_dir: str):
     )
 
 
+def q_event_value_quantiles(sf_dir: str):
+    """Exact fixed-point quantiles of the FLOAT event value per type
+    (ops/sketch.value_quantiles_float): values quantize to cent codes, the
+    distinct-value-sized exact path runs on the codes — unbounded float
+    columns keep the no-global-sort contract."""
+    from splade_ray.ops.sketch import value_quantiles_float
+
+    ev = _rpq(os.path.join(sf_dir, "events.parquet"),
+              columns=["event_type", "value"])
+    return value_quantiles_float(
+        ev, "value", QUANTILE_QS, by="event_type", scale=100
+    )
+
+
+def _event_value_quantiles_sql() -> str:
+    mille = ", ".join(str(int(q * 1000)) for q in QUANTILE_QS)
+    qlist = ", ".join(str(q) for q in QUANTILE_QS)
+    return f"""
+WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c FROM events)
+SELECT event_type,
+       unnest([{mille}])::BIGINT AS q_mille,
+       unnest(quantile_disc(c, [{qlist}]))::BIGINT AS value_fp
+FROM e GROUP BY event_type"""
+
+
 def q_distinct_terms_kmv(sf_dir: str):
     """KMV distinct-term sketch per lang (ops/sketch.kmv_distinct): k
     smallest sha256-prefix hashes per group, integer estimate
@@ -1071,6 +1096,53 @@ SELECT row_number() OVER (ORDER BY count(*) DESC, source ASC)::BIGINT AS rank,
        source AS value, count(*)::BIGINT AS count
 FROM documents GROUP BY source
 ORDER BY count DESC, value ASC LIMIT {HH_TOP_N}"""
+
+
+DAY_US = 86_400_000_000
+
+
+def q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP over events (ops/rollup.rollup_agg): every prefix
+    level of (event_type, day) aggregates in ONE combiner pass + ONE
+    groupby; integer-cent values keep every emitted number exact."""
+    from splade_ray.ops.rollup import rollup_agg
+
+    ev = _rpq(os.path.join(sf_dir, "events.parquet"),
+              columns=["ts", "event_type", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks() if isinstance(batch["ts"], pa.ChunkedArray) else batch["ts"]
+        day = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pa.array(day, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        rollup_agg(ev.map_batches(add_day, batch_format="pyarrow"),
+                   ["event_type", "day"])
+        .to_pandas()
+        .sort_values(["level", "event_type", "day"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _rollup_events_sql() -> str:
+    return f"""
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // {DAY_US})::BIGINT AS day,
+                  floor(value * 100 + 0.5)::BIGINT AS c
+           FROM events)
+SELECT (2 - grouping(event_type) - grouping(day))::BIGINT AS level,
+       coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, -1)::BIGINT AS day,
+       count(*)::BIGINT AS n, sum(c)::BIGINT AS sum_cents,
+       min(c)::BIGINT AS min_cents, max(c)::BIGINT AS max_cents
+FROM e GROUP BY ROLLUP(event_type, day)"""
 
 
 BPE_MERGES = 24
@@ -3368,6 +3440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_unordered": q_near_unordered,
         "span_first": q_span_first,
         "doclen_quantiles": q_doclen_quantiles,
+        "event_value_quantiles": q_event_value_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
         "more_like_this": q_more_like_this,
         "rm3_terms": q_rm3_terms,
@@ -3417,6 +3490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_index_topk": q_multi_index_topk,
         "top_sources_hh": q_top_sources_hh,
         "bpe_word_counts": q_bpe_word_counts,
+        "rollup_events": q_rollup_events,
         "bpe_subword_stats": q_bpe_subword_stats,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
@@ -4357,6 +4431,7 @@ FROM documents""",
         "multi_index_topk": bm25,
         "top_sources_hh": _top_sources_hh_sql(),
         "bpe_word_counts": _bpe_word_counts_sql(),
+        "rollup_events": _rollup_events_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),
@@ -4570,6 +4645,7 @@ FROM f""",
         "near_unordered": _near_unordered_sql(),
         "span_first": _span_first_sql(),
         "doclen_quantiles": _doclen_quantiles_sql(),
+        "event_value_quantiles": _event_value_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),
         "more_like_this": _mlt_sql(),
         "rm3_terms": _rm3_terms_sql(),

@@ -88,6 +88,37 @@ def value_quantiles(
     ]
 
 
+def value_quantiles_float(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    by: str | None = None,
+    scale: int = 100,
+) -> pd.DataFrame:
+    """Exact quantiles of a FLOAT column at fixed-point resolution: values
+    quantize to ``floor(v*scale + 0.5)`` integer codes (the repo-wide
+    round-half-up), :func:`value_quantiles` runs exactly on the codes, and
+    ``value_fp`` returns the code (value = value_fp/scale, within
+    1/(2*scale) of the true float quantile). This keeps the
+    distinct-value-sized shuffle contract for unbounded float columns —
+    the cardinality bound becomes the value RANGE x scale, not the row
+    count — and every emitted column stays integer (hash-stable)."""
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = np.floor(v * scale + 0.5).astype(np.int64)
+        cols = {"_fp": pa.array(codes)}
+        if by:
+            cols[by] = batch[by]
+        return pa.table(cols)
+
+    out = value_quantiles(
+        ds.map_batches(quantize, batch_format="pyarrow"), "_fp", qs, by=by
+    )
+    return out.rename(columns={"value": "value_fp"})
+
+
 def hash_value63(v: str) -> int:
     """63-bit value hash: sha256-prefix uint64 >> 1 (drops the sign bit so
     the value fits BIGINT on both sides). DuckDB mirror:

@@ -167,3 +167,31 @@ def test_heavy_hitters_unproven_on_uniform(ray_session):
     got, err, proven = heavy_hitters(ds, "v", k=32, top_n=5)
     assert not proven
     assert err > 0
+
+
+def test_value_quantiles_float_fixed_point(ray_session):
+    """Float quantiles at fixed-point resolution: parity with DuckDB
+    quantile_disc over the same integer codes, per group."""
+    from splade_ray.ops.sketch import value_quantiles_float
+
+    rng = np.random.default_rng(6)
+    vals = np.round(rng.uniform(-3, 30, 1000), 4)
+    grp = rng.choice(["x", "y"], 1000)
+    ds = rd.from_arrow(
+        pa.table({"value": pa.array(vals), "g": pa.array(grp.tolist())})
+    ).repartition(5)
+    got = value_quantiles_float(ds, "value", [0.1, 0.5, 0.9], by="g", scale=100)
+    codes = np.floor(vals * 100 + 0.5).astype(np.int64)
+    want = duckdb.sql(
+        """
+        SELECT g, q_mille, value_fp FROM (
+          SELECT g, unnest([100, 500, 900]) AS q_mille,
+                 unnest([quantile_disc(c, 0.1), quantile_disc(c, 0.5),
+                         quantile_disc(c, 0.9)]) AS value_fp
+          FROM (SELECT UNNEST(?) AS c, UNNEST(?) AS g) GROUP BY g
+        ) ORDER BY g, q_mille
+        """,
+        params=[codes.tolist(), grp.tolist()],
+    ).df()
+    assert got["value_fp"].tolist() == want["value_fp"].tolist()
+    assert got["q_mille"].tolist() == want["q_mille"].tolist()
