@@ -215,6 +215,31 @@ def run_bench() -> dict:
             "dsir_docs_per_sec": round(n_scored / dsir_s, 1),
         }
 
+    # incremental indexing: append a +10% corpus drop as new segments
+    # (config from the manifest, incremental lexicon merge). Untimed in
+    # the headline value; skipped in scaling legs like trigrams.
+    append_metrics = {}
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+        import pyarrow.parquet as _pq
+
+        from splade_ray.build import append_index
+
+        first = sorted(
+            f for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+        )[0]
+        extra = os.path.join(index_dir, "..", f"append-{ncpu}-{os.getpid()}.parquet")
+        t4 = _pq.read_table(os.path.join(corpus_dir, first))
+        _pq.write_table(t4.slice(0, max(1, len(t4) // 2)), extra)
+        t5 = time.monotonic()
+        aman = append_index(index_dir, extra, rows_per_segment=5000)
+        append_s = time.monotonic() - t5
+        n_appended = aman["n_docs"] - n_docs
+        append_metrics = {
+            "append_build": round(append_s, 3),
+            "append_docs_per_sec": round(n_appended / append_s, 1),
+        }
+        os.remove(extra)
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     from splade_ray.analysis import postings_batch
     from splade_ray.io import read_parquet_clean
@@ -243,7 +268,9 @@ def run_bench() -> dict:
             **tri_metrics.get("queries", {}),
             **{k: v for k, v in dup_metrics.items() if k == "dup_spans_scan"},
             **{k: v for k, v in dsir_metrics.items() if k == "dsir_fit_and_score"},
+            **{k: v for k, v in append_metrics.items() if k == "append_build"},
         },
+        **{k: v for k, v in append_metrics.items() if k != "append_build"},
         **{k: v for k, v in dup_metrics.items() if k != "dup_spans_scan"},
         **{k: v for k, v in dsir_metrics.items() if k != "dsir_fit_and_score"},
         **{k: v for k, v in tri_metrics.items() if k != "queries"},
