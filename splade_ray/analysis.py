@@ -147,6 +147,30 @@ def analyzer_pattern(lang: str | None) -> str:
     return get_analyzer(lang).pattern
 
 
+def analyzer_config_hash(lang_col: str | None = None, analyzer: str | None = None) -> str:
+    """Deterministic digest of the analyzer configuration a build depends on.
+
+    Recorded in the index manifest and re-checked by ``append_index``: an
+    append run whose ANALYZERS registry differs from the one the index was
+    built with would silently mix token classes between old and new segments
+    (Lucene refuses a mismatched Analyzer the same way — per-field analyzers
+    are part of the IndexWriterConfig). ``analyzer=name`` builds hash only
+    that entry; ``lang_col`` builds hash the whole registry plus the default
+    (any lang value may appear in future appends); plain builds hash the
+    default token class.
+    """
+    import hashlib
+
+    if analyzer:
+        items = [(analyzer,) + get_analyzer(analyzer).sort_key()]
+    elif lang_col:
+        items = sorted((k,) + get_analyzer(k).sort_key() for k in ANALYZERS)
+        items.append(("",) + Analyzer(TOKEN_PATTERN).sort_key())
+    else:
+        items = [("",) + Analyzer(TOKEN_PATTERN).sort_key()]
+    return hashlib.sha256(repr(items).encode()).hexdigest()[:16]
+
+
 def s_stem_array(terms: pa.Array) -> pa.Array:
     """Vectorized Harman s-stemmer (see ``Analyzer``). Priority waterfall
     with terminal exclusions, mirrored character-for-character by

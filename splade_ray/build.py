@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from splade_ray.analysis import analyze_docs
+from splade_ray.analysis import analyze_docs, analyzer_config_hash
 from splade_ray.segments import BLOCK_SIZE, build_segment_tables
 
 SCHEMA_VERSION = 2
@@ -427,6 +427,7 @@ def build_index(
         "text_col": text_col,
         "lang_col": lang_col,
         "analyzer": analyzer,
+        "analyzer_hash": analyzer_config_hash(lang_col, analyzer),
         "id_col": id_col,
         "extra_doc_cols": list(extra_doc_cols),
         "n_docs": n_docs,
@@ -531,6 +532,16 @@ def append_index(
     man = load_manifest(index_dir)
     text_col, id_col = man["text_col"], man["id_col"]
     lang_col, analyzer = man.get("lang_col"), man.get("analyzer")
+    built_hash = man.get("analyzer_hash")
+    if built_hash is not None:
+        now_hash = analyzer_config_hash(lang_col, analyzer)
+        if now_hash != built_hash:
+            raise ValueError(
+                "analyzer configuration changed since this index was built "
+                f"(manifest hash {built_hash}, current {now_hash}): appending "
+                "would mix token classes between old and new segments. "
+                "Rebuild the index, or restore the original analyzer registry."
+            )
     block_size = man["block_size"]
     if extra_doc_cols is None:
         extra_doc_cols = tuple(man.get("extra_doc_cols") or ())

@@ -176,3 +176,26 @@ def test_append_cli(corpora, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 160
     assert load_manifest(inc)["n_segments"] == 5
+
+def test_append_refuses_on_analyzer_registry_change(corpora, tmp_path):
+    """The manifest records an analyzer-config hash; an append run under a
+    mutated ANALYZERS registry must refuse rather than silently mix token
+    classes between old and new segments."""
+    from splade_ray.analysis import ANALYZERS, register_analyzer
+
+    root, a, b = corpora
+    b3 = b
+    inc = str(tmp_path / "inc5")
+    build_index(a, inc, text_col="content", lang_col="lang",
+                rows_per_segment=40)
+    assert "analyzer_hash" in load_manifest(inc)
+    old = ANALYZERS.get("py")
+    register_analyzer("py", r"[a-z0-9_]+")  # mutate the registry
+    try:
+        with pytest.raises(ValueError, match="analyzer configuration changed"):
+            append_index(inc, b3, rows_per_segment=40)
+    finally:
+        ANALYZERS["py"] = old
+    # with the registry restored the append proceeds
+    man = append_index(inc, b3, rows_per_segment=40)
+    assert man["n_docs"] == 160
