@@ -1098,6 +1098,36 @@ FROM documents GROUP BY source
 ORDER BY count DESC, value ASC LIMIT {HH_TOP_N}"""
 
 
+HH_BY_TOP_N = 5
+
+
+def q_top_sources_hh_by_lang(sf_dir: str):
+    """Per-group heavy hitters (ops/sketch.heavy_hitters_by): the grouped
+    Misra-Gries sketch — <= k counters PER LANG per block move, one exact
+    recount of the (lang, source) candidate pairs; every group's certificate
+    must prove its frame is the exact per-lang top-n before returning."""
+    from splade_ray.ops.sketch import heavy_hitters_by
+
+    frame, cert = heavy_hitters_by(
+        _docs(sf_dir, ["lang", "source"]), "source", "lang",
+        k=64, top_n=HH_BY_TOP_N,
+    )
+    assert cert["proven"].all(), f"MG certificate failed:\n{cert}"
+    return frame
+
+
+def _top_sources_hh_by_lang_sql() -> str:
+    return f"""
+SELECT lang, rank, value, count FROM (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, source ASC)::BIGINT AS rank,
+         source AS value, count(*)::BIGINT AS count
+  FROM documents GROUP BY lang, source
+) WHERE rank <= {HH_BY_TOP_N}
+ORDER BY lang ASC, rank ASC"""
+
+
 DAY_US = 86_400_000_000
 
 
@@ -3489,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_terms": q_sig_terms,
         "multi_index_topk": q_multi_index_topk,
         "top_sources_hh": q_top_sources_hh,
+        "top_sources_hh_by_lang": q_top_sources_hh_by_lang,
         "bpe_word_counts": q_bpe_word_counts,
         "rollup_events": q_rollup_events,
         "bpe_subword_stats": q_bpe_subword_stats,
@@ -4430,6 +4461,7 @@ FROM documents""",
         "sig_terms": _sig_terms_sql(),
         "multi_index_topk": bm25,
         "top_sources_hh": _top_sources_hh_sql(),
+        "top_sources_hh_by_lang": _top_sources_hh_by_lang_sql(),
         "bpe_word_counts": _bpe_word_counts_sql(),
         "rollup_events": _rollup_events_sql(),
         "pack_assign": _pack_assign_sql(),

@@ -313,6 +313,185 @@ def heavy_hitters(
     return head.reset_index(drop=True), err_bound, bool(proven)
 
 
+_HH_SEP = "\x00"
+
+
+def heavy_hitters_by(
+    ds: Dataset,
+    col: str,
+    by: str,
+    *,
+    k: int = 256,
+    top_n: int = 10,
+    fan_in: int = 32,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Per-group top-``top_n`` frequent values — the grouped Misra-Gries
+    variant of :func:`heavy_hitters` (top URLs per lang, top types per day).
+
+    Same three-stage shape as the global sketch, with the sketch state keyed
+    by group: each block emits <= k counters PER GROUP seen in the block
+    (the per-group k budget of Agarwal et al.'s mergeable summaries), blocks
+    coalesce into ``fan_in`` merge-compress tasks, one final merge yields
+    <= k candidates per group, and a second streaming pass recounts the
+    (group, value) candidate pairs exactly via one broadcast sorted key
+    array. The shuffle never carries the distinct-value table — only
+    ``fan_in · k · n_groups`` counter rows.
+
+    Contract: neither ``by`` nor ``col`` values contain NUL (the pair-key
+    separator); group cardinality is bounded (langs, types — not user ids).
+
+    Returns ``(frame, cert)``: frame = (by, rank, value, count) with EXACT
+    counts, ordered (by asc, count desc, value asc); cert = (by, err_bound,
+    proven) — the per-group MG certificate, True when that group's frame is
+    provably the exact top-n."""
+
+    def _mg_rows(gvals, vvals, cnts, errs, out_by, out_v, out_c, out_e):
+        """Compress one group's counters, append rows + one err row."""
+        v, c, d = _mg_compress(vvals, cnts, k)
+        out_by.extend([gvals] * v.size)
+        out_v.extend(v.tolist())
+        out_c.append(c)
+        e = np.zeros(v.size, np.int64)
+        if e.size:
+            e[0] = errs + d
+        out_e.append(e)
+
+    def _emit(out_by, out_v, out_c, out_e) -> pa.Table:
+        return pa.table(
+            {
+                by: pa.array(out_by, pa.string()),
+                "value": pa.array(out_v, pa.string()),
+                "cnt": pa.array(
+                    np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+                ),
+                "err": pa.array(
+                    np.concatenate(out_e) if out_e else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[by]
+        v = batch[col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keys = pa.compute.binary_join_element_wise(
+            g.cast(pa.string()), v.cast(pa.string()), _HH_SEP
+        )
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        pairs = enc.dictionary.to_pylist()  # distinct pairs only
+        gs = np.asarray([p.split(_HH_SEP, 1)[0] for p in pairs], object)
+        vs = np.asarray([p.split(_HH_SEP, 1)[1] for p in pairs], object)
+        out_by, out_v, out_c, out_e = [], [], [], []
+        for gv in np.unique(gs):
+            m = gs == gv
+            _mg_rows(gv, vs[m], cnts[m], 0, out_by, out_v, out_c, out_e)
+        return _emit(out_by, out_v, out_c, out_e)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        gs = np.asarray(batch[by].to_pylist(), object)
+        vs = np.asarray(batch["value"].to_pylist(), object)
+        cnts = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        errs = batch["err"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_by, out_v, out_c, out_e = [], [], [], []
+        for gv in np.unique(gs):
+            m = gs == gv
+            uniq, inv = np.unique(vs[m], return_inverse=True)
+            summed = np.zeros(uniq.size, np.int64)
+            np.add.at(summed, inv, cnts[m])
+            _mg_rows(gv, uniq.astype(object), summed, int(errs[m].sum()),
+                     out_by, out_v, out_c, out_e)
+        return _emit(out_by, out_v, out_c, out_e)
+
+    sketch = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(fan_in)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    empty_frame = pd.DataFrame(
+        {by: pd.Series([], dtype=object),
+         "rank": pd.Series([], dtype=np.int64),
+         "value": pd.Series([], dtype=object),
+         "count": pd.Series([], dtype=np.int64)}
+    )
+    empty_cert = pd.DataFrame(
+        {by: pd.Series([], dtype=object),
+         "err_bound": pd.Series([], dtype=np.int64),
+         "proven": pd.Series([], dtype=bool)}
+    )
+    if sketch.empty:
+        return empty_frame, empty_cert
+    err_by = sketch.groupby(by)["err"].sum().astype(int).to_dict()
+    # NOTE: pandas Series + str concat silently drops NUL characters, so
+    # the pair keys are built with plain Python concatenation
+    cand_keys = np.asarray(
+        sorted(g + _HH_SEP + v for g, v in zip(sketch[by], sketch["value"])),
+        object,
+    )
+
+    import ray
+
+    cand_ref = ray.put(cand_keys)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        g = batch[by]
+        v = batch[col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        keys = pa.compute.binary_join_element_wise(
+            g.cast(pa.string()), v.cast(pa.string()), _HH_SEP
+        )
+        arr = np.asarray(keys.to_pylist(), object)
+        pos = np.searchsorted(cand, arr)
+        pos = np.minimum(pos, cand.size - 1)
+        hit = cand[pos] == arr
+        cnts = np.bincount(pos[hit], minlength=cand.size)
+        nz = np.flatnonzero(cnts)
+        return pa.table(
+            {
+                "key": pa.array(cand[nz].tolist(), pa.string()),
+                "count": pa.array(cnts[nz], pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("key")
+        .sum("count")
+        .to_pandas()
+        .rename(columns={"sum(count)": "count"})
+    )
+    split = exact["key"].str.split(_HH_SEP, n=1, expand=True)
+    exact[by], exact["value"] = split[0], split[1]
+    exact = exact.sort_values(
+        [by, "count", "value"], ascending=[True, False, True], kind="mergesort"
+    )
+    frames, certs = [], []
+    for gv, g in exact.groupby(by, sort=True):
+        head = g.head(top_n)[[by, "value", "count"]].copy()
+        head.insert(1, "rank", np.arange(1, len(head) + 1, dtype=np.int64))
+        err = int(err_by.get(gv, 0))
+        nth = int(head["count"].iloc[-1]) if len(head) else 0
+        proven = err == 0 or (len(head) == top_n and nth > err)
+        frames.append(head)
+        certs.append({by: gv, "err_bound": err, "proven": bool(proven)})
+    frame = pd.concat(frames, ignore_index=True) if frames else empty_frame
+    cert = pd.DataFrame(certs) if certs else empty_cert
+    return frame, cert
+
+
 def kmv_distinct(
     ds: Dataset,
     col: str,

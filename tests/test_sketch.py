@@ -195,3 +195,54 @@ def test_value_quantiles_float_fixed_point(ray_session):
     ).df()
     assert got["value_fp"].tolist() == want["value_fp"].tolist()
     assert got["q_mille"].tolist() == want["q_mille"].tolist()
+
+def test_heavy_hitters_by_proven_exact_on_skew(ray_session):
+    """Grouped MG: per-group top-n with per-group certificates matches the
+    exact per-group value_counts on skewed data."""
+    from splade_ray.ops.sketch import heavy_hitters_by
+
+    rng = np.random.default_rng(17)
+    rows_g, rows_v = [], []
+    for g, base in (("en", 3000), ("de", 1500)):
+        heavy = np.repeat([f"{g}h{i}" for i in range(5)],
+                          [base - 200 * i for i in range(5)])
+        tail = np.array([f"{g}t{i:05d}" for i in rng.integers(0, 3000, 1500)])
+        vals = np.concatenate([heavy, tail])
+        rows_g.extend([g] * vals.size)
+        rows_v.extend(vals.tolist())
+    perm = rng.permutation(len(rows_v))
+    tbl = pa.table({
+        "lang": pa.array(np.asarray(rows_g, object)[perm].tolist(), pa.string()),
+        "v": pa.array(np.asarray(rows_v, object)[perm].tolist(), pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    frame, cert = heavy_hitters_by(ds, "v", "lang", k=64, top_n=5)
+    assert cert["proven"].all()
+    assert (cert["err_bound"] > 0).any()  # compression really happened
+    df = pd.DataFrame({"lang": rows_g, "v": rows_v})
+    for g in ("en", "de"):
+        exact = df[df["lang"] == g]["v"].value_counts()
+        got = frame[frame["lang"] == g]
+        assert got["value"].tolist() == [f"{g}h{i}" for i in range(5)]
+        assert got["count"].tolist() == [int(exact[f"{g}h{i}"]) for i in range(5)]
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_heavy_hitters_by_partitioning_invariant(ray_session):
+    """Same answer at any block layout / fan-in (mergeable summaries)."""
+    from splade_ray.ops.sketch import heavy_hitters_by
+
+    vals = (["a"] * 50 + ["b"] * 30 + ["c"] * 10 +
+            [f"z{i}" for i in range(40)])
+    langs = ["x" if i % 2 else "y" for i in range(len(vals))]
+    tbl = pa.table({"lang": pa.array(langs), "v": pa.array(vals)})
+    base = None
+    for parts, fan_in in ((1, 1), (4, 2), (16, 32)):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        frame, cert = heavy_hitters_by(ds, "v", "lang", k=8, top_n=3,
+                                       fan_in=fan_in)
+        if base is None:
+            base = (frame, cert)
+        else:
+            pd.testing.assert_frame_equal(frame, base[0])
+            pd.testing.assert_frame_equal(cert, base[1])
