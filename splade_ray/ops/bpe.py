@@ -85,14 +85,84 @@ def _symbols(word: str) -> tuple[str, ...]:
     return tuple(word[:-1]) + (word[-1] + EOW,)
 
 
+def _dict_fingerprint(word_counts: pd.DataFrame) -> str:
+    """Digest of the (word, count) dictionary a checkpoint was trained on —
+    a resumed run against a DIFFERENT dictionary must start over, not splice
+    two merge histories."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for w, c in zip(word_counts["word"], word_counts["count"]):
+        h.update(w.encode())
+        h.update(int(c).to_bytes(8, "big", signed=True))
+    return h.hexdigest()[:16]
+
+
 def bpe_train(
-    word_counts: pd.DataFrame, n_merges: int
+    word_counts: pd.DataFrame,
+    n_merges: int,
+    *,
+    top_k_words: int | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 200,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a (word, count) dictionary —
     the Sennrich et al. 2016 loop with incremental pair-count maintenance.
     Ties on pair frequency break lexicographically (subword-nmt's
-    determinism contract). Returns merges in learned order."""
-    words: list[list[str]] = [list(_symbols(w)) for w in word_counts["word"]]
+    determinism contract). Returns merges in learned order.
+
+    100-TB controls (ROADMAP: count-threshold schedule + checkpointing):
+
+    - ``top_k_words`` trains on the top-K dictionary slice by (count desc,
+      word asc) — the standard truncation (HF/SentencePiece both cap the
+      training dictionary): beyond the ``min_count`` floor applied in
+      :func:`bpe_word_counts`, this bounds driver memory by K regardless of
+      how heavy the surviving tail is.
+    - ``checkpoint_path`` makes the sequential driver loop crash-safe:
+      every ``checkpoint_every`` merges the learned prefix is written
+      atomically (tmp+rename) as JSON with a dictionary fingerprint; a
+      re-run replays the prefix onto the dictionary (the rank-order replay
+      is exactly :func:`segment_word`) and continues from merge i+1. A
+      fingerprint or param mismatch ignores the stale checkpoint.
+    """
+    import json
+    import os
+
+    if top_k_words is not None:
+        word_counts = word_counts.head(top_k_words)
+
+    done: list[tuple[str, str]] = []
+    fp = None
+    if checkpoint_path:
+        fp = _dict_fingerprint(word_counts)
+        if os.path.exists(checkpoint_path):
+            with open(checkpoint_path) as fh:
+                ck = json.load(fh)
+            if ck.get("fingerprint") == fp and ck.get("n_merges") == n_merges:
+                done = [tuple(p) for p in ck["merges"]][:n_merges]
+
+    def _checkpoint(merges: list[tuple[str, str]]) -> None:
+        if not checkpoint_path:
+            return
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"fingerprint": fp, "n_merges": n_merges,
+                 "merges": [list(p) for p in merges]},
+                fh,
+            )
+        os.replace(tmp, checkpoint_path)
+
+    if len(done) >= n_merges:
+        return done[:n_merges]
+
+    if done:
+        # replay the checkpointed prefix: lowest-rank-first segmentation is
+        # equivalent to applying merges in learned order
+        ranks = {p: i for i, p in enumerate(done)}
+        words = [segment_word(w, ranks) for w in word_counts["word"]]
+    else:
+        words = [list(_symbols(w)) for w in word_counts["word"]]
     counts = word_counts["count"].to_numpy(np.int64)
 
     pair_counts: dict[tuple[str, str], int] = {}
@@ -103,8 +173,8 @@ def bpe_train(
             pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
             pair_words.setdefault((a, b), set()).add(wi)
 
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    merges: list[tuple[str, str]] = list(done)
+    for _ in range(n_merges - len(merges)):
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
@@ -151,6 +221,9 @@ def bpe_train(
         # remove the merged pair itself
         pair_counts.pop(best, None)
         pair_words.pop(best, None)
+        if len(merges) % checkpoint_every == 0:
+            _checkpoint(merges)
+    _checkpoint(merges)
     return merges
 
 

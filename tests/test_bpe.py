@@ -141,3 +141,44 @@ def test_bpe_cli_fit_apply(ray_session, tmp_path, capsys):
     got = pd.read_parquet(out).sort_values("doc_id")
     assert got["n_words"].tolist() == [3, 2, 1]
     assert (got["n_subwords"] >= got["n_words"]).all()
+
+def test_bpe_train_top_k_slice_equals_head():
+    """top_k_words trains on the top-K dictionary slice — identical to
+    passing the pre-sliced dictionary (the count-threshold schedule)."""
+    from splade_ray.ops.bpe import bpe_train
+
+    wc = pd.DataFrame({
+        "word": ["lower", "low", "newest", "wider", "new", "widest"],
+        "count": [60, 50, 40, 30, 20, 10],
+    })
+    assert bpe_train(wc, 8, top_k_words=4) == bpe_train(wc.head(4), 8)
+    assert bpe_train(wc, 8, top_k_words=4) != bpe_train(wc, 8)
+
+
+def test_bpe_train_checkpoint_resume(tmp_path):
+    """A crashed trainer resumes from the checkpointed merge prefix and
+    converges to the same merge list as an uninterrupted run; a stale
+    checkpoint (different dictionary) is ignored."""
+    import json
+
+    from splade_ray.ops.bpe import bpe_train
+
+    wc = pd.DataFrame({
+        "word": ["lower", "low", "newest", "wider", "new", "widest",
+                 "lowest", "newer"],
+        "count": [60, 50, 40, 30, 20, 10, 9, 8],
+    })
+    full = bpe_train(wc, 12)
+    ck = str(tmp_path / "bpe.ck.json")
+    # simulate a crash at merge 5: write a genuine prefix checkpoint
+    bpe_train(wc, 12, checkpoint_path=ck, checkpoint_every=10**9)
+    state = json.load(open(ck))
+    state["merges"] = state["merges"][:5]
+    json.dump(state, open(ck, "w"))
+    resumed = bpe_train(wc, 12, checkpoint_path=ck, checkpoint_every=3)
+    assert resumed == full
+    # the final checkpoint holds the full list
+    assert [tuple(p) for p in json.load(open(ck))["merges"]] == full
+    # a checkpoint against a different dictionary is ignored
+    wc2 = wc.assign(count=wc["count"] * 2)
+    assert bpe_train(wc2, 12, checkpoint_path=ck) == bpe_train(wc2, 12)
