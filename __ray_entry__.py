@@ -1039,14 +1039,11 @@ def q_more_like_this(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
-def q_multi_index_topk(sf_dir: str):
-    """Federated multi-index search (splade_ray.multi.search_multi): the
-    documents table split into two member indices, scored under combined
-    MultiReader statistics — bit-identical to one index over the union, so
-    the oracle is the plain bm25 mirror."""
+def _multi_members(sf_dir: str) -> list[str]:
+    """Build (or reuse) the two member indices: the documents table split
+    in half by doc_id — the federation fixture every multi_index_* entry
+    scores over."""
     import pyarrow.parquet as _pq
-
-    from splade_ray.multi import search_multi
 
     wd = _work_dir(sf_dir, "multiidx")
     full = _rpq(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -1064,13 +1061,58 @@ def q_multi_index_topk(sf_dir: str):
         build_index(src, d, text_col="text", id_col="doc_id",
                     rows_per_segment=1000, block_size=64)
         members.append(d)
+    return members
+
+
+def q_multi_index_topk(sf_dir: str):
+    """Federated multi-index search (splade_ray.multi.search_multi): the
+    documents table split into two member indices, scored under combined
+    MultiReader statistics — bit-identical to one index over the union, so
+    the oracle is the plain bm25 mirror."""
+    from splade_ray.multi import search_multi
+
     run = search_multi(
-        members, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        _multi_members(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
     out["rank"] = out["rank"].astype(np.int64)
     return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_multi_index_bool(sf_dir: str):
+    """Federated boolean retrieval (multi.boolean_search_multi): clause
+    masks run per member, scoring under union stats — bit-identical to the
+    single-index boolean run, so the oracle is the boolean SQL mirror."""
+    from splade_ray.multi import boolean_search_multi
+
+    run = boolean_search_multi(
+        _multi_members(sf_dir), BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_multi_index_phrase(sf_dir: str):
+    """Federated phrase retrieval (multi.phrase_topk_multi): per-member
+    positional candidate extraction, phrase df summed across members,
+    ranking under the union (n_docs, avgdl) — bit-identical to the
+    single-index phrase run, so the oracle is the phrase SQL mirror."""
+    from splade_ray.multi import phrase_topk_multi
+    from splade_ray.positions import build_positions
+
+    members = _multi_members(sf_dir)
+    for d in members:
+        build_positions(d)
+    run = phrase_topk_multi(
+        members, PHRASE_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["phrase_id", "rank", "doc_id", "score_r"]]
 
 
 HH_TOP_N = 10
@@ -2790,13 +2832,17 @@ SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences FROM m
 WHERE n_occurrences > 0"""
 
 
-def _boolean_sql() -> str:
+def _boolean_sql(queries=None) -> str:
     """SQL mirror of boolq.boolean_search over BOOL_QUERIES: the bm25 score
     CTE restricted by must (NOT EXISTS a must term absent from the doc) and
     must_not (NOT EXISTS a banned term present) — clause term lists and qtfs
-    generated from the same fixture + tokenizer as the Ray side."""
-    score_vals, mt_vals, mn_vals = [], [], []
-    for qid, spec in BOOL_QUERIES:
+    generated from the same fixture + tokenizer as the Ray side. Queries
+    with minimum_should_match > 0 additionally require the per-doc distinct
+    should-term match count to reach m (Lucene msm; the engine's boolq
+    counts DISTINCT should terms, and tf has one row per (doc, term) so
+    count(*) over the sm join mirrors it exactly)."""
+    score_vals, mt_vals, mn_vals, sm_vals, mm_vals = [], [], [], [], []
+    for qid, spec in (queries or BOOL_QUERIES):
         must = term_counts(spec.get("must", "") or "")
         should = term_counts(spec.get("should", "") or "")
         mustnot = term_counts(spec.get("must_not", "") or "")
@@ -2806,19 +2852,39 @@ def _boolean_sql() -> str:
             mt_vals.append(f"({qid}, '{t}')")
         for t in sorted(mustnot):
             mn_vals.append(f"({qid}, '{t}')")
+        m = int(spec.get("minimum_should_match", 0))
+        if m > 0 and should:
+            mm_vals.append(f"({qid}, {m})")
+            for t in sorted(should):
+                sm_vals.append(f"({qid}, '{t}')")
     sep = ",\n    "
     sv, mv, nv = sep.join(score_vals), sep.join(mt_vals), sep.join(mn_vals)
+    mt_cte = f"mt(query_id, term) AS (VALUES\n    {mv}\n)," if mt_vals else \
+        "mt(query_id, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false),"
+    mn_cte = f"mn(query_id, term) AS (VALUES\n    {nv}\n)," if mn_vals else \
+        "mn(query_id, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false),"
+    msm_pred = ""
+    msm_ctes = ""
+    if mm_vals:
+        msm_ctes = (
+            f"sm(query_id, term) AS (VALUES\n    {sep.join(sm_vals)}\n),\n"
+            f"mm(query_id, m) AS (VALUES\n    {sep.join(mm_vals)}\n),"
+        )
+        msm_pred = """
+    AND NOT EXISTS (
+      SELECT 1 FROM mm
+      WHERE mm.query_id = s.query_id
+        AND (SELECT count(*) FROM sm JOIN tf ON tf.term = sm.term
+                                            AND tf.doc_id = s.doc_id
+             WHERE sm.query_id = s.query_id) < mm.m)"""
     return f"""
 WITH {_TF},
 q(query_id, term, qtf) AS (VALUES
     {sv}
 ),
-mt(query_id, term) AS (VALUES
-    {mv}
-),
-mn(query_id, term) AS (VALUES
-    {nv}
-),
+{mt_cte}
+{mn_cte}
+{msm_ctes}
 dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
        FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
        USING (doc_id)),
@@ -3518,6 +3584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_ppl": q_lm_ppl,
         "sig_terms": q_sig_terms,
         "multi_index_topk": q_multi_index_topk,
+        "multi_index_bool": q_multi_index_bool,
+        "multi_index_phrase": q_multi_index_phrase,
         "top_sources_hh": q_top_sources_hh,
         "top_sources_hh_by_lang": q_top_sources_hh_by_lang,
         "bpe_word_counts": q_bpe_word_counts,
@@ -4460,6 +4528,8 @@ FROM documents""",
         "lm_ppl": _lm_ppl_sql(),
         "sig_terms": _sig_terms_sql(),
         "multi_index_topk": bm25,
+        "multi_index_bool": _boolean_sql(),
+        "multi_index_phrase": _phrase_topk_sql(),
         "top_sources_hh": _top_sources_hh_sql(),
         "top_sources_hh_by_lang": _top_sources_hh_by_lang_sql(),
         "bpe_word_counts": _bpe_word_counts_sql(),

@@ -20,6 +20,11 @@ Semantics pinned for the oracle: a doc qualifies iff (every must term has
 tf > 0) AND (no must_not term present) AND score > 0; score = the exact
 BM25 sum over distinct must+should terms (clause texts are bags — a term's
 qtf is its count across both clauses). Ties break (score desc, doc_id asc).
+
+``minimum_should_match`` (per-query key, Lucene BooleanQuery's msm): when
+the query has should terms, a doc additionally needs >= m DISTINCT should
+terms present. m larger than the number of distinct should terms matches
+nothing (Lucene semantics); m = 0 (default) keeps should purely optional.
 """
 
 from __future__ import annotations
@@ -44,14 +49,22 @@ def prepare_bool_queries(
     params: BM25Params | None = None,
     *,
     query_lang: str | None = None,
+    stats_override: dict | None = None,
 ) -> dict:
     """Driver-side prep. Each query is ``(qid, {"must": text, "should":
     text, "must_not": text})`` (clauses optional). Returns the small
     broadcastable dict: per query the must term list, must_not term list,
-    and (term, qtf, idf) scoring list over must+should."""
+    and (term, qtf, idf) scoring list over must+should.
+
+    ``stats_override`` replaces the index's own corpus statistics (n_docs,
+    avgdl, dfs) — the federated-search hook (``multi.boolean_search_multi``
+    scores every member under the MultiReader union stats)."""
     params = params or BM25Params()
-    manifest = load_manifest(index_dir)
-    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    if stats_override is not None:
+        n_docs, avgdl = stats_override["n_docs"], stats_override["avgdl"]
+    else:
+        manifest = load_manifest(index_dir)
+        n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
     prepared = {}
     for qid, spec in queries:
         must = term_counts(spec.get("must", "") or "", query_lang)
@@ -60,11 +73,16 @@ def prepare_bool_queries(
         prepared[int(qid)] = {
             "must": sorted(must),
             "must_not": sorted(must_not),
+            "should": sorted(should),
+            "msm": int(spec.get("minimum_should_match", 0)),
             "score_tf": dict(must + should),  # Counter + Counter sums counts
         }
     score_terms = sorted({t for p in prepared.values() for t in p["score_tf"]})
     dfs: dict[str, int] = {}
-    if score_terms:
+    if stats_override is not None:
+        dfs = {t: stats_override["dfs"][t] for t in score_terms
+               if t in stats_override["dfs"]}
+    elif score_terms:
         lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
             columns=["term", "df"], filter=pads.field("term").isin(score_terms)
         )
@@ -126,6 +144,18 @@ def score_segment_bool(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int
                 allowed[pos] = False
         if not allowed.any():
             continue
+        msm = q.get("msm", 0)
+        if msm > 0 and q.get("should"):
+            # Lucene minimum_should_match: >= msm DISTINCT should terms
+            # present; msm beyond the distinct-term count matches nothing
+            cnt = np.zeros(n, np.int32)
+            for t in q["should"]:
+                pos, _ = positions(t)
+                if pos.size:
+                    cnt[pos] += 1
+            allowed &= cnt >= msm
+            if not allowed.any():
+                continue
         scores = np.zeros(n, np.float64)
         for term, qtf, w in q["score"]:
             pos, tfs = positions(term)
@@ -162,6 +192,7 @@ def boolean_search(
     query_lang: str | None = None,
     range_filter: tuple[str, float | None, float | None] | None = None,
     concurrency: int | None = None,
+    stats_override: dict | None = None,
 ) -> pd.DataFrame:
     """One-shot boolean retrieval: run table (query_id, rank, doc_id, score)
     sorted by (query_id, rank). Same fan-out shape as ``query.search`` —
@@ -170,7 +201,9 @@ def boolean_search(
     ``range_filter=(col, lo, hi)`` adds a numeric doc-values FILTER clause
     (constrains every query's matches, contributes no score)."""
     params = params or BM25Params()
-    prepared = prepare_bool_queries(index_dir, queries, params, query_lang=query_lang)
+    prepared = prepare_bool_queries(index_dir, queries, params,
+                                    query_lang=query_lang,
+                                    stats_override=stats_override)
     if range_filter:
         prepared = {**prepared, "range_filter": range_filter}
     from splade_ray.delete import load_tombstones

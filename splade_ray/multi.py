@@ -114,16 +114,164 @@ def search_multi(
         run = run.copy()
         run["index"] = np.int64(i)
         parts.append(run)
-    pdf = pd.concat(parts, ignore_index=True)
+    return _merge_member_runs(parts, params.top_k)
+
+
+def _merge_member_runs(
+    parts: list[pd.DataFrame], top_k: int, id_col: str = "query_id"
+) -> pd.DataFrame:
+    """Merge the members' k-sized runs by (score desc, doc_id asc) — with
+    globally unique doc ids this is bit-identical to a single index over
+    the union corpus. Each part must already carry an ``index`` column."""
+    cols = [id_col, "rank", "index", "doc_id", "score"]
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
     if pdf.empty:
-        return pd.DataFrame(columns=MULTI_RUN_COLUMNS).astype(
-            {"query_id": np.int64, "rank": np.int32, "index": np.int64,
+        return pd.DataFrame(columns=cols).astype(
+            {id_col: np.int64, "rank": np.int32, "index": np.int64,
              "doc_id": np.int64, "score": np.float64}
         )
     pdf = pdf.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True],
+        [id_col, "score", "doc_id"], ascending=[True, False, True],
         kind="mergesort",
     )
-    pdf["rank"] = pdf.groupby("query_id").cumcount().add(1).astype(np.int32)
-    pdf = pdf[pdf["rank"] <= params.top_k]
-    return pdf.reset_index(drop=True)[MULTI_RUN_COLUMNS]
+    pdf["rank"] = pdf.groupby(id_col).cumcount().add(1).astype(np.int32)
+    pdf = pdf[pdf["rank"] <= top_k]
+    return pdf.reset_index(drop=True)[cols]
+
+
+def boolean_search_multi(
+    index_dirs: list[str],
+    queries: list[tuple[int, dict]],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
+    range_filter: tuple[str, float | None, float | None] | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Federated boolean retrieval: each member's must/must_not masking runs
+    locally, scoring runs under the MultiReader union statistics
+    (``prepare_bool_queries(stats_override=...)``), and the k-sized member
+    runs merge exactly — per-member top-k under GLOBAL weights is a sound
+    superset of the global top-k because clause masks are doc-local."""
+    from splade_ray.boolq import boolean_search
+
+    params = params or BM25Params()
+    # stats terms = every clause's terms (must/should score; must_not only
+    # masks but costs nothing to include in the pushdown)
+    texts = [
+        (qid, " ".join(str(v) for v in spec.values() if v))
+        for qid, spec in queries
+    ]
+    stats = combined_stats(index_dirs, texts, query_lang=query_lang)
+    parts = []
+    for i, d in enumerate(index_dirs):
+        run = boolean_search(
+            d, queries, params, query_lang=query_lang,
+            range_filter=range_filter, concurrency=concurrency,
+            stats_override=stats,
+        )
+        run = run.copy()
+        run["index"] = np.int64(i)
+        parts.append(run)
+    return _merge_member_runs(parts, params.top_k)
+
+
+def phrase_topk_multi(
+    index_dirs: list[str],
+    phrases: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Federated BM25-ranked phrase retrieval. The phrase is one virtual
+    term, so the union statistics are ``df(phrase) = Σ df_i(phrase)`` plus
+    the members' summed (n_docs, sum_doc_len): each member's candidates are
+    extracted ONCE (positions pass), its local phrase dfs feed the global
+    sum, and the same candidates re-rank under the global weights — no
+    second postings pass."""
+    from splade_ray.bm25 import idf
+    from splade_ray.positions import _phrase_candidates, _phrase_rank, phrase_dfs
+
+    params = params or BM25Params()
+    n_docs, sum_dl = 0, 0
+    for d in index_dirs:
+        m = load_manifest(d)
+        n_docs += int(m["n_docs"])
+        sum_dl += int(m.get("sum_doc_len") or round(m["avgdl"] * m["n_docs"]))
+    avgdl = (sum_dl / n_docs) if n_docs else 1.0
+
+    cands = []
+    dfs: dict[int, int] = {}
+    for d in index_dirs:
+        cand = _phrase_candidates(
+            d, phrases, query_lang=query_lang,
+            concurrency=concurrency, with_doc_len=True,
+        )
+        if cand is not None:
+            cand = cand.materialize()  # consumed twice: df count + ranking
+            for pid, df in phrase_dfs(cand).items():
+                dfs[pid] = dfs.get(pid, 0) + df
+        cands.append(cand)
+
+    cols = ["phrase_id", "rank", "index", "doc_id", "score"]
+    if not dfs:
+        return pd.DataFrame(columns=cols).astype(
+            {"phrase_id": np.int64, "rank": np.int32, "index": np.int64,
+             "doc_id": np.int64, "score": np.float64}
+        )
+    w = {pid: idf(df, n_docs) for pid, df in dfs.items()}
+    parts = []
+    for i, cand in enumerate(cands):
+        if cand is None:
+            continue
+        run = _phrase_rank(cand, w, avgdl, params)
+        run = run.copy()
+        run["index"] = np.int64(i)
+        parts.append(run)
+    return _merge_member_runs(parts, params.top_k, id_col="phrase_id")
+
+
+def search_fielded_multi(
+    members: list[dict[str, str]],
+    queries: list[tuple[int, str]],
+    weights: dict[str, float],
+    params: BM25Params | None = None,
+    *,
+    mode: str = "sum",
+    tie_breaker: float = 0.0,
+    analyzers: dict[str, str] | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Federated fielded retrieval (``sum`` / ``dismax`` modes): each member
+    is a {field: index_dir} mapping; per FIELD the union statistics combine
+    across members (a field is its own statistics universe in Lucene), then
+    every member's aligned-segment scoring runs under those stats and the
+    k-sized runs merge exactly."""
+    from splade_ray.query import search_fielded
+
+    params = params or BM25Params()
+    if not members:
+        raise ValueError("at least one member required")
+    fields = sorted(members[0])
+    for m in members:
+        if sorted(m) != fields:
+            raise ValueError(f"members disagree on fields: {sorted(m)} vs {fields}")
+    stats = {
+        f: combined_stats(
+            [m[f] for m in members], queries,
+            query_lang=(analyzers or {}).get(f),
+        )
+        for f in fields
+    }
+    parts = []
+    for i, m in enumerate(members):
+        run = search_fielded(
+            m, queries, weights, params, mode=mode, tie_breaker=tie_breaker,
+            analyzers=analyzers, concurrency=concurrency,
+            stats_override=stats,
+        )
+        run = run.copy()
+        run["index"] = np.int64(i)
+        parts.append(run)
+    return _merge_member_runs(parts, params.top_k)

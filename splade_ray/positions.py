@@ -643,50 +643,31 @@ def phrase_search(
     return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
 
 
-def phrase_topk(
-    index_dir: str,
-    phrases: list[tuple[int, str]],
-    params=None,
-    *,
-    query_lang: str | None = None,
-    concurrency: int | None = None,
-):
-    """BM25-ranked phrase retrieval: each phrase acts as ONE virtual term
-    whose per-doc tf is the phrase occurrence count and whose df is the
-    number of docs containing the phrase. score = idf(df_phrase) ·
-    tf_component(count, doc_len); ties (score desc, doc_id asc).
+PHRASE_RUN_COLS = ["phrase_id", "rank", "doc_id", "score"]
+PHRASE_RUN_TYPES = {
+    "phrase_id": np.int64, "rank": np.int32,
+    "doc_id": np.int64, "score": np.float64,
+}
 
-    Three small stages over the candidate Dataset (matches only, never the
-    corpus): a phrase-count groupby for global dfs (phrase-sized), a
-    vectorized scoring map, and the per-phrase top-k merge."""
-    import pandas as pd
+
+def phrase_dfs(cand) -> dict[int, int]:
+    """Per-phrase document frequency of a candidate Dataset (one row per
+    (phrase, doc) match) — phrase-sized groupby."""
     from ray.data.aggregate import Count
 
-    from splade_ray.bm25 import BM25Params, idf, tf_component
-    from splade_ray.build import load_manifest
-
-    params = params or BM25Params()
-    man = load_manifest(index_dir)
-    n_docs, avgdl = man["n_docs"], man["avgdl"]
-    out_cols = ["phrase_id", "rank", "doc_id", "score"]
-    out_types = {
-        "phrase_id": np.int64, "rank": np.int32,
-        "doc_id": np.int64, "score": np.float64,
-    }
-    cand = _phrase_candidates(
-        index_dir, phrases, query_lang=query_lang,
-        concurrency=concurrency, with_doc_len=True,
-    )
-    if cand is None:
-        return pd.DataFrame(columns=out_cols).astype(out_types)
-    cand = cand.materialize()  # consumed twice: df groupby + scoring
-    dfs = {
+    return {
         int(r["phrase_id"]): int(r["df"])
         for r in cand.groupby("phrase_id").aggregate(Count(alias_name="df")).take_all()
     }
-    if not dfs:
-        return pd.DataFrame(columns=out_cols).astype(out_types)
-    w = {pid: idf(df, n_docs) for pid, df in dfs.items()}
+
+
+def _phrase_rank(cand, w: dict[int, float], avgdl: float, params):
+    """Score + per-phrase top-k merge over a candidate Dataset, under the
+    given per-phrase idf weights and avgdl (callers supply local or
+    federated statistics)."""
+    import pandas as pd
+
+    from splade_ray.bm25 import tf_component
 
     def score(batch: pa.Table) -> pa.Table:
         pids = batch["phrase_id"].to_numpy(zero_copy_only=False)
@@ -710,7 +691,7 @@ def phrase_topk(
         )
         g = g.head(params.top_k).copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g[out_cols]
+        return g[PHRASE_RUN_COLS]
 
     run = (
         cand.map_batches(score, batch_format="pyarrow")
@@ -719,8 +700,57 @@ def phrase_topk(
     )
     pdf = run.to_pandas()
     if pdf.empty:
-        return pd.DataFrame(columns=out_cols).astype(out_types)
+        return pd.DataFrame(columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES)
     return pdf.sort_values(["phrase_id", "rank"]).reset_index(drop=True)
+
+
+def phrase_topk(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    params=None,
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+    stats_override: dict | None = None,
+):
+    """BM25-ranked phrase retrieval: each phrase acts as ONE virtual term
+    whose per-doc tf is the phrase occurrence count and whose df is the
+    number of docs containing the phrase. score = idf(df_phrase) ·
+    tf_component(count, doc_len); ties (score desc, doc_id asc).
+
+    Three small stages over the candidate Dataset (matches only, never the
+    corpus): a phrase-count groupby for global dfs (phrase-sized), a
+    vectorized scoring map, and the per-phrase top-k merge.
+
+    ``stats_override`` = ``{"n_docs", "avgdl", "phrase_dfs": {pid: df}}``
+    scores the candidates under federated statistics
+    (``multi.phrase_topk_multi``) instead of this index's own."""
+    import pandas as pd
+
+    from splade_ray.bm25 import BM25Params, idf
+    from splade_ray.build import load_manifest
+
+    params = params or BM25Params()
+    if stats_override is not None:
+        n_docs, avgdl = stats_override["n_docs"], stats_override["avgdl"]
+    else:
+        man = load_manifest(index_dir)
+        n_docs, avgdl = man["n_docs"], man["avgdl"]
+    cand = _phrase_candidates(
+        index_dir, phrases, query_lang=query_lang,
+        concurrency=concurrency, with_doc_len=True,
+    )
+    if cand is None:
+        return pd.DataFrame(columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES)
+    if stats_override is not None and "phrase_dfs" in stats_override:
+        dfs = stats_override["phrase_dfs"]
+    else:
+        cand = cand.materialize()  # consumed twice: df groupby + scoring
+        dfs = phrase_dfs(cand)
+    if not dfs:
+        return pd.DataFrame(columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES)
+    w = {pid: idf(df, n_docs) for pid, df in dfs.items()}
+    return _phrase_rank(cand, w, avgdl, params)
 
 
 def near_search(

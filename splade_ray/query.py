@@ -913,6 +913,7 @@ def search_fielded(
     analyzers: dict[str, str] | None = None,
     query_analyzer: str | None = None,
     concurrency: int | None = None,
+    stats_override: dict[str, dict] | None = None,
 ) -> pd.DataFrame:
     """Fielded retrieval over one index per field — the multi-field query a
     Lucene/Anserini user runs against e.g. (title, body) or, for the code
@@ -960,6 +961,11 @@ def search_fielded(
     n_segs = counts[fields[0]]
     items = [{"seg_ord": i} for i in range(n_segs)]
 
+    if stats_override is not None and mode not in ("sum", "dismax"):
+        raise ValueError(
+            "stats_override (federated fielded search) supports the 'sum' "
+            "and 'dismax' modes; bm25f's union-df pass is per-index"
+        )
     if mode in ("sum", "dismax"):
         if not 0.0 <= tie_breaker <= 1.0:
             raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
@@ -969,6 +975,7 @@ def search_fielded(
                 queries,
                 params,
                 query_lang=(analyzers or {}).get(f),
+                stats_override=(stats_override or {}).get(f),
             )
             for f in fields
         }

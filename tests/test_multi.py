@@ -85,3 +85,72 @@ def test_search_multi_member_ranks_differ_from_isolated(built):
     f = fed0.set_index("doc_id")["score"]
     i = iso0.set_index("doc_id")["score"]
     assert any(abs(f[d] - i[d]) > 1e-9 for d in common)
+
+def test_boolean_search_multi_matches_union_index(built):
+    from splade_ray.boolq import boolean_search
+    from splade_ray.multi import boolean_search_multi
+
+    union, members = built
+    bq = [
+        (1, {"must": "def", "should": "parse merge"}),
+        (2, {"should": "return value", "must_not": "select"}),
+        (3, {"must": "x1", "should": "select value"}),
+    ]
+    p = BM25Params(top_k=12)
+    got = boolean_search_multi(members, bq, p)
+    want = boolean_search(union, bq, p)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "score"]], want, check_dtype=False
+    )
+    assert ((got["doc_id"] < 80) == (got["index"] == 0)).all()
+
+
+def test_phrase_topk_multi_matches_union_index(built, tmp_path):
+    from splade_ray.multi import phrase_topk_multi
+    from splade_ray.positions import build_positions, phrase_topk
+
+    union, members = built
+    for d in [union, *members]:
+        build_positions(d)
+    phrases = [(1, "def parse"), (2, "return x1")]
+    p = BM25Params(top_k=10)
+    got = phrase_topk_multi(members, phrases, p)
+    want = phrase_topk(union, phrases, p)
+    pd.testing.assert_frame_equal(
+        got[["phrase_id", "rank", "doc_id", "score"]], want, check_dtype=False
+    )
+    assert ((got["doc_id"] < 80) == (got["index"] == 0)).all()
+
+
+def test_search_fielded_multi_matches_union_index(built, tmp_path):
+    """Two-field federation: per-field union stats -> parity with the
+    per-field union indexes, for both sum and dismax modes."""
+    from splade_ray.multi import search_fielded_multi
+    from splade_ray.query import search_fielded
+
+    t = synth_corpus(N, seed=13)
+    ids = np.arange(N, dtype=np.int64)
+    title = pa.array([s.split("\n")[0][:40] for s in t["content"].to_pylist()])
+    full = pa.table({"doc_id": pa.array(ids), "text": t["content"],
+                     "title": title})
+    slices = {"full": full, "a": full.slice(0, 80), "b": full.slice(80, 60)}
+    built_f = {}
+    for name, tbl in slices.items():
+        pq.write_table(tbl, str(tmp_path / f"f_{name}.parquet"))
+        built_f[name] = {}
+        for fld in ("text", "title"):
+            d = str(tmp_path / f"fidx_{name}_{fld}")
+            build_index(str(tmp_path / f"f_{name}.parquet"), d, text_col=fld,
+                        id_col="doc_id", rows_per_segment=35)
+            built_f[name][fld] = d
+    weights = {"text": 1.0, "title": 2.0}
+    p = BM25Params(top_k=12)
+    for mode in ("sum", "dismax"):
+        got = search_fielded_multi(
+            [built_f["a"], built_f["b"]], QUERIES, weights, p, mode=mode
+        )
+        want = search_fielded(built_f["full"], QUERIES, weights, p, mode=mode)
+        pd.testing.assert_frame_equal(
+            got[["query_id", "rank", "doc_id", "score"]], want,
+            check_dtype=False,
+        )

@@ -240,6 +240,14 @@ def brute_boolean(texts, doc_ids, queries, params):
         for t in must_not:
             if t in oi.postings:
                 allowed[oi.postings[t][0]] = False
+        should = sorted(term_counts(spec.get("should", "") or ""))
+        msm = int(spec.get("minimum_should_match", 0))
+        if msm > 0 and should:
+            cnt = np.zeros(oi.n_docs, np.int32)
+            for t in should:
+                if t in oi.postings:
+                    cnt[oi.postings[t][0]] += 1
+            allowed &= cnt >= msm
         scores[~allowed] = 0.0
         docs, scs = topk_from_scores(oi.doc_ids, scores, params.top_k, params.threshold)
         for r, (d, s) in enumerate(zip(docs, scs), start=1):
@@ -274,6 +282,31 @@ def test_boolean_search_matches_bruteforce(pos_index):
     assert by_q.get(4) is None          # must term absent everywhere
     assert by_q.get(5) is None          # must & must_not same term
     assert 0 not in by_q.get(2, set())  # doc 0 has 'dog' -> excluded
+
+
+def test_boolean_minimum_should_match(pos_index):
+    """Lucene msm semantics: >= m DISTINCT should terms present; m beyond
+    the distinct-term count matches nothing; m=0 keeps should optional."""
+    from splade_ray.boolq import boolean_search
+
+    params = BM25Params(top_k=10)
+    qs = [
+        (1, {"should": "quick lazy dog", "minimum_should_match": 2}),
+        (2, {"must": "fox", "should": "lazy dog", "minimum_should_match": 1}),
+        (3, {"should": "quick lazy", "minimum_should_match": 3}),  # m > |should|
+        (4, {"should": "quick lazy dog", "minimum_should_match": 0}),
+    ]
+    got = boolean_search(pos_index, qs, params)
+    want = brute_boolean(
+        TEXTS, np.arange(len(TEXTS), dtype=np.int64), qs, params
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"rank": np.int64}),
+        want.astype({"rank": np.int64}),
+    )
+    by_q = {q: set(g.doc_id) for q, g in got.groupby("query_id")}
+    assert by_q.get(3) is None                     # msm > distinct should terms
+    assert by_q.get(1, set()) < by_q.get(4, set())  # msm=2 strictly shrinks msm=0
 
 
 def test_boolean_search_synth_corpus(ray_session, tmp_path):
