@@ -924,6 +924,35 @@ def q_boolean_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# minimum_should_match variants (Lucene BooleanQuery msm): distinct-should
+# thresholds of 1/2/3 plus an msm > |should| query that must match nothing.
+BOOL_MSM_QUERIES = [
+    (1, {"should": "spark window merge", "minimum_should_match": 2}),
+    (2, {"must": "data", "should": "stream batch agg",
+         "minimum_should_match": 1}),
+    (3, {"should": "slow query filter sort", "minimum_should_match": 3}),
+    (4, {"should": "spark window", "minimum_should_match": 3}),  # m > |should|
+    (5, {"should": "customer key", "must_not": "spark",
+         "minimum_should_match": 2}),
+]
+
+
+def q_boolean_msm(sf_dir: str):
+    """Boolean retrieval with minimum_should_match (boolq msm semantics: a
+    doc needs >= m DISTINCT should terms; m beyond the distinct-term count
+    matches nothing)."""
+    from splade_ray.boolq import boolean_search
+
+    index_dir = _index_for(sf_dir)
+    run = boolean_search(
+        index_dir, BOOL_MSM_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # Fixed substring / regex query sets over the documents vocabulary: a
 # multi-token substring, a selective one, a guaranteed miss, a case-mixed
 # needle, and a sub-3-byte needle that exercises the documented
@@ -2912,7 +2941,7 @@ qual AS (
                         WHERE tf.doc_id = s.doc_id AND tf.term = mt.term))
     AND NOT EXISTS (
       SELECT 1 FROM mn JOIN tf ON tf.term = mn.term AND tf.doc_id = s.doc_id
-      WHERE mn.query_id = s.query_id)
+      WHERE mn.query_id = s.query_id){msm_pred}
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
@@ -3564,6 +3593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substr_search_cs": q_substr_search_cs,
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
+        "boolean_msm": q_boolean_msm,
         "phrase_topk": q_phrase_topk,
         "sample_hash": q_sample_hash,
         "split_assign": q_split_assign,
@@ -4766,6 +4796,7 @@ FROM f""",
         "substr_search_cs": _substr_cs_sql(),
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
+        "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),
         "top_events_per_type": _topn_per_type_sql(),

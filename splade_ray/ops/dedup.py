@@ -340,10 +340,17 @@ def _coarse_key(cols: list[np.ndarray], num_groups: int) -> np.ndarray:
 
 
 def _shuffle_groups(requested: int | None = None) -> int:
+    """Coarse-key group count for the dedup/curation shuffles. One group
+    per CPU (measured, round-3 interleaved bench on the gram-count leg,
+    median of 3): 32 groups = 9.5 s, 256 (the old cpus×8) = 13.1 s, and 64
+    oddly pathological at 33 s on this 32-cpu box — map-block × group
+    fragmentation costs more than reduce-side parallelism buys. One group
+    per CPU keeps per-group reduce state at total_partial_bytes/cpus
+    (memory-bounded at any cluster size: more nodes → more groups)."""
     if requested is not None:
         return requested
     cpus = ray.cluster_resources().get("CPU", 4.0) if ray.is_initialized() else 4.0
-    return max(32, int(cpus) * 8)
+    return max(32, int(cpus))
 
 
 def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
