@@ -1516,6 +1516,64 @@ def q_range_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# function_score fixture: all four function shapes over the n_chars
+# doc-value, score_mode/boost_mode = multiply (ES defaults for this subset).
+FSCORE_FUNCTIONS = [
+    {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                            "modifier": "log1p"}},
+    {"gauss": {"field": "n_chars", "origin": 500.0, "scale": 300.0,
+               "offset": 50.0, "decay": 0.5}},
+    {"exp": {"field": "n_chars", "origin": 0.0, "scale": 1000.0,
+             "decay": 0.6}},
+    {"linear": {"field": "n_chars", "origin": 200.0, "scale": 400.0,
+                "decay": 0.3}},
+]
+
+
+def q_function_score(sf_dir: str):
+    """Elasticsearch function_score retrieval
+    (docvalues.function_score_search): BM25 × field_value_factor(log1p) ×
+    gauss × exp × linear decay over the n_chars doc-value, multiplier
+    applied inside each segment before its top-k cut."""
+    from splade_ray.docvalues import function_score_search
+
+    run = function_score_search(
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        functions=FSCORE_FUNCTIONS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def _block_join(sf_dir: str, score_mode: str):
+    from splade_ray.docvalues import block_join_search
+
+    run = block_join_search(
+        _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B),
+        parent_col="source", score_mode=score_mode, top_k=TOP_K,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "parent", "score_r", "n_children"]]
+
+
+def q_block_join_max(sf_dir: str):
+    """Parent block join, score_mode=max (docvalues.block_join_search —
+    Lucene ToParentBlockJoinQuery): parents = distinct `source` values,
+    ranked by their best-matching child's BM25 score; per-segment partial
+    (sum,max,min,count) aggregates, child scores never leave segments."""
+    return _block_join(sf_dir, "max")
+
+
+def q_block_join_avg(sf_dir: str):
+    """Parent block join, score_mode=avg: parents ranked by mean matching-
+    child BM25 score (sum/count over score>0 children)."""
+    return _block_join(sf_dir, "avg")
+
+
 def q_sort_by_field(sf_dir: str):
     """Sort-by-field retrieval (docvalues.sort_search): matching docs ranked
     by the n_chars doc-value desc (tie doc_id asc) — Lucene Sort.LONG."""
@@ -3579,6 +3637,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_topk": q_explain,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
+        "function_score": q_function_score,
+        "block_join_max": q_block_join_max,
+        "block_join_avg": q_block_join_avg,
         "range_topk_str": q_range_topk_str,
         "sort_by_field": q_sort_by_field,
         "sort_multi": q_sort_multi,
@@ -4240,6 +4301,69 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
 
 
+def _block_join_sql(score_mode: str) -> str:
+    """Block-join mirror: matching children (score > 0) from the shared
+    bm25 `scores` CTE, grouped to their `source` parent with the mode's
+    aggregate, ranked (score desc, parent asc)."""
+    agg = {"max": "max(score)", "sum": "sum(score)", "min": "min(score)",
+           "avg": "sum(score) / count(*)",
+           "count": "count(*)::DOUBLE"}[score_mode]
+    return f"""{_bm25_cte()},
+ch AS (SELECT s.query_id, d.source AS parent, s.score
+       FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0),
+agg AS (SELECT query_id, parent, {agg} AS score, count(*) AS n_children
+        FROM ch GROUP BY query_id, parent),
+rr AS (SELECT query_id, parent, score, n_children,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, parent ASC) AS rank
+       FROM agg)
+SELECT query_id, rank::BIGINT AS rank, parent, {_round4_sql('score')} AS score_r,
+       n_children
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _function_score_sql() -> str:
+    """function_score mirror, generated from FSCORE_FUNCTIONS so spec and
+    SQL cannot drift: fscore = base bm25 score × (m1 × m2 × ...) with each
+    multiplier's closed form inlined (constants computed with the same
+    IEEE-double Python/numpy ops as the kernel; multiplication order matches
+    the engine's left-to-right accumulation)."""
+    import math
+
+    col = "d.n_chars"
+    exprs = []
+    for f in FSCORE_FUNCTIONS:
+        (kind, spec), = f.items()
+        if kind == "field_value_factor":
+            x = f"({spec['factor']!r} * {col})"
+            mod = spec.get("modifier", "none")
+            exprs.append({"none": x, "log1p": f"ln(1 + {x})",
+                          "sqrt": f"sqrt({x})"}[mod])
+            continue
+        origin, scale = spec["origin"], spec["scale"]
+        offset, decay = spec.get("offset", 0.0), spec.get("decay", 0.5)
+        d = f"greatest(0, abs({col} - {origin!r}) - {offset!r})"
+        if kind == "gauss":
+            sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+            exprs.append(f"exp(-({d} * {d}) / (2 * {sigma2!r}))")
+        elif kind == "exp":
+            lam = math.log(decay) / scale
+            exprs.append(f"exp({lam!r} * {d})")
+        else:  # linear
+            s = scale / (1.0 - decay)
+            exprs.append(f"greatest(0, ({s!r} - {d}) / {s!r})")
+    mult = " * ".join(exprs)
+    return f"""{_bm25_cte()},
+fs AS (SELECT s.query_id, s.doc_id, s.score * ({mult}) AS score
+       FROM scores s JOIN documents d USING (doc_id)),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM fs WHERE score > 0)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
 _MATCHED = """
 m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qterm q JOIN tf USING (term))"""
 
@@ -4577,6 +4701,9 @@ FROM documents""",
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "range_topk": _range_topk_sql(),
+        "function_score": _function_score_sql(),
+        "block_join_max": _block_join_sql("max"),
+        "block_join_avg": _block_join_sql("avg"),
         "range_topk_str": _range_topk_str_sql(),
         "sort_by_field": _sort_by_field_sql(),
         "sort_multi": _sort_multi_sql(),

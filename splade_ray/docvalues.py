@@ -124,6 +124,47 @@ def range_search(
     )
 
 
+def function_score_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    functions: list[dict],
+    query_lang: str | None = None,
+    scoring: str = "bm25",
+    mu: float = 2000.0,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Elasticsearch function_score retrieval (boost_mode/score_mode =
+    multiply): final score = BM25 (or QL) × the product of the given
+    functions — ``field_value_factor`` (factor/modifier none|log1p|sqrt)
+    and the ``gauss``/``exp``/``linear`` numeric decay shapes — all
+    computed from sidecar doc-values columns (build the index with
+    ``extra_doc_cols=(field,)``).
+
+    The per-doc multiplier is query-independent: each segment computes it
+    once per spec (cached for the actor's lifetime) and applies it BEFORE
+    its top-k cut, so results are exact under the modified score (not an ES
+    ``rescore`` of a base-score window). Scale shape = the plain search
+    fan-out: nothing new shuffles, k-sized rows per (segment, query) merge.
+
+    Thin wrapper over :func:`splade_ray.query.search(functions=...)`; the
+    spec format is documented on :func:`splade_ray.query.canonical_functions`.
+    """
+    from splade_ray.query import search
+
+    return search(
+        index_dir,
+        queries,
+        params,
+        query_lang=query_lang,
+        scoring=scoring,
+        mu=mu,
+        concurrency=concurrency,
+        functions=functions,
+    )
+
+
 def sort_search(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -446,3 +487,122 @@ def numeric_histogram(
         .sort_values(["query_id", "bucket"])
         .reset_index(drop=True)
     )
+
+
+BLOCK_JOIN_COLUMNS = ["query_id", "rank", "parent", "score", "n_children"]
+
+
+def block_join_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    parent_col: str,
+    score_mode: str = "max",
+    top_k: int = 10,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Parent-ranked retrieval (Lucene ToParentBlockJoinQuery / ES
+    ``has_child``): children are the indexed docs, a parent is every
+    distinct value of the ``parent_col`` sidecar doc-values column, and
+    parents rank by aggregating their MATCHING children's scores
+    (BM25 > 0):
+
+    - ``score_mode`` ∈ max | sum | min | avg | count (ES has_child modes;
+      ``count`` = ``none`` + total-hits, score is the child count);
+    - ties break (score desc, parent asc); parents with no matching child
+      don't appear. Rows carry ``n_children`` = matching-child count.
+
+    Unlike Lucene's single-block layout, children of one parent may span
+    segments: each segment emits ONE partial row per (query, parent-in-
+    segment) — (sum, max, min, count) partials, associatively combined —
+    so what leaves a segment is aggregate-sized, never child-sized. The
+    driver reduce is a parents × queries groupby (the facet-aggregation
+    contract: parent cardinality must be aggregate-small; for web-scale
+    parent keys pre-bucket by hash and push this through a Ray groupby)."""
+    from splade_ray.delete import load_tombstones
+
+    params = params or BM25Params()
+    if score_mode not in ("max", "sum", "min", "avg", "count"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "parent": pa.array([], pa.string()),
+            "s_sum": pa.array([], pa.float64()),
+            "s_max": pa.array([], pa.float64()),
+            "s_min": pa.array([], pa.float64()),
+            "n_children": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        parents = seg.doc_values(parent_col)
+        out = {k: [] for k in ("query_id", "parent", "s_sum", "s_max",
+                               "s_min", "n_children")}
+        for qid in prep["queries"]:
+            scores = seg.dense_query_scores(qid, prep)
+            if scores is None:
+                continue
+            hit = np.flatnonzero(scores > params.threshold)
+            if hit.size == 0:
+                continue
+            sc = scores[hit]
+            u, inv = np.unique(parents[hit], return_inverse=True)
+            s_sum = np.bincount(inv, weights=sc, minlength=u.size)
+            s_max = np.full(u.size, -np.inf)
+            np.maximum.at(s_max, inv, sc)
+            s_min = np.full(u.size, np.inf)
+            np.minimum.at(s_min, inv, sc)
+            cnt = np.bincount(inv, minlength=u.size)
+            out["query_id"].extend([qid] * u.size)
+            out["parent"].extend(u.tolist())
+            out["s_sum"].extend(s_sum.tolist())
+            out["s_max"].extend(s_max.tolist())
+            out["s_min"].extend(s_min.tolist())
+            out["n_children"].extend(cnt.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "parent": pa.array([str(p) for p in out["parent"]], pa.string()),
+                "s_sum": pa.array(out["s_sum"], pa.float64()),
+                "s_max": pa.array(out["s_max"], pa.float64()),
+                "s_min": pa.array(out["s_min"], pa.float64()),
+                "n_children": pa.array(out["n_children"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        out = pd.DataFrame(columns=BLOCK_JOIN_COLUMNS)
+        return out.astype({"query_id": np.int64, "rank": np.int32,
+                           "score": np.float64, "n_children": np.int64})
+    agg = pdf.groupby(["query_id", "parent"], as_index=False).agg(
+        s_sum=("s_sum", "sum"), s_max=("s_max", "max"),
+        s_min=("s_min", "min"), n_children=("n_children", "sum"),
+    )
+    if score_mode == "sum":
+        agg["score"] = agg["s_sum"]
+    elif score_mode == "max":
+        agg["score"] = agg["s_max"]
+    elif score_mode == "min":
+        agg["score"] = agg["s_min"]
+    elif score_mode == "avg":
+        agg["score"] = agg["s_sum"] / agg["n_children"]
+    else:  # count
+        agg["score"] = agg["n_children"].astype(np.float64)
+    agg = agg.sort_values(["query_id", "score", "parent"],
+                          ascending=[True, False, True], kind="mergesort")
+    agg["rank"] = agg.groupby("query_id").cumcount().add(1).astype(np.int32)
+    agg = agg[agg["rank"] <= top_k]
+    agg["n_children"] = agg["n_children"].astype(np.int64)
+    return agg.reset_index(drop=True)[BLOCK_JOIN_COLUMNS]

@@ -166,6 +166,10 @@ class SegmentIndex:
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # numeric doc-values cache (range_filter), same lifetime as _decoded
         self._numcols: dict[str, np.ndarray] = {}
+        # function_score multiplier cache: the per-doc multiplier vector is
+        # query-INDEPENDENT (a pure function of sidecar doc values), so one
+        # spec computes once per segment and serves every query/chunk
+        self._fscore: dict[tuple, np.ndarray] = {}
 
     def numeric_values(self, col: str) -> np.ndarray:
         """Sidecar numeric doc column aligned to doc_ids (cached — loaded
@@ -283,15 +287,70 @@ class SegmentIndex:
                 scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
         return scores if hit else None
 
+    def fscore_multiplier(self, prepared: dict) -> np.ndarray | None:
+        """Per-doc score multiplier for the prepared dict's ``fscore`` spec
+        (Elasticsearch function_score, boost_mode/score_mode = multiply):
+        the product over canonicalized function tuples
+
+        - ``("fvf", field, factor, modifier)`` — field_value_factor:
+          ``m(factor · v)`` with modifier none / log1p / sqrt (field values
+          must be >= 0 for log1p/sqrt, the ES contract);
+        - ``("gauss"|"exp"|"linear", field, origin, scale, offset, decay)``
+          — numeric decay over ``d = max(0, |v - origin| - offset)`` with
+          the ES closed forms (decay reached exactly at distance scale).
+
+        Cached per segment per spec — multipliers are query-independent."""
+        fs = prepared.get("fscore")
+        if not fs:
+            return None
+        key = tuple(fs)
+        got = self._fscore.get(key)
+        if got is None:
+            mult = np.ones(self.doc_ids.size, np.float64)
+            for f in fs:
+                kind, field = f[0], f[1]
+                v = self.numeric_values(field).astype(np.float64)
+                if kind == "fvf":
+                    _, _, factor, modifier = f
+                    x = factor * v
+                    if modifier == "log1p":
+                        x = np.log1p(x)
+                    elif modifier == "sqrt":
+                        x = np.sqrt(x)
+                    elif modifier != "none":
+                        raise ValueError(f"unknown fvf modifier {modifier!r}")
+                    mult *= x
+                else:
+                    _, _, origin, scale, offset, decay = f
+                    d = np.maximum(0.0, np.abs(v - origin) - offset)
+                    if kind == "gauss":
+                        sigma2 = -(scale * scale) / (2.0 * np.log(decay))
+                        mult *= np.exp(-(d * d) / (2.0 * sigma2))
+                    elif kind == "exp":
+                        mult *= np.exp(np.log(decay) / scale * d)
+                    elif kind == "linear":
+                        s = scale / (1.0 - decay)
+                        mult *= np.maximum(0.0, (s - d) / s)
+                    else:
+                        raise ValueError(f"unknown decay function {kind!r}")
+            got = self._fscore[key] = mult
+        return got
+
     def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
         p: BM25Params = prepared["params"]
         after: dict = prepared.get("after") or {}
         keep = self.range_keep_mask(prepared)
+        mult = self.fscore_multiplier(prepared)
         rows: list[tuple[int, int, float]] = []
         for qid in prepared["queries"]:
             scores = self.dense_query_scores(qid, prepared)
             if scores is None:
                 continue
+            if mult is not None:
+                # function_score multiplier BEFORE the per-segment cut: the
+                # top-k is taken under the MODIFIED score, so re-ranked
+                # results are exact (not a rescore of a base-score cut)
+                scores = scores * mult
             if keep is not None:
                 # numeric doc-values filter BEFORE the per-segment cut
                 # (Lucene FILTER clause) — deep results stay exact
@@ -313,10 +372,12 @@ class SegmentIndex:
             prepared.get("scoring") == "ql"
             or prepared.get("after")
             or prepared.get("range_filter")
+            or prepared.get("fscore")
         ):
             # block-max bounds are BM25-specific (tf_max/dl_min monotonicity)
-            # and model neither the search_after cursor nor a doc-values
-            # filter; all route to the exact kernel — identical results
+            # and model neither the search_after cursor, a doc-values
+            # filter, nor a function_score multiplier; all route to the
+            # exact kernel — identical results
             return self.score_exact(prepared)
         if self.deleted is not None:
             # block-max skip bounds don't account for deletions; the exact
@@ -428,6 +489,34 @@ def merge_topk(group: pd.DataFrame, *, top_k: int) -> pd.DataFrame:
     return g[["query_id", "rank", "doc_id", "score"]]
 
 
+def canonical_functions(functions: list[dict]) -> list[tuple]:
+    """Validate + canonicalize an ES-shaped function_score spec list into
+    hashable tuples (the broadcast/caching form). Each entry is a one-key
+    dict: ``{"field_value_factor": {"field", "factor"=1.0,
+    "modifier"="none"}}`` or ``{"gauss"|"exp"|"linear": {"field", "origin",
+    "scale", "offset"=0, "decay"=0.5}}`` — the ES defaults. Decay needs
+    scale > 0 and 0 < decay < 1."""
+    out: list[tuple] = []
+    for f in functions:
+        if len(f) != 1:
+            raise ValueError(f"each function is a one-key dict, got {sorted(f)}")
+        (kind, spec), = f.items()
+        if kind == "field_value_factor":
+            out.append(("fvf", spec["field"], float(spec.get("factor", 1.0)),
+                        spec.get("modifier", "none")))
+            if out[-1][3] not in ("none", "log1p", "sqrt"):
+                raise ValueError(f"unknown fvf modifier {out[-1][3]!r}")
+        elif kind in ("gauss", "exp", "linear"):
+            scale, decay = float(spec["scale"]), float(spec.get("decay", 0.5))
+            if scale <= 0 or not 0.0 < decay < 1.0:
+                raise ValueError(f"{kind}: need scale > 0 and 0 < decay < 1")
+            out.append((kind, spec["field"], float(spec["origin"]), scale,
+                        float(spec.get("offset", 0.0)), decay))
+        else:
+            raise ValueError(f"unknown score function {kind!r}")
+    return out
+
+
 def search(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -442,9 +531,20 @@ def search(
     after: dict[int, tuple[float, int]] | None = None,
     range_filter: tuple[str, float | None, float | None] | None = None,
     stats_override: dict | None = None,
+    functions: list[dict] | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
+
+    ``functions`` applies an Elasticsearch function_score rescoring
+    (boost_mode/score_mode = multiply) computed from sidecar doc-values
+    columns, e.g. ``[{"field_value_factor": {"field": "n_chars",
+    "factor": 0.01, "modifier": "log1p"}}, {"gauss": {"field": "n_chars",
+    "origin": 500, "scale": 300, "offset": 0, "decay": 0.5}}]`` — see
+    :func:`canonical_functions`. The multiplier applies inside each segment
+    BEFORE its top-k cut (exact under the modified score, not a rescore of
+    a base-score cut), is query-independent (computed once per segment per
+    spec, cached in persistent actors) and never shuffles.
 
     Large query sets are split into ``query_chunk_size`` chunks; the work
     grid is segments × chunks, so both axes of parallelism scale and no
@@ -470,6 +570,10 @@ def search(
     if range_filter and method in ("quantized", "quantized_bmw"):
         raise ValueError("range_filter runs on the float kernels — "
                          "use method='exact'/'bmw'/'auto'")
+    if functions and method in ("quantized", "quantized_bmw"):
+        raise ValueError("function_score runs on the float kernels — "
+                         "use method='exact'/'bmw'/'auto'")
+    fscore = canonical_functions(functions) if functions else None
     quant_extra: dict = {}
     if method in ("quantized", "quantized_bmw"):
         # quantized layer must exist, be complete (not pending) and have
@@ -490,6 +594,7 @@ def search(
              **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
                 if after else {}),
              **({"range_filter": range_filter} if range_filter else {}),
+             **({"fscore": fscore} if fscore else {}),
              **quant_extra}
         )
         for c in chunks

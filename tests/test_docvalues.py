@@ -449,3 +449,132 @@ def test_cli_explain(built, tmp_path, capsys):
     want = explain(index_dir, [(1, "def parse merge")],
                    run["doc_id"].tolist(), BM25Params())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------- function_score
+
+FS = [
+    {"field_value_factor": {"field": "n_bytes", "factor": 0.01,
+                            "modifier": "log1p"}},
+    {"gauss": {"field": "n_bytes", "origin": 400.0, "scale": 250.0,
+               "offset": 30.0, "decay": 0.5}},
+    {"exp": {"field": "n_bytes", "origin": 0.0, "scale": 900.0,
+             "decay": 0.6}},
+    {"linear": {"field": "n_bytes", "origin": 150.0, "scale": 300.0,
+                "decay": 0.3}},
+]
+
+
+def _fs_multiplier(sizes: np.ndarray) -> np.ndarray:
+    """Brute ES closed forms, independent of the kernel's code path."""
+    v = sizes.astype(np.float64)
+    fvf = np.log1p(0.01 * v)
+    d_g = np.maximum(0.0, np.abs(v - 400.0) - 30.0)
+    gauss = np.exp(-(d_g ** 2) / (2 * (-(250.0 ** 2) / (2 * np.log(0.5)))))
+    d_e = np.maximum(0.0, np.abs(v))
+    expf = np.exp(np.log(0.6) / 900.0 * d_e)
+    d_l = np.maximum(0.0, np.abs(v - 150.0))
+    s = 300.0 / 0.7
+    lin = np.maximum(0.0, (s - d_l) / s)
+    return fvf * gauss * expf * lin
+
+
+def test_function_score_matches_bruteforce(built):
+    from splade_ray.docvalues import function_score_search
+
+    index_dir, texts, sizes = built
+    p = BM25Params(top_k=8)
+    got = function_score_search(index_dir, QUERIES, p, functions=FS)
+    oi = OracleIndex(list(range(N)), texts, p)
+    mult = _fs_multiplier(sizes)
+    rows = []
+    for qid, text in QUERIES:
+        scores = _dense_scores(oi, text, p) * mult
+        docs, scs = topk_from_scores(oi.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend(
+            (qid, r + 1, int(d), float(s)) for r, (d, s) in enumerate(zip(docs, scs))
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12, rtol=1e-12)
+
+
+def test_function_score_bmw_routes_to_exact(built):
+    """method='bmw'/'auto' with functions returns the identical run (block-max
+    bounds don't model multipliers, so the kernel must route to exact)."""
+    from splade_ray.query import search
+
+    index_dir, _, _ = built
+    p = BM25Params(top_k=6)
+    exact = search(index_dir, QUERIES[:2], p, functions=FS)
+    for m in ("bmw", "auto"):
+        got = search(index_dir, QUERIES[:2], p, method=m, functions=FS)
+        pd.testing.assert_frame_equal(got, exact, check_dtype=False)
+
+
+def test_function_score_validation(built):
+    from splade_ray.query import canonical_functions, search
+
+    index_dir, _, _ = built
+    with pytest.raises(ValueError, match="modifier"):
+        canonical_functions([{"field_value_factor": {"field": "x", "modifier": "sq"}}])
+    with pytest.raises(ValueError, match="decay"):
+        canonical_functions([{"gauss": {"field": "x", "origin": 0, "scale": 10,
+                                        "decay": 1.0}}])
+    with pytest.raises(ValueError, match="unknown score function"):
+        canonical_functions([{"random_score": {}}])
+    with pytest.raises(ValueError, match="float kernels"):
+        search(index_dir, QUERIES[:1], BM25Params(), method="quantized",
+               functions=FS)
+
+
+# ---------------------------------------------------------------- block join
+
+def test_block_join_matches_bruteforce(built):
+    """All five score modes vs a driver-side brute aggregate over the `cat`
+    parent column (children of one parent deliberately span segments:
+    cat = i % 5 with rows_per_segment=35)."""
+    from splade_ray.docvalues import block_join_search
+
+    index_dir, texts, _ = built
+    p = BM25Params(top_k=4)
+    cats = np.array(_cats())
+    oi = OracleIndex(list(range(N)), texts, p)
+    for mode in ("max", "sum", "min", "avg", "count"):
+        got = block_join_search(index_dir, QUERIES, p, parent_col="cat",
+                                score_mode=mode, top_k=4)
+        rows = []
+        for qid, text in QUERIES:
+            scores = _dense_scores(oi, text, p)
+            hit = np.flatnonzero(scores > 0)
+            if hit.size == 0:
+                continue
+            df = pd.DataFrame({"parent": cats[hit], "score": scores[hit]})
+            g = df.groupby("parent")["score"]
+            agg = {"max": g.max(), "sum": g.sum(), "min": g.min(),
+                   "avg": g.mean(), "count": g.count().astype(float)}[mode]
+            n = g.count()
+            a = pd.DataFrame({"score": agg, "n_children": n}).reset_index()
+            a = a.sort_values(["score", "parent"], ascending=[False, True],
+                              kind="mergesort").head(4)
+            rows.extend((qid, r + 1, pr, sc, int(nc)) for r, (pr, sc, nc) in
+                        enumerate(zip(a["parent"], a["score"], a["n_children"])))
+        want = pd.DataFrame(rows, columns=["query_id", "rank", "parent",
+                                           "score", "n_children"])
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, atol=1e-9, rtol=1e-9,
+        )
+
+
+def test_block_join_children_span_segments(built):
+    """Sanity: at least one returned parent has children in more than one
+    segment (the cross-segment partial-combine path is exercised)."""
+    from splade_ray.docvalues import block_join_search
+
+    index_dir, texts, _ = built
+    got = block_join_search(index_dir, QUERIES[:1], BM25Params(),
+                            parent_col="cat", score_mode="count", top_k=5)
+    # 35 docs/segment, cat = i % 5: any parent with > 7 children must span
+    assert (got["n_children"] > 7).any()
+    with pytest.raises(ValueError, match="score_mode"):
+        block_join_search(index_dir, QUERIES[:1], BM25Params(),
+                          parent_col="cat", score_mode="geo", top_k=5)
