@@ -1574,6 +1574,67 @@ def q_block_join_avg(sf_dir: str):
     return _block_join(sf_dir, "avg")
 
 
+# rank_feature fixture: all four ES function shapes over n_chars, summed.
+RANK_FEATURES = [
+    {"field": "n_chars", "boost": 2.0, "function": {"saturation": {"pivot": 300.0}}},
+    {"field": "n_chars", "boost": 0.3, "function": {"log": {"scaling_factor": 1.0}}},
+    {"field": "n_chars", "boost": 1.5,
+     "function": {"sigmoid": {"pivot": 400.0, "exponent": 2.0}}},
+    {"field": "n_chars", "boost": 0.001, "function": {"linear": {}}},
+]
+
+
+def q_rank_feature(sf_dir: str):
+    """ES rank_feature retrieval (docvalues.rank_feature_search): BM25 +
+    Σ boost·f(n_chars) over saturation/log/sigmoid/linear clauses, bonus
+    added to matching docs only, inside each segment before its cut."""
+    from splade_ray.docvalues import rank_feature_search
+
+    run = rank_feature_search(
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        rank_features=RANK_FEATURES,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+COMPOSITE_SOURCES = ["lang", "source"]
+COMPOSITE_SIZE = 12
+
+
+def q_composite_agg(sf_dir: str):
+    """ES composite aggregation (docvalues.composite_agg): per query the
+    first COMPOSITE_SIZE (lang, source) buckets of matching docs in
+    ascending bucket-key order, with exact doc counts — each segment emits
+    only its first `size` buckets after the cursor (pushdown paging)."""
+    from splade_ray.docvalues import composite_agg
+
+    page, _ = composite_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, sources=COMPOSITE_SOURCES,
+        size=COMPOSITE_SIZE,
+    )
+    return page
+
+
+def q_composite_agg_page2(sf_dir: str):
+    """Composite aggregation page 2: re-enter with page 1's after_keys —
+    buckets 13..24 per query, counts still exact under the per-segment
+    emission cap."""
+    from splade_ray.docvalues import composite_agg
+
+    idx = _dv2_index(sf_dir)
+    _, after = composite_agg(
+        idx, BM25_QUERIES, sources=COMPOSITE_SOURCES, size=COMPOSITE_SIZE,
+    )
+    page, _ = composite_agg(
+        idx, BM25_QUERIES, sources=COMPOSITE_SOURCES, size=COMPOSITE_SIZE,
+        after=after,
+    )
+    return page
+
+
 def q_sort_by_field(sf_dir: str):
     """Sort-by-field retrieval (docvalues.sort_search): matching docs ranked
     by the n_chars doc-value desc (tie doc_id asc) — Lucene Sort.LONG."""
@@ -3640,6 +3701,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score": q_function_score,
         "block_join_max": q_block_join_max,
         "block_join_avg": q_block_join_avg,
+        "rank_feature": q_rank_feature,
+        "composite_agg": q_composite_agg,
+        "composite_agg_page2": q_composite_agg_page2,
         "range_topk_str": q_range_topk_str,
         "sort_by_field": q_sort_by_field,
         "sort_multi": q_sort_multi,
@@ -4322,6 +4386,57 @@ SELECT query_id, rank::BIGINT AS rank, parent, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
 
 
+def _composite_agg_sql(page: int) -> str:
+    """Composite-agg mirror: matched docs × documents grouped by
+    (lang, source), ascending bucket order, page-sized row_number window."""
+    lo = (page - 1) * COMPOSITE_SIZE + 1
+    hi = page * COMPOSITE_SIZE
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+b AS (SELECT m.query_id, d.lang, d.source, count(*) AS n_docs
+      FROM m JOIN documents d USING (doc_id)
+      GROUP BY m.query_id, d.lang, d.source),
+rr AS (SELECT query_id, lang, source, n_docs,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY lang ASC, source ASC) AS rn
+       FROM b)
+SELECT query_id, lang, source, n_docs
+FROM rr WHERE rn BETWEEN {lo} AND {hi}
+ORDER BY query_id, lang, source"""
+
+
+def _rank_feature_sql() -> str:
+    """rank_feature mirror, generated from RANK_FEATURES: matching docs
+    (base score > 0) get the summed closed-form bonuses added; term order
+    matches the engine's clause-order accumulation."""
+    col = "d.n_chars"
+    terms = []
+    for rf in RANK_FEATURES:
+        boost = float(rf.get("boost", 1.0))
+        (kind, spec), = rf["function"].items()
+        if kind == "saturation":
+            e = f"({col} / ({col} + {spec['pivot']!r}))"
+        elif kind == "log":
+            e = f"ln({spec['scaling_factor']!r} + {col})"
+        elif kind == "sigmoid":
+            p, ex = float(spec["pivot"]), float(spec["exponent"])
+            e = f"(pow({col}, {ex!r}) / (pow({col}, {ex!r}) + pow({p!r}, {ex!r})))"
+        else:  # linear
+            e = f"{col}"
+        terms.append(f"{boost!r} * {e}")
+    bonus = " + ".join(terms)
+    return f"""{_bm25_cte()},
+fs AS (SELECT s.query_id, s.doc_id, s.score + ({bonus}) AS score
+       FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM fs)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
 def _function_score_sql() -> str:
     """function_score mirror, generated from FSCORE_FUNCTIONS so spec and
     SQL cannot drift: fscore = base bm25 score × (m1 × m2 × ...) with each
@@ -4704,6 +4819,9 @@ FROM documents""",
         "function_score": _function_score_sql(),
         "block_join_max": _block_join_sql("max"),
         "block_join_avg": _block_join_sql("avg"),
+        "rank_feature": _rank_feature_sql(),
+        "composite_agg": _composite_agg_sql(1),
+        "composite_agg_page2": _composite_agg_sql(2),
         "range_topk_str": _range_topk_str_sql(),
         "sort_by_field": _sort_by_field_sql(),
         "sort_multi": _sort_multi_sql(),

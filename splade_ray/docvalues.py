@@ -165,6 +165,30 @@ def function_score_search(
     )
 
 
+def rank_feature_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    rank_features: list[dict],
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``rank_feature`` retrieval: the text query plus rank_feature
+    clauses in one bool query — matching docs' scores get ``Σ boost × f(v)``
+    added (saturation / log / sigmoid / linear over a sidecar doc-values
+    field; non-matching docs never enter). The bonus vector is query-
+    independent (computed once per segment per spec, cached) and applies
+    BEFORE the per-segment cut. Spec format:
+    :func:`splade_ray.query.canonical_rank_features`."""
+    from splade_ray.query import search
+
+    return search(
+        index_dir, queries, params, query_lang=query_lang,
+        concurrency=concurrency, rank_features=rank_features,
+    )
+
+
 def sort_search(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -606,3 +630,91 @@ def block_join_search(
     agg = agg[agg["rank"] <= top_k]
     agg["n_children"] = agg["n_children"].astype(np.int64)
     return agg.reset_index(drop=True)[BLOCK_JOIN_COLUMNS]
+
+
+def composite_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    sources: list[str],
+    size: int = 10,
+    after: dict[int, tuple] | None = None,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> tuple[pd.DataFrame, dict[int, tuple]]:
+    """ES ``composite`` aggregation over live matching docs: buckets are
+    the distinct tuples of the ``sources`` sidecar doc-values columns,
+    paged in ascending bucket-key order (string = binary collation,
+    numeric = numeric; final order is the full tuple). Returns
+    ``(page, after_keys)`` — page rows are (query_id, <source cols...>,
+    n_docs) and ``after_keys[qid]`` is the page's last bucket tuple (the
+    cursor for the next call, ES ``after``).
+
+    Pushdown paging: each segment emits only its FIRST ``size`` buckets
+    strictly after the cursor (plus their partial counts). Any bucket in
+    the global page is, in every segment containing it, preceded by a
+    subset of the union's preceding buckets (< size), so it is inside
+    that segment's emitted prefix — counts on the page are complete while
+    per-segment output stays O(queries × size), never bucket-space-sized.
+    The driver reduce is a page-sized groupby."""
+    from splade_ray.delete import load_tombstones
+
+    if not sources:
+        raise ValueError("composite_agg needs at least one source column")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+    after = after or {}
+
+    def per_segment(seg_dir: str) -> pa.Table | None:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        colvals = {c: seg.doc_values(c) for c in sources}
+        parts = []
+        for qid, terms in prep["queries"].items():
+            hit = np.flatnonzero(_matched_mask(seg, terms))
+            if hit.size == 0:
+                continue
+            g = (
+                pd.DataFrame({c: colvals[c][hit] for c in sources})
+                .groupby(sources, as_index=False, sort=True)
+                .size()
+                .rename(columns={"size": "n_docs"})
+            )
+            cur = after.get(qid)
+            if cur is not None:
+                # strictly-after cursor, ascending lexicographic tuples
+                keep = np.zeros(len(g), bool)
+                eq = np.ones(len(g), bool)
+                for c, v0 in zip(sources, cur):
+                    cv = g[c].to_numpy()
+                    keep |= eq & (cv > v0)
+                    eq &= cv == v0
+                g = g[keep]
+            g = g.head(size).copy()  # segment's page-candidate prefix
+            if len(g):
+                g.insert(0, "query_id", np.int64(qid))
+                parts.append(g)
+        if not parts:
+            return None
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    empty_pd = pd.DataFrame(columns=["query_id", *sources, "n_docs"])
+    empty = pa.Table.from_pandas(empty_pd.astype({"query_id": np.int64,
+                                                  "n_docs": np.int64}),
+                                 preserve_index=False)
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return empty_pd.astype({"query_id": np.int64, "n_docs": np.int64}), {}
+    agg = pdf.groupby(["query_id", *sources], as_index=False)["n_docs"].sum()
+    agg = agg.sort_values(["query_id", *sources], kind="mergesort")
+    agg = agg.groupby("query_id").head(size).reset_index(drop=True)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    after_keys = {
+        int(q): tuple(g.iloc[-1][c] for c in sources)
+        for q, g in agg.groupby("query_id")
+    }
+    return agg[["query_id", *sources, "n_docs"]], after_keys

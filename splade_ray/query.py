@@ -336,11 +336,43 @@ class SegmentIndex:
             got = self._fscore[key] = mult
         return got
 
+    def rank_feature_bonus(self, prepared: dict) -> np.ndarray | None:
+        """Per-doc additive score bonus for the prepared dict's
+        ``rank_features`` spec (ES rank_feature queries as bool-should
+        clauses): sum over clauses of ``boost × f(v)`` with the ES closed
+        forms — saturation ``v/(v+pivot)``, log ``ln(scaling_factor + v)``,
+        sigmoid ``v^e/(v^e + pivot^e)``, linear ``v``. Query-independent,
+        cached per segment; applied by the kernel ONLY to docs whose base
+        score is positive (rank_feature never makes a non-matching doc
+        match)."""
+        rfs = prepared.get("rank_features")
+        if not rfs:
+            return None
+        key = ("__rf__",) + tuple(rfs)
+        got = self._fscore.get(key)
+        if got is None:
+            add = np.zeros(self.doc_ids.size, np.float64)
+            for f in rfs:
+                kind, field, boost = f[0], f[1], f[2]
+                v = self.numeric_values(field).astype(np.float64)
+                if kind == "sat":
+                    add += boost * (v / (v + f[3]))
+                elif kind == "log":
+                    add += boost * np.log(f[3] + v)
+                elif kind == "sig":
+                    ve = v ** f[4]
+                    add += boost * (ve / (ve + f[3] ** f[4]))
+                else:  # lin
+                    add += boost * v
+            got = self._fscore[key] = add
+        return got
+
     def score_exact(self, prepared: dict) -> list[tuple[int, int, float]]:
         p: BM25Params = prepared["params"]
         after: dict = prepared.get("after") or {}
         keep = self.range_keep_mask(prepared)
         mult = self.fscore_multiplier(prepared)
+        bonus = self.rank_feature_bonus(prepared)
         rows: list[tuple[int, int, float]] = []
         for qid in prepared["queries"]:
             scores = self.dense_query_scores(qid, prepared)
@@ -351,6 +383,10 @@ class SegmentIndex:
                 # top-k is taken under the MODIFIED score, so re-ranked
                 # results are exact (not a rescore of a base-score cut)
                 scores = scores * mult
+            if bonus is not None:
+                # rank_feature bonus only lifts docs that already match
+                # (base/multiplied score > 0) — ES bool-should semantics
+                scores = np.where(scores > 0, scores + bonus, scores)
             if keep is not None:
                 # numeric doc-values filter BEFORE the per-segment cut
                 # (Lucene FILTER clause) — deep results stay exact
@@ -373,6 +409,7 @@ class SegmentIndex:
             or prepared.get("after")
             or prepared.get("range_filter")
             or prepared.get("fscore")
+            or prepared.get("rank_features")
         ):
             # block-max bounds are BM25-specific (tf_max/dl_min monotonicity)
             # and model neither the search_after cursor, a doc-values
@@ -489,6 +526,38 @@ def merge_topk(group: pd.DataFrame, *, top_k: int) -> pd.DataFrame:
     return g[["query_id", "rank", "doc_id", "score"]]
 
 
+def canonical_rank_features(rank_features: list[dict]) -> list[tuple]:
+    """Validate + canonicalize ES ``rank_feature`` clauses into hashable
+    tuples. Each entry: ``{"field": col, "boost": 1.0, "function":
+    {"saturation": {"pivot": p}} | {"log": {"scaling_factor": s}} |
+    {"sigmoid": {"pivot": p, "exponent": e}} | {"linear": {}}}``. The
+    clause contributes ``boost × f(v)`` ADDED to matching docs' scores
+    (the ES bool-should composition); field values must be >= 0 (the ES
+    rank_feature field contract)."""
+    out: list[tuple] = []
+    for rf in rank_features:
+        field, boost = rf["field"], float(rf.get("boost", 1.0))
+        fn = rf.get("function", {"saturation": {}})
+        if len(fn) != 1:
+            raise ValueError(f"function must have exactly one key, got {sorted(fn)}")
+        (kind, spec), = fn.items()
+        if kind == "saturation":
+            # ES default pivot = approximate geometric mean of field values;
+            # we require it explicitly (a distributed default would need a
+            # corpus pass — callers can compute one via numeric_stats)
+            out.append(("sat", field, boost, float(spec["pivot"])))
+        elif kind == "log":
+            out.append(("log", field, boost, float(spec["scaling_factor"])))
+        elif kind == "sigmoid":
+            out.append(("sig", field, boost, float(spec["pivot"]),
+                        float(spec["exponent"])))
+        elif kind == "linear":
+            out.append(("lin", field, boost))
+        else:
+            raise ValueError(f"unknown rank_feature function {kind!r}")
+    return out
+
+
 def canonical_functions(functions: list[dict]) -> list[tuple]:
     """Validate + canonicalize an ES-shaped function_score spec list into
     hashable tuples (the broadcast/caching form). Each entry is a one-key
@@ -532,6 +601,7 @@ def search(
     range_filter: tuple[str, float | None, float | None] | None = None,
     stats_override: dict | None = None,
     functions: list[dict] | None = None,
+    rank_features: list[dict] | None = None,
 ) -> pd.DataFrame:
     """One-shot batch retrieval as a Ray Data pipeline. Returns the run table
     (query_id, rank, doc_id, score) sorted by (query_id, rank).
@@ -570,10 +640,11 @@ def search(
     if range_filter and method in ("quantized", "quantized_bmw"):
         raise ValueError("range_filter runs on the float kernels — "
                          "use method='exact'/'bmw'/'auto'")
-    if functions and method in ("quantized", "quantized_bmw"):
-        raise ValueError("function_score runs on the float kernels — "
-                         "use method='exact'/'bmw'/'auto'")
+    if (functions or rank_features) and method in ("quantized", "quantized_bmw"):
+        raise ValueError("function_score / rank_feature run on the float "
+                         "kernels — use method='exact'/'bmw'/'auto'")
     fscore = canonical_functions(functions) if functions else None
+    rfeats = canonical_rank_features(rank_features) if rank_features else None
     quant_extra: dict = {}
     if method in ("quantized", "quantized_bmw"):
         # quantized layer must exist, be complete (not pending) and have
@@ -595,6 +666,7 @@ def search(
                 if after else {}),
              **({"range_filter": range_filter} if range_filter else {}),
              **({"fscore": fscore} if fscore else {}),
+             **({"rank_features": rfeats} if rfeats else {}),
              **quant_extra}
         )
         for c in chunks

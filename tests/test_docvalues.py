@@ -578,3 +578,104 @@ def test_block_join_children_span_segments(built):
     with pytest.raises(ValueError, match="score_mode"):
         block_join_search(index_dir, QUERIES[:1], BM25Params(),
                           parent_col="cat", score_mode="geo", top_k=5)
+
+
+# ---------------------------------------------------------------- rank_feature
+
+RF = [
+    {"field": "n_bytes", "boost": 2.0, "function": {"saturation": {"pivot": 300.0}}},
+    {"field": "n_bytes", "boost": 0.3, "function": {"log": {"scaling_factor": 1.0}}},
+    {"field": "n_bytes", "boost": 1.5,
+     "function": {"sigmoid": {"pivot": 400.0, "exponent": 2.0}}},
+    {"field": "n_bytes", "boost": 0.002, "function": {"linear": {}}},
+]
+
+
+def test_rank_feature_matches_bruteforce(built):
+    from splade_ray.docvalues import rank_feature_search
+
+    index_dir, texts, sizes = built
+    p = BM25Params(top_k=8)
+    got = rank_feature_search(index_dir, QUERIES, p, rank_features=RF)
+    v = sizes.astype(np.float64)
+    bonus = (2.0 * (v / (v + 300.0)) + 0.3 * np.log(1.0 + v)
+             + 1.5 * (v ** 2 / (v ** 2 + 400.0 ** 2)) + 0.002 * v)
+    oi = OracleIndex(list(range(N)), texts, p)
+    rows = []
+    for qid, text in QUERIES:
+        base = _dense_scores(oi, text, p)
+        scores = np.where(base > 0, base + bonus, base)
+        docs, scs = topk_from_scores(oi.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend(
+            (qid, r + 1, int(d), float(s)) for r, (d, s) in enumerate(zip(docs, scs))
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12, rtol=1e-12)
+
+
+def test_rank_feature_never_matches_nonmatching_docs(built):
+    """A query with zero matching terms returns nothing even though every
+    doc has a positive rank_feature bonus."""
+    from splade_ray.docvalues import rank_feature_search
+
+    index_dir, _, _ = built
+    got = rank_feature_search(index_dir, [(9, "zzz_nosuchterm")],
+                              BM25Params(top_k=5), rank_features=RF)
+    assert got.empty
+
+
+# ---------------------------------------------------------------- composite agg
+
+def test_composite_agg_pages_match_bruteforce(built):
+    """Full pagination sweep: pages chained via after_keys reproduce the
+    brute (cat,) bucket list exactly, counts complete on every page."""
+    from splade_ray.docvalues import composite_agg
+
+    index_dir, texts, _ = built
+    cats = np.array(_cats())
+    oi = OracleIndex(list(range(N)), texts, BM25Params())
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        want = (
+            pd.DataFrame({"cat": cats[np.flatnonzero(m)]})
+            .groupby("cat", as_index=False).size()
+            .rename(columns={"size": "n_docs"})
+            .sort_values("cat").reset_index(drop=True)
+        )
+        got_rows = []
+        after = None
+        while True:
+            page, ak = composite_agg(index_dir, [(qid, text)],
+                                     sources=["cat"], size=2, after=after)
+            if page.empty:
+                break
+            got_rows.append(page)
+            after = ak
+        got = (pd.concat(got_rows, ignore_index=True)[["cat", "n_docs"]]
+               if got_rows else pd.DataFrame(columns=["cat", "n_docs"]))
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                      check_dtype=False)
+
+
+def test_composite_agg_multi_source_order(built):
+    """Two sources: ascending (cat, n_bytes) tuple order, page boundary in
+    the middle of one cat group."""
+    from splade_ray.docvalues import composite_agg
+
+    index_dir, texts, sizes = built
+    cats = np.array(_cats())
+    oi = OracleIndex(list(range(N)), texts, BM25Params())
+    qid, text = QUERIES[0]
+    m = np.flatnonzero(_matched(oi, text))
+    want = (
+        pd.DataFrame({"cat": cats[m], "n_bytes": sizes[m]})
+        .groupby(["cat", "n_bytes"], as_index=False).size()
+        .rename(columns={"size": "n_docs"})
+        .sort_values(["cat", "n_bytes"]).reset_index(drop=True)
+    )
+    p1, ak = composite_agg(index_dir, [(qid, text)],
+                           sources=["cat", "n_bytes"], size=7)
+    p2, _ = composite_agg(index_dir, [(qid, text)],
+                          sources=["cat", "n_bytes"], size=7, after=ak)
+    got = pd.concat([p1, p2], ignore_index=True)[["cat", "n_bytes", "n_docs"]]
+    pd.testing.assert_frame_equal(got, want.head(14), check_dtype=False)
