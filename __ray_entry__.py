@@ -847,6 +847,38 @@ PHRASE_QUERIES = [
     (6, "warehouse nonexistent"),
 ]
 
+# Lucene classic query strings over the same vocabulary (parsed by
+# splade_ray.qparser; expansions excluded — fuzzy_topk / wildcard_topk /
+# prefix_topk oracle-check the multi-term rewrites separately).
+QS_QUERIES = [
+    (1, "spark window merge"),
+    (2, '+data -dup "hash join"'),
+    (3, '+"merge part" sort -"slow query"'),
+    (4, "-spark customer key"),
+    (5, '"batch batch" stream'),
+    (6, '+filter +value "data line join"'),
+]
+
+
+def q_query_string(sf_dir: str):
+    """Lucene classic query-string retrieval (splade_ray.qparser): one BM25
+    ranking over term clauses (+must / -not / should) and phrase clauses as
+    virtual terms, masks applied per segment before the cut; phrase global
+    dfs from one positions pass (pass A)."""
+    from splade_ray.positions import build_positions
+    from splade_ray.qparser import query_string_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    run = query_string_search(
+        index_dir, QS_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # Fixed boolean query set: must / should / must_not clauses over the same
 # vocabulary (semantics pinned in splade_ray.boolq).
 BOOL_QUERIES = [
@@ -3719,6 +3751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "boolean_msm": q_boolean_msm,
+        "query_string": q_query_string,
         "phrase_topk": q_phrase_topk,
         "sample_hash": q_sample_hash,
         "split_assign": q_split_assign,
@@ -4361,6 +4394,136 @@ rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, doc_id ASC) AS rank
        FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _phrase_branch_sql(pid: int, toks: tuple) -> str:
+    """One UNION ALL branch of a phrase-count CTE over token arrays (the
+    _phrase_cte sliding window, parameterized by phrase)."""
+    k = len(toks)
+    if k == 1:
+        expr = f"len(list_filter(t, x -> x = '{toks[0]}'))"
+        guard = "len(t) >= 1"
+    else:
+        conds = " AND ".join(
+            f"t[i+{j}] = '{w}'" if j else f"t[i] = '{w}'"
+            for j, w in enumerate(toks)
+        )
+        expr = f"len(list_filter(range(1, len(t) - {k - 2}), i -> {conds}))"
+        guard = f"len(t) >= {k}"
+    return (f"SELECT {pid} AS phrase_id, doc_id, ({expr})::BIGINT AS phrase_count\n"
+            f"  FROM ta WHERE {guard}")
+
+
+def _query_string_sql() -> str:
+    """query_string mirror, generated from the SAME parse
+    (qparser.parse_query_string over QS_QUERIES): term-part bm25 + phrase
+    virtual-term bm25 full-outer-joined, must/must_not masks over both
+    clause kinds via NOT EXISTS."""
+    from splade_ray.qparser import _all_phrases, parse_query_string
+
+    specs = {qid: parse_query_string(qs) for qid, qs in QS_QUERIES}
+    phrases = _all_phrases(specs)
+    phrase_ord = {ph: i for i, ph in enumerate(phrases)}
+
+    qv, qpv, mtv, mnv, mpv, npv = [], [], [], [], [], []
+    for qid, s in specs.items():
+        for t, qtf in sorted((s.must + s.should).items()):
+            qv.append(f"({qid}, '{t}', {qtf})")
+        for ph in sorted({phrase_ord[p] for p in (*s.must_phrases,
+                                                  *s.should_phrases)}):
+            qpv.append(f"({qid}, {ph})")
+        for t in sorted(s.must):
+            mtv.append(f"({qid}, '{t}')")
+        for t in sorted(s.must_not):
+            mnv.append(f"({qid}, '{t}')")
+        for p in s.must_phrases:
+            mpv.append(f"({qid}, {phrase_ord[p]})")
+        for p in s.not_phrases:
+            npv.append(f"({qid}, {phrase_ord[p]})")
+
+    sep = ",\n    "
+
+    def cte(name: str, cols: str, vals: list[str], empty_types: str) -> str:
+        if vals:
+            return f"{name}({cols}) AS (VALUES\n    {sep.join(vals)}\n)"
+        return f"{name}({cols}) AS (SELECT {empty_types} WHERE false)"
+
+    branches = "\n  UNION ALL\n".join(
+        _phrase_branch_sql(phrase_ord[ph], ph) for ph in phrases
+    )
+    return f"""
+WITH {_TF},
+ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+       FROM documents),
+p AS (
+{branches}
+),
+{cte('q', 'query_id, term, qtf', qv, "NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT")},
+{cte('qp', 'query_id, phrase_id', qpv, "NULL::BIGINT, NULL::BIGINT")},
+{cte('mt', 'query_id, term', mtv, "NULL::BIGINT, NULL::VARCHAR")},
+{cte('mn', 'query_id, term', mnv, "NULL::BIGINT, NULL::VARCHAR")},
+{cte('mp', 'query_id, phrase_id', mpv, "NULL::BIGINT, NULL::BIGINT")},
+{cte('npx', 'query_id, phrase_id', npv, "NULL::BIGINT, NULL::BIGINT")},
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ts AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+pm AS (SELECT phrase_id, doc_id, phrase_count FROM p WHERE phrase_count > 0),
+pdf AS (SELECT phrase_id, count(*)::DOUBLE AS df FROM pm GROUP BY phrase_id),
+ps AS (
+  SELECT qp.query_id, pm.doc_id,
+         sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * pm.phrase_count * ({K1} + 1)
+              / (pm.phrase_count + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM qp JOIN pm USING (phrase_id) JOIN pdf USING (phrase_id)
+  JOIN dl ON dl.doc_id = pm.doc_id CROSS JOIN stats s
+  GROUP BY qp.query_id, pm.doc_id
+),
+comb AS (
+  SELECT coalesce(ts.query_id, ps.query_id) AS query_id,
+         coalesce(ts.doc_id, ps.doc_id) AS doc_id,
+         coalesce(ts.score, 0) + coalesce(ps.score, 0) AS score
+  FROM ts FULL OUTER JOIN ps
+    ON ts.query_id = ps.query_id AND ts.doc_id = ps.doc_id
+),
+qual AS (
+  SELECT c.query_id, c.doc_id, c.score FROM comb c
+  WHERE c.score > 0
+    AND NOT EXISTS (
+      SELECT 1 FROM mt
+      WHERE mt.query_id = c.query_id
+        AND NOT EXISTS (SELECT 1 FROM tf
+                        WHERE tf.doc_id = c.doc_id AND tf.term = mt.term))
+    AND NOT EXISTS (
+      SELECT 1 FROM mp
+      WHERE mp.query_id = c.query_id
+        AND NOT EXISTS (SELECT 1 FROM pm
+                        WHERE pm.doc_id = c.doc_id
+                          AND pm.phrase_id = mp.phrase_id))
+    AND NOT EXISTS (
+      SELECT 1 FROM mn JOIN tf ON tf.term = mn.term AND tf.doc_id = c.doc_id
+      WHERE mn.query_id = c.query_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM npx JOIN pm ON pm.phrase_id = npx.phrase_id
+                               AND pm.doc_id = c.doc_id
+      WHERE npx.query_id = c.query_id)
+),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM qual)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
 
@@ -5042,6 +5205,7 @@ FROM f""",
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
+        "query_string": _query_string_sql(),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),
         "top_events_per_type": _topn_per_type_sql(),

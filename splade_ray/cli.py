@@ -102,6 +102,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_qsearch(args) -> int:
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.qparser import query_string_search
+
+    queries = _load_queries(args.queries)
+    run = query_string_search(
+        args.index,
+        queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
+        max_expansions=args.max_expansions,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
 def cmd_fsearch(args) -> int:
     """Fielded BM25: --index-field NAME=DIR --weight NAME=W (repeatable)."""
     _ensure_ray()
@@ -1241,6 +1262,23 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter (scoring=ql)")
     q.set_defaults(fn=cmd_query)
+
+    qs = sub.add_parser(
+        "qsearch",
+        help="Lucene classic query-string retrieval (+must -not \"phrase\" "
+             "fuzzy~ prefix*); phrases need the positional layer "
+             "(`positions` subcommand)",
+    )
+    qs.add_argument("--index", required=True)
+    qs.add_argument("--queries", required=True, help="TSV: id\\tquery string")
+    qs.add_argument("--out", required=True, help="run.json or .parquet")
+    qs.add_argument("--top-k", type=int, default=10)
+    qs.add_argument("--threshold", type=float, default=0.0)
+    qs.add_argument("--k1", type=float, default=1.2)
+    qs.add_argument("--b", type=float, default=0.75)
+    qs.add_argument("--max-expansions", type=int, default=64,
+                    help="cap per fuzzy~/prefix* clause (Lucene maxClauseCount)")
+    qs.set_defaults(fn=cmd_qsearch)
 
     fs = sub.add_parser("fsearch", help="fielded BM25 (weighted per-field indexes)")
     fs.add_argument("--index-field", action="append", required=True,
