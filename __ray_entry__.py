@@ -366,6 +366,40 @@ def q_fuzzy_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+LMJM_LAM = 0.3
+
+
+def q_lmjm_topk(sf_dir: str):
+    """Jelinek-Mercer query-likelihood retrieval (query.search
+    scoring='lmjm'; Lucene LMJelinekMercerSimilarity):
+    qtf * ln(1 + ((1-lam)*tf/dl) / (lam*cf/C)) over matching terms —
+    third member of the similarity registry, same scatter-gather skeleton
+    and (score desc, doc_id asc) run contract."""
+    run = search(
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        scoring="lmjm", lam=LMJM_LAM,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Classic TF-IDF retrieval (query.search scoring='tfidf'; Lucene
+    ClassicSimilarity with queryNorm/coord dropped as in Lucene 7+):
+    qtf * (1 + ln(n/(df+1)))^2 * sqrt(tf) / sqrt(dl) — fourth member of
+    the similarity registry."""
+    run = search(
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        scoring="tfidf",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_ql_topk(sf_dir: str):
     """Dirichlet query-likelihood retrieval (query.search scoring='ql'):
     qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu))) over matching terms
@@ -3683,6 +3717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bmw": q_bm25_topk_bmw,
         "bm25_topk_quantized": q_bm25_topk_quantized,
         "ql_topk": q_ql_topk,
+        "lmjm_topk": q_lmjm_topk,
+        "tfidf_topk": q_tfidf_topk,
         "suggest_terms": q_suggest_terms,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
@@ -3889,6 +3925,82 @@ scores AS (
   FROM q
   JOIN tf USING (term)
   JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _lmjm_sql() -> str:
+    """Jelinek-Mercer mirror of q_lmjm_topk: same formula (no clamp —
+    ln(1+x), x>=0 on a match), same ranking and score>0 contract."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT sum(dl) AS c FROM dl),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * ln(1 + ((1 - {LMJM_LAM}) * tf.tf / dl.dl)
+                             / ({LMJM_LAM} * cf.cf / s.c)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _tfidf_sql() -> str:
+    """Classic TF-IDF mirror of q_tfidf_topk: idf_c = 1+ln(n/(df+1)),
+    score = sum(qtf * idf_c^2 * sqrt(tf)/sqrt(dl)), same ranking/contract."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * pow(1 + ln(s.n / (df.df + 1)), 2)
+              * sqrt(tf.tf) / sqrt(dl.dl) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.doc_id
@@ -4975,6 +5087,8 @@ FROM documents""",
         "bm25_topk_bmw": bm25,
         "bm25_topk_quantized": _bm25_quantized_sql(),
         "ql_topk": _ql_sql(),
+        "lmjm_topk": _lmjm_sql(),
+        "tfidf_topk": _tfidf_sql(),
         "suggest_terms": _suggest_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),

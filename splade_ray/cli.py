@@ -93,6 +93,7 @@ def cmd_query(args) -> int:
         method=args.method,
         scoring=args.scoring,
         mu=args.mu,
+        lam=getattr(args, "lam", 0.1),
     )
     if args.out.endswith(".json"):
         write_run_json(run, args.out)
@@ -547,7 +548,7 @@ def cmd_explain(args) -> int:
     out = explain(
         args.index, queries, ids,
         BM25Params(k1=args.k1, b=args.b),
-        scoring=args.scoring, mu=args.mu,
+        scoring=args.scoring, mu=args.mu, lam=getattr(args, "lam", 0.1),
     )
     out.to_parquet(args.out, index=False)
     print(json.dumps({"queries": len(queries), "docs": len(ids),
@@ -1257,10 +1258,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--threshold", type=float, default=0.0)
     q.add_argument("--k1", type=float, default=1.2)
     q.add_argument("--b", type=float, default=0.75)
-    q.add_argument("--scoring", choices=["bm25", "ql"], default="bm25",
-                   help="similarity: Okapi BM25 or Dirichlet query likelihood")
+    q.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf"],
+                   default="bm25",
+                   help="similarity: Okapi BM25, Dirichlet QL, "
+                        "Jelinek-Mercer QL or classic TF-IDF")
     q.add_argument("--mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter (scoring=ql)")
+    q.add_argument("--lam", type=float, default=0.1,
+                   help="Jelinek-Mercer lambda (scoring=lmjm)")
     q.set_defaults(fn=cmd_query)
 
     qs = sub.add_parser(
@@ -1441,7 +1446,8 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("--queries", required=True, help="TSV: id\\tquery text")
     ms.add_argument("--out", required=True, help=".parquet")
     ms.add_argument("--method", choices=["exact", "bmw", "auto"], default="exact")
-    ms.add_argument("--scoring", choices=["bm25", "ql"], default="bm25")
+    ms.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf"],
+                    default="bm25")
     ms.add_argument("--top-k", type=int, default=10)
     ms.add_argument("--k1", type=float, default=1.2)
     ms.add_argument("--b", type=float, default=0.75)
@@ -1507,8 +1513,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--queries", required=True, help="TSV: id\\tquery text")
     ex.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
     ex.add_argument("--out", required=True, help=".parquet")
-    ex.add_argument("--scoring", choices=["bm25", "ql"], default="bm25")
+    ex.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf"],
+                    default="bm25")
     ex.add_argument("--mu", type=float, default=2000.0)
+    ex.add_argument("--lam", type=float, default=0.1)
     ex.add_argument("--k1", type=float, default=1.2)
     ex.add_argument("--b", type=float, default=0.75)
     ex.set_defaults(fn=cmd_explain)

@@ -96,6 +96,7 @@ def search_multi(
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
+    lam: float = 0.1,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """Top-k retrieval over the union of ``index_dirs`` under combined
@@ -108,7 +109,7 @@ def search_multi(
     for i, d in enumerate(index_dirs):
         run = search(
             d, queries, params, method=method, query_lang=query_lang,
-            scoring=scoring, mu=mu, concurrency=concurrency,
+            scoring=scoring, mu=mu, lam=lam, concurrency=concurrency,
             stats_override=stats,
         )
         run = run.copy()

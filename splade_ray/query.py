@@ -44,6 +44,7 @@ def prepare_queries(
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
+    lam: float = 0.1,
     stats_override: dict | None = None,
 ) -> dict:
     """Driver-side query prep: tokenize, look up global df (and, for QL, cf)
@@ -59,13 +60,24 @@ def prepare_queries(
     manifest), else the collection-wide class.
 
     ``scoring`` picks the similarity (the Lucene similarity-registry analog):
-    ``"bm25"`` (default; per-term weight = idf) or ``"ql"`` — Dirichlet-
-    smoothed query likelihood (Zhai & Lafferty 2001; Lucene
-    LMDirichletSimilarity shape), where the per-term weight is
-    ``mu * cf/C`` (the smoothing denominator) and the kernel scores
-    ``qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu)))`` over matching
-    terms (per-term clamp as in Lucene, so scores stay positive and the
-    ``score > threshold`` run contract holds).
+
+    - ``"bm25"`` (default) — per-term weight = idf;
+    - ``"ql"`` — Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001;
+      Lucene LMDirichletSimilarity shape), per-term weight ``mu * cf/C``
+      (the smoothing denominator), kernel
+      ``qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu)))`` over matching
+      terms (per-term clamp as in Lucene, so scores stay positive and the
+      ``score > threshold`` run contract holds);
+    - ``"lmjm"`` — Jelinek-Mercer-smoothed query likelihood (Lucene
+      LMJelinekMercerSimilarity), per-term weight ``lam * cf/C``, kernel
+      ``qtf * ln(1 + ((1-lam) * tf/dl) / (lam*cf/C))`` — always positive on
+      a match, no clamp needed; ``lam`` in (0,1), typically 0.1 for short
+      queries / 0.7 for long;
+    - ``"tfidf"`` — Lucene ClassicSimilarity (pre-6 TFIDFSimilarity,
+      queryNorm/coord dropped as in Lucene 7+): per-term weight
+      ``idf_c²`` with ``idf_c = 1 + ln(n_docs/(df+1))``, kernel
+      ``qtf * idf_c² * sqrt(tf) / sqrt(dl)`` (``1/sqrt(dl)`` is the
+      unencoded fieldNorm).
 
     ``stats_override`` replaces the index's own corpus statistics with the
     caller's — ``{"n_docs", "avgdl", "dfs", "cfs", "c_total"}`` — the
@@ -94,22 +106,36 @@ def prepare_queries(
             )
             dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
             cfs = dict(zip(lex["term"].to_pylist(), lex["cf"].to_pylist()))
-    if scoring == "ql":
+    if scoring in ("ql", "lmjm"):
         if stats_override is not None:
             c_total = float(stats_override["c_total"])
         else:
             c_total = float(manifest.get("sum_doc_len") or (avgdl * n_docs))
+        if scoring == "ql":
 
-        def weight(t: str) -> float:
-            return mu * cfs[t] / c_total
+            def weight(t: str) -> float:
+                return mu * cfs[t] / c_total
+
+        else:
+
+            def weight(t: str) -> float:
+                return lam * cfs[t] / c_total
 
     elif scoring == "bm25":
 
         def weight(t: str) -> float:
             return idf(dfs[t], n_docs)
 
+    elif scoring == "tfidf":
+
+        def weight(t: str) -> float:
+            idf_c = 1.0 + np.log(n_docs / (dfs[t] + 1.0))
+            return float(idf_c * idf_c)
+
     else:
-        raise ValueError(f"unknown scoring {scoring!r} (expected 'bm25' or 'ql')")
+        raise ValueError(
+            f"unknown scoring {scoring!r} (expected 'bm25', 'ql', 'lmjm' or 'tfidf')"
+        )
     prepared_queries = {}
     for qid, c in tokenized.items():
         terms = [
@@ -124,6 +150,7 @@ def prepare_queries(
         "params": params,
         "scoring": scoring,
         "mu": mu,
+        "lam": lam,
         "queries": prepared_queries,
         "terms": sorted({t for ts in prepared_queries.values() for t, _, _ in ts}),
         "dfs": dfs,  # global docFreq per term (explain's df column)
@@ -268,10 +295,18 @@ class SegmentIndex:
         (:func:`search_fielded`)."""
         p: BM25Params = prepared["params"]
         avgdl = prepared["avgdl"]
-        ql = prepared.get("scoring") == "ql"
-        if ql:
+        mode = prepared.get("scoring", "bm25")
+        dl_f = self.doc_lens.astype(np.float64)
+        if mode == "ql":
             mu = float(prepared["mu"])
-            dl_norm = np.log(mu / (self.doc_lens.astype(np.float64) + mu))
+            dl_norm = np.log(mu / (dl_f + mu))
+        elif mode == "lmjm":
+            lam = float(prepared.get("lam", 0.1))
+        elif mode == "tfidf":
+            # fieldNorm = 1/sqrt(dl); dl >= tf >= 1 wherever a posting
+            # exists, and we only index at posting positions, so no /0
+            with np.errstate(divide="ignore"):
+                inv_sqrt_dl = 1.0 / np.sqrt(dl_f)
         scores = np.zeros(self.doc_ids.size, np.float64)
         hit = False
         for term, qtf, w in prepared["queries"][qid]:  # pre-sorted -> fixed sum order
@@ -279,10 +314,19 @@ class SegmentIndex:
             if pos.size == 0:
                 continue
             hit = True
-            if ql:
+            if mode == "ql":
                 # w = mu*cf/C; Lucene-shape per-term clamp keeps scores >= 0
                 contrib = np.log1p(tfs.astype(np.float64) / w) + dl_norm[pos]
                 scores[pos] += qtf * np.maximum(contrib, 0.0)
+            elif mode == "lmjm":
+                # w = lam*cf/C; ln(1+x) with x >= 0 — positive on any match
+                contrib = np.log1p(
+                    ((1.0 - lam) * tfs.astype(np.float64) / dl_f[pos]) / w
+                )
+                scores[pos] += qtf * contrib
+            elif mode == "tfidf":
+                # w = idf_c²; ClassicSimilarity sqrt(tf) · idf² · 1/sqrt(dl)
+                scores[pos] += (w * qtf) * np.sqrt(tfs.astype(np.float64)) * inv_sqrt_dl[pos]
             else:
                 scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
         return scores if hit else None
@@ -405,7 +449,7 @@ class SegmentIndex:
 
     def score_bmw(self, prepared: dict) -> list[tuple[int, int, float]]:
         if (
-            prepared.get("scoring") == "ql"
+            prepared.get("scoring", "bm25") != "bm25"
             or prepared.get("after")
             or prepared.get("range_filter")
             or prepared.get("fscore")
@@ -597,6 +641,7 @@ def search(
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
+    lam: float = 0.1,
     after: dict[int, tuple[float, int]] | None = None,
     range_filter: tuple[str, float | None, float | None] | None = None,
     stats_override: dict | None = None,
@@ -620,10 +665,12 @@ def search(
     grid is segments × chunks, so both axes of parallelism scale and no
     single broadcast grows with the full query count.
 
-    ``scoring="ql"`` switches to Dirichlet query likelihood (see
-    :func:`prepare_queries`); BMW/auto kernels route QL queries to the exact
-    kernel (block-max bounds are BM25-specific), and the quantized layer is
-    BM25-only.
+    ``scoring`` selects the similarity: ``"bm25"`` (default), ``"ql"``
+    (Dirichlet, parameter ``mu``), ``"lmjm"`` (Jelinek-Mercer, parameter
+    ``lam``) or ``"tfidf"`` (Lucene ClassicSimilarity) — see
+    :func:`prepare_queries`. BMW/auto kernels route every non-BM25
+    similarity to the exact kernel (block-max bounds are BM25-specific),
+    and the quantized layer is BM25-only.
 
     ``after`` paginates (Lucene IndexSearcher.searchAfter): per query an
     exclusive ``(score, doc_id)`` cursor — usually the last row of the
@@ -660,7 +707,7 @@ def search(
     prepared_refs = [
         ray.put(
             {**prepare_queries(index_dir, c, params, query_lang=query_lang,
-                               scoring=scoring, mu=mu,
+                               scoring=scoring, mu=mu, lam=lam,
                                stats_override=stats_override),
              **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
                 if after else {}),
@@ -715,13 +762,15 @@ def explain(
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
+    lam: float = 0.1,
     concurrency=None,
 ) -> pd.DataFrame:
     """Per-term score breakdown for every (query, target doc) pair — the
     Lucene ``IndexSearcher.explain`` analog (the reference exposes only
     final scores, ``transformer_evaluator.py:172-188``). For each query
     term present in the doc: the doc's tf, the term's global df, the
-    per-term weight (idf for BM25, mu·cf/C for QL) and the term's score
+    per-term weight (idf for BM25, mu·cf/C for QL, lam·cf/C for LMJM,
+    idf_c² for classic TF-IDF) and the term's score
     contribution; summing ``contrib`` over a (query, doc) group reproduces
     the run score bit-exactly (same per-term float ops as the kernels).
 
@@ -732,7 +781,8 @@ def explain(
 
     params = params or BM25Params()
     prepared = prepare_queries(
-        index_dir, queries, params, query_lang=query_lang, scoring=scoring, mu=mu
+        index_dir, queries, params, query_lang=query_lang, scoring=scoring,
+        mu=mu, lam=lam,
     )
     targets = np.unique(np.asarray(sorted({int(d) for d in doc_ids}), np.int64))
     tomb = load_tombstones(index_dir)
@@ -747,16 +797,22 @@ def explain(
         tgt = ray.get(targets_ref)
         p: BM25Params = prep["params"]
         avgdl = prep["avgdl"]
-        ql = prep.get("scoring") == "ql"
+        mode = prep.get("scoring", "bm25")
         rows: list[tuple] = []
         for seg_dir in batch["seg_dir"].to_pylist():
             seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
             present = np.intersect1d(seg.doc_ids, tgt)
             if present.size == 0:
                 continue
-            if ql:
+            dl_f = seg.doc_lens.astype(np.float64)
+            if mode == "ql":
                 mu_f = float(prep["mu"])
-                dl_norm = np.log(mu_f / (seg.doc_lens.astype(np.float64) + mu_f))
+                dl_norm = np.log(mu_f / (dl_f + mu_f))
+            elif mode == "lmjm":
+                lam_f = float(prep.get("lam", 0.1))
+            elif mode == "tfidf":
+                with np.errstate(divide="ignore"):
+                    inv_sqrt_dl = 1.0 / np.sqrt(dl_f)
             for qid, terms in prep["queries"].items():
                 for term, qtf, w in terms:
                     pos, tfs = seg.pos_tfs(term)
@@ -768,10 +824,20 @@ def explain(
                         continue
                     dpos, dtfs = pos[sel], tfs[sel]
                     df = int(prep["dfs"][term])  # GLOBAL docFreq (matches w)
-                    if ql:
+                    if mode == "ql":
                         contrib = qtf * np.maximum(
                             np.log1p(dtfs.astype(np.float64) / w) + dl_norm[dpos],
                             0.0,
+                        )
+                    elif mode == "lmjm":
+                        contrib = qtf * np.log1p(
+                            ((1.0 - lam_f) * dtfs.astype(np.float64) / dl_f[dpos]) / w
+                        )
+                    elif mode == "tfidf":
+                        contrib = (
+                            (w * qtf)
+                            * np.sqrt(dtfs.astype(np.float64))
+                            * inv_sqrt_dl[dpos]
                         )
                     else:
                         contrib = (w * qtf) * tf_component(
@@ -1392,6 +1458,7 @@ class QueryRouter:
         *,
         scoring: str = "bm25",
         mu: float = 2000.0,
+        lam: float = 0.1,
         after: dict[int, tuple[float, int]] | None = None,
         range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
@@ -1420,7 +1487,7 @@ class QueryRouter:
             # interleave
             prepared = {
                 **prepare_queries(self.index_dir, queries, params, query_lang=query_lang,
-                                  scoring=scoring, mu=mu),
+                                  scoring=scoring, mu=mu, lam=lam),
                 **({"after": {int(q): after[int(q)] for q, _ in queries
                               if int(q) in after}} if after else {}),
                 **({"range_filter": range_filter} if range_filter else {}),
@@ -1603,6 +1670,7 @@ class Searcher:
         *,
         scoring: str = "bm25",
         mu: float = 2000.0,
+        lam: float = 0.1,
         after: dict[int, tuple[float, int]] | None = None,
         range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
@@ -1619,7 +1687,7 @@ class Searcher:
             )
         prepared = {
             **prepare_queries(self.index_dir, queries, params, query_lang=query_lang,
-                              scoring=scoring, mu=mu),
+                              scoring=scoring, mu=mu, lam=lam),
             **({"after": {int(q): after[int(q)] for q, _ in queries if int(q) in after}}
                if after else {}),
             **({"range_filter": range_filter} if range_filter else {}),
