@@ -990,6 +990,52 @@ def q_boolean_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# boosting query (ES boosting / Lucene BoostingQuery): positive BM25 score,
+# multiplied by NEG_BOOST when the doc contains ANY negative term
+BOOSTING_QUERIES = [
+    (1, {"positive": "spark window merge", "negative": "slow"}),
+    (2, {"positive": "customer data", "negative": "spark window"}),
+    (3, {"positive": "stream agg", "negative": ""}),
+    (4, {"positive": "data", "negative": "data"}),  # every match demoted
+]
+NEG_BOOST = 0.4
+
+CONST_QUERIES = [(1, "spark window"), (2, "customer"), (3, "zzzoov")]
+CONST_BOOST = 1.5
+
+
+def q_boosting_topk(sf_dir: str):
+    """ES boosting query (boolq.boosting_search): BM25 over positive terms;
+    docs containing any negative term stay matched but score × NEG_BOOST —
+    the soft must_not. Demotion applies before every per-segment cut."""
+    from splade_ray.boolq import boosting_search
+
+    run = boosting_search(
+        _index_for(sf_dir), BOOSTING_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=TOP_K), negative_boost=NEG_BOOST,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_const_score_topk(sf_dir: str):
+    """ConstantScoreQuery (boolq.constant_score_search): OR-of-terms filter,
+    every match scores exactly CONST_BOOST; the (score desc, doc_id asc)
+    tie-break makes the run the first top_k matching doc ids per query."""
+    from splade_ray.boolq import constant_score_search
+
+    run = constant_score_search(
+        _index_for(sf_dir), CONST_QUERIES,
+        BM25Params(top_k=TOP_K), boost=CONST_BOOST,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # minimum_should_match variants (Lucene BooleanQuery msm): distinct-should
 # thresholds of 1/2/3 plus an msm > |should| query that must match nothing.
 BOOL_MSM_QUERIES = [
@@ -3046,6 +3092,86 @@ SELECT query_id::BIGINT AS query_id, doc_id, n_occurrences FROM m
 WHERE n_occurrences > 0"""
 
 
+def _boosting_sql() -> str:
+    """Mirror of q_boosting_topk: the bm25 score CTE over positive terms,
+    then CASE-demotion by NEG_BOOST for docs holding any negative term
+    (sum-then-multiply, the engine's float-op order), score>0 ranked."""
+    score_vals, neg_vals = [], []
+    for qid, spec in BOOSTING_QUERIES:
+        for t, qtf in sorted(term_counts(spec.get("positive", "") or "").items()):
+            score_vals.append(f"({qid}, '{t}', {qtf})")
+        for t in sorted(term_counts(spec.get("negative", "") or "")):
+            neg_vals.append(f"({qid}, '{t}')")
+    sep = ",\n    "
+    ng_cte = (
+        f"ng(query_id, term) AS (VALUES\n    {sep.join(neg_vals)}\n),"
+        if neg_vals
+        else "ng(query_id, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false),"
+    )
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {sep.join(score_vals)}
+),
+{ng_cte}
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+demoted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN EXISTS (SELECT 1 FROM ng JOIN tf t2
+                             ON t2.term = ng.term AND t2.doc_id = s.doc_id
+                           WHERE ng.query_id = s.query_id)
+              THEN s.score * {NEG_BOOST} ELSE s.score END AS score
+  FROM scores s
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM demoted WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _const_score_sql() -> str:
+    """Mirror of q_const_score_topk: distinct (query, doc) matches of the
+    OR-of-terms filter, constant score, doc_id-asc pagination."""
+    vals = []
+    for qid, text in CONST_QUERIES:
+        for t in sorted(term_counts(text)):
+            vals.append(f"({qid}, '{t}')")
+    sep = ",\n    "
+    return f"""
+WITH {_TF},
+q(query_id, term) AS (VALUES
+    {sep.join(vals)}
+),
+m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term)),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+  FROM m
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       {_round4_sql(str(CONST_BOOST))} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _boolean_sql(queries=None) -> str:
     """SQL mirror of boolq.boolean_search over BOOL_QUERIES: the bm25 score
     CTE restricted by must (NOT EXISTS a must term absent from the doc) and
@@ -3787,6 +3913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "boolean_msm": q_boolean_msm,
+        "boosting_topk": q_boosting_topk,
+        "const_score_topk": q_const_score_topk,
         "query_string": q_query_string,
         "phrase_topk": q_phrase_topk,
         "sample_hash": q_sample_hash,
@@ -5319,6 +5447,8 @@ FROM f""",
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
+        "boosting_topk": _boosting_sql(),
+        "const_score_topk": _const_score_sql(),
         "query_string": _query_string_sql(),
         "phrase_topk": _phrase_topk_sql(),
         **_sample_sqls(),

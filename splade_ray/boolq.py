@@ -233,3 +233,192 @@ def boolean_search(
             {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
         )
     return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _run_frame(cand, top_k: int) -> pd.DataFrame:
+    """Shared per-segment-candidates -> sorted run-table reduce."""
+    run = cand.groupby("query_id").map_groups(
+        merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
+    )
+    pdf = run.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return pdf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _segment_candidates(index_dir: str, prepared: dict, kernel, concurrency=None):
+    """One task per segment running ``kernel(seg, prepared)`` -> candidate
+    rows — the boolean-search fan-out, parameterized by scoring kernel."""
+    from splade_ray.delete import load_tombstones
+
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        prepared = {**prepared, "tombstones": tomb}
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        rows: list[tuple[int, int, float]] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentIndex(
+                seg_dir, prepared["terms"], tombstones=prepared.get("tombstones")
+            )
+            rows.extend(kernel(seg, prepared))
+        return pa.table(
+            {
+                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+                "doc_id": pa.array(np.array([r[1] for r in rows], np.int64)),
+                "score": pa.array(np.array([r[2] for r in rows], np.float64)),
+            }
+        )
+
+    segs = segment_dirs(index_dir)
+    return rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        batch_fn, batch_format="pyarrow", batch_size=1, concurrency=concurrency
+    )
+
+
+def _score_segment_boosting(seg: SegmentIndex, prepared: dict):
+    """ES boosting query over one segment: positive BM25 score, demoted by
+    ``negative_boost`` for docs matching ANY negative term. Matching is
+    positive-only (a doc matching only negative terms does not match)."""
+    p: BM25Params = prepared["params"]
+    avgdl = prepared["avgdl"]
+    nb = float(prepared["negative_boost"])
+    n = seg.doc_ids.size
+    rows: list[tuple[int, int, float]] = []
+    for qid, q in prepared["queries"].items():
+        scores = np.zeros(n, np.float64)
+        for term, qtf, w in q["score"]:
+            pos, tfs = seg.pos_tfs(term)
+            if pos.size == 0:
+                continue
+            scores[pos] += (w * qtf) * tf_component(tfs, seg.doc_lens[pos], avgdl, p)
+        if not scores.any():
+            continue
+        neg = np.zeros(n, bool)
+        for t in q["negative"]:
+            pos, _ = seg.pos_tfs(t)
+            if pos.size:
+                neg[pos] = True
+        if neg.any():
+            # demotion AFTER full positive accumulation, BEFORE the
+            # per-segment cut — top-k is exact under the demoted score
+            scores = np.where(neg, scores * nb, scores)
+        docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+    return rows
+
+
+def boosting_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    params: BM25Params | None = None,
+    *,
+    negative_boost: float = 0.5,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Elasticsearch/Lucene ``boosting`` query: each query is ``(qid,
+    {"positive": text, "negative": text})`` — docs are matched and scored
+    by BM25 over the positive terms; any doc also containing a negative
+    term keeps matching but its score is multiplied by ``negative_boost``
+    (0 < nb < 1 demotes without excluding — the soft must_not). Returns
+    the standard run table; same fan-out as :func:`boolean_search`.
+
+    Beyond-reference operator (the reference has no boolean structure,
+    ``transformer_evaluator.py:142-193``); semantics follow Lucene's
+    BoostingQuery (queries/mlt module) / ES `boosting`."""
+    params = params or BM25Params()
+    manifest = load_manifest(index_dir)
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    prepared_q: dict[int, dict] = {}
+    for qid, spec in queries:
+        pos_c = term_counts(spec.get("positive", "") or "", query_lang)
+        neg_c = term_counts(spec.get("negative", "") or "", query_lang)
+        prepared_q[int(qid)] = {"pos_tf": pos_c, "negative": sorted(neg_c)}
+    score_terms = sorted({t for q in prepared_q.values() for t in q["pos_tf"]})
+    dfs: dict[str, int] = {}
+    if score_terms:
+        lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(score_terms)
+        )
+        dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    for q in prepared_q.values():
+        q["score"] = [
+            (t, int(qtf), idf(dfs[t], n_docs))
+            for t, qtf in sorted(q["pos_tf"].items())
+            if t in dfs
+        ]
+        del q["pos_tf"]
+    prepared = {
+        "avgdl": avgdl,
+        "params": params,
+        "negative_boost": float(negative_boost),
+        "queries": prepared_q,
+        "terms": sorted(
+            {t for q in prepared_q.values() for t, _, _ in q["score"]}
+            | {t for q in prepared_q.values() for t in q["negative"]}
+        ),
+    }
+    cand = _segment_candidates(
+        index_dir, prepared, _score_segment_boosting, concurrency=concurrency
+    )
+    return _run_frame(cand, params.top_k)
+
+
+def _score_segment_const(seg: SegmentIndex, prepared: dict):
+    """ConstantScoreQuery over one segment: every doc matching ANY query
+    term scores exactly ``boost`` — ties resolve doc_id asc, so the run is
+    the first top_k matching doc ids."""
+    p: BM25Params = prepared["params"]
+    boost = float(prepared["boost"])
+    n = seg.doc_ids.size
+    rows: list[tuple[int, int, float]] = []
+    for qid, terms in prepared["queries"].items():
+        m = np.zeros(n, bool)
+        for t in terms:
+            pos, _ = seg.pos_tfs(t)
+            if pos.size:
+                m[pos] = True
+        if not m.any():
+            continue
+        scores = np.where(m, boost, 0.0)
+        docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+    return rows
+
+
+def constant_score_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    boost: float = 1.0,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Lucene ConstantScoreQuery / ES ``constant_score``: the wrapped filter
+    is the OR of the query's terms; every matching doc scores exactly
+    ``boost`` (no tf/idf/length influence), so ranking degenerates to the
+    deterministic (score desc, doc_id asc) tie-break — the run is the first
+    ``top_k`` matching doc ids per query. The shape rescoring-free filter
+    contexts use (cache-friendly in Lucene; here: no per-doc float work
+    beyond the mask)."""
+    params = params or BM25Params()
+    prepared_q = {
+        int(qid): sorted(term_counts(text or "", query_lang))
+        for qid, text in queries
+    }
+    prepared = {
+        "params": params,
+        "boost": float(boost),
+        "queries": prepared_q,
+        "terms": sorted({t for ts in prepared_q.values() for t in ts}),
+    }
+    cand = _segment_candidates(
+        index_dir, prepared, _score_segment_const, concurrency=concurrency
+    )
+    return _run_frame(cand, params.top_k)
