@@ -1791,6 +1791,18 @@ def q_match_stats(sf_dir: str):
     return numeric_stats(_dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars")
 
 
+def q_match_extended_stats(sf_dir: str):
+    """ES extended_stats sketch (docvalues.numeric_stats extended=True):
+    the stats partials plus per-(segment, query) sum-of-squares — variance
+    and std derive driver-side (extended_stats_derive) from the integer
+    partials, so the emitted frame stays integer-exact."""
+    from splade_ray.docvalues import numeric_stats
+
+    return numeric_stats(
+        _dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars", extended=True
+    )
+
+
 def _dv2_index(sf_dir: str) -> str:
     """Index with string sidecar doc columns (lang, source) alongside
     n_chars — the string doc-values probes."""
@@ -3904,6 +3916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
         "match_stats": q_match_stats,
+        "match_extended_stats": q_match_extended_stats,
         "synonym_topk": q_synonym_topk,
         "wildcard_topk": q_wildcard_topk,
         "substr_search": q_substr_search,
@@ -4950,6 +4963,19 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id"""
 
 
+def _match_extended_stats_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS sum_value,
+       min(d.n_chars)::BIGINT AS min_value,
+       max(d.n_chars)::BIGINT AS max_value,
+       sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id"""
+
+
 def _match_histogram_sql() -> str:
     return f"""
 WITH {_TF},
@@ -5233,6 +5259,7 @@ FROM documents""",
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
         "match_stats": _match_stats_sql(),
+        "match_extended_stats": _match_extended_stats_sql(),
         "synonym_topk": _synonym_sql(),
         "wildcard_topk": _wildcard_sql(),
         "lang_id_pred": _lang_id_pred_sql(),

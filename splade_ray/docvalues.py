@@ -367,15 +367,20 @@ def numeric_stats(
     queries: list[tuple[int, str]],
     *,
     numeric_col: str,
+    extended: bool = False,
     query_lang: str | None = None,
     concurrency=None,
 ) -> pd.DataFrame:
-    """(query_id, n_docs, sum_value, min_value, max_value): metric
+    """(query_id, n_docs, sum_value, min_value, max_value[, sum_sq]): metric
     aggregation of the sidecar numeric column over each query's live
     matches (the Elasticsearch ``stats`` aggregation; avg = sum/n is left
     to the caller so every emitted column stays integer-exact for int64
-    doc values). Queries with zero matches are omitted (min/max of an
-    empty set is undefined); sorted by query_id."""
+    doc values). ``extended=True`` adds the sum-of-squares partial (the ES
+    ``extended_stats`` sketch: variance = (sum_sq - sum²/n)/n, derive with
+    :func:`extended_stats_derive`) — still one integer per (segment, query),
+    merged by plain sums, so the shuffle stays query-count-sized. Queries
+    with zero matches are omitted (min/max of an empty set is undefined);
+    sorted by query_id."""
     from splade_ray.delete import load_tombstones
 
     prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
@@ -406,8 +411,10 @@ def numeric_stats(
                 f"{vals.dtype} — pre-cast or use numeric_histogram"
             )
         vals = vals.astype(np.int64)
-        out = {k: [] for k in ("query_id", "n_docs", "sum_value",
-                               "min_value", "max_value")}
+        cols = ["query_id", "n_docs", "sum_value", "min_value", "max_value"]
+        if extended:
+            cols.append("sum_sq")
+        out = {k: [] for k in cols}
         for qid, terms in prep["queries"].items():
             m = _matched_mask(seg, terms)
             if not m.any():
@@ -418,25 +425,49 @@ def numeric_stats(
             out["sum_value"].append(int(v.sum()))
             out["min_value"].append(int(v.min()))
             out["max_value"].append(int(v.max()))
+            if extended:
+                # int64-exact up to |v| ~ 3e9 per doc; doc-value magnitudes
+                # (lengths, counts, timestamps-in-s) stay far under that
+                out["sum_sq"].append(int((v * v).sum()))
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
+    if extended:
+        empty = empty.append_column("sum_sq", pa.array([], pa.int64()))
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    aggs = dict(
+        n_docs=("n_docs", "sum"),
+        sum_value=("sum_value", "sum"),
+        min_value=("min_value", "min"),
+        max_value=("max_value", "max"),
+    )
+    if extended:
+        aggs["sum_sq"] = ("sum_sq", "sum")
     if pdf.empty:
         return pd.DataFrame(
-            {k: pd.Series([], dtype=np.int64)
-             for k in ("query_id", "n_docs", "sum_value", "min_value", "max_value")}
+            {k: pd.Series([], dtype=np.int64) for k in ["query_id", *aggs]}
         )
     return (
         pdf.groupby("query_id", as_index=False)
-        .agg(
-            n_docs=("n_docs", "sum"),
-            sum_value=("sum_value", "sum"),
-            min_value=("min_value", "min"),
-            max_value=("max_value", "max"),
-        )
+        .agg(**aggs)
         .sort_values("query_id")
         .reset_index(drop=True)
     )
+
+
+def extended_stats_derive(stats: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side closing of the extended_stats sketch: adds the ES
+    derived columns avg, variance (population, the ES default) and
+    std_deviation from the integer partials. Input = ``numeric_stats(...,
+    extended=True)`` output (query-count-sized)."""
+    out = stats.copy()
+    n = out["n_docs"].to_numpy(np.float64)
+    s = out["sum_value"].to_numpy(np.float64)
+    sq = out["sum_sq"].to_numpy(np.float64)
+    out["avg"] = s / n
+    var = sq / n - (s / n) ** 2
+    out["variance"] = np.maximum(var, 0.0)  # clamp float cancellation
+    out["std_deviation"] = np.sqrt(out["variance"].to_numpy())
+    return out
 
 
 def numeric_histogram(

@@ -279,6 +279,23 @@ def test_numeric_stats_matches_bruteforce(built):
     assert 3 not in got["query_id"].values  # zero-match query omitted
 
 
+def test_extended_stats_variance(built):
+    from splade_ray.docvalues import extended_stats_derive, numeric_stats
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    got = numeric_stats(index_dir, QUERIES, numeric_col="n_bytes", extended=True)
+    derived = extended_stats_derive(got)
+    for _, r in got.iterrows():
+        m = _matched(oi, dict(QUERIES)[r["query_id"]])
+        v = sizes[m]
+        assert r["sum_sq"] == int((v.astype(np.int64) ** 2).sum())
+        d = derived[derived.query_id == r["query_id"]].iloc[0]
+        np.testing.assert_allclose(d["avg"], v.mean(), rtol=1e-12)
+        np.testing.assert_allclose(d["variance"], v.var(), rtol=1e-9)
+        np.testing.assert_allclose(d["std_deviation"], v.std(), rtol=1e-9)
+
+
 def test_sort_search_after_pages_tile(built):
     index_dir, texts, sizes = built
     qid, text = QUERIES[0]
