@@ -977,6 +977,27 @@ def q_span_first(sf_dir: str):
     return span_first_search(index_dir, SPAN_FIRST_QUERIES, limit=SPAN_FIRST_LIMIT)
 
 
+SPAN_NOT_QUERIES = [
+    (1, {"include": "spark", "exclude": "window"}),
+    (2, {"include": "data", "exclude": "stream"}),
+    (3, {"include": "customer", "exclude": "zzqx"}),
+]
+SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
+
+
+def q_span_not(sf_dir: str):
+    """SpanNotQuery (positions.span_not_search): include-term occurrences
+    with no exclude-term occurrence in [p-pre, p+post]; per-(query, doc)
+    surviving-occurrence counts over the derived positional layer."""
+    from splade_ray.positions import build_positions, span_not_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return span_not_search(
+        index_dir, SPAN_NOT_QUERIES, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST
+    )
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -2900,6 +2921,32 @@ WHERE tk.p <= {SPAN_FIRST_LIMIT}
 GROUP BY sq.query_id, tk.doc_id"""
 
 
+def _span_not_sql() -> str:
+    """SpanNot mirror: token-array lambda — include positions i with an
+    empty exclude-position list in the clamped window [i-pre, i+post]."""
+    branches = []
+    for qid, q in SPAN_NOT_QUERIES:
+        (inc,) = sorted(term_counts(q["include"]))
+        (exc,) = sorted(term_counts(q["exclude"]))
+        branches.append(
+            f"SELECT {qid} AS query_id, doc_id,\n"
+            f"       len(list_filter(range(1, len(t)+1),\n"
+            f"           i -> t[i] = '{inc}'\n"
+            f"                AND len(list_filter(range(greatest(1, i-{SPAN_NOT_PRE}),"
+            f" least(len(t), i+{SPAN_NOT_POST})+1),\n"
+            f"                                    j -> t[j] = '{exc}')) = 0))::BIGINT AS n_occ\n"
+            f"  FROM ta"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+            FROM documents),
+m AS (
+  {body}
+)
+SELECT query_id::BIGINT AS query_id, doc_id, n_occ FROM m WHERE n_occ > 0"""
+
+
 def _near_unordered_sql() -> str:
     """Unordered-proximity mirror: starts = query-term occurrences; one
     EXISTS-in-window clause per distinct query term."""
@@ -3889,6 +3936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_search": q_near_search,
         "near_unordered": q_near_unordered,
         "span_first": q_span_first,
+        "span_not": q_span_not,
         "doclen_quantiles": q_doclen_quantiles,
         "event_value_quantiles": q_event_value_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
@@ -5453,6 +5501,7 @@ FROM f""",
         "near_search": _near_sql(),
         "near_unordered": _near_unordered_sql(),
         "span_first": _span_first_sql(),
+        "span_not": _span_not_sql(),
         "doclen_quantiles": _doclen_quantiles_sql(),
         "event_value_quantiles": _event_value_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),

@@ -291,6 +291,25 @@ def cmd_phrase(args) -> int:
     return 0
 
 
+def cmd_spannot(args) -> int:
+    """SpanNotQuery over the positional layer."""
+    _ensure_ray()
+    from splade_ray.positions import span_not_search
+
+    queries = []
+    with open(args.queries) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            qid, inc, exc = line.split("\t")
+            queries.append((int(qid), {"include": inc, "exclude": exc}))
+    res = span_not_search(args.index, queries, pre=args.pre, post=args.post)
+    res.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(res), "out": args.out}))
+    return 0
+
+
 def cmd_mlt(args) -> int:
     """More-like-this: seed doc ids -> top-k similar docs."""
     _ensure_ray()
@@ -1370,6 +1389,19 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--slop", type=int, default=None,
                     help="ordered proximity: allow up to SLOP extra positions")
     ph.set_defaults(fn=cmd_phrase)
+
+    sn = sub.add_parser(
+        "spannot",
+        help="SpanNotQuery: include-term occurrences with no exclude term "
+             "within [-pre, +post] positions (positional layer)",
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--queries", required=True,
+                    help="TSV: id\\tinclude_term\\texclude_term")
+    sn.add_argument("--out", required=True, help=".parquet")
+    sn.add_argument("--pre", type=int, default=0)
+    sn.add_argument("--post", type=int, default=0)
+    sn.set_defaults(fn=cmd_spannot)
 
     ml = sub.add_parser("mlt", help="more-like-this (seed-doc similarity)")
     ml.add_argument("--index", required=True)

@@ -864,3 +864,118 @@ def span_first_search(
     if pdf.empty:
         return pd.DataFrame(columns=list(schema)).astype(schema)
     return pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def span_not_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    *,
+    pre: int = 0,
+    post: int = 0,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """SpanNotQuery (Lucene): occurrences of the ``include`` term with NO
+    ``exclude``-term occurrence within ``pre`` positions before through
+    ``post`` positions after (pre=post=0 = same-position overlap only,
+    which for distinct single-term spans never fires — use windows).
+    Each query is ``(qid, {"include": term, "exclude": term})``; returns
+    (query_id, doc_id, n_occ) rows for docs keeping >= 1 include
+    occurrence. Vectorized per segment: both terms' positions decode once,
+    packed (doc, pos) keys make the window test two searchsorteds per
+    include array; tombstone-aware like the other span faces."""
+    import pandas as pd
+
+    from splade_ray.build import segment_dirs
+    from splade_ray.delete import load_tombstones
+
+    load_positions_manifest(index_dir)
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    spec: dict[int, tuple[str, str]] = {}
+    for qid, q in queries:
+        inc = tokenize(q["include"], query_lang) if query_lang else tokenize(q["include"])
+        exc = tokenize(q["exclude"], query_lang) if query_lang else tokenize(q["exclude"])
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError(
+                f"span_not takes single-term include/exclude; got {q!r}"
+            )
+        spec[int(qid)] = (inc[0], exc[0])
+    all_terms = sorted({t for pair in spec.values() for t in pair})
+    segs = segment_dirs(index_dir)
+    pre_u, post_u = np.uint64(pre), np.uint64(post)
+
+    def task(batch: pa.Table) -> pa.Table:
+        qids_out, docs_out, counts_out = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentPositions(seg_dir, all_terms)
+            for qid, (inc, exc) in spec.items():
+                e = seg.term_entry(inc)
+                if e is None:
+                    continue
+                docs, tf, blen, pos_enc = e
+                sel = np.arange(docs.size, dtype=np.int64)
+                ipos, irun = _decode_runs(pos_enc, tf, blen, sel)
+                ikeys = (irun.astype(np.uint64) << _POS_BITS) | ipos.astype(np.uint64)
+                ex = seg.term_entry(exc)
+                if ex is None:
+                    keep = np.ones(ikeys.size, bool)
+                else:
+                    xdocs, xtf, xblen, xpos_enc = ex
+                    # map exclude runs onto the include doc index space;
+                    # exclude docs absent from include can't affect anything
+                    xin = np.isin(xdocs, docs, assume_unique=True)
+                    xsel = np.flatnonzero(xin).astype(np.int64)
+                    if xsel.size:
+                        xpos, xrun = _decode_runs(xpos_enc, xtf, xblen, xsel)
+                        xdoc_idx = np.searchsorted(docs, xdocs[xsel][xrun])
+                        xkeys = (xdoc_idx.astype(np.uint64) << _POS_BITS) | (
+                            xpos.astype(np.uint64)
+                        )
+                        xkeys.sort()
+                        # window [pos-pre, pos+post] clamped to the doc:
+                        # pos packs into the low 32 bits, so clamping lo at
+                        # the doc's position 0 keeps keys inside the doc
+                        lo = ikeys - np.minimum(pre_u, ikeys & np.uint64(0xFFFFFFFF))
+                        hi = ikeys + post_u  # pos+post < 2^32 (doc-len bound)
+                        keep = np.searchsorted(xkeys, lo, side="left") >= \
+                            np.searchsorted(xkeys, hi, side="right")
+                    else:
+                        keep = np.ones(ikeys.size, bool)
+                if not keep.any():
+                    continue
+                counts = np.bincount(irun[keep], minlength=docs.size)
+                kd = counts > 0
+                qids_out.extend([qid] * int(kd.sum()))
+                docs_out.append(docs[kd])
+                counts_out.append(counts[kd].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids_out, np.int64)),
+                "doc_id": pa.array(
+                    np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+                ),
+                "n_occ": pa.array(
+                    np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    ds = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
+    tomb = load_tombstones(index_dir)
+    if tomb.size:
+        tomb_ref = ray.put(tomb)
+
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            t = ray.get(tomb_ref)
+            keep = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), t)
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
+    pdf = ds.to_pandas()
+    schema = {"query_id": np.int64, "doc_id": np.int64, "n_occ": np.int64}
+    if pdf.empty:
+        return pd.DataFrame(columns=list(schema)).astype(schema)
+    return pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -521,3 +521,40 @@ def test_span_first_matches_bruteforce(pos_index):
         assert {
             (r.query_id, r.doc_id): r.n_occ for r in got.itertuples()
         } == want, limit
+
+
+def test_span_not_matches_bruteforce(pos_index):
+    from splade_ray.positions import span_not_search
+
+    queries = [
+        (1, {"include": "fox", "exclude": "quick"}),
+        (2, {"include": "a", "exclude": "b"}),
+        (3, {"include": "a", "exclude": "zzz_absent"}),
+        (4, {"include": "zzz_absent", "exclude": "a"}),
+    ]
+    for pre, post in ((0, 0), (1, 0), (0, 2), (2, 3)):
+        got = span_not_search(pos_index, queries, pre=pre, post=post)
+        want = {}
+        for qid, q in queries:
+            (inc,) = tokenize(q["include"])
+            (exc,) = tokenize(q["exclude"])
+            for did, tx in enumerate(TEXTS):
+                toks = tokenize(tx)
+                xpos = [p for p, t in enumerate(toks) if t == exc]
+                n = sum(
+                    1 for p, t in enumerate(toks)
+                    if t == inc
+                    and not any(p - pre <= x <= p + post for x in xpos)
+                )
+                if n:
+                    want[(qid, did)] = n
+        assert {
+            (r.query_id, r.doc_id): r.n_occ for r in got.itertuples()
+        } == want, (pre, post)
+
+
+def test_span_not_rejects_multiterm(pos_index):
+    from splade_ray.positions import span_not_search
+
+    with pytest.raises(ValueError, match="single-term"):
+        span_not_search(pos_index, [(1, {"include": "a b", "exclude": "c"})])
