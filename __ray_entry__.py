@@ -998,6 +998,57 @@ def q_span_not(sf_dir: str):
     )
 
 
+# MultiPhraseQuery slot lists over the documents vocabulary: per-slot OR
+# alternatives, a single-slot union (tf-sum face), and a dead-alternative
+# slot ('warehouse' never occurs -> zero matches for that query).
+MULTI_PHRASE_QUERIES = [
+    (1, [["hash", "merge"], ["join"]]),
+    (2, [["sort"], ["merge", "part", "column"]]),
+    (3, [["data", "big"], ["line", "stream"], ["join"]]),
+    (4, [["spark", "window"]]),
+    (5, [["warehouse"], ["join"]]),
+]
+
+# match_phrase_prefix texts: last token is a prefix. MPP_MAX_EXPANSIONS is
+# set far above the vocabulary size so the Lucene-style rewrite cap never
+# binds and the LIKE-based SQL mirror is exact.
+MPP_QUERIES = [
+    (1, "hash jo"),
+    (2, "group b"),
+    (3, "qu"),
+    (4, "merge pa"),
+    (5, "slow qu"),
+    (6, "data zz"),
+]
+MPP_MAX_EXPANSIONS = 1000
+
+
+def q_multi_phrase(sf_dir: str):
+    """MultiPhraseQuery (positions.multi_phrase_search): per-slot OR
+    alternatives intersected as packed (doc, shifted-position) keys; counts
+    are overlapping start positions, mirroring the SQL sliding window with
+    per-slot IN lists."""
+    from splade_ray.positions import build_positions, multi_phrase_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return multi_phrase_search(index_dir, MULTI_PHRASE_QUERIES)
+
+
+def q_match_phrase_prefix(sf_dir: str):
+    """match_phrase_prefix (positions.match_phrase_prefix_search): the last
+    token rewrites to its lexicon prefix expansions (range-pushdown read),
+    then the multi-phrase kernel; the cap is sized to never bind so the
+    LIKE mirror is exact."""
+    from splade_ray.positions import build_positions, match_phrase_prefix_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return match_phrase_prefix_search(
+        index_dir, MPP_QUERIES, max_expansions=MPP_MAX_EXPANSIONS
+    )
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -2673,6 +2724,89 @@ SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _window_count_sql(branches: list[str]) -> str:
+    """Wrap per-phrase sliding-window count branches in the shared token-
+    array CTE and keep positive counts (the engine's match-rows shape)."""
+    body = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+            FROM documents),
+p AS (
+{body}
+)
+SELECT phrase_id, doc_id, phrase_count FROM p WHERE phrase_count > 0"""
+
+
+def _multi_phrase_sql() -> str:
+    """SQL mirror of multi_phrase_search, generated FROM the same query
+    list + tokenizer: per slot an IN-list over the analyzed alternatives,
+    sliding-window start counts (overlapping)."""
+    from splade_ray.analysis import tokenize
+
+    branches = []
+    for pid, slots in MULTI_PHRASE_QUERIES:
+        tok_slots = [
+            sorted({t for alt in alts for t in tokenize(alt)}) for alts in slots
+        ]
+        if not tok_slots or any(not s for s in tok_slots):
+            continue  # engine drops queries with a no-token slot
+        k = len(tok_slots)
+
+        def inlist(ts):
+            return ", ".join(f"'{t}'" for t in ts)
+
+        if k == 1:
+            expr = f"len(list_filter(t, x -> x IN ({inlist(tok_slots[0])})))"
+            guard = "len(t) >= 1"
+        else:
+            conds = " AND ".join(
+                (f"t[i+{j}]" if j else "t[i]") + f" IN ({inlist(ts)})"
+                for j, ts in enumerate(tok_slots)
+            )
+            expr = f"len(list_filter(range(1, len(t) - {k - 2}), i -> {conds}))"
+            guard = f"len(t) >= {k}"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, ({expr})::BIGINT AS phrase_count\n"
+            f"  FROM ta WHERE {guard}"
+        )
+    return _window_count_sql(branches)
+
+
+def _match_phrase_prefix_sql() -> str:
+    """SQL mirror of match_phrase_prefix_search: exact-match head tokens,
+    LIKE 'prefix%' on the final slot — identical to the engine's lexicon
+    expansion because MPP_MAX_EXPANSIONS never binds (every corpus term
+    matching the prefix is in the lexicon)."""
+    from splade_ray.analysis import tokenize
+
+    branches = []
+    for pid, text in MPP_QUERIES:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        k = len(toks)
+        pre = toks[-1]
+        if k == 1:
+            expr = f"len(list_filter(t, x -> x LIKE '{pre}%'))"
+            guard = "len(t) >= 1"
+        else:
+            conds = [
+                (f"t[i+{j}]" if j else "t[i]") + f" = '{w}'"
+                for j, w in enumerate(toks[:-1])
+            ]
+            conds.append(f"t[i+{k - 1}] LIKE '{pre}%'")
+            expr = (
+                f"len(list_filter(range(1, len(t) - {k - 2}), "
+                f"i -> {' AND '.join(conds)}))"
+            )
+            guard = f"len(t) >= {k}"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, ({expr})::BIGINT AS phrase_count\n"
+            f"  FROM ta WHERE {guard}"
+        )
+    return _window_count_sql(branches)
+
+
 _DELETE_PRED = "doc_id % 7 <> 3"  # mirror of _delete_ids
 
 
@@ -3933,6 +4067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rules": q_c4_rules,
         "repetition_stats": q_repetition,
         "phrase_search": q_phrase_search,
+        "multi_phrase": q_multi_phrase,
+        "match_phrase_prefix": q_match_phrase_prefix,
         "near_search": q_near_search,
         "near_unordered": q_near_unordered,
         "span_first": q_span_first,
@@ -5498,6 +5634,8 @@ SELECT *,
 FROM f""",
         "repetition_stats": _repetition_sql(),
         "phrase_search": _phrase_sql(),
+        "multi_phrase": _multi_phrase_sql(),
+        "match_phrase_prefix": _match_phrase_prefix_sql(),
         "near_search": _near_sql(),
         "near_unordered": _near_unordered_sql(),
         "span_first": _span_first_sql(),

@@ -401,6 +401,81 @@ class SegmentPositions:
         keep = counts > 0
         return common[keep], counts[keep].astype(np.int64)
 
+    def multi_phrase_counts(
+        self, slots: list[list[str]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene MultiPhraseQuery: each slot is a set of alternative terms;
+        a match at start ``p`` requires slot ``i`` to match SOME alternative
+        at position ``p + i``. Returns (doc_ids, start counts > 0),
+        overlapping starts counted — single-alternative slots reduce exactly
+        to ``phrase_counts``. Alternatives within a slot occupy disjoint
+        positions (one token per position), so per-slot keys union without
+        duplicates and counts add."""
+        k = len(slots)
+        # per-slot surviving entries; a slot with no indexed alternative
+        # kills the phrase
+        slot_entries: list[list[tuple]] = []
+        for alts in slots:
+            es = [e for t in alts if (e := self.term_entry(t)) is not None]
+            if not es:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            slot_entries.append(es)
+        if k == 1:
+            # union of single terms: per-doc counts are tf sums
+            docs_all = np.concatenate([e[0] for e in slot_entries[0]])
+            tf_all = np.concatenate([e[1] for e in slot_entries[0]])
+            docs, inv = np.unique(docs_all, return_inverse=True)
+            counts = np.bincount(inv, weights=tf_all).astype(np.int64)
+            return docs, counts
+        # common docs: intersection over slots of the union of alt doc lists
+        slot_docs = []
+        for es in slot_entries:
+            d = es[0][0]
+            for e in es[1:]:
+                d = np.union1d(d, e[0])
+            slot_docs.append(d)
+        common = slot_docs[0]
+        for d in slot_docs[1:]:
+            common = common[np.isin(common, d, assume_unique=True)]
+            if common.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        inter: np.ndarray | None = None
+        for i, es in enumerate(slot_entries):
+            slot_keys = []
+            for docs, tf, blen, pos_enc in es:
+                sel = np.flatnonzero(
+                    np.isin(docs, common, assume_unique=True)
+                ).astype(np.int64)
+                if sel.size == 0:
+                    continue
+                pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+                # run_idx indexes this alt's selected docs; remap onto the
+                # shared `common` index space so keys align across alts
+                doc_idx = np.searchsorted(common, docs[sel][run_idx])
+                slot_keys.append(
+                    (doc_idx.astype(np.uint64) << _POS_BITS)
+                    | (pos + k - i).astype(np.uint64)
+                )
+            if not slot_keys:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            keys = (
+                slot_keys[0]
+                if len(slot_keys) == 1
+                else np.sort(np.concatenate(slot_keys))
+            )
+            inter = (
+                keys
+                if inter is None
+                else np.intersect1d(inter, keys, assume_unique=True)
+            )
+            if inter.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+        counts = np.bincount(
+            (inter >> _POS_BITS).astype(np.int64), minlength=common.size
+        )
+        keep = counts > 0
+        return common[keep], counts[keep].astype(np.int64)
+
 
     def near_counts(
         self, terms: list[str], slop: int
@@ -516,16 +591,21 @@ def phrase_match_batch(
     with_doc_len: bool = False,
     slop: int | None = None,
     ordered: bool = True,
+    multi: bool = False,
 ) -> pa.Table:
     """map_batches task: evaluate every phrase against each segment in the
     batch. Segments partition the doc space, so outputs concatenate.
     ``with_doc_len`` adds each matching doc's token count (from the
-    segment's doclens sidecar) for BM25-style phrase ranking."""
+    segment's doclens sidecar) for BM25-style phrase ranking. With
+    ``multi=True`` each phrase value is a slot list (``list[list[str]]``,
+    Lucene MultiPhraseQuery) routed to ``multi_phrase_counts``."""
     pids, docs_out, counts_out, dls_out = [], [], [], []
     for seg_dir in batch["seg_dir"].to_pylist():
         seg = SegmentPositions(seg_dir, terms, with_doc_len=with_doc_len)
         for pid, phrase in phrases.items():
-            if slop is None:
+            if multi:
+                docs, counts = seg.multi_phrase_counts(phrase)
+            elif slop is None:
                 docs, counts = seg.phrase_counts(phrase)
             elif ordered:
                 docs, counts = seg.near_counts(phrase, slop)
@@ -595,23 +675,29 @@ def _phrase_candidates(
         },
         concurrency=concurrency,
     )
+    # logical deletes: the match table is complete (no per-segment cut), so
+    # filtering it is exact for both phrase_search and the phrase_topk
+    # scoring built on top (phrase df then counts live matches only — the
+    # phrase "term" has no build-time statistics)
+    return _drop_tombstones(ds, index_dir)
+
+
+def _drop_tombstones(ds, index_dir: str):
+    """Filter logically-deleted doc_ids out of a match Dataset (broadcast
+    the tombstone set once via ray.put; no-op when nothing is deleted)."""
     from splade_ray.delete import load_tombstones
 
     tomb = load_tombstones(index_dir)
-    if tomb.size:
-        # logical deletes: the match table is complete (no per-segment
-        # cut), so filtering it is exact for both phrase_search and the
-        # phrase_topk scoring built on top (phrase df then counts live
-        # matches only — the phrase "term" has no build-time statistics)
-        tomb_ref = ray.put(tomb)
+    if not tomb.size:
+        return ds
+    tomb_ref = ray.put(tomb)
 
-        def drop_deleted(batch: pa.Table) -> pa.Table:
-            t = ray.get(tomb_ref)
-            keep = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), t)
-            return batch.filter(pa.array(keep))
+    def drop_deleted(batch: pa.Table) -> pa.Table:
+        t = ray.get(tomb_ref)
+        keep = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), t)
+        return batch.filter(pa.array(keep))
 
-        ds = ds.map_batches(drop_deleted, batch_format="pyarrow")
-    return ds
+    return ds.map_batches(drop_deleted, batch_format="pyarrow")
 
 
 def phrase_search(
@@ -979,3 +1065,127 @@ def span_not_search(
     if pdf.empty:
         return pd.DataFrame(columns=list(schema)).astype(schema)
     return pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def _slot_candidates(
+    index_dir: str,
+    slot_map: dict[int, list[list[str]]],
+    *,
+    concurrency: int | None = None,
+):
+    """Fan-out for slot-form (MultiPhrase) queries: one Ray task per
+    segment evaluating every query's slot list, tombstone-filtered. Slots
+    hold ANALYZED terms. Queries whose slot list is empty (or has an empty
+    slot) are dropped — they can't match. Returns None when nothing
+    survives."""
+    from splade_ray.build import segment_dirs
+
+    load_positions_manifest(index_dir)
+    slot_map = {
+        int(pid): slots
+        for pid, slots in slot_map.items()
+        if slots and all(slots)
+    }
+    if not slot_map:
+        return None
+    all_terms = sorted(
+        {t for slots in slot_map.values() for slot in slots for t in slot}
+    )
+    segs = segment_dirs(index_dir)
+    ds = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        phrase_match_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs={"phrases": slot_map, "terms": all_terms, "multi": True},
+        concurrency=concurrency,
+    )
+    return _drop_tombstones(ds, index_dir)
+
+
+def _collect_matches(ds):
+    """(phrase_id, doc_id, phrase_count) DataFrame from a match Dataset
+    (or None), deterministically ordered."""
+    import pandas as pd
+
+    out_schema = {"phrase_id": np.int64, "doc_id": np.int64, "phrase_count": np.int64}
+    if ds is None:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    pdf = ds.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame(columns=list(out_schema)).astype(out_schema)
+    return pdf.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
+def multi_phrase_search(
+    index_dir: str,
+    queries: list[tuple[int, list[list[str]]]],
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """MultiPhraseQuery (Lucene): each query is ``(id, slots)`` where every
+    slot lists alternative WORDS for that phrase position; a doc matches at
+    start ``p`` when slot ``i`` matches some alternative at ``p + i``
+    ("sort merge|part" matches "sort merge" and "sort part"). Returns
+    (phrase_id, doc_id, phrase_count) with overlapping starts counted, like
+    phrase_search. Alternatives go through the index analyzer and must stay
+    single tokens (a multi-token alternative has no single-slot meaning).
+    Same per-segment fan-out / tombstone handling as phrase_search.
+
+    Beyond-reference fulltext face (the reference is bag-of-words only,
+    splade/tasks/transformer_evaluator.py:142-193)."""
+    pman = load_positions_manifest(index_dir)
+    if query_lang is None:
+        query_lang = pman.get("analyzer")
+    slot_map: dict[int, list[list[str]]] = {}
+    for pid, slots in queries:
+        out_slots: list[list[str]] = []
+        for alts in slots:
+            toks: list[str] = []
+            for alt in alts:
+                t = tokenize(alt, query_lang) if query_lang else tokenize(alt)
+                if len(t) > 1:
+                    raise ValueError(
+                        f"multi_phrase alternative {alt!r} analyzes to "
+                        f"{len(t)} tokens; slots take single-token alternatives"
+                    )
+                toks.extend(t)  # 0-token alts (stopwords/punct) just drop
+            out_slots.append(sorted(set(toks)))
+        slot_map[int(pid)] = out_slots
+    ds = _slot_candidates(index_dir, slot_map, concurrency=concurrency)
+    return _collect_matches(ds)
+
+
+def match_phrase_prefix_search(
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    *,
+    max_expansions: int = 50,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """match_phrase_prefix (Elasticsearch) / Lucene MultiPhraseQuery with a
+    prefix-expanded last slot: the phrase's final token is treated as a
+    PREFIX and rewritten to the first ``max_expansions`` matching lexicon
+    terms (ascending, mirroring Lucene's rewrite cap); earlier tokens match
+    exactly. Returns (phrase_id, doc_id, phrase_count); a prefix with no
+    lexicon expansion matches nothing. Built on the multi-phrase kernel —
+    one per-segment task, expansion read is a lexicon range pushdown
+    (suggest.expand_prefix)."""
+    from splade_ray.suggest import expand_prefix
+
+    pman = load_positions_manifest(index_dir)
+    if query_lang is None:
+        query_lang = pman.get("analyzer")
+    slot_map: dict[int, list[list[str]]] = {}
+    for pid, text in phrases:
+        toks = tokenize(text, query_lang) if query_lang else tokenize(text)
+        if not toks:
+            slot_map[int(pid)] = []  # dropped by _slot_candidates
+            continue
+        expansion = expand_prefix(index_dir, toks[-1], max_terms=max_expansions)
+        slot_map[int(pid)] = [[t] for t in toks[:-1]] + [expansion]
+    ds = _slot_candidates(index_dir, slot_map, concurrency=concurrency)
+    return _collect_matches(ds)

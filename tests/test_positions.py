@@ -558,3 +558,110 @@ def test_span_not_rejects_multiterm(pos_index):
 
     with pytest.raises(ValueError, match="single-term"):
         span_not_search(pos_index, [(1, {"include": "a b", "exclude": "c"})])
+
+
+def _brute_multi_phrase(texts, slot_queries):
+    """{(pid, doc): count} by direct scan: slot i matches any alternative
+    token at start+i."""
+    want = {}
+    for pid, slots in slot_queries:
+        k = len(slots)
+        if k == 0 or any(not s for s in slots):
+            continue
+        for did, tx in enumerate(texts):
+            toks = tokenize(tx)
+            n = sum(
+                1
+                for i in range(len(toks) - k + 1)
+                if all(toks[i + j] in slots[j] for j in range(k))
+            )
+            if n:
+                want[(pid, did)] = n
+    return want
+
+
+def test_multi_phrase_matches_bruteforce(pos_index):
+    from splade_ray.positions import multi_phrase_search
+
+    queries = [
+        (1, [["quick"], ["brown", "lazy"]]),          # OR in slot 2
+        (2, [["the"], ["quick", "lazy"], ["brown", "dog"]]),
+        (3, [["a", "b"], ["a", "b"]]),                # every bigram in doc 1
+        (4, [["fox", "dog"]]),                        # single-slot union (tf sum)
+        (5, [["quick"], ["zzz_absent"]]),             # dead slot -> no match
+        (6, [["x", "y"], ["a"]]),
+    ]
+    got = multi_phrase_search(pos_index, queries)
+    want = _brute_multi_phrase(TEXTS, queries)
+    assert {
+        (r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()
+    } == want
+    # single-alt slots reduce exactly to phrase_search
+    from splade_ray.positions import phrase_search
+
+    single = [(pid, " ".join(s[0] for s in slots))
+              for pid, slots in [(10, [["quick"], ["brown"]]), (11, [["a"], ["b"]])]]
+    ps = phrase_search(pos_index, single)
+    mp = multi_phrase_search(
+        pos_index, [(10, [["quick"], ["brown"]]), (11, [["a"], ["b"]])]
+    )
+    pd.testing.assert_frame_equal(ps, mp)
+
+
+def test_multi_phrase_rejects_multitoken_alt(pos_index):
+    from splade_ray.positions import multi_phrase_search
+
+    with pytest.raises(ValueError, match="single-token"):
+        multi_phrase_search(pos_index, [(1, [["quick brown"], ["fox"]])])
+
+
+def test_match_phrase_prefix_bruteforce(pos_index):
+    from splade_ray.positions import match_phrase_prefix_search
+
+    queries = [
+        (1, "quick bro"),     # -> brown
+        (2, "the qui"),
+        (3, "fo"),            # single-token prefix: fox occurrences sum
+        (4, "lazy do"),
+        (5, "quick zzz"),     # no expansion -> no rows
+        (6, "one_tok"),
+    ]
+    got = match_phrase_prefix_search(pos_index, queries, max_expansions=100)
+    want = {}
+    for pid, text in queries:
+        toks = tokenize(text)
+        head, pre = toks[:-1], toks[-1]
+        k = len(toks)
+        for did, tx in enumerate(TEXTS):
+            dt = tokenize(tx)
+            n = sum(
+                1
+                for i in range(len(dt) - k + 1)
+                if dt[i : i + k - 1] == head and dt[i + k - 1].startswith(pre)
+            )
+            if n:
+                want[(pid, did)] = n
+    assert {
+        (r.phrase_id, r.doc_id): r.phrase_count for r in got.itertuples()
+    } == want
+
+
+def test_match_phrase_prefix_expansion_cap(pos_index):
+    """max_expansions keeps only the lexicographically-first expansions
+    (Lucene rewrite cap): with cap=1 the prefix 'f' must behave as its
+    first lexicon term only."""
+    from splade_ray.positions import match_phrase_prefix_search
+    from splade_ray.suggest import expand_prefix
+
+    full = expand_prefix(pos_index, "f", max_terms=100)
+    assert len(full) >= 1
+    first = full[0]
+    capped = match_phrase_prefix_search(pos_index, [(1, "f")], max_expansions=1)
+    want = {}
+    for did, tx in enumerate(TEXTS):
+        n = sum(1 for t in tokenize(tx) if t == first)
+        if n:
+            want[(1, did)] = n
+    assert {
+        (r.phrase_id, r.doc_id): r.phrase_count for r in capped.itertuples()
+    } == want
