@@ -400,6 +400,25 @@ def q_tfidf_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+DFR_C = 1.0
+
+
+def q_dfr_topk(sf_dir: str):
+    """Divergence-from-randomness retrieval (query.search scoring='dfr';
+    Lucene DFRSimilarity InL2 = BasicModelIn + AfterEffectL +
+    NormalizationH2): qtf * log2((N+1)/(df+0.5)) * tfn/(tfn+1) with
+    tfn = tf*log2(1 + c*avgdl/dl) — fifth member of the similarity
+    registry, same scatter-gather skeleton and run contract."""
+    run = search(
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        scoring="dfr", dfr_c=DFR_C,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_ql_topk(sf_dir: str):
     """Dirichlet query-likelihood retrieval (query.search scoring='ql'):
     qtf * max(0, ln(1 + tf/(mu*cf/C)) + ln(mu/(dl+mu))) over matching terms
@@ -4038,6 +4057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ql_topk": q_ql_topk,
         "lmjm_topk": q_lmjm_topk,
         "tfidf_topk": q_tfidf_topk,
+        "dfr_topk": q_dfr_topk,
         "suggest_terms": q_suggest_terms,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
@@ -4323,6 +4343,45 @@ scores AS (
   SELECT q.query_id, tf.doc_id,
          sum( q.qtf * pow(1 + ln(s.n / (df.df + 1)), 2)
               * sqrt(tf.tf) / sqrt(dl.dl) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _dfr_sql() -> str:
+    """DFR InL2 mirror of q_dfr_topk: tfn = tf*log2(1 + c*avgdl/dl),
+    score = sum(qtf * log2((n+1)/(df+0.5)) * tfn/(tfn+1))."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * log2((s.n + 1) / (df.df + 0.5))
+              * (tf.tf * log2(1 + {DFR_C} * s.avgdl / dl.dl))
+              / (tf.tf * log2(1 + {DFR_C} * s.avgdl / dl.dl) + 1) ) AS score
   FROM q
   JOIN tf USING (term)
   JOIN df USING (term)
@@ -5427,6 +5486,7 @@ FROM documents""",
         "ql_topk": _ql_sql(),
         "lmjm_topk": _lmjm_sql(),
         "tfidf_topk": _tfidf_sql(),
+        "dfr_topk": _dfr_sql(),
         "suggest_terms": _suggest_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),

@@ -45,6 +45,7 @@ def prepare_queries(
     scoring: str = "bm25",
     mu: float = 2000.0,
     lam: float = 0.1,
+    dfr_c: float = 1.0,
     stats_override: dict | None = None,
 ) -> dict:
     """Driver-side query prep: tokenize, look up global df (and, for QL, cf)
@@ -77,7 +78,12 @@ def prepare_queries(
       queryNorm/coord dropped as in Lucene 7+): per-term weight
       ``idf_c²`` with ``idf_c = 1 + ln(n_docs/(df+1))``, kernel
       ``qtf * idf_c² * sqrt(tf) / sqrt(dl)`` (``1/sqrt(dl)`` is the
-      unencoded fieldNorm).
+      unencoded fieldNorm);
+    - ``"dfr"`` — divergence-from-randomness InL2 (Lucene DFRSimilarity
+      with BasicModelIn + AfterEffectL + NormalizationH2, parameter
+      ``dfr_c``): per-term weight ``log2((N+1)/(df+0.5))``, kernel
+      ``qtf * w * tfn/(tfn+1)`` with ``tfn = tf·log2(1 + c·avgdl/dl)`` —
+      positive on every match.
 
     ``stats_override`` replaces the index's own corpus statistics with the
     caller's — ``{"n_docs", "avgdl", "dfs", "cfs", "c_total"}`` — the
@@ -132,9 +138,15 @@ def prepare_queries(
             idf_c = 1.0 + np.log(n_docs / (dfs[t] + 1.0))
             return float(idf_c * idf_c)
 
+    elif scoring == "dfr":
+
+        def weight(t: str) -> float:
+            return float(np.log2((n_docs + 1.0) / (dfs[t] + 0.5)))
+
     else:
         raise ValueError(
-            f"unknown scoring {scoring!r} (expected 'bm25', 'ql', 'lmjm' or 'tfidf')"
+            f"unknown scoring {scoring!r} (expected 'bm25', 'ql', 'lmjm', "
+            f"'tfidf' or 'dfr')"
         )
     prepared_queries = {}
     for qid, c in tokenized.items():
@@ -151,6 +163,7 @@ def prepare_queries(
         "scoring": scoring,
         "mu": mu,
         "lam": lam,
+        "dfr_c": dfr_c,
         "queries": prepared_queries,
         "terms": sorted({t for ts in prepared_queries.values() for t, _, _ in ts}),
         "dfs": dfs,  # global docFreq per term (explain's df column)
@@ -307,6 +320,11 @@ class SegmentIndex:
             # exists, and we only index at posting positions, so no /0
             with np.errstate(divide="ignore"):
                 inv_sqrt_dl = 1.0 / np.sqrt(dl_f)
+        elif mode == "dfr":
+            # H2 length normalization factor; dl >= 1 at posting positions
+            c_f = float(prepared.get("dfr_c", 1.0))
+            with np.errstate(divide="ignore"):
+                h2 = np.log2(1.0 + c_f * avgdl / dl_f)
         scores = np.zeros(self.doc_ids.size, np.float64)
         hit = False
         for term, qtf, w in prepared["queries"][qid]:  # pre-sorted -> fixed sum order
@@ -327,6 +345,10 @@ class SegmentIndex:
             elif mode == "tfidf":
                 # w = idf_c²; ClassicSimilarity sqrt(tf) · idf² · 1/sqrt(dl)
                 scores[pos] += (w * qtf) * np.sqrt(tfs.astype(np.float64)) * inv_sqrt_dl[pos]
+            elif mode == "dfr":
+                # w = log2((N+1)/(df+0.5)); InL2 after-effect tfn/(tfn+1)
+                tfn = tfs.astype(np.float64) * h2[pos]
+                scores[pos] += (w * qtf) * tfn / (tfn + 1.0)
             else:
                 scores[pos] += (w * qtf) * tf_component(tfs, self.doc_lens[pos], avgdl, p)
         return scores if hit else None
@@ -642,6 +664,7 @@ def search(
     scoring: str = "bm25",
     mu: float = 2000.0,
     lam: float = 0.1,
+    dfr_c: float = 1.0,
     after: dict[int, tuple[float, int]] | None = None,
     range_filter: tuple[str, float | None, float | None] | None = None,
     stats_override: dict | None = None,
@@ -667,7 +690,8 @@ def search(
 
     ``scoring`` selects the similarity: ``"bm25"`` (default), ``"ql"``
     (Dirichlet, parameter ``mu``), ``"lmjm"`` (Jelinek-Mercer, parameter
-    ``lam``) or ``"tfidf"`` (Lucene ClassicSimilarity) — see
+    ``lam``), ``"tfidf"`` (Lucene ClassicSimilarity) or ``"dfr"``
+    (DFR InL2, parameter ``dfr_c``) — see
     :func:`prepare_queries`. BMW/auto kernels route every non-BM25
     similarity to the exact kernel (block-max bounds are BM25-specific),
     and the quantized layer is BM25-only.
@@ -707,7 +731,7 @@ def search(
     prepared_refs = [
         ray.put(
             {**prepare_queries(index_dir, c, params, query_lang=query_lang,
-                               scoring=scoring, mu=mu, lam=lam,
+                               scoring=scoring, mu=mu, lam=lam, dfr_c=dfr_c,
                                stats_override=stats_override),
              **({"after": {int(q): after[int(q)] for q, _ in c if int(q) in after}}
                 if after else {}),
@@ -763,6 +787,7 @@ def explain(
     scoring: str = "bm25",
     mu: float = 2000.0,
     lam: float = 0.1,
+    dfr_c: float = 1.0,
     concurrency=None,
 ) -> pd.DataFrame:
     """Per-term score breakdown for every (query, target doc) pair — the
@@ -782,7 +807,7 @@ def explain(
     params = params or BM25Params()
     prepared = prepare_queries(
         index_dir, queries, params, query_lang=query_lang, scoring=scoring,
-        mu=mu, lam=lam,
+        mu=mu, lam=lam, dfr_c=dfr_c,
     )
     targets = np.unique(np.asarray(sorted({int(d) for d in doc_ids}), np.int64))
     tomb = load_tombstones(index_dir)
@@ -813,6 +838,10 @@ def explain(
             elif mode == "tfidf":
                 with np.errstate(divide="ignore"):
                     inv_sqrt_dl = 1.0 / np.sqrt(dl_f)
+            elif mode == "dfr":
+                c_f = float(prep.get("dfr_c", 1.0))
+                with np.errstate(divide="ignore"):
+                    h2 = np.log2(1.0 + c_f * avgdl / dl_f)
             for qid, terms in prep["queries"].items():
                 for term, qtf, w in terms:
                     pos, tfs = seg.pos_tfs(term)
@@ -839,6 +868,9 @@ def explain(
                             * np.sqrt(dtfs.astype(np.float64))
                             * inv_sqrt_dl[dpos]
                         )
+                    elif mode == "dfr":
+                        tfn = dtfs.astype(np.float64) * h2[dpos]
+                        contrib = (w * qtf) * tfn / (tfn + 1.0)
                     else:
                         contrib = (w * qtf) * tf_component(
                             dtfs, seg.doc_lens[dpos], avgdl, p

@@ -77,9 +77,19 @@ def _tfidf_contrib(qtf, tf, dl, *, cf, df, n, c):
     return (idf_c * idf_c * qtf) * math.sqrt(tf) / math.sqrt(dl)
 
 
+DFR_C = 1.0
+
+
+def _dfr_contrib(qtf, tf, dl, *, cf, df, n, c):
+    avgdl = c / n
+    tfn = tf * math.log2(1.0 + DFR_C * avgdl / dl)
+    return qtf * math.log2((n + 1.0) / (df + 0.5)) * tfn / (tfn + 1.0)
+
+
 QUERY_SETS = {
     "lmjm": _lmjm_contrib,
     "tfidf": _tfidf_contrib,
+    "dfr": _dfr_contrib,
 }
 
 
@@ -140,7 +150,7 @@ def test_similarities_rank_differently_somewhere(built):
     queries = [(i, texts[i * 7][:60]) for i in range(1, 10)]
     runs = {
         m: search(index_dir, queries, BM25Params(top_k=10), scoring=m, lam=LAM)
-        for m in ("bm25", "lmjm", "tfidf")
+        for m in ("bm25", "lmjm", "tfidf", "dfr")
     }
     orders = {
         m: r.sort_values(["query_id", "rank"])["doc_id"].tolist()
@@ -149,9 +159,10 @@ def test_similarities_rank_differently_somewhere(built):
     assert orders["bm25"] != orders["lmjm"]
     assert orders["bm25"] != orders["tfidf"]
     assert orders["lmjm"] != orders["tfidf"]
+    assert orders["bm25"] != orders["dfr"]
 
 
 def test_unknown_scoring_raises(built):
     index_dir, _ = built
     with pytest.raises(ValueError, match="unknown scoring"):
-        search(index_dir, [(1, "def")], BM25Params(), scoring="dfr")
+        search(index_dir, [(1, "def")], BM25Params(), scoring="ib_spl")
