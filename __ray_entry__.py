@@ -932,6 +932,40 @@ def q_query_string(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# Rescore window (Elasticsearch rescore): second-pass match_phrase per
+# query over the BM25 top-RESCORE_WINDOW; qid 6 has no phrase and keeps its
+# primary ranking (the passthrough face).
+RESCORE_PHRASES = {
+    0: "hash join", 1: "sort merge", 2: "stream window", 3: "filter scan",
+    4: "customer query", 5: "row key", 7: "big small",
+}
+RESCORE_WINDOW = 30
+RESCORE_QW, RESCORE_RQW = 1.0, 2.0
+
+
+def q_rescore_topk(sf_dir: str):
+    """Rescore window (splade_ray.rescore.rescore_phrase; Lucene
+    QueryRescorer): BM25 first pass, phrase-as-virtual-term BM25 second
+    pass over the window only (match Dataset filtered to the broadcast
+    window before collection; phrase df global), combined score = qw*prim +
+    rqw*sec for phrase-matching docs, qw*prim otherwise."""
+    from splade_ray.positions import build_positions
+    from splade_ray.rescore import rescore_phrase
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    run = rescore_phrase(
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        phrases=RESCORE_PHRASES, window_size=RESCORE_WINDOW,
+        score_mode="total", query_weight=RESCORE_QW,
+        rescore_query_weight=RESCORE_RQW,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # Fixed boolean query set: must / should / must_not clauses over the same
 # vocabulary (semantics pinned in splade_ray.boolq).
 BOOL_QUERIES = [
@@ -2743,6 +2777,60 @@ SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _rescore_sql() -> str:
+    """Mirror of q_rescore_topk: BM25 window + phrase sliding-window counts
+    (generated from RESCORE_PHRASES) scored as one virtual term, LEFT JOIN
+    combine, re-rank inside the window."""
+    from splade_ray.analysis import tokenize
+
+    branches = []
+    for pid, text in RESCORE_PHRASES.items():
+        toks = tokenize(text)
+        if not toks:
+            continue
+        k = len(toks)
+        if k == 1:
+            expr = f"len(list_filter(t, x -> x = '{toks[0]}'))"
+            guard = "len(t) >= 1"
+        else:
+            conds = " AND ".join(
+                f"t[i+{j}] = '{w}'" if j else f"t[i] = '{w}'"
+                for j, w in enumerate(toks)
+            )
+            expr = f"len(list_filter(range(1, len(t) - {k - 2}), i -> {conds}))"
+            guard = f"len(t) >= {k}"
+        branches.append(
+            f"SELECT {pid} AS phrase_id, doc_id, ({expr})::BIGINT AS phrase_count\n"
+            f"  FROM ta WHERE {guard}"
+        )
+    body = "\n  UNION ALL\n".join(branches)
+    return f"""{_bm25_cte()},
+ta AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t
+       FROM documents),
+p AS (
+{body}
+),
+pm AS (SELECT phrase_id AS query_id, doc_id, phrase_count FROM p WHERE phrase_count > 0),
+pdf AS (SELECT query_id, count(*)::DOUBLE AS pdf FROM pm GROUP BY query_id),
+win AS (SELECT query_id, doc_id, score FROM ranked WHERE rank <= {RESCORE_WINDOW}),
+sec AS (SELECT pm.query_id, pm.doc_id,
+               ln(1 + (s.n - pdf.pdf + 0.5) / (pdf.pdf + 0.5))
+               * pm.phrase_count * ({K1} + 1)
+               / (pm.phrase_count + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS s2
+        FROM pm JOIN pdf USING (query_id) JOIN dl USING (doc_id) CROSS JOIN stats s),
+comb AS (SELECT w.query_id, w.doc_id,
+                CASE WHEN sec.s2 IS NOT NULL
+                     THEN {RESCORE_QW} * w.score + {RESCORE_RQW} * sec.s2
+                     ELSE {RESCORE_QW} * w.score END AS score
+         FROM win w LEFT JOIN sec ON sec.query_id = w.query_id AND sec.doc_id = w.doc_id),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM comb)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
 def _window_count_sql(branches: list[str]) -> str:
     """Wrap per-phrase sliding-window count branches in the shared token-
     array CTE and keep positive counts (the engine's match-rows shape)."""
@@ -4130,6 +4218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_grep_pruned": q_regex_grep_pruned,
         "boolean_topk": q_boolean_topk,
         "boolean_msm": q_boolean_msm,
+        "rescore_topk": q_rescore_topk,
         "boosting_topk": q_boosting_topk,
         "const_score_topk": q_const_score_topk,
         "query_string": q_query_string,
@@ -5721,6 +5810,7 @@ FROM f""",
         "regex_grep_pruned": _grep_sql(),
         "boolean_topk": _boolean_sql(),
         "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
+        "rescore_topk": _rescore_sql(),
         "boosting_topk": _boosting_sql(),
         "const_score_topk": _const_score_sql(),
         "query_string": _query_string_sql(),
