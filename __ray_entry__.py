@@ -2393,6 +2393,80 @@ def q_window_agg(sf_dir: str):
     )
 
 
+PIPELINE_MOV_WINDOW = 3
+
+
+def q_bucket_pipeline(sf_dir: str):
+    """Pipeline aggregations (ops.windows.bucket_pipeline; ES derivative /
+    cumulative_sum / moving_fn / bucket_script) over the 1h date-histogram
+    buckets: the parent agg is distributed (combiner + partial-sized
+    shuffle), the pipeline math walks the windows x keys bucket table like
+    the ES coordinating node. deriv is split into (deriv0, has_prev) so
+    every column stays integer/bool/round4-exact."""
+    from splade_ray.ops.windows import bucket_pipeline, tumbling_window_agg
+
+    buckets = tumbling_window_agg(
+        _events(sf_dir, ["ts", "event_type", "value"]), WINDOW_1H_US
+    )
+    out = bucket_pipeline(buckets, window=PIPELINE_MOV_WINDOW)
+    out["has_prev"] = out["deriv"].notna()
+    out["deriv0"] = out["deriv"].fillna(0).astype(np.int64)
+    out["mov_avg_r"] = _round4(out["mov_avg"].to_numpy(np.float64))
+    out["per_event_r"] = _round4(out["per_event"].to_numpy(np.float64))
+    return out[
+        ["window_start_us", "event_type", "n_events", "sum_value_c",
+         "cum_sum", "deriv0", "has_prev", "mov_avg_r", "per_event_r"]
+    ]
+
+
+MATRIX_COLS = ["value_c", "user_id"]
+
+
+def _events_numeric(sf_dir: str):
+    """events with the derived integer-cents column, for the moment
+    sketches (same floor(x*100+0.5) as the window aggregates)."""
+    def add_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    return _events(sf_dir, ["user_id", "value"]).map_batches(
+        add_cents, batch_format="pyarrow"
+    )
+
+
+def q_matrix_stats(sf_dir: str):
+    """matrix_stats aggregation (ops.moments.matrix_stats; ES matrix_stats):
+    pairwise sample covariance / Pearson correlation over (value_c,
+    user_id) from one constant-size-partial streaming pass."""
+    from splade_ray.ops.moments import matrix_stats
+
+    out = matrix_stats(_events_numeric(sf_dir), MATRIX_COLS)
+    out["mean_a_r"] = _round4(out["mean_a"].to_numpy(np.float64))
+    out["mean_b_r"] = _round4(out["mean_b"].to_numpy(np.float64))
+    out["cov_r"] = _round4(out["cov"].to_numpy(np.float64))
+    out["corr_r"] = _round4(out["corr"].to_numpy(np.float64))
+    return out[["field_a", "field_b", "n", "mean_a_r", "mean_b_r", "cov_r", "corr_r"]]
+
+
+def q_field_moments(sf_dir: str):
+    """Per-field higher moments (ops.moments.field_moments): mean, sample
+    variance, population skewness g1 and (non-excess) kurtosis derived from
+    the same raw power sums as the SQL mirror."""
+    from splade_ray.ops.moments import field_moments
+
+    out = field_moments(_events_numeric(sf_dir), MATRIX_COLS)
+    out["mean_r"] = _round4(out["mean"].to_numpy(np.float64))
+    out["variance_r"] = _round4(out["variance"].to_numpy(np.float64))
+    out["skewness_r"] = _round4(out["skewness"].to_numpy(np.float64))
+    out["kurtosis_r"] = _round4(out["kurtosis"].to_numpy(np.float64))
+    return out[["field", "n", "mean_r", "variance_r", "skewness_r", "kurtosis_r"]]
+
+
 def q_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user over `events`: salted
     coarse-key shuffle + one vectorized multi-user kernel per group."""
@@ -3639,6 +3713,105 @@ SELECT window_start_us::BIGINT AS window_start_us, event_type,
 FROM e GROUP BY 1, 2"""
 
 
+def _bucket_pipeline_sql() -> str:
+    """Mirror of q_bucket_pipeline: the parent window aggregate plus SQL
+    window functions for the four pipeline aggs."""
+    w = WINDOW_1H_US
+    k = PIPELINE_MOV_WINDOW - 1
+    return f"""
+WITH e AS (
+  SELECT (epoch_us(ts) // {w}) * {w} AS window_start_us, event_type,
+         floor(value * 100 + 0.5)::BIGINT AS c
+  FROM events),
+b AS (SELECT window_start_us::BIGINT AS window_start_us, event_type,
+             count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value_c
+      FROM e GROUP BY 1, 2)
+SELECT window_start_us, event_type, n_events, sum_value_c,
+       (sum(sum_value_c) OVER cumw)::BIGINT AS cum_sum,
+       coalesce(sum_value_c - lag(sum_value_c) OVER lw, 0)::BIGINT AS deriv0,
+       (lag(sum_value_c) OVER lw IS NOT NULL) AS has_prev,
+       {_round4_sql("avg(sum_value_c::DOUBLE) OVER movw")} AS mov_avg_r,
+       {_round4_sql("sum_value_c::DOUBLE / n_events")} AS per_event_r
+FROM b
+WINDOW lw AS (PARTITION BY event_type ORDER BY window_start_us),
+       cumw AS (PARTITION BY event_type ORDER BY window_start_us
+                ROWS UNBOUNDED PRECEDING),
+       movw AS (PARTITION BY event_type ORDER BY window_start_us
+                ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)"""
+
+
+_MOMENT_EXPRS = {
+    "value_c": "floor(value * 100 + 0.5)::DOUBLE",
+    "user_id": "user_id::DOUBLE",
+}
+
+
+def _moment_sums_cte() -> str:
+    """Raw power sums over the events numeric fields (shared by the
+    matrix_stats / field_moments mirrors): same sums, same derivations as
+    ops.moments."""
+    sel = ", ".join(f"{e} AS {c}" for c, e in _MOMENT_EXPRS.items())
+    sums = ["count(*)::DOUBLE AS n"]
+    for c in _MOMENT_EXPRS:
+        sums += [
+            f"sum({c}) AS s1_{c}", f"sum({c}*{c}) AS s2_{c}",
+            f"sum({c}*{c}*{c}) AS s3_{c}", f"sum({c}*{c}*{c}*{c}) AS s4_{c}",
+        ]
+    cols = list(_MOMENT_EXPRS)
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sums.append(f"sum({a}*{b}) AS sxy_{a}__{b}")
+    return f"""e AS (SELECT {sel} FROM events),
+s AS (SELECT {', '.join(sums)} FROM e)"""
+
+
+def _matrix_stats_sql() -> str:
+    cols = list(_MOMENT_EXPRS)
+    branches = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            sxy = f"s2_{a}" if a == b else f"sxy_{a}__{b}"
+            va = f"((s2_{a} - n * (s1_{a}/n) * (s1_{a}/n)) / (n - 1))"
+            vb = f"((s2_{b} - n * (s1_{b}/n) * (s1_{b}/n)) / (n - 1))"
+            cov = f"(({sxy} - n * (s1_{a}/n) * (s1_{b}/n)) / (n - 1))"
+            branches.append(
+                f"""SELECT '{a}' AS field_a, '{b}' AS field_b, n::BIGINT AS n,
+       {_round4_sql(f's1_{a}/n')} AS mean_a_r,
+       {_round4_sql(f's1_{b}/n')} AS mean_b_r,
+       {_round4_sql(cov)} AS cov_r,
+       {_round4_sql(f'{cov} / sqrt({va} * {vb})')} AS corr_r
+FROM s"""
+            )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_moment_sums_cte()}
+{body}"""
+
+
+def _field_moments_sql() -> str:
+    branches = []
+    for c in _MOMENT_EXPRS:
+        m = f"(s1_{c}/n)"
+        m2 = f"(s2_{c}/n - {m}*{m})"
+        m3 = f"(s3_{c}/n - 3*{m}*s2_{c}/n + 2*{m}*{m}*{m})"
+        m4 = (
+            f"(s4_{c}/n - 4*{m}*s3_{c}/n + 6*{m}*{m}*s2_{c}/n "
+            f"- 3*{m}*{m}*{m}*{m})"
+        )
+        branches.append(
+            f"""SELECT '{c}' AS field, n::BIGINT AS n,
+       {_round4_sql(m)} AS mean_r,
+       {_round4_sql(f'{m2} * n / (n - 1)')} AS variance_r,
+       {_round4_sql(f'{m3} / pow({m2}, 1.5)')} AS skewness_r,
+       {_round4_sql(f'{m4} / ({m2} * {m2})')} AS kurtosis_r
+FROM s"""
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_moment_sums_cte()}
+{body}"""
+
+
 def _sessions_sql() -> str:
     """SQL mirror of ops.windows.sessionize: lag-gap flags + running sum =
     session ids, per (user, ts, event_id) ordering — exactly the engine's
@@ -4230,6 +4403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,
+        "bucket_pipeline_1h": q_bucket_pipeline,
+        "matrix_stats": q_matrix_stats,
+        "field_moments": q_field_moments,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "funnel_48h": q_funnel,
@@ -5819,6 +5995,9 @@ FROM f""",
         "top_events_per_type": _topn_per_type_sql(),
         "window_agg_1h": _window_agg_sql(),
         "window_hop_1h_15m": _window_hop_sql(),
+        "bucket_pipeline_1h": _bucket_pipeline_sql(),
+        "matrix_stats": _matrix_stats_sql(),
+        "field_moments": _field_moments_sql(),
         "sessions_30m": _sessions_sql(),
         "asof_purchase_signup": _asof_sql(),
         "funnel_48h": _funnel_sql(),

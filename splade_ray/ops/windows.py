@@ -429,3 +429,69 @@ def asof_join(
         batch_format="pyarrow",
         fn_kwargs={"user_col": user_col, "id_col": id_col},
     )
+
+
+def bucket_pipeline(
+    buckets,
+    *,
+    key_col: str = "event_type",
+    sort_col: str = "window_start_us",
+    metric_col: str = "sum_value_c",
+    count_col: str = "n_events",
+    window: int = 3,
+    fill_empty_us: int | None = None,
+):
+    """Elasticsearch pipeline aggregations over a parent date-histogram
+    result (the ``tumbling_window_agg`` bucket table): per key, ordered by
+    window start,
+
+    - ``cum_sum``   — cumulative_sum of the metric (exact integer);
+    - ``deriv``     — derivative (metric minus previous bucket; the first
+      bucket of each key has no derivative, like ES);
+    - ``mov_avg``   — moving_fn unweighted average over the trailing
+      ``window`` buckets INCLUDING the current one (partial windows
+      computed, ES MovingFunctions.unweightedAvg shape);
+    - ``per_event`` — bucket_script ``metric / count`` (null when the
+      bucket is empty).
+
+    ``fill_empty_us`` densifies each key's series on that stride between
+    its min and max window (date_histogram min_doc_count=0): inserted
+    buckets have metric/count 0 and participate in the pipeline math.
+
+    Scale shape: pipeline aggs are a reduce-phase computation in ES (the
+    coordinating node walks the final bucket list); the bucket table is
+    windows x keys — bounded by time range, not event count — so the
+    driver-side vectorized pass is the faithful analog. The parent
+    aggregation is the distributed part (batch-local combiners + a
+    partial-sized shuffle, ``tumbling_window_agg``)."""
+    import pandas as pd
+
+    pdf = buckets.to_pandas() if hasattr(buckets, "to_pandas") else buckets.copy()
+    pdf = pdf.sort_values([key_col, sort_col], kind="mergesort").reset_index(drop=True)
+    if fill_empty_us:
+        filled = []
+        for key, g in pdf.groupby(key_col, sort=False):
+            lo, hi = int(g[sort_col].min()), int(g[sort_col].max())
+            full = pd.DataFrame(
+                {sort_col: np.arange(lo, hi + 1, fill_empty_us, dtype=np.int64)}
+            )
+            m = full.merge(g, how="left", on=sort_col)
+            m[key_col] = key
+            m[metric_col] = m[metric_col].fillna(0).astype(np.int64)
+            m[count_col] = m[count_col].fillna(0).astype(np.int64)
+            filled.append(m)
+        pdf = pd.concat(filled, ignore_index=True)
+    g = pdf.groupby(key_col, sort=False)[metric_col]
+    pdf["cum_sum"] = g.cumsum().astype(np.int64)
+    pdf["deriv"] = g.diff()
+    pdf["mov_avg"] = (
+        g.rolling(window, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    with np.errstate(invalid="ignore"):
+        pdf["per_event"] = np.where(
+            pdf[count_col].to_numpy() > 0,
+            pdf[metric_col].to_numpy(np.float64)
+            / np.maximum(pdf[count_col].to_numpy(np.float64), 1.0),
+            np.nan,
+        )
+    return pdf.reset_index(drop=True)

@@ -355,3 +355,87 @@ def test_funnel_randomized_scalar_parity(ray_session):
     )
     want = scalar_funnel(rows, steps, W)
     pd.testing.assert_frame_equal(got[want.columns].astype(want.dtypes.to_dict()), want)
+
+
+def test_bucket_pipeline_matches_scalar(ray_session):
+    """Pipeline aggs over a hand-built bucket frame: cumulative sum,
+    derivative (first bucket null), trailing moving average with partial
+    windows, per-event ratio."""
+    from splade_ray.ops.windows import bucket_pipeline
+
+    buckets = pd.DataFrame(
+        {
+            "window_start_us": [0, 10, 20, 40, 0, 10],
+            "event_type": ["a", "a", "a", "a", "b", "b"],
+            "n_events": [2, 1, 4, 1, 1, 2],
+            "sum_value_c": [10, 30, 20, 40, 7, 9],
+        }
+    )
+    out = bucket_pipeline(
+        buckets, window=2, metric_col="sum_value_c", count_col="n_events"
+    )
+    a = out[out.event_type == "a"]
+    assert a["cum_sum"].tolist() == [10, 40, 60, 100]
+    assert np.isnan(a["deriv"].iloc[0]) and a["deriv"].tolist()[1:] == [20, -10, 20]
+    np.testing.assert_allclose(a["mov_avg"].to_numpy(), [10, 20, 25, 30])
+    np.testing.assert_allclose(a["per_event"].to_numpy(), [5, 30, 5, 40])
+    b = out[out.event_type == "b"]
+    assert b["cum_sum"].tolist() == [7, 16]
+    assert np.isnan(b["deriv"].iloc[0])
+
+
+def test_bucket_pipeline_fill_empty(ray_session):
+    """fill_empty densifies each key's stride (date_histogram
+    min_doc_count=0): inserted buckets are zeros and shift the pipeline."""
+    from splade_ray.ops.windows import bucket_pipeline
+
+    buckets = pd.DataFrame(
+        {
+            "window_start_us": [0, 30],
+            "event_type": ["a", "a"],
+            "n_events": [1, 1],
+            "sum_value_c": [10, 40],
+        }
+    )
+    out = bucket_pipeline(buckets, window=2, fill_empty_us=10)
+    assert out["window_start_us"].tolist() == [0, 10, 20, 30]
+    assert out["sum_value_c"].tolist() == [10, 0, 0, 40]
+    assert out["cum_sum"].tolist() == [10, 10, 10, 50]
+    assert out["deriv"].tolist()[1:] == [-10, 0, 40]
+    np.testing.assert_allclose(out["mov_avg"].to_numpy(), [10, 5, 0, 20])
+    assert np.isnan(out["per_event"].iloc[1])  # empty bucket -> null script
+
+
+def test_matrix_stats_and_moments_match_numpy(ray_session):
+    """Moment sketch == direct numpy over the concatenated data, across
+    multi-block datasets (partial merge correctness)."""
+    from splade_ray.ops.moments import field_moments, matrix_stats
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 500, 1000).astype(np.int64)
+    y = (x // 3 + rng.randint(0, 50, 1000)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(7)
+
+    ms = matrix_stats(ds, ["x", "y"])
+    xy = ms.set_index(["field_a", "field_b"])
+    np.testing.assert_allclose(
+        xy.loc[("x", "x"), "cov"], np.var(x, ddof=1), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        xy.loc[("x", "y"), "cov"], np.cov(x, y, ddof=1)[0, 1], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        xy.loc[("x", "y"), "corr"], np.corrcoef(x, y)[0, 1], rtol=1e-10
+    )
+    assert np.isclose(xy.loc[("y", "y"), "corr"], 1.0)
+
+    fm = field_moments(ds, ["x"]).iloc[0]
+    xf = x.astype(np.float64)
+    m = xf.mean()
+    m2 = ((xf - m) ** 2).mean()
+    m3 = ((xf - m) ** 3).mean()
+    m4 = ((xf - m) ** 4).mean()
+    np.testing.assert_allclose(fm["mean"], m, rtol=1e-12)
+    np.testing.assert_allclose(fm["variance"], np.var(x, ddof=1), rtol=1e-9)
+    np.testing.assert_allclose(fm["skewness"], m3 / m2**1.5, rtol=1e-7)
+    np.testing.assert_allclose(fm["kurtosis"], m4 / m2**2, rtol=1e-7)
