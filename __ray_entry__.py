@@ -932,6 +932,35 @@ def q_query_string(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# CommonTermsQuery: at CT_CUTOFF=0.5 only 'dup' (df/N ~= 0.05) is
+# low-frequency in the documents vocabulary; every other term is common
+# (df/N ~= 0.75-0.8), so queries 1/3 gate on 'dup' and 2/4 exercise the
+# all-common OR fallback.
+CT_QUERIES = [
+    (1, "dup window scan"),
+    (2, "the slow query"),
+    (3, "spark data dup dup"),
+    (4, "fast key"),
+]
+CT_CUTOFF = 0.5
+
+
+def q_common_terms(sf_dir: str):
+    """CommonTermsQuery (boolq.common_terms_search; Lucene/ES common
+    terms): df/N <= cutoff terms gate matching, high-df terms only add
+    score; queries with no low-frequency term fall back to plain OR."""
+    from splade_ray.boolq import common_terms_search
+
+    run = common_terms_search(
+        _index_for(sf_dir), CT_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        cutoff_frequency=CT_CUTOFF,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # Rescore window (Elasticsearch rescore): second-pass match_phrase per
 # query over the BM25 top-RESCORE_WINDOW; qid 6 has no phrase and keeps its
 # primary ranking (the passthrough face).
@@ -2851,6 +2880,53 @@ SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _common_terms_sql() -> str:
+    """Mirror of q_common_terms: the df/N <= cutoff split computed in SQL
+    from the same token stream; candidates = docs holding >= 1 low term
+    (or any term when the query has none); score = full BM25 sum."""
+    values = []
+    for qid, text in CT_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TF},
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+ql AS (SELECT q.query_id, q.term, q.qtf, df.df,
+              (df.df / s.n <= {CT_CUTOFF}) AS is_low
+       FROM q JOIN df USING (term) CROSS JOIN stats s),
+haslow AS (SELECT query_id, bool_or(is_low) AS has_low FROM ql GROUP BY query_id),
+cand AS (SELECT DISTINCT ql.query_id, tf.doc_id
+         FROM ql JOIN tf USING (term) JOIN haslow USING (query_id)
+         WHERE ql.is_low OR NOT haslow.has_low),
+scores AS (
+  SELECT ql.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - ql.df + 0.5) / (ql.df + 0.5)) * ql.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM ql
+  JOIN tf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY ql.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rank
+  FROM scores s JOIN cand USING (query_id, doc_id) WHERE s.score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _rescore_sql() -> str:
     """Mirror of q_rescore_topk: BM25 window + phrase sliding-window counts
     (generated from RESCORE_PHRASES) scored as one virtual term, LEFT JOIN
@@ -4392,6 +4468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_topk": q_boolean_topk,
         "boolean_msm": q_boolean_msm,
         "rescore_topk": q_rescore_topk,
+        "common_terms_topk": q_common_terms,
         "boosting_topk": q_boosting_topk,
         "const_score_topk": q_const_score_topk,
         "query_string": q_query_string,
@@ -5987,6 +6064,7 @@ FROM f""",
         "boolean_topk": _boolean_sql(),
         "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
         "rescore_topk": _rescore_sql(),
+        "common_terms_topk": _common_terms_sql(),
         "boosting_topk": _boosting_sql(),
         "const_score_topk": _const_score_sql(),
         "query_string": _query_string_sql(),

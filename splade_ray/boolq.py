@@ -422,3 +422,109 @@ def constant_score_search(
         index_dir, prepared, _score_segment_const, concurrency=concurrency
     )
     return _run_frame(cand, params.top_k)
+
+
+def prepare_common_terms(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    cutoff_frequency: float = 0.01,
+    query_lang: str | None = None,
+) -> dict:
+    """Driver prep for CommonTermsQuery (Lucene/ES): query terms split by
+    GLOBAL document frequency — ``df/n_docs <= cutoff_frequency`` is
+    low-frequency (selective, drives matching), the rest are common (score
+    only). Per query: the low-term list and the (term, qtf, idf) scoring
+    list over ALL terms."""
+    params = params or BM25Params()
+    manifest = load_manifest(index_dir)
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    tokenized = {int(qid): term_counts(text, query_lang) for qid, text in queries}
+    all_terms = sorted({t for c in tokenized.values() for t in c})
+    dfs: dict[str, int] = {}
+    if all_terms:
+        lex = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+            columns=["term", "df"], filter=pads.field("term").isin(all_terms)
+        )
+        dfs = dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+    prepared = {}
+    for qid, c in tokenized.items():
+        low = sorted(
+            t for t in c if t in dfs and dfs[t] / n_docs <= cutoff_frequency
+        )
+        prepared[qid] = {
+            "low": low,
+            "score": [
+                (t, int(c[t]), idf(dfs[t], n_docs))
+                for t in sorted(c)
+                if t in dfs
+            ],
+        }
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "params": params,
+        "queries": prepared,
+        "terms": sorted({t for p in prepared.values() for t, _, _ in p["score"]}),
+    }
+
+
+def score_segment_common(seg: SegmentIndex, prepared: dict) -> list[tuple[int, int, float]]:
+    """CommonTermsQuery over one segment: when the query HAS low-frequency
+    terms, only docs containing at least one of them are candidates (the
+    Lucene low_freq OR clause); common terms then add score where present.
+    A query with no low-frequency terms degrades to a plain OR over its
+    common terms (Lucene fallback). Score = BM25 over every matching query
+    term."""
+    p: BM25Params = prepared["params"]
+    avgdl = prepared["avgdl"]
+    n = seg.doc_ids.size
+    rows: list[tuple[int, int, float]] = []
+    positions = seg.pos_tfs
+    for qid, q in prepared["queries"].items():
+        scores = np.zeros(n, np.float64)
+        hit = False
+        for term, qtf, w in q["score"]:
+            pos, tfs = positions(term)
+            if pos.size == 0:
+                continue
+            hit = True
+            scores[pos] += (w * qtf) * tf_component(tfs, seg.doc_lens[pos], avgdl, p)
+        if not hit:
+            continue
+        if q["low"]:
+            allowed = np.zeros(n, bool)
+            for t in q["low"]:
+                pos, _ = positions(t)
+                if pos.size:
+                    allowed[pos] = True
+            scores[~allowed] = 0.0
+        docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+        rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+    return rows
+
+
+def common_terms_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    cutoff_frequency: float = 0.01,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """CommonTermsQuery retrieval (Lucene CommonTermsQuery / ES
+    common-terms): stopword-like high-df terms never gate matching — they
+    only refine scores of docs selected by the low-df terms. Run table
+    (query_id, rank, doc_id, score), same fan-out/merge as boolean_search.
+    """
+    params = params or BM25Params()
+    prepared = prepare_common_terms(
+        index_dir, queries, params,
+        cutoff_frequency=cutoff_frequency, query_lang=query_lang,
+    )
+    cand = _segment_candidates(
+        index_dir, prepared, score_segment_common, concurrency=concurrency
+    )
+    return _run_frame(cand, params.top_k)

@@ -127,3 +127,75 @@ def test_constant_score_or_semantics(built):
     toks = [set(tokenize(t or "")) for t in texts]
     want = sorted(d for d, tt in enumerate(toks) if t1 in tt or t2 in tt)
     assert run["doc_id"].tolist() == want[:200]
+
+
+def _scalar_common(texts, queries, cutoff, top_k, k1=1.2, b=0.75):
+    toks = [tokenize(t or "") for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df = Counter(t for tt in toks for t in set(tt))
+    rows = []
+    for qid, text in queries:
+        q = term_counts(text)
+        terms = [t for t in sorted(q) if t in df]
+        low = [t for t in terms if df[t] / n <= cutoff]
+        scored = []
+        for did, tt in enumerate(toks):
+            tc = Counter(tt)
+            if low:
+                if not any(tc.get(t, 0) for t in low):
+                    continue
+            s = 0.0
+            for t in terms:
+                tf = tc.get(t, 0)
+                if tf == 0:
+                    continue
+                w = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += (w * q[t]) * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tt) / avgdl)
+                )
+            if s > 0:
+                scored.append((did, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:top_k], start=1):
+            rows.append((qid, r, d, s))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def test_common_terms_matches_scalar(built):
+    from splade_ray.boolq import common_terms_search
+
+    index_dir, texts = built
+    # synth corpus: COMMON keywords (def/return/...) are in >50% of docs,
+    # IDENT_POOL words rarer, rare_token_* unique — cutoff 0.3 splits them
+    queries = [
+        (1, "def parse merge"),
+        (2, "return return index"),
+        (3, "rare_token_20 def class"),   # unique token drives matching
+        (4, "def class if"),              # likely all-common -> OR fallback
+    ]
+    got = common_terms_search(
+        index_dir, queries, BM25Params(top_k=8), cutoff_frequency=0.3
+    )
+    want = _scalar_common(texts, queries, 0.3, 8)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64),
+        rtol=1e-12,
+    )
+
+
+def test_common_terms_gates_on_low(built):
+    """A doc with common terms but no low-frequency term must not match
+    when the query has low-frequency terms."""
+    from splade_ray.boolq import common_terms_search
+
+    index_dir, texts = built
+    queries = [(1, "rare_token_3 def")]
+    got = common_terms_search(
+        index_dir, queries, BM25Params(top_k=50), cutoff_frequency=0.3
+    )
+    hits = set(got["doc_id"])
+    assert hits  # the rare token's doc matches
+    for d in hits:
+        assert "rare_token_3" in tokenize(texts[d])
