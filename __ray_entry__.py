@@ -1131,6 +1131,40 @@ def q_match_phrase_prefix(sf_dir: str):
     )
 
 
+# SpanContaining / SpanWithin: 2-term greedy big spans (SQL mirror
+# computes the greedy end as min(next position)), little single terms;
+# query 3's little never occurs.
+SPAN_REL_QUERIES = [
+    (1, {"big": "hash join", "little": "table"}),
+    (2, {"big": "sort merge", "little": "sort"}),
+    (3, {"big": "data line", "little": "zzqx"}),
+    (4, {"big": "group key", "little": "row"}),
+]
+SPAN_REL_SLOP = 3
+
+
+def q_span_containing(sf_dir: str):
+    """SpanContainingQuery (positions.span_containing_search): greedy
+    ordered-chain big spans holding a little-term occurrence in their
+    closed interval; per-(query, doc) surviving-span counts."""
+    from splade_ray.positions import build_positions, span_containing_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return span_containing_search(index_dir, SPAN_REL_QUERIES, slop=SPAN_REL_SLOP)
+
+
+def q_span_within(sf_dir: str):
+    """SpanWithinQuery (positions.span_within_search): little-term
+    occurrences covered by some greedy big span; per-(query, doc) covered
+    occurrence counts."""
+    from splade_ray.positions import build_positions, span_within_search
+
+    index_dir = _index_for(sf_dir)
+    build_positions(index_dir)
+    return span_within_search(index_dir, SPAN_REL_QUERIES, slop=SPAN_REL_SLOP)
+
+
 def q_boolean_topk(sf_dir: str):
     """Boolean-filtered BM25 (splade_ray.boolq): docs must contain every
     `must` term and no `must_not` term; score = BM25 over must+should."""
@@ -3338,6 +3372,50 @@ m AS (
 SELECT query_id::BIGINT AS query_id, doc_id, n_occ FROM m WHERE n_occ > 0"""
 
 
+def _span_rel_sql(mode: str) -> str:
+    """SpanContaining / SpanWithin mirror for 2-term bigs: the greedy chain
+    end is min(second term's position after the start), bounded by
+    k-1+slop; containment tests are EXISTS over the little term's
+    positions."""
+    from splade_ray.analysis import tokenize as _tok
+
+    bound = 1 + SPAN_REL_SLOP  # k=2
+    branches = []
+    for qid, q in SPAN_REL_QUERIES:
+        t1, t2 = _tok(q["big"])
+        (lt,) = _tok(q["little"])
+        spans = (
+            f"SELECT a.doc_id, a.p AS s, min(b.p) AS e\n"
+            f"       FROM tk a JOIN tk b ON b.doc_id = a.doc_id"
+            f" AND b.term = '{t2}' AND b.p > a.p\n"
+            f"       WHERE a.term = '{t1}'\n"
+            f"       GROUP BY a.doc_id, a.p\n"
+            f"       HAVING min(b.p) - a.p <= {bound}"
+        )
+        if mode == "containing":
+            branches.append(
+                f"""SELECT {qid} AS query_id, sp.doc_id, count(*)::BIGINT AS n_spans
+FROM ({spans}) sp
+WHERE EXISTS (SELECT 1 FROM tk l WHERE l.doc_id = sp.doc_id
+              AND l.term = '{lt}' AND l.p BETWEEN sp.s AND sp.e)
+GROUP BY sp.doc_id"""
+            )
+        else:
+            branches.append(
+                f"""SELECT {qid} AS query_id, l.doc_id, count(*)::BIGINT AS n_spans
+FROM tk l
+WHERE l.term = '{lt}' AND EXISTS (SELECT 1 FROM ({spans}) sp
+      WHERE sp.doc_id = l.doc_id AND l.p BETWEEN sp.s AND sp.e)
+GROUP BY l.doc_id"""
+            )
+    body = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS t FROM documents),
+tk AS (SELECT doc_id, unnest(t) AS term,
+              unnest(generate_series(1, len(t))) AS p FROM tl)
+{body}"""
+
+
 def _near_unordered_sql() -> str:
     """Unordered-proximity mirror: starts = query-term occurrences; one
     EXISTS-in-window clause per distinct query term."""
@@ -4430,6 +4508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_unordered": q_near_unordered,
         "span_first": q_span_first,
         "span_not": q_span_not,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
         "doclen_quantiles": q_doclen_quantiles,
         "event_value_quantiles": q_event_value_quantiles,
         "distinct_terms_kmv": q_distinct_terms_kmv,
@@ -6042,6 +6122,8 @@ FROM f""",
         "near_unordered": _near_unordered_sql(),
         "span_first": _span_first_sql(),
         "span_not": _span_not_sql(),
+        "span_containing": _span_rel_sql("containing"),
+        "span_within": _span_rel_sql("within"),
         "doclen_quantiles": _doclen_quantiles_sql(),
         "event_value_quantiles": _event_value_quantiles_sql(),
         "distinct_terms_kmv": _kmv_sql(),

@@ -477,32 +477,34 @@ class SegmentPositions:
         return common[keep], counts[keep].astype(np.int64)
 
 
-    def near_counts(
+    def near_spans(
         self, terms: list[str], slop: int
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Ordered proximity match (the Lucene sloppy-PhraseQuery / ordered
-        SpanNearQuery shape, pinned): a start = an occurrence ``p0`` of
-        ``terms[0]`` from which the GREEDY chain (each next term's first
-        occurrence strictly after the previous position) exists and spans
-        ``p_last - p0 <= len(terms) - 1 + slop``. Greedy minimizes the
-        chain end per start, so a start counts iff ANY ordered chain within
-        the span bound exists from it — slop=0 reduces to exact phrase
-        counts. Returns (doc_ids, per-doc start counts > 0)."""
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Greedy ordered-chain spans (the SpanNearQuery match intervals):
+        returns ``(common_docs, start_keys, end_keys)`` where keys pack
+        ``(doc_rank << 32) | position`` and every (start, end) pair is a
+        chain of the terms in order spanning ``end - start <=
+        len(terms)-1+slop``. Single-term queries yield zero-length spans at
+        each occurrence. Keys are ascending by construction."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.uint64), np.empty(0, np.uint64))
         entries = []
         for t in terms:
             e = self.term_entry(t)
             if e is None:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
+                return empty
             entries.append(e)
         k = len(terms)
         if k == 1:
-            docs, tf, _, _ = entries[0]
-            return docs, tf
+            docs, tf, blen, pos_enc = entries[0]
+            sel = np.arange(docs.size, dtype=np.int64)
+            pos, run_idx = _decode_runs(pos_enc, tf, blen, sel)
+            keys = (run_idx.astype(np.uint64) << _POS_BITS) | pos.astype(np.uint64)
+            return docs, keys, keys.copy()
         common = entries[0][0]
         for docs, _, _, _ in entries[1:]:
             common = common[np.isin(common, docs, assume_unique=True)]
             if common.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
+                return empty
         keys_per_term = []
         for docs, tf, blen, pos_enc in entries:
             sel = np.searchsorted(docs, common)
@@ -521,14 +523,34 @@ class SegmentPositions:
             ok &= (nxt >> _POS_BITS) == (start >> _POS_BITS)
             start, cur = start[ok], nxt[ok]
             if start.size == 0:
-                return np.empty(0, np.int64), np.empty(0, np.int64)
-        span = (cur & np.uint64((1 << int(_POS_BITS)) - 1)).astype(np.int64) - (
-            start & np.uint64((1 << int(_POS_BITS)) - 1)
+                return empty
+        span = (cur & np.uint64(_POS_MASK)).astype(np.int64) - (
+            start & np.uint64(_POS_MASK)
         ).astype(np.int64)
         hit = span <= (k - 1 + slop)
-        if not hit.any():
+        return common, start[hit], cur[hit]
+
+    def near_counts(
+        self, terms: list[str], slop: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered proximity match (the Lucene sloppy-PhraseQuery / ordered
+        SpanNearQuery shape, pinned): a start = an occurrence ``p0`` of
+        ``terms[0]`` from which the GREEDY chain (each next term's first
+        occurrence strictly after the previous position) exists and spans
+        ``p_last - p0 <= len(terms) - 1 + slop``. Greedy minimizes the
+        chain end per start, so a start counts iff ANY ordered chain within
+        the span bound exists from it — slop=0 reduces to exact phrase
+        counts. Returns (doc_ids, per-doc start counts > 0)."""
+        if len(terms) == 1:
+            e = self.term_entry(terms[0])
+            if e is None:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            docs, tf, _, _ = e
+            return docs, tf
+        common, start, _cur = self.near_spans(terms, slop)
+        if start.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        runs = (start[hit] >> _POS_BITS).astype(np.int64)
+        runs = (start >> _POS_BITS).astype(np.int64)
         counts = np.bincount(runs, minlength=common.size)
         keep = counts > 0
         return common[keep], counts[keep].astype(np.int64)
@@ -1189,3 +1211,163 @@ def match_phrase_prefix_search(
         slot_map[int(pid)] = [[t] for t in toks[:-1]] + [expansion]
     ds = _slot_candidates(index_dir, slot_map, concurrency=concurrency)
     return _collect_matches(ds)
+
+
+def _span_rel_batch(
+    batch: pa.Table,
+    *,
+    spec: dict[int, tuple[list[str], str]],
+    terms: list[str],
+    slop: int,
+    mode: str,
+) -> pa.Table:
+    """Per-segment SpanContaining / SpanWithin evaluation. ``big`` spans are
+    the greedy ordered chains of ``near_spans``; ``little`` is a term.
+
+    - ``containing``: count BIG spans holding >= 1 little occurrence in
+      their closed interval [start, end] (Lucene SpanContainingQuery —
+      matches are the big spans);
+    - ``within``: count LITTLE occurrences covered by >= 1 big span
+      (SpanWithinQuery — matches are the little spans).
+
+    Both tests are two searchsorteds over packed (doc_rank, position) keys;
+    packing confines every comparison to its own doc run (an earlier run's
+    keys are strictly smaller), so no per-doc loop is needed."""
+    qids_out, docs_out, counts_out = [], [], []
+    for seg_dir in batch["seg_dir"].to_pylist():
+        seg = SegmentPositions(seg_dir, terms)
+        for qid, (big, little) in spec.items():
+            common, start, end = seg.near_spans(big, slop)
+            if start.size == 0:
+                continue
+            le = seg.term_entry(little)
+            if le is None:
+                continue
+            ldocs, ltf, lblen, lpos_enc = le
+            lsel = np.flatnonzero(
+                np.isin(ldocs, common, assume_unique=True)
+            ).astype(np.int64)
+            if lsel.size == 0:
+                continue
+            lpos, lrun = _decode_runs(lpos_enc, ltf, lblen, lsel)
+            ldoc_idx = np.searchsorted(common, ldocs[lsel][lrun])
+            lkeys = (ldoc_idx.astype(np.uint64) << _POS_BITS) | lpos.astype(
+                np.uint64
+            )
+            if mode == "containing":
+                lo = np.searchsorted(lkeys, start, side="left")
+                hi = np.searchsorted(lkeys, end, side="right")
+                hits = (start[hi > lo] >> _POS_BITS).astype(np.int64)
+            else:  # within
+                # spans ascend by start; greedy ends are nondecreasing per
+                # run and runs ascend, so a running max of end keys gives
+                # the farthest coverage among spans starting at or before
+                # each little occurrence
+                cm = np.maximum.accumulate(end)
+                idx = np.searchsorted(start, lkeys, side="right") - 1
+                covered = (idx >= 0) & (cm[np.maximum(idx, 0)] >= lkeys)
+                hits = (lkeys[covered] >> _POS_BITS).astype(np.int64)
+            if hits.size == 0:
+                continue
+            counts = np.bincount(hits, minlength=common.size)
+            kd = counts > 0
+            qids_out.extend([qid] * int(kd.sum()))
+            docs_out.append(common[kd])
+            counts_out.append(counts[kd].astype(np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids_out, np.int64)),
+            "doc_id": pa.array(
+                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)
+            ),
+            "n_spans": pa.array(
+                np.concatenate(counts_out) if counts_out else np.empty(0, np.int64)
+            ),
+        }
+    )
+
+
+def _span_rel_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    *,
+    mode: str,
+    slop: int,
+    query_lang: str | None,
+    concurrency: int | None,
+):
+    import pandas as pd
+
+    from splade_ray.build import segment_dirs
+
+    pman = load_positions_manifest(index_dir)
+    if query_lang is None:
+        query_lang = pman.get("analyzer")
+    spec: dict[int, tuple[list[str], str]] = {}
+    for qid, q in queries:
+        big = tokenize(q["big"], query_lang) if query_lang else tokenize(q["big"])
+        little = (
+            tokenize(q["little"], query_lang) if query_lang else tokenize(q["little"])
+        )
+        if len(big) < 1 or len(little) != 1:
+            raise ValueError(
+                f"span_{mode} takes a big span text (>=1 token) and a "
+                f"single-term little; got {q!r}"
+            )
+        spec[int(qid)] = (big, little[0])
+    all_terms = sorted(
+        {t for big, little in spec.values() for t in [*big, little]}
+    )
+    segs = segment_dirs(index_dir)
+    ds = rd.from_items(
+        [{"seg_dir": s} for s in segs], override_num_blocks=len(segs)
+    ).map_batches(
+        _span_rel_batch,
+        batch_format="pyarrow",
+        batch_size=1,
+        fn_kwargs={"spec": spec, "terms": all_terms, "slop": slop, "mode": mode},
+        concurrency=concurrency,
+    )
+    ds = _drop_tombstones(ds, index_dir)
+    pdf = ds.to_pandas()
+    schema = {"query_id": np.int64, "doc_id": np.int64, "n_spans": np.int64}
+    if pdf.empty:
+        return pd.DataFrame(columns=list(schema)).astype(schema)
+    return pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+
+
+def span_containing_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    *,
+    slop: int = 2,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """SpanContainingQuery (Lucene): big spans (greedy ordered chains of the
+    ``big`` text's terms within ``slop``) that CONTAIN an occurrence of the
+    single-term ``little`` in their closed interval. Each query is
+    ``(qid, {"big": text, "little": term})``; returns (query_id, doc_id,
+    n_spans) rows. Per-segment fan-out, tombstone-aware."""
+    return _span_rel_search(
+        index_dir, queries, mode="containing", slop=slop,
+        query_lang=query_lang, concurrency=concurrency,
+    )
+
+
+def span_within_search(
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    *,
+    slop: int = 2,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+):
+    """SpanWithinQuery (Lucene): occurrences of the single-term ``little``
+    that lie WITHIN some big span (greedy ordered chain of the ``big``
+    text's terms, span <= len(big)-1+slop). Returns (query_id, doc_id,
+    n_spans) counting covered little occurrences."""
+    return _span_rel_search(
+        index_dir, queries, mode="within", slop=slop,
+        query_lang=query_lang, concurrency=concurrency,
+    )

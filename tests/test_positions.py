@@ -665,3 +665,64 @@ def test_match_phrase_prefix_expansion_cap(pos_index):
     assert {
         (r.phrase_id, r.doc_id): r.phrase_count for r in capped.itertuples()
     } == want
+
+
+def _brute_spans(toks, big, slop):
+    """Greedy ordered-chain spans [(start, end)] of big within slop."""
+    spans = []
+    k = len(big)
+    bound = k - 1 + slop
+    for p0, t in enumerate(toks):
+        if t != big[0]:
+            continue
+        cur = p0
+        ok = True
+        for nxt in big[1:]:
+            fol = next((j for j in range(cur + 1, len(toks)) if toks[j] == nxt), None)
+            if fol is None:
+                ok = False
+                break
+            cur = fol
+        if ok and cur - p0 <= bound:
+            spans.append((p0, cur))
+    return spans
+
+
+@pytest.mark.parametrize("mode", ["containing", "within"])
+def test_span_containing_within_bruteforce(pos_index, mode):
+    from splade_ray.positions import span_containing_search, span_within_search
+
+    fn = span_containing_search if mode == "containing" else span_within_search
+    queries = [
+        (1, {"big": "quick fox", "little": "brown"}),   # brown between them
+        (2, {"big": "a b", "little": "a"}),             # little = a big term
+        (3, {"big": "the dog", "little": "lazy"}),
+        (4, {"big": "x y", "little": "a"}),             # x..y spans the a's
+        (5, {"big": "fox", "little": "fox"}),           # zero-length spans
+        (6, {"big": "quick fox", "little": "zzz_none"}),
+    ]
+    for slop in (0, 1, 2, 4):
+        got = fn(pos_index, queries, slop=slop)
+        want = {}
+        for qid, q in queries:
+            big, (little,) = tokenize(q["big"]), tokenize(q["little"])
+            for did, tx in enumerate(TEXTS):
+                toks = tokenize(tx)
+                spans = _brute_spans(toks, big, slop)
+                lpos = [p for p, t in enumerate(toks) if t == little]
+                if mode == "containing":
+                    n = sum(1 for s, e in spans if any(s <= p <= e for p in lpos))
+                else:
+                    n = sum(1 for p in lpos if any(s <= p <= e for s, e in spans))
+                if n:
+                    want[(qid, did)] = n
+        assert {
+            (r.query_id, r.doc_id): r.n_spans for r in got.itertuples()
+        } == want, (mode, slop)
+
+
+def test_span_rel_rejects_multiterm_little(pos_index):
+    from splade_ray.positions import span_containing_search
+
+    with pytest.raises(ValueError, match="single-term"):
+        span_containing_search(pos_index, [(1, {"big": "a b", "little": "a b"})])
