@@ -294,6 +294,28 @@ def q_bm25f_true_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+def q_cross_fields_topk(sf_dir: str):
+    """cross_fields multi_match (query.ScoreCrossFieldsSegments; Lucene
+    BlendedTermQuery): term-centric — per term the BEST weighted per-field
+    tf component under one blended idf (df = max over fields), summed over
+    terms. Oracle-checked WITHOUT a rank cut: the near-constant title field
+    (dl = 8 for most docs) makes large exact-tie cohorts straddle any
+    top-k boundary, and duckdb-vs-numpy ln() differs by 1 ulp — so this
+    entry verifies the full scored match set (query_id, doc_id, score_r);
+    the top-k contract itself is covered by the other *_topk oracles and
+    the fielded unit tests."""
+    from splade_ray.query import search_fielded
+
+    run = search_fielded(
+        _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
+        BM25Params(k1=K1, b=B, top_k=10_000_000), mode="cross_fields",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out = out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    return out[["query_id", "doc_id", "score_r"]]
+
+
 def q_doc_token_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         doc_stats_batch, batch_format="pyarrow", batch_size=512
@@ -4482,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
         "bm25f_true_topk": q_bm25f_true_topk,
+        "cross_fields_scores": q_cross_fields_topk,
         "snippets_topk": q_snippets_topk,
         "snippets_topk_distinct": q_snippets_topk_distinct,
         "snippets_topk_sentence": q_snippets_topk_sentence,
@@ -5098,6 +5121,70 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _cross_fields_sql() -> str:
+    """cross_fields oracle: per-field tf components from the same derived
+    title/body CTEs, max per (query, term, doc), blended idf from
+    greatest(df_body, df_title)."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    n = FIELD_TITLE_NTOK
+    w_text, w_title = FIELD_WEIGHTS["text"], FIELD_WEIGHTS["title"]
+
+    def field_contrib(tag: str, w: float) -> str:
+        # parenthesized to the ENGINE's float op order (weights[f] *
+        # tf_component): ties among equal-scoring docs must agree bit-wise
+        # or ranks flip under the shared (score desc, doc_id asc) contract
+        return f"""c_{tag} AS (
+  SELECT q.query_id, q.term, tf.doc_id,
+         {w} * (tf.tf * ({K1} + 1)
+         / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS c
+  FROM q
+  JOIN tf_{tag} tf USING (term)
+  JOIN dl_{tag} dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl_{tag}) s
+)"""
+
+    return f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+            FROM documents),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+tf_body AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM tl) GROUP BY doc_id, term),
+tf_title AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM (SELECT doc_id, unnest(toks[1:{n}]) AS term FROM tl) GROUP BY doc_id, term),
+dl_body AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tl),
+dl_title AS (SELECT doc_id, least(len(toks), {n})::DOUBLE AS dl FROM tl),
+{field_contrib('body', w_text)},
+{field_contrib('title', w_title)},
+best AS (SELECT query_id, term, doc_id, max(c) AS c
+         FROM (SELECT * FROM c_body UNION ALL SELECT * FROM c_title)
+         GROUP BY query_id, term, doc_id),
+dfb AS (SELECT term, greatest(
+           coalesce((SELECT count(*) FROM tf_body b WHERE b.term = d.term), 0),
+           coalesce((SELECT count(*) FROM tf_title t WHERE t.term = d.term), 0)
+        )::DOUBLE AS df
+        FROM (SELECT DISTINCT term FROM q) d),
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl_body),
+scores AS (
+  SELECT b.query_id, b.doc_id,
+         sum( (ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5)) * q.qtf) * b.c ) AS score
+  FROM best b
+  JOIN q ON q.query_id = b.query_id AND q.term = b.term
+  JOIN dfb ON dfb.term = b.term
+  CROSS JOIN stats s
+  WHERE dfb.df > 0
+  GROUP BY b.query_id, b.doc_id
+)
+SELECT query_id, doc_id, {_round4_sql('score')} AS score_r
+FROM scores WHERE score > 0
 """
 
 
@@ -5935,6 +6022,7 @@ FROM documents""",
         "bm25f_topk": _bm25f_sql(),
         "dismax_topk": _dismax_sql(),
         "bm25f_true_topk": _bm25f_true_sql(),
+        "cross_fields_scores": _cross_fields_sql(),
         "snippets_topk": _snippets_sql(),
         "snippets_topk_distinct": _snippets_distinct_sql(),
         "snippets_topk_sentence": _snippets_sentence_sql(),

@@ -1030,6 +1030,73 @@ class ScoreFieldedSegments:
         )
 
 
+class ScoreCrossFieldsSegments:
+    """Actor-pool stage for cross_fields scoring (ES multi_match
+    type=cross_fields / Lucene BlendedTermQuery): TERM-centric — each query
+    term takes the best per-field contribution ``max_f(w_f · tf_component_f)``
+    under ONE blended idf (df = max over fields, so a term common in any
+    field never gets a spuriously high idf from a field it is rare in),
+    then terms sum. Combined dense arrays cut per segment — exact."""
+
+    def __init__(self, plan_ref):
+        plan = ray.get(plan_ref) if isinstance(plan_ref, ray.ObjectRef) else plan_ref
+        self.qterms: dict[int, list[tuple[str, int]]] = plan["qterms"]
+        self.idf: dict[str, float] = plan["idf"]
+        self.weights: dict[str, float] = plan["weights"]
+        self.avgdl: dict[str, float] = plan["avgdl"]
+        self.params: BM25Params = plan["params"]
+        self.seg_lists: dict[str, list[str]] = plan["seg_lists"]
+        self.tombstones = plan.get("tombstones")
+        self.fields = sorted(self.seg_lists)
+        self.terms = sorted({t for ts in self.qterms.values() for t, _ in ts})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[tuple[int, int, float]] = []
+        p = self.params
+        for ord_ in batch["seg_ord"].to_pylist():
+            segs = _load_aligned_segments(
+                self.seg_lists,
+                self.fields,
+                ord_,
+                {f: self.terms for f in self.fields},
+                self.tombstones,
+            )
+            base = segs[self.fields[0]].doc_ids
+            n = base.size
+            for qid, terms in self.qterms.items():
+                total = np.zeros(n, np.float64)
+                hit = False
+                for term, qtf in terms:  # pre-sorted -> fixed sum order
+                    w = self.idf.get(term)
+                    if w is None:
+                        continue
+                    best: np.ndarray | None = None
+                    for f in self.fields:
+                        pos, tfs = segs[f].pos_tfs(term)
+                        if pos.size == 0:
+                            continue
+                        contrib = np.zeros(n, np.float64)
+                        contrib[pos] = self.weights[f] * tf_component(
+                            tfs, segs[f].doc_lens[pos], self.avgdl[f], p
+                        )
+                        best = contrib if best is None else np.maximum(best, contrib)
+                    if best is None:
+                        continue
+                    hit = True
+                    total += (w * qtf) * best
+                if not hit:
+                    continue
+                docs, scs = topk_from_scores(base, total, p.top_k, p.threshold)
+                rows.extend((qid, int(d), float(s)) for d, s in zip(docs, scs))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+
 class FieldedUnionDf:
     """Pass-1 stage of true BM25F: per-segment document frequency of each
     query term counting a doc once if the term appears in ANY field (the
@@ -1262,9 +1329,53 @@ def search_fielded(
         return _fielded_run(
             items, ScoreFieldedSegments, plan_ref, params.top_k, concurrency
         )
+    if mode == "cross_fields":
+        # ES multi_match type=cross_fields / Lucene BlendedTermQuery:
+        # term-centric best-field contributions under a blended idf
+        # (df = max over fields). One query tokenization (cross_fields
+        # presumes a shared analyzer group, as in ES).
+        manifests = {f: load_manifest(field_indexes[f]) for f in fields}
+        nd = {f: m["n_docs"] for f, m in manifests.items()}
+        if len(set(nd.values())) != 1:
+            raise ValueError(f"fielded indexes have different doc counts: {nd}")
+        tokenized = {
+            int(qid): sorted(term_counts(text, query_analyzer).items())
+            for qid, text in queries
+        }
+        all_terms = sorted({t for ts in tokenized.values() for t, _ in ts})
+        dfs_by_field = []
+        for f in fields:
+            lex = pads.dataset(os.path.join(field_indexes[f], "lexicon")).to_table(
+                columns=["term", "df"], filter=pads.field("term").isin(all_terms)
+            ) if all_terms else None
+            dfs_by_field.append(
+                dict(zip(lex["term"].to_pylist(), lex["df"].to_pylist()))
+                if lex is not None else {}
+            )
+        n_docs_f = float(nd[fields[0]])
+        idf_map = {}
+        for t in all_terms:
+            df_blend = max((d.get(t, 0) for d in dfs_by_field), default=0)
+            if df_blend > 0:
+                idf_map[t] = idf(df_blend, n_docs_f)
+        plan_ref = ray.put(
+            {
+                "qterms": tokenized,
+                "idf": idf_map,
+                "weights": dict(weights),
+                "avgdl": {f: float(m["avgdl"]) for f, m in manifests.items()},
+                "params": params,
+                "seg_lists": seg_lists,
+                "tombstones": _union_tombstones(field_indexes),
+            }
+        )
+        return _fielded_run(
+            items, ScoreCrossFieldsSegments, plan_ref, params.top_k, concurrency
+        )
     if mode != "bm25f":
         raise ValueError(
-            f"unknown fielded mode {mode!r} (expected 'sum', 'dismax' or 'bm25f')"
+            f"unknown fielded mode {mode!r} (expected 'sum', 'dismax', "
+            f"'cross_fields' or 'bm25f')"
         )
 
     manifests = {f: load_manifest(field_indexes[f]) for f in fields}

@@ -384,3 +384,74 @@ def test_dismax_bad_tie_breaker_raises(fielded):
     with pytest.raises(ValueError, match="tie_breaker"):
         search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="dismax",
                        tie_breaker=1.5)
+
+
+def _oracle_cross_fields(doc_ids, fields_texts, weights, params):
+    """Term-centric: blended idf (df = max over fields), per-term best
+    weighted field contribution, summed over terms."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.bm25 import idf, tf_component
+
+    ois = {f: OracleIndex(doc_ids, texts, params) for f, texts in fields_texts.items()}
+    ids = np.asarray(doc_ids, np.int64)
+    n_docs = ids.size
+    rows = []
+    for qid, text in QUERIES:
+        q = term_counts(text)
+        total = np.zeros(ids.size, np.float64)
+        hit = False
+        for term in sorted(q):
+            df_blend = max(
+                (len(oi.postings[term][0]) for oi in ois.values()
+                 if term in oi.postings),
+                default=0,
+            )
+            if df_blend == 0:
+                continue
+            best = None
+            for f in sorted(ois):
+                oi = ois[f]
+                if term not in oi.postings:
+                    continue
+                pos, tf = oi.postings[term]
+                contrib = np.zeros(ids.size, np.float64)
+                contrib[pos] = weights[f] * tf_component(
+                    tf, oi.doc_lens[pos], oi.avgdl, params
+                )
+                best = contrib if best is None else np.maximum(best, contrib)
+            hit = True
+            total += (idf(df_blend, n_docs) * q[term]) * best
+        if not hit:
+            continue
+        docs, scs = topk_from_scores(ids, total, params.top_k, params.threshold)
+        for r, (d, s) in enumerate(zip(docs, scs), start=1):
+            rows.append((qid, r, int(d), float(s)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def test_cross_fields_matches_oracle(fielded):
+    dirs, doc_ids, body, titles = fielded
+    got = search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode="cross_fields")
+    want = _oracle_cross_fields(
+        doc_ids, {"body": body, "title": titles}, WEIGHTS, PARAMS
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64),
+        rtol=1e-12,
+    )
+
+
+def test_cross_fields_differs_from_sum_and_dismax(fielded):
+    dirs, *_ = fielded
+    runs = {
+        m: search_fielded(dirs, QUERIES, WEIGHTS, PARAMS, mode=m)
+        for m in ("sum", "dismax", "cross_fields")
+    }
+    orders = {
+        m: r.sort_values(["query_id", "rank"])[["doc_id", "score"]].round(9)
+           .to_records(index=False).tolist()
+        for m, r in runs.items()
+    }
+    assert orders["cross_fields"] != orders["sum"]
+    assert orders["cross_fields"] != orders["dismax"]
