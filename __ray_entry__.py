@@ -2552,6 +2552,43 @@ def q_field_moments(sf_dir: str):
     return out[["field", "n", "mean_r", "variance_r", "skewness_r", "kurtosis_r"]]
 
 
+TOP_HITS_K = 3
+
+# adjacency_matrix named filters over the documents vocabulary ('d_none'
+# never matches -> omitted buckets, like ES)
+ADJ_FILTERS = [
+    ("a_spark", "spark"),
+    ("b_window", "window stream"),
+    ("c_dup", "dup"),
+    ("d_none", "zzqx"),
+]
+
+
+def q_top_hits(sf_dir: str):
+    """top_hits aggregation (docvalues.top_hits_agg; ES top_hits inside a
+    terms bucket): per query the best TOP_HITS_K docs per lang bucket,
+    local per-bucket top-k per segment via one lexsort, aggregate-sized
+    partials merged driver-side."""
+    from splade_ray.docvalues import top_hits_agg
+
+    run = top_hits_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        group_col="lang", hits_per_bucket=TOP_HITS_K,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    return out[["query_id", "bucket", "hit_rank", "doc_id", "score_r"]]
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """adjacency_matrix aggregation (facets.adjacency_matrix; ES): doc
+    counts for every named filter and filter-pair intersection, boolean
+    posting masks per segment, integer-exact."""
+    from splade_ray.facets import adjacency_matrix
+
+    return adjacency_matrix(_index_for(sf_dir), ADJ_FILTERS)
+
+
 def q_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user over `events`: salted
     coarse-key shuffle + one vectorized multi-user kernel per group."""
@@ -2934,6 +2971,39 @@ ranked AS (SELECT phrase_id, doc_id, score,
            FROM sc WHERE score > 0)
 SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _top_hits_sql() -> str:
+    """Mirror of q_top_hits: the shared BM25 scores CTE, per-(query, lang)
+    row_number cut at TOP_HITS_K."""
+    return f"""{_bm25_cte()},
+th AS (SELECT s.query_id, d.lang AS bucket, s.doc_id, s.score,
+              row_number() OVER (PARTITION BY s.query_id, d.lang
+                                 ORDER BY s.score DESC, s.doc_id ASC) AS hit_rank
+       FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
+SELECT query_id, bucket, hit_rank::BIGINT AS hit_rank, doc_id,
+       {_round4_sql('score')} AS score_r
+FROM th WHERE hit_rank <= {TOP_HITS_K}"""
+
+
+def _adjacency_matrix_sql() -> str:
+    """Mirror of q_adjacency_matrix: filter-name×term VALUES joined to the
+    tf table, DISTINCT doc sets self-joined on name <= name."""
+    rows = []
+    for name, text in ADJ_FILTERS:
+        for term in sorted(term_counts(text)):
+            rows.append(f"('{name}', '{term}')")
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH {_TF},
+f(name, term) AS (VALUES
+    {vals}
+),
+m AS (SELECT DISTINCT f.name, tf.doc_id FROM f JOIN tf USING (term))
+SELECT a.name AS filter_a, b.name AS filter_b, count(*)::BIGINT AS doc_count
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name <= b.name
+GROUP BY 1, 2
+ORDER BY 1, 2"""
 
 
 def _common_terms_sql() -> str:
@@ -4584,6 +4654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,
         "bucket_pipeline_1h": q_bucket_pipeline,
+        "top_hits_by_lang": q_top_hits,
+        "adjacency_matrix": q_adjacency_matrix,
         "matrix_stats": q_matrix_stats,
         "field_moments": q_field_moments,
         "sessions_30m": q_sessions,
@@ -6244,6 +6316,8 @@ FROM f""",
         "window_agg_1h": _window_agg_sql(),
         "window_hop_1h_15m": _window_hop_sql(),
         "bucket_pipeline_1h": _bucket_pipeline_sql(),
+        "top_hits_by_lang": _top_hits_sql(),
+        "adjacency_matrix": _adjacency_matrix_sql(),
         "matrix_stats": _matrix_stats_sql(),
         "field_moments": _field_moments_sql(),
         "sessions_30m": _sessions_sql(),

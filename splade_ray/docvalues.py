@@ -749,3 +749,100 @@ def composite_agg(
         for q, g in agg.groupby("query_id")
     }
     return agg[["query_id", *sources, "n_docs"]], after_keys
+
+
+TOP_HITS_COLUMNS = ["query_id", "bucket", "hit_rank", "doc_id", "score"]
+
+
+def top_hits_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    group_col: str,
+    hits_per_bucket: int = 3,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """top_hits aggregation (Elasticsearch): group each query's matches by
+    a doc-values column and keep the best ``hits_per_bucket`` docs per
+    bucket, ranked (score desc, doc_id asc). Rows: (query_id, bucket,
+    hit_rank, doc_id, score) sorted by (query_id, bucket, hit_rank).
+
+    Scale shape: each segment emits at most queries × buckets-in-segment ×
+    k rows (local per-bucket top-k via one lexsort — no Python loop over
+    docs); the driver reduce re-cuts the same ordering over partials.
+    Bucket cardinality must be aggregate-small like every facet op here —
+    pre-bucket by hash for web-scale key sets."""
+    from splade_ray.delete import load_tombstones
+
+    params = params or BM25Params()
+    k = int(hits_per_bucket)
+    if k < 1:
+        raise ValueError("hits_per_bucket must be >= 1")
+    prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        buckets = seg.doc_values(group_col)
+        out = {n: [] for n in ("query_id", "bucket", "doc_id", "score")}
+        for qid in prep["queries"]:
+            scores = seg.dense_query_scores(qid, prep)
+            if scores is None:
+                continue
+            hit = np.flatnonzero(scores > params.threshold)
+            if hit.size == 0:
+                continue
+            sc, docs = scores[hit], seg.doc_ids[hit]
+            u, inv = np.unique(buckets[hit], return_inverse=True)
+            # local per-bucket top-k: one lexsort (bucket, -score, doc_id),
+            # then position-within-group < k
+            order = np.lexsort((docs, -sc, inv))
+            g = inv[order]
+            first = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+            pos_in_group = np.arange(g.size) - np.repeat(
+                first, np.diff(np.concatenate((first, [g.size])))
+            )
+            keep = order[pos_in_group < k]
+            out["query_id"].extend([qid] * keep.size)
+            out["bucket"].extend(str(b) for b in u[inv[keep]])
+            out["doc_id"].extend(docs[keep].tolist())
+            out["score"].extend(sc[keep].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "bucket": pa.array(out["bucket"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        out = pd.DataFrame(columns=TOP_HITS_COLUMNS)
+        return out.astype({"query_id": np.int64, "bucket": str,
+                           "hit_rank": np.int64, "doc_id": np.int64,
+                           "score": np.float64})
+    pdf = pdf.sort_values(
+        ["query_id", "bucket", "score", "doc_id"],
+        ascending=[True, True, False, True], kind="mergesort",
+    )
+    pdf["hit_rank"] = (
+        pdf.groupby(["query_id", "bucket"]).cumcount().add(1).astype(np.int64)
+    )
+    pdf = pdf[pdf["hit_rank"] <= k]
+    return pdf.reset_index(drop=True)[TOP_HITS_COLUMNS]

@@ -136,3 +136,86 @@ def facet_counts(
             .reset_index(drop=True)
         )
     return out
+
+
+def adjacency_matrix(
+    index_dir: str,
+    filters: list[tuple[str, str]],
+    *,
+    query_lang: str | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """adjacency_matrix aggregation (Elasticsearch): given named term
+    filters, the number of LIVE docs matching each filter and each filter
+    PAIR intersection (upper triangle, ES's `a`, `b`, `a&b` buckets;
+    empty intersections omitted like ES). A filter matches a doc when the
+    doc contains >= 1 of its terms (filter text analyzed like a query).
+
+    Rows: (filter_a, filter_b, doc_count) with filter_a <= filter_b, sorted.
+    Scale shape: per segment one boolean mask per filter over the segment's
+    docs (union of posting positions), pair counts via mask dot products —
+    filters² × segments partial rows, summed driver-side. No shuffle."""
+    from splade_ray.analysis import term_counts
+    from splade_ray.delete import load_tombstones
+
+    names = [n for n, _ in filters]
+    if len(set(names)) != len(names):
+        raise ValueError("filter names must be unique")
+    tokenized = {n: sorted(term_counts(text, query_lang)) for n, text in filters}
+    all_terms = sorted({t for ts in tokenized.values() for t in ts})
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    spec_ref = ray.put({"tokenized": tokenized, "terms": all_terms})
+
+    def task(batch: pa.Table) -> pa.Table:
+        spec = ray.get(spec_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        out_a, out_b, out_n = [], [], []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            seg = SegmentIndex(seg_dir, spec["terms"], tombstones=t)
+            n = seg.doc_ids.size
+            masks = {}
+            for name, terms in spec["tokenized"].items():
+                m = np.zeros(n, bool)
+                for term in terms:
+                    pos, _ = seg.pos_tfs(term)
+                    if pos.size:
+                        m[pos] = True
+                masks[name] = m
+            ns = sorted(masks)
+            for i, a in enumerate(ns):
+                for b in ns[i:]:
+                    c = int(np.count_nonzero(masks[a] & masks[b]))
+                    if c:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_n.append(c)
+        return pa.table(
+            {
+                "filter_a": pa.array(out_a, pa.string()),
+                "filter_b": pa.array(out_b, pa.string()),
+                "doc_count": pa.array(np.asarray(out_n, np.int64)),
+            }
+        )
+
+    segs = segment_dirs(index_dir)
+    pdf = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1,
+                     concurrency=concurrency)
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {"filter_a": pd.Series([], dtype=object),
+             "filter_b": pd.Series([], dtype=object),
+             "doc_count": pd.Series([], dtype=np.int64)}
+        )
+    out = (
+        pdf.groupby(["filter_a", "filter_b"], as_index=False)["doc_count"]
+        .sum()
+        .sort_values(["filter_a", "filter_b"])
+        .reset_index(drop=True)
+    )
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out

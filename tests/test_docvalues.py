@@ -696,3 +696,69 @@ def test_composite_agg_multi_source_order(built):
                           sources=["cat", "n_bytes"], size=7, after=ak)
     got = pd.concat([p1, p2], ignore_index=True)[["cat", "n_bytes", "n_docs"]]
     pd.testing.assert_frame_equal(got, want.head(14), check_dtype=False)
+
+
+def test_top_hits_matches_bruteforce(built):
+    from splade_ray.docvalues import top_hits_agg
+
+    index_dir, texts, _ = built
+    p = BM25Params(top_k=10)
+    got = top_hits_agg(
+        index_dir, QUERIES, p, group_col="cat", hits_per_bucket=2
+    )
+    oi = OracleIndex(np.arange(N, dtype=np.int64), texts, p)
+    cats = _cats()
+    want_rows = []
+    for qid, text in QUERIES:
+        scores = _dense_scores(oi, text, p)
+        by_bucket: dict = {}
+        for d in np.flatnonzero(scores > 0):
+            by_bucket.setdefault(cats[d], []).append((d, scores[d]))
+        for b in sorted(by_bucket):
+            hits = sorted(by_bucket[b], key=lambda x: (-x[1], x[0]))[:2]
+            for r, (d, s) in enumerate(hits, start=1):
+                want_rows.append((qid, b, r, d, s))
+    want = pd.DataFrame(
+        want_rows, columns=["query_id", "bucket", "hit_rank", "doc_id", "score"]
+    )
+    assert got[["query_id", "bucket", "hit_rank", "doc_id"]].values.tolist() == \
+        want[["query_id", "bucket", "hit_rank", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64),
+        rtol=1e-12,
+    )
+
+
+def test_adjacency_matrix_matches_bruteforce(built):
+    from splade_ray.analysis import tokenize
+    from splade_ray.facets import adjacency_matrix
+
+    index_dir, texts, _ = built
+    filters = [
+        ("a_def", "def"),
+        ("b_parse", "parse merge"),
+        ("c_rare", "rare_token_3"),
+        ("d_none", "zzz_nada"),
+    ]
+    got = adjacency_matrix(index_dir, filters)
+    masks = {}
+    for name, ftext in filters:
+        fts = set(term_counts(ftext))
+        masks[name] = np.array(
+            [bool(fts & set(tokenize(t))) for t in texts], bool
+        )
+    want = []
+    ns = sorted(masks)
+    for i, a in enumerate(ns):
+        for b in ns[i:]:
+            c = int(np.count_nonzero(masks[a] & masks[b]))
+            if c:
+                want.append((a, b, c))
+    assert [tuple(r) for r in got.values.tolist()] == want
+
+
+def test_adjacency_matrix_duplicate_names_raise(built):
+    from splade_ray.facets import adjacency_matrix
+
+    with pytest.raises(ValueError, match="unique"):
+        adjacency_matrix(built[0], [("x", "def"), ("x", "parse")])
