@@ -407,6 +407,23 @@ def q_lmjm_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# Damerau queries: transpositions that plain Levenshtein counts as 2
+SUGGEST_DL_QUERIES = [(1, "sprak"), (2, "qeury"), (3, "valeu"), (4, "wnidow")]
+
+
+def q_suggest_dl(sf_dir: str):
+    """Damerau-Levenshtein suggestion (suggest_terms transpositions=True;
+    the Lucene FuzzyQuery default metric): adjacent swaps count one edit,
+    computed by the vectorized unrestricted-DL tensor DP (duckdb
+    damerau_levenshtein mirrors it exactly)."""
+    from splade_ray.suggest import suggest_terms
+
+    return suggest_terms(
+        _index_for(sf_dir), SUGGEST_DL_QUERIES, max_dist=SUGG_MAXD, m=SUGG_M,
+        transpositions=True,
+    )
+
+
 def q_tfidf_topk(sf_dir: str):
     """Classic TF-IDF retrieval (query.search scoring='tfidf'; Lucene
     ClassicSimilarity with queryNorm/coord dropped as in Lucene 7+):
@@ -4566,6 +4583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "dfr_topk": q_dfr_topk,
         "suggest_terms": q_suggest_terms,
+        "suggest_terms_dl": q_suggest_dl,
         "prefix_topk": q_prefix_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
@@ -4931,6 +4949,24 @@ d AS (SELECT sq.query_id, l.term, levenshtein(sq.qt, l.term)::BIGINT AS dist, l.
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY dist ASC, df DESC, term ASC) AS rn
       FROM d)"""
+
+
+def _suggest_dl_sql() -> str:
+    """Mirror of q_suggest_dl: duckdb damerau_levenshtein (unrestricted,
+    same metric as the engine's tensor DP)."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in SUGGEST_DL_QUERIES)
+    return f"""
+WITH {_TF},
+lex AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sq(query_id, qt) AS (VALUES {vals}),
+d AS (SELECT sq.query_id, l.term,
+             damerau_levenshtein(sq.qt, l.term)::BIGINT AS dist, l.df
+      FROM sq CROSS JOIN lex l
+      WHERE damerau_levenshtein(sq.qt, l.term) <= {SUGG_MAXD}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist ASC, df DESC, term ASC) AS rn
+      FROM d)
+SELECT query_id::BIGINT AS query_id, term, dist, df FROM r WHERE rn <= {SUGG_M}"""
 
 
 def _suggest_sql() -> str:
@@ -6069,6 +6105,7 @@ FROM documents""",
         "tfidf_topk": _tfidf_sql(),
         "dfr_topk": _dfr_sql(),
         "suggest_terms": _suggest_sql(),
+        "suggest_terms_dl": _suggest_dl_sql(),
         "prefix_topk": _prefix_sql(),
         "fuzzy_topk": _fuzzy_sql(),
         "range_topk": _range_topk_sql(),

@@ -78,6 +78,65 @@ def levenshtein_bulk(q: str, cands: np.ndarray) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
+def damerau_levenshtein_bulk(q: str, cands: np.ndarray) -> np.ndarray:
+    """TRUE (unrestricted) Damerau-Levenshtein distances from ``q`` to every
+    candidate — insert / delete / substitute / transpose-adjacent, with the
+    transposed pair still editable afterwards (DL("ca","abc")=2 where the
+    restricted OSA metric gives 3). Matches Lucene FuzzyQuery
+    transpositions=true and DuckDB ``damerau_levenshtein`` exactly.
+
+    Vectorized across candidates: the classic da/db algorithm (Lowrance &
+    Wagner) with the full (n, |q|+2, max_len+2) DP tensor kept so the
+    transposition term can gather ``d[k][l]`` at per-candidate (k, l); the
+    row loop runs over q's characters and the column loop over candidate
+    positions, every inner op an (n,)-vector. Memory is n·|q|·max_len int64
+    — callers stream candidates in batches."""
+    n = cands.size
+    if n == 0:
+        return np.empty(0, np.int64)
+    lens = np.array([len(c) for c in cands], np.int64)
+    m = int(lens.max())
+    L = len(q)
+    mat = np.zeros((n, m), np.int32)
+    for i, c in enumerate(cands):  # padding pass; the DP below is vectorized
+        mat[i, : len(c)] = np.frombuffer(c.encode("utf-32-le"), np.uint32).astype(
+            np.int32
+        )
+    qcodes = np.frombuffer(q.encode("utf-32-le"), np.uint32).astype(np.int32)
+    big = L + m  # the algorithm's maxdist sentinel
+    # d indices are offset by 1: d[:, i+1, j+1] = distance(q[:i], c[:j])
+    d = np.empty((n, L + 2, m + 2), np.int64)
+    d[:, 0, :] = big
+    d[:, :, 0] = big
+    d[:, 1, 1:] = np.arange(m + 1, dtype=np.int64)
+    d[:, 1:, 1] = np.arange(L + 1, dtype=np.int64)
+    rows = np.arange(n)
+    # K[:, j] = last row index i' (1-based) with q[i'-1] == cands[:, j],
+    # among rows processed so far (the per-candidate `da` map, realized per
+    # column since it is only ever read at b[j-1])
+    K = np.zeros((n, m), np.int64)
+    for i in range(1, L + 1):
+        qc = qcodes[i - 1]
+        db = np.zeros(n, np.int64)
+        for j in range(1, m + 1):
+            match = mat[:, j - 1] == qc
+            cost = (~match).astype(np.int64)
+            k = K[:, j - 1]
+            l = db.copy()
+            db = np.where(match, j, db)
+            best = np.minimum(
+                d[:, i, j] + cost,            # substitution / match
+                np.minimum(d[:, i + 1, j] + 1,  # insertion into q side
+                           d[:, i, j + 1] + 1)  # deletion
+            )
+            # transposition: d[k][l] + (i-k-1) + 1 + (j-l-1); k=l=0 rows hit
+            # the `big` sentinel and never win
+            trans = d[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            d[:, i + 1, j + 1] = np.minimum(best, trans)
+        K[:, :][mat == qc] = i
+    return d[rows, L + 1, lens + 1]
+
+
 def expand_prefix(index_dir: str, prefix: str, *, max_terms: int = 128) -> list[str]:
     """Lexicon terms starting with ``prefix``, ascending, first ``max_terms``
     (pushdown range read: term >= prefix AND term < prefix+MAXCHAR)."""
@@ -159,11 +218,17 @@ def suggest_terms(
     max_dist: int = 2,
     m: int = 5,
     batch_size: int = 8192,
+    transpositions: bool = False,
 ) -> pd.DataFrame:
     """Did-you-mean table (query_id, term, dist, df): per query term the top
     ``m`` lexicon terms by (levenshtein asc, df desc, term asc) within
     ``max_dist``. Streams the lexicon (length-band pre-prune + vectorized
-    DP per batch), reducing per-batch candidates to a driver-side top-m."""
+    DP per batch), reducing per-batch candidates to a driver-side top-m.
+
+    ``transpositions=True`` switches the metric to true Damerau-Levenshtein
+    (adjacent swap = one edit; Lucene FuzzyQuery's default): the length
+    band stays a valid lower bound since a transposition changes length by
+    zero."""
     from splade_ray.io import read_parquet_clean
 
     lex = read_parquet_clean(
@@ -181,7 +246,9 @@ def suggest_terms(
             if not band.any():
                 continue
             cand, cdf = terms[band], dfs[band]
-            d = levenshtein_bulk(q, cand)
+            d = (damerau_levenshtein_bulk if transpositions else levenshtein_bulk)(
+                q, cand
+            )
             hit = d <= max_dist
             if not hit.any():
                 continue
@@ -251,12 +318,16 @@ def fuzzy_search(
     max_terms: int = 16,
     method: str = "exact",
     concurrency: int | None = None,
+    transpositions: bool = False,
 ) -> pd.DataFrame:
     """FuzzyQuery retrieval: each query string is a single term; the run is
     BM25 over the lexicon terms within ``max_dist`` edits (the top
-    ``max_terms`` by the suggestion ordering), qtf=1 per expanded term."""
+    ``max_terms`` by the suggestion ordering), qtf=1 per expanded term.
+    ``transpositions=True`` uses Damerau-Levenshtein (the Lucene FuzzyQuery
+    default metric)."""
     params = params or BM25Params()
-    sugg = suggest_terms(index_dir, queries, max_dist=max_dist, m=max_terms)
+    sugg = suggest_terms(index_dir, queries, max_dist=max_dist, m=max_terms,
+                         transpositions=transpositions)
     expanded = [
         (int(qid), " ".join(g["term"].tolist()))
         for qid, g in sugg.groupby("query_id", sort=True)

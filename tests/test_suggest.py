@@ -129,3 +129,60 @@ def test_cli_suggest_modes(built, tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["mode"] == "prefix" and summary["rows"] > 0
+
+
+def _scalar_dl(a: str, b: str) -> int:
+    """Reference unrestricted Damerau-Levenshtein (Lowrance-Wagner)."""
+    da = {}
+    big = len(a) + len(b)
+    d = [[big] * (len(b) + 2) for _ in range(len(a) + 2)]
+    for i in range(len(a) + 1):
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k, l = da.get(b[j - 1], 0), db
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                db = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost, d[i + 1][j] + 1, d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+def test_damerau_bulk_matches_scalar():
+    import random
+
+    from splade_ray.suggest import damerau_levenshtein_bulk
+
+    rng = random.Random(11)
+    words = ["", "a", "ca", "abc", "ab", "ba", "spark", "sprak", "abcdef", "abcfed"]
+    words += ["".join(rng.choices("abcde", k=rng.randint(0, 8))) for _ in range(200)]
+    for q in ["ca", "abc", "spark", "", "deabc", "aabb"]:
+        got = damerau_levenshtein_bulk(q, np.asarray(words, object))
+        want = np.array([_scalar_dl(q, w) for w in words], np.int64)
+        np.testing.assert_array_equal(got, want, err_msg=q)
+    # the unrestricted-vs-OSA witness: transposition then edit inside it
+    assert damerau_levenshtein_bulk("ca", np.asarray(["abc"], object))[0] == 2
+
+
+def test_suggest_transpositions_changes_metric(built):
+    from splade_ray.suggest import suggest_terms
+
+    index_dir, _ = built
+    # 'hsard' is one adjacent swap from the vocab term 'shard': dist 1
+    # under DL, 2 under plain Levenshtein
+    lev = suggest_terms(index_dir, [(1, "hsard")], max_dist=2, m=8)
+    dl = suggest_terms(
+        index_dir, [(1, "hsard")], max_dist=2, m=8, transpositions=True
+    )
+    lev_d = dict(zip(lev["term"], lev["dist"]))
+    dl_d = dict(zip(dl["term"], dl["dist"]))
+    if "shard" in lev_d:
+        assert lev_d["shard"] == 2
+    assert dl_d.get("shard") == 1
