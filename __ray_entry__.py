@@ -1839,6 +1839,54 @@ def _dv_index(sf_dir: str) -> str:
     return index_dir
 
 
+TERMS_SET_QUERIES = [
+    (1, "spark window merge"),
+    (2, "hash join table scan"),
+    (3, "dup data"),
+    (4, "customer"),
+]
+
+
+def _dv3_index(sf_dir: str) -> str:
+    """Index with a derived per-doc minimum_should_match column
+    (req = doc_id % 4, deterministic so the SQL oracle mirrors it; 0 rows
+    exercise the never-match guard)."""
+    work = _work_dir(sf_dir, "dvidx3")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_req(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column("req", pa.array(ids % 4))
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            add_req, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        corpus_dir, index_dir, text_col="text", id_col="doc_id",
+        rows_per_segment=1000, block_size=64, extra_doc_cols=("req",),
+    )
+    return index_dir
+
+
+def q_terms_set(sf_dir: str):
+    """terms_set query (docvalues.terms_set_search; ES
+    minimum_should_match_field): per-doc required distinct-term count from
+    the req doc-values column; matching docs score plain BM25."""
+    from splade_ray.docvalues import terms_set_search
+
+    run = terms_set_search(
+        _dv3_index(sf_dir), TERMS_SET_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=TOP_K), msm_col="req",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 def q_range_topk(sf_dir: str):
     """Range-filtered BM25 (splade_ray.docvalues.range_search): top-k over
     docs with n_chars in [DV_LO, DV_HI]; the filter applies inside each
@@ -2496,6 +2544,7 @@ def q_window_agg(sf_dir: str):
 
 
 PIPELINE_MOV_WINDOW = 3
+PIPELINE_SERIAL_LAG = 2
 
 
 def q_bucket_pipeline(sf_dir: str):
@@ -2510,14 +2559,19 @@ def q_bucket_pipeline(sf_dir: str):
     buckets = tumbling_window_agg(
         _events(sf_dir, ["ts", "event_type", "value"]), WINDOW_1H_US
     )
-    out = bucket_pipeline(buckets, window=PIPELINE_MOV_WINDOW)
+    out = bucket_pipeline(
+        buckets, window=PIPELINE_MOV_WINDOW, serial_lag=PIPELINE_SERIAL_LAG
+    )
     out["has_prev"] = out["deriv"].notna()
     out["deriv0"] = out["deriv"].fillna(0).astype(np.int64)
+    out["has_lag"] = out["serial_diff"].notna()
+    out["serial_diff0"] = out["serial_diff"].fillna(0).astype(np.int64)
     out["mov_avg_r"] = _round4(out["mov_avg"].to_numpy(np.float64))
     out["per_event_r"] = _round4(out["per_event"].to_numpy(np.float64))
     return out[
         ["window_start_us", "event_type", "n_events", "sum_value_c",
-         "cum_sum", "deriv0", "has_prev", "mov_avg_r", "per_event_r"]
+         "cum_sum", "deriv0", "has_prev", "serial_diff0", "has_lag",
+         "mov_avg_r", "per_event_r"]
     ]
 
 
@@ -2988,6 +3042,36 @@ ranked AS (SELECT phrase_id, doc_id, score,
            FROM sc WHERE score > 0)
 SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def _terms_set_sql() -> str:
+    """Mirror of q_terms_set: distinct present query terms per doc vs
+    req = doc_id % 4, BM25 from the shared scores CTE."""
+    values = []
+    for qid, text in TERMS_SET_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    # reuse the bm25 CTE but with the terms_set query VALUES
+    cte = _bm25_cte()
+    old_vals = ",\n    ".join(
+        f"({qid}, '{term}', {qtf})"
+        for qid, text in BM25_QUERIES
+        for term, qtf in sorted(term_counts(text).items())
+    )
+    cte = cte.replace(old_vals, vals)
+    return f"""{cte},
+present AS (SELECT q.query_id, tf.doc_id, count(DISTINCT q.term) AS n_present
+            FROM q JOIN tf USING (term) GROUP BY q.query_id, tf.doc_id),
+ok AS (SELECT p.query_id, p.doc_id
+       FROM present p
+       WHERE (p.doc_id % 4) >= 1 AND p.n_present >= (p.doc_id % 4)),
+rr AS (SELECT s.query_id, s.doc_id, s.score,
+              row_number() OVER (PARTITION BY s.query_id
+                                 ORDER BY s.score DESC, s.doc_id ASC) AS rank
+       FROM scores s JOIN ok USING (query_id, doc_id) WHERE s.score > 0)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
 
 
 def _top_hits_sql() -> str:
@@ -3993,6 +4077,8 @@ SELECT window_start_us, event_type, n_events, sum_value_c,
        (sum(sum_value_c) OVER cumw)::BIGINT AS cum_sum,
        coalesce(sum_value_c - lag(sum_value_c) OVER lw, 0)::BIGINT AS deriv0,
        (lag(sum_value_c) OVER lw IS NOT NULL) AS has_prev,
+       coalesce(sum_value_c - lag(sum_value_c, {PIPELINE_SERIAL_LAG}) OVER lw, 0)::BIGINT AS serial_diff0,
+       (lag(sum_value_c, {PIPELINE_SERIAL_LAG}) OVER lw IS NOT NULL) AS has_lag,
        {_round4_sql("avg(sum_value_c::DOUBLE) OVER movw")} AS mov_avg_r,
        {_round4_sql("sum_value_c::DOUBLE / n_events")} AS per_event_r
 FROM b
@@ -4660,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_msm": q_boolean_msm,
         "rescore_topk": q_rescore_topk,
         "common_terms_topk": q_common_terms,
+        "terms_set_topk": q_terms_set,
         "boosting_topk": q_boosting_topk,
         "const_score_topk": q_const_score_topk,
         "query_string": q_query_string,
@@ -6344,6 +6431,7 @@ FROM f""",
         "boolean_msm": _boolean_sql(BOOL_MSM_QUERIES),
         "rescore_topk": _rescore_sql(),
         "common_terms_topk": _common_terms_sql(),
+        "terms_set_topk": _terms_set_sql(),
         "boosting_topk": _boosting_sql(),
         "const_score_topk": _const_score_sql(),
         "query_string": _query_string_sql(),

@@ -846,3 +846,90 @@ def top_hits_agg(
     )
     pdf = pdf[pdf["hit_rank"] <= k]
     return pdf.reset_index(drop=True)[TOP_HITS_COLUMNS]
+
+
+def terms_set_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    msm_col: str,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """terms_set query (Elasticsearch): a doc matches when it contains at
+    least ``m`` DISTINCT query terms, where ``m`` is the doc's own value of
+    the ``msm_col`` doc-values column (minimum_should_match_field). Pinned:
+    docs with ``m < 1`` never match (ES's script guard), ``m`` above the
+    query's distinct-term count never matches; matching docs score plain
+    BM25 over the query terms, run contract (score desc, doc_id asc),
+    score > threshold.
+
+    The per-doc requirement makes this the one boolean face a global
+    minimum_should_match can't express; execution is the standard
+    per-segment mask + dense-score kernel."""
+    from splade_ray.delete import load_tombstones
+
+    params = params or BM25Params()
+    prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        req = seg.numeric_values(msm_col).astype(np.int64)
+        n = seg.doc_ids.size
+        out = {k: [] for k in ("query_id", "doc_id", "score")}
+        p: BM25Params = prep["params"]
+        for qid, terms in prep["queries"].items():
+            cnt = np.zeros(n, np.int64)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)
+                if pos.size:
+                    cnt[pos] += 1  # terms are distinct in the prepared list
+            allowed = (req >= 1) & (cnt >= req)
+            if not allowed.any():
+                continue
+            scores = seg.dense_query_scores(qid, prep)
+            if scores is None:
+                continue
+            scores[~allowed] = 0.0
+            from splade_ray.bm25 import topk_from_scores
+
+            docs, scs = topk_from_scores(seg.doc_ids, scores, p.top_k, p.threshold)
+            out["query_id"].extend([qid] * docs.size)
+            out["doc_id"].extend(docs.tolist())
+            out["score"].extend(scs.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    from splade_ray.query import RUN_COLUMNS, merge_topk
+
+    if pdf.empty:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32,
+             "doc_id": np.int64, "score": np.float64}
+        )
+    out = (
+        pdf.groupby("query_id", group_keys=False)[pdf.columns]
+        .apply(merge_topk, top_k=params.top_k)
+        .reset_index(drop=True)
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[RUN_COLUMNS]

@@ -439,6 +439,7 @@ def bucket_pipeline(
     metric_col: str = "sum_value_c",
     count_col: str = "n_events",
     window: int = 3,
+    serial_lag: int = 1,
     fill_empty_us: int | None = None,
 ):
     """Elasticsearch pipeline aggregations over a parent date-histogram
@@ -452,7 +453,10 @@ def bucket_pipeline(
       ``window`` buckets INCLUDING the current one (partial windows
       computed, ES MovingFunctions.unweightedAvg shape);
     - ``per_event`` — bucket_script ``metric / count`` (null when the
-      bucket is empty).
+      bucket is empty);
+    - ``serial_diff`` — serial_diff with ``serial_lag`` (metric minus the
+      bucket ``serial_lag`` steps back; null for the first ``serial_lag``
+      buckets of each key — lag 1 equals the derivative).
 
     ``fill_empty_us`` densifies each key's series on that stride between
     its min and max window (date_histogram min_doc_count=0): inserted
@@ -484,6 +488,7 @@ def bucket_pipeline(
     g = pdf.groupby(key_col, sort=False)[metric_col]
     pdf["cum_sum"] = g.cumsum().astype(np.int64)
     pdf["deriv"] = g.diff()
+    pdf["serial_diff"] = g.diff(periods=serial_lag)
     pdf["mov_avg"] = (
         g.rolling(window, min_periods=1).mean().reset_index(level=0, drop=True)
     )

@@ -762,3 +762,51 @@ def test_adjacency_matrix_duplicate_names_raise(built):
 
     with pytest.raises(ValueError, match="unique"):
         adjacency_matrix(built[0], [("x", "def"), ("x", "parse")])
+
+
+def test_terms_set_matches_bruteforce(ray_session, tmp_path):
+    from splade_ray.docvalues import terms_set_search
+
+    t = synth_corpus(90, seed=13)
+    texts = t["content"].to_pylist()
+    req = np.arange(90, dtype=np.int64) % 4  # 0 never matches (ES guard)
+    corpus = str(tmp_path / "ts.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(90, dtype=np.int64)),
+                "content": t["content"],
+                "req": pa.array(req),
+            }
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "ts-index")
+    build_index(
+        corpus, index_dir, text_col="content", id_col="doc_id",
+        rows_per_segment=25, extra_doc_cols=("req",),
+    )
+    queries = [(1, "def parse merge"), (2, "return index"), (3, "zzz_nope")]
+    p = BM25Params(top_k=12)
+    got = terms_set_search(index_dir, queries, p, msm_col="req")
+    oi = OracleIndex(np.arange(90, dtype=np.int64), texts, p)
+    rows = []
+    from splade_ray.analysis import tokenize
+
+    for qid, text in queries:
+        scores = _dense_scores(oi, text, p)
+        qterms = {w for w in term_counts(text) if w in oi.postings}
+        scored = []
+        for d in range(90):
+            present = sum(1 for w in qterms if w in set(tokenize(texts[d])))
+            if req[d] >= 1 and present >= req[d] and scores[d] > 0:
+                scored.append((d, scores[d]))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:12], start=1):
+            rows.append((qid, r, d, s))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64),
+        rtol=1e-12,
+    )
