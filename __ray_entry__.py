@@ -2595,6 +2595,37 @@ def _events_numeric(sf_dir: str):
     )
 
 
+PCT_RANK_VALUES = [100, 500, 1000, 2000]
+
+
+def q_percentile_ranks(sf_dir: str):
+    """percentile_ranks aggregation (ops.sketch.percentile_ranks; ES
+    inverted percentiles): exact per-(event_type, threshold) rank counts
+    from one combiner pass, integer permille output."""
+    from splade_ray.ops.sketch import percentile_ranks
+
+    return percentile_ranks(
+        _events_numeric_typed(sf_dir), "value_c", PCT_RANK_VALUES,
+        by="event_type",
+    )
+
+
+def _events_numeric_typed(sf_dir: str):
+    """events with (event_type, value_c) for the rank aggregation."""
+    def add_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _events(sf_dir, ["event_type", "value"]).map_batches(
+        add_cents, batch_format="pyarrow"
+    )
+
+
 def q_matrix_stats(sf_dir: str):
     """matrix_stats aggregation (ops.moments.matrix_stats; ES matrix_stats):
     pairwise sample covariance / Pearson correlation over (value_c,
@@ -2718,6 +2749,50 @@ def q_ann_cosine_topk(sf_dir: str):
     q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
     out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+def _ann_queries(sf_dir: str):
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path)
+    mask = np.array(qt["vec_id"].to_pylist()) < 5
+    q_ids = np.array(qt["vec_id"].to_pylist())[mask]
+    q_mat = np.stack(
+        [np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m]
+    )
+    return emb_path, q_ids, q_mat
+
+
+def q_ann_pq_exact(sf_dir: str):
+    """Product quantization at the lossless point (ops/ann.pq_cosine_topk
+    with ks >= n and a full-coverage sample): sampled-row k-means centroids
+    ARE the data points, reconstruction is exact, so PQ == brute cosine and
+    the existing ann_cosine_topk oracle applies (the ann_ivf_exact
+    precedent)."""
+    from splade_ray.ops.ann import pq_cosine_topk
+
+    emb_path, q_ids, q_mat = _ann_queries(sf_dir)
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
+    out = pq_cosine_topk(
+        ds, q_ids, q_mat, m=4, ks=10_000_000, iters=3,
+        sample_size=10_000_000, top_k=TOP_K,
+    )
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized ANN at a realistic code rate (m=4, ks=16 — 4 bytes
+    per vector): ADC table scoring, rows-only (approximate float sims are
+    not SQL-mirrorable; the lossless twin above IS oracle-checked)."""
+    from splade_ray.ops.ann import pq_cosine_topk
+
+    emb_path, q_ids, q_mat = _ann_queries(sf_dir)
+    ds = _rpq(emb_path, columns=["vec_id", "embedding"])
+    out = pq_cosine_topk(ds, q_ids, q_mat, m=4, ks=16, top_k=TOP_K)
     out["sim_r"] = _round4(out["sim"].to_numpy())
     out["rank"] = out["rank"].astype(np.int64)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
@@ -4095,6 +4170,20 @@ _MOMENT_EXPRS = {
 }
 
 
+def _percentile_ranks_sql() -> str:
+    vals = ", ".join(f"({v})" for v in PCT_RANK_VALUES)
+    return f"""
+WITH e AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+v(value) AS (VALUES {vals})
+SELECT e.event_type, v.value,
+       sum(CASE WHEN e.c <= v.value THEN 1 ELSE 0 END)::BIGINT AS n_le,
+       count(*)::BIGINT AS n_total,
+       floor(1000.0 * sum(CASE WHEN e.c <= v.value THEN 1 ELSE 0 END)
+             / count(*) + 0.5)::BIGINT AS pct_mille
+FROM e CROSS JOIN v
+GROUP BY e.event_type, v.value"""
+
+
 def _moment_sums_cte() -> str:
     """Raw power sums over the events numeric fields (shared by the
     matrix_stats / field_moments mirrors): same sums, same derivations as
@@ -4762,6 +4851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_by_lang": q_top_hits,
         "adjacency_matrix": q_adjacency_matrix,
         "matrix_stats": q_matrix_stats,
+        "percentile_ranks": q_percentile_ranks,
         "field_moments": q_field_moments,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -4788,6 +4878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_sq8": q_ann_cosine_topk_sq8,
+        "ann_pq_exact": q_ann_pq_exact,
+        "ann_pq_topk": q_ann_pq_topk,
         "minhash_sigs": q_minhash_sigs,
         "simhash_sigs": q_simhash_sigs,
         "doc_fingerprint": q_doc_fingerprint,
@@ -6444,6 +6536,7 @@ FROM f""",
         "top_hits_by_lang": _top_hits_sql(),
         "adjacency_matrix": _adjacency_matrix_sql(),
         "matrix_stats": _matrix_stats_sql(),
+        "percentile_ranks": _percentile_ranks_sql(),
         "field_moments": _field_moments_sql(),
         "sessions_30m": _sessions_sql(),
         "asof_purchase_signup": _asof_sql(),
@@ -6501,4 +6594,6 @@ def oracle_sql() -> dict[str, str]:
     sql["quantized_export_join"] = sql["quantized_export"]
     # IVF probed at every cluster IS exact brute-force cosine — same oracle
     sql["ann_ivf_exact"] = sql["ann_cosine_topk"]
+    # PQ with full-coverage sampled-row codebooks is lossless — same oracle
+    sql["ann_pq_exact"] = sql["ann_cosine_topk"]
     return sql

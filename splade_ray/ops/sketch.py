@@ -575,3 +575,78 @@ def kmv_distinct(
     if by:
         out = out.sort_values(by)
     return out.reset_index(drop=True)[cols]
+
+
+def percentile_ranks(
+    ds: Dataset,
+    col: str,
+    values: list[int],
+    *,
+    by: str | None = None,
+) -> pd.DataFrame:
+    """percentile_ranks aggregation (Elasticsearch, inverted percentiles):
+    for each provided threshold, the percentage of rows with
+    ``col <= threshold``, optionally per group. Returns
+    ``(by?, value, n_le, n_total, pct_mille)`` — ``pct_mille`` is the rank
+    in integer permille (floor(1000·n_le/n + 0.5)) so every column stays
+    integer/string (hash-stable).
+
+    One combiner pass: each batch emits per-(group, threshold) counts —
+    groups × thresholds partial rows — merged by a tiny groupby. Exact (no
+    TDigest approximation needed: thresholds are given, so ranks are plain
+    counts)."""
+    from ray.data.aggregate import Sum
+
+    vals = sorted(int(v) for v in values)
+    varr = np.asarray(vals, np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out: dict[str, list] = {"value": [], "n_le": [], "n_total": []}
+        if by:
+            out[by] = []
+            keys = batch[by].to_pylist()
+            order = np.argsort(np.asarray(keys, object), kind="stable")
+            xs = x[order]
+            ks = [keys[i] for i in order]
+            starts = [0] + [
+                i for i in range(1, len(ks)) if ks[i] != ks[i - 1]
+            ] + [len(ks)]
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg = np.sort(xs[s:e])
+                n_le = np.searchsorted(seg, varr, side="right")
+                out[by].extend([ks[s]] * varr.size)
+                out["value"].extend(vals)
+                out["n_le"].extend(n_le.tolist())
+                out["n_total"].extend([e - s] * varr.size)
+        else:
+            seg = np.sort(x)
+            n_le = np.searchsorted(seg, varr, side="right")
+            out["value"].extend(vals)
+            out["n_le"].extend(n_le.tolist())
+            out["n_total"].extend([x.size] * varr.size)
+        cols = {}
+        if by:
+            cols[by] = pa.array(out[by], pa.string())
+        cols["value"] = pa.array(np.asarray(out["value"], np.int64))
+        cols["n_le"] = pa.array(np.asarray(out["n_le"], np.int64))
+        cols["n_total"] = pa.array(np.asarray(out["n_total"], np.int64))
+        return pa.table(cols)
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    keys = ([by] if by else []) + ["value"]
+    agg = part.groupby(keys).aggregate(
+        Sum("n_le", alias_name="n_le"), Sum("n_total", alias_name="n_total")
+    )
+    pdf = agg.to_pandas()
+    pdf["pct_mille"] = (
+        np.floor(1000.0 * pdf["n_le"].to_numpy(np.float64)
+                 / np.maximum(pdf["n_total"].to_numpy(np.float64), 1.0) + 0.5)
+    ).astype(np.int64)
+    for c in ("n_le", "n_total"):
+        pdf[c] = pdf[c].astype(np.int64)
+    return (
+        pdf.sort_values(keys).reset_index(drop=True)[
+            keys + ["n_le", "n_total", "pct_mille"]
+        ]
+    )

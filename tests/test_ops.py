@@ -799,3 +799,58 @@ def test_c4_rules_flags(ray_session):
     assert out["n_short_lines"].to_pylist()[4] == 1
     assert out["n_short_lines"].to_pylist()[0] == 0
     assert out["n_lines"].to_pylist()[5] == 1  # empty doc: 1 line, nothing passes
+
+
+def test_pq_lossless_when_codebook_covers_data(ray_session):
+    """ks = n distinct vectors with sampled-row init => centroids are the
+    data points themselves, quantization is lossless and PQ == brute."""
+    from splade_ray.ops.ann import pq_cosine_topk
+
+    rng = np.random.RandomState(4)
+    n, d = 40, 8
+    vecs = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ds = rd.from_items(rows)
+    q = vecs[:3]
+    got = pq_cosine_topk(
+        ds, np.arange(3), q, m=2, ks=n, iters=5, sample_size=n, top_k=6
+    )
+    brute = cosine_topk(ds, np.arange(3), q, top_k=6).to_pandas()
+    assert got["vec_id"].tolist() == brute["vec_id"].tolist()
+    np.testing.assert_allclose(
+        got["sim"].to_numpy(), brute["sim"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_pq_deterministic_and_reasonable_recall(ray_session):
+    from splade_ray.ops.ann import pq_cosine_topk
+
+    rng = np.random.RandomState(9)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ds = rd.from_items(rows)
+    q = vecs[:5]
+    # fine codes (dsub=2, ks=64) — the high-recall end of the PQ tradeoff
+    a = pq_cosine_topk(ds, np.arange(5), q, m=8, ks=64, top_k=10, sample_size=400)
+    b = pq_cosine_topk(ds, np.arange(5), q, m=8, ks=64, top_k=10, sample_size=400)
+    pd.testing.assert_frame_equal(a, b)  # seeded determinism
+    brute = cosine_topk(ds, np.arange(5), q, top_k=10).to_pandas()
+    recalls = []
+    for qid in range(5):
+        g = set(a[a.query_id == qid]["vec_id"])
+        t = set(brute[brute.query_id == qid]["vec_id"])
+        recalls.append(len(g & t) / len(t))
+    assert np.mean(recalls) >= 0.6, recalls
+    # and the ADC approximation error itself is small at this code rate:
+    # each query's own vector must rank #1 with sim ~ 1
+    for qid in range(5):
+        top = a[a.query_id == qid].iloc[0]
+        assert top["vec_id"] == qid and top["sim"] > 0.9
+
+
+def test_pq_rejects_indivisible_dim():
+    from splade_ray.ops.ann import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(np.zeros((10, 7)), m=2, ks=4)

@@ -246,3 +246,31 @@ def test_heavy_hitters_by_partitioning_invariant(ray_session):
         else:
             pd.testing.assert_frame_equal(frame, base[0])
             pd.testing.assert_frame_equal(cert, base[1])
+
+
+def test_percentile_ranks_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from splade_ray.ops.sketch import percentile_ranks
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 1000, 5000).astype(np.int64)
+    groups = np.array(["g%d" % (i % 3) for i in range(5000)], object)
+    ds = rd.from_arrow(
+        pa.table({"v": vals, "g": pa.array(groups, pa.string())})
+    ).repartition(9)
+    thresholds = [0, 100, 499, 999, 2000]
+    got = percentile_ranks(ds, "v", thresholds, by="g")
+    for g in ("g0", "g1", "g2"):
+        sub = vals[groups == g]
+        for t in thresholds:
+            row = got[(got.g == g) & (got.value == t)].iloc[0]
+            n_le = int((sub <= t).sum())
+            assert row["n_le"] == n_le and row["n_total"] == sub.size
+            assert row["pct_mille"] == int(
+                np.floor(1000.0 * n_le / sub.size + 0.5)
+            )
+    # global (ungrouped) variant
+    g2 = percentile_ranks(ds, "v", [500])
+    assert g2.iloc[0]["n_le"] == int((vals <= 500).sum())
+    assert g2.iloc[0]["n_total"] == 5000
