@@ -94,6 +94,7 @@ def cmd_query(args) -> int:
         scoring=args.scoring,
         mu=args.mu,
         lam=getattr(args, "lam", 0.1),
+        dfr_c=getattr(args, "dfr_c", 1.0),
     )
     if args.out.endswith(".json"):
         write_run_json(run, args.out)
@@ -115,6 +116,51 @@ def cmd_qsearch(args) -> int:
         queries,
         BM25Params(k1=args.k1, b=args.b, top_k=args.top_k, threshold=args.threshold),
         max_expansions=args.max_expansions,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_rescore(args) -> int:
+    """Two-pass retrieval: BM25 window + match_phrase rescore."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.io import write_run_json
+    from splade_ray.rescore import rescore_phrase
+
+    queries = _load_queries(args.queries)
+    phrases = dict(_load_queries(args.phrases)) if args.phrases else None
+    run = rescore_phrase(
+        args.index, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        phrases=phrases, window_size=args.window_size,
+        score_mode=args.score_mode, query_weight=args.query_weight,
+        rescore_query_weight=args.rescore_query_weight,
+    )
+    if args.out.endswith(".json"):
+        write_run_json(run, args.out)
+    else:
+        run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run), "out": args.out}))
+    return 0
+
+
+def cmd_ctsearch(args) -> int:
+    """CommonTermsQuery retrieval (df-cutoff low/high term split)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.boolq import common_terms_search
+    from splade_ray.io import write_run_json
+
+    queries = _load_queries(args.queries)
+    run = common_terms_search(
+        args.index, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        cutoff_frequency=args.cutoff,
     )
     if args.out.endswith(".json"):
         write_run_json(run, args.out)
@@ -356,7 +402,8 @@ def cmd_suggest(args) -> int:
 
     queries = _load_queries(args.queries)
     if args.mode == "terms":
-        out = suggest_terms(args.index, queries, max_dist=args.max_dist, m=args.m)
+        out = suggest_terms(args.index, queries, max_dist=args.max_dist, m=args.m,
+                            transpositions=args.transpositions)
     elif args.mode == "prefix":
         out = prefix_search(
             args.index, queries, BM25Params(top_k=args.top_k), max_terms=args.max_terms
@@ -371,6 +418,7 @@ def cmd_suggest(args) -> int:
         out = fuzzy_search(
             args.index, queries, BM25Params(top_k=args.top_k),
             max_dist=args.max_dist, max_terms=args.max_terms,
+            transpositions=args.transpositions,
         )
     out.to_parquet(args.out, index=False)
     print(json.dumps({"mode": args.mode, "queries": len(queries),
@@ -568,6 +616,7 @@ def cmd_explain(args) -> int:
         args.index, queries, ids,
         BM25Params(k1=args.k1, b=args.b),
         scoring=args.scoring, mu=args.mu, lam=getattr(args, "lam", 0.1),
+        dfr_c=getattr(args, "dfr_c", 1.0),
     )
     out.to_parquet(args.out, index=False)
     print(json.dumps({"queries": len(queries), "docs": len(ids),
@@ -1277,14 +1326,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--threshold", type=float, default=0.0)
     q.add_argument("--k1", type=float, default=1.2)
     q.add_argument("--b", type=float, default=0.75)
-    q.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf"],
+    q.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf", "dfr"],
                    default="bm25",
                    help="similarity: Okapi BM25, Dirichlet QL, "
-                        "Jelinek-Mercer QL or classic TF-IDF")
+                        "Jelinek-Mercer QL, classic TF-IDF or DFR InL2")
     q.add_argument("--mu", type=float, default=2000.0,
                    help="Dirichlet smoothing parameter (scoring=ql)")
     q.add_argument("--lam", type=float, default=0.1,
                    help="Jelinek-Mercer lambda (scoring=lmjm)")
+    q.add_argument("--dfr-c", type=float, default=1.0,
+                   help="DFR H2 length-normalization c (scoring=dfr)")
     q.set_defaults(fn=cmd_query)
 
     qs = sub.add_parser(
@@ -1427,6 +1478,39 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--b", type=float, default=0.75)
     cl.set_defaults(fn=cmd_collapse)
 
+    rs = sub.add_parser(
+        "rescore",
+        help="two-pass retrieval: BM25 window + match_phrase rescore "
+             "(needs the positional layer)",
+    )
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--queries", required=True, help="TSV: id\ttext")
+    rs.add_argument("--phrases", default=None,
+                    help="TSV: id\tphrase (default: the query's own text)")
+    rs.add_argument("--out", required=True, help="run.json or .parquet")
+    rs.add_argument("--window-size", type=int, default=50)
+    rs.add_argument("--score-mode",
+                    choices=["total", "multiply", "avg", "max", "min"],
+                    default="total")
+    rs.add_argument("--query-weight", type=float, default=1.0)
+    rs.add_argument("--rescore-query-weight", type=float, default=1.0)
+    rs.add_argument("--top-k", type=int, default=10)
+    rs.add_argument("--k1", type=float, default=1.2)
+    rs.add_argument("--b", type=float, default=0.75)
+    rs.set_defaults(fn=cmd_rescore)
+
+    ct = sub.add_parser("ctsearch", help="CommonTermsQuery retrieval "
+                        "(low-df terms gate, high-df terms score-only)")
+    ct.add_argument("--index", required=True)
+    ct.add_argument("--queries", required=True, help="TSV: id\ttext")
+    ct.add_argument("--out", required=True, help="run.json or .parquet")
+    ct.add_argument("--cutoff", type=float, default=0.01,
+                    help="df/N cutoff separating low from common terms")
+    ct.add_argument("--top-k", type=int, default=10)
+    ct.add_argument("--k1", type=float, default=1.2)
+    ct.add_argument("--b", type=float, default=0.75)
+    ct.set_defaults(fn=cmd_ctsearch)
+
     sg = sub.add_parser("suggest", help="did-you-mean / prefix / fuzzy queries")
     sg.add_argument("--index", required=True)
     sg.add_argument("--queries", required=True,
@@ -1435,6 +1519,8 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--mode", choices=["terms", "prefix", "fuzzy", "wildcard"],
                     default="terms")
     sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("--transpositions", action="store_true",
+                    help="Damerau-Levenshtein metric (adjacent swap = 1 edit)")
     sg.add_argument("-m", type=int, default=5, help="suggestions per query")
     sg.add_argument("--max-terms", type=int, default=128,
                     help="expansion cap (prefix/fuzzy retrieval)")
@@ -1545,10 +1631,11 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--queries", required=True, help="TSV: id\\tquery text")
     ex.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
     ex.add_argument("--out", required=True, help=".parquet")
-    ex.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf"],
+    ex.add_argument("--scoring", choices=["bm25", "ql", "lmjm", "tfidf", "dfr"],
                     default="bm25")
     ex.add_argument("--mu", type=float, default=2000.0)
     ex.add_argument("--lam", type=float, default=0.1)
+    ex.add_argument("--dfr-c", type=float, default=1.0)
     ex.add_argument("--k1", type=float, default=1.2)
     ex.add_argument("--b", type=float, default=0.75)
     ex.set_defaults(fn=cmd_explain)

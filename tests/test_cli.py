@@ -630,3 +630,23 @@ def test_cli_curate_ppl_stage(ray_session, tmp_path, capsys):
     assert summary["rows_after"] == {"ppl": 4}
     kept = pd.read_parquet(out + "/ppl")
     assert sorted(kept["doc_id"]) == [0, 1, 2, 3]
+
+
+def test_cli_rescore_and_ctsearch(ray_session, corpus_dir, tmp_path, capsys):
+    index = str(tmp_path / "index")
+    assert main(["build", "--corpus", corpus_dir, "--index", index,
+                 "--rows-per-segment", "3"]) == 0
+    assert main(["positions", "--index", index]) == 0
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\thash_join merge\n1\tstream window\n")
+    out1 = str(tmp_path / "rescore.parquet")
+    assert main(["rescore", "--index", index, "--queries", str(queries),
+                 "--out", out1, "--window-size", "5", "--top-k", "3"]) == 0
+    r = pq.read_table(out1).to_pandas()
+    assert set(r.columns) == {"query_id", "rank", "doc_id", "score"}
+    assert len(r) > 0
+    out2 = str(tmp_path / "ct.parquet")
+    assert main(["ctsearch", "--index", index, "--queries", str(queries),
+                 "--out", out2, "--cutoff", "0.5", "--top-k", "3"]) == 0
+    c = pq.read_table(out2).to_pandas()
+    assert len(c) > 0
