@@ -2765,6 +2765,31 @@ def _ann_queries(sf_dir: str):
     return emb_path, q_ids, q_mat
 
 
+ANN_FILTER_LABEL = 2
+
+
+def q_ann_filtered(sf_dir: str):
+    """Filtered kNN (ES knn query with `filter`): brute cosine top-k over
+    ONLY the vectors passing an attribute predicate — expressed the
+    Ray-idiomatic way, a parquet predicate-pushdown read feeding the same
+    exact scorer (pre-filter semantics: the filter shrinks the candidate
+    set before scoring, so top-k is exact over the filtered set and rows
+    outside the predicate never leave storage)."""
+    import pyarrow.dataset as pads
+
+    from splade_ray.ops.ann import cosine_topk
+
+    emb_path, q_ids, q_mat = _ann_queries(sf_dir)
+    ds = _rpq(
+        emb_path, columns=["vec_id", "embedding"],
+        filter=pads.field("label") == ANN_FILTER_LABEL,
+    )
+    out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
 def q_ann_pq_exact(sf_dir: str):
     """Product quantization at the lossless point (ops/ann.pq_cosine_topk
     with ks >= n and a full-coverage sample): sampled-row k-means centroids
@@ -4878,6 +4903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_sq8": q_ann_cosine_topk_sq8,
+        "ann_filtered_topk": q_ann_filtered,
         "ann_pq_exact": q_ann_pq_exact,
         "ann_pq_topk": q_ann_pq_topk,
         "minhash_sigs": q_minhash_sigs,
@@ -6556,6 +6582,19 @@ q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 sims AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS sim FROM q CROSS JOIN e),
 ranked AS (SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
+FROM ranked WHERE rank <= {TOP_K}
+""",
+        "ann_filtered_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+c AS (SELECT vec_id, v FROM e WHERE label = {ANN_FILTER_LABEL}),
+sims AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+         FROM q CROSS JOIN c),
+ranked AS (SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id ASC) AS rank
            FROM sims)
 SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}
