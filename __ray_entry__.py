@@ -2078,6 +2078,99 @@ def q_match_extended_stats(sf_dir: str):
     )
 
 
+# ES filters / range aggregation fixtures (docvalues.filters_agg/range_agg)
+FILTERS_AGG_SPEC = {
+    "short": ("range", "n_chars", None, 250),
+    "long": ("range", "n_chars", 251, None),
+    "latin": ("terms", "lang", ["en", "fr", "es"]),
+}
+RANGE_AGG_RANGES = [(None, 200), (200, 400), (400, None)]
+RARE_MAX_DOC_COUNT = 2
+
+
+def q_filters_agg(sf_dir: str):
+    """ES filters aggregation (docvalues.filters_agg): named buckets of each
+    query's live matches — two n_chars ranges + a lang terms filter — every
+    (query, filter) pair present with exact counts (empty buckets = 0).
+    Filter masks are query-independent, computed once per segment."""
+    from splade_ray.docvalues import filters_agg
+
+    return filters_agg(_dv2_index(sf_dir), BM25_QUERIES, filters=FILTERS_AGG_SPEC)
+
+
+def q_range_agg(sf_dir: str):
+    """ES range aggregation (docvalues.range_agg): per-query match counts in
+    explicit n_chars ranges — `from` inclusive, `to` EXCLUSIVE (the ES
+    contract, unlike the inclusive range *filter*), open bounds as '*'."""
+    from splade_ray.docvalues import range_agg
+
+    return range_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, numeric_col="n_chars",
+        ranges=RANGE_AGG_RANGES,
+    )
+
+
+def q_multi_terms(sf_dir: str):
+    """ES multi_terms aggregation (docvalues.multi_terms_agg): per query the
+    top-10 (lang, source) value tuples of live matches by exact doc count,
+    ties pinned (n_docs desc, tuple asc) — the terms-agg ordering over
+    composite keys."""
+    from splade_ray.docvalues import multi_terms_agg
+
+    return multi_terms_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, cols=["lang", "source"], top=TOP_K
+    )
+
+
+def q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation, exact form (docvalues.rare_terms_agg):
+    n_chars values whose GLOBAL live-match count is <= RARE_MAX_DOC_COUNT per
+    query — segments emit full facet counts so global rarity is exact (ES
+    approximates with a CuckooFilter)."""
+    from splade_ray.docvalues import rare_terms_agg
+
+    return rare_terms_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, col="n_chars",
+        max_doc_count=RARE_MAX_DOC_COUNT,
+    )
+
+
+def _dv4_index(sf_dir: str) -> str:
+    """Index with a derived integer weight column (w = doc_id % 7 + 1,
+    deterministic so the SQL oracle mirrors it) beside n_chars — the
+    weighted_avg probe."""
+    work = _work_dir(sf_dir, "dvidx4")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_w(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.append_column("w", pa.array(ids % 7 + 1))
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+            add_w, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        corpus_dir, index_dir, text_col="text", id_col="doc_id",
+        rows_per_segment=1000, block_size=64, extra_doc_cols=("n_chars", "w"),
+    )
+    return index_dir
+
+
+def q_weighted_avg(sf_dir: str):
+    """ES weighted_avg aggregation (docvalues.weighted_avg_agg): integer
+    partials (n_docs, Σ n_chars·w, Σ w) per query over live matches, w a
+    derived doc-values weight — the weighted mean derives from the exact
+    partials driver-side."""
+    from splade_ray.docvalues import weighted_avg_agg
+
+    return weighted_avg_agg(
+        _dv4_index(sf_dir), BM25_QUERIES, value_col="n_chars", weight_col="w"
+    )
+
+
 def _dv2_index(sf_dir: str) -> str:
     """Index with string sidecar doc columns (lang, source) alongside
     n_chars — the string doc-values probes."""
@@ -4847,6 +4940,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_multi": q_sort_multi,
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
+        "filters_agg": q_filters_agg,
+        "range_agg": q_range_agg,
+        "multi_terms": q_multi_terms,
+        "rare_terms": q_rare_terms,
+        "weighted_avg": q_weighted_avg,
         "match_stats": q_match_stats,
         "match_extended_stats": q_match_extended_stats,
         "synonym_topk": q_synonym_topk,
@@ -6051,6 +6149,100 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY 1, 2"""
 
 
+def _filters_agg_sql() -> str:
+    """filters-agg mirror: conditional counts per query unpivoted to
+    (query_id, filter, n_docs), all (query, filter) pairs present."""
+    qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+    names = ", ".join(f"('{n}')" for n in sorted(FILTERS_AGG_SPEC))
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+cnt AS (SELECT m.query_id,
+               count(*) FILTER (WHERE d.n_chars <= 250) AS f_short,
+               count(*) FILTER (WHERE d.n_chars >= 251) AS f_long,
+               count(*) FILTER (WHERE d.lang IN ('en','fr','es')) AS f_latin
+        FROM m JOIN documents d USING (doc_id) GROUP BY m.query_id),
+u AS (SELECT query_id, 'short' AS filter, f_short AS n FROM cnt
+      UNION ALL SELECT query_id, 'long', f_long FROM cnt
+      UNION ALL SELECT query_id, 'latin', f_latin FROM cnt),
+ql(query_id) AS (VALUES {qids}),
+fl(filter) AS (VALUES {names})
+SELECT ql.query_id::BIGINT AS query_id, fl.filter,
+       coalesce(u.n, 0)::BIGINT AS n_docs
+FROM ql CROSS JOIN fl LEFT JOIN u USING (query_id, filter)"""
+
+
+def _range_agg_sql() -> str:
+    """range-agg mirror: `from` inclusive / `to` exclusive counts per query,
+    ES '*'-keyed open bounds, empty buckets as zero rows."""
+    from splade_ray.docvalues import range_key
+
+    qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+    keys, conds = [], []
+    for lo, hi in RANGE_AGG_RANGES:
+        keys.append(range_key(lo, hi))
+        c = []
+        if lo is not None:
+            c.append(f"d.n_chars >= {lo}")
+        if hi is not None:
+            c.append(f"d.n_chars < {hi}")
+        conds.append(" AND ".join(c) or "TRUE")
+    sels = "\n      UNION ALL ".join(
+        f"SELECT query_id, '{k}' AS range_key, c{i} AS n FROM cnt"
+        for i, k in enumerate(keys)
+    )
+    cols = ",\n               ".join(
+        f"count(*) FILTER (WHERE {c}) AS c{i}" for i, c in enumerate(conds)
+    )
+    rkeys = ", ".join(f"('{k}')" for k in keys)
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+cnt AS (SELECT m.query_id,
+               {cols}
+        FROM m JOIN documents d USING (doc_id) GROUP BY m.query_id),
+u AS ({sels}),
+ql(query_id) AS (VALUES {qids}),
+rk(range_key) AS (VALUES {rkeys})
+SELECT ql.query_id::BIGINT AS query_id, rk.range_key,
+       coalesce(u.n, 0)::BIGINT AS n_docs
+FROM ql CROSS JOIN rk LEFT JOIN u USING (query_id, range_key)"""
+
+
+def _multi_terms_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+g AS (SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs,
+             row_number() OVER (PARTITION BY m.query_id
+                                ORDER BY count(*) DESC, d.lang ASC,
+                                         d.source ASC) AS rank
+      FROM m JOIN documents d USING (doc_id)
+      GROUP BY m.query_id, d.lang, d.source)
+SELECT query_id, rank::BIGINT AS rank, lang, source, n_docs
+FROM g WHERE rank <= {TOP_K}"""
+
+
+def _rare_terms_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id, d.n_chars::VARCHAR AS value, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1, 2 HAVING count(*) <= {RARE_MAX_DOC_COUNT}"""
+
+
+def _weighted_avg_sql() -> str:
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       sum(d.n_chars * (d.doc_id % 7 + 1))::BIGINT AS sum_vw,
+       sum(d.doc_id % 7 + 1)::BIGINT AS sum_w
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id"""
+
+
 def _synonym_sql() -> str:
     """SynonymQuery mirror: per (query, group) the member list, group tf =
     sum of member tfs per doc, group df = max member df (only members
@@ -6325,6 +6517,11 @@ FROM documents""",
         "sort_multi": _sort_multi_sql(),
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
+        "filters_agg": _filters_agg_sql(),
+        "range_agg": _range_agg_sql(),
+        "multi_terms": _multi_terms_sql(),
+        "rare_terms": _rare_terms_sql(),
+        "weighted_avg": _weighted_avg_sql(),
         "match_stats": _match_stats_sql(),
         "match_extended_stats": _match_extended_stats_sql(),
         "synonym_topk": _synonym_sql(),

@@ -848,6 +848,403 @@ def top_hits_agg(
     return pdf.reset_index(drop=True)[TOP_HITS_COLUMNS]
 
 
+def _filter_mask(spec: tuple, colvals: dict, n: int) -> np.ndarray:
+    """Boolean doc mask for one named-filter predicate spec:
+    ``("range", col, lo, hi)`` (inclusive, None = unbounded) or
+    ``("terms", col, [values...])`` (exact membership)."""
+    kind = spec[0]
+    if kind == "range":
+        _, col, lo, hi = spec
+        v = colvals[col]
+        m = np.ones(n, bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v <= hi
+        return m
+    if kind == "terms":
+        _, col, values = spec
+        return np.isin(colvals[col], np.asarray(list(values)))
+    raise ValueError(f"unknown filter kind {kind!r}")
+
+
+def filters_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    filters: dict[str, tuple],
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``filters`` aggregation: named buckets of each query's live
+    matches, one bucket per entry of ``filters`` — ``{name: ("range", col,
+    lo, hi) | ("terms", col, [values...])}`` over sidecar doc-values
+    columns. Returns (query_id, filter, n_docs) for EVERY (query, filter)
+    pair (empty buckets = 0, the ES contract), sorted by (query_id, filter).
+
+    Scale shape: filter masks are query-independent — computed once per
+    segment and reused across queries; each segment emits at most
+    queries × len(filters) count rows."""
+    from splade_ray.delete import load_tombstones
+
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    names = sorted(filters)
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "filter": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        cols = {c for spec in filters.values() for c in [spec[1]]}
+        colvals = {c: seg.doc_values(c) for c in cols}
+        masks = {
+            name: _filter_mask(filters[name], colvals, seg.doc_ids.size)
+            for name in names
+        }
+        out = {"query_id": [], "filter": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            matched = _matched_mask(seg, terms)
+            if not matched.any():
+                continue
+            for name in names:
+                n = int((matched & masks[name]).sum())
+                if n:
+                    out["query_id"].append(qid)
+                    out["filter"].append(name)
+                    out["n_docs"].append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "filter": pa.array(out["filter"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    qids = sorted({int(q) for q, _ in queries})
+    base = pd.DataFrame(
+        [(q, n) for q in qids for n in names], columns=["query_id", "filter"]
+    )
+    base["query_id"] = base["query_id"].astype(np.int64)
+    if pdf.empty:
+        base["n_docs"] = np.int64(0)
+        return base
+    agg = pdf.groupby(["query_id", "filter"], as_index=False)["n_docs"].sum()
+    out = base.merge(agg, on=["query_id", "filter"], how="left")
+    out["n_docs"] = out["n_docs"].fillna(0).astype(np.int64)
+    return out.sort_values(["query_id", "filter"]).reset_index(drop=True)
+
+
+def range_key(lo, hi) -> str:
+    """The ES range-agg bucket key: "lo-hi" with "*" for an open bound."""
+    fmt = lambda v: "*" if v is None else str(v)  # noqa: E731
+    return f"{fmt(lo)}-{fmt(hi)}"
+
+
+def range_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    numeric_col: str,
+    ranges: list[tuple],
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``range`` aggregation over matches: per query, live-match counts
+    per explicit range — ``from`` INCLUSIVE, ``to`` EXCLUSIVE (the ES
+    contract, unlike the inclusive doc-values range *filter*), ``None`` =
+    unbounded. Ranges may overlap (a doc counts in every range containing
+    it). Returns (query_id, range_key, n_docs) for every (query, range)
+    pair including empty buckets, sorted by (query_id, range_key)."""
+    from splade_ray.delete import load_tombstones
+
+    if not ranges:
+        raise ValueError("range_agg needs at least one range")
+    keys = [range_key(lo, hi) for lo, hi in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError("duplicate range keys")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "range_key": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        v = _numeric_column(seg_dir, numeric_col)
+        masks = []
+        for (lo, hi), key in zip(ranges, keys):
+            m = np.ones(v.size, bool)
+            if lo is not None:
+                m &= v >= lo
+            if hi is not None:
+                m &= v < hi  # exclusive upper bound: the ES range-agg `to`
+            masks.append((key, m))
+        out = {"query_id": [], "range_key": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            matched = _matched_mask(seg, terms)
+            if not matched.any():
+                continue
+            for key, m in masks:
+                n = int((matched & m).sum())
+                if n:
+                    out["query_id"].append(qid)
+                    out["range_key"].append(key)
+                    out["n_docs"].append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "range_key": pa.array(out["range_key"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    qids = sorted({int(q) for q, _ in queries})
+    base = pd.DataFrame(
+        [(q, k) for q in qids for k in keys], columns=["query_id", "range_key"]
+    )
+    base["query_id"] = base["query_id"].astype(np.int64)
+    if pdf.empty:
+        base["n_docs"] = np.int64(0)
+        return base.sort_values(["query_id", "range_key"]).reset_index(drop=True)
+    agg = pdf.groupby(["query_id", "range_key"], as_index=False)["n_docs"].sum()
+    out = base.merge(agg, on=["query_id", "range_key"], how="left")
+    out["n_docs"] = out["n_docs"].fillna(0).astype(np.int64)
+    return out.sort_values(["query_id", "range_key"]).reset_index(drop=True)
+
+
+def multi_terms_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    cols: list[str],
+    top: int = 10,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``multi_terms`` aggregation: per query, the ``top`` most frequent
+    value TUPLES of the given doc-values columns over live matches, ordered
+    (n_docs desc, tuple asc) — ties pinned like the terms agg. Returns
+    (query_id, rank, <col>..., n_docs) sorted by (query_id, rank). Counts
+    are EXACT: each segment emits its full per-query tuple table (tuple
+    cardinality must be aggregate-small, the facet contract)."""
+    from splade_ray.delete import load_tombstones
+
+    if not cols or len(cols) < 2:
+        raise ValueError("multi_terms_agg needs >= 2 source columns")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty_pd = pd.DataFrame(columns=["query_id", *cols, "n_docs"])
+    empty = pa.Table.from_pandas(
+        empty_pd.astype({"query_id": np.int64, "n_docs": np.int64}),
+        preserve_index=False,
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table | None:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        colvals = {c: seg.doc_values(c) for c in cols}
+        parts = []
+        for qid, terms in prep["queries"].items():
+            hit = np.flatnonzero(_matched_mask(seg, terms))
+            if hit.size == 0:
+                continue
+            g = (
+                pd.DataFrame({c: colvals[c][hit] for c in cols})
+                .groupby(cols, as_index=False)
+                .size()
+                .rename(columns={"size": "n_docs"})
+            )
+            g.insert(0, "query_id", np.int64(qid))
+            parts.append(g)
+        if not parts:
+            return None
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    out_cols = ["query_id", "rank", *cols, "n_docs"]
+    if pdf.empty:
+        out = pd.DataFrame(columns=out_cols)
+        return out.astype({"query_id": np.int64, "rank": np.int64,
+                           "n_docs": np.int64})
+    agg = pdf.groupby(["query_id", *cols], as_index=False)["n_docs"].sum()
+    agg = agg.sort_values(["query_id", "n_docs", *cols],
+                          ascending=[True, False, *[True] * len(cols)],
+                          kind="mergesort")
+    agg["rank"] = agg.groupby("query_id").cumcount().add(1).astype(np.int64)
+    agg = agg[agg["rank"] <= top]
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg.reset_index(drop=True)[out_cols]
+
+
+def rare_terms_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    col: str,
+    max_doc_count: int = 1,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``rare_terms`` aggregation (exact form): per query, the doc-values
+    column's values whose GLOBAL live-match count is <= ``max_doc_count``,
+    ascending by value. ES approximates with a CuckooFilter; counts here are
+    exact — rarity is a global property, so every segment emits its full
+    per-query value counts (facet-cardinality-sized) and the driver keeps
+    values whose summed count is under the cap. Returns (query_id, value,
+    n_docs) sorted by (query_id, value)."""
+    from splade_ray.delete import load_tombstones
+
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = seg.doc_values(col)
+        out = {"query_id": [], "value": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            hit = np.flatnonzero(_matched_mask(seg, terms))
+            if hit.size == 0:
+                continue
+            u, counts = np.unique(vals[hit], return_counts=True)
+            out["query_id"].extend([qid] * u.size)
+            out["value"].extend(str(v) for v in u)
+            out["n_docs"].extend(counts.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "value": pa.array(out["value"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=str),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    agg = pdf.groupby(["query_id", "value"], as_index=False)["n_docs"].sum()
+    agg = agg[agg["n_docs"] <= max_doc_count]
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg.sort_values(["query_id", "value"]).reset_index(drop=True)
+
+
+def weighted_avg_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    value_col: str,
+    weight_col: str,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``weighted_avg`` aggregation over matches: per query the integer
+    partials (n_docs, sum_vw = Σ value·weight, sum_w = Σ weight) over live
+    matching docs — the weighted mean derives driver-side as sum_vw/sum_w so
+    every emitted column stays integer-exact (the numeric_stats contract).
+    Both columns must be integer sidecar doc-values. Queries with zero
+    matches are omitted; sorted by query_id."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_vw": pa.array([], pa.int64()),
+            "sum_w": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        v = _numeric_column(seg_dir, value_col)
+        w = _numeric_column(seg_dir, weight_col)
+        if not (np.issubdtype(v.dtype, np.integer)
+                and np.issubdtype(w.dtype, np.integer)):
+            raise TypeError(
+                "weighted_avg_agg is integer-exact; "
+                f"{value_col!r}/{weight_col!r} must be integer columns"
+            )
+        v, w = v.astype(np.int64), w.astype(np.int64)
+        out = {"query_id": [], "n_docs": [], "sum_vw": [], "sum_w": []}
+        for qid, terms in prep["queries"].items():
+            m = _matched_mask(seg, terms)
+            if not m.any():
+                continue
+            out["query_id"].append(qid)
+            out["n_docs"].append(int(m.sum()))
+            out["sum_vw"].append(int((v[m] * w[m]).sum()))
+            out["sum_w"].append(int(w[m].sum()))
+        return pa.table({k: pa.array(c, pa.int64()) for k, c in out.items()})
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=np.int64)
+             for k in ["query_id", "n_docs", "sum_vw", "sum_w"]}
+        )
+    return (
+        pdf.groupby("query_id", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_vw=("sum_vw", "sum"),
+             sum_w=("sum_w", "sum"))
+        .sort_values("query_id")
+        .reset_index(drop=True)
+    )
+
+
 def terms_set_search(
     index_dir: str,
     queries: list[tuple[int, str]],

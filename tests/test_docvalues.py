@@ -810,3 +810,102 @@ def test_terms_set_matches_bruteforce(ray_session, tmp_path):
         got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64),
         rtol=1e-12,
     )
+
+
+def test_filters_and_range_agg(built):
+    from splade_ray.docvalues import filters_agg, range_agg
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    cats = np.array(_cats())
+    filters = {
+        "small": ("range", "n_bytes", None, 300),
+        "big": ("range", "n_bytes", 301, None),
+        "s0s1": ("terms", "cat", ["s0", "s1"]),
+    }
+    got = filters_agg(index_dir, QUERIES, filters=filters)
+    # every (query, filter) pair appears, zero-match query included
+    assert len(got) == len(QUERIES) * len(filters)
+    for qid, text in QUERIES:
+        m = _matched(oi, text)
+        want = {
+            "small": int((m & (sizes <= 300)).sum()),
+            "big": int((m & (sizes >= 301)).sum()),
+            "s0s1": int((m & np.isin(cats, ["s0", "s1"])).sum()),
+        }
+        g = got[got["query_id"] == qid].set_index("filter")["n_docs"].to_dict()
+        assert g == want
+
+    ranges = [(None, 200), (200, 500), (500, None), (100, 400)]
+    ra = range_agg(index_dir, QUERIES, numeric_col="n_bytes", ranges=ranges)
+    assert len(ra) == len(QUERIES) * len(ranges)
+    from splade_ray.docvalues import range_key
+
+    for qid, text in QUERIES:
+        m = _matched(oi, text)
+        for lo, hi in ranges:
+            keep = m.copy()
+            if lo is not None:
+                keep &= sizes >= lo
+            if hi is not None:
+                keep &= sizes < hi  # exclusive `to`
+            row = ra[(ra["query_id"] == qid) & (ra["range_key"] == range_key(lo, hi))]
+            assert row["n_docs"].iloc[0] == int(keep.sum())
+
+
+def test_multi_terms_and_rare_terms(built):
+    from splade_ray.docvalues import multi_terms_agg, rare_terms_agg
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    cats = np.array(_cats())
+    band = (sizes // 300).astype(str)
+
+    # build the index's own (cat, n_bytes//300) tuples? multi_terms over
+    # (cat,) x sidecar n_bytes isn't a tuple of strings — use (cat, cat2)
+    # where cat2 rides as a second string column: reuse cat + band via a
+    # fresh index would be heavy; instead check (cat, n_bytes) tuples by
+    # re-deriving from the sidecars the index already has.
+    got = multi_terms_agg(index_dir, QUERIES[:2], cols=["cat", "n_bytes"], top=5)
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        df = pd.DataFrame({"cat": cats[m], "n_bytes": sizes[m]})
+        cnt = df.groupby(["cat", "n_bytes"], as_index=False).size()
+        cnt = cnt.sort_values(["size", "cat", "n_bytes"],
+                              ascending=[False, True, True], kind="mergesort")
+        want = cnt.head(5)
+        g = got[got["query_id"] == qid]
+        assert g["n_docs"].tolist() == want["size"].tolist()
+        assert g["cat"].tolist() == want["cat"].tolist()
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+    # rare n_bytes values (doc lengths are near-unique -> plenty of rares)
+    rt = rare_terms_agg(index_dir, QUERIES[:2], col="n_bytes", max_doc_count=1)
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        vc = pd.Series(sizes[m]).value_counts()
+        want = sorted(str(v) for v, c in vc.items() if c <= 1)
+        g = rt[rt["query_id"] == qid]
+        assert g["value"].tolist() == want
+        assert (g["n_docs"] == 1).all()
+
+
+def test_weighted_avg_agg(built):
+    from splade_ray.docvalues import weighted_avg_agg
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    # weight = n_bytes itself is legal but degenerate; reuse n_bytes as value
+    # and n_bytes as weight to validate the partials exactly
+    got = weighted_avg_agg(index_dir, QUERIES, value_col="n_bytes",
+                           weight_col="n_bytes")
+    for qid, text in QUERIES:
+        m = _matched(oi, text)
+        g = got[got["query_id"] == qid]
+        if not m.any():
+            assert g.empty
+            continue
+        v = sizes[m].astype(np.int64)
+        assert g["n_docs"].iloc[0] == int(m.sum())
+        assert g["sum_vw"].iloc[0] == int((v * v).sum())
+        assert g["sum_w"].iloc[0] == int(v.sum())
