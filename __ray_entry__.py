@@ -1987,6 +1987,125 @@ def q_rank_feature(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# distance_feature probe (ES distance_feature query over a numeric field,
+# composed as an additive rank_feature clause)
+DIST_FEATURES = [
+    {"field": "n_chars", "boost": 2.5,
+     "function": {"distance": {"origin": 300.0, "pivot": 150.0}}},
+]
+
+
+def q_distance_feature(sf_dir: str):
+    """ES distance_feature query (query.canonical_rank_features kind
+    'dist'): matching docs gain boost × pivot/(pivot + |n_chars − origin|)
+    — the ES closed form — added inside each segment before its cut."""
+    from splade_ray.docvalues import rank_feature_search
+
+    run = rank_feature_search(
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        rank_features=DIST_FEATURES,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+# ids / pinned query probes (100000 is deliberately absent at every sf)
+IDS_SETS = {1: [3, 17, 100000, 42], 2: [250, 5], 3: [100000]}
+PINNED_SETS = {0: [50, 100000, 7], 2: [9, 2], 6: [11]}
+
+
+def q_ids_query(sf_dir: str):
+    """ES ids query (structured.ids_search): requested ids that exist and
+    are live, constant score 1.0, doc_id-ascending ranks; missing ids drop
+    silently. I/O = pushdown isin reads of the doclens doc_id column only."""
+    from splade_ray.structured import ids_search
+
+    out = ids_search(_index_for(sf_dir), IDS_SETS)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def q_pinned_topk(sf_dir: str):
+    """ES pinned query (structured.pinned_search): per query the existing
+    pinned ids first in their given order (is_pinned=1, score 0.0), then
+    organic BM25 minus the pinned set, ranks continuous, top_k total."""
+    from splade_ray.structured import pinned_search
+
+    run = pinned_search(
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        pinned=PINNED_SETS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "is_pinned", "score_r"]]
+
+
+def _dv5_index(sf_dir: str) -> str:
+    """Index with a NULLABLE sidecar column (url = null on every third doc,
+    deterministic so the SQL oracle mirrors it) — the exists-query probe."""
+    work = _work_dir(sf_dir, "dvidx5")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_url(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            urls = pa.array(
+                [None if i % 3 == 0 else f"u{i}" for i in ids], pa.string()
+            )
+            return batch.append_column("url", urls)
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            add_url, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        corpus_dir, index_dir, text_col="text", id_col="doc_id",
+        rows_per_segment=1000, block_size=64, extra_doc_cols=("url",),
+    )
+    return index_dir
+
+
+def q_exists_topk(sf_dir: str):
+    """ES bool = match MUST + exists FILTER (structured.exists_search):
+    BM25 top-k over docs whose nullable url doc-values column is non-null;
+    the validity mask applies inside each segment before its cut."""
+    from splade_ray.structured import exists_search
+
+    run = exists_search(
+        _dv5_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        col="url",
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+# match_bool_prefix probes: last token is a prefix over the corpus lexicon
+MBP_QUERIES = [(1, "merge join s"), (2, "window b"), (3, "data qu")]
+MBP_MAX_TERMS = 10
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix (suggest.match_bool_prefix_search): fixed terms
+    keep their query tf, the last token expands as a capped ascending
+    prefix (qtf=1 per expansion), all clauses bool-should summed."""
+    from splade_ray.suggest import match_bool_prefix_search
+
+    run = match_bool_prefix_search(
+        _index_for(sf_dir), MBP_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        max_terms=MBP_MAX_TERMS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 COMPOSITE_SOURCES = ["lang", "source"]
 COMPOSITE_SIZE = 12
 
@@ -4941,6 +5060,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
         "filters_agg": q_filters_agg,
+        "ids_query": q_ids_query,
+        "pinned_topk": q_pinned_topk,
+        "exists_topk": q_exists_topk,
+        "distance_feature": q_distance_feature,
+        "match_bool_prefix": q_match_bool_prefix,
         "range_agg": q_range_agg,
         "multi_terms": q_multi_terms,
         "rare_terms": q_rare_terms,
@@ -5985,13 +6109,14 @@ FROM rr WHERE rn BETWEEN {lo} AND {hi}
 ORDER BY query_id, lang, source"""
 
 
-def _rank_feature_sql() -> str:
-    """rank_feature mirror, generated from RANK_FEATURES: matching docs
-    (base score > 0) get the summed closed-form bonuses added; term order
-    matches the engine's clause-order accumulation."""
+def _rank_feature_sql(feats=None) -> str:
+    """rank_feature mirror, generated from the spec list (default
+    RANK_FEATURES): matching docs (base score > 0) get the summed
+    closed-form bonuses added; term order matches the engine's clause-order
+    accumulation."""
     col = "d.n_chars"
     terms = []
-    for rf in RANK_FEATURES:
+    for rf in (RANK_FEATURES if feats is None else feats):
         boost = float(rf.get("boost", 1.0))
         (kind, spec), = rf["function"].items()
         if kind == "saturation":
@@ -6001,6 +6126,9 @@ def _rank_feature_sql() -> str:
         elif kind == "sigmoid":
             p, ex = float(spec["pivot"]), float(spec["exponent"])
             e = f"(pow({col}, {ex!r}) / (pow({col}, {ex!r}) + pow({p!r}, {ex!r})))"
+        elif kind == "distance":
+            o, p = float(spec["origin"]), float(spec["pivot"])
+            e = f"({p!r} / ({p!r} + abs({col} - {o!r})))"
         else:  # linear
             e = f"{col}"
         terms.append(f"{boost!r} * {e}")
@@ -6147,6 +6275,120 @@ SELECT m.query_id, (d.n_chars // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket,
        count(*)::BIGINT AS n_docs
 FROM m JOIN documents d USING (doc_id)
 GROUP BY 1, 2"""
+
+
+def _ids_sql() -> str:
+    """ids-query mirror: the requested (query, id) pairs semi-joined against
+    the corpus (missing ids drop), constant score, doc_id-ascending ranks."""
+    vals = ", ".join(
+        f"({qid}, {d})" for qid in sorted(IDS_SETS) for d in IDS_SETS[qid]
+    )
+    return f"""
+WITH iv(query_id, doc_id) AS (VALUES {vals}),
+f AS (SELECT DISTINCT iv.query_id, iv.doc_id
+      FROM iv JOIN documents d USING (doc_id))
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY doc_id ASC)::BIGINT AS rank,
+       doc_id, 1.0::DOUBLE AS score
+FROM f"""
+
+
+def _pinned_sql() -> str:
+    """pinned-query mirror: existing pinned ids first (given order, score
+    0.0), then the shared bm25 ranking minus the pinned set, one continuous
+    row_number per query capped at TOP_K."""
+    vals = ", ".join(
+        f"({qid}, {d}, {i})"
+        for qid in sorted(PINNED_SETS)
+        for i, d in enumerate(PINNED_SETS[qid], start=1)
+    )
+    return f"""{_bm25_cte()},
+pv(query_id, doc_id, ord) AS (VALUES {vals}),
+pins AS (SELECT pv.query_id, pv.doc_id, pv.ord
+         FROM pv JOIN documents d USING (doc_id)),
+org AS (SELECT r.query_id, r.doc_id, r.score FROM ranked r
+        WHERE NOT EXISTS (SELECT 1 FROM pins p
+                          WHERE p.query_id = r.query_id
+                            AND p.doc_id = r.doc_id)),
+u AS (SELECT query_id, doc_id, 1 AS is_pinned, 0.0 AS score, ord FROM pins
+      UNION ALL
+      SELECT query_id, doc_id, 0, score, 1000000000 FROM org),
+rr AS (SELECT query_id, doc_id, is_pinned, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY is_pinned DESC, ord ASC,
+                                          score DESC, doc_id ASC) AS rank
+       FROM u)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       is_pinned::BIGINT AS is_pinned, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _exists_sql() -> str:
+    """exists-filter mirror: the shared bm25 ranking restricted to docs
+    whose url sidecar is non-null (null iff doc_id % 3 == 0 by the _dv5
+    fixture construction), then re-ranked."""
+    return f"""{_bm25_cte()},
+f AS (SELECT r.query_id, r.doc_id, r.score FROM ranked r
+      WHERE r.doc_id % 3 != 0),
+rr AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM rr WHERE rank <= {TOP_K}"""
+
+
+def _match_bool_prefix_sql() -> str:
+    """match_bool_prefix mirror: fixed terms with their query tf UNION the
+    capped ascending LIKE-expansion of the last token (qtf=1 each), qtf
+    merged by sum, then the standard BM25 body."""
+    fixed_vals, pq_vals = [], []
+    for qid, text in MBP_QUERIES:
+        toks = text.split()
+        pq_vals.append(f"({qid}, '{toks[-1]}')")
+        for term, qtf in sorted(term_counts(" ".join(toks[:-1])).items()):
+            fixed_vals.append(f"({qid}, '{term}', {qtf})")
+    fv = ",\n    ".join(fixed_vals)
+    pv = ", ".join(pq_vals)
+    return f"""
+WITH {_TF},
+fixed(query_id, term, qtf) AS (VALUES
+    {fv}
+),
+pq(query_id, p) AS (VALUES {pv}),
+exp AS (SELECT pq.query_id, l.term, 1 AS qtf
+        FROM pq JOIN (SELECT DISTINCT term FROM tf) l
+          ON l.term LIKE pq.p || '%'
+        QUALIFY row_number() OVER (PARTITION BY pq.query_id ORDER BY l.term)
+                <= {MBP_MAX_TERMS}),
+q AS (SELECT query_id, term, sum(qtf)::DOUBLE AS qtf
+      FROM (SELECT * FROM fixed UNION ALL SELECT * FROM exp)
+      GROUP BY 1, 2),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
 
 
 def _filters_agg_sql() -> str:
@@ -6518,6 +6760,11 @@ FROM documents""",
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
         "filters_agg": _filters_agg_sql(),
+        "ids_query": _ids_sql(),
+        "pinned_topk": _pinned_sql(),
+        "exists_topk": _exists_sql(),
+        "distance_feature": _rank_feature_sql(DIST_FEATURES),
+        "match_bool_prefix": _match_bool_prefix_sql(),
         "range_agg": _range_agg_sql(),
         "multi_terms": _multi_terms_sql(),
         "rare_terms": _rare_terms_sql(),

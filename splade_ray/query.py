@@ -428,6 +428,9 @@ class SegmentIndex:
                 elif kind == "sig":
                     ve = v ** f[4]
                     add += boost * (ve / (ve + f[3] ** f[4]))
+                elif kind == "dist":
+                    # ES distance_feature: pivot / (pivot + |v - origin|)
+                    add += boost * (f[4] / (f[4] + np.abs(v - f[3])))
                 else:  # lin
                     add += boost * v
             got = self._fscore[key] = add
@@ -617,6 +620,13 @@ def canonical_rank_features(rank_features: list[dict]) -> list[tuple]:
         elif kind == "sigmoid":
             out.append(("sig", field, boost, float(spec["pivot"]),
                         float(spec["exponent"])))
+        elif kind == "distance":
+            # ES distance_feature query (numeric/date form): the clause
+            # adds boost × pivot / (pivot + |v − origin|) to matching docs
+            # — composed here as a rank_feature clause because both are
+            # additive bool-should bonuses over a doc-values field
+            out.append(("dist", field, boost, float(spec["origin"]),
+                        float(spec["pivot"])))
         elif kind == "linear":
             out.append(("lin", field, boost))
         else:

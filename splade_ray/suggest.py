@@ -309,6 +309,44 @@ def prefix_search(
     return search(index_dir, expanded, params, method=method, concurrency=concurrency)
 
 
+def match_bool_prefix_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    max_terms: int = 50,
+    query_lang: str | None = None,
+    method: str = "exact",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES ``match_bool_prefix``: the query text is analyzed, every token but
+    the last becomes a plain term clause (query tf preserved), and the LAST
+    token expands as a prefix (ascending lexicon order, capped at
+    ``max_terms`` — the Lucene rewrite cap), each expanded term contributing
+    qtf=1. All clauses are bool-should: scores sum, so an expansion that
+    collides with a fixed term simply adds to its qtf (pinned semantics).
+    ``query_lang`` selects the analyzer for per-lang indexes; the default
+    matches the collection-wide token class."""
+    from splade_ray.analysis import tokenize
+
+    params = params or BM25Params()
+    expanded = []
+    for qid, text in queries:
+        toks = tokenize(text or "", query_lang)
+        if not toks:
+            continue
+        *fixed, pre = toks
+        terms = list(fixed) + expand_prefix(index_dir, pre, max_terms=max_terms)
+        if terms:
+            expanded.append((int(qid), " ".join(terms)))
+    if not expanded:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64, "score": np.float64}
+        )
+    return search(index_dir, expanded, params, method=method,
+                  query_lang=query_lang, concurrency=concurrency)
+
+
 def fuzzy_search(
     index_dir: str,
     queries: list[tuple[int, str]],
