@@ -2085,6 +2085,36 @@ def q_exists_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# routing probes (ES _routing): hash-partitioned build, bucket-pruned search
+ROUTING_NB = 8
+ROUTING_VALUES = ["src1", "src5"]
+
+
+def q_routed_topk(sf_dir: str):
+    """Routed search (routing.routed_search — the ES _routing contract):
+    the corpus is hash-partitioned by `source` into ROUTING_NB bucket
+    indexes at build; the query fans out ONLY to the buckets of the given
+    routing values and scores BM25 under the probed scope's union stats.
+    Bucket hash = sha256-prefix mod n (SQL-mirrorable)."""
+    from splade_ray.routing import build_routed_index, routed_search
+
+    root = os.path.join(_work_dir(sf_dir, "routed"), "idx")
+    if not os.path.exists(os.path.join(root, "routing.json")):
+        build_routed_index(
+            os.path.join(sf_dir, "documents.parquet"), root,
+            routing_col="source", n_buckets=ROUTING_NB,
+            text_col="text", id_col="doc_id", rows_per_segment=1000,
+        )
+    run = routed_search(
+        root, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        routing=ROUTING_VALUES,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
 # match_bool_prefix probes: last token is a prefix over the corpus lexicon
 MBP_QUERIES = [(1, "merge join s"), (2, "window b"), (3, "data qu")]
 MBP_MAX_TERMS = 10
@@ -5061,6 +5091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": q_match_histogram,
         "filters_agg": q_filters_agg,
         "ids_query": q_ids_query,
+        "routed_topk": q_routed_topk,
         "pinned_topk": q_pinned_topk,
         "exists_topk": q_exists_topk,
         "distance_feature": q_distance_feature,
@@ -6391,6 +6422,58 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _routed_sql() -> str:
+    """Routed-search mirror: the probed bucket set is computed from
+    ROUTING_VALUES with the same sha256-prefix hash the engine uses, the
+    corpus restricted to docs whose `source` hashes into it, then the full
+    BM25 body over that subcorpus (probed-scope stats — the search_multi
+    union contract)."""
+    from splade_ray.routing import bucket_sql_expr, routing_bucket
+
+    probed = sorted(set(routing_bucket(ROUTING_VALUES, ROUTING_NB).tolist()))
+    bl = ", ".join(str(b) for b in probed)
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH docs AS (SELECT * FROM documents
+              WHERE {bucket_sql_expr('source', ROUTING_NB)} IN ({bl})),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_SQL}')) AS term
+  FROM docs
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT d.doc_id, coalesce(x.dl, 0)::DOUBLE AS dl
+       FROM docs d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) x
+       USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def _filters_agg_sql() -> str:
     """filters-agg mirror: conditional counts per query unpivoted to
     (query_id, filter, n_docs), all (query, filter) pairs present."""
@@ -6761,6 +6844,7 @@ FROM documents""",
         "match_histogram": _match_histogram_sql(),
         "filters_agg": _filters_agg_sql(),
         "ids_query": _ids_sql(),
+        "routed_topk": _routed_sql(),
         "pinned_topk": _pinned_sql(),
         "exists_topk": _exists_sql(),
         "distance_feature": _rank_feature_sql(DIST_FEATURES),
