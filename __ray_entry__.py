@@ -2520,6 +2520,31 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+# temperature source-mixing probe (ops/sample.temperature_sample)
+MIX_ALPHA = 0.5
+MIX_TARGET = 200
+MIX_SEED = 13
+
+
+def q_mix_sample(sf_dir: str):
+    """Temperature source mixing (ops/sample.temperature_sample — the
+    XLM-R alpha-scaling rule p_g ∝ n_g^alpha): per-source quotas by
+    largest-remainder apportionment, selection = each source's quota rows
+    with the smallest (hash(id), id) — deterministic and partitioning-
+    invariant; rows outside every quota never shuffle."""
+    from splade_ray.ops.sample import temperature_sample
+
+    out, _ = temperature_sample(
+        _docs(sf_dir, ["doc_id", "source"]), group_col="source",
+        id_col="doc_id", alpha=MIX_ALPHA, target=MIX_TARGET, seed=MIX_SEED,
+    )
+    return (
+        out.to_pandas()[["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 DECONTAM_K = 4  # eval-overlap gram width (Brown et al. 2020 use 13; the
 DECONTAM_MOD = 10  # synthetic 31-word vocab needs a narrower gram to mix)
 PACK_BUDGET = 512  # tokens per training pack
@@ -4356,6 +4381,27 @@ ORDER BY sample_rank LIMIT {BOTTOMK}""",
         "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE {b} < CASE lang {strata_case} ELSE {threshold(STRATA_DEFAULT)} END""",
+        "mix_sample": f"""
+WITH c AS (SELECT source AS g, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+w AS (SELECT g, n, pow(n, {MIX_ALPHA}) AS wt FROM c),
+tot AS (SELECT sum(wt) AS s FROM w),
+raw AS (SELECT g, n, round({MIX_TARGET} * wt / s, 9) AS r FROM w CROSS JOIN tot),
+base AS (SELECT g, n, floor(r)::BIGINT AS b,
+                round(r - floor(r), 9) AS frac FROM raw),
+rem AS (SELECT {MIX_TARGET} - sum(b) AS k FROM base),
+ordered AS (SELECT g, row_number() OVER (ORDER BY frac DESC, g ASC) AS rn
+            FROM base),
+tgt AS (SELECT base.g,
+               least(base.b + CASE WHEN o.rn <= r.k THEN 1 ELSE 0 END,
+                     base.n) AS t
+        FROM base JOIN ordered o USING (g) CROSS JOIN rem r),
+sel AS (SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY {hash_sql('d.doc_id', MIX_SEED)},
+                                           d.doc_id) AS rn
+        FROM documents d)
+SELECT s.doc_id, s.source FROM sel s JOIN tgt ON tgt.g = s.source
+WHERE s.rn <= tgt.t""",
     }
 
 
@@ -5122,6 +5168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "sample_bottomk": q_sample_bottomk,
         "sample_stratified": q_sample_stratified,
+        "mix_sample": q_mix_sample,
         "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,
         "window_hop_1h_15m": q_window_hop,

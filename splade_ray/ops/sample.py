@@ -167,3 +167,110 @@ def bottomk_sample(
     return pd.DataFrame(
         {id_col: ids[order], "sample_rank": np.arange(1, order.size + 1, dtype=np.int64)}
     )
+
+
+def temperature_targets(
+    counts: dict[str, int], *, alpha: float, target: int
+) -> dict[str, int]:
+    """Per-group resampling quotas for temperature-based source mixing
+    (the multilingual-pretraining alpha-scaling rule, e.g. XLM-R §5.1:
+    p_g ∝ n_g^alpha). Quotas are apportioned by the largest-remainder
+    method (floor everyone, distribute the leftover to the largest
+    fractional parts, ties by group ascending) so Σ quotas == target
+    exactly, then capped at n_g (sampling without replacement — an
+    upsampled group can't yield more rows than it has; the capped total
+    may undershoot target, the caller sees it in the returned dict).
+
+    Arithmetic is pinned for the SQL mirror: raw quotas and fractional
+    parts round to 9 decimals before floor/comparison, absorbing
+    pow()-ULP differences between numpy and the oracle engine."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if target < 0:
+        raise ValueError("target must be >= 0")
+    groups = sorted(counts)
+    n = np.array([counts[g] for g in groups], np.float64)
+    w = n ** alpha
+    raw = np.round(target * w / w.sum(), 9)
+    base = np.floor(raw).astype(np.int64)
+    frac = np.round(raw - base, 9)
+    rem = int(target - base.sum())
+    order = np.lexsort((np.array(groups, object), -frac))
+    extra = np.zeros(len(groups), np.int64)
+    extra[order[:rem]] = 1
+    t = np.minimum(base + extra, n.astype(np.int64))
+    return {g: int(v) for g, v in zip(groups, t)}
+
+
+def temperature_sample(
+    ds: Dataset,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target: int = 1000,
+    seed: int = 0,
+) -> tuple[Dataset, dict[str, int]]:
+    """Temperature-based source mixing: resample the dataset so each
+    ``group_col`` value contributes its :func:`temperature_targets` quota,
+    selecting WITHIN each group the quota rows with the smallest
+    (hash(id, seed), id) — deterministic, partitioning-invariant, and
+    bit-exactly SQL-mirrorable via :func:`hash_sql`. Returns
+    ``(selected_rows_dataset, targets)``.
+
+    Scale shape: group counts are an aggregate-sized partial reduce; the
+    selection is a per-batch local per-group prune (a batch's rank-``t_g``
+    tail can never be in the global bottom-``t_g``) followed by one
+    groupby merge whose input is bounded by quota × blocks per group —
+    rows outside every quota never shuffle."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        col = batch[group_col].combine_chunks() if isinstance(
+            batch[group_col], pa.ChunkedArray) else batch[group_col]
+        enc = col.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table(
+            {"g": enc.dictionary, "n": pa.array(cnt, pa.int64())}
+        )
+
+    cdf = ds.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    counts = cdf.groupby("g")["n"].sum().to_dict()
+    targets = temperature_targets(counts, alpha=alpha, target=target)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        col = batch[group_col].combine_chunks() if isinstance(
+            batch[group_col], pa.ChunkedArray) else batch[group_col]
+        enc = col.dictionary_encode()
+        gid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        t_of = np.array(
+            [targets.get(str(v), 0) for v in enc.dictionary.to_pylist()],
+            np.int64,
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids, seed)
+        order = np.lexsort((ids, h, gid))
+        g_sorted = gid[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1)
+        )
+        cnts = np.diff(np.concatenate((starts, [g_sorted.size])))
+        rank = np.arange(g_sorted.size) - np.repeat(starts, cnts)
+        keep_idx = order[rank < t_of[g_sorted]]
+        return batch.take(pa.array(np.sort(keep_idx)))
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        t = targets.get(str(g[group_col].iloc[0]), 0)
+        ids = g[id_col].to_numpy(np.int64)
+        h = _hash64(ids, seed)
+        order = np.lexsort((ids, h))[:t]
+        return g.iloc[np.sort(order)]
+
+    out = (
+        ds.map_batches(local_prune, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )
+    return out, targets

@@ -125,3 +125,52 @@ def test_stratified_sample_nesting_and_parity(ray_session):
         _ds(2000, blocks=17), rates, strata_col="lang", seed=7, default_rate=0.25
     ).to_pandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_temperature_targets_apportionment():
+    from splade_ray.ops.sample import temperature_targets
+
+    counts = {"en": 1000, "fr": 100, "zh": 10}
+    t = temperature_targets(counts, alpha=0.5, target=100)
+    # largest-remainder: quotas sum exactly to target (no cap binds here)
+    assert sum(t.values()) == 100
+    # alpha=0.5 flattens: fr/zh get more than proportional share
+    assert t["fr"] > 100 * 100 // 1110 and t["zh"] > 100 * 10 // 1110
+    # alpha=1 reproduces proportional apportionment
+    t1 = temperature_targets(counts, alpha=1.0, target=111)
+    assert t1 == {"en": 100, "fr": 10, "zh": 1}
+    # cap binds: a tiny group can't exceed its size
+    t2 = temperature_targets({"a": 2, "b": 1000}, alpha=0.1, target=500)
+    assert t2["a"] <= 2 and sum(t2.values()) <= 500
+
+
+def test_temperature_sample_matches_bruteforce(ray_session):
+    from splade_ray.ops.sample import _hash64, temperature_sample, temperature_targets
+
+    n = 900
+    langs = ["l%d" % (i % 4) for i in range(n)]
+    ids = np.arange(n, dtype=np.int64)
+    out, targets = temperature_sample(
+        _ds(n, blocks=7), group_col="lang", id_col="doc_id",
+        alpha=0.5, target=120, seed=3,
+    )
+    got = out.to_pandas().sort_values("doc_id")
+    counts = pd.Series(["l%d" % (i % 3) for i in range(n)]).value_counts().to_dict()
+    # _ds uses lang = i % 3
+    want_t = temperature_targets(counts, alpha=0.5, target=120)
+    assert targets == want_t
+    # brute force: per group, bottom-t by (hash, id)
+    df = pd.DataFrame({"doc_id": ids, "lang": ["l%d" % (i % 3) for i in range(n)]})
+    df["h"] = _hash64(ids, 3)
+    sel = []
+    for g, gdf in df.groupby("lang"):
+        sel.extend(gdf.sort_values(["h", "doc_id"]).head(want_t[g])["doc_id"])
+    assert sorted(got["doc_id"]) == sorted(sel)
+    # per-group counts match quotas
+    assert got.groupby("lang").size().to_dict() == want_t
+    # partitioning invariance
+    out2, _ = temperature_sample(
+        _ds(n, blocks=2), group_col="lang", id_col="doc_id",
+        alpha=0.5, target=120, seed=3,
+    )
+    assert sorted(out2.to_pandas()["doc_id"]) == sorted(got["doc_id"])
