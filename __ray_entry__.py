@@ -2115,6 +2115,16 @@ def q_routed_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+def q_field_stats(sf_dir: str):
+    """ES value_count + missing + cardinality in one per-segment pass
+    (docvalues.field_stats_agg) over the nullable url doc-values column:
+    per query (n_value, n_missing, n_distinct) over live matches — exact
+    cardinality under the facet contract (ES uses HLL++)."""
+    from splade_ray.docvalues import field_stats_agg
+
+    return field_stats_agg(_dv5_index(sf_dir), BM25_QUERIES, col="url")
+
+
 # match_bool_prefix probes: last token is a prefix over the corpus lexicon
 MBP_QUERIES = [(1, "merge join s"), (2, "window b"), (3, "data qu")]
 MBP_MAX_TERMS = 10
@@ -5146,6 +5156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms": q_multi_terms,
         "rare_terms": q_rare_terms,
         "weighted_avg": q_weighted_avg,
+        "field_stats": q_field_stats,
         "match_stats": q_match_stats,
         "match_extended_stats": q_match_extended_stats,
         "synonym_topk": q_synonym_topk,
@@ -6615,6 +6626,21 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id"""
 
 
+def _field_stats_sql() -> str:
+    """field_stats mirror over the _dv5 fixture (url null iff doc_id % 3
+    == 0, else unique per doc): conditional counts + exact distinct."""
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT m.query_id,
+       count(*) FILTER (WHERE d.doc_id % 3 != 0)::BIGINT AS n_value,
+       count(*) FILTER (WHERE d.doc_id % 3 = 0)::BIGINT AS n_missing,
+       count(DISTINCT CASE WHEN d.doc_id % 3 != 0 THEN d.doc_id END
+             )::BIGINT AS n_distinct
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1"""
+
+
 def _synonym_sql() -> str:
     """SynonymQuery mirror: per (query, group) the member list, group tf =
     sum of member tfs per doc, group df = max member df (only members
@@ -6900,6 +6926,7 @@ FROM documents""",
         "multi_terms": _multi_terms_sql(),
         "rare_terms": _rare_terms_sql(),
         "weighted_avg": _weighted_avg_sql(),
+        "field_stats": _field_stats_sql(),
         "match_stats": _match_stats_sql(),
         "match_extended_stats": _match_extended_stats_sql(),
         "synonym_topk": _synonym_sql(),

@@ -736,6 +736,15 @@ def cmd_sample(args) -> int:
         out = hash_sample(ds, args.rate, id_col=args.id_col, seed=args.seed)
         out.write_parquet(args.out)
         n = out.count()
+    elif args.mode == "mix":
+        from splade_ray.ops.sample import temperature_sample
+
+        out, targets = temperature_sample(
+            ds, group_col=args.group_col, id_col=args.id_col,
+            alpha=args.alpha, target=args.k, seed=args.seed,
+        )
+        out.write_parquet(args.out)
+        n = sum(targets.values())
     elif args.mode == "split":
         fractions = {}
         for part in args.fractions.split(","):
@@ -749,6 +758,44 @@ def cmd_sample(args) -> int:
         pdf.to_parquet(args.out, index=False)
         n = len(pdf)
     print(json.dumps({"mode": args.mode, "rows": int(n), "out": args.out}))
+    return 0
+
+
+def cmd_route_build(args) -> int:
+    """Hash-partition the corpus by a routing column and build one index
+    per bucket (ES _routing; see splade_ray.routing)."""
+    _ensure_ray()
+    from splade_ray.routing import build_routed_index
+
+    manifest = build_routed_index(
+        args.corpus, args.index,
+        routing_col=args.routing_col, n_buckets=args.n_buckets,
+        text_col=args.text_col, id_col=args.id_col,
+        rows_per_segment=args.rows_per_segment,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_route_search(args) -> int:
+    """Routed BM25 top-k: fan out only to the routing values' buckets."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.routing import routed_search
+
+    queries = _load_queries(args.queries)
+    routing = (
+        [v for v in args.routing.split(",") if v] if args.routing else None
+    )
+    run = routed_search(
+        args.index, queries,
+        BM25Params(k1=args.k1, b=args.b, top_k=args.top_k),
+        routing=routing,
+    )
+    run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run),
+                      "buckets": sorted(run["bucket"].unique().tolist()),
+                      "out": args.out}))
     return 0
 
 
@@ -1693,14 +1740,43 @@ def main(argv: list[str] | None = None) -> int:
     sm = sub.add_parser("sample", help="deterministic hash sampling / split assignment")
     sm.add_argument("--corpus", required=True)
     sm.add_argument("--out", required=True)
-    sm.add_argument("--mode", choices=["hash", "split", "bottomk"], default="hash")
+    sm.add_argument("--mode", choices=["hash", "split", "bottomk", "mix"],
+                    default="hash")
+    sm.add_argument("--group-col", default="lang",
+                    help="mix mode: source-mixing group column")
+    sm.add_argument("--alpha", type=float, default=0.5,
+                    help="mix mode: temperature (p_g ~ n_g^alpha)")
     sm.add_argument("--rate", type=float, default=0.1, help="hash mode: keep fraction")
     sm.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
                     help="split mode: name=frac,...")
-    sm.add_argument("--k", type=int, default=1000, help="bottomk mode: sample size")
+    sm.add_argument("--k", type=int, default=1000,
+                    help="bottomk/mix mode: sample size / mix target")
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    rb = sub.add_parser("route-build",
+                        help="hash-partitioned routed build (ES _routing)")
+    rb.add_argument("--corpus", required=True)
+    rb.add_argument("--index", required=True)
+    rb.add_argument("--routing-col", required=True)
+    rb.add_argument("--n-buckets", type=int, default=16)
+    rb.add_argument("--text-col", default="content")
+    rb.add_argument("--id-col", default="doc_id")
+    rb.add_argument("--rows-per-segment", type=int, default=50_000)
+    rb.set_defaults(fn=cmd_route_build)
+
+    rs = sub.add_parser("route-search",
+                        help="BM25 top-k over the routing values' buckets only")
+    rs.add_argument("--index", required=True)
+    rs.add_argument("--queries", required=True)
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--routing", default="",
+                    help="comma-separated routing values (empty = all buckets)")
+    rs.add_argument("--k1", type=float, default=1.2)
+    rs.add_argument("--b", type=float, default=0.75)
+    rs.add_argument("--top-k", type=int, default=10)
+    rs.set_defaults(fn=cmd_route_search)
 
     mt = sub.add_parser("maintain", help="compact to a segment budget (+ optional re-quantize)")
     mt.add_argument("--index", required=True)

@@ -1175,6 +1175,93 @@ def rare_terms_agg(
     return agg.sort_values(["query_id", "value"]).reset_index(drop=True)
 
 
+def field_stats_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    col: str,
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """The ES ``value_count`` + ``missing`` + ``cardinality`` metric trio in
+    ONE per-segment pass over a (possibly nullable) doc-values column:
+    per query over live matches, (n_value = docs with a non-null value,
+    n_missing = docs with a null, n_distinct = exact distinct non-null
+    values). ES approximates cardinality with HyperLogLog++; counts here
+    are exact under the facet contract (each segment emits its per-query
+    distinct-value table — bounded by the column's cardinality; for
+    web-scale key spaces use the KMV sketch in ``ops.sketch`` instead).
+    Queries with zero matches are omitted; sorted by query_id."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        arr = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=[col]
+        )[col].combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        vals = np.asarray(arr.to_pylist(), object)
+        out = {"query_id": [], "value": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            m = _matched_mask(seg, terms)
+            if not m.any():
+                continue
+            hit_valid = m & valid
+            if hit_valid.any():
+                u, counts = np.unique(vals[hit_valid], return_counts=True)
+                out["query_id"].extend([qid] * u.size)
+                out["value"].extend(str(v) for v in u)
+                out["n_docs"].extend(counts.tolist())
+            n_null = int((m & ~valid).sum())
+            if n_null:
+                out["query_id"].append(qid)
+                out["value"].append(None)
+                out["n_docs"].append(n_null)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "value": pa.array(out["value"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+            }
+        )
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    if pdf.empty:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=np.int64)
+             for k in ["query_id", "n_value", "n_missing", "n_distinct"]}
+        )
+    isnull = pdf["value"].isna()
+    out = pd.DataFrame(
+        {
+            "n_value": pdf[~isnull].groupby("query_id")["n_docs"].sum(),
+            "n_missing": pdf[isnull].groupby("query_id")["n_docs"].sum(),
+            "n_distinct": pdf[~isnull].groupby("query_id")["value"].nunique(),
+        }
+    )
+    out = out.fillna(0).astype(np.int64).reset_index()
+    return out.sort_values("query_id").reset_index(drop=True)[
+        ["query_id", "n_value", "n_missing", "n_distinct"]
+    ]
+
+
 def weighted_avg_agg(
     index_dir: str,
     queries: list[tuple[int, str]],

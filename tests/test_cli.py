@@ -650,3 +650,73 @@ def test_cli_rescore_and_ctsearch(ray_session, corpus_dir, tmp_path, capsys):
                  "--out", out2, "--cutoff", "0.5", "--top-k", "3"]) == 0
     c = pq.read_table(out2).to_pandas()
     assert len(c) > 0
+
+
+def test_cli_route_build_and_search(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    d = tmp_path / "rcorpus"
+    d.mkdir()
+    n = 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "content": pa.array([DOCS[i % len(DOCS)] for i in range(n)]),
+            "tenant": pa.array([f"t{i % 7}" for i in range(n)]),
+        }
+    )
+    pq.write_table(t, str(d / "c.parquet"))
+    index = str(tmp_path / "ridx")
+    rc = main(
+        ["route-build", "--corpus", str(d), "--index", index,
+         "--routing-col", "tenant", "--n-buckets", "4",
+         "--rows-per-segment", "10"]
+    )
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_docs"] == n and manifest["n_buckets"] == 4
+
+    queries = tmp_path / "rq.tsv"
+    queries.write_text("0\thash_join merge\n")
+    out = str(tmp_path / "rrun.parquet")
+    rc = main(
+        ["route-search", "--index", index, "--queries", str(queries),
+         "--out", out, "--routing", "t1,t3", "--top-k", "5"]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] > 0
+    run = pq.read_table(out).to_pandas()
+    from splade_ray.routing import routing_bucket
+
+    probed = set(routing_bucket(["t1", "t3"], 4).tolist())
+    assert set(run["bucket"]) <= probed
+
+
+def test_cli_sample_mix(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    d = tmp_path / "mcorpus"
+    d.mkdir()
+    n = 300
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "content": pa.array(["text"] * n),
+            "lang": pa.array([f"l{i % 3}" for i in range(n)]),
+        }
+    )
+    pq.write_table(t, str(d / "c.parquet"))
+    out = str(tmp_path / "mix_out")
+    rc = main(
+        ["sample", "--corpus", str(d), "--out", out, "--mode", "mix",
+         "--group-col", "lang", "--alpha", "0.5", "--k", "60"]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 60
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(out).to_table().to_pandas()
+    assert len(got) == 60
+    assert got.groupby("lang").size().max() <= 21  # l-groups are equal-sized

@@ -169,3 +169,33 @@ def test_match_bool_prefix_matches_composition(built):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the prefix really expanded to >1 lexicon term
     assert len(expand_prefix(index_dir, "par", max_terms=10)) > 1
+
+
+def test_field_stats_agg(built):
+    from splade_ray.docvalues import field_stats_agg
+    from splade_ray.oracle import OracleIndex as OI
+
+    index_dir, texts, sizes = built
+    oi = OI(list(range(N)), texts)
+    got = field_stats_agg(index_dir, QUERIES, col="url")
+    for qid, text in QUERIES:
+        m = np.zeros(N, bool)
+        for term in term_counts(text):
+            if term in oi.postings:
+                m[oi.postings[term][0]] = True
+        has = np.array([i % 3 != 0 for i in range(N)])
+        g = got[got["query_id"] == qid].iloc[0]
+        assert g["n_value"] == int((m & has).sum())
+        assert g["n_missing"] == int((m & ~has).sum())
+        assert g["n_distinct"] == int((m & has).sum())  # urls are unique
+    # low-cardinality distinct over the never-null numeric column
+    got2 = field_stats_agg(index_dir, QUERIES, col="n_bytes")
+    for qid, text in QUERIES:
+        m = np.zeros(N, bool)
+        for term in term_counts(text):
+            if term in oi.postings:
+                m[oi.postings[term][0]] = True
+        g = got2[got2["query_id"] == qid].iloc[0]
+        assert g["n_missing"] == 0
+        assert g["n_value"] == int(m.sum())
+        assert g["n_distinct"] == len(set(sizes[m].tolist()))
