@@ -1816,6 +1816,28 @@ def q_collapse_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
 
 
+def q_diversified_topk(sf_dir: str):
+    """ES diversified_sampler (collapse_search max_docs_per_key=2): top-k
+    per query keeping at most 2 docs per lang, greedy in score order —
+    per-key best-2 computed segment-locally, capped again at the driver."""
+    from splade_ray.collapse import collapse_search
+
+    index_dir = os.path.join(_work_dir(sf_dir, "facetidx"), "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"), index_dir,
+        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        block_size=64, extra_doc_cols=("lang",),
+    )
+    run = collapse_search(
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        collapse_col="lang", max_docs_per_key=2,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
+
+
 # doc-values probes over the n_chars sidecar column (splade_ray.docvalues)
 DV_LO, DV_HI = 150, 400
 HIST_INTERVAL = 100
@@ -3848,6 +3870,29 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, lang AS collapse_key,
 FROM ranked2 WHERE rank <= {TOP_K}"""
 
 
+DIVERSIFIED_CAP = 2
+
+
+def _diversified_sql() -> str:
+    """diversified_sampler mirror: the collapse mirror with key-rank <=
+    cap instead of = 1 (the greedy score-order scan is equivalent)."""
+    return f"""{_bm25_cte()},
+coll AS (
+  SELECT s.query_id, s.doc_id, s.score, d.lang,
+         row_number() OVER (PARTITION BY s.query_id, d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS kr
+  FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0
+),
+ranked2 AS (
+  SELECT query_id, doc_id, score, lang,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM coll WHERE kr <= {DIVERSIFIED_CAP}
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, lang AS collapse_key,
+       {_round4_sql('score')} AS score_r
+FROM ranked2 WHERE rank <= {TOP_K}"""
+
+
 def _facet_sql() -> str:
     """SQL mirror of facets.facet_counts over BM25_QUERIES: distinct
     (query, doc) matches via the token CTE, counted per lang."""
@@ -5157,6 +5202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": q_rare_terms,
         "weighted_avg": q_weighted_avg,
         "field_stats": q_field_stats,
+        "diversified_topk": q_diversified_topk,
         "match_stats": q_match_stats,
         "match_extended_stats": q_match_extended_stats,
         "synonym_topk": q_synonym_topk,
@@ -6927,6 +6973,7 @@ FROM documents""",
         "rare_terms": _rare_terms_sql(),
         "weighted_avg": _weighted_avg_sql(),
         "field_stats": _field_stats_sql(),
+        "diversified_topk": _diversified_sql(),
         "match_stats": _match_stats_sql(),
         "match_extended_stats": _match_extended_stats_sql(),
         "synonym_topk": _synonym_sql(),

@@ -38,11 +38,15 @@ COLLAPSE_COLUMNS = ["query_id", "rank", "doc_id", "collapse_key", "score"]
 
 
 def _collapse_segment(
-    seg_dir: str, prepared: dict, collapse_col: str, tombstones
+    seg_dir: str, prepared: dict, collapse_col: str, tombstones,
+    max_docs_per_key: int = 1,
 ) -> list[tuple[int, str, int, float]]:
-    """Per-key best candidate rows (qid, key, doc_id, score) for one
-    segment: dense scoring, then first occurrence per key in rank order."""
+    """Per-key best-``max_docs_per_key`` candidate rows (qid, key, doc_id,
+    score) for one segment: dense scoring, then the first ``c`` occurrences
+    per key in rank order (c=1 is ES collapse; c>1 the diversified-sampler
+    cap)."""
     p: BM25Params = prepared["params"]
+    c = int(max_docs_per_key)
     seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
     fac = (
         pq.read_table(os.path.join(seg_dir, "doclens.parquet"), columns=[collapse_col])[
@@ -61,11 +65,14 @@ def _collapse_segment(
         cand = np.flatnonzero(scores > p.threshold)
         if cand.size == 0:
             continue
-        # rank order, then first occurrence per key = per-key best
-        order = cand[np.lexsort((seg.doc_ids[cand], -scores[cand]))]
-        _, first = np.unique(codes[order], return_index=True)
-        for i in np.sort(first):
-            j = order[i]
+        # rank order, then position-within-key < c = per-key best c
+        order = cand[np.lexsort((seg.doc_ids[cand], -scores[cand], codes[cand]))]
+        g = codes[order]
+        first = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        pos = np.arange(g.size) - np.repeat(
+            first, np.diff(np.concatenate((first, [g.size])))
+        )
+        for j in order[pos < c]:
             rows.append((qid, values[codes[j]], int(seg.doc_ids[j]), float(scores[j])))
     return rows
 
@@ -76,14 +83,22 @@ def collapse_search(
     params: BM25Params | None = None,
     *,
     collapse_col: str,
+    max_docs_per_key: int = 1,
     query_lang: str | None = None,
     scoring: str = "bm25",
     mu: float = 2000.0,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """Collapsed run table (query_id, rank, doc_id, collapse_key, score):
-    top-k docs per query with at most one doc per ``collapse_col`` value."""
+    top-k docs per query with at most ``max_docs_per_key`` docs per
+    ``collapse_col`` value. The default 1 is ES ``collapse``; a cap > 1 is
+    the ES ``diversified_sampler`` greedy (scan score-descending, keep a doc
+    iff its key's kept-count is below the cap — equivalently: key-rank <=
+    cap, then global rank + cut)."""
     from splade_ray.delete import load_tombstones
+
+    if max_docs_per_key < 1:
+        raise ValueError("max_docs_per_key must be >= 1")
 
     params = params or BM25Params()
     prepared = prepare_queries(
@@ -99,7 +114,10 @@ def collapse_search(
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         rows: list[tuple[int, str, int, float]] = []
         for seg_dir in batch["seg_dir"].to_pylist():
-            rows.extend(_collapse_segment(seg_dir, prep, collapse_col, t))
+            rows.extend(
+                _collapse_segment(seg_dir, prep, collapse_col, t,
+                                  max_docs_per_key)
+            )
         return pa.table(
             {
                 "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
@@ -130,7 +148,10 @@ def collapse_search(
     pdf = pdf.sort_values(
         ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
     )
-    best = pdf.groupby(["query_id", "collapse_key"], as_index=False, sort=False).first()
+    best = (
+        pdf.groupby(["query_id", "collapse_key"], as_index=False, sort=False)
+        .head(max_docs_per_key)
+    )
     best = best.sort_values(
         ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
     )

@@ -110,3 +110,45 @@ def test_cli_collapse(built, tmp_path, capsys):
     want = collapse_search(index_dir, [(1, q)], BM25Params(top_k=5),
                            collapse_col="repo_key")
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def _scalar_diversified(texts, keys, queries, top_k, cap):
+    """ES diversified_sampler greedy: scan score-desc, keep while the
+    doc's key has < cap kept docs, stop at top_k."""
+    oi = OracleIndex(list(range(len(texts))), texts, BM25Params(top_k=len(texts)))
+    full = oi.search(queries)
+    rows = []
+    for qid, g in full.groupby("query_id"):
+        seen, out = {}, []
+        for _, r in g.iterrows():
+            k = keys[int(r["doc_id"])]
+            if seen.get(k, 0) >= cap:
+                continue
+            seen[k] = seen.get(k, 0) + 1
+            out.append((int(qid), len(out) + 1, int(r["doc_id"]), k, float(r["score"])))
+            if len(out) == top_k:
+                break
+        rows.extend(out)
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "collapse_key", "score"]
+    )
+
+
+def test_diversified_cap_matches_greedy(built):
+    index_dir, texts, keys = built
+    queries = [(1, "def parse merge"), (2, "return x1 += 1")]
+    p = BM25Params(top_k=12)
+    for cap in (2, 3):
+        got = collapse_search(index_dir, queries, p, collapse_col="repo_key",
+                              max_docs_per_key=cap)
+        want = _scalar_diversified(texts, keys, queries, 12, cap)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-12
+        )
+        # cap respected
+        assert got.groupby(["query_id", "collapse_key"]).size().max() <= cap
+    # cap=1 stays the plain collapse
+    got1 = collapse_search(index_dir, queries, p, collapse_col="repo_key")
+    want1 = _scalar_collapse(texts, keys, queries, 12)
+    assert got1["doc_id"].tolist() == want1["doc_id"].tolist()
