@@ -2107,6 +2107,19 @@ def q_exists_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+COMPLETE_QUERIES = [(1, "s"), (2, "b"), (3, "wi")]
+COMPLETE_M = 5
+
+
+def q_suggest_complete(sf_dir: str):
+    """Completion suggester (suggest.complete_prefix): per prefix the top-m
+    lexicon terms by (df desc, term asc) — one pushdown range read of the
+    lexicon per prefix, cost bounded by the prefix subtrie."""
+    from splade_ray.suggest import complete_prefix
+
+    return complete_prefix(_index_for(sf_dir), COMPLETE_QUERIES, m=COMPLETE_M)
+
+
 # routing probes (ES _routing): hash-partitioned build, bucket-pruned search
 ROUTING_NB = 8
 ROUTING_VALUES = ["src1", "src5"]
@@ -5193,6 +5206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg": q_filters_agg,
         "ids_query": q_ids_query,
         "routed_topk": q_routed_topk,
+        "suggest_complete": q_suggest_complete,
         "pinned_topk": q_pinned_topk,
         "exists_topk": q_exists_topk,
         "distance_feature": q_distance_feature,
@@ -6526,6 +6540,20 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _suggest_complete_sql() -> str:
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in COMPLETE_QUERIES)
+    return f"""
+WITH {_TF},
+pq(query_id, p) AS (VALUES {vals}),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+e AS (SELECT pq.query_id, dfv.term, dfv.df,
+             row_number() OVER (PARTITION BY pq.query_id
+                                ORDER BY dfv.df DESC, dfv.term ASC) AS sugg_rank
+      FROM pq JOIN dfv ON dfv.term LIKE pq.p || '%')
+SELECT query_id::BIGINT AS query_id, sugg_rank::BIGINT AS sugg_rank, term, df
+FROM e WHERE sugg_rank <= {COMPLETE_M}"""
+
+
 def _routed_sql() -> str:
     """Routed-search mirror: the probed bucket set is computed from
     ROUTING_VALUES with the same sha256-prefix hash the engine uses, the
@@ -6964,6 +6992,7 @@ FROM documents""",
         "filters_agg": _filters_agg_sql(),
         "ids_query": _ids_sql(),
         "routed_topk": _routed_sql(),
+        "suggest_complete": _suggest_complete_sql(),
         "pinned_topk": _pinned_sql(),
         "exists_topk": _exists_sql(),
         "distance_feature": _rank_feature_sql(DIST_FEATURES),

@@ -150,6 +150,40 @@ def expand_prefix(index_dir: str, prefix: str, *, max_terms: int = 128) -> list[
     return sorted(tbl["term"].to_pylist())[:max_terms]
 
 
+def complete_prefix(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    m: int = 8,
+) -> pd.DataFrame:
+    """Completion suggester (the ES completion / Lucene SuggestField
+    analog, popularity-weighted): per (query_id, prefix) the top ``m``
+    lexicon terms starting with the prefix, ordered by (df desc, term asc)
+    — document frequency as the suggestion weight. Returns (query_id,
+    sugg_rank, term, df).
+
+    Each prefix is ONE pushdown range read of the lexicon (term >= prefix
+    AND term < prefix+MAXCHAR), so cost is bounded by the prefix's subtrie,
+    never the vocabulary."""
+    rows = []
+    for qid, prefix in queries:
+        if not prefix:
+            raise ValueError("empty prefix")
+        hi = prefix + "\U0010ffff"
+        flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+        tbl = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+            columns=["term", "df"], filter=flt
+        )
+        df = tbl.to_pandas().sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(m)
+        for r, (term, dfv) in enumerate(zip(df["term"], df["df"]), start=1):
+            rows.append((int(qid), r, term, int(dfv)))
+    out = pd.DataFrame(rows, columns=["query_id", "sugg_rank", "term", "df"])
+    return out.astype({"query_id": np.int64, "sugg_rank": np.int64,
+                       "df": np.int64})
+
+
 def expand_wildcard(
     index_dir: str, pattern: str, *, max_terms: int = 128
 ) -> list[str]:

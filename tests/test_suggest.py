@@ -186,3 +186,25 @@ def test_suggest_transpositions_changes_metric(built):
     if "shard" in lev_d:
         assert lev_d["shard"] == 2
     assert dl_d.get("shard") == 1
+
+
+def test_complete_prefix(built):
+    from splade_ray.suggest import complete_prefix
+
+    index_dir, texts = built
+    from collections import Counter
+
+    from splade_ray.analysis import term_counts
+
+    dfc = Counter()
+    for t in texts:
+        dfc.update(set(term_counts(t)))
+    got = complete_prefix(index_dir, [(1, "re"), (2, "pa")], m=3)
+    for qid, prefix in [(1, "re"), (2, "pa")]:
+        want = sorted(
+            ((term, n) for term, n in dfc.items() if term.startswith(prefix)),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        g = got[got["query_id"] == qid]
+        assert list(zip(g["term"], g["df"])) == want
+        assert g["sugg_rank"].tolist() == list(range(1, len(want) + 1))
