@@ -799,6 +799,23 @@ def cmd_route_search(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Snapshot / verify / restore an index directory (see
+    splade_ray.snapshot)."""
+    _ensure_ray()
+    from splade_ray.snapshot import restore, snapshot, verify_snapshot
+
+    if args.mode == "create":
+        m = snapshot(args.index, args.snap)
+        print(json.dumps({"n_files": m["n_files"],
+                          "total_bytes": m["total_bytes"]}))
+    elif args.mode == "verify":
+        print(json.dumps(verify_snapshot(args.snap)))
+    else:  # restore
+        print(json.dumps(restore(args.snap, args.index, force=args.force)))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """Index maintenance for long-lived indexes: tiered-compact down to at
     most --max-segments (--purge fuses tombstone removal into the same
@@ -1754,6 +1771,16 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("snapshot",
+                        help="verified parallel index snapshot / restore")
+    sp.add_argument("--mode", choices=["create", "verify", "restore"],
+                    default="create")
+    sp.add_argument("--index", help="index dir (create/restore)")
+    sp.add_argument("--snap", required=True, help="snapshot dir")
+    sp.add_argument("--force", action="store_true",
+                    help="restore over a non-empty index dir")
+    sp.set_defaults(fn=cmd_snapshot)
 
     rb = sub.add_parser("route-build",
                         help="hash-partitioned routed build (ES _routing)")
