@@ -3135,6 +3135,30 @@ def q_ann_pq_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
+def q_ann_ivfpq_topk(sf_dir: str):
+    """Persisted IVF-PQ (ops/ann.ivfpq_build/search — the IVFADC
+    billion-scale layout): codes partitioned by coarse cluster on disk, a
+    probe reads only its nprobe partitions' (vec_id, m-byte codes) columns
+    and scores by ADC; rows-only (lossy sims; the partition-pruning and
+    flat-PQ-parity contracts are test-proven)."""
+    from splade_ray.ops.ann import ivfpq_build, ivfpq_search
+
+    emb_path, q_ids, q_mat = _ann_queries(sf_dir)
+    idx = os.path.join(_work_dir(sf_dir, "ivfpq"), "index")
+    if not os.path.exists(os.path.join(idx, "ivfpq.json")):
+        ivfpq_build(
+            _rpq(emb_path, columns=["vec_id", "embedding"]), idx,
+            n_clusters=8, m=4, ks=16,
+        )
+    out = (
+        ivfpq_search(idx, q_ids, q_mat, nprobe=3, top_k=TOP_K)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    out["sim_r"] = _round4(out["sim"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "vec_id", "sim_r"]]
+
+
 # ---- rows-only entries (not SQL-expressible; driver records row counts) ----
 
 
@@ -5277,6 +5301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": q_ann_filtered,
         "ann_pq_exact": q_ann_pq_exact,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "minhash_sigs": q_minhash_sigs,
         "simhash_sigs": q_simhash_sigs,
         "doc_fingerprint": q_doc_fingerprint,

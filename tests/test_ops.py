@@ -854,3 +854,93 @@ def test_pq_rejects_indivisible_dim():
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(np.zeros((10, 7)), m=2, ks=4)
+
+
+def test_ivfpq_full_probe_equals_flat_pq(ray_session, tmp_path):
+    """nprobe = n_clusters scans every code partition, so IVF-PQ must
+    reproduce the flat PQ scan exactly (same sample -> same codebooks ->
+    identical codes and ADC tables)."""
+    from splade_ray.ops.ann import ivfpq_build, ivfpq_search, pq_cosine_topk
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ds = rd.from_items(rows)
+    q = vecs[:4]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(ds, idx, n_clusters=6, m=8, ks=32, sample_size=n, seed=7)
+    got = (
+        ivfpq_search(idx, np.arange(4), q, nprobe=6, top_k=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    flat = pq_cosine_topk(ds, np.arange(4), q, m=8, ks=32, sample_size=n,
+                          seed=7, top_k=8)
+    assert got["vec_id"].tolist() == flat["vec_id"].tolist()
+    np.testing.assert_allclose(
+        got["sim"].to_numpy(), flat["sim"].to_numpy(), rtol=1e-9
+    )
+
+
+def test_ivfpq_reads_only_probed_partitions(ray_session, tmp_path):
+    """I/O isolation: after deleting every unprobed cluster partition the
+    probed search still answers identically — codes in unprobed clusters
+    never load."""
+    import shutil
+
+    from splade_ray.ops.ann import ivfpq_build, ivfpq_search
+
+    rng = np.random.RandomState(12)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d))
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    )
+    q = vecs[:3]
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(ds, idx, n_clusters=8, m=4, ks=16, sample_size=n, seed=7)
+    before = ivfpq_search(idx, np.arange(3), q, nprobe=2, top_k=5).to_pandas()
+    cents = np.load(f"{idx}/centroids.npy")
+    from splade_ray.ops.ann import _normalize
+
+    qn = _normalize(q)
+    cn = _normalize(cents)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :2]
+    probed = {int(c) for row in probes for c in row}
+    import os
+
+    for name in os.listdir(idx):
+        if name.startswith("cluster=") and int(name.split("=")[1]) not in probed:
+            shutil.rmtree(os.path.join(idx, name))
+    after = ivfpq_search(idx, np.arange(3), q, nprobe=2, top_k=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        before.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        after.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_ivfpq_codes_layout_is_bytes(ray_session, tmp_path):
+    """The persisted layout stores m uint8 codes per vector — no raw
+    floats on disk (the billion-scale memory path)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from splade_ray.ops.ann import ivfpq_build
+
+    rng = np.random.RandomState(13)
+    n, d = 120, 16
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": rng.normal(size=d).tolist()}
+         for i in range(n)]
+    )
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(ds, idx, n_clusters=4, m=4, ks=16, sample_size=n)
+    import glob
+
+    one = glob.glob(os.path.join(idx, "cluster=*", "*.parquet"))[0]
+    schema = pads.dataset(one).schema
+    assert "embedding" not in schema.names
+    codes_type = schema.field("codes").type
+    assert pa.types.is_fixed_size_list(codes_type) or pa.types.is_list(codes_type)
+    assert codes_type.value_type == pa.uint8()
