@@ -738,6 +738,26 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Cross-corpus incremental dedup (ops/dedup.incremental_dedup,
+    shuffle method): new docs (the whole table) anti-joined by content
+    hash against a reference slice (doc_id % 10 == 0) — only
+    (sha-prefix, sha, id, side) rows shuffle, grouped by the coarse
+    4-hex prefix; texts never move."""
+    from splade_ray.ops.dedup import incremental_dedup
+
+    def ref_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    new = _docs(sf_dir, ["doc_id", "text"])
+    ref = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ref_slice, batch_format="pyarrow"
+    )
+    out = incremental_dedup(new, ref, method="shuffle").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_prune_topk(sf_dir: str):
     """Per-doc top-8 terms by tf (tie: term asc) — the reference's per-doc
     top-k vector pruning (pruning/prune_doc_index.py:17-19), doc-local."""
@@ -5179,6 +5199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": q_collection_stats,
         "docs_per_lang": q_docs_per_lang,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "prune_topk": q_prune_topk,
         "quantized_export": q_quantized_export,
         "quantized_export_join": q_quantized_export_join,
@@ -7073,6 +7094,11 @@ FROM documents GROUP BY lang""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY text""",
+        "dedup_incremental": """
+SELECT d.doc_id, sha256(d.text) AS text_sha256
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents r
+                  WHERE r.doc_id % 10 = 0 AND r.text = d.text)""",
         "prune_topk": f"""
 WITH {_TF},
 r AS (SELECT doc_id, term, tf,

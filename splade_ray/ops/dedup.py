@@ -971,3 +971,92 @@ def embedding_near_dup_pairs(
         .groupby("gk")
         .map_groups(uniq, batch_format="pandas")
     )
+
+
+def incremental_dedup(
+    ds_new,
+    ds_ref,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "shuffle",
+):
+    """Cross-corpus exact dedup (the incremental-crawl step every training
+    pipeline runs: drop new docs whose text already exists in the corpus
+    you trained on). Returns the surviving NEW rows' (doc_id, text_sha256)
+    — an anti-join by content hash; intra-new duplicates are NOT collapsed
+    (compose with :func:`exact_dedup` for that).
+
+    ``method="shuffle"`` (default, the at-scale shape): both sides emit
+    (sha-prefix group, sha, id, side) rows only, one coarse groupby (the
+    exact_dedup 4-hex grouping — <=65536 groups, never per-sha), and a
+    vectorized reduceat marks shas seen on the reference side. Nothing
+    text-sized shuffles. ``method="broadcast"``: the reference sha set is
+    collected and broadcast once (exact full-hex strings) — the right
+    call when the reference is small; memory is O(ref), documented."""
+    import pyarrow.compute as pc
+
+    if method not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown method {method!r}")
+
+    def key_rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = add_text_sha(batch, text_col=text_col)
+            return pa.table(
+                {
+                    "gk": pc.utf8_slice_codeunits(t["text_sha256"], 0, 4),
+                    "text_sha256": t["text_sha256"],
+                    "doc_id": t[id_col].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(t), side, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    if method == "broadcast":
+        ref_shas = {
+            r["text_sha256"]
+            for r in ds_ref.map_batches(
+                key_rows(0), batch_format="pyarrow"
+            ).select_columns(["text_sha256"]).take_all()
+        }
+        ref_ref = ray.put(ref_shas)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            refs = ray.get(ref_ref)
+            t = add_text_sha(batch, text_col=text_col)
+            mask = pa.array(
+                [s not in refs for s in t["text_sha256"].to_pylist()]
+            )
+            kept = t.filter(mask)
+            return pa.table(
+                {
+                    "doc_id": kept[id_col].cast(pa.int64()),
+                    "text_sha256": kept["text_sha256"],
+                }
+            )
+
+        return ds_new.map_batches(keep, batch_format="pyarrow")
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_sha256", "side", "doc_id"])
+        sha = g["text_sha256"].to_numpy()
+        side = g["side"].to_numpy(np.int8)
+        ids = g["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, sha[1:] != sha[:-1]])
+        # per-sha: any reference row present? (side==0 sorts first)
+        has_ref = side[starts] == 0
+        group_of = np.repeat(
+            np.arange(starts.size), np.diff(np.append(starts, ids.size))
+        )
+        keep = (side == 1) & ~has_ref[group_of]
+        return pd.DataFrame(
+            {"doc_id": ids[keep], "text_sha256": sha[keep]}
+        )
+
+    both = ds_new.map_batches(key_rows(1), batch_format="pyarrow").union(
+        ds_ref.map_batches(key_rows(0), batch_format="pyarrow")
+    )
+    return both.groupby("gk").map_groups(survivors, batch_format="pandas")

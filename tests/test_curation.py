@@ -477,3 +477,26 @@ def test_dsir_select_tree_merge_matches_driver(ray_session):
         pd.testing.assert_frame_equal(tree, base)
     with pytest.raises(ValueError):
         dsir_select(weights, 40, merge="bogus")
+
+
+def test_incremental_dedup_both_methods(ray_session):
+    import ray.data as rd
+
+    from splade_ray.ops.dedup import incremental_dedup
+
+    ref_texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    new_texts = ["alpha beta",      # in ref -> drop
+                 "new one",         # survive
+                 "gamma delta",     # in ref -> drop
+                 "new one",         # intra-new dup: BOTH survive (documented)
+                 "brand new two"]   # survive
+    ref = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(ref_texts)]
+    ).repartition(2)
+    new = rd.from_items(
+        [{"doc_id": 100 + i, "text": t} for i, t in enumerate(new_texts)]
+    ).repartition(3)
+    want = [101, 103, 104]
+    for method in ("shuffle", "broadcast"):
+        got = incremental_dedup(new, ref, method=method).to_pandas()
+        assert sorted(got["doc_id"]) == want, method
