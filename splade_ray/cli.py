@@ -799,6 +799,29 @@ def cmd_route_search(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Alias registry CRUD + search-through-alias (see splade_ray.alias)."""
+    from splade_ray.alias import (
+        alias_delete, alias_resolve, alias_set, alias_swap, load_aliases,
+    )
+
+    if args.mode == "set":
+        alias_set(args.registry, args.name, args.dirs.split(","))
+        print(json.dumps({"alias": args.name, "dirs": args.dirs.split(",")}))
+    elif args.mode == "swap":
+        old = alias_swap(args.registry, args.name, args.dirs.split(","))
+        print(json.dumps({"alias": args.name, "old": old,
+                          "new": args.dirs.split(",")}))
+    elif args.mode == "delete":
+        alias_delete(args.registry, args.name)
+        print(json.dumps({"deleted": args.name}))
+    elif args.mode == "resolve":
+        print(json.dumps({args.name: alias_resolve(args.registry, args.name)}))
+    else:  # list
+        print(json.dumps(load_aliases(args.registry)))
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """Snapshot / verify / restore an index directory (see
     splade_ray.snapshot)."""
@@ -1771,6 +1794,14 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    al = sub.add_parser("alias", help="index alias registry (atomic swap)")
+    al.add_argument("--registry", required=True)
+    al.add_argument("--mode", choices=["set", "swap", "delete", "resolve",
+                                       "list"], default="list")
+    al.add_argument("--name", help="alias name")
+    al.add_argument("--dirs", default="", help="comma-separated index dirs")
+    al.set_defaults(fn=cmd_alias)
 
     sp = sub.add_parser("snapshot",
                         help="verified parallel index snapshot / restore")
