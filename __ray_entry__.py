@@ -2875,6 +2875,25 @@ def q_window_agg(sf_dir: str):
     )
 
 
+AUTO_HIST_TARGET = 40
+
+
+def q_auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram (ops/windows.auto_date_histogram): interval
+    picked from the rounding ladder so <= AUTO_HIST_TARGET buckets cover
+    the events span (two aggregate-shaped passes: min/max reduce + the
+    tumbling combiner); rows carry the chosen interval_us."""
+    from splade_ray.ops.windows import auto_date_histogram
+
+    out, step = auto_date_histogram(
+        _events(sf_dir, ["ts", "event_type", "value"]),
+        target_buckets=AUTO_HIST_TARGET,
+    )
+    pdf = out.to_pandas().sort_values(["window_start_us", "event_type"])
+    pdf["interval_us"] = np.int64(step)
+    return pdf.reset_index(drop=True)
+
+
 PIPELINE_MOV_WINDOW = 3
 PIPELINE_SERIAL_LAG = 2
 
@@ -4517,6 +4536,31 @@ WHERE s.rn <= tgt.t""",
     }
 
 
+def _auto_date_histogram_sql() -> str:
+    """auto_date_histogram mirror: the SAME integer ladder selection
+    (smallest step whose floor-aligned bucket count fits the target, else
+    the largest step) computed in SQL from the events bounds, then the
+    tumbling-window aggregate at that step."""
+    from splade_ray.ops.windows import AUTO_HIST_LADDER_US
+
+    cases = " ".join(
+        f"WHEN mx // {s} - mn // {s} + 1 <= {AUTO_HIST_TARGET} THEN {s}"
+        for s in AUTO_HIST_LADDER_US
+    )
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+st AS (SELECT (CASE {cases} ELSE {AUTO_HIST_LADDER_US[-1]} END)::BIGINT AS step
+       FROM b),
+e AS (SELECT (epoch_us(ts) // st.step) * st.step AS window_start_us,
+             event_type, floor(value * 100 + 0.5)::BIGINT AS c, st.step
+      FROM events CROSS JOIN st)
+SELECT window_start_us::BIGINT AS window_start_us, event_type,
+       count(*)::BIGINT AS n_events, sum(c)::BIGINT AS sum_value_c,
+       min(c)::BIGINT AS min_value_c, max(c)::BIGINT AS max_value_c,
+       any_value(step)::BIGINT AS interval_us
+FROM e GROUP BY 1, 2"""
+
+
 def _window_hop_sql() -> str:
     """SQL mirror of hopping windows: each event cross-joined to its
     window_us/hop_us window starts — same floor-division arithmetic."""
@@ -5287,6 +5331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": q_mix_sample,
         "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,
+        "auto_date_histogram": q_auto_date_histogram,
         "window_hop_1h_15m": q_window_hop,
         "bucket_pipeline_1h": q_bucket_pipeline,
         "top_hits_by_lang": q_top_hits,
@@ -7286,6 +7331,7 @@ FROM f""",
         **_sample_sqls(),
         "top_events_per_type": _topn_per_type_sql(),
         "window_agg_1h": _window_agg_sql(),
+        "auto_date_histogram": _auto_date_histogram_sql(),
         "window_hop_1h_15m": _window_hop_sql(),
         "bucket_pipeline_1h": _bucket_pipeline_sql(),
         "top_hits_by_lang": _top_hits_sql(),

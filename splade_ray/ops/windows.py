@@ -500,3 +500,70 @@ def bucket_pipeline(
             np.nan,
         )
     return pdf.reset_index(drop=True)
+
+
+# The ES auto_date_histogram rounding ladder (seconds -> years), in
+# microseconds. The chosen interval is the SMALLEST step whose bucket
+# count fits the target; if even the largest step overflows the target,
+# the largest is used anyway (the ES contract caps the ladder too).
+AUTO_HIST_LADDER_US: tuple[int, ...] = tuple(
+    s * 1_000_000
+    for s in (
+        1, 5, 10, 30,                      # seconds
+        60, 300, 600, 1800,                # minutes
+        3600, 3 * 3600, 12 * 3600,         # hours
+        86400, 7 * 86400, 30 * 86400,      # day / week / month
+        90 * 86400, 365 * 86400,           # quarter / year
+    )
+)
+
+
+def auto_histogram_interval(
+    mn_us: int, mx_us: int, target_buckets: int,
+    ladder: tuple[int, ...] = AUTO_HIST_LADDER_US,
+) -> int:
+    """Smallest ladder step whose floor-aligned bucket count over
+    [mn, mx] fits ``target_buckets`` (integer arithmetic — the SQL mirror
+    computes the identical expression)."""
+    for step in ladder:
+        if mx_us // step - mn_us // step + 1 <= target_buckets:
+            return step
+    return ladder[-1]
+
+
+def auto_date_histogram(
+    ds: Dataset,
+    *,
+    target_buckets: int = 50,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ladder: tuple[int, ...] = AUTO_HIST_LADDER_US,
+) -> tuple[Dataset, int]:
+    """ES ``auto_date_histogram``: pick the interval from the rounding
+    ladder so the histogram has at most ``target_buckets`` buckets, then
+    aggregate — returns ``(windowed aggregate Dataset, interval_us)``.
+
+    Two passes, both aggregate-shaped: a min/max timestamp reduce (one
+    16-byte row per batch) fixes the interval, then the standard tumbling
+    combiner whose shuffle carries only (window, key) partials."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+
+    def mm(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        return pa.table(
+            {"mn": pa.array([int(ts.min())], pa.int64()),
+             "mx": pa.array([int(ts.max())], pa.int64())}
+        )
+
+    pdf = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if pdf.empty:
+        raise ValueError("auto_date_histogram over an empty dataset")
+    step = auto_histogram_interval(
+        int(pdf["mn"].min()), int(pdf["mx"].max()), target_buckets, ladder
+    )
+    out = tumbling_window_agg(
+        ds, step, ts_col=ts_col, key_col=key_col, value_col=value_col
+    )
+    return out, step

@@ -439,3 +439,44 @@ def test_matrix_stats_and_moments_match_numpy(ray_session):
     np.testing.assert_allclose(fm["variance"], np.var(x, ddof=1), rtol=1e-9)
     np.testing.assert_allclose(fm["skewness"], m3 / m2**1.5, rtol=1e-7)
     np.testing.assert_allclose(fm["kurtosis"], m4 / m2**2, rtol=1e-7)
+
+
+def test_auto_date_histogram_picks_ladder_interval(ray_session):
+    import ray.data as rd
+
+    from splade_ray.ops.windows import (
+        AUTO_HIST_LADDER_US,
+        auto_date_histogram,
+        auto_histogram_interval,
+        tumbling_window_agg,
+    )
+
+    # 1000 events over ~3 hours -> 1h step fits 10 buckets, 30m doesn't
+    base = 1_700_000_000_000_000
+    n = 1000
+    ts = base + (np.arange(n) * 11_000_000)  # 11s apart ~ 3.05h span
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array([f"e{i % 3}" for i in range(n)]),
+            "value": pa.array(np.linspace(0, 10, n)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out, step = auto_date_histogram(ds, target_buckets=6)
+    want_step = auto_histogram_interval(int(ts[0]), int(ts[-1]), 6)
+    assert step == want_step == 3600 * 1_000_000
+    got = out.to_pandas().sort_values(["window_start_us", "event_type"])
+    want = (
+        tumbling_window_agg(ds, step)
+        .to_pandas().sort_values(["window_start_us", "event_type"])
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert got["window_start_us"].nunique() <= 6
+    # ladder fallback: an impossible target returns the largest step
+    assert (
+        auto_histogram_interval(int(ts[0]), int(ts[0]) + 10**15, 1)
+        == AUTO_HIST_LADDER_US[-1]
+    )
