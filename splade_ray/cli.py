@@ -642,11 +642,18 @@ def cmd_percolate(args) -> int:
 
 
 def cmd_delete(args) -> int:
-    """Tombstone docs (logical delete; all query paths filter instantly)."""
-    from splade_ray.delete import delete_docs
+    """Tombstone docs by id list OR by query (logical delete; all query
+    paths filter instantly)."""
+    from splade_ray.delete import delete_by_query, delete_docs
 
-    ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
-    rep = delete_docs(args.index, ids)
+    if bool(args.doc_ids) == bool(args.query):
+        raise SystemExit("pass exactly one of --doc-ids / --query")
+    if args.query:
+        _ensure_ray()
+        rep = delete_by_query(args.index, args.query, mode=args.match_mode)
+    else:
+        ids = [int(x) for x in args.doc_ids.split(",") if x.strip()]
+        rep = delete_docs(args.index, ids)
     print(json.dumps(rep))
     return 0
 
@@ -1738,7 +1745,11 @@ def main(argv: list[str] | None = None) -> int:
 
     dl = sub.add_parser("delete", help="tombstone docs (logical delete)")
     dl.add_argument("--index", required=True)
-    dl.add_argument("--doc-ids", required=True, help="comma-separated doc ids")
+    dl.add_argument("--doc-ids", default="", help="comma-separated doc ids")
+    dl.add_argument("--query", default="",
+                    help="delete-by-query: tombstone every matching doc")
+    dl.add_argument("--match-mode", choices=["any", "all"], default="any",
+                    help="query match semantics (OR / AND)")
     dl.set_defaults(fn=cmd_delete)
 
     pg = sub.add_parser("purge", help="physically remove tombstoned docs")

@@ -335,3 +335,61 @@ def rebuild_lexicon_and_stats(index_dir: str, *, concurrency: int | None = None)
     if os.path.exists(tp):
         os.remove(tp)
     return {**new_man, "n_purged_docs": int(n_purged)}
+
+
+def delete_by_query(
+    index_dir: str,
+    query_text: str,
+    *,
+    mode: str = "any",
+    query_lang: str | None = None,
+    concurrency=None,
+) -> dict:
+    """ES _delete_by_query: tombstone every LIVE doc matching the query —
+    ``mode="any"`` (>=1 query term present, the match-query OR semantics)
+    or ``mode="all"`` (every distinct query term present, the AND form).
+    Returns {n_matched, n_deleted_total}. Matching runs per segment over
+    decoded postings; only matched doc ids leave each segment (deletion
+    output is match-sized by nature — the tombstone table then holds
+    them, which is the same O(deleted) cost Lucene pays in its del docs
+    bitsets)."""
+    from splade_ray.docvalues import _segment_pipeline
+    from splade_ray.query import SegmentIndex, prepare_queries
+
+    if mode not in ("any", "all"):
+        raise ValueError(f"unknown mode {mode!r}")
+    prepared = prepare_queries(index_dir, [(0, query_text)],
+                               query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        terms = prep["queries"][0]
+        if not terms:
+            return empty
+        if mode == "any":
+            m = np.zeros(seg.doc_ids.size, bool)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)
+                m[pos] = True
+        else:
+            m = np.ones(seg.doc_ids.size, bool)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)
+                hit = np.zeros(seg.doc_ids.size, bool)
+                hit[pos] = True
+                m &= hit
+        return pa.table({"doc_id": pa.array(seg.doc_ids[m], pa.int64())})
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    matched = (np.unique(pdf["doc_id"].to_numpy(np.int64))
+               if len(pdf) else np.empty(0, np.int64))
+    out = delete_docs(index_dir, matched)
+    return {"n_matched": int(matched.size),
+            "n_tombstones": out["n_tombstones"]}

@@ -274,3 +274,30 @@ def test_maintain_rederive_restores_all_layers(built, ray_session, capsys):
     # trigram cap preserved from the layer's own manifest
     with open(os.path.join(built, "trigrams.json")) as fh:
         assert json.load(fh)["max_df_frac"] == 0.5
+
+
+def test_delete_by_query_modes(ray_session, tmp_path):
+    from splade_ray.analysis import term_counts
+    from splade_ray.delete import delete_by_query
+    from splade_ray.query import search
+
+    corpus = _write_corpus(tmp_path)
+    index_dir = str(tmp_path / "dbq-index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=25)
+    texts = pq.read_table(corpus)["content"].to_pylist()
+    q = "def return"
+    toks = set(term_counts(q))
+    want_any = {i for i, t in enumerate(texts)
+                if toks & set(term_counts(t))}
+    want_all = {i for i, t in enumerate(texts)
+                if toks <= set(term_counts(t))}
+    out = delete_by_query(index_dir, q, mode="all")
+    assert out["n_matched"] == len(want_all)
+    assert set(load_tombstones(index_dir).tolist()) == want_all
+    out2 = delete_by_query(index_dir, q, mode="any")
+    assert out2["n_matched"] == len(want_any - want_all)  # live-only rematch
+    assert set(load_tombstones(index_dir).tolist()) == want_any
+    # no matching doc can appear in any later run
+    run = search(index_dir, [(1, q)], BM25Params(top_k=50))
+    assert run.empty
