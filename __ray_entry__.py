@@ -3198,6 +3198,36 @@ def q_ann_ivfpq_topk(sf_dir: str):
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
+def q_quality_clf(sf_dir: str):
+    """Distributed hashed logistic-regression quality filter
+    (ops/classifier): full-batch GD with keyed-order partial-gradient
+    sums (deterministic), trained to recognise docs containing the token
+    'spark' (a synthetic but learnable target), then the corpus scored by
+    the broadcast model. Rows-only: iterative training isn't
+    SQL-expressible; convergence + separation are test-proven."""
+    import pyarrow.compute as pc
+
+    from splade_ray.ops.classifier import fit_quality_classifier, score_quality
+
+    def add_label(b: pa.Table) -> pa.Table:
+        has = pc.match_substring(b["text"], "spark")
+        return b.append_column("label", pc.cast(has, pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_label, batch_format="pyarrow"
+    )
+    model = fit_quality_classifier(
+        ds, label_col="label", text_col="text", dim=1 << 14, iters=30, lr=30.0
+    )
+    out = score_quality(ds, model).to_pandas()
+    out["score_r"] = _round4(out["quality_score"].to_numpy())
+    return (
+        out[["doc_id", "label", "score_r"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---- rows-only entries (not SQL-expressible; driver records row counts) ----
 
 
@@ -5368,6 +5398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_exact": q_ann_pq_exact,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "quality_clf": q_quality_clf,
         "minhash_sigs": q_minhash_sigs,
         "simhash_sigs": q_simhash_sigs,
         "doc_fingerprint": q_doc_fingerprint,
