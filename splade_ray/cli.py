@@ -806,6 +806,59 @@ def cmd_route_search(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """ANN over an embeddings parquet: brute cosine, or build/search an
+    IVF / IVF-PQ index (see splade_ray.ops.ann). Queries parquet needs
+    (query_id, embedding)."""
+    import numpy as np
+
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+
+    def load_queries():
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(args.queries)
+        ids = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        return ids, mat
+
+    if args.mode == "build":
+        ds = read_parquet_clean(args.embeddings)
+        if args.kind == "ivf":
+            from splade_ray.ops.ann import ivf_build
+
+            ivf_build(ds, args.index, n_clusters=args.n_clusters,
+                      sample_size=args.sample_size)
+        else:  # ivfpq
+            from splade_ray.ops.ann import ivfpq_build
+
+            ivfpq_build(ds, args.index, n_clusters=args.n_clusters,
+                        m=args.m, ks=args.ks, sample_size=args.sample_size)
+        print(json.dumps({"kind": args.kind, "index": args.index}))
+        return 0
+    q_ids, q_mat = load_queries()
+    if args.mode == "brute":
+        from splade_ray.ops.ann import cosine_topk
+
+        run = cosine_topk(read_parquet_clean(args.embeddings), q_ids, q_mat,
+                          top_k=args.top_k).to_pandas()
+    elif args.kind == "ivf":
+        from splade_ray.ops.ann import ivf_search
+
+        run = ivf_search(args.index, q_ids, q_mat, nprobe=args.nprobe,
+                         top_k=args.top_k).to_pandas()
+    else:
+        from splade_ray.ops.ann import ivfpq_search
+
+        run = ivfpq_search(args.index, q_ids, q_mat, nprobe=args.nprobe,
+                           top_k=args.top_k).to_pandas()
+    run = run.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    run.to_parquet(args.out, index=False)
+    print(json.dumps({"mode": args.mode, "rows": len(run), "out": args.out}))
+    return 0
+
+
 def cmd_alias(args) -> int:
     """Alias registry CRUD + search-through-alias (see splade_ray.alias)."""
     from splade_ray.alias import (
@@ -1805,6 +1858,22 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    an = sub.add_parser("ann", help="ANN: brute cosine / IVF / IVF-PQ")
+    an.add_argument("--mode", choices=["build", "search", "brute"],
+                    required=True)
+    an.add_argument("--kind", choices=["ivf", "ivfpq"], default="ivfpq")
+    an.add_argument("--embeddings", help="embeddings parquet (build/brute)")
+    an.add_argument("--index", help="index dir (build/search)")
+    an.add_argument("--queries", help="(query_id, embedding) parquet")
+    an.add_argument("--out", help="run parquet (search/brute)")
+    an.add_argument("--n-clusters", type=int, default=16)
+    an.add_argument("--m", type=int, default=4)
+    an.add_argument("--ks", type=int, default=16)
+    an.add_argument("--sample-size", type=int, default=4096)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--top-k", type=int, default=10)
+    an.set_defaults(fn=cmd_ann)
 
     al = sub.add_parser("alias", help="index alias registry (atomic swap)")
     al.add_argument("--registry", required=True)

@@ -720,3 +720,43 @@ def test_cli_sample_mix(ray_session, tmp_path, capsys):
     got = pads.dataset(out).to_table().to_pandas()
     assert len(got) == 60
     assert got.groupby("lang").size().max() <= 21  # l-groups are equal-sized
+
+
+def test_cli_ann_build_search_brute(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    n, d = 200, 16
+    vecs = rng.normal(size=(n, d))
+    emb = tmp_path / "emb"
+    emb.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(vecs.tolist())}),
+        str(emb / "e.parquet"),
+    )
+    qp = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table({"query_id": pa.array(np.arange(3, dtype=np.int64)),
+                  "embedding": pa.array(vecs[:3].tolist())}),
+        qp,
+    )
+    idx = str(tmp_path / "annidx")
+    assert main(["ann", "--mode", "build", "--kind", "ivfpq",
+                 "--embeddings", str(emb), "--index", idx,
+                 "--n-clusters", "4", "--m", "4", "--ks", "16"]) == 0
+    out = str(tmp_path / "run.parquet")
+    assert main(["ann", "--mode", "search", "--kind", "ivfpq",
+                 "--index", idx, "--queries", qp, "--nprobe", "4",
+                 "--top-k", "5", "--out", out]) == 0
+    run = pq.read_table(out).to_pandas()
+    assert len(run) == 15
+    # each query's own vector ranks #1 at full probe
+    top1 = run[run["rank"] == 1].set_index("query_id")["vec_id"]
+    assert (top1.loc[i] == i for i in range(3))
+    bout = str(tmp_path / "brute.parquet")
+    assert main(["ann", "--mode", "brute", "--embeddings", str(emb),
+                 "--queries", qp, "--top-k", "5", "--out", bout]) == 0
+    brute = pq.read_table(bout).to_pandas()
+    assert (brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+            == [0, 1, 2]).all()
