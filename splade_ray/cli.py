@@ -889,7 +889,8 @@ def cmd_snapshot(args) -> int:
     from splade_ray.snapshot import restore, snapshot, verify_snapshot
 
     if args.mode == "create":
-        m = snapshot(args.index, args.snap)
+        m = snapshot(args.index, args.snap,
+                     base_snap=args.base or None)
         print(json.dumps({"n_files": m["n_files"],
                           "total_bytes": m["total_bytes"]}))
     elif args.mode == "verify":
@@ -1889,6 +1890,8 @@ def main(argv: list[str] | None = None) -> int:
                     default="create")
     sp.add_argument("--index", help="index dir (create/restore)")
     sp.add_argument("--snap", required=True, help="snapshot dir")
+    sp.add_argument("--base", default="",
+                    help="previous snapshot dir: hard-link unchanged files")
     sp.add_argument("--force", action="store_true",
                     help="restore over a non-empty index dir")
     sp.set_defaults(fn=cmd_snapshot)

@@ -183,3 +183,35 @@ def routed_search(
     run = run.copy()
     run["bucket"] = np.array(probe, np.int64)[run["index"].to_numpy(np.int64)]
     return run[["query_id", "rank", "bucket", "doc_id", "score"]]
+
+
+def maintain_routed(
+    index_root: str,
+    *,
+    max_segments: int = 64,
+    purge: bool = False,
+) -> dict:
+    """Maintenance across a routed index: tier-compact every bucket down
+    to at most ``max_segments`` segments (``purge=True`` fuses tombstone
+    removal into the rewrite — each bucket is a standard index, so this
+    is the plain maintain loop applied per bucket; buckets are
+    independent, so a crash resumes bucket-by-bucket). Returns
+    {bucket: {n_segments_before, n_segments}}."""
+    import math
+
+    from splade_ray.build import load_manifest
+    from splade_ray.compact import compact_segments
+    from splade_ray.delete import purge_deletes
+
+    reports: dict[int, dict] = {}
+    for b in load_routing(index_root)["buckets"]:
+        idx = os.path.join(_bucket_dir(index_root, b), "index")
+        m = load_manifest(idx)
+        n = m["n_segments"]
+        if n > max_segments:
+            group = math.ceil(n / max_segments)
+            m = compact_segments(idx, group_size=group, purge=purge)
+        elif purge:
+            m = purge_deletes(idx)
+        reports[b] = {"n_segments_before": n, "n_segments": m["n_segments"]}
+    return reports

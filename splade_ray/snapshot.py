@@ -48,9 +48,15 @@ def _sha256_file(path: str) -> str:
     return h.hexdigest()
 
 
-def _copy_batch(batch: pa.Table, *, src_root: str, dst_root: str) -> pa.Table:
+def _copy_batch(batch: pa.Table, *, src_root: str, dst_root: str,
+                base_root: str | None = None,
+                base_files: dict | None = None) -> pa.Table:
     """Copy + hash a batch of files (one Ray task). Skips files already
-    present at the destination with the right size (crash resume)."""
+    present at the destination with the right size (crash resume). With a
+    base snapshot (``base_root`` + its {rel: (size, sha)} manifest), a
+    source file whose bytes hash to the base's entry is HARD-LINKED from
+    the base instead of copied — the ES incremental-snapshot shape: only
+    changed files cost bytes."""
     rels, sizes, shas = [], [], []
     for rel in batch["rel"].to_pylist():
         src = os.path.join(src_root, rel)
@@ -58,9 +64,20 @@ def _copy_batch(batch: pa.Table, *, src_root: str, dst_root: str) -> pa.Table:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         want = os.path.getsize(src)
         if not (os.path.exists(dst) and os.path.getsize(dst) == want):
-            tmp = dst + ".tmp-copy"
-            shutil.copyfile(src, tmp)
-            os.replace(tmp, dst)
+            linked = False
+            if base_files is not None and rel in base_files:
+                b_size, b_sha = base_files[rel]
+                if b_size == want and _sha256_file(src) == b_sha:
+                    tmp = dst + ".tmp-copy"
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+                    os.link(os.path.join(base_root, rel), tmp)
+                    os.replace(tmp, dst)
+                    linked = True
+            if not linked:
+                tmp = dst + ".tmp-copy"
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
         rels.append(rel)
         sizes.append(want)
         shas.append(_sha256_file(dst))
@@ -74,13 +91,15 @@ def _copy_batch(batch: pa.Table, *, src_root: str, dst_root: str) -> pa.Table:
 
 
 def _run_copy(src_root: str, dst_root: str, rels: list[str],
-              concurrency=None) -> list[dict]:
+              concurrency=None, base_root: str | None = None,
+              base_files: dict | None = None) -> list[dict]:
     blocks = max(1, min(len(rels), 64))
     rows = (
         rd.from_items([{"rel": r} for r in rels], override_num_blocks=blocks)
         .map_batches(
             _copy_batch, batch_format="pyarrow",
-            fn_kwargs=dict(src_root=src_root, dst_root=dst_root),
+            fn_kwargs=dict(src_root=src_root, dst_root=dst_root,
+                           base_root=base_root, base_files=base_files),
             concurrency=concurrency,
         )
         .take_all()
@@ -88,17 +107,28 @@ def _run_copy(src_root: str, dst_root: str, rels: list[str],
     return sorted(rows, key=lambda r: r["rel"])
 
 
-def snapshot(index_dir: str, snap_dir: str, *, concurrency=None) -> dict:
+def snapshot(index_dir: str, snap_dir: str, *, base_snap: str | None = None,
+             concurrency=None) -> dict:
     """Snapshot ``index_dir`` into ``snap_dir`` (verified parallel copy;
-    manifest written last). Returns the snapshot manifest."""
+    manifest written last). ``base_snap`` points at a previous snapshot of
+    the same index: files whose bytes match the base are hard-linked from
+    it instead of copied (incremental snapshots — only changed segments
+    cost bytes; each snapshot dir still restores standalone because links
+    ARE the payload). Returns the snapshot manifest."""
     if not os.path.isdir(index_dir):
         raise FileNotFoundError(index_dir)
     rels = _file_list(index_dir)
     if not rels:
         raise ValueError(f"nothing to snapshot under {index_dir}")
+    base_root = base_files = None
+    if base_snap is not None:
+        bm = load_snapshot_manifest(base_snap)
+        base_root = os.path.join(base_snap, _DATA)
+        base_files = {f["rel"]: (f["size"], f["sha256"]) for f in bm["files"]}
     data = os.path.join(snap_dir, _DATA)
     os.makedirs(data, exist_ok=True)
-    files = _run_copy(index_dir, data, rels, concurrency)
+    files = _run_copy(index_dir, data, rels, concurrency,
+                      base_root=base_root, base_files=base_files)
     manifest = {
         "n_files": len(files),
         "total_bytes": int(sum(f["size"] for f in files)),

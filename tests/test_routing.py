@@ -134,3 +134,21 @@ def test_routed_search_reads_only_probed_buckets(routed, tmp_path):
     after = routed_search(root, QUERIES, p, routing=routing)
     pd.testing.assert_frame_equal(before, after)
     assert (before["bucket"].isin(list(probed))).all()
+
+
+def test_maintain_routed_compacts_buckets_preserving_results(routed):
+    from splade_ray.routing import load_routing, maintain_routed
+
+    root, texts = routed
+    p = BM25Params(top_k=6)
+    before = routed_search(root, QUERIES, p, routing=None)
+    rep = maintain_routed(root, max_segments=1)
+    import os
+
+    from splade_ray.build import load_manifest
+
+    for b in load_routing(root)["buckets"]:
+        m = load_manifest(os.path.join(root, f"bucket={b:05d}", "index"))
+        assert m["n_segments"] == 1, (b, rep[b])
+    after = routed_search(root, QUERIES, p, routing=None)
+    pd.testing.assert_frame_equal(before, after)

@@ -106,3 +106,35 @@ def test_cli_snapshot(built, tmp_path, capsys):
     assert out["n_files"] > 0
     assert main(["snapshot", "--mode", "verify", "--snap", snap]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["ok"]
+
+
+def test_incremental_snapshot_hard_links_unchanged_files(built, tmp_path):
+    """A second snapshot with base= hard-links unchanged files (st_nlink
+    2) and copies only changed ones; both snapshots restore standalone."""
+    from splade_ray.delete import delete_docs
+
+    index_dir = built
+    s1 = str(tmp_path / "s1")
+    snapshot(index_dir, s1)
+    # change exactly one file (tombstones appear)
+    delete_docs(index_dir, [1])
+    s2 = str(tmp_path / "s2")
+    m2 = snapshot(index_dir, s2, base_snap=s1)
+    assert verify_snapshot(s2)["ok"]
+    m1 = load_snapshot_manifest(s1)
+    sha1 = {f["rel"]: f["sha256"] for f in m1["files"]}
+    linked = changed = 0
+    for f in m2["files"]:
+        p = os.path.join(s2, "data", f["rel"])
+        if sha1.get(f["rel"]) == f["sha256"]:
+            assert os.stat(p).st_nlink >= 2, f["rel"]  # shared payload
+            linked += 1
+        else:
+            changed += 1
+    assert linked > 0 and changed >= 1  # tombstones.parquet is new
+    # the incremental snapshot restores standalone
+    r = str(tmp_path / "r")
+    restore(s2, r)
+    from splade_ray.delete import load_tombstones
+
+    assert load_tombstones(r).tolist() == [1]
