@@ -487,6 +487,27 @@ def pq_train(
     return books
 
 
+def pq_train_raw(
+    sample: np.ndarray, *, m: int = 4, ks: int = 16, iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """pq_train without the L2 normalization — the residual-space trainer
+    (residuals x − centroid are not unit vectors)."""
+    x = np.asarray(sample, np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    return np.stack(
+        [
+            _kmeans_l2(np.ascontiguousarray(x[:, s * dsub: (s + 1) * dsub]),
+                       ks, iters=iters, rng=rng)
+            for s in range(m)
+        ]
+    )
+
+
 class BatchPQScorer:
     """map_batches stage: encode each vector batch against the broadcast
     codebooks (nearest sub-centroid by L2) and score every query by
@@ -616,6 +637,7 @@ def ivfpq_build(
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    residual: bool = False,
 ) -> dict:
     """Build an on-disk IVF-PQ index (Jégou et al. IVFADC, the
     billion-scale layout): train the coarse quantizer AND the PQ codebooks
@@ -625,25 +647,35 @@ def ivfpq_build(
     — raw vectors never persist, so the index is ~d·4/m times smaller than
     the raw-vector IVF layout and a probe scans bytes, not floats.
 
-    Variant note: codes quantize the NORMALIZED vector directly (not the
-    residual) so ADC tables are plain sub-dot-products — the same pinned
-    contract as :func:`pq_cosine_topk`, trading a little recall for an
-    exactly shared code path."""
+    ``residual=False`` quantizes the NORMALIZED vector directly so ADC
+    tables are plain sub-dot-products — the exactly shared contract with
+    :func:`pq_cosine_topk`. ``residual=True`` is classic IVFADC: codebooks
+    train on (x − centroid[cluster]) residuals and the scan adds the exact
+    q·centroid term per partition — the same byte budget concentrates on a
+    much smaller residual cell, buying recall (tested)."""
     import json as _json
     import os
 
     sample = np.stack(ds.limit(sample_size).to_pandas()[emb_col].to_numpy())
     cents = kmeans_fit(sample, n_clusters, seed=seed)
-    books = pq_train(sample, m=m, ks=ks, iters=iters, seed=seed)
-    cn = _normalize(cents)
-    plan_ref = ray.put({"cents": cn, "books": books})
+    cn0 = _normalize(cents)
+    if residual:
+        sn = _normalize(sample)
+        assign0 = np.argmax(sn @ cn0.T, axis=1)
+        train_x = sn - cn0[assign0]
+        books = pq_train_raw(train_x, m=m, ks=ks, iters=iters, seed=seed)
+    else:
+        books = pq_train(sample, m=m, ks=ks, iters=iters, seed=seed)
+    cn = cn0
+    plan_ref = ray.put({"cents": cn, "books": books, "residual": residual})
 
     def encode(batch: pa.Table) -> pa.Table:
         plan = ray.get(plan_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
         cluster = np.argmax(mat @ plan["cents"].T, axis=1).astype(np.int64)
-        codes = _pq_encode(mat, plan["books"])
+        enc_x = mat - plan["cents"][cluster] if plan["residual"] else mat
+        codes = _pq_encode(enc_x, plan["books"])
         return pa.table(
             {
                 "vec_id": pa.array(ids),
@@ -659,8 +691,9 @@ def ivfpq_build(
     np.save(os.path.join(index_dir, "codebooks.npy"), books)
     with open(os.path.join(index_dir, "ivfpq.json"), "w") as fh:
         _json.dump({"n_clusters": int(n_clusters), "m": int(m),
-                    "ks": int(ks), "seed": int(seed)}, fh)
-    return {"centroids": cents, "books": books}
+                    "ks": int(ks), "seed": int(seed),
+                    "residual": bool(residual)}, fh)
+    return {"centroids": cents, "books": books, "residual": residual}
 
 
 def ivfpq_search(
@@ -681,13 +714,21 @@ def ivfpq_search(
 
     import ray.data as rd
 
+    import json as _json
+
     cents = _normalize(np.load(os.path.join(index_dir, "centroids.npy")))
     books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    meta_path = os.path.join(index_dir, "ivfpq.json")
+    residual = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            residual = bool(_json.load(fh).get("residual", False))
     qmat = _normalize(np.asarray(query_matrix, np.float64))
     mm, ks, dsub = books.shape
     tables = np.einsum("qsd,skd->qsk", qmat.reshape(qmat.shape[0], mm, dsub),
                        books)
-    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, cents.shape[0])]
+    qc = qmat @ cents.T  # (Q, n_clusters): the exact q·centroid term
+    probes = np.argsort(-qc, axis=1)[:, : min(nprobe, cents.shape[0])]
     probed = sorted({int(c) for row in probes for c in row})
 
     parts = []
@@ -711,6 +752,7 @@ def ivfpq_search(
             "query_ids": np.asarray(query_ids, np.int64),
             "tables": tables,
             "probes": probes,
+            "qc": qc if residual else None,
         }
     )
 
@@ -737,6 +779,9 @@ def ivfpq_search(
         sims = np.zeros((tabs.shape[0], n), np.float64)
         for s in range(tabs.shape[1]):
             sims += tabs[:, s, codes[:, s]]
+        if ctx["qc"] is not None:
+            # residual layout: sim ≈ q·centroid[cluster] + q·residual(ADC)
+            sims += ctx["qc"][:, clusters]
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(ctx["query_ids"]):
             mask = np.isin(clusters, ctx["probes"][qi])
