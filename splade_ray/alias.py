@@ -1,6 +1,8 @@
 """Index aliases — the ES alias API for a filesystem-contract engine.
 
-An alias registry is one JSON file (``aliases.json``) in a registry
+The reference addresses an index by literal path in its config
+(``conf/index/msmarco.yaml``); swapping corpora means editing
+configs. An alias registry is one JSON file (``aliases.json``) in a registry
 directory mapping alias names to index-directory lists. Readers resolve
 an alias at query time; writers update the registry with an ATOMIC
 rename, so a reader never observes a half-applied change — which makes

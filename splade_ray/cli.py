@@ -834,7 +834,8 @@ def cmd_ann(args) -> int:
             from splade_ray.ops.ann import ivfpq_build
 
             ivfpq_build(ds, args.index, n_clusters=args.n_clusters,
-                        m=args.m, ks=args.ks, sample_size=args.sample_size)
+                        m=args.m, ks=args.ks, sample_size=args.sample_size,
+                        residual=args.residual)
         print(json.dumps({"kind": args.kind, "index": args.index}))
         return 0
     q_ids, q_mat = load_queries()
@@ -1872,6 +1873,8 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--m", type=int, default=4)
     an.add_argument("--ks", type=int, default=16)
     an.add_argument("--sample-size", type=int, default=4096)
+    an.add_argument("--residual", action="store_true",
+                    help="IVFADC residual encoding (ivfpq build)")
     an.add_argument("--nprobe", type=int, default=4)
     an.add_argument("--top-k", type=int, default=10)
     an.set_defaults(fn=cmd_ann)

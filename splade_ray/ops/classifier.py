@@ -2,7 +2,10 @@
 linear filter real LLM data pipelines train to score documents, e.g. the
 LLaMA "quality classifier" / CCNet target-domain filter).
 
-Model: logistic regression over hashed bag-of-tokens features — each
+The reference has no data-curation stage at all (its datasets load
+pre-filtered collections, ``splade/datasets/datasets.py:20-60``), yet
+every corpus it indexes was filtered by exactly this kind of model
+upstream. Model: logistic regression over hashed bag-of-tokens features — each
 token maps to ``hash_token(t) % dim`` (the sha256-prefix hash every other
 operator here uses), a document's feature vector is its mean-pooled
 one-hot bag (value ``1/n_tokens`` per occurrence), and the score is

@@ -1,6 +1,8 @@
 """Routing-partitioned index: the ES ``_routing`` / shard-key contract.
 
-A routed build hash-partitions the corpus by a routing column into
+The reference searches one monolithic index per run (its retrieval
+loop loads a single sparse matrix, ``splade/tasks/transformer_evaluator.py:90-134``);
+production engines shard. A routed build hash-partitions the corpus by a routing column into
 ``n_buckets`` bucket directories (ONE Ray Data pass, hive-partitioned
 Parquet write) and builds one standard index per non-empty bucket. A
 routed search computes the target buckets driver-side from the given

@@ -1,7 +1,9 @@
 """Index snapshot / restore — the ES snapshot-API analog for a
 filesystem-contract index.
 
-A snapshot is a verified, resumable copy of an index directory: the file
+The reference's index is a directory of HDF5/json files with no
+backup story (``splade/indexing/inverted_index.py:81-94`` writes once,
+in place). A snapshot is a verified, resumable copy of an index directory: the file
 list is enumerated driver-side (names only), the byte copying + sha256
 hashing fans out as a Ray Data pipeline (one task per file batch — at
 10^5-segment scale the copy is embarrassingly parallel and the driver
