@@ -280,6 +280,22 @@ def ivf_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id", emb_col: st
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=2048)
 
 
+def _clusters_from_paths(path_col) -> np.ndarray:
+    """int64 hive cluster ids from a read_parquet include_paths column —
+    one regex per DISTINCT path (a batch holds rows from few files)."""
+    import re
+
+    col = path_col.combine_chunks() if isinstance(
+        path_col, pa.ChunkedArray) else path_col
+    enc = col.dictionary_encode()
+    lut = np.array(
+        [int(re.search(r"cluster=(\d+)", p).group(1))
+         for p in enc.dictionary.to_pylist()],
+        np.int64,
+    )
+    return lut[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def ivf_build(
     ds,
     index_dir: str,
@@ -332,27 +348,14 @@ def ivf_search(
     probes = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, cents.shape[0])]
     probed = sorted({int(c) for row in probes for c in row})
 
-    def _tag(cluster_id):
-        # read_parquet re-derives `cluster` from the hive path as a STRING;
-        # replace it with the known int64 partition id
-        def tag(batch: pa.Table) -> pa.Table:
-            if "cluster" in batch.column_names:
-                batch = batch.drop_columns(["cluster"])
-            return batch.append_column(
-                "cluster", pa.array(np.full(batch.num_rows, cluster_id, np.int64))
-            )
+    import glob as _glob
 
-        return tag
-
-    parts = []
+    files = []
     for c in probed:
         part_dir = os.path.join(index_dir, f"cluster={c}")
-        if not os.path.exists(part_dir):
-            continue  # empty cluster: nothing was written for it
-        parts.append(
-            rd.read_parquet(part_dir).map_batches(_tag(c), batch_format="pyarrow")
-        )
-    if not parts:  # every probed cluster was empty -> empty result, not a crash
+        if os.path.exists(part_dir):  # empty cluster: nothing was written
+            files.extend(sorted(_glob.glob(os.path.join(part_dir, "*.parquet"))))
+    if not files:  # every probed cluster was empty -> empty result, not a crash
         return rd.from_arrow(
             pa.table(
                 {
@@ -372,7 +375,7 @@ def ivf_search(
     # cluster; the broadcast ctx is plasma-local after the first fetch.
     def score(batch: pa.Table, *, ctx_ref=ctx_ref, top_k=top_k) -> pa.Table:
         ctx = ray.get(ctx_ref)
-        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        clusters = _clusters_from_paths(batch["path"])
         vec_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _normalize(np.stack(batch[emb_col].to_numpy(zero_copy_only=False)))
         out_q, out_v, out_s = [], [], []
@@ -394,7 +397,11 @@ def ivf_search(
             }
         )
 
-    scan = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    # ONE dataset over the probed partitions' files (per-cluster datasets
+    # + union pay creation overhead per partition); cluster ids re-derive
+    # from the path column
+    scan = rd.read_parquet(files, columns=[id_col, emb_col],
+                           include_paths=True)
     cand = scan.map_batches(score, batch_format="pyarrow", batch_size=2048)
     return cand.groupby("query_id").map_groups(
         _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
@@ -731,12 +738,13 @@ def ivfpq_search(
     probes = np.argsort(-qc, axis=1)[:, : min(nprobe, cents.shape[0])]
     probed = sorted({int(c) for row in probes for c in row})
 
-    parts = []
+    import glob as _glob
+
+    files = []
     for c in probed:
         part_dir = os.path.join(index_dir, f"cluster={c}")
-        if not os.path.exists(part_dir):
-            continue
-        parts.append((c, part_dir))
+        if os.path.exists(part_dir):
+            files.extend(sorted(_glob.glob(os.path.join(part_dir, "*.parquet"))))
     empty = pa.table(
         {
             "query_id": pa.array([], pa.int64()),
@@ -745,7 +753,7 @@ def ivfpq_search(
             "sim": pa.array([], pa.float64()),
         }
     )
-    if not parts:
+    if not files:
         return rd.from_arrow(empty)
     ctx_ref = ray.put(
         {
@@ -756,23 +764,15 @@ def ivfpq_search(
         }
     )
 
-    def _tag(cluster_id):
-        def tag(batch: pa.Table) -> pa.Table:
-            if "cluster" in batch.column_names:
-                batch = batch.drop_columns(["cluster"])
-            return batch.append_column(
-                "cluster",
-                pa.array(np.full(batch.num_rows, cluster_id, np.int64)),
-            )
-
-        return tag
-
     def score(batch: pa.Table, *, ctx_ref=ctx_ref, top_k=top_k) -> pa.Table:
         ctx = ray.get(ctx_ref)
-        clusters = batch["cluster"].to_numpy(zero_copy_only=False)
+        clusters = _clusters_from_paths(batch["path"])
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = np.stack(
-            batch["codes"].to_numpy(zero_copy_only=False)
+        col = batch["codes"].combine_chunks()
+        # fixed-size list -> one zero-copy flat buffer reshape (np.stack
+        # over per-row object arrays measured ~2x slower per probe)
+        codes = col.values.to_numpy(zero_copy_only=False).reshape(
+            len(col), -1
         ).astype(np.int64)  # (n, m)
         tabs = ctx["tables"]  # (Q, m, ks)
         n = codes.shape[0]
@@ -802,14 +802,14 @@ def ivfpq_search(
             }
         )
 
-    scans = [
-        rd.read_parquet(d, columns=["vec_id", "codes"]).map_batches(
-            _tag(c), batch_format="pyarrow"
-        )
-        for c, d in parts
-    ]
-    scan = scans[0] if len(scans) == 1 else scans[0].union(*scans[1:])
-    cand = scan.map_batches(score, batch_format="pyarrow", batch_size=2048)
+    # ONE dataset over the probed partitions' files (a per-cluster
+    # read_parquet + union pays dataset-creation overhead per partition —
+    # measured ~10x slower at small probe counts); the hive cluster id is
+    # re-derived from the path column, one regex per DISTINCT path.
+    scan = rd.read_parquet(files, columns=["vec_id", "codes"],
+                           include_paths=True)
+    # code rows are m bytes — larger batches amortize per-batch overhead
+    cand = scan.map_batches(score, batch_format="pyarrow", batch_size=16384)
     return cand.groupby("query_id").map_groups(
         _merge_topk, batch_format="pandas", fn_kwargs={"top_k": top_k}
     )
