@@ -2991,6 +2991,52 @@ def q_matrix_stats(sf_dir: str):
     return out[["field_a", "field_b", "n", "mean_a_r", "mean_b_r", "cov_r", "corr_r"]]
 
 
+def q_emb_covariance(sf_dir: str):
+    """Exact population covariance of the embeddings column
+    (ops/pca.embedding_covariance): one streaming pass of (Σx, Σxxᵀ, n)
+    partials — d + d² floats per batch, row-count-independent — summed in
+    pinned key order. All d×d entries, round4."""
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.pca import embedding_covariance
+
+    cov = embedding_covariance(
+        read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    )
+    d = cov.shape[0]
+    ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    out = pd.DataFrame(
+        {
+            "i": (ii.ravel() + 1).astype(np.int64),  # 1-based like SQL
+            "j": (jj.ravel() + 1).astype(np.int64),
+            "cov_r": _round4(cov.ravel()),
+        }
+    )
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+PCA_COMPONENTS = 8
+
+
+def q_pca_embed(sf_dir: str):
+    """Distributed exact PCA (ops/pca.pca_fit/pca_project): sufficient
+    statistics reduce + local d×d eigh (sign-pinned components), then a
+    broadcast-model projection stage. Rows-only (eigendecomposition isn't
+    SQL-expressible; the covariance input IS oracle-checked above)."""
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.pca import pca_fit, pca_project
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    model = pca_fit(ds, n_components=PCA_COMPONENTS)
+    out = pca_project(ds, model).to_pandas().sort_values("vec_id")
+    z = np.stack(out["pca"].to_numpy())
+    frame = {"vec_id": out["vec_id"].to_numpy(np.int64)}
+    for k in range(PCA_COMPONENTS):
+        frame[f"c{k}_r"] = _round4(z[:, k])
+    return pd.DataFrame(frame).reset_index(drop=True)
+
+
 def q_field_moments(sf_dir: str):
     """Per-field higher moments (ops.moments.field_moments): mean, sample
     variance, population skewness g1 and (non-excess) kurtosis derived from
@@ -5369,6 +5415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": q_matrix_stats,
         "percentile_ranks": q_percentile_ranks,
         "field_moments": q_field_moments,
+        "emb_covariance": q_emb_covariance,
+        "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "funnel_48h": q_funnel,
@@ -7370,6 +7418,18 @@ FROM f""",
         "matrix_stats": _matrix_stats_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
         "field_moments": _field_moments_sql(),
+        "emb_covariance": """
+WITH e AS (SELECT vec_id, unnest(embedding) AS val,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+m AS (SELECT i, sum(val) / (SELECT n FROM nn) AS mu FROM e GROUP BY i),
+c AS (SELECT a.i AS i, b.i AS j,
+             sum(a.val * b.val) / (SELECT n FROM nn) AS exx
+      FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)
+SELECT c.i::BIGINT AS i, c.j::BIGINT AS j,
+       round(c.exx - ma.mu * mb.mu, 4) AS cov_r
+FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j""",
         "sessions_30m": _sessions_sql(),
         "asof_purchase_signup": _asof_sql(),
         "funnel_48h": _funnel_sql(),
