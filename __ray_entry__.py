@@ -2991,6 +2991,24 @@ def q_matrix_stats(sf_dir: str):
     return out[["field_a", "field_b", "n", "mean_a_r", "mean_b_r", "cov_r", "corr_r"]]
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 24, 8
+
+
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunking (ops/chunk.chunk_texts — the RAG context
+    split): overlapping analyzed-token windows per doc, stride = size −
+    overlap, stopping after the first end-reaching chunk. Fully
+    vectorized (repeat/arange index build + one binary_join)."""
+    from splade_ray.ops.chunk import chunk_texts
+
+    out = (
+        chunk_texts(_docs(sf_dir, ["doc_id", "text"]),
+                    size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+    )
+    return out.reset_index(drop=True)
+
+
 def q_emb_covariance(sf_dir: str):
     """Exact population covariance of the embeddings column
     (ops/pca.embedding_covariance): one streaming pass of (Σx, Σxxᵀ, n)
@@ -5416,6 +5434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": q_percentile_ranks,
         "field_moments": q_field_moments,
         "emb_covariance": q_emb_covariance,
+        "chunk_docs": q_chunk_docs,
         "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -7418,6 +7437,25 @@ FROM f""",
         "matrix_stats": _matrix_stats_sql(),
         "percentile_ranks": _percentile_ranks_sql(),
         "field_moments": _field_moments_sql(),
+        "chunk_docs": f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_SQL}') AS ts
+              FROM documents),
+st AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks WHERE len(ts) > 0),
+ch AS (SELECT doc_id, ts, n,
+              unnest(generate_series(
+                  0,
+                  ((greatest(n - {CHUNK_SIZE}, 0)
+                    + {CHUNK_SIZE - CHUNK_OVERLAP} - 1)
+                   // {CHUNK_SIZE - CHUNK_OVERLAP})
+                  * {CHUNK_SIZE - CHUNK_OVERLAP},
+                  {CHUNK_SIZE - CHUNK_OVERLAP})) AS start
+       FROM st)
+SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
+       least({CHUNK_SIZE}, n - start)::BIGINT AS n_tokens,
+       array_to_string(ts[start + 1 : least(start + {CHUNK_SIZE}, n)], ' ')
+           AS chunk
+FROM ch""",
         "emb_covariance": """
 WITH e AS (SELECT vec_id, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS i

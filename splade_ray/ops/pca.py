@@ -89,11 +89,14 @@ def pca_fit(
     n_components: int,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    whiten: bool = False,
 ) -> dict:
     """Fit exact PCA: distributed sufficient statistics + a local d×d
     ``eigh``. Returns {"mean": (d,), "components": (k, d) rows = top
     eigenvectors by descending eigenvalue, sign-pinned,
-    "explained_variance": (k,)}."""
+    "explained_variance": (k,), "whiten": bool}. ``whiten=True`` makes
+    :func:`pca_project` scale each coordinate by 1/√eigenvalue (unit
+    output variance — the FAISS PCAMatrix eigen_power=-0.5 shape)."""
     sum_x, sum_xx, n = embedding_sums(ds, emb_col=emb_col, id_col=id_col)
     mean = sum_x / n
     cov = sum_xx / n - np.outer(mean, mean)
@@ -109,6 +112,7 @@ def pca_fit(
         "mean": mean,
         "components": comps,
         "explained_variance": vals[order],
+        "whiten": bool(whiten),
     }
 
 
@@ -128,6 +132,8 @@ def pca_project(
         m = ray.get(model_ref)
         x = _emb_matrix(batch[emb_col])
         z = (x - m["mean"]) @ m["components"].T
+        if m.get("whiten"):
+            z = z / np.sqrt(np.maximum(m["explained_variance"], 1e-30))
         return batch.append_column(
             out_col, pa.array(z.tolist(), pa.list_(pa.float64()))
         )

@@ -88,3 +88,15 @@ def test_pca_empty_raises(ray_session):
     )
     with pytest.raises(ValueError, match="empty"):
         pca_fit(ds, n_components=2)
+
+
+def test_pca_whitening_unit_variance(ray_session):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(300, 8)) * np.array([6, 5, 4, 3, 2, 1, 0.5, 0.2])
+    ds = _ds(vecs)
+    model = pca_fit(ds, n_components=4, whiten=True)
+    z = np.stack(
+        pca_project(ds, model).to_pandas().sort_values("vec_id")["pca"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(z.var(axis=0), np.ones(4), rtol=1e-8)
