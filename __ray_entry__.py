@@ -3009,6 +3009,93 @@ def q_chunk_docs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_rag_topk(sf_dir: str):
+    """RAG pipeline (pipelines/rag): documents chunked into overlapping
+    token windows, chunks indexed with parent doc-values, parents ranked
+    by their best matching chunk's BM25 (block-join max over ALL matching
+    chunks, not a top-k window) — the full chunk→index→retrieve→parent
+    composition as ONE oracle-checked entry."""
+    from splade_ray.pipelines.rag import build_chunk_index, rag_search
+
+    root = os.path.join(_work_dir(sf_dir, "ragidx"), "rag")
+    build_chunk_index(
+        os.path.join(sf_dir, "documents.parquet"), root,
+        size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+        text_col="text", id_col="doc_id", rows_per_segment=1000,
+    )
+    run = rag_search(root, BM25_QUERIES, BM25Params(k1=K1, b=B),
+                     score_mode="max", top_k=TOP_K)
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "parent", "score_r", "n_children"]]
+
+
+def _rag_sql() -> str:
+    """rag_topk mirror: the chunk CTE (same ladder as chunk_docs), chunk
+    re-tokenization (analyzer round-trip), BM25 over chunks with
+    chunk-level stats, then parent = max matching chunk + block-join
+    ranking (score desc, parent asc)."""
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term, qtf in sorted(term_counts(text).items()):
+            values.append(f"({qid}, '{term}', {qtf})")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH toks0 AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '{TOKEN_SQL}') AS ts
+               FROM documents),
+st AS (SELECT doc_id, ts, len(ts)::BIGINT AS n FROM toks0 WHERE len(ts) > 0),
+ch AS (SELECT doc_id, ts, n,
+              unnest(generate_series(
+                  0,
+                  ((greatest(n - {CHUNK_SIZE}, 0) + {stride} - 1)
+                   // {stride}) * {stride},
+                  {stride})) AS start
+       FROM st),
+chunks AS (SELECT doc_id, (start // {stride})::BIGINT AS chunk_id,
+                  array_to_string(
+                      ts[start + 1 : least(start + {CHUNK_SIZE}, n)], ' '
+                  ) AS chunk
+           FROM ch),
+ctoks AS (SELECT doc_id * {100_000} + chunk_id AS cid, doc_id,
+                 unnest(regexp_extract_all(lower(chunk), '{TOKEN_SQL}')) AS term
+          FROM chunks),
+tf AS (SELECT cid, doc_id, term, count(*)::BIGINT AS tf
+       FROM ctoks GROUP BY 1, 2, 3),
+q(query_id, term, qtf) AS (VALUES
+    {vals}
+),
+dl AS (SELECT cid, count(*)::DOUBLE AS dl FROM ctoks GROUP BY cid),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(DISTINCT cid)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT q.query_id, tf.cid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * q.qtf
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl ON dl.cid = tf.cid
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+par AS (SELECT query_id, doc_id::VARCHAR AS parent, max(score) AS score,
+               count(*)::BIGINT AS n_children
+        FROM scores WHERE score > 0 GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, parent, score, n_children,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, parent ASC) AS rank
+  FROM par
+)
+SELECT query_id, rank::BIGINT AS rank, parent,
+       {_round4_sql('score')} AS score_r, n_children
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
 def q_emb_covariance(sf_dir: str):
     """Exact population covariance of the embeddings column
     (ops/pca.embedding_covariance): one streaming pass of (Σx, Σxxᵀ, n)
@@ -5435,6 +5522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_moments": q_field_moments,
         "emb_covariance": q_emb_covariance,
         "chunk_docs": q_chunk_docs,
+        "rag_topk": q_rag_topk,
         "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -7456,6 +7544,7 @@ SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
        array_to_string(ts[start + 1 : least(start + {CHUNK_SIZE}, n)], ' ')
            AS chunk
 FROM ch""",
+        "rag_topk": _rag_sql(),
         "emb_covariance": """
 WITH e AS (SELECT vec_id, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS i

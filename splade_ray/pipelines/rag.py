@@ -1,0 +1,105 @@
+"""RAG pipeline: chunk → index → chunk-level BM25 → parent-ranked docs.
+
+The composition every retrieval-augmented system runs over long
+documents (the reference instead truncates to ``max_length`` and ranks
+whole docs): split each document into overlapping token windows
+(``ops.chunk``), index the CHUNKS as first-class docs with their parent
+id riding as a doc-values column, score queries against chunks, and rank
+parents by aggregating their matching chunks' scores — exactly the
+ToParentBlockJoin contract ``docvalues.block_join_search`` already
+implements, so the parent step reuses that kernel unchanged.
+
+Chunk ids are ``doc_id · CHUNK_BASE + chunk_id`` (deterministic, join-free
+parent recovery; documents must have < CHUNK_BASE chunks). Every stage
+streams: chunking is a flat map, the index build is the standard
+segment-checkpointed one, and the parent reduce is aggregate-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+
+from splade_ray.bm25 import BM25Params
+
+CHUNK_BASE = 100_000
+
+
+def build_chunk_index(
+    corpus_paths,
+    index_dir: str,
+    *,
+    size: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_segment: int = 50_000,
+    concurrency=None,
+) -> dict:
+    """Chunk the corpus and build the chunk-level index (chunk_uid =
+    doc_id·CHUNK_BASE + chunk_id as the external id, parent doc id as a
+    doc-values column). Returns the index manifest. The chunked parquet
+    persists beside the index (``<index_dir>/chunks``), so rebuilding
+    resumes both stages."""
+    from splade_ray.build import build_index
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.chunk import chunk_texts
+
+    os.makedirs(index_dir, exist_ok=True)
+    chunks_dir = os.path.join(index_dir, "chunks")
+    if not os.path.isdir(chunks_dir) or not os.listdir(chunks_dir):
+        def add_ids(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype("int64")
+            cid = batch["chunk_id"].to_numpy(zero_copy_only=False)
+            if cid.size and int(cid.max()) >= CHUNK_BASE:
+                raise ValueError(f"document has >= {CHUNK_BASE} chunks")
+            uid = ids * CHUNK_BASE + cid
+            batch = batch.append_column("chunk_uid", pa.array(uid, pa.int64()))
+            return batch.append_column(
+                "parent", pa.array([str(i) for i in ids], pa.string())
+            )
+
+        tmp = chunks_dir + ".tmp"
+        (
+            chunk_texts(
+                read_parquet_clean(corpus_paths, columns=[id_col, text_col]),
+                size=size, overlap=overlap,
+                text_col=text_col, id_col=id_col,
+            )
+            .map_batches(add_ids, batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        os.rename(tmp, chunks_dir)
+    return build_index(
+        chunks_dir, os.path.join(index_dir, "index"),
+        text_col="chunk", id_col="chunk_uid",
+        rows_per_segment=rows_per_segment,
+        extra_doc_cols=("parent",), concurrency=concurrency,
+    )
+
+
+def rag_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    score_mode: str = "max",
+    top_k: int = 10,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Parent-ranked retrieval over a chunk index: parents = documents,
+    children = their chunks, parent score aggregates ALL matching chunks
+    (block-join semantics — ``score_mode`` ∈ max|sum|min|avg|count).
+    Returns (query_id, rank, parent, score, n_children); ``n_children``
+    = the doc's matching-chunk count."""
+    from splade_ray.docvalues import block_join_search
+
+    return block_join_search(
+        os.path.join(index_dir, "index"), queries, params,
+        parent_col="parent", score_mode=score_mode, top_k=top_k,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,104 @@
+"""RAG pipeline: chunk index build + parent-ranked retrieval parity
+against a scalar chunk-level reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from splade_ray.analysis import term_counts
+from splade_ray.bm25 import BM25Params, idf, tf_component
+from splade_ray.ops.chunk import chunk_texts  # noqa: F401 (contract dep)
+from splade_ray.pipelines.rag import build_chunk_index, rag_search
+
+N = 60
+SIZE, OVERLAP = 6, 2
+
+
+def _texts():
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rng = np.random.RandomState(13)
+    return [
+        " ".join(rng.choice(words, size=rng.randint(3, 30)))
+        for _ in range(N)
+    ]
+
+
+def _scalar_chunks(text):
+    toks = text.split()
+    n, stride = len(toks), SIZE - OVERLAP
+    out, s = [], 0
+    while n:
+        out.append(" ".join(toks[s:s + SIZE]))
+        if s + SIZE >= n:
+            break
+        s += stride
+    return out
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    texts = _texts()
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(N, dtype=np.int64)),
+                  "text": pa.array(texts)}),
+        corpus,
+    )
+    root = str(tmp_path / "rag")
+    m = build_chunk_index(corpus, root, size=SIZE, overlap=OVERLAP,
+                          rows_per_segment=40)
+    return root, texts, m
+
+
+def test_rag_parent_ranking_matches_scalar(built):
+    root, texts, manifest = built
+    # the chunk index holds every chunk
+    all_chunks = [(i, c) for i, t in enumerate(texts)
+                  for c in _scalar_chunks(t)]
+    assert manifest["n_docs"] == len(all_chunks)
+
+    p = BM25Params(top_k=8)
+    queries = [(1, "alpha beta"), (2, "kappa")]
+    got = rag_search(root, queries, p, score_mode="max", top_k=8)
+
+    # scalar reference: BM25 over chunks, parent = max matching chunk
+    tcs = [term_counts(c) for _, c in all_chunks]
+    lens = np.array([sum(c.values()) for c in tcs], np.float64)
+    avgdl = lens.sum() / len(tcs)
+    for qid, qtext in queries:
+        scores = np.zeros(len(tcs), np.float64)
+        q = term_counts(qtext)
+        for term in sorted(q):
+            pos = np.array([i for i, c in enumerate(tcs) if term in c],
+                           np.int64)
+            if pos.size == 0:
+                continue
+            tf = np.array([tcs[i][term] for i in pos], np.float64)
+            w = idf(pos.size, len(tcs)) * q[term]
+            scores[pos] += w * tf_component(tf, lens[pos], avgdl, p)
+        best: dict[int, float] = {}
+        cnt: dict[int, int] = {}
+        for (doc, _), s in zip(all_chunks, scores):
+            if s > 0:
+                best[doc] = max(best.get(doc, -np.inf), s)
+                cnt[doc] = cnt.get(doc, 0) + 1
+        want = sorted(best.items(), key=lambda kv: (-kv[1], str(kv[0])))[:8]
+        g = got[got["query_id"] == qid]
+        assert g["parent"].tolist() == [str(d) for d, _ in want]
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), [s for _, s in want], rtol=1e-12
+        )
+        assert g["n_children"].tolist() == [cnt[d] for d, _ in want]
+
+
+def test_rag_build_resumes(built):
+    root, texts, m1 = built
+    m2 = build_chunk_index(
+        str(root) + "/../c.parquet", root, size=SIZE, overlap=OVERLAP,
+        rows_per_segment=40,
+    )
+    assert m2["n_segments_skipped"] == m2["n_segments"]  # full resume
+    assert m2["n_docs"] == m1["n_docs"]
