@@ -3031,11 +3031,48 @@ def q_rag_topk(sf_dir: str):
     return out[["query_id", "rank", "parent", "score_r", "n_children"]]
 
 
-def _rag_sql() -> str:
-    """rag_topk mirror: the chunk CTE (same ladder as chunk_docs), chunk
-    re-tokenization (analyzer round-trip), BM25 over chunks with
-    chunk-level stats, then parent = max matching chunk + block-join
-    ranking (score desc, parent asc)."""
+def q_rag_chunks(sf_dir: str):
+    """Chunk-level RAG retrieval with payloads (pipelines/rag
+    .rag_search_chunks): top-k chunks per query with parent doc id and
+    chunk text, texts fetched via a k-sized pushdown isin read of the
+    persisted chunk parquet."""
+    from splade_ray.pipelines.rag import build_chunk_index, rag_search_chunks
+
+    root = os.path.join(_work_dir(sf_dir, "ragidx"), "rag")
+    build_chunk_index(
+        os.path.join(sf_dir, "documents.parquet"), root,
+        size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+        text_col="text", id_col="doc_id", rows_per_segment=1000,
+    )
+    run = rag_search_chunks(root, BM25_QUERIES,
+                            BM25Params(k1=K1, b=B, top_k=TOP_K))
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "chunk_id", "score_r", "chunk"]]
+
+
+def _rag_chunks_sql() -> str:
+    """rag_chunks mirror: the rag chunk/BM25 chain ranked at chunk level
+    (score desc, chunk_uid asc) with the chunk text joined back."""
+    return _rag_sql_base() + f"""
+, ranked AS (
+  SELECT query_id, cid, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cid ASC) AS rank
+  FROM scores WHERE score > 0
+)
+SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id,
+       (r.cid % {100_000})::BIGINT AS chunk_id,
+       {_round4_sql('r.score')} AS score_r, c.chunk
+FROM ranked r
+JOIN chunks c ON c.doc_id = r.doc_id AND c.chunk_id = r.cid % {100_000}
+WHERE r.rank <= {TOP_K}"""
+
+
+def _rag_sql_base() -> str:
+    """Shared WITH-chain for the rag mirrors, ending at `scores`
+    (query_id, cid, doc_id, score) with the `chunks` CTE still in scope."""
     stride = CHUNK_SIZE - CHUNK_OVERLAP
     values = []
     for qid, text in BM25_QUERIES:
@@ -3081,10 +3118,16 @@ scores AS (
   JOIN dl ON dl.cid = tf.cid
   CROSS JOIN stats s
   GROUP BY 1, 2, 3
-),
-par AS (SELECT query_id, doc_id::VARCHAR AS parent, max(score) AS score,
-               count(*)::BIGINT AS n_children
-        FROM scores WHERE score > 0 GROUP BY 1, 2),
+)"""
+
+
+def _rag_sql() -> str:
+    """rag_topk mirror: the shared chunk/BM25 chain, then parent = max
+    matching chunk + block-join ranking (score desc, parent asc)."""
+    return _rag_sql_base() + f"""
+, par AS (SELECT query_id, doc_id::VARCHAR AS parent, max(score) AS score,
+                 count(*)::BIGINT AS n_children
+          FROM scores WHERE score > 0 GROUP BY 1, 2),
 ranked AS (
   SELECT query_id, parent, score, n_children,
          row_number() OVER (PARTITION BY query_id
@@ -5523,6 +5566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": q_emb_covariance,
         "chunk_docs": q_chunk_docs,
         "rag_topk": q_rag_topk,
+        "rag_chunks": q_rag_chunks,
         "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -7545,6 +7589,7 @@ SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
            AS chunk
 FROM ch""",
         "rag_topk": _rag_sql(),
+        "rag_chunks": _rag_chunks_sql(),
         "emb_covariance": """
 WITH e AS (SELECT vec_id, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS i

@@ -82,6 +82,47 @@ def build_chunk_index(
     )
 
 
+def rag_search_chunks(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Chunk-level retrieval with payloads — the frame a RAG system feeds
+    its generator: the top-k CHUNKS per query (plain BM25 over the chunk
+    index) with their parent doc id and text. Chunk texts are fetched with
+    a predicate-pushdown ``isin`` read of the persisted chunk parquet
+    (k·queries candidate ids — only row groups containing candidates leave
+    storage, the rerank_input pattern). Returns
+    (query_id, rank, doc_id, chunk_id, score, chunk)."""
+    import pyarrow.dataset as pads
+
+    from splade_ray.query import search
+
+    params = params or BM25Params()
+    run = search(os.path.join(index_dir, "index"), queries, params,
+                 concurrency=concurrency)
+    if run.empty:
+        return pd.DataFrame(
+            columns=["query_id", "rank", "doc_id", "chunk_id", "score",
+                     "chunk"]
+        )
+    cand = sorted(set(run["doc_id"].tolist()))
+    tbl = pads.dataset(os.path.join(index_dir, "chunks")).to_table(
+        columns=["chunk_uid", "doc_id", "chunk_id", "chunk"],
+        filter=pads.field("chunk_uid").isin(cand),
+    ).to_pandas()
+    out = run.merge(tbl.rename(columns={"chunk_uid": "doc_id",
+                                        "doc_id": "parent_doc"}),
+                    on="doc_id", how="left")
+    out = out.rename(columns={"doc_id": "chunk_uid"})
+    out["doc_id"] = out["parent_doc"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)[
+        ["query_id", "rank", "doc_id", "chunk_id", "score", "chunk"]
+    ]
+
+
 def rag_search(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -102,3 +102,22 @@ def test_rag_build_resumes(built):
     )
     assert m2["n_segments_skipped"] == m2["n_segments"]  # full resume
     assert m2["n_docs"] == m1["n_docs"]
+
+
+def test_rag_search_chunks_payloads(built):
+    from splade_ray.pipelines.rag import rag_search_chunks
+
+    root, texts, _ = built
+    p = BM25Params(top_k=6)
+    got = rag_search_chunks(root, [(1, "alpha beta"), (2, "kappa")], p)
+    assert not got.empty
+    for _, r in got.iterrows():
+        # the fetched chunk text is the right window of the right doc
+        want = _scalar_chunks(texts[int(r["doc_id"])])[int(r["chunk_id"])]
+        assert r["chunk"] == want
+        # and it actually contains a query term
+    # ranks are the plain chunk-level BM25 run's
+    from splade_ray.query import search
+
+    run = search(f"{root}/index", [(1, "alpha beta"), (2, "kappa")], p)
+    assert got["score"].tolist() == run["score"].tolist()
