@@ -3009,6 +3009,49 @@ def q_chunk_docs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _dv6_index(sf_dir: str) -> str:
+    """Index with a LIST doc-values column (tags = [lang, source], plus a
+    duplicated lang on every third doc so the distinct-per-doc contract is
+    exercised) — the ES array-field facet probe."""
+    work = _work_dir(sf_dir, "dvidx6")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_tags(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            langs = batch["lang"].to_pylist()
+            srcs = batch["source"].to_pylist()
+            tags = [
+                [l, s] + ([l] if i % 3 == 0 else [])
+                for i, l, s in zip(ids, langs, srcs)
+            ]
+            return batch.append_column(
+                "tags", pa.array(tags, pa.list_(pa.string()))
+            )
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+            add_tags, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        corpus_dir, index_dir, text_col="text", id_col="doc_id",
+        rows_per_segment=1000, block_size=64, extra_doc_cols=("tags",),
+    )
+    return index_dir
+
+
+def q_facet_tags(sf_dir: str):
+    """Multivalued facet counts (facets.facet_counts multivalued=True —
+    ES terms agg over an array field): per query, matching docs counted
+    once per DISTINCT tag they carry; the explode + dedupe runs once per
+    segment, query-independent."""
+    from splade_ray.facets import facet_counts
+
+    return facet_counts(_dv6_index(sf_dir), BM25_QUERIES, facet_col="tags",
+                        multivalued=True)
+
+
 def q_rag_topk(sf_dir: str):
     """RAG pipeline (pipelines/rag): documents chunked into overlapping
     token windows, chunks indexed with parent doc-values, parents ranked
@@ -5567,6 +5610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "rag_topk": q_rag_topk,
         "rag_chunks": q_rag_chunks,
+        "facet_tags": q_facet_tags,
         "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -7590,6 +7634,16 @@ SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
 FROM ch""",
         "rag_topk": _rag_sql(),
         "rag_chunks": _rag_chunks_sql(),
+        "facet_tags": f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+u AS (SELECT m.query_id, m.doc_id, d.lang AS facet
+      FROM m JOIN documents d USING (doc_id)
+      UNION
+      SELECT m.query_id, m.doc_id, d.source
+      FROM m JOIN documents d USING (doc_id))
+SELECT query_id, facet, count(*)::BIGINT AS n_docs
+FROM u GROUP BY 1, 2""",
         "emb_covariance": """
 WITH e AS (SELECT vec_id, unnest(embedding) AS val,
                   generate_subscripts(embedding, 1) AS i

@@ -32,14 +32,34 @@ from splade_ray.query import SegmentIndex, prepare_queries
 
 def _facet_segment(
     seg_dir: str, prepared: dict, facet_col: str, tombstones,
-    shard_size: int | None = None,
+    shard_size: int | None = None, multivalued: bool = False,
 ) -> list[tuple[int, str, int]]:
     seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
-    fac = pq.read_table(
+    col = pq.read_table(
         os.path.join(seg_dir, "doclens.parquet"), columns=[facet_col]
-    )[facet_col].combine_chunks().dictionary_encode()
-    codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = fac.dictionary.to_pylist()
+    )[facet_col].combine_chunks()
+    if multivalued:
+        # explode the list column ONCE (query-independent): (doc position,
+        # value code) pairs, deduped so a doc counts once per DISTINCT
+        # value it carries (the ES terms-agg array contract)
+        la = col
+        flat = la.flatten().dictionary_encode()
+        fcodes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = flat.dictionary.to_pylist()
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(la)), np.diff(offs))
+        pair = parents * max(len(values), 1) + fcodes
+        keep = np.zeros(pair.size, bool)
+        if pair.size:
+            order = np.argsort(pair, kind="stable")
+            ps = pair[order]
+            first = np.concatenate(([True], ps[1:] != ps[:-1]))
+            keep[order[first]] = True
+        parents, fcodes = parents[keep], fcodes[keep]
+    else:
+        fac = col.dictionary_encode()
+        codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = fac.dictionary.to_pylist()
     rows: list[tuple[int, str, int]] = []
     for qid, terms in prepared["queries"].items():
         matched = np.zeros(seg.doc_ids.size, bool)
@@ -48,7 +68,11 @@ def _facet_segment(
             matched[pos] = True
         if not matched.any():
             continue
-        counts = np.bincount(codes[matched], minlength=len(values))
+        if multivalued:
+            counts = np.bincount(fcodes[matched[parents]],
+                                 minlength=len(values))
+        else:
+            counts = np.bincount(codes[matched], minlength=len(values))
         nz = np.flatnonzero(counts)
         if shard_size is not None and nz.size > shard_size:
             # ES shard_size cap: local top by (count desc, facet asc)
@@ -69,11 +93,17 @@ def facet_counts(
     query_lang: str | None = None,
     top: int | None = None,
     shard_size: int | None = None,
+    multivalued: bool = False,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """(query_id, facet, n_docs) for every query — n_docs = live documents
     containing at least one query term, counted exactly. Sorted by
     (query_id, facet).
+
+    ``multivalued=True`` treats ``facet_col`` as a list<string> column
+    (ES array fields: tags, categories): a doc counts once per DISTINCT
+    value it carries. The explode + dedupe happens once per segment,
+    query-independent.
 
     ``top`` keeps only the N most frequent facets per query (the ES terms
     aggregation; ordering pinned to (n_docs desc, facet asc), output then
@@ -96,7 +126,8 @@ def facet_counts(
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         rows: list[tuple[int, str, int]] = []
         for seg_dir in batch["seg_dir"].to_pylist():
-            rows.extend(_facet_segment(seg_dir, prep, facet_col, t, shard_size))
+            rows.extend(_facet_segment(seg_dir, prep, facet_col, t,
+                                       shard_size, multivalued))
         return pa.table(
             {
                 "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),

@@ -156,3 +156,49 @@ def test_facet_counts_top_and_shard_size(corpus_and_index):
         index_dir, queries, facet_col="facet_lang", shard_size=1000
     )
     pd.testing.assert_frame_equal(exact, full, check_dtype=False)
+
+
+def test_facet_counts_multivalued(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.analysis import term_counts
+    from splade_ray.build import build_index
+    from splade_ray.corpus import synth_corpus
+    from splade_ray.facets import facet_counts
+
+    n = 90
+    t = synth_corpus(n, seed=61)
+    texts = t["content"].to_pylist()
+    # duplicate tag inside a doc whenever i%5 == i%7 -> dedupe must bind
+    tags = [[f"t{i % 5}", f"t{i % 7}"] for i in range(n)]
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "content": t["content"],
+                "tags": pa.array(tags, pa.list_(pa.string())),
+            }
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                rows_per_segment=25, extra_doc_cols=("tags",))
+    queries = [(1, "def parse merge"), (2, "return x1")]
+    got = facet_counts(index_dir, queries, facet_col="tags",
+                       multivalued=True)
+    for qid, text in queries:
+        toks = set(term_counts(text))
+        matched = [i for i, tx in enumerate(texts)
+                   if toks & set(term_counts(tx))]
+        want: dict = {}
+        for i in matched:
+            for tag in set(tags[i]):  # distinct per doc
+                want[tag] = want.get(tag, 0) + 1
+        g = got[got["query_id"] == qid].set_index("facet")["n_docs"].to_dict()
+        assert g == want, qid
+    # a doc with a repeated tag counts once (dedupe proof): doc 3 has
+    # tags [t3, t3]
+    assert tags[3][0] == tags[3][1]
