@@ -806,6 +806,40 @@ def cmd_route_search(args) -> int:
     return 0
 
 
+def cmd_rag_build(args) -> int:
+    """Chunk the corpus and build the chunk-level index (pipelines.rag)."""
+    _ensure_ray()
+    from splade_ray.pipelines.rag import build_chunk_index
+
+    m = build_chunk_index(
+        args.corpus, args.index, size=args.size, overlap=args.overlap,
+        text_col=args.text_col, id_col=args.id_col,
+        rows_per_segment=args.rows_per_segment,
+    )
+    print(json.dumps({k: m[k] for k in (
+        "n_docs", "n_segments", "n_segments_skipped", "docs_per_sec")}))
+    return 0
+
+
+def cmd_rag_search(args) -> int:
+    """Parent-ranked (docs) or chunk-payload retrieval over a rag index."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.pipelines.rag import rag_search, rag_search_chunks
+
+    queries = _load_queries(args.queries)
+    p = BM25Params(k1=args.k1, b=args.b, top_k=args.top_k)
+    if args.chunks:
+        run = rag_search_chunks(args.index, queries, p)
+    else:
+        run = rag_search(args.index, queries, p,
+                         score_mode=args.score_mode, top_k=args.top_k)
+    run.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(run),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_ann(args) -> int:
     """ANN over an embeddings parquet: brute cosine, or build/search an
     IVF / IVF-PQ index (see splade_ray.ops.ann). Queries parquet needs
@@ -1860,6 +1894,31 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    rgb = sub.add_parser("rag-build",
+                         help="chunk the corpus + build the chunk index")
+    rgb.add_argument("--corpus", required=True)
+    rgb.add_argument("--index", required=True)
+    rgb.add_argument("--size", type=int, default=256)
+    rgb.add_argument("--overlap", type=int, default=32)
+    rgb.add_argument("--text-col", default="content")
+    rgb.add_argument("--id-col", default="doc_id")
+    rgb.add_argument("--rows-per-segment", type=int, default=50_000)
+    rgb.set_defaults(fn=cmd_rag_build)
+
+    rgs = sub.add_parser("rag-search",
+                         help="parent-ranked docs or chunk payloads")
+    rgs.add_argument("--index", required=True)
+    rgs.add_argument("--queries", required=True)
+    rgs.add_argument("--out", required=True)
+    rgs.add_argument("--chunks", action="store_true",
+                     help="return top-k chunks with text instead of parents")
+    rgs.add_argument("--score-mode", default="max",
+                     choices=["max", "sum", "min", "avg", "count"])
+    rgs.add_argument("--k1", type=float, default=1.2)
+    rgs.add_argument("--b", type=float, default=0.75)
+    rgs.add_argument("--top-k", type=int, default=10)
+    rgs.set_defaults(fn=cmd_rag_search)
 
     an = sub.add_parser("ann", help="ANN: brute cosine / IVF / IVF-PQ")
     an.add_argument("--mode", choices=["build", "search", "brute"],

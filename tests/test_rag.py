@@ -121,3 +121,33 @@ def test_rag_search_chunks_payloads(built):
 
     run = search(f"{root}/index", [(1, "alpha beta"), (2, "kappa")], p)
     assert got["score"].tolist() == run["score"].tolist()
+
+
+def test_cli_rag(ray_session, tmp_path, capsys):
+    import json
+
+    from splade_ray.cli import main
+
+    texts = _texts()
+    corpus = str(tmp_path / "rc.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(N, dtype=np.int64)),
+                  "text": pa.array(texts)}),
+        corpus,
+    )
+    idx = str(tmp_path / "ragcli")
+    assert main(["rag-build", "--corpus", corpus, "--index", idx,
+                 "--size", str(SIZE), "--overlap", str(OVERLAP),
+                 "--text-col", "text", "--rows-per-segment", "40"]) == 0
+    queries = tmp_path / "q.tsv"
+    queries.write_text("1\talpha beta\n")
+    out = str(tmp_path / "run.parquet")
+    assert main(["rag-search", "--index", idx, "--queries", str(queries),
+                 "--out", out, "--chunks", "--top-k", "4"]) == 0
+    run = pq.read_table(out).to_pandas()
+    assert len(run) == 4 and "chunk" in run.columns
+    out2 = str(tmp_path / "run2.parquet")
+    assert main(["rag-search", "--index", idx, "--queries", str(queries),
+                 "--out", out2, "--top-k", "4"]) == 0
+    run2 = pq.read_table(out2).to_pandas()
+    assert "parent" in run2.columns and len(run2) == 4
