@@ -2170,6 +2170,42 @@ def q_routed_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+MATCH_PERCENTS = (25.0, 50.0, 75.0, 95.0)
+
+
+def q_match_percentiles(sf_dir: str):
+    """ES percentiles aggregation, exact discrete form
+    (docvalues.match_percentiles): per query the smallest n_chars value
+    whose cumulative match count reaches ⌈p/100·n⌉ — segments emit
+    value-cardinality-bounded (value, count) tables, the driver resolves
+    from merged cumulative counts (ES approximates with t-digest)."""
+    from splade_ray.docvalues import match_percentiles
+
+    return match_percentiles(
+        _dv_index(sf_dir), BM25_QUERIES, numeric_col="n_chars",
+        percents=MATCH_PERCENTS,
+    )
+
+
+def _match_percentiles_sql() -> str:
+    pv = ", ".join(f"({p})" for p in MATCH_PERCENTS)
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},
+j AS (SELECT m.query_id, d.n_chars AS v
+      FROM m JOIN documents d USING (doc_id)),
+cnt AS (SELECT query_id, count(*)::BIGINT AS n FROM j GROUP BY 1),
+cum AS (SELECT query_id, v, count(*)::BIGINT AS c FROM j GROUP BY 1, 2),
+cc AS (SELECT query_id, v,
+              sum(c) OVER (PARTITION BY query_id ORDER BY v) AS cumc
+       FROM cum),
+perc(p) AS (VALUES {pv})
+SELECT cc.query_id, perc.p::DOUBLE AS percent, min(cc.v)::BIGINT AS value
+FROM cc JOIN cnt USING (query_id) CROSS JOIN perc
+WHERE cc.cumc >= greatest(ceil(perc.p / 100.0 * cnt.n), 1)
+GROUP BY 1, 2"""
+
+
 def q_field_stats(sf_dir: str):
     """ES value_count + missing + cardinality in one per-segment pass
     (docvalues.field_stats_agg) over the nullable url doc-values column:
@@ -5611,6 +5647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_topk": q_rag_topk,
         "rag_chunks": q_rag_chunks,
         "facet_tags": q_facet_tags,
+        "match_percentiles": q_match_percentiles,
         "pca_embed": q_pca_embed,
         "sessions_30m": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
@@ -7367,6 +7404,7 @@ FROM documents""",
         "rare_terms": _rare_terms_sql(),
         "weighted_avg": _weighted_avg_sql(),
         "field_stats": _field_stats_sql(),
+        "match_percentiles": _match_percentiles_sql(),
         "diversified_topk": _diversified_sql(),
         "match_stats": _match_stats_sql(),
         "match_extended_stats": _match_extended_stats_sql(),

@@ -1175,6 +1175,82 @@ def rare_terms_agg(
     return agg.sort_values(["query_id", "value"]).reset_index(drop=True)
 
 
+def match_percentiles(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    numeric_col: str,
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``percentiles`` aggregation over matches, EXACT discrete form
+    (ES approximates with t-digest): per query and percent p, the smallest
+    column value v with |{matches ≤ v}| ≥ ⌈p/100 · n⌉ — DuckDB's
+    ``quantile_disc`` contract, so the mirror is one SQL call. Returns
+    (query_id, percent, value), sorted.
+
+    Exactness rides the facet contract: each segment emits its per-query
+    (value, count) table — bounded by the column's value cardinality, not
+    row count — and the driver resolves percentiles from the merged
+    cumulative counts."""
+    from splade_ray.delete import load_tombstones
+
+    if not percents or any(not 0 < p <= 100 for p in percents):
+        raise ValueError("percents must be in (0, 100]")
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "value": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        vals = _numeric_column(seg_dir, numeric_col).astype(np.int64)
+        out = {"query_id": [], "value": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            m = _matched_mask(seg, terms)
+            if not m.any():
+                continue
+            u, counts = np.unique(vals[m], return_counts=True)
+            out["query_id"].extend([qid] * u.size)
+            out["value"].extend(u.tolist())
+            out["n_docs"].extend(counts.tolist())
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    cols = ["query_id", "percent", "value"]
+    if pdf.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64 if c != "percent"
+                                          else np.float64) for c in cols})
+    agg = (
+        pdf.groupby(["query_id", "value"], as_index=False)["n_docs"].sum()
+        .sort_values(["query_id", "value"])
+    )
+    rows = []
+    for qid, g in agg.groupby("query_id"):
+        cum = g["n_docs"].cumsum().to_numpy()
+        n = int(cum[-1])
+        v = g["value"].to_numpy()
+        for p in percents:
+            need = int(np.ceil(p / 100.0 * n))
+            idx = int(np.searchsorted(cum, max(need, 1)))
+            rows.append((int(qid), float(p), int(v[idx])))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({"query_id": np.int64, "percent": np.float64,
+                       "value": np.int64}).sort_values(
+        ["query_id", "percent"]).reset_index(drop=True)
+
+
 def field_stats_agg(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -909,3 +909,26 @@ def test_weighted_avg_agg(built):
         assert g["n_docs"].iloc[0] == int(m.sum())
         assert g["sum_vw"].iloc[0] == int((v * v).sum())
         assert g["sum_w"].iloc[0] == int(v.sum())
+
+
+def test_match_percentiles_exact(built):
+    from splade_ray.docvalues import match_percentiles
+
+    index_dir, texts, sizes = built
+    oi = OracleIndex(list(range(N)), texts)
+    percents = (25.0, 50.0, 90.0, 100.0)
+    got = match_percentiles(index_dir, QUERIES[:2], numeric_col="n_bytes",
+                            percents=percents)
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        v = np.sort(sizes[m])
+        for p in percents:
+            need = max(int(np.ceil(p / 100.0 * v.size)), 1)
+            want = int(v[need - 1])  # smallest value with cum >= need
+            row = got[(got["query_id"] == qid) & (got["percent"] == p)]
+            assert row["value"].iloc[0] == want, (qid, p)
+    # p=100 is the max
+    for qid, text in QUERIES[:2]:
+        m = _matched(oi, text)
+        row = got[(got["query_id"] == qid) & (got["percent"] == 100.0)]
+        assert row["value"].iloc[0] == sizes[m].max()
