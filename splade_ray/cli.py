@@ -806,6 +806,46 @@ def cmd_route_search(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-(segment, query) profile of the exact kernel (_profile analog)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.profile import profile_search
+
+    queries = _load_queries(args.queries)
+    prof = profile_search(args.index, queries,
+                          BM25Params(top_k=args.top_k))
+    prof.to_parquet(args.out, index=False)
+    tot = prof.groupby("query_id")[["df_sum", "decode_ms", "score_ms"]].sum()
+    print(json.dumps({"rows": len(prof), "out": args.out,
+                      "per_query": tot.round(2).to_dict("index")}))
+    return 0
+
+
+def cmd_postings(args) -> int:
+    """Dump a term's posting list (doc_id, tf) across all segments —
+    the Lucene `TermsEnum` debugging view."""
+    _ensure_ray()
+    import pandas as pd
+
+    from splade_ray.build import segment_dirs
+    from splade_ray.query import SegmentIndex, prepare_queries
+
+    prepared = prepare_queries(args.index, [(0, args.term)])
+    rows = []
+    for seg_dir in segment_dirs(args.index):
+        seg = SegmentIndex(seg_dir, prepared["terms"])
+        pos, tfs = seg.pos_tfs(args.term)
+        for d, tf in zip(seg.doc_ids[pos], tfs):
+            rows.append((int(d), int(tf)))
+    out = pd.DataFrame(sorted(rows), columns=["doc_id", "tf"])
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"term": args.term, "df": len(out),
+                      "cf": int(out["tf"].sum()) if len(out) else 0,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_rag_build(args) -> int:
     """Chunk the corpus and build the chunk-level index (pipelines.rag)."""
     _ensure_ray()
@@ -1894,6 +1934,19 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    pr = sub.add_parser("profile", help="per-(segment, query) kernel profile")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--queries", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--top-k", type=int, default=10)
+    pr.set_defaults(fn=cmd_profile)
+
+    po = sub.add_parser("postings", help="dump a term's posting list")
+    po.add_argument("--index", required=True)
+    po.add_argument("--term", required=True)
+    po.add_argument("--out", required=True)
+    po.set_defaults(fn=cmd_postings)
 
     rgb = sub.add_parser("rag-build",
                          help="chunk the corpus + build the chunk index")
