@@ -12,15 +12,29 @@ one-hot bag (value ``1/n_tokens`` per occurrence), and the score is
 ``sigmoid(x · w + b)``.
 
 Training is FULL-BATCH gradient descent as a Ray Data loop: per
-iteration the weight vector broadcasts once (``ray.put``, ~dim·8 bytes),
-every batch emits ONE partial-gradient row (dense ``dim`` vector + count
-+ loss partial, keyed by its min doc id), and the driver sums partials
-IN KEY ORDER — float addition order is pinned, so training is
-bit-deterministic for a fixed partitioning (and equal to float-summation
-epsilon across partitionings, since batch extents move terms between
-partial sums). What shuffles per iteration is
-n_batches × dim floats, independent of corpus row count; at extreme
-scale lower ``dim`` or lift the partial sum into a Ray groupby tree.
+iteration the weight vector broadcasts once (``ray.put``, ~dim·8 bytes)
+and partial gradients reduce under a PINNED float-addition order (each
+contribution is keyed by its batch's min doc id and summed key-ascending
+per dimension), so training is bit-deterministic for a fixed
+partitioning (and equal to float-summation epsilon across partitionings,
+since batch extents move terms between partial sums). Two gradient
+transports share that contract:
+
+- ``grad_method="dense"`` — every batch emits ONE dense ``dim``-float
+  row; the driver sums rows in key order. Driver traffic is
+  n_batches × dim floats per iteration: right for small/medium ``dim``.
+- ``grad_method="sparse"`` — every batch emits only its TOUCHED
+  dimensions as ``(key, dim_id, val)`` rows; a sharded Ray
+  ``groupby(dim_id % n_shards).map_groups`` sums each dimension
+  key-ascending IN the cluster, and the driver receives at most
+  ``dim + 3`` already-summed rows. Shuffle volume is the number of
+  touched (batch, dim) pairs — independent of ``dim`` — which is the
+  scale path for vocabulary-sized feature spaces (dim ≫ 2^20) where
+  dense rows would ship mostly zeros to one process.
+
+Both paths produce bitwise-identical models on the same partitioning
+(per dimension the addition sequence is identical; the dense path's
+extra ``+ 0.0`` terms are exact no-ops), enforced by a parity test.
 
 No torch, no SGD-order nondeterminism, no driver-side corpus pass.
 """
@@ -67,6 +81,48 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return out
 
 
+def _batch_grad(batch: pa.Table, wv, bv, dim, text_col, label_col, id_col):
+    """Forward+backward for one batch: (key, touched cols, per-col grad
+    sums, gb, n, loss). Per-col sums add contributions in input order
+    (stable sort preserves it), matching ``np.add.at`` bitwise."""
+    cols, vals, par, n = _doc_features(batch[text_col], dim)
+    y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    z = np.bincount(par, weights=wv[cols] * vals, minlength=n) + bv
+    p = _sigmoid(z)
+    r = p - y
+    contrib = vals * r[par]
+    order = np.argsort(cols, kind="stable")
+    cs, vs = cols[order], contrib[order]
+    bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) if cs.size else \
+        np.empty(0, np.int64)
+    gcols = cs[bounds]
+    gsums = np.add.reduceat(vs, bounds) if cs.size else np.empty(0, np.float64)
+    eps = 1e-12
+    loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum())
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    key = int(ids.min()) if n else 0
+    return key, gcols, gsums, float(r.sum()), n, loss
+
+
+# sentinel dim ids for the sparse transport's scalar partials
+_GB, _LOSS, _N = -1, -2, -3
+
+
+def _reduce_dim_group(tbl: pa.Table) -> pa.Table:
+    """Sum one dim shard's contributions per dimension, key-ascending
+    (sequential ``np.add.at`` — the pinned-order reduce)."""
+    dim_id = tbl["dim_id"].to_numpy(zero_copy_only=False)
+    key = tbl["key"].to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((key, dim_id))
+    d, v = dim_id[order], val[order]
+    uniq, inv = np.unique(d, return_inverse=True)
+    tot = np.zeros(uniq.size, np.float64)
+    np.add.at(tot, inv, v)  # sequential, sorted -> key-ascending per dim
+    return pa.table({"dim_id": pa.array(uniq, pa.int64()),
+                     "total": pa.array(tot, pa.float64())})
+
+
 def fit_quality_classifier(
     ds: Dataset,
     *,
@@ -77,53 +133,88 @@ def fit_quality_classifier(
     iters: int = 30,
     lr: float = 2.0,
     l2: float = 1e-6,
+    grad_method: str = "dense",
+    n_shards: int = 64,
 ) -> dict:
     """Train the hashed logistic-regression filter. ``label_col`` holds
     0/1 integers. Returns {"w": (dim,) float64, "b": float, "dim": dim,
     "losses": per-iteration mean log-loss} — broadcast the dict to
-    :class:`QualityScoreStage` to score corpora."""
+    :class:`QualityScoreStage` to score corpora. ``grad_method`` picks
+    the gradient transport (module docstring): "dense" ships one
+    dim-float row per batch to the driver, "sparse" reduces touched
+    dims in a sharded Ray groupby and ships only the summed vector."""
+    if grad_method not in ("dense", "sparse"):
+        raise ValueError(f"unknown grad_method {grad_method!r}")
     w = np.zeros(dim, np.float64)
     b = 0.0
     losses: list[float] = []
     for _ in range(int(iters)):
         plan_ref = ray.put({"w": w, "b": b})
 
-        def grad_batch(batch: pa.Table) -> pa.Table:
+        def grad_dense(batch: pa.Table) -> pa.Table:
             plan = ray.get(plan_ref)
-            wv, bv = plan["w"], plan["b"]
-            cols, vals, par, n = _doc_features(batch[text_col], dim)
-            y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.float64)
-            z = np.bincount(par, weights=wv[cols] * vals, minlength=n) + bv
-            p = _sigmoid(z)
-            r = p - y
+            key, gcols, gsums, gb, n, loss = _batch_grad(
+                batch, plan["w"], plan["b"], dim, text_col, label_col, id_col
+            )
             g = np.zeros(dim, np.float64)
-            np.add.at(g, cols, vals * r[par])
-            eps = 1e-12
-            loss = float(-(y * np.log(p + eps)
-                           + (1 - y) * np.log(1 - p + eps)).sum())
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            key = int(ids.min()) if n else 0
+            g[gcols] = gsums
             return pa.table(
                 {
                     "key": pa.array([key], pa.int64()),
                     "grad": pa.array([g.tobytes()], pa.binary()),
-                    "gb": pa.array([float(r.sum())], pa.float64()),
+                    "gb": pa.array([gb], pa.float64()),
                     "n": pa.array([n], pa.int64()),
                     "loss": pa.array([loss], pa.float64()),
                 }
             )
 
-        parts = ds.map_batches(grad_batch, batch_format="pyarrow").to_pandas()
-        if parts.empty:
-            raise ValueError("empty training set")
-        parts = parts.sort_values("key")  # pinned float-sum order
-        g = np.zeros(dim, np.float64)
-        gb, n_total, loss = 0.0, 0, 0.0
-        for _, row in parts.iterrows():
-            g += np.frombuffer(row["grad"], np.float64)
-            gb += row["gb"]
-            n_total += int(row["n"])
-            loss += row["loss"]
+        def grad_sparse(batch: pa.Table) -> pa.Table:
+            plan = ray.get(plan_ref)
+            key, gcols, gsums, gb, n, loss = _batch_grad(
+                batch, plan["w"], plan["b"], dim, text_col, label_col, id_col
+            )
+            dim_id = np.r_[gcols, [_GB, _LOSS, _N]]
+            val = np.r_[gsums, [gb, loss, float(n)]]
+            shard = np.where(dim_id < 0, dim_id, dim_id % n_shards)
+            return pa.table(
+                {
+                    "shard": pa.array(shard, pa.int64()),
+                    "dim_id": pa.array(dim_id, pa.int64()),
+                    "key": pa.array(np.full(dim_id.size, key), pa.int64()),
+                    "val": pa.array(val, pa.float64()),
+                }
+            )
+
+        if grad_method == "sparse":
+            reduced = (
+                ds.map_batches(grad_sparse, batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(_reduce_dim_group, batch_format="pyarrow")
+                .to_pandas()
+            )
+            if reduced.empty:
+                raise ValueError("empty training set")
+            dim_id = reduced["dim_id"].to_numpy(np.int64)
+            total = reduced["total"].to_numpy(np.float64)
+            scal = {int(d): t for d, t in zip(dim_id, total) if d < 0}
+            g = np.zeros(dim, np.float64)
+            pos = dim_id >= 0
+            g[dim_id[pos]] = total[pos]
+            gb = scal.get(_GB, 0.0)
+            loss = scal.get(_LOSS, 0.0)
+            n_total = int(scal.get(_N, 0.0))
+        else:
+            parts = ds.map_batches(grad_dense, batch_format="pyarrow").to_pandas()
+            if parts.empty:
+                raise ValueError("empty training set")
+            parts = parts.sort_values("key")  # pinned float-sum order
+            g = np.zeros(dim, np.float64)
+            gb, n_total, loss = 0.0, 0, 0.0
+            for _, row in parts.iterrows():
+                g += np.frombuffer(row["grad"], np.float64)
+                gb += row["gb"]
+                n_total += int(row["n"])
+                loss += row["loss"]
         if n_total == 0:
             raise ValueError("empty training set")
         w = w - lr * (g / n_total + l2 * w)

@@ -67,6 +67,41 @@ def test_classifier_deterministic(ray_session):
     np.testing.assert_allclose(m1["losses"], m2["losses"], rtol=1e-12)
 
 
+def test_classifier_sparse_grad_parity(ray_session):
+    # the sparse (sharded-groupby) gradient transport is bitwise equal
+    # to the dense driver-side reduce on the same partitioning
+    rows = _corpus()
+    dense = fit_quality_classifier(
+        rd.from_items(rows).repartition(6), label_col="label",
+        dim=1 << 12, iters=4,
+    )
+    sparse = fit_quality_classifier(
+        rd.from_items(rows).repartition(6), label_col="label",
+        dim=1 << 12, iters=4, grad_method="sparse", n_shards=16,
+    )
+    np.testing.assert_array_equal(dense["w"], sparse["w"])
+    assert dense["b"] == sparse["b"]
+    assert dense["losses"] == sparse["losses"]
+
+
+def test_classifier_sparse_learns(ray_session):
+    rows = _corpus()
+    ds = rd.from_items(rows).repartition(6)
+    model = fit_quality_classifier(
+        ds, label_col="label", dim=1 << 12, iters=25, lr=30.0,
+        grad_method="sparse",
+    )
+    assert model["losses"][-1] < 0.15 < model["losses"][0]
+
+
+def test_classifier_unknown_method_raises(ray_session):
+    with pytest.raises(ValueError, match="grad_method"):
+        fit_quality_classifier(
+            rd.from_items(_corpus(8)), label_col="label",
+            dim=256, iters=1, grad_method="sgd",
+        )
+
+
 def test_classifier_empty_raises(ray_session):
     ds = rd.from_arrow(
         pa.table({"doc_id": pa.array([], pa.int64()),
