@@ -1865,6 +1865,8 @@ HIST_INTERVAL = 100
 # max df per group)
 SYN_MAP = {"join": ["merge"], "scan": ["filter"]}
 WILDCARD_QUERIES = [(1, "s*"), (2, "*ow"), (3, "?ig"), (4, "col*n")]
+# anchored RE2 patterns (ES RegexpQuery: whole-term match, no backrefs)
+REGEXP_QUERIES = [(1, "s.*"), (2, ".*ow"), (3, ".ig"), (4, "col.+n|sun")]
 
 
 def _dv_index(sf_dir: str) -> str:
@@ -2497,6 +2499,22 @@ def q_wildcard_topk(sf_dir: str):
 
     run = wildcard_search(
         _index_for(sf_dir), WILDCARD_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        max_terms=PREFIX_MAX_TERMS,
+    )
+    out = run.copy()
+    out["score_r"] = _round4(out["score"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score_r"]]
+
+
+def q_regexp_topk(sf_dir: str):
+    """RegexpQuery retrieval (suggest.regexp_search): anchored RE2 pattern
+    expanded over the lexicon (literal-prefix pushdown read + ONE vectorized
+    RE2 kernel), ascending capped, BM25 OR-query with qtf=1 per term."""
+    from splade_ray.suggest import regexp_search
+
+    run = regexp_search(
+        _index_for(sf_dir), REGEXP_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
         max_terms=PREFIX_MAX_TERMS,
     )
     out = run.copy()
@@ -5613,6 +5631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_extended_stats": q_match_extended_stats,
         "synonym_topk": q_synonym_topk,
         "wildcard_topk": q_wildcard_topk,
+        "regexp_topk": q_regexp_topk,
         "substr_search": q_substr_search,
         "grep_scan": q_grep_scan,
         "grep_snippets": q_grep_snippets,
@@ -7183,6 +7202,23 @@ exp AS (SELECT wq.query_id, l.term
 q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
 
 
+def _regexp_sql() -> str:
+    """RegexpQuery mirror: anchored RE2 full-match expansion over the
+    distinct corpus terms (DuckDB's regexp_full_match is RE2 too, so the
+    operator set matches the engine exactly), ascending capped, then the
+    shared expanded-BM25 (qtf=1 per term) tail."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
+    return f"""
+WITH {_TF},
+rq(query_id, p) AS (VALUES {vals}),
+exp AS (SELECT rq.query_id, l.term
+        FROM rq JOIN (SELECT DISTINCT term FROM tf) l
+          ON regexp_full_match(l.term, rq.p)
+        QUALIFY row_number() OVER (PARTITION BY rq.query_id ORDER BY l.term)
+                <= {PREFIX_MAX_TERMS}),
+q2 AS (SELECT query_id, term FROM exp),{_EXPANDED_BM25}"""
+
+
 def _dsir_buckets_cte() -> str:
     """CTE ``b(doc_id, bucket)``: one row per unigram+bigram feature.
     Token hash = sha256 prefix; a k-gram's hash is the FNV rolling fold of
@@ -7410,6 +7446,7 @@ FROM documents""",
         "match_extended_stats": _match_extended_stats_sql(),
         "synonym_topk": _synonym_sql(),
         "wildcard_topk": _wildcard_sql(),
+        "regexp_topk": _regexp_sql(),
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "postings_flat_stemmed": _postings_flat_stemmed_sql(),

@@ -245,6 +245,68 @@ def wildcard_search(
     return search(index_dir, expanded, params, method=method, concurrency=concurrency)
 
 
+def expand_regexp(
+    index_dir: str, pattern: str, *, max_terms: int = 128
+) -> list[str]:
+    """Lexicon terms fully matching an anchored regexp — the ES
+    RegexpQuery / Lucene RegexpQuery contract: the pattern matches the
+    ENTIRE term, never a substring. The literal prefix before the first
+    regex metacharacter prunes the lexicon read to a pushdown range
+    (Lucene extracts the same prefix from the compiled automaton via
+    ``CompiledAutomaton.commonPrefix``); the match itself is ONE
+    vectorized RE2 kernel over the pruned term column
+    (``pc.match_substring_regex`` with ``^(?:pattern)$``), no Python
+    loop. RE2 semantics = no backreferences, mirroring Lucene's
+    automaton-only operator set. Ascending term order, first
+    ``max_terms``."""
+    import pyarrow.compute as pc
+
+    if not pattern:
+        raise ValueError("empty pattern")
+    cut = next(
+        (i for i, ch in enumerate(pattern) if not (ch.isalnum() or ch == "_")),
+        len(pattern),
+    )
+    prefix = pattern[:cut]
+    flt = None
+    if prefix:
+        flt = (pads.field("term") >= prefix) & (
+            pads.field("term") < prefix + "\U0010ffff"
+        )
+    tbl = pads.dataset(os.path.join(index_dir, "lexicon")).to_table(
+        columns=["term"], filter=flt
+    )
+    mask = pc.match_substring_regex(tbl["term"], f"^(?:{pattern})$")
+    terms = tbl["term"].filter(mask).to_pylist()
+    return sorted(terms)[:max_terms]
+
+
+def regexp_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    max_terms: int = 128,
+    method: str = "exact",
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """RegexpQuery retrieval: each query string is an anchored regexp; the
+    run is BM25 over the expanded OR-term set (qtf=1 per term, the same
+    documented contract as prefix_search / wildcard_search)."""
+    params = params or BM25Params()
+    expanded = []
+    for qid, pattern in queries:
+        terms = expand_regexp(index_dir, pattern, max_terms=max_terms)
+        if terms:
+            expanded.append((int(qid), " ".join(terms)))
+    if not expanded:
+        return pd.DataFrame(columns=RUN_COLUMNS).astype(
+            {"query_id": np.int64, "rank": np.int32, "doc_id": np.int64,
+             "score": np.float64}
+        )
+    return search(index_dir, expanded, params, method=method, concurrency=concurrency)
+
+
 def suggest_terms(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -234,6 +234,40 @@ def test_wildcard_expansion_and_search(built):
     pd.testing.assert_frame_equal(run, want, check_dtype=False)
 
 
+def test_regexp_expansion_and_search(built):
+    import re
+
+    from splade_ray.suggest import expand_regexp, regexp_search
+
+    index_dir, texts, _ = built
+    vocab = sorted({t for tx in texts for t in term_counts(tx)})
+    for pattern in ("par.*", ".*urn", "x.", "merge", "m[ae]rge[sd]?",
+                    "(sun|moon)s?", "p.{2}t.*"):
+        got = expand_regexp(index_dir, pattern, max_terms=50)
+        rx = re.compile(pattern)
+        want = sorted(t for t in vocab if rx.fullmatch(t))[:50]
+        assert got == want, pattern
+    # anchored: a mid-term match is NOT a hit (the ES RegexpQuery contract)
+    assert all("ar" in t and t.startswith("par")
+               for t in expand_regexp(index_dir, "par.*"))
+    assert expand_regexp(index_dir, "urn") == (
+        ["urn"] if "urn" in vocab else [])
+
+    from splade_ray.query import search
+
+    p = BM25Params(top_k=6)
+    run = regexp_search(index_dir, [(1, "par.*")], p)
+    expanded = " ".join(expand_regexp(index_dir, "par.*", max_terms=128))
+    want = search(index_dir, [(1, expanded)], p)
+    pd.testing.assert_frame_equal(run, want, check_dtype=False)
+    # no expansion -> typed empty run
+    none = regexp_search(index_dir, [(1, "zzz.*qqq")], p)
+    assert none.empty and list(none.columns) == list(run.columns)
+
+    with pytest.raises(ValueError, match="empty"):
+        expand_regexp(index_dir, "")
+
+
 def test_range_filter_on_all_serving_paths(built):
     """search(range_filter) across exact/bmw/auto kernels and the persistent
     Searcher all return the identical filtered run (BMW routes to exact)."""
