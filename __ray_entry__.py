@@ -2639,6 +2639,22 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+TRAIN_SHARDS_N = 8
+
+
+def q_train_shards(sf_dir: str):
+    """Deterministic global shuffle into training shards
+    (ops/sample.train_shards): (shard, pos) is a pure function of doc_id
+    — byte-reproducible sharded exports at any partitioning/cluster
+    shape. shard = top-bits bucket % N, pos = within-shard (hash, id)
+    rank."""
+    from splade_ray.ops.sample import train_shards
+
+    return train_shards(
+        _docs(sf_dir, ["doc_id"]), TRAIN_SHARDS_N, seed=SAMPLE_SEED
+    )
+
+
 # temperature source-mixing probe (ops/sample.temperature_sample)
 MIX_ALPHA = 0.5
 MIX_TARGET = 200
@@ -4833,6 +4849,14 @@ ORDER BY sample_rank LIMIT {BOTTOMK}""",
         "sample_stratified": f"""
 SELECT doc_id, lang FROM documents
 WHERE {b} < CASE lang {strata_case} ELSE {threshold(STRATA_DEFAULT)} END""",
+        "train_shards": f"""
+WITH h AS (SELECT doc_id, {hash_sql('doc_id', SAMPLE_SEED)} AS hv FROM documents)
+SELECT doc_id,
+       ((hv // {1 << 44})::BIGINT % {TRAIN_SHARDS_N}) AS shard,
+       (row_number() OVER (
+          PARTITION BY ((hv // {1 << 44})::BIGINT % {TRAIN_SHARDS_N})
+          ORDER BY hv, doc_id) - 1)::BIGINT AS pos
+FROM h""",
         "mix_sample": f"""
 WITH c AS (SELECT source AS g, count(*)::BIGINT AS n FROM documents GROUP BY 1),
 w AS (SELECT g, n, pow(n, {MIX_ALPHA}) AS wt FROM c),
@@ -5650,6 +5674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "sample_bottomk": q_sample_bottomk,
         "sample_stratified": q_sample_stratified,
+        "train_shards": q_train_shards,
         "mix_sample": q_mix_sample,
         "top_events_per_type": q_top_events_per_type,
         "window_agg_1h": q_window_agg,

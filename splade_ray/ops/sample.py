@@ -20,6 +20,10 @@ same HUGEINT mod-2^64 arithmetic the signature oracles use.
   k rows with the smallest (hash, id); a distributed bottom-k sketch (each
   batch keeps its local bottom-k, the driver merges k·n_blocks candidate
   rows). Deterministic, mergeable across shards.
+- ``train_shards`` / ``write_train_shards`` — deterministic global
+  shuffle into N training shards: (shard, pos) is a pure function of the
+  id, so the sharded export is byte-reproducible and resumable at any
+  cluster shape (what ``random_shuffle`` cannot give).
 
 Hash: ``h(id) = (id · A + seed · C) mod 2^64`` with odd constants;
 buckets take the TOP 20 bits (low bits of a multiplicative hash are
@@ -167,6 +171,112 @@ def bottomk_sample(
     return pd.DataFrame(
         {id_col: ids[order], "sample_rank": np.arange(1, order.size + 1, dtype=np.int64)}
     )
+
+
+def train_shards(
+    ds: Dataset,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> Dataset:
+    """Deterministic global shuffle for training-data export: adds
+    ``shard`` = bucket(id) % n_shards and ``pos`` = the row's rank within
+    its shard under (hash, id) order. Both are pure functions of the id
+    column — independent of partitioning, batch size and cluster shape —
+    so a re-run (or a different cluster size) assigns every row the
+    identical (shard, pos), which is what makes a sharded training-data
+    writer resumable and byte-reproducible (the property
+    ``ds.random_shuffle()`` cannot give you). Shard uses the TOP hash
+    bits (low bits of a multiplicative hash are affine in sequential
+    ids); within-shard order uses the full hash so neighboring ids
+    scatter.
+
+    Shape: one stateless ``map_batches`` assigns shards (no shuffle);
+    ranking moves each shard ONCE to a single worker via
+    ``groupby(shard).map_groups`` — a shard must fit that worker, so
+    pick ``n_shards`` ≳ corpus_bytes / worker_heap (training exports
+    use thousands of shards at 100 TB, which also bounds this). Rows
+    come back sorted by ``pos`` within each shard."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    return (
+        _shard_assigned(ds, n_shards, id_col, seed)
+        .groupby("shard")
+        .map_groups(_rank_group_fn(id_col), batch_format="pyarrow")
+    )
+
+
+def _shard_assigned(ds: Dataset, n_shards: int, id_col: str, seed: int) -> Dataset:
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash64(ids, seed)
+        shard = (h >> _BUCKET_SHIFT).astype(np.int64) % n_shards
+        batch = batch.append_column("shard", pa.array(shard, pa.int64()))
+        return batch.append_column("_h", pa.array(h.view(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _rank_group_fn(id_col: str):
+    def rank_group(tbl: pa.Table) -> pa.Table:
+        h = tbl["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        tbl = tbl.take(pa.array(order)).drop_columns(["_h"])
+        return tbl.append_column(
+            "pos", pa.array(np.arange(order.size, dtype=np.int64))
+        )
+
+    return rank_group
+
+
+def write_train_shards(
+    ds: Dataset,
+    out_dir: str,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Materialize :func:`train_shards` as one Parquet file per shard
+    (``out_dir/shard=NNNNN.parquet``), each written inside the shard's own
+    map_groups task (rows in ``pos`` order, tmp + atomic rename), so the
+    export streams — no driver-side collection. A re-run SKIPS shards
+    whose file already exists (the determinism contract makes the skip
+    safe: the bytes would be identical). Returns the manifest
+    (shard, n_rows, skipped) sorted by shard."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rank = _rank_group_fn(id_col)
+
+    def rank_and_write(tbl: pa.Table) -> pa.Table:
+        shard = int(tbl["shard"][0].as_py())
+        path = os.path.join(out_dir, f"shard={shard:05d}.parquet")
+        skipped = os.path.exists(path)
+        if not skipped:
+            tmp = path + ".tmp"
+            pq.write_table(rank(tbl), tmp)
+            os.rename(tmp, path)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "skipped": pa.array([skipped], pa.bool_()),
+            }
+        )
+
+    out = (
+        _shard_assigned(ds, n_shards, id_col, seed)
+        .groupby("shard")
+        .map_groups(rank_and_write, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("shard").reset_index(drop=True)
 
 
 def temperature_targets(

@@ -174,3 +174,45 @@ def test_temperature_sample_matches_bruteforce(ray_session):
         alpha=0.5, target=120, seed=3,
     )
     assert sorted(out2.to_pandas()["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_train_shards_deterministic_and_partition_invariant(ray_session):
+    from splade_ray.ops.sample import train_shards
+
+    key = ["doc_id", "shard", "pos"]
+    a = train_shards(_ds(500, blocks=3), 8, seed=2).to_pandas()
+    b = train_shards(_ds(500, blocks=17), 8, seed=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id")[key].reset_index(drop=True),
+        b.sort_values("doc_id")[key].reset_index(drop=True),
+    )
+    # every row exactly once; pos contiguous 0..n-1 within each shard
+    assert sorted(a.doc_id) == list(range(500))
+    for _, g in a.groupby("shard"):
+        assert sorted(g.pos) == list(range(len(g)))
+    # it IS a shuffle: within-shard pos order differs from id order
+    one = a[a["shard"] == a["shard"].iloc[0]].sort_values("pos")
+    assert list(one.doc_id) != sorted(one.doc_id)
+    with pytest.raises(ValueError, match="n_shards"):
+        train_shards(_ds(10), 0)
+
+
+def test_write_train_shards_reproducible_and_resumable(ray_session, tmp_path):
+    from splade_ray.ops.sample import write_train_shards
+
+    out = tmp_path / "shards"
+    m1 = write_train_shards(_ds(300, blocks=4), str(out), 4, seed=1)
+    assert not m1["skipped"].any() and int(m1["n_rows"].sum()) == 300
+    files = sorted(out.glob("shard=*.parquet"))
+    assert len(files) == len(m1)
+    bytes1 = {f.name: f.read_bytes() for f in files}
+    # resume: everything skipped, bytes untouched
+    m2 = write_train_shards(_ds(300, blocks=9), str(out), 4, seed=1)
+    assert m2["skipped"].all()
+    assert {f.name: f.read_bytes() for f in sorted(out.glob("shard=*.parquet"))} == bytes1
+    # fresh write under a DIFFERENT partitioning -> byte-identical shards
+    out2 = tmp_path / "shards2"
+    write_train_shards(_ds(300, blocks=9), str(out2), 4, seed=1)
+    bytes2 = {f.name: f.read_bytes()
+              for f in sorted(out2.glob("shard=*.parquet"))}
+    assert bytes2 == bytes1
