@@ -21,6 +21,13 @@ Syntax (a subset of Lucene's classic QueryParser):
 - ``word*``           prefix wildcard: expanded driver-side (Lucene
                       PrefixQuery), each expansion a SHOULD term with
                       qtf=1
+- ``/pattern/``       regexp term (Lucene RegexpQuery syntax in the
+                      classic parser): anchored RE2 full-match expansion
+                      over the lexicon, each expansion a SHOULD term
+                      with qtf=1. Patterns match ANALYZED terms, so
+                      write them lowercase; no whitespace inside the
+                      pattern (the classic-parser tokenizer splits on
+                      spaces, as in Lucene without escaping)
 
 Clause words run through the index analyzer (a clause whose analysis
 yields several tokens contributes each; a phrase's words analyze 1:1 —
@@ -79,7 +86,7 @@ class QuerySpec:
     must_phrases: list = field(default_factory=list)      # list[tuple[str,...]]
     should_phrases: list = field(default_factory=list)
     not_phrases: list = field(default_factory=list)
-    expand: list = field(default_factory=list)            # ("fuzzy",word,dist) | ("prefix",word)
+    expand: list = field(default_factory=list)  # ("fuzzy",word,dist) | ("prefix",word) | ("regexp",pat)
 
 
 def parse_query_string(qs: str, query_lang: str | None = None) -> QuerySpec:
@@ -94,6 +101,10 @@ def parse_query_string(qs: str, query_lang: str | None = None) -> QuerySpec:
                 continue
             {"+": spec.must_phrases, "-": spec.not_phrases,
              "": spec.should_phrases}[prefix].append(toks)
+            continue
+        rx = re.fullmatch(r"/(.+)/", word)
+        if rx and prefix != "-":
+            spec.expand.append(("regexp", rx.group(1)))
             continue
         fz = re.fullmatch(r"(.+?)~([0-2])?", word)
         if fz and prefix != "-":
@@ -129,11 +140,13 @@ def resolve_expansions(
     pinned to plain-BM25 scoring like wildcard_search). Fuzzy candidates
     rank (distance asc, df desc, term asc); prefix expansion is ascending
     term order — both capped at ``max_expansions``."""
-    from splade_ray.suggest import expand_prefix, suggest_terms
+    from splade_ray.suggest import expand_prefix, expand_regexp, suggest_terms
 
     for e in spec.expand:
         if e[0] == "prefix":
             terms = expand_prefix(index_dir, e[1], max_terms=max_expansions)
+        elif e[0] == "regexp":
+            terms = expand_regexp(index_dir, e[1], max_terms=max_expansions)
         else:
             got = suggest_terms(index_dir, [(0, e[1])], max_dist=e[2],
                                 m=max_expansions)

@@ -128,6 +128,10 @@ def test_query_string_expansions(qs_index):
     got_px = query_string_search(qs_index, [(2, 'laz*')], p)
     want_px = query_string_search(qs_index, [(2, 'lazy')], p)
     pd.testing.assert_frame_equal(got_px, want_px, check_dtype=False)
+    # /regex/ clause: anchored RE2 expansion (Lucene RegexpQuery syntax)
+    got_rx = query_string_search(qs_index, [(3, '/la.y/ dog')], p)
+    want_rx = query_string_search(qs_index, [(3, 'lazy dog')], p)
+    pd.testing.assert_frame_equal(got_rx, want_rx, check_dtype=False)
 
 
 def test_parse_shapes():
@@ -139,6 +143,9 @@ def test_parse_shapes():
     assert s.must_phrases == [("f", "g")]
     assert s.not_phrases == [("h", "i")]
     assert ("fuzzy", "j", 1) in s.expand and ("prefix", "k") in s.expand
+    s_rx = parse_query_string('/ab.*c/ x')
+    assert ("regexp", "ab.*c") in s_rx.expand
+    assert dict(s_rx.should) == {"x": 1}
     # repeated clause words accumulate qtf; bare ~ defaults to distance 2
     s2 = parse_query_string('cat cat +cat m~')
     assert dict(s2.should) == {"cat": 2} and dict(s2.must) == {"cat": 1}
