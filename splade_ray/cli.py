@@ -760,11 +760,54 @@ def cmd_sample(args) -> int:
         out = split_assign(ds, fractions, id_col=args.id_col, seed=args.seed)
         out.write_parquet(args.out)
         n = out.count()
+    elif args.mode == "shards":
+        from splade_ray.ops.sample import write_train_shards
+
+        manifest = write_train_shards(
+            ds, args.out, args.n_shards, id_col=args.id_col, seed=args.seed
+        )
+        n = int(manifest["n_rows"].sum())
     else:  # bottomk
         pdf = bottomk_sample(ds, args.k, id_col=args.id_col, seed=args.seed)
         pdf.to_parquet(args.out, index=False)
         n = len(pdf)
     print(json.dumps({"mode": args.mode, "rows": int(n), "out": args.out}))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Train / apply the hashed logistic-regression quality classifier."""
+    _ensure_ray()
+    import numpy as np
+
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.classifier import fit_quality_classifier, score_quality
+
+    if args.action == "train":
+        model = fit_quality_classifier(
+            read_parquet_clean(args.corpus),
+            label_col=args.label_col, text_col=args.text_col,
+            id_col=args.id_col, dim=args.dim, iters=args.iters,
+            lr=args.lr, grad_method=args.grad_method,
+        )
+        np.savez(args.model, w=model["w"], b=model["b"], dim=model["dim"],
+                 losses=np.asarray(model["losses"]))
+        print(json.dumps({"action": "train", "model": args.model,
+                          "final_loss": model["losses"][-1]}))
+        return 0
+    if not args.out:
+        raise SystemExit("classify score needs --out")
+    z = np.load(args.model)
+    model = {"w": z["w"], "b": float(z["b"]), "dim": int(z["dim"])}
+    out = score_quality(
+        read_parquet_clean(args.corpus), model, text_col=args.text_col
+    )
+    if args.min_score is not None:
+        thr = float(args.min_score)
+        out = out.filter(expr=f"quality_score >= {thr}")
+    out.write_parquet(args.out)
+    print(json.dumps({"action": "score", "rows": int(out.count()),
+                      "out": args.out}))
     return 0
 
 
@@ -1920,8 +1963,12 @@ def main(argv: list[str] | None = None) -> int:
     sm = sub.add_parser("sample", help="deterministic hash sampling / split assignment")
     sm.add_argument("--corpus", required=True)
     sm.add_argument("--out", required=True)
-    sm.add_argument("--mode", choices=["hash", "split", "bottomk", "mix"],
+    sm.add_argument("--mode",
+                    choices=["hash", "split", "bottomk", "mix", "shards"],
                     default="hash")
+    sm.add_argument("--n-shards", type=int, default=64,
+                    help="shards mode: number of deterministic "
+                         "training shards to write under --out")
     sm.add_argument("--group-col", default="lang",
                     help="mix mode: source-mixing group column")
     sm.add_argument("--alpha", type=float, default=0.5,
@@ -1934,6 +1981,26 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--seed", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    cf = sub.add_parser(
+        "classify",
+        help="hashed logistic-regression quality classifier (train/score)")
+    cf.add_argument("action", choices=["train", "score"])
+    cf.add_argument("--corpus", required=True)
+    cf.add_argument("--model", required=True,
+                    help="model .npz path (written by train, read by score)")
+    cf.add_argument("--out", help="score: output parquet dir")
+    cf.add_argument("--label-col", default="label")
+    cf.add_argument("--text-col", default="text")
+    cf.add_argument("--id-col", default="doc_id")
+    cf.add_argument("--dim", type=int, default=1 << 16)
+    cf.add_argument("--iters", type=int, default=30)
+    cf.add_argument("--lr", type=float, default=2.0)
+    cf.add_argument("--grad-method", choices=["dense", "sparse"],
+                    default="dense")
+    cf.add_argument("--min-score", type=float, default=None,
+                    help="score: drop rows below this quality_score")
+    cf.set_defaults(fn=cmd_classify)
 
     pr = sub.add_parser("profile", help="per-(segment, query) kernel profile")
     pr.add_argument("--index", required=True)

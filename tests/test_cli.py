@@ -760,3 +760,69 @@ def test_cli_ann_build_search_brute(ray_session, tmp_path, capsys):
     brute = pq.read_table(bout).to_pandas()
     assert (brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
             == [0, 1, 2]).all()
+
+
+def test_cli_sample_shards(ray_session, tmp_path, capsys):
+    import json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.cli import main
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(200, dtype=np.int64),
+                  "text": ["x"] * 200}),
+        corpus,
+    )
+    out = tmp_path / "shards"
+    assert main(["sample", "--corpus", corpus, "--out", str(out),
+                 "--mode", "shards", "--n-shards", "4", "--seed", "7"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 200
+    files = sorted(out.glob("shard=*.parquet"))
+    assert files
+    got = pd.concat([pd.read_parquet(f) for f in files])
+    assert sorted(got["doc_id"]) == list(range(200))
+
+
+def test_cli_classify(ray_session, tmp_path, capsys):
+    import json
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_ray.cli import main
+
+    rng = np.random.RandomState(3)
+    good = ["theorem proof lemma rigorous", "careful analysis converges"]
+    bad = ["click here buy now", "free prize claim today"]
+    rows = []
+    for i in range(160):
+        lab = i % 2
+        words = (good if lab else bad)[rng.randint(2)].split()
+        rng.shuffle(words)
+        rows.append((i, " ".join(words), lab))
+    corpus = str(tmp_path / "labeled.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": [r[1] for r in rows],
+                  "label": pa.array([r[2] for r in rows], pa.int64())}),
+        corpus,
+    )
+    model = str(tmp_path / "clf.npz")
+    assert main(["classify", "train", "--corpus", corpus, "--model", model,
+                 "--dim", "4096", "--iters", "25", "--lr", "30",
+                 "--grad-method", "sparse"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["final_loss"] < 0.2
+
+    out = str(tmp_path / "scored")
+    assert main(["classify", "score", "--corpus", corpus, "--model", model,
+                 "--out", out, "--min-score", "0.5"]) == 0
+    scored = pd.read_parquet(out)
+    assert set(scored["label"]) == {1}  # separable corpus: only good kept
+    assert (scored["quality_score"] >= 0.5).all()
