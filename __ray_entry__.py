@@ -622,6 +622,33 @@ def q_postings_flat_stemmed(sf_dir: str):
     )
 
 
+CODE_ANALYZER = "code"  # camelCase pre-split + underscore separator
+
+
+def q_postings_flat_code(sf_dir: str):
+    """Flat postings through the source-code analyzer (analysis.ANALYZERS
+    'code'): camelCase pre-split BEFORE lowercasing (two RE2 boundary
+    substitutions, the WordDelimiterGraphFilter splitOnCaseChange analog)
+    + underscore as a separator. The DuckDB mirror is rendered from the
+    SAME registry entry (analyzer_sql), including the regexp_replace
+    chain, so the pre-split can't drift between engine and oracle."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        postings_batch,
+        batch_format="pyarrow",
+        batch_size=512,
+        fn_kwargs={"analyzer": CODE_ANALYZER},
+    )
+
+
+def _postings_flat_code_sql() -> str:
+    from splade_ray.analysis import analyzer_sql
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({analyzer_sql(CODE_ANALYZER)}) AS term
+  FROM documents)
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term"""
+
+
 def q_bm25_topk_stemmed(sf_dir: str):
     """End-to-end BM25 over an index built with one filtered analyzer for
     every doc (build_index(analyzer="en_light")): doc lengths count
@@ -5577,6 +5604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_topk": q_fuzzy_topk,
         "bm25_topk_by_lang": q_bm25_topk_by_lang,
         "postings_flat_stemmed": q_postings_flat_stemmed,
+        "postings_flat_code": q_postings_flat_code,
         "bm25_topk_stemmed": q_bm25_topk_stemmed,
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
@@ -7475,6 +7503,7 @@ FROM documents""",
         "lang_id_pred": _lang_id_pred_sql(),
         "bm25_topk_by_lang": _bm25_by_lang_sql(),
         "postings_flat_stemmed": _postings_flat_stemmed_sql(),
+        "postings_flat_code": _postings_flat_code_sql(),
         "bm25_topk_stemmed": _bm25_stemmed_sql(),
         "bm25f_topk": _bm25f_sql(),
         "dismax_topk": _dismax_sql(),

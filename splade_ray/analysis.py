@@ -77,11 +77,21 @@ class Analyzer:
     aes/ees/oes), s→'' (len≥3, not us/ss).
 
     BM25 doc length counts POST-filter tokens (Lucene: norms store the
-    number of indexed tokens)."""
+    number of indexed tokens).
+
+    ``camel=True`` enables the code-identifier pre-split (the Lucene
+    WordDelimiterGraphFilter splitOnCaseChange analog): BEFORE
+    lowercasing, a space is inserted at lower→Upper and acronym→Word
+    boundaries (``getUserName`` → ``get User Name``, ``XMLHttpRequest``
+    → ``XML Http Request``), so camelCase identifiers index as their
+    parts. Both substitutions are RE2 (pyarrow replace_substring_regex
+    on the Ray side, DuckDB regexp_replace in the oracle) with identical
+    rewrite syntax, so the mirror is verbatim."""
 
     pattern: str = r"[a-z0-9_]+"
     stopwords: frozenset[str] = field(default_factory=frozenset)
     stem: str | None = None
+    camel: bool = False
 
     def __post_init__(self):
         _split_pattern(self.pattern)  # validates the char-class shape
@@ -94,7 +104,16 @@ class Analyzer:
         return bool(self.stopwords) or self.stem is not None
 
     def sort_key(self) -> tuple:
-        return (self.pattern, self.stem or "", ",".join(sorted(self.stopwords)))
+        return (self.pattern, self.stem or "", ",".join(sorted(self.stopwords)),
+                "camel" if self.camel else "")
+
+
+# code-identifier boundaries (order-independent): lower/digit→Upper, then
+# acronym→TitleWord. RE2 rewrite syntax is shared by pyarrow and DuckDB.
+CAMEL_SUBS: tuple[tuple[str, str], ...] = (
+    (r"([a-z0-9])([A-Z])", r"\1 \2"),
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2"),
+)
 
 
 # The classic 33-word English stop set (Lucene EnglishAnalyzer default).
@@ -118,6 +137,9 @@ ANALYZERS: dict[str, str | Analyzer] = {
     # opt-in English filter chains (not tied to any corpus lang value)
     "en_stop": Analyzer(stopwords=EN_STOPWORDS),
     "en_light": Analyzer(stopwords=EN_STOPWORDS, stem="s"),
+    # source code: camelCase pre-split + underscore as separator, so
+    # getUserName / get_user_name / GetUserName all index as get,user,name
+    "code": Analyzer(pattern=r"[a-z0-9]+", camel=True),
 }
 
 
@@ -127,11 +149,13 @@ def register_analyzer(
     *,
     stopwords=(),
     stem: str | None = None,
+    camel: bool = False,
 ) -> None:
     """Extension hook: register/override a language's analyzer (token class
-    + optional stopword/stem filter chain)."""
-    if stopwords or stem:
-        ANALYZERS[lang] = Analyzer(token_pattern, frozenset(stopwords), stem)
+    + optional camelCase pre-split + stopword/stem filter chain)."""
+    if stopwords or stem or camel:
+        ANALYZERS[lang] = Analyzer(token_pattern, frozenset(stopwords), stem,
+                                   camel)
     else:
         _split_pattern(token_pattern)  # validates the shape
         ANALYZERS[lang] = token_pattern
@@ -214,12 +238,16 @@ def s_stem_sql(var: str = "t") -> str:
     )
 
 
-def analyzer_sql(lang: str | None, var: str = "lower(text)") -> str:
+def analyzer_sql(lang: str | None, var: str = "text") -> str:
     """DuckDB list-of-tokens expression for a registered analyzer — the
     oracle-side twin of ``tokenize_column(texts, get_analyzer(lang))``,
-    generated FROM the registry so SQL and Ray can't drift."""
+    generated FROM the registry so SQL and Ray can't drift. ``var`` is the
+    RAW string expression (the camel pre-split must see original case;
+    lower() is applied here)."""
     a = get_analyzer(lang)
-    expr = f"regexp_extract_all({var}, '{a.pattern}')"
+    for pat, rewrite in (CAMEL_SUBS if a.camel else ()):
+        var = f"regexp_replace({var}, '{pat}', '{rewrite}', 'g')"
+    expr = f"regexp_extract_all(lower({var}), '{a.pattern}')"
     if a.stopwords:
         stop_list = ", ".join(f"'{w}'" for w in sorted(a.stopwords))
         expr = f"list_filter({expr}, t -> t NOT IN ({stop_list}))"
@@ -274,6 +302,11 @@ def tokenize_column(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     n = len(texts)
+    if analyzer is not None and analyzer.camel:
+        for pat, rewrite in CAMEL_SUBS:
+            texts = pc.replace_substring_regex(
+                texts, pattern=pat, replacement=rewrite
+            )
     tok_lists = pc.split_pattern_regex(pc.utf8_lower(texts), split)
     flat = pc.list_flatten(tok_lists)
     parents = pc.list_parent_indices(tok_lists)

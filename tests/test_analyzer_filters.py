@@ -180,3 +180,75 @@ def test_positions_layer_respects_analyzer(corpus, tmp_path):
     # the stemmed bigram is adjacent in doc 0
     hits = phrase_search(index_dir, [(1, "the cats chased")])
     assert list(hits["doc_id"]) == [0]
+
+
+CODE_DOCS = [
+    "def getUserName(self): return self.userName",
+    "class XMLHttpRequest: parseHTTP2Frames = get_user_name",
+    "GetUserName OR getusername or GET_USER_NAME",
+]
+
+
+def test_code_analyzer_camel_split():
+    assert tokenize("getUserName", "code") == ["get", "user", "name"]
+    assert tokenize("get_user_name", "code") == ["get", "user", "name"]
+    assert tokenize("GetUserName", "code") == ["get", "user", "name"]
+    assert tokenize("XMLHttpRequest", "code") == ["xml", "http", "request"]
+    assert tokenize("parseHTTP2Frames", "code") == ["parse", "http2", "frames"]
+    # the default analyzer keeps identifiers whole (lowercased)
+    assert tokenize("getUserName get_user_name") == [
+        "getusername", "get_user_name"]
+
+
+def test_code_analyzer_sql_matches_kernel():
+    got = []
+    for i, d in enumerate(CODE_DOCS):
+        got += [(i, t) for t in tokenize(d, "code")]
+    rows = duckdb.sql(
+        f"SELECT doc_id, unnest({analyzer_sql('code')}) AS term FROM "
+        "(SELECT unnest(range(len(?))) AS doc_id, unnest(?) AS text)",
+        params=[CODE_DOCS, CODE_DOCS],
+    ).fetchall()
+    assert sorted(rows) == sorted(got)
+
+
+def test_register_analyzer_camel():
+    register_analyzer("t_camel", r"[a-z0-9]+", camel=True)
+    try:
+        assert tokenize("fooBarBaz", "t_camel") == ["foo", "bar", "baz"]
+        assert get_analyzer("t_camel").camel
+    finally:
+        from splade_ray.analysis import ANALYZERS
+
+        del ANALYZERS["t_camel"]
+
+
+def test_build_with_code_analyzer_end_to_end(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.query import search
+
+    corpus = str(tmp_path / "code.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "content": [
+                "def getUserName(): pass",
+                "def fetch_rows(): pass",
+                "class UserNameError: pass",
+            ],
+        }),
+        corpus,
+    )
+    index_dir = str(tmp_path / "idx")
+    m = build_index(corpus, index_dir, text_col="content", id_col="doc_id",
+                    rows_per_segment=2, analyzer="code")
+    assert m["analyzer"] == "code"
+    # 'user' reaches both camelCase docs; the query analyzes through the
+    # same chain (manifest-recorded), so camel query text works too
+    run = search(index_dir, [(1, "user"), (2, "userName")],
+                 BM25Params(top_k=5))
+    assert set(run[run.query_id == 1]["doc_id"]) == {0, 2}
+    assert set(run[run.query_id == 2]["doc_id"]) == {0, 2}
