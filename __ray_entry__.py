@@ -2156,6 +2156,55 @@ def q_exists_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+# terms-lookup probes: each query's value set comes from ONE row of a
+# lookup table (lookup id 3 has an empty set, 99 is deliberately missing)
+TL_LOOKUPS = {201: 1, 202: 2, 203: 3, 204: 99}
+TL_ROWS = [(1, ["src1", "src3"]), (2, ["src5"]), (3, [])]
+TL_TOP_K = 25
+
+
+def _tl_index(sf_dir: str) -> tuple[str, str]:
+    """Index over `documents` carrying `source` doc-values, plus the tiny
+    lookup-table parquet (the ES terms-lookup `index`)."""
+    work = _work_dir(sf_dir, "tlidx1")
+    lookup = os.path.join(work, "lookup.parquet")
+    if not os.path.exists(lookup):
+        tmp = lookup + ".tmp"
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in TL_ROWS], pa.int64()),
+                "srcs": pa.array([r[1] for r in TL_ROWS],
+                                 pa.list_(pa.string())),
+            }),
+            tmp,
+        )
+        os.rename(tmp, lookup)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"), index_dir,
+        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        block_size=64, extra_doc_cols=("source",),
+    )
+    return index_dir, lookup
+
+
+def q_terms_lookup(sf_dir: str):
+    """ES terms-lookup query (structured.terms_lookup_search): per query
+    the value set is fetched from ONE lookup-table row (pushdown isin
+    read), then docs whose `source` doc-value is in the set match with
+    constant score 1.0, doc_id-ascending ranks, per-query top_k cap.
+    Empty and missing lookup rows match nothing (the ES contract)."""
+    from splade_ray.structured import terms_lookup_search
+
+    index_dir, lookup = _tl_index(sf_dir)
+    out = terms_lookup_search(
+        index_dir, TL_LOOKUPS, field="source", lookup_path=lookup,
+        lookup_field="srcs", top_k=TL_TOP_K,
+    )
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
 COMPLETE_QUERIES = [(1, "s"), (2, "b"), (3, "wi")]
 COMPLETE_M = 5
 
@@ -5671,6 +5720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_complete": q_suggest_complete,
         "pinned_topk": q_pinned_topk,
         "exists_topk": q_exists_topk,
+        "terms_lookup": q_terms_lookup,
         "distance_feature": q_distance_feature,
         "match_bool_prefix": q_match_bool_prefix,
         "range_agg": q_range_agg,
@@ -6917,6 +6967,29 @@ SELECT query_id::BIGINT AS query_id,
 FROM f"""
 
 
+def _terms_lookup_sql() -> str:
+    """terms-lookup mirror: the per-query value sets expanded from the
+    literal lookup rows (empty/missing rows contribute nothing), joined
+    against documents on source, constant score, doc_id-ascending ranks
+    capped at TL_TOP_K."""
+    by_lid = {r[0]: r[1] for r in TL_ROWS}
+    vals = ", ".join(
+        f"({qid}, '{s}')"
+        for qid, lid in sorted(TL_LOOKUPS.items())
+        for s in by_lid.get(lid, ())
+    )
+    return f"""
+WITH v(query_id, source) AS (VALUES {vals}),
+f AS (SELECT v.query_id, d.doc_id FROM v JOIN documents d USING (source)),
+r AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY doc_id ASC) AS rank
+      FROM f)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       1.0::DOUBLE AS score
+FROM r WHERE rank <= {TL_TOP_K}"""
+
+
 def _pinned_sql() -> str:
     """pinned-query mirror: existing pinned ids first (given order, score
     0.0), then the shared bm25 ranking minus the pinned set, one continuous
@@ -7486,6 +7559,7 @@ FROM documents""",
         "suggest_complete": _suggest_complete_sql(),
         "pinned_topk": _pinned_sql(),
         "exists_topk": _exists_sql(),
+        "terms_lookup": _terms_lookup_sql(),
         "distance_feature": _rank_feature_sql(DIST_FEATURES),
         "match_bool_prefix": _match_bool_prefix_sql(),
         "range_agg": _range_agg_sql(),

@@ -1,6 +1,6 @@
-"""Structural queries: ids, exists, pinned.
+"""Structural queries: ids, exists, pinned, terms-lookup.
 
-Three Lucene/Elasticsearch query shapes that select or re-order docs by
+Lucene/Elasticsearch query shapes that select or re-order docs by
 identity and field presence rather than text relevance — surfaces the
 reference lacks (its evaluator emits a flat BM25 run only,
 ``transformer_evaluator.py:172-188``) but any production retrieval engine
@@ -106,6 +106,100 @@ def ids_search(
             (int(qid), r + 1, int(d), 1.0) for r, d in enumerate(np.sort(live))
         )
     out = pd.DataFrame(rows, columns=IDS_COLUMNS)
+    return out.astype({"query_id": np.int64, "rank": np.int32,
+                       "doc_id": np.int64, "score": np.float64})
+
+
+def terms_lookup_search(
+    index_dir: str,
+    lookups: dict[int, int],
+    *,
+    field: str,
+    lookup_path: str,
+    lookup_field: str,
+    lookup_id_col: str = "doc_id",
+    top_k: int | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES terms-lookup query (``terms`` with ``index``/``id``/``path``):
+    per query, fetch the term set from ONE row of a lookup table, then
+    select live docs whose ``field`` doc-values (string or list<string>)
+    contain ANY of those values. Constant score 1.0, ranked doc_id asc
+    (the ES constant-score filter contract), per-query cap ``top_k``.
+    A missing lookup row or empty value set matches nothing (the ES
+    contract — never an error).
+
+    Scale shape: the lookup fetch is ONE pushdown isin read of the
+    lookup table (row groups missing every wanted id never load); the
+    value sets broadcast once; each segment explodes its doc-values
+    column once and evaluates every query's is_in against the same
+    exploded arrays. Reference gap anchor: the reference has no
+    field-filtered retrieval at all (flat BM25 run only,
+    ``splade/tasks/transformer_evaluator.py:172-188``)."""
+    import pyarrow.dataset as pads
+
+    from splade_ray.delete import load_tombstones
+
+    wanted = sorted({int(v) for v in lookups.values()})
+    tbl = pads.dataset(lookup_path).to_table(
+        columns=[lookup_id_col, lookup_field],
+        filter=pads.field(lookup_id_col).isin(wanted),
+    )
+    by_id: dict[int, set] = {}
+    idvals = tbl[lookup_id_col].to_pylist()
+    fvals = tbl[lookup_field].to_pylist()
+    for i, v in zip(idvals, fvals):
+        if v is None:
+            continue
+        vals = v if isinstance(v, list) else [v]
+        by_id.setdefault(int(i), set()).update(x for x in vals if x is not None)
+    value_sets = {int(q): sorted(by_id.get(int(lid), ()))
+                  for q, lid in lookups.items()}
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64())})
+    tomb = load_tombstones(index_dir)
+    sets_ref = ray.put(value_sets)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        sets = ray.get(sets_ref)
+        t = pq.read_table(os.path.join(seg_dir, "doclens.parquet"),
+                          columns=["doc_id", field])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t[field].combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            flat = col.flatten()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            parents = np.repeat(np.arange(len(col)), np.diff(offs))
+        else:
+            flat, parents = col, np.arange(len(col))
+        live = np.ones(ids.size, bool)
+        if tomb_ref is not None:
+            live = ~np.isin(ids, ray.get(tomb_ref))
+        parts = []
+        for qid, vals in sets.items():
+            if not vals:
+                continue
+            hit = pc.is_in(flat, value_set=pa.array(vals, flat.type)
+                           ).to_numpy(zero_copy_only=False)
+            mask = np.zeros(ids.size, bool)
+            mask[parents[hit]] = True
+            mask &= live
+            if mask.any():
+                parts.append(pa.table({
+                    "query_id": pa.array(
+                        np.full(int(mask.sum()), qid, np.int64)),
+                    "doc_id": pa.array(ids[mask]),
+                }))
+        return pa.concat_tables(parts) if parts else empty
+
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    pdf = pdf.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    if top_k is not None:
+        pdf = pdf[pdf["rank"] <= top_k]
+    pdf["score"] = 1.0
+    out = pdf[IDS_COLUMNS].reset_index(drop=True)
     return out.astype({"query_id": np.int64, "rank": np.int32,
                        "doc_id": np.int64, "score": np.float64})
 

@@ -122,6 +122,99 @@ def test_pinned_search(built):
     np.testing.assert_allclose(g2["score"].to_numpy(), p2["score"].to_numpy())
 
 
+def test_terms_lookup_search(built, tmp_path):
+    from splade_ray.structured import terms_lookup_search
+
+    index_dir, _, _ = built
+    lookup = str(tmp_path / "lk.parquet")
+    # urls are f"u{i}" with nulls on i % 3 == 0, so u1/u2/u7 all exist
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "urls": pa.array([["u7", "u1", "u2"], [], None],
+                             pa.list_(pa.string())),
+        }),
+        lookup,
+    )
+    lookups = {1: 10, 2: 11, 3: 12, 4: 99}
+    got = terms_lookup_search(
+        index_dir, lookups, field="url", lookup_path=lookup,
+        lookup_field="urls",
+    )
+    g1 = got[got["query_id"] == 1]
+    assert g1["doc_id"].tolist() == [1, 2, 7]  # doc_id asc, not given order
+    assert g1["rank"].tolist() == [1, 2, 3]
+    assert (g1["score"] == 1.0).all()
+    # empty set, null set and missing lookup row all match nothing
+    for q in (2, 3, 4):
+        assert got[got["query_id"] == q].empty
+    # per-query cap
+    capped = terms_lookup_search(
+        index_dir, lookups, field="url", lookup_path=lookup,
+        lookup_field="urls", top_k=2,
+    )
+    assert capped[capped["query_id"] == 1]["doc_id"].tolist() == [1, 2]
+
+
+def test_terms_lookup_respects_tombstones(built, tmp_path):
+    from splade_ray.delete import delete_docs
+    from splade_ray.structured import terms_lookup_search
+
+    index_dir, _, _ = built
+    lookup = str(tmp_path / "lk.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([10], pa.int64()),
+            "urls": pa.array([["u7", "u1", "u2"]], pa.list_(pa.string())),
+        }),
+        lookup,
+    )
+    delete_docs(index_dir, [2])
+    got = terms_lookup_search(
+        index_dir, {1: 10}, field="url", lookup_path=lookup,
+        lookup_field="urls",
+    )
+    assert got["doc_id"].tolist() == [1, 7]
+
+
+def test_terms_lookup_list_field(ray_session, tmp_path):
+    """Matching against a list<string> doc-values column: a doc matches
+    when ANY of its tags is in the looked-up set, and a scalar (non-list)
+    lookup_field value works too."""
+    from splade_ray.structured import terms_lookup_search
+
+    tags = [["red", "blue"], ["green"], [], ["blue"], None, ["red"]]
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "content": pa.array([f"doc number {i}" for i in range(6)]),
+            "tags": pa.array(tags, pa.list_(pa.string())),
+        }),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(
+        corpus, index_dir, text_col="content", id_col="doc_id",
+        rows_per_segment=3, extra_doc_cols=("tags",),
+    )
+    lookup = str(tmp_path / "lk.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "want": pa.array([["red", "green"], ["blue"]],
+                             pa.list_(pa.string())),
+        }),
+        lookup,
+    )
+    got = terms_lookup_search(
+        index_dir, {1: 1, 2: 2}, field="tags", lookup_path=lookup,
+        lookup_field="want",
+    )
+    assert got[got["query_id"] == 1]["doc_id"].tolist() == [0, 1, 5]
+    assert got[got["query_id"] == 2]["doc_id"].tolist() == [0, 3]
+
+
 def test_distance_feature_matches_bruteforce(built):
     from splade_ray.docvalues import rank_feature_search
 
