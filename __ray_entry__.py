@@ -335,6 +335,35 @@ def q_bm25_topk(sf_dir: str):
     return _bm25_run(sf_dir, "exact")
 
 
+def q_search_after_page2(sf_dir: str):
+    """Deep pagination (Lucene IndexSearcher.searchAfter / ES search_after):
+    page 1's last (sort_value, doc_id) row per query becomes the exclusive
+    cursor; page 2 holds the next TOP_K rows strictly after it in the
+    (n_chars desc, doc_id asc) sort order, ranks restarting at 1. The
+    cursor filter applies inside each segment BEFORE its top-k cut, so
+    deep pages stay exact without over-fetching. (The integer sort key
+    makes the page boundary ulp-stable; BM25 float-score pagination is
+    covered by engine-internal parity tests in tests/test_ql.py.)"""
+    from splade_ray.docvalues import sort_search
+
+    idx = _dv_index(sf_dir)
+    page1 = sort_search(
+        idx, BM25_QUERIES, sort_col="n_chars", descending=True, top_k=TOP_K,
+    )
+    cursors = {
+        int(qid): (int(g["sort_value"].iloc[-1]), int(g["doc_id"].iloc[-1]))
+        for qid, g in page1.groupby("query_id")
+    }
+    out = sort_search(
+        idx, BM25_QUERIES, sort_col="n_chars", descending=True, top_k=TOP_K,
+        after=cursors,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["sort_value"] = out["sort_value"].astype(np.int64)
+    return out
+
+
 QL_MU = 2000.0
 
 # prefix / fuzzy expansion probes (misspellings + prefixes of corpus terms)
@@ -5639,6 +5668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon": q_lexicon,
         "doc_token_stats": q_doc_token_stats,
         "bm25_topk": q_bm25_topk,
+        "search_after_page2": q_search_after_page2,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_purged": q_bm25_topk_purged,
         "bm25_topk_bmw": q_bm25_topk_bmw,
@@ -6156,6 +6186,23 @@ def _bm25_sql() -> str:
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def _search_after_sql() -> str:
+    """search_after page-2 mirror: rows TOP_K+1 .. 2*TOP_K of the
+    deterministic (n_chars desc, doc_id asc) sort order over matching
+    docs (page 1's last row is exactly rank TOP_K, so 'strictly after
+    the cursor' is exactly this rank window), ranks restarted at 1."""
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED}
+SELECT query_id, (rank - {TOP_K})::BIGINT AS rank, doc_id,
+       n_chars::BIGINT AS sort_value
+FROM (SELECT m.query_id, m.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY m.query_id
+                                ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
+      FROM m JOIN documents d USING (doc_id))
+WHERE rank > {TOP_K} AND rank <= {2 * TOP_K}"""
 
 
 def _snippets_sql() -> str:
@@ -7529,6 +7576,7 @@ FROM documents""",
         "dup_spans": _dup_spans_sql(),
         "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
+        "search_after_page2": _search_after_sql(),
         "bm25_topk_deleted": _bm25_deleted_sql(),
         "bm25_topk_purged": _bm25_purged_sql(),
         "bm25_topk_bmw": bm25,
