@@ -2234,6 +2234,98 @@ def q_terms_lookup(sf_dir: str):
     return out
 
 
+# geo probes: deterministic lat/lon derived from doc_id (SQL-mirrorable
+# integer arithmetic), indexed as two extra doc-values columns
+GEO_ORIGIN = (12.0, 34.0)
+GEO_RADIUS_M = 4_000_000.0
+GEO_LAT_RANGE = (-30.0, 40.0)
+GEO_LON_RANGE = (-60.0, 120.0)
+GEO_ZOOM = 3
+GEO_GRID_SIZE = 12
+GEO_BBOX_K = 25
+
+
+def _geo_latlon(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = -60.0 + 120.0 * ((ids * 2654435761) % 100000) / 100000.0
+    lon = -180.0 + 360.0 * ((ids * 40503 + 12345) % 100000) / 100000.0
+    return lat, lon
+
+
+_GEO_COORDS_SQL = """
+coords AS (SELECT doc_id,
+    -60.0 + 120.0 * ((doc_id * 2654435761) % 100000) / 100000.0 AS lat,
+    -180.0 + 360.0 * ((doc_id * 40503 + 12345) % 100000) / 100000.0 AS lon
+  FROM documents)"""
+
+
+def _geo_index(sf_dir: str) -> str:
+    """Index over documents + the deterministic (lat, lon) doc-values."""
+    work = _work_dir(sf_dir, "geoidx1")
+    corpus_dir = os.path.join(work, "corpus")
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        def add_coords(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            lat, lon = _geo_latlon(ids)
+            return batch.append_column("lat", pa.array(lat)).append_column(
+                "lon", pa.array(lon))
+
+        tmp = corpus_dir + ".tmp"
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            add_coords, batch_format="pyarrow", batch_size=512
+        ).write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+    index_dir = os.path.join(work, "index")
+    build_index(
+        corpus_dir, index_dir, text_col="text", id_col="doc_id",
+        rows_per_segment=1000, block_size=64,
+        extra_doc_cols=("lat", "lon"),
+    )
+    return index_dir
+
+
+def q_geo_distance_topk(sf_dir: str):
+    """ES geo_distance filter + _geo_distance sort (geo.geo_distance_search):
+    matching docs within GEO_RADIUS_M of GEO_ORIGIN, nearest-first at the
+    round4-metre determinism contract, per-query TOP_K."""
+    from splade_ray.geo import geo_distance_search
+
+    out = geo_distance_search(
+        _geo_index(sf_dir), BM25_QUERIES, origin=GEO_ORIGIN,
+        radius_m=GEO_RADIUS_M, top_k=TOP_K,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def q_geo_bbox(sf_dir: str):
+    """ES geo_bounding_box constant-score filter (geo.geo_bbox_search):
+    matching docs inside the closed lat/lon box, score 1.0, doc_id-asc
+    ranks, per-query GEO_BBOX_K cap."""
+    from splade_ray.geo import geo_bbox_search
+
+    out = geo_bbox_search(
+        _geo_index(sf_dir), BM25_QUERIES, lat_range=GEO_LAT_RANGE,
+        lon_range=GEO_LON_RANGE, top_k=GEO_BBOX_K,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out
+
+
+def q_geotile_grid(sf_dir: str):
+    """ES geotile_grid aggregation (geo.geotile_grid_agg): exact per-tile
+    doc counts over matching docs at GEO_ZOOM, top GEO_GRID_SIZE tiles by
+    (n_docs desc, x asc, y asc) — per-segment partial counts, k-sized
+    merge."""
+    from splade_ray.geo import geotile_grid_agg
+
+    return geotile_grid_agg(
+        _geo_index(sf_dir), BM25_QUERIES, zoom=GEO_ZOOM, size=GEO_GRID_SIZE,
+    )
+
+
 COMPLETE_QUERIES = [(1, "s"), (2, "b"), (3, "wi")]
 COMPLETE_M = 5
 
@@ -5751,6 +5843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pinned_topk": q_pinned_topk,
         "exists_topk": q_exists_topk,
         "terms_lookup": q_terms_lookup,
+        "geo_distance_topk": q_geo_distance_topk,
+        "geo_bbox": q_geo_bbox,
+        "geotile_grid": q_geotile_grid,
         "distance_feature": q_distance_feature,
         "match_bool_prefix": q_match_bool_prefix,
         "range_agg": q_range_agg,
@@ -6910,6 +7005,65 @@ _MATCHED = """
 m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM qterm q JOIN tf USING (term))"""
 
 
+def _geo_distance_sql() -> str:
+    """geo_distance mirror: matched docs joined to the derived coords,
+    haversine (same formula/constant as geo.haversine_m) rounded at the
+    engine's round4 contract, radius filter, (distance asc, doc_id asc)
+    ranks capped at TOP_K."""
+    from splade_ray.geo import haversine_sql
+
+    dr = _round4_sql(haversine_sql("c.lat", "c.lon", GEO_ORIGIN))
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},{_GEO_COORDS_SQL},
+f AS (SELECT m.query_id, m.doc_id, {dr} AS distance_r
+      FROM m JOIN coords c USING (doc_id))
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY distance_r ASC, doc_id ASC)::BIGINT AS rank,
+       doc_id, distance_r
+FROM f WHERE distance_r <= {GEO_RADIUS_M}
+QUALIFY rank <= {TOP_K}"""
+
+
+def _geo_bbox_sql() -> str:
+    """geo_bounding_box mirror: matched docs inside the closed box,
+    constant score, doc_id-asc ranks capped at GEO_BBOX_K."""
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},{_GEO_COORDS_SQL},
+f AS (SELECT m.query_id, m.doc_id
+      FROM m JOIN coords c USING (doc_id)
+      WHERE c.lat BETWEEN {GEO_LAT_RANGE[0]} AND {GEO_LAT_RANGE[1]}
+        AND c.lon BETWEEN {GEO_LON_RANGE[0]} AND {GEO_LON_RANGE[1]})
+SELECT query_id::BIGINT AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY doc_id ASC)::BIGINT AS rank,
+       doc_id, 1.0::DOUBLE AS score
+FROM f QUALIFY rank <= {GEO_BBOX_K}"""
+
+
+def _geotile_grid_sql() -> str:
+    """geotile_grid mirror: web-mercator tile of each matched doc's coords
+    (geo.geotile_sql — asinh spelled via ln), exact per-tile counts, top
+    GEO_GRID_SIZE tiles by (n_docs desc, x asc, y asc)."""
+    from splade_ray.geo import geotile_sql
+
+    x, y = geotile_sql("c.lat", "c.lon", GEO_ZOOM)
+    return f"""
+WITH {_TF},
+{_qterm_values_sql()},{_MATCHED},{_GEO_COORDS_SQL},
+f AS (SELECT m.query_id, {x} AS x, {y} AS y
+      FROM m JOIN coords c USING (doc_id)),
+g AS (SELECT query_id, x, y, count(*)::BIGINT AS n_docs
+      FROM f GROUP BY 1, 2, 3)
+SELECT query_id::BIGINT AS query_id, {GEO_ZOOM}::BIGINT AS zoom, x, y, n_docs
+FROM g
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY n_docs DESC, x ASC, y ASC)
+        <= {GEO_GRID_SIZE}"""
+
+
 def _sort_by_field_sql() -> str:
     return f"""
 WITH {_TF},
@@ -7608,6 +7762,9 @@ FROM documents""",
         "pinned_topk": _pinned_sql(),
         "exists_topk": _exists_sql(),
         "terms_lookup": _terms_lookup_sql(),
+        "geo_distance_topk": _geo_distance_sql(),
+        "geo_bbox": _geo_bbox_sql(),
+        "geotile_grid": _geotile_grid_sql(),
         "distance_feature": _rank_feature_sql(DIST_FEATURES),
         "match_bool_prefix": _match_bool_prefix_sql(),
         "range_agg": _range_agg_sql(),
