@@ -1816,6 +1816,27 @@ def q_hybrid_rrf(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "rrf_r"]]
 
 
+HYBRID_W = (0.7, 0.3)
+
+
+def q_hybrid_linear(sf_dir: str):
+    """Normalized linear score fusion (fusion.linear_fuse; the ES
+    retriever.linear minmax normalizer) of the exact-BM25 and Dirichlet-QL
+    runs — per run/query minmax rescale, weighted sum, missing docs
+    contribute nothing."""
+    from splade_ray.fusion import linear_fuse
+
+    index_dir = _index_for(sf_dir)
+    p = BM25Params(k1=K1, b=B, top_k=TOP_K)
+    bm = search(index_dir, BM25_QUERIES, p)
+    ql = search(index_dir, BM25_QUERIES, p, scoring="ql", mu=QL_MU)
+    fused = linear_fuse([bm, ql], weights=list(HYBRID_W), top_k=TOP_K)
+    out = fused.copy()
+    out["fused_r"] = _round4(out["fused"].to_numpy())
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "fused_r"]]
+
+
 def q_percolate_all(sf_dir: str):
     """Percolator (splade_ray.percolate): (doc_id, query_id) pairs where the
     doc contains EVERY stored query's analyzed terms (mode='all') —
@@ -4732,6 +4753,50 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('rrf')} AS rrf_r
 FROM fr WHERE rank <= {TOP_K}"""
 
 
+def _hybrid_linear_sql() -> str:
+    """Linear-fusion mirror: bm25 + QL rankings truncated at TOP_K, per
+    run/query minmax normalization (degenerate span -> 1.0), weighted sum,
+    re-ranked (fused desc, doc_id asc)."""
+    w1, w2 = HYBRID_W
+    return f"""{_bm25_cte()},
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tf GROUP BY term),
+stats2 AS (SELECT sum(dl) AS c FROM dl),
+qls AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( q.qtf * greatest(0.0,
+              ln(1 + tf.tf / ({QL_MU} * cf.cf / s2.c))
+              + ln({QL_MU} / (dl.dl + {QL_MU})) ) ) AS score
+  FROM q JOIN tf USING (term) JOIN cf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats2 s2
+  GROUP BY q.query_id, tf.doc_id
+),
+qlranked AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC) AS rank
+             FROM qls WHERE score > 0),
+pages AS (
+  SELECT 1 AS src, query_id, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+  UNION ALL
+  SELECT 2 AS src, query_id, doc_id, score FROM qlranked WHERE rank <= {TOP_K}
+),
+norm AS (
+  SELECT src, query_id, doc_id,
+         CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+              ELSE (score - min(score) OVER w)
+                   / (max(score) OVER w - min(score) OVER w) END AS n
+  FROM pages WINDOW w AS (PARTITION BY src, query_id)
+),
+f AS (SELECT query_id, doc_id,
+             sum(CASE WHEN src = 1 THEN {w1} ELSE {w2} END * n) AS fused
+      FROM norm GROUP BY query_id, doc_id),
+fr AS (SELECT query_id, doc_id, fused,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY fused DESC, doc_id ASC) AS rank
+       FROM f)
+SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('fused')} AS fused_r
+FROM fr WHERE rank <= {TOP_K}"""
+
+
 def _percolate_sql(mode: str) -> str:
     """Percolator mirror: distinct doc terms joined to the stored query
     terms, matched-count per (doc, query) compared to the query's arity
@@ -5822,6 +5887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_all": q_percolate_all,
         "percolate_any": q_percolate_any,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_linear": q_hybrid_linear,
         "explain_topk": q_explain,
         "collapse_topk": q_collapse_topk,
         "range_topk": q_range_topk,
@@ -7994,6 +8060,7 @@ FROM f""",
         "percolate_all": _percolate_sql("all"),
         "percolate_any": _percolate_sql("any"),
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "hybrid_linear": _hybrid_linear_sql(),
         "explain_topk": _explain_sql(),
         "collapse_topk": _collapse_sql(),
         "substr_search": _substr_sql(),

@@ -53,3 +53,51 @@ def rrf_fuse(
     fused["rank"] = fused.groupby("query_id").cumcount().add(1).astype(np.int32)
     fused = fused[fused["rank"] <= top_k]
     return fused.reset_index(drop=True)[FUSED_COLUMNS]
+
+
+def linear_fuse(
+    runs: list[pd.DataFrame],
+    *,
+    weights: list[float] | None = None,
+    top_k: int = 10,
+    score_col: str = "score",
+) -> pd.DataFrame:
+    """Normalized linear score fusion (the ES ``retriever.linear`` with the
+    ``minmax`` normalizer): per run and per query, scores rescale to
+    ``(s - min) / (max - min)`` over that run's retrieved rows (a
+    degenerate single-score page normalizes to 1.0 — the doc IS the run's
+    best); the fused score is the weighted sum over runs, docs missing
+    from a run contribute nothing. Ties break (score desc, doc_id asc);
+    top_k rows per query, ranks reassigned. Returns
+    (query_id, rank, doc_id, fused).
+
+    Same k-sized-merge scale shape as :func:`rrf_fuse` — inputs are
+    top-k-sized runs, so fusion is a driver-side pandas reduce."""
+    if not runs:
+        raise ValueError("need at least one run")
+    weights = weights or [1.0] * len(runs)
+    if len(weights) != len(runs):
+        raise ValueError("one weight per run")
+    parts = []
+    for run, w in zip(runs, weights):
+        p = run[["query_id", "doc_id", score_col]].copy()
+        g = p.groupby("query_id")[score_col]
+        lo, hi = g.transform("min"), g.transform("max")
+        span = (hi - lo).to_numpy(np.float64)
+        norm = np.where(
+            span > 0,
+            (p[score_col].to_numpy(np.float64) - lo.to_numpy(np.float64))
+            / np.where(span > 0, span, 1.0),
+            1.0,
+        )
+        p["fused"] = w * norm
+        parts.append(p[["query_id", "doc_id", "fused"]])
+    allp = pd.concat(parts, ignore_index=True)
+    fused = allp.groupby(["query_id", "doc_id"], as_index=False)["fused"].sum()
+    fused = fused.sort_values(
+        ["query_id", "fused", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    fused["rank"] = fused.groupby("query_id").cumcount().add(1).astype(np.int32)
+    fused = fused[fused["rank"] <= top_k]
+    return fused.reset_index(drop=True)[["query_id", "rank", "doc_id", "fused"]]

@@ -294,3 +294,83 @@ def geotile_grid_agg(
     agg = agg.groupby("query_id").head(size).reset_index(drop=True)
     agg["zoom"] = int(zoom)
     return agg[cols].astype(np.int64)
+
+
+def geo_distance_rings_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    origin: tuple[float, float],
+    edges_m: list[float],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    query_lang: str | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``geo_distance`` aggregation: exact doc counts per distance ring
+    around ``origin`` over the matching live docs. ``edges_m`` (ascending)
+    splits distances into len(edges)+1 half-open rings
+    [0, e1), [e1, e2), ..., [e_last, inf); every ring appears for every
+    query (zero counts included, the ES ranges contract). Distances use
+    the same round4-metre determinism contract as geo_distance_search.
+    Returns (query_id, ring, from_m, to_m, n_docs) with to_m NaN on the
+    open last ring.
+
+    Scale shape: segments emit one bincount row per (query, ring) — the
+    partial table is queries x rings regardless of corpus size."""
+    from splade_ray.delete import load_tombstones
+
+    edges = [float(e) for e in edges_m]
+    if edges != sorted(edges) or len(set(edges)) != len(edges) or not edges:
+        raise ValueError("edges_m must be non-empty, ascending, distinct")
+    n_rings = len(edges) + 1
+    prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "ring": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def per_segment(seg_dir: str) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        lat, lon = _geo_columns(seg_dir, lat_col, lon_col)
+        ring = np.searchsorted(np.asarray(edges),
+                               round4(haversine_m(lat, lon, origin)),
+                               side="right")
+        parts = []
+        for qid, terms in prep["queries"].items():
+            cand = np.flatnonzero(_matched_mask(seg, terms))
+            if cand.size == 0:
+                continue
+            counts = np.bincount(ring[cand], minlength=n_rings)
+            nz = np.flatnonzero(counts)
+            parts.append(pa.table({
+                "query_id": pa.array(np.full(nz.size, qid, np.int64)),
+                "ring": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }))
+        return pa.concat_tables(parts) if parts else empty
+
+    cols = ["query_id", "ring", "from_m", "to_m", "n_docs"]
+    pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    lo = np.array([0.0, *edges])
+    hi = np.array([*edges, np.nan])
+    grid = pd.DataFrame([
+        {"query_id": int(qid), "ring": r}
+        for qid, _ in queries for r in range(n_rings)
+    ])
+    agg = (pdf.groupby(["query_id", "ring"], as_index=False)["n"].sum()
+           if len(pdf) else pdf.rename(columns={"n": "n"}))
+    out = grid.merge(agg, how="left", on=["query_id", "ring"])
+    out["n_docs"] = out["n"].fillna(0).astype(np.int64) if "n" in out else 0
+    out["from_m"] = lo[out["ring"].to_numpy()]
+    out["to_m"] = hi[out["ring"].to_numpy()]
+    out = out.sort_values(["query_id", "ring"]).reset_index(drop=True)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["ring"] = out["ring"].astype(np.int64)
+    return out[cols]

@@ -109,3 +109,38 @@ def test_rrf_fuse_pinned_and_bruteforce():
     # weights: doubling run b must promote its top doc
     wgot = rrf_fuse([a, b], k=60, weights=[1.0, 10.0], top_k=1)
     assert wgot[wgot["query_id"] == 1]["doc_id"].iloc[0] == 12
+
+
+def test_linear_fuse_pinned_and_bruteforce():
+    import numpy as np
+    import pandas as pd
+
+    from splade_ray.fusion import linear_fuse
+
+    a = pd.DataFrame(
+        {"query_id": [1, 1, 1, 2], "rank": [1, 2, 3, 1],
+         "doc_id": [10, 11, 12, 20], "score": [9.0, 8.0, 7.0, 5.0]}
+    )
+    b = pd.DataFrame(
+        {"query_id": [1, 1, 2], "rank": [1, 2, 1],
+         "doc_id": [12, 10, 21], "score": [0.9, 0.8, 0.7]}
+    )
+    got = linear_fuse([a, b], weights=[0.7, 0.3], top_k=4)
+    # minmax per run per query: a/q1 -> 10:1.0 11:0.5 12:0.0; b/q1 ->
+    # 12:1.0 10:0.0; degenerate single-score pages (a/q2, b/q2) -> 1.0
+    want = {
+        (1, 10): 0.7 * 1.0 + 0.3 * 0.0,
+        (1, 11): 0.7 * 0.5,
+        (1, 12): 0.7 * 0.0 + 0.3 * 1.0,
+        (2, 20): 0.7 * 1.0,
+        (2, 21): 0.3 * 1.0,
+    }
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert np.isclose(row.fused, want[(row.query_id, row.doc_id)])
+    q1 = got[got["query_id"] == 1]
+    assert q1["doc_id"].tolist() == [10, 11, 12]  # 0.7 > 0.35 > 0.3
+    assert q1["rank"].tolist() == [1, 2, 3]
+    # missing-from-run docs only get the runs they appear in
+    q2 = got[got["query_id"] == 2]
+    assert q2["doc_id"].tolist() == [20, 21]
