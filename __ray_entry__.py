@@ -3345,7 +3345,13 @@ def q_rag_topk(sf_dir: str):
     token windows, chunks indexed with parent doc-values, parents ranked
     by their best matching chunk's BM25 (block-join max over ALL matching
     chunks, not a top-k window) — the full chunk→index→retrieve→parent
-    composition as ONE oracle-checked entry."""
+    composition as ONE oracle-checked entry.
+
+    Tie-stability: rank is recomputed AFTER 1e-4 rounding from
+    (score_r desc, parent asc) on BOTH sides — the raw float order within
+    a sub-rounding tie cohort differs between numpy and DuckDB (ln() by
+    1 ulp), so the entry fetches ALL matching parents and cuts at TOP_K
+    only after the rounded re-rank (round-3 VERDICT item 1)."""
     from splade_ray.pipelines.rag import build_chunk_index, rag_search
 
     root = os.path.join(_work_dir(sf_dir, "ragidx"), "rag")
@@ -3355,11 +3361,15 @@ def q_rag_topk(sf_dir: str):
         text_col="text", id_col="doc_id", rows_per_segment=1000,
     )
     run = rag_search(root, BM25_QUERIES, BM25Params(k1=K1, b=B),
-                     score_mode="max", top_k=TOP_K)
+                     score_mode="max", top_k=10**9)
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
-    return out[["query_id", "rank", "parent", "score_r", "n_children"]]
+    out = out.sort_values(["query_id", "score_r", "parent"],
+                          ascending=[True, False, True], kind="mergesort")
+    out["rank"] = out.groupby("query_id").cumcount().add(1).astype(np.int64)
+    out = out[out["rank"] <= TOP_K]
+    return out.reset_index(drop=True)[
+        ["query_id", "rank", "parent", "score_r", "n_children"]]
 
 
 def q_rag_chunks(sf_dir: str):
@@ -3376,26 +3386,38 @@ def q_rag_chunks(sf_dir: str):
         text_col="text", id_col="doc_id", rows_per_segment=1000,
     )
     run = rag_search_chunks(root, BM25_QUERIES,
-                            BM25Params(k1=K1, b=B, top_k=TOP_K))
+                            BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
+    # Tie-stability (round-3 VERDICT item 1): rank recomputed AFTER
+    # rounding from (score_r desc, chunk_uid asc) on both sides, cut at
+    # TOP_K only then — raw float order below 1e-4 is ulp-unstable
+    # between numpy and DuckDB.
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
-    return out[["query_id", "rank", "doc_id", "chunk_id", "score_r", "chunk"]]
+    out["cid"] = (out["doc_id"].to_numpy(np.int64) * 100_000
+                  + out["chunk_id"].to_numpy(np.int64))
+    out = out.sort_values(["query_id", "score_r", "cid"],
+                          ascending=[True, False, True], kind="mergesort")
+    out["rank"] = out.groupby("query_id").cumcount().add(1).astype(np.int64)
+    out = out[out["rank"] <= TOP_K]
+    return out.reset_index(drop=True)[
+        ["query_id", "rank", "doc_id", "chunk_id", "score_r", "chunk"]]
 
 
 def _rag_chunks_sql() -> str:
     """rag_chunks mirror: the rag chunk/BM25 chain ranked at chunk level
-    (score desc, chunk_uid asc) with the chunk text joined back."""
+    by the ROUNDED score (score_r desc, chunk_uid asc) — rank after
+    rounding on both sides (tie-stability, round-3 VERDICT item 1) —
+    with the chunk text joined back."""
     return _rag_sql_base() + f"""
 , ranked AS (
-  SELECT query_id, cid, doc_id, score,
+  SELECT query_id, cid, doc_id, {_round4_sql('score')} AS score_r,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, cid ASC) AS rank
+                            ORDER BY {_round4_sql('score')} DESC, cid ASC)
+             AS rank
   FROM scores WHERE score > 0
 )
 SELECT r.query_id, r.rank::BIGINT AS rank, r.doc_id,
-       (r.cid % {100_000})::BIGINT AS chunk_id,
-       {_round4_sql('r.score')} AS score_r, c.chunk
+       (r.cid % {100_000})::BIGINT AS chunk_id, r.score_r, c.chunk
 FROM ranked r
 JOIN chunks c ON c.doc_id = r.doc_id AND c.chunk_id = r.cid % {100_000}
 WHERE r.rank <= {TOP_K}"""
@@ -3454,19 +3476,21 @@ scores AS (
 
 def _rag_sql() -> str:
     """rag_topk mirror: the shared chunk/BM25 chain, then parent = max
-    matching chunk + block-join ranking (score desc, parent asc)."""
+    matching chunk + block-join ranking by the ROUNDED score (score_r
+    desc, parent asc) — rank computed after rounding on both sides so
+    sub-rounding ln() ulp differences can't flip a tie cohort."""
     return _rag_sql_base() + f"""
-, par AS (SELECT query_id, doc_id::VARCHAR AS parent, max(score) AS score,
+, par AS (SELECT query_id, doc_id::VARCHAR AS parent,
+                 {_round4_sql('max(score)')} AS score_r,
                  count(*)::BIGINT AS n_children
           FROM scores WHERE score > 0 GROUP BY 1, 2),
 ranked AS (
-  SELECT query_id, parent, score, n_children,
+  SELECT query_id, parent, score_r, n_children,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, parent ASC) AS rank
+                            ORDER BY score_r DESC, parent ASC) AS rank
   FROM par
 )
-SELECT query_id, rank::BIGINT AS rank, parent,
-       {_round4_sql('score')} AS score_r, n_children
+SELECT query_id, rank::BIGINT AS rank, parent, score_r, n_children
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
