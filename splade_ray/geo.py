@@ -24,8 +24,6 @@ the merge driver-side small), and the merge is k-sized.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -178,7 +176,9 @@ def geo_bbox_search(
 ) -> pd.DataFrame:
     """ES ``geo_bounding_box`` as a constant-score filter: live docs
     containing >=1 query term with lat/lon inside the closed box, score
-    1.0, ranked doc_id asc, optional per-query ``top_k`` cap. Returns
+    1.0, ranked doc_id asc, optional per-query ``top_k`` cap. A
+    ``lon_range`` with left > right is the ES antimeridian-crossing box
+    (wraps at ±180): lon >= left OR lon <= right. Returns
     (query_id, rank, doc_id, score)."""
     from splade_ray.delete import load_tombstones
 
@@ -196,9 +196,11 @@ def geo_bbox_search(
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
         lat, lon = _geo_columns(seg_dir, lat_col, lon_col)
+        lo, hi = float(lon_range[0]), float(lon_range[1])
+        lon_ok = ((lon >= lo) & (lon <= hi)) if lo <= hi \
+            else ((lon >= lo) | (lon <= hi))  # antimeridian wrap
         inside = ((lat >= float(lat_range[0])) & (lat <= float(lat_range[1]))
-                  & (lon >= float(lon_range[0]))
-                  & (lon <= float(lon_range[1])))
+                  & lon_ok)
         parts = []
         for qid, terms in prep["queries"].items():
             cand = np.flatnonzero(_matched_mask(seg, terms) & inside)

@@ -244,14 +244,33 @@ def write_train_shards(
     (``out_dir/shard=NNNNN.parquet``), each written inside the shard's own
     map_groups task (rows in ``pos`` order, tmp + atomic rename), so the
     export streams — no driver-side collection. A re-run SKIPS shards
-    whose file already exists (the determinism contract makes the skip
-    safe: the bytes would be identical). Returns the manifest
+    whose file already exists — safe ONLY under identical parameters, so
+    a ``_params.json`` manifest (seed, n_shards, id_col) is written on
+    first run and validated on resume: re-running into a stale out_dir
+    with different parameters raises instead of silently keeping wrong
+    shards (round-3 ADVICE item). Returns the manifest
     (shard, n_rows, skipped) sorted by shard."""
+    import json
     import os
 
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    params = {"seed": int(seed), "n_shards": int(n_shards),
+              "id_col": str(id_col)}
+    manifest_path = os.path.join(out_dir, "_params.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"{out_dir} holds shards written with {prev}, refusing to "
+                f"resume with {params}; use a fresh out_dir or delete it")
+    else:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.rename(tmp, manifest_path)
     rank = _rank_group_fn(id_col)
 
     def rank_and_write(tbl: pa.Table) -> pa.Table:

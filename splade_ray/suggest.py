@@ -245,6 +245,33 @@ def wildcard_search(
     return search(index_dir, expanded, params, method=method, concurrency=concurrency)
 
 
+def _has_top_level_alternation(pattern: str) -> bool:
+    """True when the pattern has a ``|`` at paren depth 0 outside any
+    character class — the whole-pattern alternation that makes a leading
+    literal prefix unsound for pushdown pruning."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def expand_regexp(
     index_dir: str, pattern: str, *, max_terms: int = 128
 ) -> list[str]:
@@ -258,7 +285,14 @@ def expand_regexp(
     (``pc.match_substring_regex`` with ``^(?:pattern)$``), no Python
     loop. RE2 semantics = no backreferences, mirroring Lucene's
     automaton-only operator set. Ascending term order, first
-    ``max_terms``."""
+    ``max_terms``.
+
+    Prefix extraction mirrors ``CompiledAutomaton.commonPrefix``
+    semantics: a ``*``, ``?`` or ``{`` quantifier right after the
+    literal run makes the run's LAST char optional/repeated (back off
+    one char — ``ab*`` must still match ``a``), and a top-level ``|``
+    invalidates any prefix (``sun|moon`` — ``moon`` shares no prefix
+    with ``sun``)."""
     import pyarrow.compute as pc
 
     if not pattern:
@@ -268,6 +302,10 @@ def expand_regexp(
         len(pattern),
     )
     prefix = pattern[:cut]
+    if cut < len(pattern) and pattern[cut] in "*?{":
+        prefix = prefix[:-1]  # quantifier makes the last literal optional
+    if _has_top_level_alternation(pattern):
+        prefix = ""
     flt = None
     if prefix:
         flt = (pads.field("term") >= prefix) & (

@@ -268,6 +268,33 @@ def test_regexp_expansion_and_search(built):
         expand_regexp(index_dir, "")
 
 
+def test_regexp_prefix_pushdown_quantifier_and_alternation(ray_session,
+                                                           tmp_path):
+    """The pushdown prefix must back off when the first metachar
+    quantifies the last literal ('ab*' matches 'a'; 'ab?c' matches 'ac')
+    and must be dropped entirely for a top-level alternation
+    ('sun|moon' matches 'moon') — Lucene CompiledAutomaton.commonPrefix
+    semantics (round-3 ADVICE high item)."""
+    import re
+
+    from splade_ray.suggest import expand_regexp
+
+    words = ["a", "ab", "abb", "abc", "ac", "sun", "suns", "moon", "xy"]
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "content": pa.array([" ".join(words)])}),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(corpus, index_dir, text_col="content", id_col="doc_id")
+    for pattern in ("ab*", "ab?c", "sun|moon", "a|b", "ab{0,1}", "ab{1,2}",
+                    "(sun)|(moon)s?", "[am].*"):
+        rx = re.compile(pattern)
+        want = sorted(w for w in words if rx.fullmatch(w))
+        assert expand_regexp(index_dir, pattern) == want, pattern
+
+
 def test_range_filter_on_all_serving_paths(built):
     """search(range_filter) across exact/bmw/auto kernels and the persistent
     Searcher all return the identical filtered run (BMW routes to exact)."""

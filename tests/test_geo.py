@@ -132,6 +132,24 @@ def test_geo_bbox_matches_bruteforce(built):
         got[got["query_id"] == 1]["doc_id"].tolist()[:3])
 
 
+def test_geo_bbox_antimeridian_crossing(built):
+    """left > right lon range = ES antimeridian-crossing box:
+    lon >= left OR lon <= right (round-3 ADVICE item)."""
+    index_dir, texts, lat, lon = built
+    lat_r, lon_r = (-60.0, 60.0), (150.0, -150.0)
+    got = geo_bbox_search(
+        index_dir, QUERIES, lat_range=lat_r, lon_range=lon_r)
+    inside = ((lat >= lat_r[0]) & (lat <= lat_r[1])
+              & ((lon >= lon_r[0]) | (lon <= lon_r[1])))
+    hit_any = False
+    for qid, text in QUERIES:
+        want = np.flatnonzero(_matched(texts, text) & inside)
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == sorted(want.tolist())
+        hit_any = hit_any or len(g) > 0
+    assert hit_any  # the wrap box actually matches docs in the fixture
+
+
 def test_geotile_grid_matches_bruteforce(built):
     index_dir, texts, lat, lon = built
     zoom = 2

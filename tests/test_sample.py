@@ -216,3 +216,10 @@ def test_write_train_shards_reproducible_and_resumable(ray_session, tmp_path):
     bytes2 = {f.name: f.read_bytes()
               for f in sorted(out2.glob("shard=*.parquet"))}
     assert bytes2 == bytes1
+    # resume with DIFFERENT params must refuse, not silently keep stale data
+    for kwargs in ({"seed": 2}, {"id_col": "other"}):
+        with pytest.raises(ValueError, match="refusing to resume"):
+            write_train_shards(_ds(300), str(out), 4,
+                               **{"seed": 1, **kwargs})
+    with pytest.raises(ValueError, match="refusing to resume"):
+        write_train_shards(_ds(300), str(out), 8, seed=1)
