@@ -479,6 +479,19 @@ def test_dsir_select_tree_merge_matches_driver(ray_session):
         dsir_select(weights, 40, merge="bogus")
 
 
+def test_sha_prefix_u64_matches_int_parse():
+    import hashlib
+
+    from splade_ray.ops.dedup import sha_prefix_u64
+
+    shas = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(64)]
+    shas += ["0" * 64, "f" * 64, "0123456789abcdef" + "0" * 48]
+    got = sha_prefix_u64(shas)
+    want = np.array([int(s[:16], 16) for s in shas], np.uint64)
+    np.testing.assert_array_equal(got, want)
+    assert sha_prefix_u64([]).size == 0
+
+
 def test_incremental_dedup_both_methods(ray_session):
     import ray.data as rd
 
