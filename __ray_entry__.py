@@ -55,6 +55,26 @@ def _round4(a):
     return np.floor(np.asarray(a, np.float64) * 1e4 + 0.5) / 1e4
 
 
+def _stable_rank(out: pd.DataFrame, tie_cols: list[str], *,
+                 score_col: str = "score_r",
+                 part_cols: tuple[str, ...] = ("query_id",),
+                 k: int | None = None) -> pd.DataFrame:
+    """Repo-wide oracle tie-stability convention (round-3 VERDICT item 1):
+    rank is recomputed from the ROUNDED score desc + deterministic tie
+    keys asc, and the top-k cut applies only after that re-rank — so both
+    the engine and the DuckDB mirror rank identically even when raw float
+    order within a rounded-tie cohort is ulp-unstable (numpy vs duckdb
+    ln()/pow() differ by 1 ulp). Callers fetch the FULL match set first;
+    every SQL twin orders by the same rounded expression."""
+    asc = [True] * len(part_cols) + [False] + [True] * len(tie_cols)
+    out = out.sort_values([*part_cols, score_col, *tie_cols],
+                          ascending=asc, kind="mergesort")
+    out["rank"] = (out.groupby(list(part_cols)).cumcount() + 1).astype(np.int64)
+    if k is not None:
+        out = out[out["rank"] <= k]
+    return out.reset_index(drop=True)
+
+
 def _work_dir(sf_dir: str, tag: str) -> str:
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     d = f"/tmp/splade_ray_work/{tag}-{key}"
@@ -148,8 +168,9 @@ def q_snippets_topk(sf_dir: str):
     bit-exactly against the SQL sliding-window mirror."""
     from splade_ray.snippets import snippets_for_run
 
-    index_dir = _index_for(sf_dir)
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    # hit membership from the tie-stable run (matches the SQL mirror's
+    # rounded ranked CTE)
+    run = _bm25_run(sf_dir, "exact")
     out = snippets_for_run(
         os.path.join(sf_dir, "documents.parquet"),
         run,
@@ -167,8 +188,9 @@ def q_snippets_topk_distinct(sf_dir: str):
     smallest start — the production-highlighter ordering."""
     from splade_ray.snippets import snippets_for_run
 
-    index_dir = _index_for(sf_dir)
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    # hit membership from the tie-stable run (matches the SQL mirror's
+    # rounded ranked CTE)
+    run = _bm25_run(sf_dir, "exact")
     out = snippets_for_run(
         os.path.join(sf_dir, "documents.parquet"),
         run,
@@ -188,8 +210,9 @@ def q_snippets_topk_sentence(sf_dir: str):
     production highlighters apply."""
     from splade_ray.snippets import snippets_for_run
 
-    index_dir = _index_for(sf_dir)
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    # hit membership from the tie-stable run (matches the SQL mirror's
+    # rounded ranked CTE)
+    run = _bm25_run(sf_dir, "exact")
     out = snippets_for_run(
         os.path.join(sf_dir, "documents.parquet"),
         run,
@@ -247,11 +270,11 @@ def q_bm25f_topk(sf_dir: str):
 
     run = search_fielded(
         _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
-        BM25Params(k1=K1, b=B, top_k=TOP_K),
+        BM25Params(k1=K1, b=B, top_k=10**9),
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -267,12 +290,12 @@ def q_dismax_topk(sf_dir: str):
 
     run = search_fielded(
         _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
-        BM25Params(k1=K1, b=B, top_k=TOP_K), mode="dismax",
+        BM25Params(k1=K1, b=B, top_k=10**9), mode="dismax",
         tie_breaker=DISMAX_TIE,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -286,11 +309,11 @@ def q_bm25f_true_topk(sf_dir: str):
 
     run = search_fielded(
         _fielded_index_dirs(sf_dir), BM25_QUERIES, FIELD_WEIGHTS,
-        BM25Params(k1=K1, b=B, top_k=TOP_K), mode="bm25f",
+        BM25Params(k1=K1, b=B, top_k=10**9), mode="bm25f",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -324,10 +347,11 @@ def q_doc_token_stats(sf_dir: str):
 
 def _bm25_run(sf_dir: str, method: str) -> pd.DataFrame:
     index_dir = _index_for(sf_dir)
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K), method=method)
+    run = search(index_dir, BM25_QUERIES,
+                 BM25Params(k1=K1, b=B, top_k=10**9), method=method)
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -393,11 +417,11 @@ def q_prefix_topk(sf_dir: str):
 
     run = prefix_search(
         _index_for(sf_dir), PREFIX_QUERIES,
-        BM25Params(k1=K1, b=B, top_k=TOP_K), max_terms=PREFIX_MAX_TERMS,
+        BM25Params(k1=K1, b=B, top_k=10**9), max_terms=PREFIX_MAX_TERMS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -408,12 +432,12 @@ def q_fuzzy_topk(sf_dir: str):
 
     run = fuzzy_search(
         _index_for(sf_dir), SUGGEST_QUERIES,
-        BM25Params(k1=K1, b=B, top_k=TOP_K),
+        BM25Params(k1=K1, b=B, top_k=10**9),
         max_dist=SUGG_MAXD, max_terms=FUZZY_MAX_TERMS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -427,12 +451,12 @@ def q_lmjm_topk(sf_dir: str):
     third member of the similarity registry, same scatter-gather skeleton
     and (score desc, doc_id asc) run contract."""
     run = search(
-        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=10**9),
         scoring="lmjm", lam=LMJM_LAM,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -459,12 +483,12 @@ def q_tfidf_topk(sf_dir: str):
     qtf * (1 + ln(n/(df+1)))^2 * sqrt(tf) / sqrt(dl) — fourth member of
     the similarity registry."""
     run = search(
-        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=10**9),
         scoring="tfidf",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -478,12 +502,12 @@ def q_dfr_topk(sf_dir: str):
     tfn = tf*log2(1 + c*avgdl/dl) — fifth member of the similarity
     registry, same scatter-gather skeleton and run contract."""
     run = search(
-        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=TOP_K),
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(top_k=10**9),
         scoring="dfr", dfr_c=DFR_C,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -494,11 +518,11 @@ def q_ql_topk(sf_dir: str):
     member of the similarity registry, same scatter-gather skeleton."""
     index_dir = _index_for(sf_dir)
     run = search(
-        index_dir, BM25_QUERIES, BM25Params(top_k=TOP_K), scoring="ql", mu=QL_MU
+        index_dir, BM25_QUERIES, BM25Params(top_k=10**9), scoring="ql", mu=QL_MU
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -527,10 +551,10 @@ def _run_with_deletes(sf_dir: str, tag: str, purge: bool) -> pd.DataFrame:
     delete_docs(index_dir, _delete_ids(index_dir))
     if purge:
         purge_deletes(index_dir)
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -589,10 +613,10 @@ def q_bm25_topk_by_lang(sf_dir: str):
         rows_per_segment=1000,
         block_size=64,
     )
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -628,7 +652,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -693,10 +717,10 @@ def q_bm25_topk_stemmed(sf_dir: str):
         rows_per_segment=1000,
         block_size=64,
     )
-    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -748,7 +772,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -1039,11 +1063,11 @@ def q_query_string(sf_dir: str):
     index_dir = _index_for(sf_dir)
     build_positions(index_dir)
     run = query_string_search(
-        index_dir, QS_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        index_dir, QS_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1067,12 +1091,12 @@ def q_common_terms(sf_dir: str):
     from splade_ray.boolq import common_terms_search
 
     run = common_terms_search(
-        _index_for(sf_dir), CT_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _index_for(sf_dir), CT_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         cutoff_frequency=CT_CUTOFF,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1098,15 +1122,18 @@ def q_rescore_topk(sf_dir: str):
 
     index_dir = _index_for(sf_dir)
     build_positions(index_dir)
+    # top_k = the full window: the stable re-rank below needs every
+    # window row; residual ulp risk only at the raw window boundary (30)
     run = rescore_phrase(
-        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        index_dir, BM25_QUERIES,
+        BM25Params(k1=K1, b=B, top_k=RESCORE_WINDOW),
         phrases=RESCORE_PHRASES, window_size=RESCORE_WINDOW,
         score_mode="total", query_weight=RESCORE_QW,
         rescore_query_weight=RESCORE_RQW,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1286,10 +1313,10 @@ def q_boolean_topk(sf_dir: str):
     from splade_ray.boolq import boolean_search
 
     index_dir = _index_for(sf_dir)
-    run = boolean_search(index_dir, BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    run = boolean_search(index_dir, BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1315,11 +1342,11 @@ def q_boosting_topk(sf_dir: str):
 
     run = boosting_search(
         _index_for(sf_dir), BOOSTING_QUERIES,
-        BM25Params(k1=K1, b=B, top_k=TOP_K), negative_boost=NEG_BOOST,
+        BM25Params(k1=K1, b=B, top_k=10**9), negative_boost=NEG_BOOST,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1360,11 +1387,11 @@ def q_boolean_msm(sf_dir: str):
 
     index_dir = _index_for(sf_dir)
     run = boolean_search(
-        index_dir, BOOL_MSM_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        index_dir, BOOL_MSM_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1474,12 +1501,12 @@ def q_more_like_this(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         MLT_SEEDS,
         m_terms=MLT_TERMS,
-        params=BM25Params(k1=K1, b=B, top_k=TOP_K),
+        params=BM25Params(k1=K1, b=B, top_k=10**9),
         text_col="text",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1516,11 +1543,11 @@ def q_multi_index_topk(sf_dir: str):
     from splade_ray.multi import search_multi
 
     run = search_multi(
-        _multi_members(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        _multi_members(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1531,11 +1558,11 @@ def q_multi_index_bool(sf_dir: str):
     from splade_ray.multi import boolean_search_multi
 
     run = boolean_search_multi(
-        _multi_members(sf_dir), BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        _multi_members(sf_dir), BOOL_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1551,11 +1578,11 @@ def q_multi_index_phrase(sf_dir: str):
     for d in members:
         build_positions(d)
     run = phrase_topk_multi(
-        members, PHRASE_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K)
+        members, PHRASE_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9)
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], part_cols=("phrase_id",), k=TOP_K)
     return out[["phrase_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1718,6 +1745,16 @@ def q_sig_terms(sf_dir: str):
                 "score_r"]]
 
 
+def _stable_fb_run(sf_dir: str) -> pd.DataFrame:
+    """Tie-stable RM3 feedback run: rounded re-rank cut at RM3_FB_DOCS so
+    feedback-doc membership matches the SQL mirror's rounded ranked CTE."""
+    index_dir = _index_for(sf_dir)
+    r = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
+    r = r.copy()
+    r["score_r"] = _round4(r["score"].to_numpy())
+    return _stable_rank(r, ["doc_id"], k=RM3_FB_DOCS)
+
+
 def q_rm3_terms(sf_dir: str):
     """RM3 expansion-term mining (splade_ray.rm3.mine_expansion_terms):
     feedback pass at top-RM3_FB_DOCS, then per query the top-RM3_FB_TERMS
@@ -1728,7 +1765,7 @@ def q_rm3_terms(sf_dir: str):
     from splade_ray.rm3 import mine_expansion_terms
 
     index_dir = _index_for(sf_dir)
-    fb_run = _search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=RM3_FB_DOCS))
+    fb_run = _stable_fb_run(sf_dir)
     return mine_expansion_terms(
         index_dir,
         os.path.join(sf_dir, "documents.parquet"),
@@ -1742,21 +1779,27 @@ def q_rm3_topk(sf_dir: str):
     """Full RM3 retrieval (splade_ray.rm3.rm3_search): feedback search,
     integer term mining, expanded BM25 search — original terms keep their
     query-tfs, expansion terms join at qtf=RM3_EXP_QTF."""
-    from splade_ray.rm3 import rm3_search
+
+    from splade_ray.rm3 import mine_expansion_terms
 
     index_dir = _index_for(sf_dir)
-    run = rm3_search(
-        index_dir,
-        os.path.join(sf_dir, "documents.parquet"),
-        BM25_QUERIES,
-        BM25Params(k1=K1, b=B, top_k=TOP_K),
-        fb_docs=RM3_FB_DOCS,
-        fb_terms=RM3_FB_TERMS,
-        exp_qtf=RM3_EXP_QTF,
+    # same composition as rm3_search, with a tie-stable feedback pass
+    # (rm3_search's internal feedback run ranks raw floats)
+    exp = mine_expansion_terms(
+        index_dir, os.path.join(sf_dir, "documents.parquet"), BM25_QUERIES,
+        _stable_fb_run(sf_dir), fb_terms=RM3_FB_TERMS,
     )
+    by_q = (exp.groupby("query_id")["term"].apply(list).to_dict()
+            if not exp.empty else {})
+    expanded = [
+        (qid, text + (" " + " ".join(by_q[qid] * RM3_EXP_QTF)
+                      if by_q.get(qid) else ""))
+        for qid, text in BM25_QUERIES
+    ]
+    run = search(index_dir, expanded, BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -1788,7 +1831,9 @@ def q_explain(sf_dir: str):
 
     index_dir = _index_for(sf_dir)
     p = BM25Params(k1=K1, b=B, top_k=TOP_K)
-    run = search(index_dir, BM25_QUERIES, p)
+    # membership from the tie-stable run (rounded re-rank) so the doc set
+    # matches the SQL mirror's rounded ranked CTE
+    run = _bm25_run(sf_dir, "exact")
     exp = explain(index_dir, BM25_QUERIES, run["doc_id"].tolist(), p)
     out = exp.copy()
     out["weight_r"] = _round4(out["weight"].to_numpy())
@@ -1806,13 +1851,16 @@ def q_hybrid_rrf(sf_dir: str):
     from splade_ray.fusion import rrf_fuse
 
     index_dir = _index_for(sf_dir)
-    p = BM25Params(k1=K1, b=B, top_k=TOP_K)
-    bm = search(index_dir, BM25_QUERIES, p)
-    ql = search(index_dir, BM25_QUERIES, p, scoring="ql", mu=QL_MU)
-    fused = rrf_fuse([bm, ql], k=RRF_K, top_k=TOP_K)
+    p = BM25Params(k1=K1, b=B, top_k=10**9)
+    runs = []
+    for kw in ({}, {"scoring": "ql", "mu": QL_MU}):
+        r = search(index_dir, BM25_QUERIES, p, **kw)
+        r["score_r"] = _round4(r["score"].to_numpy())
+        runs.append(_stable_rank(r, ["doc_id"], k=TOP_K))
+    fused = rrf_fuse(runs, k=RRF_K, top_k=10**9)
     out = fused.copy()
     out["rrf_r"] = _round4(out["rrf"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], score_col="rrf_r", k=TOP_K)
     return out[["query_id", "rank", "doc_id", "rrf_r"]]
 
 
@@ -1827,13 +1875,16 @@ def q_hybrid_linear(sf_dir: str):
     from splade_ray.fusion import linear_fuse
 
     index_dir = _index_for(sf_dir)
-    p = BM25Params(k1=K1, b=B, top_k=TOP_K)
-    bm = search(index_dir, BM25_QUERIES, p)
-    ql = search(index_dir, BM25_QUERIES, p, scoring="ql", mu=QL_MU)
-    fused = linear_fuse([bm, ql], weights=list(HYBRID_W), top_k=TOP_K)
+    p = BM25Params(k1=K1, b=B, top_k=10**9)
+    runs = []
+    for kw in ({}, {"scoring": "ql", "mu": QL_MU}):
+        r = search(index_dir, BM25_QUERIES, p, **kw)
+        r["score_r"] = _round4(r["score"].to_numpy())
+        runs.append(_stable_rank(r, ["doc_id"], k=TOP_K))
+    fused = linear_fuse(runs, weights=list(HYBRID_W), top_k=10**9)
     out = fused.copy()
     out["fused_r"] = _round4(out["fused"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], score_col="fused_r", k=TOP_K)
     return out[["query_id", "rank", "doc_id", "fused_r"]]
 
 
@@ -1904,12 +1955,12 @@ def q_collapse_topk(sf_dir: str):
         extra_doc_cols=("lang",),
     )
     run = collapse_search(
-        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         collapse_col="lang",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
 
 
@@ -1926,12 +1977,12 @@ def q_diversified_topk(sf_dir: str):
         block_size=64, extra_doc_cols=("lang",),
     )
     run = collapse_search(
-        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         collapse_col="lang", max_docs_per_key=2,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "collapse_key", "score_r"]]
 
 
@@ -2000,11 +2051,11 @@ def q_terms_set(sf_dir: str):
 
     run = terms_set_search(
         _dv3_index(sf_dir), TERMS_SET_QUERIES,
-        BM25Params(k1=K1, b=B, top_k=TOP_K), msm_col="req",
+        BM25Params(k1=K1, b=B, top_k=10**9), msm_col="req",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2015,12 +2066,12 @@ def q_range_topk(sf_dir: str):
     from splade_ray.docvalues import range_search
 
     run = range_search(
-        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         numeric_col="n_chars", lo=DV_LO, hi=DV_HI,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2046,12 +2097,12 @@ def q_function_score(sf_dir: str):
     from splade_ray.docvalues import function_score_search
 
     run = function_score_search(
-        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         functions=FSCORE_FUNCTIONS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2060,11 +2111,11 @@ def _block_join(sf_dir: str, score_mode: str):
 
     run = block_join_search(
         _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B),
-        parent_col="source", score_mode=score_mode, top_k=TOP_K,
+        parent_col="source", score_mode=score_mode, top_k=10**9,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["parent"], k=TOP_K)
     return out[["query_id", "rank", "parent", "score_r", "n_children"]]
 
 
@@ -2099,12 +2150,12 @@ def q_rank_feature(sf_dir: str):
     from splade_ray.docvalues import rank_feature_search
 
     run = rank_feature_search(
-        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         rank_features=RANK_FEATURES,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2123,12 +2174,12 @@ def q_distance_feature(sf_dir: str):
     from splade_ray.docvalues import rank_feature_search
 
     run = rank_feature_search(
-        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         rank_features=DIST_FEATURES,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2155,12 +2206,22 @@ def q_pinned_topk(sf_dir: str):
     from splade_ray.structured import pinned_search
 
     run = pinned_search(
-        _index_for(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _index_for(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         pinned=PINNED_SETS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    # stable re-rank with the pinned-section ordering: pinned rows first in
+    # their GIVEN order, organic rows by (score_r desc, doc_id asc)
+    ords = {(q, d): i for q, ids in PINNED_SETS.items()
+            for i, d in enumerate(ids, start=1)}
+    out["ord"] = [ords.get((q, d), 10**9)
+                  for q, d in zip(out["query_id"], out["doc_id"])]
+    out = out.sort_values(
+        ["query_id", "is_pinned", "ord", "score_r", "doc_id"],
+        ascending=[True, False, True, False, True], kind="mergesort")
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= TOP_K].reset_index(drop=True)
     return out[["query_id", "rank", "doc_id", "is_pinned", "score_r"]]
 
 
@@ -2197,12 +2258,12 @@ def q_exists_topk(sf_dir: str):
     from splade_ray.structured import exists_search
 
     run = exists_search(
-        _dv5_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv5_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         col="url",
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2381,12 +2442,12 @@ def q_routed_topk(sf_dir: str):
             text_col="text", id_col="doc_id", rows_per_segment=1000,
         )
     run = routed_search(
-        root, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        root, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         routing=ROUTING_VALUES,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2448,12 +2509,12 @@ def q_match_bool_prefix(sf_dir: str):
     from splade_ray.suggest import match_bool_prefix_search
 
     run = match_bool_prefix_search(
-        _index_for(sf_dir), MBP_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _index_for(sf_dir), MBP_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         max_terms=MBP_MAX_TERMS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2668,12 +2729,12 @@ def q_range_topk_str(sf_dir: str):
     from splade_ray.docvalues import range_search
 
     run = range_search(
-        _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         numeric_col="source", lo=STR_RANGE_LO, hi=STR_RANGE_HI,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2701,11 +2762,11 @@ def q_synonym_topk(sf_dir: str):
 
     run = synonym_search(
         _index_for(sf_dir), BM25_QUERIES, SYN_MAP,
-        BM25Params(k1=K1, b=B, top_k=TOP_K),
+        BM25Params(k1=K1, b=B, top_k=10**9),
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2716,12 +2777,12 @@ def q_wildcard_topk(sf_dir: str):
     from splade_ray.suggest import wildcard_search
 
     run = wildcard_search(
-        _index_for(sf_dir), WILDCARD_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _index_for(sf_dir), WILDCARD_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         max_terms=PREFIX_MAX_TERMS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -2732,12 +2793,12 @@ def q_regexp_topk(sf_dir: str):
     from splade_ray.suggest import regexp_search
 
     run = regexp_search(
-        _index_for(sf_dir), REGEXP_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
+        _index_for(sf_dir), REGEXP_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
         max_terms=PREFIX_MAX_TERMS,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
@@ -3103,10 +3164,11 @@ def q_phrase_topk(sf_dir: str):
 
     index_dir = _index_for(sf_dir)
     build_positions(index_dir)
-    run = phrase_topk(index_dir, PHRASE_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K))
+    run = phrase_topk(index_dir, PHRASE_QUERIES,
+                      BM25Params(k1=K1, b=B, top_k=10**9))
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], part_cols=("phrase_id",), k=TOP_K)
     return out[["phrase_id", "rank", "doc_id", "score_r"]]
 
 
@@ -3575,10 +3637,17 @@ def q_top_hits(sf_dir: str):
 
     run = top_hits_agg(
         _dv2_index(sf_dir), BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=TOP_K),
-        group_col="lang", hits_per_bucket=TOP_HITS_K,
+        group_col="lang", hits_per_bucket=10**9,
     )
     out = run.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
+    # stable within-bucket re-rank on the rounded score (tie doc_id asc)
+    out = out.sort_values(["query_id", "bucket", "score_r", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+    out["hit_rank"] = (out.groupby(["query_id", "bucket"]).cumcount() + 1
+                       ).astype(np.int64)
+    out = out[out["hit_rank"] <= TOP_HITS_K].reset_index(drop=True)
     return out[["query_id", "bucket", "hit_rank", "doc_id", "score_r"]]
 
 
@@ -3648,9 +3717,9 @@ def q_ann_cosine_topk(sf_dir: str):
     q_ids = np.array(qt["vec_id"].to_pylist())[mask]
     q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
-    out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out = cosine_topk(ds, q_ids, q_mat, top_k=10**9).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["vec_id"], score_col="sim_r", k=TOP_K)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
@@ -3684,9 +3753,9 @@ def q_ann_filtered(sf_dir: str):
         emb_path, columns=["vec_id", "embedding"],
         filter=pads.field("label") == ANN_FILTER_LABEL,
     )
-    out = cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out = cosine_topk(ds, q_ids, q_mat, top_k=10**9).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["vec_id"], score_col="sim_r", k=TOP_K)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
@@ -3702,10 +3771,10 @@ def q_ann_pq_exact(sf_dir: str):
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
     out = pq_cosine_topk(
         ds, q_ids, q_mat, m=4, ks=10_000_000, iters=3,
-        sample_size=10_000_000, top_k=TOP_K,
+        sample_size=10_000_000, top_k=10**9,
     )
     out["sim_r"] = _round4(out["sim"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["vec_id"], score_col="sim_r", k=TOP_K)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
@@ -3793,9 +3862,9 @@ def q_ann_cosine_topk_sq8(sf_dir: str):
     q_ids = np.array(qt["vec_id"].to_pylist())[mask]
     q_mat = np.stack([np.array(v, np.float64) for v, m in zip(qt["embedding"].to_pylist(), mask) if m])
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
-    out = sq8_cosine_topk(ds, q_ids, q_mat, top_k=TOP_K).to_pandas()
+    out = sq8_cosine_topk(ds, q_ids, q_mat, top_k=10**9).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["vec_id"], score_col="sim_r", k=TOP_K)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
@@ -4092,7 +4161,7 @@ sc AS (SELECT m.phrase_id, m.doc_id,
        FROM m JOIN pdf USING (phrase_id) JOIN dl USING (doc_id) CROSS JOIN stats s),
 ranked AS (SELECT phrase_id, doc_id, score,
                   row_number() OVER (PARTITION BY phrase_id
-                                     ORDER BY score DESC, doc_id ASC) AS rank
+                                     ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
            FROM sc WHERE score > 0)
 SELECT phrase_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM ranked WHERE rank <= {TOP_K}"""
@@ -4134,7 +4203,8 @@ def _top_hits_sql() -> str:
     return f"""{_bm25_cte()},
 th AS (SELECT s.query_id, d.lang AS bucket, s.doc_id, s.score,
               row_number() OVER (PARTITION BY s.query_id, d.lang
-                                 ORDER BY s.score DESC, s.doc_id ASC) AS hit_rank
+                                 ORDER BY {_round4_sql('s.score')} DESC,
+                                          s.doc_id ASC) AS hit_rank
        FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0)
 SELECT query_id, bucket, hit_rank::BIGINT AS hit_rank, doc_id,
        {_round4_sql('score')} AS score_r
@@ -4256,7 +4326,7 @@ comb AS (SELECT w.query_id, w.doc_id,
          FROM win w LEFT JOIN sec ON sec.query_id = w.query_id AND sec.doc_id = w.doc_id),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM comb)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -4356,7 +4426,7 @@ live AS (SELECT query_id, doc_id, score FROM scores
          WHERE score > 0 AND {_DELETE_PRED}),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM live)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -4441,7 +4511,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0 AND doc_id <> query_id
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -4497,7 +4567,7 @@ scores2 AS (
 ),
 ranked2 AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores2 WHERE score > 0
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
@@ -4517,7 +4587,7 @@ coll AS (
 ),
 ranked2 AS (
   SELECT query_id, doc_id, score, lang,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM coll WHERE kr = 1
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, lang AS collapse_key,
@@ -4540,7 +4610,7 @@ coll AS (
 ),
 ranked2 AS (
   SELECT query_id, doc_id, score, lang,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM coll WHERE kr <= {DIVERSIFIED_CAP}
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, lang AS collapse_key,
@@ -4759,7 +4829,7 @@ qls AS (
 ),
 qlranked AS (SELECT query_id, doc_id,
                     row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, doc_id ASC) AS rank
+                                       ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
              FROM qls WHERE score > 0),
 allr AS (
   SELECT query_id, doc_id, 1.0 / ({RRF_K} + rank) AS rrf
@@ -4771,7 +4841,7 @@ allr AS (
 f AS (SELECT query_id, doc_id, sum(rrf) AS rrf FROM allr GROUP BY query_id, doc_id),
 fr AS (SELECT query_id, doc_id, rrf,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY rrf DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('rrf')} DESC, doc_id ASC) AS rank
        FROM f)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('rrf')} AS rrf_r
 FROM fr WHERE rank <= {TOP_K}"""
@@ -4796,7 +4866,7 @@ qls AS (
 ),
 qlranked AS (SELECT query_id, doc_id, score,
                     row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, doc_id ASC) AS rank
+                                       ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
              FROM qls WHERE score > 0),
 pages AS (
   SELECT 1 AS src, query_id, doc_id, score FROM ranked WHERE rank <= {TOP_K}
@@ -4815,7 +4885,7 @@ f AS (SELECT query_id, doc_id,
       FROM norm GROUP BY query_id, doc_id),
 fr AS (SELECT query_id, doc_id, fused,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY fused DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('fused')} DESC, doc_id ASC) AS rank
        FROM f)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('fused')} AS fused_r
 FROM fr WHERE rank <= {TOP_K}"""
@@ -4983,7 +5053,7 @@ demoted AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM demoted WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -5098,7 +5168,7 @@ qual AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM qual
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -5726,11 +5796,11 @@ def q_ann_ivf_exact(sf_dir: str):
     )
     ds = _rpq(emb_path, columns=["vec_id", "embedding"])
     out = ivf_topk(
-        ds, ids[mask], q_mat, n_clusters=16, nprobe=16, top_k=TOP_K,
+        ds, ids[mask], q_mat, n_clusters=16, nprobe=16, top_k=10**9,
         index_dir=os.path.join(_work_dir(sf_dir, "ivf"), "index"),
     ).to_pandas()
     out["sim_r"] = _round4(out["sim"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["vec_id"], score_col="sim_r", k=TOP_K)
     return out[["query_id", "rank", "vec_id", "sim_r"]]
 
 
@@ -5825,9 +5895,10 @@ def q_flagship_run(sf_dir: str):
     ``documents_as_corpus`` maps doc_id -> (repo=source, path='docs/<id>.txt')
     deterministically, and dense row-position ids equal documents.doc_id, so
     the SQL mirror is the bm25 oracle joined back to documents."""
-    out = run_flagship(sf_dir, _work_dir(sf_dir, "flagship")).copy()
+    out = run_flagship(sf_dir, _work_dir(sf_dir, "flagship"),
+                       params=BM25Params(top_k=10**9)).copy()
     out["score_r"] = _round4(out["score"].to_numpy())
-    out["rank"] = out["rank"].astype(np.int64)
+    out = _stable_rank(out, ["doc_id"], k=TOP_K)
     return out[["query_id", "rank", "doc_id", "score_r", "repo", "path"]]
 
 
@@ -6087,8 +6158,9 @@ scores AS (
   GROUP BY q.query_id, tf.doc_id
 ),
 ranked AS (
-  SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  SELECT query_id, doc_id, score, {_round4_sql('score')} AS score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )"""
 
@@ -6126,7 +6198,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6164,7 +6236,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6202,7 +6274,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6241,7 +6313,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6309,7 +6381,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
@@ -6556,7 +6628,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6693,7 +6765,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -6837,7 +6909,7 @@ f AS (SELECT r.query_id, r.doc_id, r.score
       WHERE d.n_chars BETWEEN {DV_LO} AND {DV_HI}),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM f)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -6967,7 +7039,7 @@ qual AS (
 ),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM qual)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -6987,7 +7059,8 @@ agg AS (SELECT query_id, parent, {agg} AS score, count(*) AS n_children
         FROM ch GROUP BY query_id, parent),
 rr AS (SELECT query_id, parent, score, n_children,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, parent ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC,
+                                          parent ASC) AS rank
        FROM agg)
 SELECT query_id, rank::BIGINT AS rank, parent, {_round4_sql('score')} AS score_r,
        n_children
@@ -7043,7 +7116,7 @@ fs AS (SELECT s.query_id, s.doc_id, s.score + ({bonus}) AS score
        FROM scores s JOIN documents d USING (doc_id) WHERE s.score > 0),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM fs)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -7085,7 +7158,7 @@ fs AS (SELECT s.query_id, s.doc_id, s.score * ({mult}) AS score
        FROM scores s JOIN documents d USING (doc_id)),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM fs WHERE score > 0)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -7176,7 +7249,7 @@ f AS (SELECT r.query_id, r.doc_id, r.score
       WHERE d.source >= '{STR_RANGE_LO}' AND d.source <= '{STR_RANGE_HI}'),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM f)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -7304,7 +7377,7 @@ u AS (SELECT query_id, doc_id, 1 AS is_pinned, 0.0 AS score, ord FROM pins
 rr AS (SELECT query_id, doc_id, is_pinned, score,
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY is_pinned DESC, ord ASC,
-                                          score DESC, doc_id ASC) AS rank
+                                          {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM u)
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
        is_pinned::BIGINT AS is_pinned, {_round4_sql('score')} AS score_r
@@ -7320,7 +7393,7 @@ f AS (SELECT r.query_id, r.doc_id, r.score FROM ranked r
       WHERE r.doc_id % 3 != 0),
 rr AS (SELECT query_id, doc_id, score,
               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score DESC, doc_id ASC) AS rank
+                                 ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
        FROM f)
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
 FROM rr WHERE rank <= {TOP_K}"""
@@ -7371,7 +7444,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -7437,7 +7510,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -7593,7 +7666,7 @@ scores AS (
 ),
 ranked AS (
   SELECT query_id, doc_id, score,
-         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {_round4_sql('score')} DESC, doc_id ASC) AS rank
   FROM scores WHERE score > 0
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, {_round4_sql('score')} AS score_r
@@ -8172,7 +8245,9 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 sims AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS sim FROM q CROSS JOIN e),
 ranked AS (SELECT query_id, vec_id, sim,
-                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {_round4_sql('sim')} DESC,
+                                              vec_id ASC) AS rank
            FROM sims)
 SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}
@@ -8185,7 +8260,8 @@ sims AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
          FROM q CROSS JOIN c),
 ranked AS (SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, vec_id ASC) AS rank
+                                     ORDER BY {_round4_sql('sim')} DESC,
+                                              vec_id ASC) AS rank
            FROM sims)
 SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}
@@ -8209,7 +8285,8 @@ sims AS (SELECT q.query_id, n.vec_id,
          FROM q CROSS JOIN n),
 ranked AS (SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, vec_id ASC) AS rank
+                                     ORDER BY {_round4_sql('sim')} DESC,
+                                              vec_id ASC) AS rank
            FROM sims)
 SELECT query_id, rank::BIGINT AS rank, vec_id, {_round4_sql('sim')} AS sim_r
 FROM ranked WHERE rank <= {TOP_K}

@@ -29,6 +29,8 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -468,6 +470,260 @@ def drop_duplicated_spans(
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return docs.map_batches(
         scan, batch_format="pyarrow", batch_size=batch_size, **kwargs
+    )
+
+
+def collect_dup_grams_sharded(
+    docs,
+    out_dir: str,
+    *,
+    k: int,
+    min_count: int = 2,
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> dict:
+    """Pass 1 of the SHARDED duplicated-span scan (round-3 VERDICT item 2):
+    the duplicated-gram set is written hash-partitioned into
+    ``out_dir/shard=N/`` parquet instead of materializing on the driver —
+    the per-round broadcast of :func:`duplicated_spans_sharded` is then
+    bounded by ~1/n_shards of the set, so corpus size no longer bounds
+    worker memory. Same salted coarse-key shuffle as
+    :func:`collect_dup_grams`; the shard key is ``gram mod n_shards`` on
+    the uint64 bit pattern. Returns {"n_grams", "shard_rows"} and writes a
+    params manifest for resume validation."""
+    import json
+
+    from splade_ray.ops.dedup import _coarse_key, _shuffle_groups
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    params = {"k": int(k), "min_count": int(min_count),
+              "n_shards": int(n_shards), "text_col": str(text_col)}
+    manifest_path = os.path.join(out_dir, "_params.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            state = json.load(f)
+        if state.get("params") != params:
+            raise ValueError(
+                f"{out_dir} holds grams written with {state.get('params')}, "
+                f"refusing to reuse with {params}")
+        return state["result"]
+
+    n_groups = _shuffle_groups(None)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        from splade_ray.ops.dedup import _flat_token_hashes
+
+        hs, par, _ = _flat_token_hashes(batch[text_col])
+        g, _, _ = _gram_hash_positions(hs, par, k)
+        u, c = np.unique(g, return_counts=True)
+        ui = u.view(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(ui, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64)),
+                "gk": pa.array(_coarse_key([ui], n_groups)),
+            }
+        )
+
+    def dup_in_group(g: pa.Table) -> pa.Table:
+        grams = g["gram"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(grams, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=u.size)
+        dup = u[tot >= min_count]
+        shard = (dup.view(np.uint64) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"gram": pa.array(dup, pa.int64()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)  # zero-dup corpora still need the dir
+    (
+        docs.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(dup_in_group, batch_format="pyarrow")
+        .write_parquet(tmp, partition_cols=["shard"])
+    )
+    import pyarrow.dataset as pads
+
+    counts = [0] * n_shards
+    d = pads.dataset(tmp, partitioning="hive")
+    tbl = d.to_table(columns=["shard"])
+    if tbl.num_rows:
+        sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = np.bincount(sh, minlength=n_shards)
+        counts = bc.astype(int).tolist()
+    result = {"n_grams": int(sum(counts)), "shard_rows": counts}
+    os.rename(tmp, out_dir)
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump({"params": params, "result": result}, f)
+    os.rename(manifest_path + ".tmp", manifest_path)
+    return result
+
+
+class _DupHitStage:
+    """Per-round scan of the sharded duplicated-span operator: against ONE
+    broadcast gram shard, emit a slim hit row (doc_id, n_tokens, start —
+    doc-local) per member gram position; with ``emit_base`` also one
+    (doc_id, n_tokens, -1) row per doc so zero-hit docs reach the final
+    reduce. Same vectorized kernel as DupSpanStage, no per-row Python."""
+
+    def __init__(self, grams_ref, *, k: int, text_col: str, id_col: str,
+                 emit_base: bool):
+        self.grams = ray.get(grams_ref)
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.emit_base = emit_base
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from splade_ray.ops.textstats import hash_token
+
+        terms, par, doc_lens = tokenize_column(batch[self.text_col])
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        enc = terms.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        if uniq:
+            uh = np.array([hash_token(t) for t in uniq], np.uint64)
+            hs = uh[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            hs = np.array([], np.uint64)
+
+        n = batch.num_rows
+        ids = batch[self.id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = np.asarray(doc_lens, np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        g, gpar, fi = _gram_hash_positions(hs, par, self.k)
+        if self.grams.size and g.size:
+            gi = g.view(np.int64)
+            idx = np.minimum(np.searchsorted(self.grams, gi),
+                             self.grams.size - 1)
+            member = self.grams[idx] == gi
+        else:
+            member = np.zeros(g.size, bool)
+        rows = gpar[member]
+        starts = fi[member] - offsets[rows]
+        out_ids = ids[rows]
+        out_len = lens[rows]
+        out_start = starts
+        if self.emit_base:
+            out_ids = np.concatenate([out_ids, ids])
+            out_len = np.concatenate([out_len, lens])
+            out_start = np.concatenate(
+                [out_start, np.full(n, -1, np.int64)])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_tokens": pa.array(out_len, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+            }
+        )
+
+
+def duplicated_spans_sharded(
+    docs,
+    work_dir: str,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    concurrency=None,
+    batch_size: int = 2048,
+):
+    """Memory-bounded duplicated-substring scan — the at-scale variant of
+    :func:`duplicated_spans` (round-3 VERDICT item 2, the one flagged
+    scale-killer): the duplicated-gram set never materializes whole on
+    the driver OR in a worker. Pass 1 writes it hash-partitioned into
+    ``n_shards`` parquet shards; pass 2 runs one corpus scan per shard,
+    broadcasting only that shard (≈1/n_shards of the set) and emitting
+    slim (doc_id, n_tokens, start) hit rows; the final reduce is one
+    coarse-key groupby over hit rows — proportional to DUPLICATED
+    positions, not the token stream. Same output schema and values as
+    ``duplicated_spans`` (parity-tested). Trade-off, documented: R shard
+    rounds cost R corpus reads — the alternative (shuffling the full gram
+    stream) is one corpus-sized all-to-all; pick n_shards so a shard fits
+    worker memory and no smaller. ``rewrite`` is not offered here: the
+    span cut needs a doc→starts side table; compose the hit rows with a
+    join for at-scale rewriting."""
+    from splade_ray.ops.dedup import _coarse_key, _shuffle_groups
+
+    grams_dir = os.path.join(work_dir, "dup_grams")
+    collect_dup_grams_sharded(
+        docs, grams_dir, k=k, min_count=min_count, text_col=text_col,
+        n_shards=n_shards,
+    )
+    import pyarrow.dataset as pads
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    parts = []
+    for r in range(n_shards):
+        shard_dir = os.path.join(grams_dir, f"shard={r}")
+        if os.path.isdir(shard_dir):
+            tbl = pads.dataset(shard_dir).to_table(columns=["gram"])
+            shard = np.sort(tbl["gram"].to_numpy(zero_copy_only=False))
+        else:
+            shard = np.empty(0, np.int64)
+        grams_ref = ray.put(shard)
+        k_, tc, ic, base = k, text_col, id_col, (r == 0)
+
+        def scan(batch: pa.Table, _ref=grams_ref, _base=base) -> pa.Table:
+            return _DupHitStage(_ref, k=k_, text_col=tc, id_col=ic,
+                                emit_base=_base)(batch)
+
+        parts.append(docs.map_batches(
+            scan, batch_format="pyarrow", batch_size=batch_size, **kwargs))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.union(p)
+
+    n_groups = _shuffle_groups(None)
+
+    def add_gk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "gk", pa.array(_coarse_key([ids], n_groups)))
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        st = g["start"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, ids))
+        ids, ntok, st = ids[order], ntok[order], st[order]
+        hit = st >= 0
+        u, first = np.unique(ids, return_index=True)
+        base_len = ntok[first]
+        # vectorized interval-union over sorted (doc, start) hit rows
+        h_ids, h_st = ids[hit], st[hit]
+        new_doc = np.r_[True, h_ids[1:] != h_ids[:-1]]
+        gap = np.empty(h_st.size, np.int64)
+        if h_st.size:
+            gap[0] = k
+            gap[1:] = np.where(new_doc[1:], k,
+                               np.minimum(h_st[1:] - h_st[:-1], k))
+        inv = np.searchsorted(u, h_ids)
+        n_dup_grams = np.bincount(inv, minlength=u.size)
+        n_dup_tokens = np.bincount(inv, weights=gap, minlength=u.size
+                                   ).astype(np.int64)
+        span_start = new_doc | (gap >= k)
+        n_spans = np.bincount(inv[span_start], minlength=u.size)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, pa.int64()),
+                "n_tokens": pa.array(base_len, pa.int64()),
+                "n_dup_grams": pa.array(n_dup_grams.astype(np.int64)),
+                "n_dup_tokens": pa.array(n_dup_tokens),
+                "n_spans": pa.array(n_spans.astype(np.int64)),
+            }
+        )
+
+    return (
+        hits.map_batches(add_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(reduce_group, batch_format="pyarrow")
     )
 
 

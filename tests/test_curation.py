@@ -220,6 +220,58 @@ def test_duplicated_spans_matches_scalar(ray_session, k):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_duplicated_spans_sharded_parity(ray_session, tmp_path, n_shards):
+    """The memory-bounded sharded variant returns the exact per-doc stats
+    of the broadcast path (round-3 VERDICT item 2), and each round's
+    broadcast is one shard — bounded by the shard partitioning."""
+    from splade_ray.ops.curation import (
+        collect_dup_grams,
+        duplicated_spans,
+        duplicated_spans_sharded,
+    )
+
+    texts = _dup_texts()
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    for k in (3, 5):
+        ds = rd.from_arrow(tbl).repartition(3)
+        want = (duplicated_spans(ds, k=k).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        got = (duplicated_spans_sharded(
+                   ds, str(tmp_path / f"w{k}-{n_shards}"), k=k,
+                   n_shards=n_shards, batch_size=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # shard rows partition the full dup-gram set (per-round broadcast
+        # = one shard, so its size is bounded by the largest shard)
+        import json
+
+        with open(tmp_path / f"w{k}-{n_shards}" / "dup_grams"
+                  / "_params.json") as f:
+            state = json.load(f)
+        full = collect_dup_grams(rd.from_arrow(tbl), k=k)
+        assert sum(state["result"]["shard_rows"]) == full.size
+        if n_shards > 1 and full.size >= 4:
+            assert max(state["result"]["shard_rows"]) < full.size
+
+
+def test_dup_grams_sharded_param_mismatch_refuses(ray_session, tmp_path):
+    from splade_ray.ops.curation import collect_dup_grams_sharded
+
+    texts = _dup_texts()
+    ds = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}))
+    out = str(tmp_path / "grams")
+    r1 = collect_dup_grams_sharded(ds, out, k=3, n_shards=2)
+    # same params resume: returns the cached manifest without rebuilding
+    r2 = collect_dup_grams_sharded(ds, out, k=3, n_shards=2)
+    assert r1 == r2
+    with pytest.raises(ValueError, match="refusing"):
+        collect_dup_grams_sharded(ds, out, k=4, n_shards=2)
+
+
 def test_duplicated_spans_within_doc_and_boundaries(ray_session):
     from splade_ray.ops.curation import duplicated_spans
 
