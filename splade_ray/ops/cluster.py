@@ -51,17 +51,24 @@ _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 _LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
 
 
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(
-        {"doc_a": np.int64, "doc_b": np.int64}
-    )
-
-
-def _uniq_pairs(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+def _uniq_pairs(a: np.ndarray, b: np.ndarray) -> pa.Table:
     if a.size == 0:
-        return _empty_pairs()
+        return _PAIR_SCHEMA.empty_table()
     arr = np.unique(np.stack([a, b], axis=1), axis=0)
-    return pd.DataFrame({"doc_a": arr[:, 0], "doc_b": arr[:, 1]})
+    return pa.table({"doc_a": pa.array(arr[:, 0], pa.int64()),
+                     "doc_b": pa.array(arr[:, 1], pa.int64())})
+
+
+def _uv_dedup(g: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (u, v) rows of one bucket, sorted by u — the shared input
+    shape of the star/hashmin kernels (Arrow-native; the former pandas
+    drop_duplicates paid a conversion per group)."""
+    u = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if u.size == 0:
+        return u, v
+    uv = np.unique(np.stack([u, v], axis=1), axis=0)
+    return uv[:, 0], uv[:, 1]
 
 
 def _canonize(batch: pa.Table, *, src: str, dst: str) -> pa.Table:
@@ -113,13 +120,13 @@ def _group_mins(u: np.ndarray, v: np.ndarray):
     return u, v, starts, minv
 
 
-def _large_kernel(g: pd.DataFrame) -> pd.DataFrame:
+def _large_kernel(g: pa.Table) -> pa.Table:
     """Large-star on one bucket of directed edges: per node u with neighbors
     N(u), let m = min(N(u) ∪ {u}); emit (m, v) for every v in N(u) with
     v > u. m ≤ u < v keeps every emission canonical and self-loop-free."""
-    df = g[["u", "v"]].drop_duplicates()
-    u = df["u"].to_numpy(np.int64)
-    v = df["v"].to_numpy(np.int64)
+    u, v = _uv_dedup(g)
+    if u.size == 0:
+        return _PAIR_SCHEMA.empty_table()
     u, v, starts, minv = _group_mins(u, v)
     uu = u[starts]
     m = np.minimum(minv, uu)
@@ -129,13 +136,13 @@ def _large_kernel(g: pd.DataFrame) -> pd.DataFrame:
     return _uniq_pairs(m_edge[mask], v[mask])
 
 
-def _small_kernel(g: pd.DataFrame) -> pd.DataFrame:
+def _small_kernel(g: pa.Table) -> pa.Table:
     """Small-star on one bucket of larger->smaller directed edges: per node
     u with (all-smaller) neighbors N(u), let m = min(N(u)); emit (m, v) for
     v in N(u) with v != m, plus (m, u)."""
-    df = g[["u", "v"]].drop_duplicates()
-    u = df["u"].to_numpy(np.int64)
-    v = df["v"].to_numpy(np.int64)
+    u, v = _uv_dedup(g)
+    if u.size == 0:
+        return _PAIR_SCHEMA.empty_table()
     u, v, starts, minv = _group_mins(u, v)
     uu = u[starts]
     counts = np.diff(np.append(starts, u.size))
@@ -171,16 +178,16 @@ def _bucket_members(batch: pa.Table, *, num_buckets: int) -> pa.Table:
     return pa.table({"u": pa.array(u), "v": pa.array(v), "bucket": pa.array(u % num_buckets)})
 
 
-def _hashmin_kernel(g: pd.DataFrame) -> pd.DataFrame:
+def _hashmin_kernel(g: pa.Table) -> pa.Table:
     """One hash-to-min round on one bucket of membership rows (Rastogi et
     al., ICDE 2013): per node u with cluster set C(u), m = min(C(u));
     send m to every member (rows (v, m)) and the whole C(u) to m (rows
     (m, v)). Non-min nodes collapse to C = {component min} and the min node
     accumulates its component in O(log d) rounds — the path-doubling bound
     the star alternation lacks on chain-shaped duplicate graphs."""
-    df = g[["u", "v"]].drop_duplicates()
-    u = df["u"].to_numpy(np.int64)
-    v = df["v"].to_numpy(np.int64)
+    u, v = _uv_dedup(g)
+    if u.size == 0:
+        return _PAIR_SCHEMA.empty_table()
     u, v, starts, minv = _group_mins(u, v)
     counts = np.diff(np.append(starts, u.size))
     m_edge = np.repeat(minv, counts)
@@ -325,7 +332,7 @@ def connected_components(
         for rnd in range(max_rounds):
             edges = (
                 members.groupby("bucket")
-                .map_groups(_hashmin_kernel, batch_format="pandas")
+                .map_groups(_hashmin_kernel, batch_format="pyarrow")
                 .map_batches(_conform_pairs, batch_format="pyarrow")
                 .materialize()
             )
@@ -365,12 +372,12 @@ def connected_components(
                 _expand_directed, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
             )
             .groupby("bucket")
-            .map_groups(_large_kernel, batch_format="pandas")
+            .map_groups(_large_kernel, batch_format="pyarrow")
             .map_batches(
                 _orient_max, batch_format="pyarrow", fn_kwargs={"num_buckets": num_buckets}
             )
             .groupby("bucket")
-            .map_groups(_small_kernel, batch_format="pandas")
+            .map_groups(_small_kernel, batch_format="pyarrow")
             .map_batches(_conform_pairs, batch_format="pyarrow")
             .materialize()
         )

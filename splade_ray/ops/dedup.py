@@ -84,18 +84,24 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["text_sha256", id_col])
-        sha = g["text_sha256"].to_numpy()
-        ids = g[id_col].to_numpy(np.int64)
+    def keep_first(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["text_sha256"].to_numpy(zero_copy_only=False))
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
         starts = np.flatnonzero(np.r_[True, sha[1:] != sha[:-1]])
         counts = np.diff(np.append(starts, ids.size))
-        return pd.DataFrame({"doc_id": ids[starts], "n_copies": counts.astype(np.int64)})
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts], pa.int64()),
+                "n_copies": pa.array(counts.astype(np.int64)),
+            }
+        )
 
     return (
         ds.map_batches(key_rows, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
 
@@ -116,21 +122,26 @@ def exact_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["text_sha256", "doc_id"])
-        sha = g["text_sha256"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
+    def star(g: pa.Table) -> pa.Table:
+        sha = np.asarray(g["text_sha256"].to_numpy(zero_copy_only=False))
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sha))
+        sha, ids = sha[order], ids[order]
         first = np.r_[True, sha[1:] != sha[:-1]]
         starts = np.flatnonzero(first)
         counts = np.diff(np.append(starts, ids.size))
-        return pd.DataFrame(
-            {"doc_a": np.repeat(ids[starts], counts)[~first], "doc_b": ids[~first]}
+        return pa.table(
+            {
+                "doc_a": pa.array(np.repeat(ids[starts], counts)[~first],
+                                  pa.int64()),
+                "doc_b": pa.array(ids[~first], pa.int64()),
+            }
         )
 
     return (
         ds.map_batches(key_rows, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(star, batch_format="pandas")
+        .map_groups(star, batch_format="pyarrow")
     )
 
 
@@ -434,13 +445,17 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 64, bands: int = 16, shingle_k: int
             }
         )
 
-    def uniq_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+    def uniq_kernel(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(arr[:, 0], pa.int64()),
+                         "doc_b": pa.array(arr[:, 1], pa.int64())})
 
     uniq_pairs = (
         pairs.map_batches(add_pair_gk, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(uniq_kernel, batch_format="pandas")
+        .map_groups(uniq_kernel, batch_format="pyarrow")
     )
 
     # hash-shuffle partitions that received no rows emit schema-less empty
@@ -715,13 +730,21 @@ def simhash_pairs(ds, *, max_hamming: int = 3, text_col: str = "text"):
             }
         )
 
-    def uniq_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b", "hamming"]]
+    def uniq_kernel(g: pa.Table) -> pa.Table:
+        # (doc_a, doc_b) determines hamming (same signatures), so a 3-col
+        # unique equals the former first-occurrence drop_duplicates
+        a = g["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["hamming"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = np.unique(np.stack([a, b, h], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(arr[:, 0], pa.int64()),
+                         "doc_b": pa.array(arr[:, 1], pa.int64()),
+                         "hamming": pa.array(arr[:, 2], pa.int64())})
 
     return (
         pairs.map_batches(add_pair_gk, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(uniq_kernel, batch_format="pandas")
+        .map_groups(uniq_kernel, batch_format="pyarrow")
     )
 
 
