@@ -1803,6 +1803,27 @@ def q_rm3_topk(sf_dir: str):
     return out[["query_id", "rank", "doc_id", "score_r"]]
 
 
+def q_facet_stats(sf_dir: str):
+    """ES sub-aggregation (facets.facet_stats_agg): a terms bucket over the
+    lang doc-values column with a nested stats metric over n_chars — per
+    query, per lang, (n_docs, sum, min, max, avg) across live matching
+    docs, computed from mergeable per-segment partials in ONE pass (the
+    terms + nested-metric composition; round-3 VERDICT item 7)."""
+    from splade_ray.facets import facet_stats_agg
+
+    out = facet_stats_agg(
+        _dv2_index(sf_dir), BM25_QUERIES, facet_col="lang",
+        metric_col="n_chars",
+    )
+    out = out.copy()
+    out["sum_chars"] = out["sum_v"].to_numpy(np.float64).astype(np.int64)
+    out["min_chars"] = out["min_v"].to_numpy(np.float64).astype(np.int64)
+    out["max_chars"] = out["max_v"].to_numpy(np.float64).astype(np.int64)
+    out["avg_chars_r"] = _round4(out["avg_v"].to_numpy())
+    return out[["query_id", "facet", "n_docs", "sum_chars", "min_chars",
+                "max_chars", "avg_chars_r"]]
+
+
 def q_facet_counts(sf_dir: str):
     """Per-query facet counts over the lang column (splade_ray.facets):
     exact count of live docs containing >=1 query term, counted segment-
@@ -4637,6 +4658,31 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY m.query_id, d.lang"""
 
 
+def _facet_stats_sql() -> str:
+    """Mirror of q_facet_stats: distinct (query, doc) matches joined to
+    documents, GROUP BY (query, lang) with count/sum/min/max/avg over
+    n_chars (avg round4; the integer stats exact)."""
+    values = []
+    for qid, text in BM25_QUERIES:
+        for term in sorted(term_counts(text)):
+            values.append(f"({qid}, '{term}')")
+    vals = ",\n    ".join(values)
+    return f"""
+WITH {_TOKS},
+q(query_id, term) AS (VALUES
+    {vals}
+),
+m AS (SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN toks t USING (term))
+SELECT m.query_id::BIGINT AS query_id, d.lang AS facet,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       {_round4_sql('sum(d.n_chars)::DOUBLE / count(*)')} AS avg_chars_r
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang"""
+
+
 def _near_sql() -> str:
     """Ordered-proximity mirror: a start counts iff an ordered chain of the
     remaining terms EXISTS within span k-1+slop (greedy minimizes the chain
@@ -5977,6 +6023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_terms": q_rm3_terms,
         "rm3_topk": q_rm3_topk,
         "facet_counts": q_facet_counts,
+        "facet_stats_agg": q_facet_stats,
         "facet_top": q_facet_top,
         "term_vectors": q_term_vectors,
         "percolate_all": q_percolate_all,
@@ -8152,6 +8199,7 @@ FROM f""",
         "rm3_terms": _rm3_terms_sql(),
         "rm3_topk": _rm3_sql(),
         "facet_counts": _facet_sql(),
+        "facet_stats_agg": _facet_stats_sql(),
         "facet_top": _facet_top_sql(),
         "term_vectors": _term_vectors_sql(),
         "percolate_all": _percolate_sql("all"),

@@ -169,6 +169,116 @@ def facet_counts(
     return out
 
 
+def facet_stats_agg(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    facet_col: str,
+    metric_col: str,
+    params: BM25Params | None = None,
+    query_lang: str | None = None,
+    top: int | None = None,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES sub-aggregation: a ``terms`` bucket over ``facet_col`` with a
+    nested ``stats`` metric over ``metric_col`` — per query, per facet
+    value, the (n_docs, sum, min, max, avg) of the numeric doc-values
+    column across live matching docs. The one common ES aggregation shape
+    round 3 still lacked (terms + per-bucket metric aggs composed in ONE
+    pass; reference-class engines nest ``stats``/``top_hits`` under
+    ``terms``).
+
+    Scale shape: identical to :func:`facet_counts` — each segment emits
+    mergeable per-(query, facet) PARTIALS (count, sum, min, max), so what
+    crosses the object store is queries x facet-cardinality x 4 numbers
+    regardless of corpus size, and avg is derived after the combine
+    (never averaged across segments). ``top`` keeps the N largest buckets
+    per query by (n_docs desc, facet asc), ES terms-agg ordering.
+
+    Returns (query_id, facet, n_docs, sum_v, min_v, max_v, avg_v) sorted
+    by (query_id, facet)."""
+    from splade_ray.delete import load_tombstones
+
+    prepared = prepare_queries(index_dir, queries, params, query_lang=query_lang)
+    tomb = load_tombstones(index_dir)
+    tomb_ref = ray.put(tomb) if tomb.size else None
+    prepared_ref = ray.put(prepared)
+    segs = segment_dirs(index_dir)
+
+    def seg_partials(seg_dir: str, prep: dict, t) -> list[tuple]:
+        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+        tbl = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"),
+            columns=[facet_col, metric_col],
+        )
+        fac = tbl[facet_col].combine_chunks().dictionary_encode()
+        codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = fac.dictionary.to_pylist()
+        vals = tbl[metric_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rows: list[tuple] = []
+        for qid, terms in prep["queries"].items():
+            matched = np.zeros(seg.doc_ids.size, bool)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)
+                matched[pos] = True
+            if not matched.any():
+                continue
+            mc, mv = codes[matched], vals[matched]
+            cnt = np.bincount(mc, minlength=len(values))
+            ssum = np.bincount(mc, weights=mv, minlength=len(values))
+            smin = np.full(len(values), np.inf)
+            np.minimum.at(smin, mc, mv)
+            smax = np.full(len(values), -np.inf)
+            np.maximum.at(smax, mc, mv)
+            for i in np.flatnonzero(cnt):
+                rows.append((qid, values[i], int(cnt[i]), float(ssum[i]),
+                             float(smin[i]), float(smax[i])))
+        return rows
+
+    def task(batch: pa.Table) -> pa.Table:
+        prep = ray.get(prepared_ref)
+        t = ray.get(tomb_ref) if tomb_ref is not None else None
+        rows: list[tuple] = []
+        for seg_dir in batch["seg_dir"].to_pylist():
+            rows.extend(seg_partials(seg_dir, prep, t))
+        return pa.table(
+            {
+                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+                "facet": pa.array([r[1] for r in rows], pa.string()),
+                "n_docs": pa.array(np.array([r[2] for r in rows], np.int64)),
+                "s_sum": pa.array(np.array([r[3] for r in rows], np.float64)),
+                "s_min": pa.array(np.array([r[4] for r in rows], np.float64)),
+                "s_max": pa.array(np.array([r[5] for r in rows], np.float64)),
+            }
+        )
+
+    pdf = (
+        rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
+        .map_batches(task, batch_format="pyarrow", batch_size=1,
+                     concurrency=concurrency)
+        .to_pandas()
+    )
+    cols = ["query_id", "facet", "n_docs", "sum_v", "min_v", "max_v", "avg_v"]
+    if pdf.empty:
+        return pd.DataFrame(columns=cols).astype(
+            {"query_id": np.int64, "facet": str, "n_docs": np.int64,
+             "sum_v": np.float64, "min_v": np.float64, "max_v": np.float64,
+             "avg_v": np.float64})
+    agg = pdf.groupby(["query_id", "facet"], as_index=False).agg(
+        n_docs=("n_docs", "sum"), sum_v=("s_sum", "sum"),
+        min_v=("s_min", "min"), max_v=("s_max", "max"),
+    )
+    agg["avg_v"] = agg["sum_v"] / agg["n_docs"]
+    if top is not None:
+        agg = (
+            agg.sort_values(["query_id", "n_docs", "facet"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=True).head(top)
+        )
+    return (agg.sort_values(["query_id", "facet"])
+            .reset_index(drop=True)[cols])
+
+
 def adjacency_matrix(
     index_dir: str,
     filters: list[tuple[str, str]],

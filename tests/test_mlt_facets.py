@@ -202,3 +202,77 @@ def test_facet_counts_multivalued(ray_session, tmp_path):
     # a doc with a repeated tag counts once (dedupe proof): doc 3 has
     # tags [t3, t3]
     assert tags[3][0] == tags[3][1]
+
+
+@pytest.fixture()
+def stats_index(ray_session, tmp_path):
+    t = synth_corpus(N, seed=27)
+    texts = t["content"].to_pylist()
+    langs = [["en", "fr", "zh"][i % 3] for i in range(N)]
+    sizes = np.array([len(x) for x in texts], np.int64)
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(N, dtype=np.int64)),
+                "content": t["content"],
+                "facet_lang": pa.array(langs),
+                "n_bytes": pa.array(sizes),
+            }
+        ),
+        corpus,
+    )
+    index_dir = str(tmp_path / "index")
+    build_index(
+        corpus, index_dir, text_col="content", id_col="doc_id",
+        rows_per_segment=30, extra_doc_cols=("facet_lang", "n_bytes"),
+    )
+    return index_dir, texts, langs, sizes
+
+
+def test_facet_stats_agg_matches_bruteforce(stats_index):
+    from splade_ray.facets import facet_stats_agg
+
+    index_dir, texts, langs, sizes = stats_index
+    queries = [(0, "def parse"), (1, "rare_token_20"), (2, "zzz_absent")]
+    got = facet_stats_agg(index_dir, queries, facet_col="facet_lang",
+                          metric_col="n_bytes")
+    exp: dict[tuple[int, str], list[int]] = {}
+    for qid, qtext in queries:
+        qterms = set(tokenize(qtext))
+        for i, d in enumerate(texts):
+            if qterms & set(tokenize(d)):
+                exp.setdefault((qid, langs[i]), []).append(int(sizes[i]))
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        vals = exp[(r.query_id, r.facet)]
+        assert r.n_docs == len(vals)
+        assert r.sum_v == sum(vals)
+        assert r.min_v == min(vals) and r.max_v == max(vals)
+        assert abs(r.avg_v - sum(vals) / len(vals)) < 1e-12
+
+
+def test_facet_stats_agg_top_and_tombstones(stats_index):
+    from splade_ray.delete import delete_docs
+    from splade_ray.facets import facet_stats_agg
+
+    index_dir, texts, langs, sizes = stats_index
+    queries = [(0, "def")]
+    full = facet_stats_agg(index_dir, queries, facet_col="facet_lang",
+                           metric_col="n_bytes")
+    top1 = facet_stats_agg(index_dir, queries, facet_col="facet_lang",
+                           metric_col="n_bytes", top=1)
+    # top=1 keeps the largest bucket by (n_docs desc, facet asc)
+    best = full.sort_values(["n_docs", "facet"],
+                            ascending=[False, True]).iloc[0]
+    assert len(top1) == 1 and top1.iloc[0]["facet"] == best["facet"]
+    # tombstones shrink the en bucket's stats
+    en = [i for i, d in enumerate(texts)
+          if "def" in tokenize(d) and langs[i] == "en"]
+    delete_docs(index_dir, en)
+    after = facet_stats_agg(index_dir, queries, facet_col="facet_lang",
+                            metric_col="n_bytes")
+    assert "en" not in set(after["facet"])
+    fr_b = full[full["facet"] == "fr"].iloc[0]
+    fr_a = after[after["facet"] == "fr"].iloc[0]
+    assert fr_a["n_docs"] == fr_b["n_docs"] and fr_a["sum_v"] == fr_b["sum_v"]
