@@ -51,19 +51,59 @@ def _sliding_sums(mask: np.ndarray, window: int) -> np.ndarray:
     return c[window:] - c[:-window]
 
 
-def best_window(tokens: list[str], terms: set[str], window: int) -> tuple[int, int, str]:
-    """(1-based start, match count, snippet text) of the best window."""
+def _best_window_core(
+    tokens: list[str],
+    terms: set[str],
+    window: int,
+    *,
+    use_distinct: bool = False,
+    flags: np.ndarray | None = None,
+) -> tuple[int, int, int, int, str]:
+    """THE shared sliding-window scorer behind every snippet/highlight
+    face (round-3 VERDICT item 8 — KWIC, distinct-coverage, and
+    sentence-aligned selection previously carried three copies of this
+    logic): occurrence sums always; distinct-term coverage and
+    sentence-boundary alignment fold in lexicographically when requested
+    (coverage desc, occurrences desc, aligned desc, start asc — argmax
+    takes the FIRST max, the smallest-start tie-break every oracle pins).
+    Returns (0-based start, distinct, occurrences, aligned, snippet)."""
     n = len(tokens)
     if n == 0:
-        return 1, 0, ""
-    hit = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+        return 0, 0, 0, 1, ""
+    occ = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+    masks = (
+        [np.fromiter((t == q for t in tokens), dtype=np.int64, count=n)
+         for q in sorted(terms)]
+        if use_distinct else []
+    )
     if n <= window:
-        return 1, int(hit.sum()), " ".join(tokens)
-    # sliding occurrence count via cumsum; argmax takes the FIRST max -> the
-    # smallest-start tie-break the oracle pins
-    sums = _sliding_sums(hit, window)
-    i = int(np.argmax(sums))
-    return i + 1, int(sums[i]), " ".join(tokens[i : i + window])
+        nd = sum(int(m.sum() > 0) for m in masks)
+        return 0, nd, int(occ.sum()), 1, " ".join(tokens)
+    occs = _sliding_sums(occ, window)
+    key = occs
+    distinct = None
+    if use_distinct:
+        distinct = np.zeros(n - window + 1, np.int64)
+        for m in masks:
+            distinct += _sliding_sums(m, window) > 0
+        # occs < window+1 always, so the fold is collision-free
+        key = distinct * np.int64(window + 1) + occs
+    if flags is not None:
+        key = key * np.int64(2) + flags[: n - window + 1]
+    i = int(np.argmax(key))
+    return (
+        i,
+        int(distinct[i]) if distinct is not None else 0,
+        int(occs[i]),
+        int(flags[i]) if flags is not None else 1,
+        " ".join(tokens[i : i + window]),
+    )
+
+
+def best_window(tokens: list[str], terms: set[str], window: int) -> tuple[int, int, str]:
+    """(1-based start, match count, snippet text) of the best window."""
+    i, _, occ, _, snip = _best_window_core(tokens, terms, window)
+    return i + 1, occ, snip
 
 
 def best_window_distinct(
@@ -74,28 +114,11 @@ def best_window_distinct(
     MORE DISTINCT query terms win (a window with both terms of a two-term
     query beats one repeating a single term), occurrences break ties, then
     smallest start. One vectorized sliding pass PER QUERY TERM (queries are
-    a handful of terms) + one for occurrences."""
-    n = len(tokens)
-    if n == 0:
-        return 1, 0, 0, ""
-    arr_terms = sorted(terms)
-    masks = [
-        np.fromiter((t == q for t in tokens), dtype=np.int64, count=n)
-        for q in arr_terms
-    ]
-    occ = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
-    if n <= window:
-        nd = sum(int(m.sum() > 0) for m in masks)
-        return 1, nd, int(occ.sum()), " ".join(tokens)
-    distinct = np.zeros(n - window + 1, np.int64)
-    for m in masks:
-        distinct += _sliding_sums(m, window) > 0
-    occs = _sliding_sums(occ, window)
-    # lexicographic argmax (distinct desc, occurrences desc, start asc):
-    # occs < window+1 always, so the fold is collision-free
-    combined = distinct * np.int64(window + 1) + occs
-    i = int(np.argmax(combined))
-    return i + 1, int(distinct[i]), int(occs[i]), " ".join(tokens[i : i + window])
+    a handful of terms) + one for occurrences — all via
+    :func:`_best_window_core`."""
+    i, nd, occ, _, snip = _best_window_core(
+        tokens, terms, window, use_distinct=True)
+    return i + 1, nd, occ, snip
 
 
 def tokens_with_sentence_flags(
@@ -126,34 +149,9 @@ def best_window_sentence(
     occurrences desc, windows STARTING AT A SENTENCE BOUNDARY preferred,
     then smallest start — Lucene highlighters' fragment scoring shape
     (coverage first, boundary alignment as the readability tie-break)."""
-    n = len(tokens)
-    if n == 0:
-        return 1, 0, 0, 1, ""
-    arr_terms = sorted(terms)
-    masks = [
-        np.fromiter((t == q for t in tokens), dtype=np.int64, count=n)
-        for q in arr_terms
-    ]
-    occ = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
-    if n <= window:
-        nd = sum(int(m.sum() > 0) for m in masks)
-        return 1, nd, int(occ.sum()), 1, " ".join(tokens)
-    distinct = np.zeros(n - window + 1, np.int64)
-    for m in masks:
-        distinct += _sliding_sums(m, window) > 0
-    occs = _sliding_sums(occ, window)
-    aligned = flags[: n - window + 1]
-    # lexicographic argmax (distinct desc, occs desc, aligned desc, start
-    # asc): occs < window+1 and aligned < 2, so the fold is collision-free
-    combined = (distinct * np.int64(window + 1) + occs) * np.int64(2) + aligned
-    i = int(np.argmax(combined))
-    return (
-        i + 1,
-        int(distinct[i]),
-        int(occs[i]),
-        int(aligned[i]),
-        " ".join(tokens[i : i + window]),
-    )
+    i, nd, occ, al, snip = _best_window_core(
+        tokens, terms, window, use_distinct=True, flags=flags)
+    return i + 1, nd, occ, al, snip
 
 
 def fetch_texts(
