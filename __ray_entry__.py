@@ -160,6 +160,27 @@ def _by_lang_toks_sql() -> str:
 SNIPPET_WINDOW = 10
 
 
+FRAG_WINDOW, FRAG_N = 8, 3
+
+
+def q_highlight_fragments(sf_dir: str):
+    """Multi-fragment highlighting (snippets.fragments_for_run; ES
+    highlight number_of_fragments>1 / Lucene SimpleFragmenter): per
+    (query, top-k doc) the best FRAG_N fixed FRAG_WINDOW-token tiles by
+    (n_match desc, start asc) — all-integer selection over the unified
+    sliding kernel's hit mask, zero-match tiles dropped."""
+    from splade_ray.snippets import fragments_for_run
+
+    run = _bm25_run(sf_dir, "exact")
+    out = fragments_for_run(
+        os.path.join(sf_dir, "documents.parquet"), run, BM25_QUERIES,
+        window=FRAG_WINDOW, n_fragments=FRAG_N,
+    )
+    for c in ("frag_rank", "start", "n_match"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def q_snippets_topk(sf_dir: str):
     """Keyword-in-context snippets (splade_ray.snippets) over the exact BM25
     run: per (query, doc) hit, the {W}-token window with the most query-term
@@ -1738,6 +1759,7 @@ def q_sig_terms(sf_dir: str):
         BM25Params(k1=K1, b=B),
         fg_k=TOP_K,
         top_m=SIG_TOP_M,
+        fg_run=_bm25_run(sf_dir, "exact"),  # tie-stable fg membership
     )
     out = out.copy()
     out["score_r"] = _round4(out["score"].to_numpy())
@@ -5988,6 +6010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_true_topk": q_bm25f_true_topk,
         "cross_fields_scores": q_cross_fields_topk,
         "snippets_topk": q_snippets_topk,
+        "highlight_fragments": q_highlight_fragments,
         "snippets_topk_distinct": q_snippets_topk_distinct,
         "snippets_topk_sentence": q_snippets_topk_sentence,
         "collection_stats": q_collection_stats,
@@ -6507,6 +6530,41 @@ FROM (SELECT m.query_id, m.doc_id, d.n_chars,
                                 ORDER BY d.n_chars DESC, m.doc_id ASC) AS rank
       FROM m JOIN documents d USING (doc_id))
 WHERE rank > {TOP_K} AND rank <= {2 * TOP_K}"""
+
+
+def _fragments_sql() -> str:
+    """Multi-fragment mirror: hits from the shared rounded `ranked` CTE,
+    fixed generate_series tiles, per-tile match counts via the position
+    range join, top FRAG_N tiles by the all-integer (n_match desc, i asc)
+    window."""
+    w, f = FRAG_WINDOW, FRAG_N
+    return f"""{_bm25_cte()},
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOP_K}),
+{_qterm_values_sql()},
+dt AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS toks
+       FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS j FROM dt),
+m AS (SELECT h.query_id, t.doc_id, t.j
+      FROM hits h JOIN tok t USING (doc_id)
+      JOIN qterm q ON q.query_id = h.query_id AND q.term = t.term),
+starts AS (SELECT h.query_id, h.doc_id,
+                  unnest(generate_series(1, len(d.toks), {w})) AS i
+           FROM hits h JOIN dt d USING (doc_id) WHERE len(d.toks) > 0),
+cnt AS (SELECT s.query_id, s.doc_id, s.i, count(m.j)::BIGINT AS n_match
+        FROM starts s LEFT JOIN m ON m.query_id = s.query_id
+                                 AND m.doc_id = s.doc_id
+                                 AND m.j BETWEEN s.i AND s.i + {w} - 1
+        GROUP BY s.query_id, s.doc_id, s.i),
+best AS (SELECT query_id, doc_id, i, n_match,
+                row_number() OVER (PARTITION BY query_id, doc_id
+                                   ORDER BY n_match DESC, i ASC) AS frag_rank
+         FROM cnt WHERE n_match > 0)
+SELECT b.query_id, b.doc_id, b.frag_rank::BIGINT AS frag_rank,
+       b.i::BIGINT AS start, b.n_match,
+       array_to_string(d.toks[b.i : least(b.i + {w} - 1, len(d.toks))], ' ')
+           AS fragment
+FROM best b JOIN dt d USING (doc_id) WHERE b.frag_rank <= {f}"""
 
 
 def _snippets_sql() -> str:
@@ -7999,6 +8057,7 @@ FROM documents""",
         "bm25f_true_topk": _bm25f_true_sql(),
         "cross_fields_scores": _cross_fields_sql(),
         "snippets_topk": _snippets_sql(),
+        "highlight_fragments": _fragments_sql(),
         "snippets_topk_distinct": _snippets_distinct_sql(),
         "snippets_topk_sentence": _snippets_sentence_sql(),
         "ann_lsh_buckets_int": _lsh_int_sql(),

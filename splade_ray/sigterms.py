@@ -69,18 +69,24 @@ def significant_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     query_lang: str | None = None,
+    fg_run: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Top ``top_m`` JLH-significant terms per query over the top ``fg_k``
     BM25 hits. Returns (query_id, rank, term, fg_count, fg_total, df,
-    score)."""
+    score). Pass ``fg_run`` (columns query_id, doc_id) to supply the
+    foreground sample yourself — e.g. a tie-stable re-ranked run, or any
+    external candidate set — instead of the internal fg_k search."""
     p = params or BM25Params()
-    run = search(
-        index_dir,
-        queries,
-        BM25Params(k1=p.k1, b=p.b, top_k=fg_k, threshold=p.threshold),
-        method=method,
-        query_lang=query_lang,
-    )
+    if fg_run is not None:
+        run = fg_run
+    else:
+        run = search(
+            index_dir,
+            queries,
+            BM25Params(k1=p.k1, b=p.b, top_k=fg_k, threshold=p.threshold),
+            method=method,
+            query_lang=query_lang,
+        )
     if run.empty:
         return _empty()
 

@@ -171,6 +171,77 @@ def fetch_texts(
     return t.to_pandas()
 
 
+def top_fragments(
+    tokens: list[str], terms: set[str], window: int, n_fragments: int
+) -> list[tuple[int, int, int, str]]:
+    """(frag_rank, 1-based start, match count, fragment) of the top
+    ``n_fragments`` FIXED tiles of ``window`` tokens — the Lucene
+    SimpleFragmenter / ES ``number_of_fragments`` contract: the token
+    stream is cut into fixed-size fragments (starts 1, W+1, 2W+1, ...;
+    the last tile may be short), each scored by query-term occurrences,
+    and the best N with >= 1 match returned ranked
+    (n_match desc, start asc). All-integer — SQL-mirrorable with
+    generate_series, unlike greedy non-overlapping window selection."""
+    n = len(tokens)
+    if n == 0 or not terms:
+        return []
+    hit = np.fromiter((t in terms for t in tokens), dtype=np.int64, count=n)
+    starts = np.arange(0, n, window)
+    sums = np.add.reduceat(hit, starts)
+    keep = np.flatnonzero(sums > 0)
+    if keep.size == 0:
+        return []
+    order = keep[np.lexsort((starts[keep], -sums[keep]))][:n_fragments]
+    return [
+        (r + 1, int(starts[i]) + 1, int(sums[i]),
+         " ".join(tokens[starts[i]:starts[i] + window]))
+        for r, i in enumerate(order)
+    ]
+
+
+def fragments_for_run(
+    corpus_paths: str | list[str],
+    run: pd.DataFrame,
+    queries: list[tuple[int, str]],
+    *,
+    window: int = 10,
+    n_fragments: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_lang: str | None = None,
+) -> pd.DataFrame:
+    """Multi-fragment highlighting for every (query_id, doc_id) row of a
+    run table (ES highlight with number_of_fragments > 1): per hit the top
+    ``n_fragments`` fixed tiles by (n_match desc, start asc). Returns
+    (query_id, doc_id, frag_rank, start, n_match, fragment) sorted by
+    (query_id, doc_id, frag_rank); hits whose doc has no matching tile
+    emit no rows. Same pushdown text fetch as snippets_for_run."""
+    cols = ["query_id", "doc_id", "frag_rank", "start", "n_match", "fragment"]
+    if run.empty:
+        types = {c: np.int64 for c in cols if c != "fragment"}
+        types["fragment"] = str
+        return pd.DataFrame(columns=cols).astype(types)
+    texts = fetch_texts(corpus_paths, run["doc_id"].tolist(),
+                        id_col=id_col, text_col=text_col)
+    tok_cache = {
+        int(d): tokenize(t or "", query_lang)
+        for d, t in zip(texts[id_col], texts[text_col])
+    }
+    qterms = {int(qid): set(term_counts(text, query_lang)) for qid, text in queries}
+    rows = []
+    for qid, doc in zip(run["query_id"], run["doc_id"]):
+        qid, doc = int(qid), int(doc)
+        for fr in top_fragments(tok_cache.get(doc, []),
+                                qterms.get(qid, set()), window, n_fragments):
+            rows.append((qid, doc, *fr))
+    out = pd.DataFrame(rows, columns=cols)
+    if out.empty:
+        types = {c: np.int64 for c in cols if c != "fragment"}
+        types["fragment"] = str
+        return pd.DataFrame(columns=cols).astype(types)
+    return out.sort_values(["query_id", "doc_id", "frag_rank"]).reset_index(drop=True)
+
+
 def snippets_for_run(
     corpus_paths: str | list[str],
     run: pd.DataFrame,

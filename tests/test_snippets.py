@@ -262,3 +262,21 @@ def test_snippets_sentence_mode(tmp_path):
     assert (int(row1["start"]), int(row1["aligned"]), row1["snippet"]) == (1, 1, "q alpha q")
     with pytest.raises(ValueError, match="unknown snippet mode"):
         snippets_for_run(p, run, [(0, "q")], window=3, mode="paragraph")
+
+
+def test_top_fragments_fixed_tiles():
+    from splade_ray.snippets import top_fragments
+
+    toks = "a b c a a d e a x y z q".split()
+    terms = {"a"}
+    # tiles of 4: [a b c a]=2, [a d e a]=2, [x y z q]=0
+    got = top_fragments(toks, terms, 4, 3)
+    assert got == [(1, 1, 2, "a b c a"), (2, 5, 2, "a d e a")]
+    # n_fragments caps; tie broken by start asc
+    assert top_fragments(toks, terms, 4, 1) == [(1, 1, 2, "a b c a")]
+    # short tail tile included and cut short
+    got2 = top_fragments("a b c d a".split(), {"a"}, 4, 5)
+    assert got2 == [(1, 1, 1, "a b c d"), (2, 5, 1, "a")]
+    # no matches / empty input -> no fragments
+    assert top_fragments(toks, {"zz"}, 4, 3) == []
+    assert top_fragments([], {"a"}, 4, 3) == []
