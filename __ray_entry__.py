@@ -3047,6 +3047,21 @@ DUP_K = 5
 DUP_MIN = 2
 
 
+UNIT_MIN = 2
+
+
+def q_unit_dedup(sf_dir: str):
+    """Sub-document sentence-unit dedup (ops/curation.unit_dedup — the
+    Dolma paragraph-dedup / C4 sentence-dedup shape): units = sentence
+    chunks normalized to their analyzed-token join; per doc the unit count
+    and how many of its units occur >= UNIT_MIN times corpus-wide
+    (within-doc repeats count). Pass 1 ships only (sha-prefix, unit sha,
+    count) combiner rows; pass 2 is a broadcast-membership scan."""
+    from splade_ray.ops.curation import unit_dedup
+
+    return unit_dedup(_docs(sf_dir, ["doc_id", "text"]), min_count=UNIT_MIN)
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicated-substring scan (ops/curation.duplicated_spans, the
     k-gram formulation of Lee et al. 2022 ExactSubstr): per doc the count of
@@ -6148,6 +6163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subword_stats": q_bpe_subword_stats,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
+        "unit_dedup": q_unit_dedup,
         "redact_docs": q_redact,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -6935,6 +6951,35 @@ SELECT tl.doc_id,
        coalesce(cnt.n_contaminated, 0) > 0 AS contaminated
 FROM tl LEFT JOIN cnt USING (doc_id)
 WHERE tl.doc_id % {m} != 0"""
+
+
+def _unit_dedup_sql() -> str:
+    """unit_dedup mirror: sentence split + token-join normalization (the
+    sentence-snippet oracle's proven idiom), corpus-wide unit counts by
+    STRING (engine keys are injective sha256 of the same strings),
+    per-doc totals with zero rows for unit-less docs."""
+    from splade_ray.snippets import SENT_SPLIT_SQL
+
+    return f"""
+WITH s AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(text),
+                                               '{SENT_SPLIT_SQL}')) AS chunk
+           FROM documents),
+u0 AS (SELECT doc_id,
+              array_to_string(regexp_extract_all(chunk, '{TOKEN_SQL}'), ' ')
+                  AS unit
+       FROM s),
+uu AS (SELECT doc_id, unit FROM u0 WHERE unit <> ''),
+c AS (SELECT unit, count(*)::BIGINT AS n FROM uu GROUP BY unit),
+j AS (SELECT uu.doc_id,
+             CASE WHEN c.n >= {UNIT_MIN} THEN 1 ELSE 0 END AS isdup
+      FROM uu JOIN c USING (unit)),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_units,
+               sum(isdup)::BIGINT AS n_dup
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id, coalesce(per.n_units, 0)::BIGINT AS n_units,
+       coalesce(per.n_dup, 0)::BIGINT AS n_dup_units
+FROM documents d LEFT JOIN per USING (doc_id)"""
 
 
 def _dup_spans_sql() -> str:
@@ -7996,6 +8041,7 @@ FROM documents""",
         "rollup_events": _rollup_events_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
+        "unit_dedup": _unit_dedup_sql(),
         "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
         "search_after_page2": _search_after_sql(),

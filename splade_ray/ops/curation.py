@@ -727,6 +727,131 @@ def duplicated_spans_sharded(
     )
 
 
+def _doc_units(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized sentence-unit extraction: split the LOWERED text on the
+    sentence pattern (snippets.SENT_SPLIT_RE — chars outside every
+    analyzer's token class), normalize each chunk to its analyzed-token
+    join, drop empty units. Returns (unit strings, parent row indices,
+    per-row unit counts) — all Arrow kernels except the final to_numpy."""
+    import pyarrow.compute as pc
+
+    from splade_ray.snippets import SENT_SPLIT_PATTERN
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    from splade_ray.analysis import SPLIT_PATTERN
+
+    chunks = pc.split_pattern_regex(pc.utf8_lower(texts), SENT_SPLIT_PATTERN)
+    flat = pc.list_flatten(chunks)
+    parents = pc.list_parent_indices(chunks).to_numpy(zero_copy_only=False)
+    # normalize each chunk: analyzed tokens re-joined with single spaces
+    # (split on the complement class ≡ findall; empty split tokens leave
+    # stray joiners, removed by the trim + collapse pass)
+    toks = pc.split_pattern_regex(flat, SPLIT_PATTERN)
+    unit = pc.binary_join(toks, " ")
+    unit = pc.utf8_trim(unit, " ")
+    unit = pc.replace_substring_regex(unit, pattern="  +", replacement=" ")
+    u = unit.to_numpy(zero_copy_only=False)
+    keep = np.array([bool(x) for x in u])
+    counts = np.bincount(parents[keep], minlength=n).astype(np.int64)
+    return u[keep], parents[keep].astype(np.int64), counts
+
+
+def unit_dedup(
+    docs,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "shuffle",
+    batch_size: int = 2048,
+    concurrency=None,
+):
+    """Sub-document (sentence-unit) deduplication — the Dolma
+    paragraph-dedup / C4 sentence-dedup shape: a unit is a sentence chunk
+    (split on the shared snippets sentence pattern) normalized to its
+    analyzed-token join; units occurring >= ``min_count`` times across
+    the corpus (within-doc repeats count) are duplicated. Returns per doc
+    (doc_id, n_units, n_dup_units).
+
+    Scale shape = the exact_dedup/collect_dup_grams recipe: pass 1 ships
+    only (sha-prefix coarse key, unit sha256, count) combiner rows through
+    ONE groupby; pass 2 broadcasts the duplicated-unit keys (sorted uint64
+    sha prefixes + exact hex set — the incremental_dedup membership
+    recipe) and streams the corpus with zero shuffle. Unit keys are full
+    sha256 strings, so engine counts equal the SQL mirror's
+    group-by-string counts."""
+    import pyarrow.compute as pc
+
+    from splade_ray.codec import sha256_hex
+    from splade_ray.ops.dedup import sha_prefix_u64
+
+    if method != "shuffle":
+        raise ValueError(f"unknown method {method!r}")
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        units, _, _ = _doc_units(batch[text_col])
+        shas = np.array(sha256_hex(units.tolist()), object)
+        u, c = np.unique(shas, return_counts=True)
+        return pa.table(
+            {
+                "gk": pa.array([s[:4] for s in u], pa.string()),
+                "sha": pa.array(u, pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def dup_in_group(g: pa.Table) -> pa.Table:
+        # hash-shuffle partitions that received no rows emit schema-less
+        # empty blocks (the ops/dedup.py _conform_pairs lesson)
+        if g.num_rows == 0 or "sha" not in g.column_names:
+            return pa.table({"sha": pa.array([], pa.string())})
+        sha = np.asarray(g["sha"].to_numpy(zero_copy_only=False))
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(sha, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=u.size)
+        return pa.table({"sha": pa.array(u[tot >= min_count], pa.string())})
+
+    dup = (
+        docs.map_batches(unit_rows, batch_format="pyarrow",
+                         batch_size=batch_size)
+        .groupby("gk")
+        .map_groups(dup_in_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # an all-unique corpus leaves a schema-less empty frame behind
+    dup_set = set(dup["sha"].tolist()) if "sha" in dup.columns else set()
+    dup_prefix = np.sort(sha_prefix_u64(sorted(dup_set)))
+    ref = ray.put((dup_prefix, dup_set))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        prefixes, refs = ray.get(ref)
+        units, parents, counts = _doc_units(batch[text_col])
+        n = batch.num_rows
+        shas = sha256_hex(units.tolist())
+        is_dup = np.zeros(len(shas), bool)
+        if prefixes.size and shas:
+            pref = sha_prefix_u64(shas)
+            cand = np.flatnonzero(np.isin(pref, prefixes))
+            if cand.size:
+                hits = np.fromiter(
+                    (shas[i] in refs for i in cand), bool, cand.size)
+                is_dup[cand[hits]] = True
+        n_dup = np.bincount(parents[is_dup], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_units": pa.array(counts, pa.int64()),
+                "n_dup_units": pa.array(n_dup, pa.int64()),
+            }
+        )
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            batch_size=batch_size, **kwargs)
+
+
 # --------------------------------------------------------------------------
 # PII / regex redaction
 # --------------------------------------------------------------------------

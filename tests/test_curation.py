@@ -565,3 +565,25 @@ def test_incremental_dedup_both_methods(ray_session):
     for method in ("shuffle", "broadcast"):
         got = incremental_dedup(new, ref, method=method).to_pandas()
         assert sorted(got["doc_id"]) == want, method
+
+
+def test_unit_dedup_sentence_units(ray_session):
+    from splade_ray.ops.curation import _doc_units, unit_dedup
+
+    texts = ["Hello world. Foo bar! Hello world.",  # within-doc repeat
+             "foo bar? something else",             # cross-doc dup unit
+             "",                                     # empty doc
+             "hello world",                          # cross-doc dup unit
+             "totally unique sentence"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    u, p, c = _doc_units(t["text"])
+    assert list(c) == [3, 2, 0, 1, 1]
+    assert list(u[:3]) == ["hello world", "foo bar", "hello world"]
+    out = (unit_dedup(rd.from_arrow(t).repartition(2), batch_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_units"].tolist() == [3, 2, 0, 1, 1]
+    # 'hello world' occurs 3x (2 in doc0, 1 in doc3); 'foo bar' 2x
+    assert out["n_dup_units"].tolist() == [3, 1, 0, 1, 0]
+    with pytest.raises(ValueError, match="unknown method"):
+        unit_dedup(rd.from_arrow(t), method="bogus")
