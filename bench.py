@@ -84,6 +84,25 @@ def run_bench() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
+    import logging
+
+    class _EmptySchemaBundleNoise(logging.Filter):
+        """Ray Data warns when an EMPTY hash-shuffle partition emits a
+        schema-less RefBundle ("new schema: ."): inevitable on
+        small-cardinality groupbys (fewer groups than partitions) and
+        benign — downstream kernels conform empties to their declared
+        schemas. Filter exactly that message; any real schema divergence
+        (two non-empty schemas) still surfaces."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            m = record.getMessage()
+            return not ("different schema" in m and "new schema: ." in m)
+
+    # filters do NOT propagate to child loggers — attach to the emitter
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaBundleNoise())
+
     from splade_ray.bm25 import BM25Params
     from splade_ray.build import build_index
     from splade_ray.query import Searcher
