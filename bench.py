@@ -366,12 +366,14 @@ def _trigram_leg(index_dir: str, corpus_dir: str) -> dict:
 def run_scaling() -> dict:
     """Same job in fresh processes at 2, 8 and 32 CPUs on the same input.
 
-    Two N->4N pairs are reported: 2->8 runs with memory-bandwidth headroom
-    on both legs (the cluster-like regime: on a real N->4N *node* scaling,
-    bandwidth grows with the nodes), while 8->32 saturates the single
-    box's shared memory controller and under-reports what the same code
-    does across machines. `scaling_efficiency` is the 2->8 figure; both
-    are recorded.
+    Two N->4N pairs are reported; `scaling_efficiency` is the OFFICIAL
+    criterion pair 8->32 (BASELINE.json: throughput_32/throughput_8/4
+    >= 0.8). The 2->8 figure is recorded alongside: it runs with
+    memory-bandwidth headroom on both legs, but its 2-cpu leg is also the
+    least parallel (fixed per-build costs amortize differently), so as
+    the build gets faster the 2-cpu leg gains disproportionately and the
+    ratio under-reports — the 8->32 pair is both the official criterion
+    and the steadier regime on this box.
 
     Sampling (round-2 VERDICT item 4): MEDIAN-of-N per level over
     interleaved rounds (interleaving decorrelates box-noise windows from
@@ -453,7 +455,11 @@ def run_scaling() -> dict:
     for lo, hi in pairs:
         out[f"scaling_efficiency_{lo}_{hi}"] = eff(lo, hi)
     if pairs:
-        out["scaling_efficiency"] = out[f"scaling_efficiency_{pairs[0][0]}_{pairs[0][1]}"]
+        # headline = the OFFICIAL criterion pair (BASELINE.json:
+        # throughput_32 / throughput_8 / 4 >= 0.8), i.e. the LARGEST
+        # N->4N pair measured; smaller pairs stay recorded alongside
+        lo, hi = pairs[-1]
+        out["scaling_efficiency"] = out[f"scaling_efficiency_{lo}_{hi}"]
     return out
 
 
