@@ -3062,6 +3062,63 @@ def q_unit_dedup(sf_dir: str):
     return unit_dedup(_docs(sf_dir, ["doc_id", "text"]), min_count=UNIT_MIN)
 
 
+def _synth_url_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL column from (doc_id, source) — four spelling
+    variants (case/www/default-port/tracking/fragment/trailing-slash) that
+    canonicalize into colliding keys; the SQL mirror builds the identical
+    strings with a CASE."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    srcs = batch["source"].to_pylist()
+    urls = []
+    for i, s in zip(ids, srcs):
+        k, m = int(i) % 7, int(i) % 5
+        v = int(i) % 4
+        if v == 0:
+            u = f"HTTP://WWW.{s}.Example.com:80/Docs/{k}/"
+        elif v == 1:
+            u = f"http://{s}.example.com/Docs/{k}?utm_source=feed"
+        elif v == 2:
+            u = f"http://{s}.example.com/Docs/{k}?id={m}&utm_campaign=x#frag"
+        else:
+            u = f"https://www.{s}.example.com:443/Docs/{k}?id={m}"
+        urls.append(u)
+    return batch.append_column("url", pa.array(urls, pa.string()))
+
+
+_SYNTH_URL_SQL = """CASE doc_id % 4
+  WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.com:80/Docs/' || (doc_id % 7) || '/'
+  WHEN 1 THEN 'http://' || source || '.example.com/Docs/' || (doc_id % 7) || '?utm_source=feed'
+  WHEN 2 THEN 'http://' || source || '.example.com/Docs/' || (doc_id % 7) || '?id=' || (doc_id % 5) || '&utm_campaign=x#frag'
+  ELSE 'https://www.' || source || '.example.com:443/Docs/' || (doc_id % 7) || '?id=' || (doc_id % 5)
+END"""
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (ops/urlnorm.normalize_url_column — the
+    FineWeb/CommonCrawl crawl-dedup key): lowercase + the shared RE2
+    chain (fragment, tracking params, empty query, default ports, www,
+    trailing slash), patterns shared VERBATIM with the SQL mirror."""
+    from splade_ray.ops.urlnorm import add_url_norm
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(_synth_url_batch, batch_format="pyarrow")
+        .map_batches(lambda b: add_url_norm(b).select(["doc_id", "url_norm"]),
+                     batch_format="pyarrow")
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-keyed dedup (ops/urlnorm.url_dedup): lowest doc per canonical
+    URL with its copy count — the exact_dedup recipe keyed on the
+    normalized URL (one coarse sha-prefix groupby of slim key rows)."""
+    from splade_ray.ops.urlnorm import url_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        _synth_url_batch, batch_format="pyarrow")
+    return url_dedup(ds)
+
+
 def q_dup_spans(sf_dir: str):
     """Exact duplicated-substring scan (ops/curation.duplicated_spans, the
     k-gram formulation of Lee et al. 2022 ExactSubstr): per doc the count of
@@ -6164,6 +6221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "unit_dedup": q_unit_dedup,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
         "redact_docs": q_redact,
         "top_terms": q_top_terms,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -6980,6 +7039,23 @@ per AS (SELECT doc_id, count(*)::BIGINT AS n_units,
 SELECT d.doc_id, coalesce(per.n_units, 0)::BIGINT AS n_units,
        coalesce(per.n_dup, 0)::BIGINT AS n_dup_units
 FROM documents d LEFT JOIN per USING (doc_id)"""
+
+
+def _url_normalize_sql() -> str:
+    from splade_ray.ops.urlnorm import url_norm_sql
+
+    return f"""
+SELECT doc_id, {url_norm_sql(_SYNTH_URL_SQL)} AS url_norm FROM documents"""
+
+
+def _url_dedup_sql() -> str:
+    from splade_ray.ops.urlnorm import url_norm_sql
+
+    return f"""
+WITH n AS (SELECT doc_id, {url_norm_sql(_SYNTH_URL_SQL)} AS url_norm
+           FROM documents)
+SELECT min(doc_id)::BIGINT AS doc_id, url_norm, count(*)::BIGINT AS n_copies
+FROM n GROUP BY url_norm"""
 
 
 def _dup_spans_sql() -> str:
@@ -8042,6 +8118,8 @@ FROM documents""",
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "unit_dedup": _unit_dedup_sql(),
+        "url_normalize": _url_normalize_sql(),
+        "url_dedup": _url_dedup_sql(),
         "redact_docs": _redact_sql(),
         "bm25_topk": bm25,
         "search_after_page2": _search_after_sql(),
