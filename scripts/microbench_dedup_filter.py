@@ -31,13 +31,19 @@ def main():
     ref = {hashlib.sha256(str(i).encode()).hexdigest()
            for i in range(n - n // 100, n - n // 100 + n_ref)}
 
+    import pyarrow as pa
+
+    sha_arr = pa.array(shas, pa.string())  # the batch shape the kernel sees
+
+    # OLD kernel as it actually ran: Arrow -> Python list + per-row set
+    # lookup (the to_pylist conversion is part of the cost)
     t0 = time.perf_counter()
-    old_mask = [s not in ref for s in shas]
+    old_mask = [s not in ref for s in sha_arr.to_pylist()]
     t_old = time.perf_counter() - t0
 
     ref_prefix = np.sort(sha_prefix_u64(sorted(ref)))
     t0 = time.perf_counter()
-    pref = sha_prefix_u64(shas)
+    pref = sha_prefix_u64(sha_arr)
     mask = np.ones(n, bool)
     cand = np.flatnonzero(np.isin(pref, ref_prefix))
     if cand.size:
@@ -46,8 +52,14 @@ def main():
     t_new = time.perf_counter() - t0
 
     assert mask.tolist() == old_mask, "kernel parity"
+    import sys as _s
+
+    set_mb = (sum(_s.getsizeof(x) for x in list(ref)[:1000]) / 1000
+              * len(ref) + _s.getsizeof(ref)) / 1e6
     print(f"n={n} n_ref={n_ref} old={t_old:.3f}s new={t_new:.3f}s "
-          f"speedup={t_old / t_new:.2f}x candidates={cand.size}")
+          f"speedup={t_old / t_new:.2f}x candidates={cand.size} "
+          f"broadcast={set_mb:.0f}MB(set) vs "
+          f"{ref_prefix.nbytes / 1e6:.1f}MB(prefixes)+exact set")
 
 
 if __name__ == "__main__":

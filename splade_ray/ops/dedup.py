@@ -43,17 +43,37 @@ MAX_BUCKET_DOCS = 1024
 
 def sha_prefix_u64(hex_strs) -> np.ndarray:
     """uint64 of each value's first 16 hex chars, vectorized — the
-    broadcast-membership key for sha columns (one np.isin instead of a
-    per-row ``int(s, 16)`` / set-lookup loop)."""
-    vals = (hex_strs.to_pylist() if hasattr(hex_strs, "to_pylist")
-            else list(hex_strs))
-    if not vals:
-        return np.empty(0, np.uint64)
-    d = (np.asarray([v[:16] for v in vals], dtype="S16")
-         .view(np.uint8).reshape(-1, 16).astype(np.uint64))
-    d = np.where(d > 57, d - 87, d - 48)  # '0'-'9' / 'a'-'f'
-    shifts = np.arange(60, -4, -4, dtype=np.uint64)
-    return (d << shifts).sum(axis=1, dtype=np.uint64)
+    broadcast-membership key for sha columns. For Arrow string arrays the
+    digits are gathered STRAIGHT FROM THE VALUE BUFFER (offsets + one
+    fancy index — no per-row Python at all; a Python-slice loop here is
+    9× slower than the set lookup it was meant to replace, measured in
+    scripts/microbench_dedup_filter.py). Python lists fall back to the
+    S16-view path (fine for one-time reference-side conversion)."""
+    if isinstance(hex_strs, pa.ChunkedArray):
+        hex_strs = hex_strs.combine_chunks()
+    if isinstance(hex_strs, pa.Array):
+        n = len(hex_strs)
+        if n == 0:
+            return np.empty(0, np.uint64)
+        off_dt = np.int64 if pa.types.is_large_string(hex_strs.type) \
+            else np.int32
+        offs = np.frombuffer(
+            hex_strs.buffers()[1], off_dt, n + 1,
+            offset=hex_strs.offset * np.dtype(off_dt).itemsize,
+        )
+        data = np.frombuffer(hex_strs.buffers()[2], np.uint8)
+        d = data[offs[:-1][:, None] + np.arange(16, dtype=off_dt)]
+    else:
+        vals = list(hex_strs)
+        if not vals:
+            return np.empty(0, np.uint64)
+        d = (np.asarray([v[:16] for v in vals], dtype="S16")
+             .view(np.uint8).reshape(-1, 16))
+    # stay in uint8 until the final fold: 16M u64 intermediates cost more
+    # than the gather itself (micro-benched)
+    d = d - np.uint8(48) - (d > 57) * np.uint8(39)  # '0'-'9' / 'a'-'f'
+    b = (d[:, ::2] << np.uint8(4)) | d[:, 1::2]     # hex pairs -> bytes
+    return np.ascontiguousarray(b).view(">u8").ravel().astype(np.uint64)
 
 
 def add_text_sha(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
