@@ -3671,6 +3671,61 @@ SELECT query_id, rank::BIGINT AS rank, parent, score_r, n_children
 FROM ranked WHERE rank <= {TOP_K}"""
 
 
+def _emb_with_dups(sf_dir: str):
+    """Embeddings plus EXACT copies (vec_id+100000 for vec_id%3==0) — the
+    SemDeDup oracle fixture: identical vectors form sim=1.0 groups whose
+    keeper is construction-derivable (centroid sims tie -> lowest id =
+    the original), so the integer twin is SQL-expressible."""
+    from splade_ray.io import read_parquet_clean
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+
+    def with_dups(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 3 == 0
+        dup = batch.filter(pa.array(keep))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pa.array(dup["vec_id"].to_numpy(zero_copy_only=False) + 100_000,
+                     pa.int64()),
+        )
+        return pa.concat_tables([batch, dup])
+
+    return ds.map_batches(with_dups, batch_format="pyarrow")
+
+
+def q_semdedup_exact(sf_dir: str):
+    """SemDeDup at the exact-duplicate point (ops/semdedup, Abbas et al.
+    2023): planted exact copies, threshold just below 1.0 — only
+    identical vectors group (synthetic inter-vector cosines are far
+    below), centroid sims tie inside each group, so the keeper is the
+    lowest id = the original. Integer-exact construction twin; the
+    realistic-threshold face is rows-only below."""
+    from splade_ray.ops.semdedup import semdedup
+
+    out = semdedup(_emb_with_dups(sf_dir), n_clusters=8,
+                   threshold=0.999999, sample_size=100_000).to_pandas()
+    out["kept"] = out["kept"].astype(bool)
+    return out[["vec_id", "kept", "rep_id"]]
+
+
+def q_semdedup_sel(sf_dir: str):
+    """SemDeDup at a realistic threshold (0.9) over the raw embeddings —
+    rows-only (float cosine grouping is not SQL-mirrorable; the exact
+    twin above IS oracle-checked, and tests/test_semdedup.py proves
+    brute-force parity of the kernel)."""
+    from splade_ray.ops.semdedup import semdedup
+
+    out = semdedup(
+        _rpq(os.path.join(sf_dir, "embeddings.parquet"),
+             columns=["vec_id", "embedding"]),
+        n_clusters=8, threshold=0.9, sample_size=100_000,
+    ).to_pandas()
+    out["kept"] = out["kept"].astype(bool)
+    return out[["vec_id", "cluster", "kept", "rep_id"]]
+
+
 def q_emb_covariance(sf_dir: str):
     """Exact population covariance of the embeddings column
     (ops/pca.embedding_covariance): one streaming pass of (Σx, Σxxᵀ, n)
@@ -6251,6 +6306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exact": q_ann_ivf_exact,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_buckets_int": q_ann_lsh_buckets_int,
+        "semdedup_exact": q_semdedup_exact,
+        "semdedup_sel": q_semdedup_sel,
         "anserini_docs": q_anserini_docs,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -8185,6 +8242,16 @@ FROM documents""",
         "snippets_topk_distinct": _snippets_distinct_sql(),
         "snippets_topk_sentence": _snippets_sentence_sql(),
         "ann_lsh_buckets_int": _lsh_int_sql(),
+        "semdedup_exact": """
+WITH all_vecs AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 3 = 0
+)
+SELECT vec_id,
+       (vec_id < 100000) AS kept,
+       CASE WHEN vec_id < 100000 THEN vec_id ELSE vec_id - 100000 END AS rep_id
+FROM all_vecs""",
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),

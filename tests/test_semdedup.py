@@ -1,0 +1,107 @@
+"""SemDeDup (ops/semdedup): brute-force parity on planted near-dup groups."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.semdedup import _group_labels, semdedup
+
+
+def _planted(seed=7, n_base=40, d=16):
+    """Base vectors plus planted near-duplicates (tiny perturbations) and
+    exact duplicates."""
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, d)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, ids = [], []
+    nid = 0
+    for i in range(n_base):
+        rows.append(base[i]); ids.append(nid); nid += 1
+        if i % 5 == 0:  # exact duplicate
+            rows.append(base[i].copy()); ids.append(nid); nid += 1
+        if i % 7 == 0:  # near duplicate
+            v = base[i] + 0.001 * rng.randn(d)
+            rows.append(v / np.linalg.norm(v)); ids.append(nid); nid += 1
+    return np.array(ids, np.int64), np.stack(rows)
+
+
+def _brute(ids, x, cents, threshold):
+    """Scalar reference: same cluster assignment, per-cluster pairwise
+    grouping, keeper = (cent_sim asc, id asc)."""
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims_c = x @ cents.T
+    cl = sims_c.argmax(axis=1)
+    out = {}
+    for c in set(cl.tolist()):
+        mask = cl == c
+        sub_ids, sub_x = ids[mask], x[mask]
+        cs = sims_c[mask, c]
+        order = np.argsort(sub_ids)
+        sub_ids, sub_x, cs = sub_ids[order], sub_x[order], cs[order]
+        m = len(sub_ids)
+        # union-find
+        parent = list(range(m))
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+        s = sub_x @ sub_x.T
+        for i in range(m):
+            for j in range(i + 1, m):
+                if s[i, j] >= threshold:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for i in range(m):
+            groups.setdefault(find(i), []).append(i)
+        for members in groups.values():
+            rep = min(members, key=lambda i: (cs[i], sub_ids[i]))
+            for i in members:
+                out[int(sub_ids[i])] = (int(c), i == rep, int(sub_ids[rep]))
+    return out
+
+
+def test_group_labels_chain_and_star():
+    # chain 0-1-2-3 plus isolated 4, star 5-{6,7}
+    i = np.array([0, 1, 2, 5, 5]); j = np.array([1, 2, 3, 6, 7])
+    lab = _group_labels(i, j, 8)
+    assert lab.tolist() == [0, 0, 0, 0, 4, 5, 5, 5]
+    assert _group_labels(np.array([], int), np.array([], int), 3).tolist() == [0, 1, 2]
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.999])
+def test_semdedup_matches_bruteforce(ray_session, threshold):
+    from splade_ray.ops.ann import kmeans_fit
+
+    ids, x = _planted()
+    cents = kmeans_fit(x, 4, iters=10, seed=42)
+    want = _brute(ids, x, cents, threshold)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float64())),
+    })).repartition(3)
+    got = semdedup(ds, n_clusters=4, threshold=threshold,
+                   sample_size=10_000, iters=10, seed=42).to_pandas()
+    assert len(got) == len(ids)
+    for r in got.itertuples():
+        c, kept, rep = want[int(r.vec_id)]
+        assert (r.cluster, r.kept, r.rep_id) == (c, kept, rep), r.vec_id
+    # exact + near dups actually pruned at 0.999
+    if threshold == 0.999:
+        assert (~got["kept"]).sum() >= 8
+
+
+def test_semdedup_cluster_cap_raises(ray_session):
+    ids, x = _planted()
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in x],
+                              pa.list_(pa.float64())),
+    }))
+    with pytest.raises(Exception, match="max_cluster"):
+        semdedup(ds, n_clusters=1, threshold=0.9, max_cluster=10,
+                 sample_size=10_000).to_pandas()
