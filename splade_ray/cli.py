@@ -527,6 +527,85 @@ def cmd_facets(args) -> int:
     return 0
 
 
+def cmd_facet_stats(args) -> int:
+    """ES sub-aggregation: terms bucket over a facet column with a nested
+    stats metric over a numeric doc-values column, one pass."""
+    _ensure_ray()
+    from splade_ray.facets import facet_stats_agg
+
+    queries = _load_queries(args.queries)
+    out = facet_stats_agg(args.index, queries, facet_col=args.facet_col,
+                          metric_col=args.metric_col, top=args.top)
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(out),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_fragments(args) -> int:
+    """Multi-fragment highlighting: top-N fixed tiles per hit of a run
+    (ES highlight number_of_fragments)."""
+    _ensure_ray()
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.query import search
+    from splade_ray.snippets import fragments_for_run
+
+    queries = _load_queries(args.queries)
+    run = search(args.index, queries,
+                 BM25Params(k1=args.k1, b=args.b, top_k=args.top_k))
+    out = fragments_for_run(args.corpus, run, queries, window=args.window,
+                            n_fragments=args.n_fragments,
+                            text_col=args.text_col, id_col=args.id_col)
+    out.to_parquet(args.out, index=False)
+    print(json.dumps({"queries": len(queries), "rows": len(out),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_unit_dedup(args) -> int:
+    """Sub-document sentence-unit dedup over a parquet corpus (the Dolma
+    paragraph-dedup / C4 sentence-dedup shape)."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.curation import unit_dedup
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+    out = unit_dedup(ds, min_count=args.min_count, text_col=args.text_col,
+                     id_col=args.id_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_url_dedup(args) -> int:
+    """URL-keyed dedup: canonical dedup key per URL, lowest id survives."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.urlnorm import url_dedup
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.url_col])
+    out = url_dedup(ds, url_col=args.url_col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup: embedding-space semantic dedup (cluster + within-cluster
+    cosine duplicate groups, keeper least similar to the centroid)."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.semdedup import semdedup
+
+    ds = read_parquet_clean(args.embeddings,
+                            columns=[args.id_col, args.emb_col])
+    out = semdedup(ds, n_clusters=args.n_clusters, threshold=args.threshold,
+                   id_col=args.id_col, emb_col=args.emb_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_dv(args) -> int:
     """Doc-values queries: range-filtered BM25, sort-by-field, total-hit
     counts, numeric histogram aggregation."""
@@ -1859,6 +1938,53 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--facet-col", default="lang")
     fc.add_argument("--out", required=True, help=".parquet")
     fc.set_defaults(fn=cmd_facets)
+
+    fs = sub.add_parser("facet-stats", help="terms bucket + nested stats metric")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    fs.add_argument("--facet-col", required=True)
+    fs.add_argument("--metric-col", required=True)
+    fs.add_argument("--top", type=int, default=None)
+    fs.add_argument("--out", required=True, help=".parquet")
+    fs.set_defaults(fn=cmd_facet_stats)
+
+    fr = sub.add_parser("fragments", help="multi-fragment highlighting")
+    fr.add_argument("--index", required=True)
+    fr.add_argument("--corpus", required=True)
+    fr.add_argument("--queries", required=True, help="TSV: id\\tquery text")
+    fr.add_argument("--out", required=True, help=".parquet")
+    fr.add_argument("--window", type=int, default=10)
+    fr.add_argument("--n-fragments", type=int, default=3)
+    fr.add_argument("--top-k", type=int, default=10)
+    fr.add_argument("--k1", type=float, default=1.2)
+    fr.add_argument("--b", type=float, default=0.75)
+    fr.add_argument("--text-col", default="text")
+    fr.add_argument("--id-col", default="doc_id")
+    fr.set_defaults(fn=cmd_fragments)
+
+    ud = sub.add_parser("unit-dedup", help="sentence-unit dedup stats")
+    ud.add_argument("--corpus", required=True)
+    ud.add_argument("--out", required=True, help="parquet dir")
+    ud.add_argument("--min-count", type=int, default=2)
+    ud.add_argument("--text-col", default="text")
+    ud.add_argument("--id-col", default="doc_id")
+    ud.set_defaults(fn=cmd_unit_dedup)
+
+    up = sub.add_parser("url-dedup", help="canonical-URL dedup")
+    up.add_argument("--corpus", required=True)
+    up.add_argument("--out", required=True, help="parquet dir")
+    up.add_argument("--url-col", default="url")
+    up.add_argument("--id-col", default="doc_id")
+    up.set_defaults(fn=cmd_url_dedup)
+
+    sd = sub.add_parser("semdedup", help="embedding semantic dedup")
+    sd.add_argument("--embeddings", required=True)
+    sd.add_argument("--out", required=True, help="parquet dir")
+    sd.add_argument("--n-clusters", type=int, default=16)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--emb-col", default="embedding")
+    sd.set_defaults(fn=cmd_semdedup)
 
     dv = sub.add_parser("dv", help="doc-values: range filter / sort / count / histogram")
     dv.add_argument("--index", required=True)

@@ -826,3 +826,80 @@ def test_cli_classify(ray_session, tmp_path, capsys):
     scored = pd.read_parquet(out)
     assert set(scored["label"]) == {1}  # separable corpus: only good kept
     assert (scored["quality_score"] >= 0.5).all()
+
+
+def test_cli_round4_subcommands(ray_session, tmp_path, capsys):
+    """facet-stats / fragments / unit-dedup / url-dedup / semdedup smoke:
+    each runs end-to-end and writes its parquet output."""
+    import numpy as np
+    import ray.data as rd
+
+    from splade_ray.build import build_index
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["hash join merge. hash join merge.", "stream window agg",
+             "hash join merge. other text", "unique sentence here"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "fr", "en", "fr"]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "url": pa.array([
+                "HTTP://WWW.a.com:80/x/", "http://a.com/x?utm_source=f",
+                "http://b.com/y", "http://b.com/y#frag"]),
+        }),
+        str(d / "part-0.parquet"),
+    )
+    index = str(tmp_path / "index")
+    build_index(str(d), index, text_col="text", id_col="doc_id",
+                rows_per_segment=2, extra_doc_cols=("lang", "n_chars"))
+    queries = tmp_path / "q.tsv"
+    queries.write_text("0\thash join\n1\tstream window\n")
+
+    out1 = str(tmp_path / "fs.parquet")
+    assert main(["facet-stats", "--index", index, "--queries", str(queries),
+                 "--facet-col", "lang", "--metric-col", "n_chars",
+                 "--out", out1]) == 0
+    fs = pq.read_table(out1).to_pandas()
+    assert {"facet", "n_docs", "sum_v", "avg_v"} <= set(fs.columns)
+    assert len(fs) > 0
+
+    out2 = str(tmp_path / "frag.parquet")
+    assert main(["fragments", "--index", index, "--corpus", str(d),
+                 "--queries", str(queries), "--out", out2,
+                 "--window", "3", "--n-fragments", "2"]) == 0
+    frag = pq.read_table(out2).to_pandas()
+    assert (frag["n_match"] > 0).all() and len(frag) > 0
+
+    out3 = str(tmp_path / "ud")
+    assert main(["unit-dedup", "--corpus", str(d), "--out", out3]) == 0
+    ud = rd.read_parquet(out3).to_pandas().set_index("doc_id")
+    assert ud.loc[0, "n_dup_units"] == 2  # within-doc repeated sentence
+    assert ud.loc[3, "n_dup_units"] == 0
+
+    out4 = str(tmp_path / "url")
+    assert main(["url-dedup", "--corpus", str(d), "--out", out4]) == 0
+    urls = rd.read_parquet(out4).to_pandas()
+    assert sorted(urls["doc_id"]) == [0, 2]  # 0==1 and 2==3 canonical
+
+    emb = tmp_path / "emb"
+    emb.mkdir()
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20, 8)
+    vecs[10] = vecs[0]  # exact dup
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }),
+        str(emb / "part-0.parquet"),
+    )
+    out5 = str(tmp_path / "sd")
+    assert main(["semdedup", "--embeddings", str(emb), "--out", out5,
+                 "--n-clusters", "2", "--threshold", "0.999999"]) == 0
+    sd = rd.read_parquet(out5).to_pandas().set_index("vec_id")
+    assert bool(sd.loc[0, "kept"]) and not bool(sd.loc[10, "kept"])
+    assert int(sd.loc[10, "rep_id"]) == 0
