@@ -765,6 +765,7 @@ def unit_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     method: str = "shuffle",
+    rewrite: bool = False,
     batch_size: int = 2048,
     concurrency=None,
 ):
@@ -773,7 +774,10 @@ def unit_dedup(
     (split on the shared snippets sentence pattern) normalized to its
     analyzed-token join; units occurring >= ``min_count`` times across
     the corpus (within-doc repeats count) are duplicated. Returns per doc
-    (doc_id, n_units, n_dup_units).
+    (doc_id, n_units, n_dup_units); with ``rewrite=True`` adds
+    ``text_dedup`` — the kept (non-duplicated) units' normalized strings
+    re-joined (the C4 sentence-cut, under this repo's documented
+    lowercased-token-join rewrite normalization).
 
     Scale shape = the exact_dedup/collect_dup_grams recipe: pass 1 ships
     only (sha-prefix coarse key, unit sha256, count) combiner rows through
@@ -839,13 +843,22 @@ def unit_dedup(
                     (shas[i] in refs for i in cand), bool, cand.size)
                 is_dup[cand[hits]] = True
         n_dup = np.bincount(parents[is_dup], minlength=n).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch[id_col].cast(pa.int64()),
-                "n_units": pa.array(counts, pa.int64()),
-                "n_dup_units": pa.array(n_dup, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_units": pa.array(counts, pa.int64()),
+            "n_dup_units": pa.array(n_dup, pa.int64()),
+        }
+        if rewrite:
+            kept = ~is_dup
+            kept_counts = np.bincount(parents[kept], minlength=n)
+            offsets = np.zeros(n + 1, np.int32)
+            np.cumsum(kept_counts, out=offsets[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(units[kept], pa.string()),
+            )
+            cols["text_dedup"] = pc.binary_join(la, " ")
+        return pa.table(cols)
 
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return docs.map_batches(scan, batch_format="pyarrow",

@@ -587,3 +587,16 @@ def test_unit_dedup_sentence_units(ray_session):
     assert out["n_dup_units"].tolist() == [3, 1, 0, 1, 0]
     with pytest.raises(ValueError, match="unknown method"):
         unit_dedup(rd.from_arrow(t), method="bogus")
+
+
+def test_unit_dedup_rewrite_removes_dup_units(ray_session):
+    from splade_ray.ops.curation import unit_dedup
+
+    texts = ["Hello world. Foo bar! Hello world.", "foo bar? keep this one",
+             "hello world"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (unit_dedup(rd.from_arrow(t), rewrite=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # 'hello world' ×3 and 'foo bar' ×2 are duplicated units
+    assert out["text_dedup"].tolist() == ["", "keep this one", ""]
