@@ -1783,11 +1783,26 @@ class RouterPool:
 
 class Searcher:
     """Driver-side handle over a pool of shard actors for low-latency
-    repeated queries (used by bench.py for p50 latency)."""
+    repeated queries (used by bench.py for p50 latency).
 
-    def __init__(self, index_dir: str, num_shards: int = 8, method: str = "exact"):
+    ``cache_size > 0`` enables an ES-request-cache-style LRU over
+    PER-QUERY results keyed on (query text, analysis/scoring knobs,
+    cursor, filter): repeated queries skip the shard round-trip entirely.
+    Coherence is by construction — a Searcher snapshots its tombstones at
+    startup and segments are immutable, so cached entries can never go
+    stale within one Searcher lifetime; open a new Searcher after
+    deletes/appends (the same rule the shard actors themselves follow)."""
+
+    def __init__(self, index_dir: str, num_shards: int = 8,
+                 method: str = "exact", cache_size: int = 0):
+        from collections import OrderedDict
+
         self.index_dir = index_dir
         self.params_default = BM25Params()
+        self.cache_size = int(cache_size)
+        self._cache: "OrderedDict[tuple, pd.DataFrame]" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
         self.quant_extra: dict = {}
         self._quant_kb: tuple[float, float] | None = None
         if method in ("quantized", "quantized_bmw"):
@@ -1828,6 +1843,64 @@ class Searcher:
         range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
         params = params or self.params_default
+        if self.cache_size > 0:
+            return self._search_cached(
+                queries, params, query_lang, scoring=scoring, mu=mu,
+                lam=lam, after=after, range_filter=range_filter)
+        return self._search_uncached(
+            queries, params, query_lang, scoring=scoring, mu=mu, lam=lam,
+            after=after, range_filter=range_filter)
+
+    def _cache_key(self, qid: int, text: str, params, query_lang, scoring,
+                   mu, lam, after, range_filter) -> tuple:
+        return (text, query_lang, scoring, mu, lam, params.k1, params.b,
+                params.top_k, params.threshold,
+                after.get(int(qid)) if after else None, range_filter)
+
+    def _search_cached(self, queries, params, query_lang, *, scoring, mu,
+                       lam, after, range_filter) -> pd.DataFrame:
+        keys = {
+            int(qid): self._cache_key(int(qid), text, params, query_lang,
+                                      scoring, mu, lam, after, range_filter)
+            for qid, text in queries
+        }
+        missing = [(qid, text) for qid, text in queries
+                   if keys[int(qid)] not in self._cache]
+        self.cache_hits += len(queries) - len(missing)
+        self.cache_misses += len(missing)
+        fresh_parts: dict[int, pd.DataFrame] = {}
+        if missing:
+            fresh = self._search_uncached(
+                missing, params, query_lang, scoring=scoring, mu=mu,
+                lam=lam, after=after, range_filter=range_filter)
+            for qid, _ in missing:
+                part = fresh[fresh["query_id"] == int(qid)].reset_index(
+                    drop=True)
+                fresh_parts[int(qid)] = part
+                self._cache[keys[int(qid)]] = part.drop(columns=["query_id"])
+            while len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
+        parts = []
+        for qid, _ in queries:
+            qid = int(qid)
+            if qid in fresh_parts:
+                # this call's results are authoritative even if the entry
+                # was immediately evicted (cache_size < batch size)
+                parts.append(fresh_parts[qid])
+                continue
+            k = keys[qid]
+            self._cache.move_to_end(k)
+            p = self._cache[k].copy()
+            p.insert(0, "query_id", qid)
+            parts.append(p)
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return pd.DataFrame(columns=RUN_COLUMNS)
+        out = pd.concat(parts, ignore_index=True)
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    def _search_uncached(self, queries, params, query_lang, *, scoring, mu,
+                         lam, after, range_filter) -> pd.DataFrame:
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
             raise ValueError(
                 f"quantized layer built with k1={self._quant_kb[0]} "
