@@ -31,11 +31,13 @@ URL_NORM_PATTERNS: list[tuple[str, str]] = [
     (r"#.*$", ""),                                          # fragment
     (r"(utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&]*&", ""),      # tracking, mid
     (r"[?&](utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&]*$", ""),  # tracking, last
-    (r"\?$", ""),                                           # empty query
     (r"^(http://[^/:?#]+):80([/?#]|$)", r"\1\2"),           # default port
     (r"^(https://[^/:?#]+):443([/?#]|$)", r"\1\2"),
     (r"^(https?://)www\.", r"\1"),                          # www.
-    (r"/$", ""),                                            # trailing slash
+    # ONE tail rule for empty query / trailing slashes / dangling &:
+    # separate \?$ and /$ rules were non-idempotent on runs like '//',
+    # '??' or '?/' (hypothesis-found — each pass peeled one layer)
+    (r"[/?&]+$", ""),
 ]
 
 

@@ -51,3 +51,25 @@ def test_url_dedup_keeps_lowest_id(ray_session):
     assert out["doc_id"].tolist() == [1, 4]
     assert out["n_copies"].tolist() == [3, 1]
     assert out["url_norm"].tolist() == ["http://a.com/x", "http://b.com/y"]
+
+
+def test_normalize_idempotent_hypothesis():
+    """Canonicalization must be idempotent: normalize(normalize(u)) ==
+    normalize(u) — property-tested over adversarial URL-ish strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.text(
+        alphabet="abcXYZ019_./?&#=:-", min_size=0, max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(scheme=st.sampled_from(["http://", "https://", "HTTP://WWW.", ""]),
+           host=st.sampled_from(["a.com", "A.com:80", "b.org:443", "c.io:8080"]),
+           rest=frag)
+    def prop(scheme, host, rest):
+        u = scheme + host + "/" + rest
+        once = normalize_url_column(pa.array([u])).to_pylist()[0]
+        twice = normalize_url_column(pa.array([once])).to_pylist()[0]
+        assert twice == once, (u, once, twice)
+
+    prop()
