@@ -1398,7 +1398,7 @@ def cmd_curate(args) -> int:
 
     from splade_ray.io import read_parquet_clean
 
-    known = ["quality", "dedup", "dupspans", "decontam", "dsir", "ppl", "redact", "pack"]
+    known = ["quality", "dedup", "dupspans", "unitdedup", "decontam", "dsir", "ppl", "redact", "pack"]
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(known)
     if unknown:
@@ -1453,6 +1453,14 @@ def cmd_curate(args) -> int:
         return drop_duplicated_spans(
             ds, k=args.dup_k, min_count=args.dup_min_count,
             text_col=text_col, id_col=id_col,
+        )
+
+    def stage_unitdedup(ds):
+        from splade_ray.ops.curation import unit_dedup
+
+        return unit_dedup(
+            ds, min_count=args.dup_min_count, text_col=text_col,
+            id_col=id_col, replace=True,
         )
 
     def stage_decontam(ds):
@@ -1559,6 +1567,7 @@ def cmd_curate(args) -> int:
         "quality": stage_quality,
         "dedup": stage_dedup,
         "dupspans": stage_dupspans,
+        "unitdedup": stage_unitdedup,
         "decontam": stage_decontam,
         "dsir": stage_dsir,
         "ppl": stage_ppl,

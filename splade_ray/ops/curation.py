@@ -766,6 +766,7 @@ def unit_dedup(
     id_col: str = "doc_id",
     method: str = "shuffle",
     rewrite: bool = False,
+    replace: bool = False,
     batch_size: int = 2048,
     concurrency=None,
 ):
@@ -777,7 +778,10 @@ def unit_dedup(
     (doc_id, n_units, n_dup_units); with ``rewrite=True`` adds
     ``text_dedup`` — the kept (non-duplicated) units' normalized strings
     re-joined (the C4 sentence-cut, under this repo's documented
-    lowercased-token-join rewrite normalization).
+    lowercased-token-join rewrite normalization); ``replace=True``
+    returns the ORIGINAL batch with ``text_col`` swapped for the
+    deduplicated text (the in-place curate-stage face, the
+    drop_duplicated_spans contract).
 
     Scale shape = the exact_dedup/collect_dup_grams recipe: pass 1 ships
     only (sha-prefix coarse key, unit sha256, count) combiner rows through
@@ -793,6 +797,7 @@ def unit_dedup(
 
     if method != "shuffle":
         raise ValueError(f"unknown method {method!r}")
+    rewrite = rewrite or replace
 
     def unit_rows(batch: pa.Table) -> pa.Table:
         units, _, _ = _doc_units(batch[text_col])
@@ -858,6 +863,10 @@ def unit_dedup(
                 pa.array(units[kept], pa.string()),
             )
             cols["text_dedup"] = pc.binary_join(la, " ")
+        if replace:
+            idx = batch.schema.get_field_index(text_col)
+            return batch.set_column(
+                idx, text_col, cols["text_dedup"].cast(pa.string()))
         return pa.table(cols)
 
     kwargs = {} if concurrency is None else {"concurrency": concurrency}

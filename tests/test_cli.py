@@ -903,3 +903,26 @@ def test_cli_round4_subcommands(ray_session, tmp_path, capsys):
     sd = rd.read_parquet(out5).to_pandas().set_index("vec_id")
     assert bool(sd.loc[0, "kept"]) and not bool(sd.loc[10, "kept"])
     assert int(sd.loc[10, "rep_id"]) == 0
+
+
+def test_cli_curate_unitdedup_stage(ray_session, tmp_path, capsys):
+    import ray.data as rd
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["alpha beta. shared sentence here.",
+             "shared sentence here. gamma delta",
+             "totally unique text"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "p.parquet"),
+    )
+    out = str(tmp_path / "cur")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "unitdedup"])
+    assert rc == 0
+    got = rd.read_parquet(out).to_pandas().set_index("doc_id")["text"]
+    assert got.loc[0] == "alpha beta"
+    assert got.loc[1] == "gamma delta"
+    assert got.loc[2] == "totally unique text"
