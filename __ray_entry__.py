@@ -3050,6 +3050,44 @@ DUP_MIN = 2
 UNIT_MIN = 2
 
 
+LSH_IDX_PERM, LSH_IDX_BANDS = 64, 16
+
+
+def q_lsh_probe_counts(sf_dir: str):
+    """Persisted MinHash-LSH index probe (ops/dedup.minhash_index_build/
+    probe — the daily-crawl incremental near-dup shape): the increment is
+    every even doc re-numbered +100000, probed against the persisted
+    index at n_match >= 0.5·64. FULLY mirrored in SQL on the
+    already-oracle-checked signature machinery (minhash_sigs): band
+    folds, bucket pairing new×old, per-pair matched-perm counts — the
+    dedup_minhash_counts recipe applied to the incremental face. (An
+    earlier 'exact construction' twin assumed full 64-perm agreement
+    certifies identical text; near-dups at J≈0.97 pass all 64 minima
+    with P≈0.18 — probabilistic, so the twin now computes the real
+    thing.)"""
+    from splade_ray.ops.dedup import minhash_index_build, minhash_index_probe
+
+    idx = os.path.join(_work_dir(sf_dir, "lshidx"), "lsh")
+    minhash_index_build(
+        _docs(sf_dir, ["doc_id", "text"]), idx,
+        num_perm=LSH_IDX_PERM, bands=LSH_IDX_BANDS,
+    )
+
+    def renumber(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 2 == 0
+        t = batch.filter(pa.array(keep))
+        return t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(t["doc_id"].to_numpy(zero_copy_only=False) + 100_000,
+                     pa.int64()),
+        )
+
+    inc = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        renumber, batch_format="pyarrow")
+    return minhash_index_probe(inc, idx, min_est_jaccard=0.5)
+
+
 def q_unit_dedup(sf_dir: str):
     """Sub-document sentence-unit dedup (ops/curation.unit_dedup — the
     Dolma paragraph-dedup / C4 sentence-dedup shape): units = sentence
@@ -5923,6 +5961,39 @@ m AS (
 SELECT doc_a, doc_b, n_match FROM m WHERE n_match >= 0.5 * {num_perm}"""
 
 
+def _lsh_probe_sql() -> str:
+    """Mirror of q_lsh_probe_counts: signatures + band folds from the
+    shared minhash SQL machinery, the increment's band rows joined
+    against the full corpus's, per-pair matched-perm counts."""
+    from splade_ray.ops.dedup import SHINGLE_P
+
+    num_perm, bands = LSH_IDX_PERM, LSH_IDX_BANDS
+    rows = num_perm // bands
+    return f"""
+WITH sigs AS ({_minhash_sigs_sql(num_perm)}),
+bh AS (
+  SELECT doc_id, perm // {rows} AS band,
+         (list_reduce(list(minhash::HUGEINT ORDER BY perm),
+                      (a, x) -> (a * {int(SHINGLE_P)} + x) % {_M64})
+          % 9223372036854775808)::BIGINT AS band_hash
+  FROM sigs GROUP BY doc_id, perm // {rows}
+),
+newbh AS (SELECT doc_id + 100000 AS doc_id, band, band_hash
+          FROM bh WHERE doc_id % 2 = 0),
+p AS (SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+      FROM newbh n JOIN bh o
+        ON n.band = o.band AND n.band_hash = o.band_hash),
+m AS (
+  SELECT p.new_doc, p.old_doc,
+         sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)::BIGINT
+             AS n_match
+  FROM p JOIN sigs s1 ON s1.doc_id = p.new_doc - 100000
+         JOIN sigs s2 ON s2.doc_id = p.old_doc AND s2.perm = s1.perm
+  GROUP BY p.new_doc, p.old_doc)
+SELECT new_doc, old_doc, n_match FROM m
+WHERE n_match >= 0.5 * {num_perm}"""
+
+
 def _simhash_pairs_sql() -> str:
     """SQL mirror of simhash_pairs: 16-bit chunk blocking over the
     oracle-checked fingerprints, pairwise hamming = bit_count(xor)."""
@@ -6276,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
         "unit_dedup": q_unit_dedup,
+        "lsh_probe_counts": q_lsh_probe_counts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "redact_docs": q_redact,
@@ -8175,6 +8247,7 @@ FROM documents""",
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
         "unit_dedup": _unit_dedup_sql(),
+        "lsh_probe_counts": _lsh_probe_sql(),
         "url_normalize": _url_normalize_sql(),
         "url_dedup": _url_dedup_sql(),
         "redact_docs": _redact_sql(),

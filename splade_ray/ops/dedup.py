@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -1130,3 +1131,276 @@ def incremental_dedup(
         ds_ref.map_batches(key_rows(0), batch_format="pyarrow")
     )
     return both.groupby("gk").map_groups(survivors, batch_format="pandas")
+
+
+# -------------------------------------------------- persisted MinHash-LSH
+
+
+def minhash_index_build(
+    ds,
+    out_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist a MinHash-LSH index for INCREMENTAL near-dup probing — the
+    daily-crawl shape: signatures and banded bucket keys land on disk
+    once, and each new increment probes them without recomputing the
+    reference corpus (the IVF persist/probe design point applied to LSH).
+
+    Layout: ``out_dir/sigs/`` holds (doc_id, sig) rows; ``out_dir/bands/``
+    holds (band_hash, doc_id) hive-partitioned by ``band=N`` so a probe
+    reads only the partitions it needs with a band-hash pushdown filter.
+    A ``_params.json`` manifest (num_perm, bands, shingle_k, seed) is
+    written first-run and validated on reuse — probing with mismatched
+    parameters would silently produce garbage candidates, so it refuses
+    instead (the write_train_shards recipe). Returns the manifest."""
+    import json
+
+    import pyarrow.dataset as pads  # noqa: F401  (probe-side mirror import)
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    params = {"num_perm": int(num_perm), "bands": int(bands),
+              "shingle_k": int(shingle_k), "seed": int(seed)}
+    manifest_path = os.path.join(out_dir, "_params.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"{out_dir} was built with {prev}, refusing to reuse "
+                f"with {params}")
+        return params
+    rows_per_band = num_perm // bands
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch[id_col].cast(pa.int64()),
+                "text": batch[text_col].cast(pa.string())}
+        return pa.table(cols)
+
+    sigs = ds.map_batches(rename, batch_format="pyarrow").map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   seed=seed),
+        concurrency=(1, 4),
+    ).materialize()
+    tmp_sigs = os.path.join(out_dir, "sigs.tmp")
+    os.makedirs(tmp_sigs, exist_ok=True)
+    sigs.write_parquet(tmp_sigs)
+    os.rename(tmp_sigs, os.path.join(out_dir, "sigs"))
+
+    def banded(batch: pa.Table) -> pa.Table:
+        return _band_rows(batch, bands=bands, rows_per_band=rows_per_band)
+
+    tmp_bands = os.path.join(out_dir, "bands.tmp")
+    os.makedirs(tmp_bands, exist_ok=True)
+    sigs.map_batches(banded, batch_format="pyarrow").write_parquet(
+        tmp_bands, partition_cols=["band"])
+    os.rename(tmp_bands, os.path.join(out_dir, "bands"))
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(params, f)
+    os.rename(manifest_path + ".tmp", manifest_path)
+    return params
+
+
+def minhash_index_probe(
+    new_ds,
+    index_dir: str,
+    *,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pushdown_max_rows: int = 500_000,
+    max_per_bucket: int = MAX_BUCKET_DOCS,
+):
+    """Probe a persisted MinHash-LSH index with an increment: returns
+    (new_doc, old_doc, n_match) for every candidate pair whose signature
+    match count clears ``min_est_jaccard`` (integer threshold — the
+    n_match face, SQL-friendly like near_dup_jaccard_counts).
+
+    Two regimes, picked by the increment's band-row count: at or below
+    ``pushdown_max_rows`` the new band rows collect to the driver and the
+    persisted band partitions are read with a band-hash ``isin`` pushdown
+    (only colliding row groups leave storage — the daily-increment fast
+    path); above it the probe degrades to the full shuffle: union of old
+    and new band rows through the coarse-key groupby (the
+    incremental_dedup shuffle shape; nothing text-sized moves either
+    way). Verification fetches exactly the candidate ids' signatures from
+    both sides (pushdown isin reads)."""
+    import json
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_dir, "_params.json")) as f:
+        params = json.load(f)
+    num_perm, bands = params["num_perm"], params["bands"]
+    rows_per_band = num_perm // bands
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "text": batch[text_col].cast(pa.string())})
+
+    new_sigs = new_ds.map_batches(rename, batch_format="pyarrow").map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm,
+                                   shingle_k=params["shingle_k"],
+                                   seed=params["seed"]),
+        concurrency=(1, 4),
+    ).materialize()
+
+    def banded(batch: pa.Table) -> pa.Table:
+        return _band_rows(batch, bands=bands, rows_per_band=rows_per_band)
+
+    new_bands = new_sigs.map_batches(banded, batch_format="pyarrow")
+    n_rows = new_bands.count()
+    empty = pa.table({"new_doc": pa.array([], pa.int64()),
+                      "old_doc": pa.array([], pa.int64()),
+                      "n_match": pa.array([], pa.int64())})
+    if n_rows == 0:
+        return ray.data.from_arrow(empty)
+    if n_rows > pushdown_max_rows:
+        pairs = _probe_pairs_shuffle(new_bands, index_dir, max_per_bucket)
+    else:
+        pairs = _probe_pairs_pushdown(new_bands, index_dir, max_per_bucket)
+    if not len(pairs):
+        return ray.data.from_arrow(empty)
+
+    # signature verification: exactly the candidate ids, pushdown both sides
+    old_ids = sorted({int(x) for x in pairs["old_doc"]})
+    old_sig_tbl = pads.dataset(os.path.join(index_dir, "sigs")).to_table(
+        columns=["doc_id", "sig"],
+        filter=pads.field("doc_id").isin(old_ids))
+    new_ids = {int(x) for x in pairs["new_doc"]}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(batch["doc_id"],
+                     value_set=pa.array(sorted(new_ids), pa.int64()))
+        return batch.filter(m)
+
+    picked = new_sigs.map_batches(pick, batch_format="pyarrow").to_pandas()
+    new_sig_tbl = pa.table({
+        "doc_id": pa.array(picked["doc_id"].to_numpy(np.int64)),
+        "sig": pa.array(picked["sig"].tolist(), pa.binary()),
+    })
+    sig_of = {}
+    for tbl in (old_sig_tbl, new_sig_tbl):
+        for d, s in zip(tbl["doc_id"].to_pylist(), tbl["sig"].to_pylist()):
+            sig_of[int(d)] = np.frombuffer(s, np.uint64)
+    a = pairs["new_doc"].to_numpy()
+    b = pairs["old_doc"].to_numpy()
+    match = np.array([
+        int((sig_of[int(x)] == sig_of[int(y)]).sum()) for x, y in zip(a, b)
+    ], np.int64)
+    keep = match >= min_est_jaccard * num_perm
+    return ray.data.from_arrow(pa.table({
+        "new_doc": pa.array(a[keep], pa.int64()),
+        "old_doc": pa.array(b[keep], pa.int64()),
+        "n_match": pa.array(match[keep]),
+    }))
+
+
+def _probe_pairs_pushdown(new_bands, index_dir: str, cap: int) -> pd.DataFrame:
+    """Driver-bounded candidate generation: collect the increment's band
+    rows, pushdown-read only colliding (band, band_hash) rows from the
+    persisted partitions, and emit (new_doc, old_doc) per shared bucket
+    (old side capped per bucket like every LSH bucket here)."""
+    import pyarrow.dataset as pads
+
+    nb = new_bands.to_pandas()
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for band, grp in nb.groupby("band"):
+        part = os.path.join(index_dir, "bands", f"band={int(band)}")
+        if not os.path.isdir(part):
+            continue
+        hashes = sorted(set(grp["band_hash"].tolist()))
+        old = pads.dataset(part).to_table(
+            columns=["band_hash", "doc_id"],
+            filter=pads.field("band_hash").isin(hashes)).to_pandas()
+        if old.empty:
+            continue
+        merged = grp.merge(old, on="band_hash", suffixes=("_new", "_old"))
+        if merged.empty:
+            continue
+        sizes = merged.groupby("band_hash")["doc_id_old"].transform("size")
+        if (sizes > cap).any():
+            _LOG.warning("minhash_index_probe: bucket over %d old docs "
+                         "capped", cap)
+            merged = merged[sizes <= cap]
+        out_a.append(merged["doc_id_new"].to_numpy(np.int64))
+        out_b.append(merged["doc_id_old"].to_numpy(np.int64))
+    if not out_a:
+        return pd.DataFrame({"new_doc": [], "old_doc": []}).astype(np.int64)
+    arr = np.unique(np.stack([np.concatenate(out_a),
+                              np.concatenate(out_b)], axis=1), axis=0)
+    return pd.DataFrame({"new_doc": arr[:, 0], "old_doc": arr[:, 1]})
+
+
+def _probe_pairs_shuffle(new_bands, index_dir: str, cap: int) -> pd.DataFrame:
+    """At-scale candidate generation: union the persisted band rows
+    (side=0) with the increment's (side=1) and run the coarse-key
+    groupby; per (band, band_hash) bucket emit old×new pairs, old side
+    capped. Only ~24-byte band rows shuffle."""
+    from splade_ray.io import read_parquet_clean
+
+    n_groups = _shuffle_groups(None)
+
+    def side_col(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "band_hash" not in batch.column_names:
+                return pa.schema(
+                    [("band", pa.int64()), ("band_hash", pa.int64()),
+                     ("doc_id", pa.int64()), ("side", pa.int8()),
+                     ("gk", pa.int64())]).empty_table()
+            t = pa.table({
+                "band": batch["band"].cast(pa.int64()),
+                "band_hash": batch["band_hash"].cast(pa.int64()),
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "side": pa.array(np.full(batch.num_rows, side, np.int8)),
+            })
+            gk = _coarse_key(
+                [t["band"].to_numpy(zero_copy_only=False),
+                 t["band_hash"].to_numpy(zero_copy_only=False)], n_groups)
+            return t.append_column("gk", pa.array(gk))
+
+        return f
+
+    old = read_parquet_clean(os.path.join(index_dir, "bands")).map_batches(
+        side_col(0), batch_format="pyarrow")
+    both = new_bands.map_batches(side_col(1), batch_format="pyarrow").union(old)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        emptyf = pd.DataFrame({"new_doc": [], "old_doc": []}).astype(np.int64)
+        if g.empty or "band_hash" not in g.columns:
+            return emptyf
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"]):
+            olds = np.sort(grp.loc[grp["side"] == 0, "doc_id"]
+                           .to_numpy(np.int64))
+            news = grp.loc[grp["side"] == 1, "doc_id"].to_numpy(np.int64)
+            if olds.size == 0 or news.size == 0:
+                continue
+            if olds.size > cap:
+                _LOG.warning("minhash_index_probe: bucket over %d old docs "
+                             "truncated", cap)
+                olds = olds[:cap]
+            out_a.append(np.repeat(news, olds.size))
+            out_b.append(np.tile(olds, news.size))
+        if not out_a:
+            return emptyf
+        arr = np.unique(np.stack([np.concatenate(out_a),
+                                  np.concatenate(out_b)], axis=1), axis=0)
+        return pd.DataFrame({"new_doc": arr[:, 0], "old_doc": arr[:, 1]})
+
+    return (both.groupby("gk")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas())

@@ -1,0 +1,77 @@
+"""Persisted MinHash-LSH index: build once, probe increments (daily-crawl
+near-dup). Both probe regimes must agree with the one-shot pair scan."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from splade_ray.ops.dedup import (
+    minhash_index_build,
+    minhash_index_probe,
+)
+
+
+def _corpus():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow tonight before dawn",
+        "completely unrelated text about ray data pipelines and arrow",
+    ]
+    old_docs = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    new_docs = [
+        # near-dup of old 0 (one word changed)
+        {"doc_id": 100, "text": "the quick brown fox jumps over the lazy cat again and again"},
+        # exact dup of old 2
+        {"doc_id": 101, "text": base[2]},
+        # novel
+        {"doc_id": 102, "text": "nothing like anything stored in the index at all"},
+    ]
+    return old_docs, new_docs
+
+
+@pytest.mark.parametrize("force_shuffle", [False, True])
+def test_probe_finds_near_dups(ray_session, tmp_path, force_shuffle):
+    old_docs, new_docs = _corpus()
+    idx = str(tmp_path / "lsh")
+    params = minhash_index_build(
+        rd.from_items(old_docs).repartition(2), idx,
+        num_perm=32, bands=16, shingle_k=2)
+    assert params["num_perm"] == 32
+    kwargs = {"pushdown_max_rows": 0} if force_shuffle else {}
+    out = minhash_index_probe(
+        rd.from_items(new_docs).repartition(2), idx,
+        min_est_jaccard=0.5, **kwargs,
+    ).to_pandas().sort_values(["new_doc", "old_doc"]).reset_index(drop=True)
+    got = set(zip(out["new_doc"], out["old_doc"]))
+    assert (101, 2) in got          # exact dup always collides
+    assert (100, 0) in got          # near-dup collides in >=1 band
+    assert not any(nd == 102 for nd, _ in got)
+    exact = out[(out["new_doc"] == 101)]
+    assert int(exact["n_match"].iloc[0]) == 32  # identical signatures
+
+
+def test_build_refuses_param_mismatch_and_resumes(ray_session, tmp_path):
+    old_docs, _ = _corpus()
+    idx = str(tmp_path / "lsh")
+    ds = rd.from_items(old_docs)
+    p1 = minhash_index_build(ds, idx, num_perm=32, bands=8)
+    p2 = minhash_index_build(ds, idx, num_perm=32, bands=8)  # reuse ok
+    assert p1 == p2
+    with pytest.raises(ValueError, match="refusing"):
+        minhash_index_build(ds, idx, num_perm=64, bands=8)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_index_build(ds, str(tmp_path / "x"), num_perm=32, bands=7)
+
+
+def test_probe_empty_increment(ray_session, tmp_path):
+    old_docs, _ = _corpus()
+    idx = str(tmp_path / "lsh")
+    minhash_index_build(rd.from_items(old_docs), idx, num_perm=32, bands=8)
+    empty = rd.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    ds_out = minhash_index_probe(empty, idx)
+    assert ds_out.count() == 0
+    # schema survives on the Dataset (to_pandas drops it for 0-block data)
+    assert set(ds_out.schema().names) == {"new_doc", "old_doc", "n_match"}
