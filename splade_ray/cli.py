@@ -590,6 +590,37 @@ def cmd_url_dedup(args) -> int:
     return 0
 
 
+def cmd_lsh_build(args) -> int:
+    """Persist a MinHash-LSH index (signatures + banded bucket rows) for
+    incremental near-dup probing."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.dedup import minhash_index_build
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+    params = minhash_index_build(
+        ds, args.index, num_perm=args.num_perm, bands=args.bands,
+        shingle_k=args.shingle_k, text_col=args.text_col, id_col=args.id_col)
+    print(json.dumps({"index": args.index, **params}))
+    return 0
+
+
+def cmd_lsh_probe(args) -> int:
+    """Probe a persisted LSH index with an increment; writes candidate
+    (new_doc, old_doc, n_match) pairs."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.dedup import minhash_index_probe
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+    out = minhash_index_probe(
+        ds, args.index, min_est_jaccard=args.min_jaccard,
+        text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_semdedup(args) -> int:
     """SemDeDup: embedding-space semantic dedup (cluster + within-cluster
     cosine duplicate groups, keeper least similar to the centroid)."""
@@ -1985,6 +2016,25 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--url-col", default="url")
     up.add_argument("--id-col", default="doc_id")
     up.set_defaults(fn=cmd_url_dedup)
+
+    lb = sub.add_parser("lsh-build", help="persist a MinHash-LSH index")
+    lb.add_argument("--corpus", required=True)
+    lb.add_argument("--index", required=True)
+    lb.add_argument("--num-perm", type=int, default=64)
+    lb.add_argument("--bands", type=int, default=16)
+    lb.add_argument("--shingle-k", type=int, default=3)
+    lb.add_argument("--text-col", default="text")
+    lb.add_argument("--id-col", default="doc_id")
+    lb.set_defaults(fn=cmd_lsh_build)
+
+    lp = sub.add_parser("lsh-probe", help="probe a persisted LSH index")
+    lp.add_argument("--corpus", required=True, help="the increment")
+    lp.add_argument("--index", required=True)
+    lp.add_argument("--out", required=True, help="parquet dir")
+    lp.add_argument("--min-jaccard", type=float, default=0.5)
+    lp.add_argument("--text-col", default="text")
+    lp.add_argument("--id-col", default="doc_id")
+    lp.set_defaults(fn=cmd_lsh_probe)
 
     sd = sub.add_parser("semdedup", help="embedding semantic dedup")
     sd.add_argument("--embeddings", required=True)

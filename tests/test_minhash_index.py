@@ -75,3 +75,27 @@ def test_probe_empty_increment(ray_session, tmp_path):
     assert ds_out.count() == 0
     # schema survives on the Dataset (to_pandas drops it for 0-block data)
     assert set(ds_out.schema().names) == {"new_doc", "old_doc", "n_match"}
+
+
+def test_cli_lsh_build_probe(ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from splade_ray.cli import main
+
+    old_docs, new_docs = _corpus()
+    d1, d2 = tmp_path / "old", tmp_path / "new"
+    for d, rows in ((d1, old_docs), (d2, new_docs)):
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows]),
+        }), str(d / "p.parquet"))
+    idx = str(tmp_path / "lsh")
+    assert main(["lsh-build", "--corpus", str(d1), "--index", idx,
+                 "--num-perm", "32", "--bands", "16", "--shingle-k", "2"]) == 0
+    out = str(tmp_path / "pairs")
+    assert main(["lsh-probe", "--corpus", str(d2), "--index", idx,
+                 "--out", out]) == 0
+    got = rd.read_parquet(out).to_pandas()
+    assert (101, 2) in set(zip(got["new_doc"], got["old_doc"]))
