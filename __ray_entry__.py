@@ -30,6 +30,11 @@ from splade_ray.query import search
 
 K1, B = 1.2, 0.75
 TOP_K = 10
+# Segment size for every oracle index build — env-overridable so the
+# full-suite oracle check can run at a SECOND segmentation (results must
+# be segmentation-invariant; round-3 VERDICT item 1's sweep protocol):
+#   GRAFT_SEGMENT_ROWS=350 python scripts/check_oracle.py ...
+SEGMENT_ROWS = int(os.environ.get("GRAFT_SEGMENT_ROWS", "1000"))
 
 # Fixed query set shared by the Ray pipelines and the SQL oracles.
 BM25_QUERIES = FLAGSHIP_QUERIES
@@ -77,7 +82,11 @@ def _stable_rank(out: pd.DataFrame, tie_cols: list[str], *,
 
 def _work_dir(sf_dir: str, tag: str) -> str:
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    d = f"/tmp/splade_ray_work/{tag}-{key}"
+    # segmentation participates in the cache key: an index built at one
+    # rows_per_segment must never be silently reused at another (build
+    # resume would skip all segments and hide the override)
+    seg = "" if SEGMENT_ROWS == 1000 else f"-s{SEGMENT_ROWS}"
+    d = f"/tmp/splade_ray_work/{tag}-{key}{seg}"
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -90,7 +99,7 @@ def _index_for(sf_dir: str) -> str:
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
     )
     return index_dir
@@ -276,7 +285,7 @@ def _fielded_index_dirs(sf_dir: str) -> dict[str, str]:
         d = os.path.join(work, f"idx-{field}")
         build_index(
             corpus_dir, d, text_col=field, id_col="doc_id",
-            rows_per_segment=1000, block_size=64,
+            rows_per_segment=SEGMENT_ROWS, block_size=64,
         )
         dirs[field] = d
     return dirs
@@ -566,7 +575,7 @@ def _run_with_deletes(sf_dir: str, tag: str, purge: bool) -> pd.DataFrame:
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
     )
     delete_docs(index_dir, _delete_ids(index_dir))
@@ -631,7 +640,7 @@ def q_bm25_topk_by_lang(sf_dir: str):
         text_col="text",
         id_col="doc_id",
         lang_col="lang",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
     )
     run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
@@ -735,7 +744,7 @@ def q_bm25_topk_stemmed(sf_dir: str):
         text_col="text",
         id_col="doc_id",
         analyzer=STEM_ANALYZER,
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
     )
     run = search(index_dir, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9))
@@ -1551,7 +1560,7 @@ def _multi_members(sf_dir: str) -> list[str]:
             )
         d = os.path.join(wd, f"index{i}")
         build_index(src, d, text_col="text", id_col="doc_id",
-                    rows_per_segment=1000, block_size=64)
+                    rows_per_segment=SEGMENT_ROWS, block_size=64)
         members.append(d)
     return members
 
@@ -1859,7 +1868,7 @@ def q_facet_counts(sf_dir: str):
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
         extra_doc_cols=("lang",),
     )
@@ -1974,7 +1983,7 @@ def q_facet_top(sf_dir: str):
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
         extra_doc_cols=("lang",),
     )
@@ -1993,7 +2002,7 @@ def q_collapse_topk(sf_dir: str):
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
         extra_doc_cols=("lang",),
     )
@@ -2016,7 +2025,7 @@ def q_diversified_topk(sf_dir: str):
     index_dir = os.path.join(_work_dir(sf_dir, "facetidx"), "index")
     build_index(
         os.path.join(sf_dir, "documents.parquet"), index_dir,
-        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
         block_size=64, extra_doc_cols=("lang",),
     )
     run = collapse_search(
@@ -2047,7 +2056,7 @@ def _dv_index(sf_dir: str) -> str:
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
         extra_doc_cols=("n_chars",),
     )
@@ -2081,7 +2090,7 @@ def _dv3_index(sf_dir: str) -> str:
     index_dir = os.path.join(work, "index")
     build_index(
         corpus_dir, index_dir, text_col="text", id_col="doc_id",
-        rows_per_segment=1000, block_size=64, extra_doc_cols=("req",),
+        rows_per_segment=SEGMENT_ROWS, block_size=64, extra_doc_cols=("req",),
     )
     return index_dir
 
@@ -2289,7 +2298,7 @@ def _dv5_index(sf_dir: str) -> str:
     index_dir = os.path.join(work, "index")
     build_index(
         corpus_dir, index_dir, text_col="text", id_col="doc_id",
-        rows_per_segment=1000, block_size=64, extra_doc_cols=("url",),
+        rows_per_segment=SEGMENT_ROWS, block_size=64, extra_doc_cols=("url",),
     )
     return index_dir
 
@@ -2336,7 +2345,7 @@ def _tl_index(sf_dir: str) -> tuple[str, str]:
     index_dir = os.path.join(work, "index")
     build_index(
         os.path.join(sf_dir, "documents.parquet"), index_dir,
-        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
         block_size=64, extra_doc_cols=("source",),
     )
     return index_dir, lookup
@@ -2403,7 +2412,7 @@ def _geo_index(sf_dir: str) -> str:
     index_dir = os.path.join(work, "index")
     build_index(
         corpus_dir, index_dir, text_col="text", id_col="doc_id",
-        rows_per_segment=1000, block_size=64,
+        rows_per_segment=SEGMENT_ROWS, block_size=64,
         extra_doc_cols=("lat", "lon"),
     )
     return index_dir
@@ -2482,7 +2491,7 @@ def q_routed_topk(sf_dir: str):
         build_routed_index(
             os.path.join(sf_dir, "documents.parquet"), root,
             routing_col="source", n_buckets=ROUTING_NB,
-            text_col="text", id_col="doc_id", rows_per_segment=1000,
+            text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
         )
     run = routed_search(
         root, BM25_QUERIES, BM25Params(k1=K1, b=B, top_k=10**9),
@@ -2728,7 +2737,7 @@ def _dv4_index(sf_dir: str) -> str:
     index_dir = os.path.join(work, "index")
     build_index(
         corpus_dir, index_dir, text_col="text", id_col="doc_id",
-        rows_per_segment=1000, block_size=64, extra_doc_cols=("n_chars", "w"),
+        rows_per_segment=SEGMENT_ROWS, block_size=64, extra_doc_cols=("n_chars", "w"),
     )
     return index_dir
 
@@ -2754,7 +2763,7 @@ def _dv2_index(sf_dir: str) -> str:
         index_dir,
         text_col="text",
         id_col="doc_id",
-        rows_per_segment=1000,
+        rows_per_segment=SEGMENT_ROWS,
         block_size=64,
         extra_doc_cols=("n_chars", "lang", "source"),
     )
@@ -3539,7 +3548,7 @@ def _dv6_index(sf_dir: str) -> str:
     index_dir = os.path.join(work, "index")
     build_index(
         corpus_dir, index_dir, text_col="text", id_col="doc_id",
-        rows_per_segment=1000, block_size=64, extra_doc_cols=("tags",),
+        rows_per_segment=SEGMENT_ROWS, block_size=64, extra_doc_cols=("tags",),
     )
     return index_dir
 
@@ -3573,7 +3582,7 @@ def q_rag_topk(sf_dir: str):
     build_chunk_index(
         os.path.join(sf_dir, "documents.parquet"), root,
         size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
-        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
     )
     run = rag_search(root, BM25_QUERIES, BM25Params(k1=K1, b=B),
                      score_mode="max", top_k=10**9)
@@ -3598,7 +3607,7 @@ def q_rag_chunks(sf_dir: str):
     build_chunk_index(
         os.path.join(sf_dir, "documents.parquet"), root,
         size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
-        text_col="text", id_col="doc_id", rows_per_segment=1000,
+        text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
     )
     run = rag_search_chunks(root, BM25_QUERIES,
                             BM25Params(k1=K1, b=B, top_k=10**9))
