@@ -2620,6 +2620,24 @@ def q_sort_by_field(sf_dir: str):
     return out
 
 
+def q_sort_by_field_indexed(sf_dir: str):
+    """Sort-by-field THROUGH the derived sort-order layer
+    (docvalues.build_sort_index — the Lucene index-time-sort analog):
+    identical results to sort_by_field, served by the early-terminating
+    permutation gather instead of a per-query lexsort; same SQL mirror."""
+    from splade_ray.docvalues import build_sort_index, sort_search
+
+    idx = _dv_index(sf_dir)
+    build_sort_index(idx, "n_chars", descending=True)
+    out = sort_search(
+        idx, BM25_QUERIES, sort_col="n_chars", descending=True, top_k=TOP_K,
+    )
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["sort_value"] = out["sort_value"].astype(np.int64)
+    return out
+
+
 def q_match_counts(sf_dir: str):
     """Total-hit counts (docvalues.match_counts): exact live matching-doc
     count per query, zero rows included (TotalHitCountCollector)."""
@@ -6271,6 +6289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg_page2": q_composite_agg_page2,
         "range_topk_str": q_range_topk_str,
         "sort_by_field": q_sort_by_field,
+        "sort_by_field_indexed": q_sort_by_field_indexed,
         "sort_multi": q_sort_multi,
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
@@ -8283,6 +8302,7 @@ FROM documents""",
         "composite_agg_page2": _composite_agg_sql(2),
         "range_topk_str": _range_topk_str_sql(),
         "sort_by_field": _sort_by_field_sql(),
+        "sort_by_field_indexed": _sort_by_field_sql(),
         "sort_multi": _sort_multi_sql(),
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),

@@ -590,6 +590,18 @@ def cmd_url_dedup(args) -> int:
     return 0
 
 
+def cmd_sort_index(args) -> int:
+    """Build the derived per-segment sort-order layer (Lucene index-time
+    sort analog); matching sort queries early-terminate."""
+    _ensure_ray()
+    from splade_ray.docvalues import build_sort_index
+
+    r = build_sort_index(args.index, args.col,
+                         descending=not args.ascending)
+    print(json.dumps({"index": args.index, "col": args.col, **r}))
+    return 0
+
+
 def cmd_lsh_build(args) -> int:
     """Persist a MinHash-LSH index (signatures + banded bucket rows) for
     incremental near-dup probing."""
@@ -2016,6 +2028,12 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--url-col", default="url")
     up.add_argument("--id-col", default="doc_id")
     up.set_defaults(fn=cmd_url_dedup)
+
+    si = sub.add_parser("sort-index", help="derived sort-order layer")
+    si.add_argument("--index", required=True)
+    si.add_argument("--col", required=True)
+    si.add_argument("--ascending", action="store_true")
+    si.set_defaults(fn=cmd_sort_index)
 
     lb = sub.add_parser("lsh-build", help="persist a MinHash-LSH index")
     lb.add_argument("--corpus", required=True)

@@ -189,6 +189,84 @@ def rank_feature_search(
     )
 
 
+SORT_INDEX_VERSION = 1
+
+
+def build_sort_index(
+    index_dir: str,
+    col: str,
+    *,
+    descending: bool = True,
+    concurrency=None,
+) -> dict:
+    """Derived per-segment SORT-ORDER layer — the Lucene index-time-sort
+    analog expressed as a doc-values permutation (segments themselves stay
+    in ascending-doc_id order, the invariant every posting/tombstone
+    kernel relies on): for each segment, ``sortmap-<col>.parquet`` holds
+    the row positions ordered by (value, doc_id asc) in the declared
+    direction. :func:`sort_search` then serves a matching sort query by a
+    single boolean GATHER down the permutation — no per-query lexsort, no
+    np.unique, early-terminating at the per-segment cut exactly like
+    Lucene's sorted-index early termination.
+
+    Resumable per segment (tmp + atomic rename; existing maps with a
+    matching params manifest are skipped); a direction or version change
+    rebuilds. Returns {"n_segments", "n_built"}."""
+    import json
+
+    from splade_ray.build import segment_dirs
+
+    segs = segment_dirs(index_dir)
+    params = {"version": SORT_INDEX_VERSION, "col": col,
+              "descending": bool(descending)}
+
+    def one(seg_dir: str) -> pa.Table:
+        out_path = os.path.join(seg_dir, f"sortmap-{col}.parquet")
+        meta_path = out_path + ".json"
+        if os.path.exists(out_path) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                if json.load(f) == params:
+                    return pa.table({"built": pa.array([0], pa.int64())})
+        vals = _numeric_column(seg_dir, col)
+        ids = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        # (value dir, doc_id asc): negate values for descending so the
+        # doc_id tiebreak stays ascending either way
+        key = -vals if descending else vals
+        perm = np.lexsort((ids, key)).astype(np.int32)
+        tmp = out_path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"pos": pa.array(perm, pa.int32())}), tmp)
+        os.rename(tmp, out_path)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(params, f)
+        os.rename(meta_path + ".tmp", meta_path)
+        return pa.table({"built": pa.array([1], pa.int64())})
+
+    empty = pa.table({"built": pa.array([], pa.int64())})
+    pdf = _segment_pipeline(index_dir, one, empty, concurrency)
+    return {"n_segments": len(segs),
+            "n_built": int(pdf["built"].sum()) if not pdf.empty else 0}
+
+
+def _load_sort_index(seg_dir: str, col: str, descending: bool):
+    """The segment's sort permutation if a matching layer exists, else
+    None (callers fall back to the lexsort path)."""
+    import json
+
+    out_path = os.path.join(seg_dir, f"sortmap-{col}.parquet")
+    meta_path = out_path + ".json"
+    if not (os.path.exists(out_path) and os.path.exists(meta_path)):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta != {"version": SORT_INDEX_VERSION, "col": col,
+                "descending": bool(descending)}:
+        return None
+    return pq.read_table(out_path, columns=["pos"])["pos"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
 def sort_search(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -248,6 +326,12 @@ def sort_search(
             colvals = {sort_col: _numeric_column(seg_dir, sort_col)}
         else:
             colvals = {c: seg.doc_values(c) for c, _ in keys}
+        # derived sort-order layer (build_sort_index): when the single-key
+        # query matches the layer's (col, direction), the per-query
+        # lexsort+unique collapses to one boolean gather down the
+        # precomputed permutation — Lucene sorted-index early termination
+        perm = (_load_sort_index(seg_dir, sort_col, descending)
+                if single else None)
         out = {"query_id": [], "doc_id": []}
         out.update({n: [] for n in value_names})
         for qid, terms in prep["queries"].items():
@@ -274,14 +358,21 @@ def sort_search(
                 cand = cand[keep]
             if cand.size == 0:
                 continue
-            # per-key codes via np.unique: one uniform, vectorized ordering
-            # for numeric AND string keys (descending = negated codes)
-            sortkeys = []
-            for c, desc in keys:
-                _, codes = np.unique(colvals[c][cand], return_inverse=True)
-                sortkeys.append(-codes if desc else codes)
-            order = np.lexsort((seg.doc_ids[cand], *reversed(sortkeys)))
-            take = cand[order[:top_k]]  # per-segment cut: only k rows leave
+            if perm is not None:
+                mask = np.zeros(seg.doc_ids.size, bool)
+                mask[cand] = True
+                take = perm[mask[perm]][:top_k]  # early-terminating gather
+            else:
+                # per-key codes via np.unique: one uniform, vectorized
+                # ordering for numeric AND string keys (descending =
+                # negated codes)
+                sortkeys = []
+                for c, desc in keys:
+                    _, codes = np.unique(colvals[c][cand],
+                                         return_inverse=True)
+                    sortkeys.append(-codes if desc else codes)
+                order = np.lexsort((seg.doc_ids[cand], *reversed(sortkeys)))
+                take = cand[order[:top_k]]  # per-segment cut: k rows leave
             out["query_id"].extend([qid] * take.size)
             out["doc_id"].extend(seg.doc_ids[take].tolist())
             for (c, _), n in zip(keys, value_names):

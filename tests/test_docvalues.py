@@ -993,3 +993,52 @@ def test_match_percentiles_exact(built):
         m = _matched(oi, text)
         row = got[(got["query_id"] == qid) & (got["percent"] == 100.0)]
         assert row["value"].iloc[0] == sizes[m].max()
+
+
+def test_sort_index_layer_parity_and_resume(built):
+    """Derived sort-order layer (Lucene index-time-sort analog): the
+    early-terminating gather path returns byte-identical results to the
+    lexsort path, across plain / searchAfter / tombstoned calls; rebuild
+    skips; direction mismatch falls back."""
+    from splade_ray.build import segment_dirs
+    from splade_ray.docvalues import (
+        _load_sort_index,
+        build_sort_index,
+        sort_search,
+    )
+
+    index_dir, texts, sizes = built
+    p_args = dict(sort_col="n_bytes", descending=True, top_k=6)
+    before = sort_search(index_dir, QUERIES, **p_args)
+    r = build_sort_index(index_dir, "n_bytes", descending=True)
+    assert r["n_built"] == r["n_segments"] > 0
+    # layer present on every segment and the declared direction only
+    seg = segment_dirs(index_dir)[0]
+    assert _load_sort_index(seg, "n_bytes", True) is not None
+    assert _load_sort_index(seg, "n_bytes", False) is None
+    after_l = sort_search(index_dir, QUERIES, **p_args)
+    pd.testing.assert_frame_equal(after_l, before)
+    # ascending query on a descending layer: falls back, still correct
+    asc = sort_search(index_dir, QUERIES, sort_col="n_bytes",
+                      descending=False, top_k=6)
+    assert (asc.groupby("query_id")["sort_value"].apply(
+        lambda s: (s.diff().dropna() >= 0).all())).all()
+    # searchAfter through the layer path
+    cursors = {
+        int(qid): (int(g["sort_value"].iloc[-1]), int(g["doc_id"].iloc[-1]))
+        for qid, g in after_l.groupby("query_id")
+    }
+    page2 = sort_search(index_dir, QUERIES, after=cursors, **p_args)
+    plain_cursor = sort_search(index_dir, QUERIES, after=cursors,
+                               sort_col="n_bytes", descending=True, top_k=6)
+    pd.testing.assert_frame_equal(page2, plain_cursor)
+    # resume: nothing rebuilds
+    r2 = build_sort_index(index_dir, "n_bytes", descending=True)
+    assert r2["n_built"] == 0
+    # tombstones respected through the gather path
+    from splade_ray.delete import delete_docs
+
+    victim = int(before["doc_id"].iloc[0])
+    delete_docs(index_dir, [victim])
+    gone = sort_search(index_dir, QUERIES, **p_args)
+    assert victim not in set(gone["doc_id"])
