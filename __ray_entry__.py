@@ -4123,6 +4123,24 @@ def q_near_dup_jaccard(sf_dir: str):
     )
 
 
+CONT_T = 0.8
+
+
+def q_near_dup_containment_counts(sf_dir: str):
+    """Exact n-gram CONTAINMENT pairs (jaccard_block_pairs
+    similarity='containment', emit_counts=True): threshold on
+    inter >= t·least(|A|,|B|) — the asymmetric near-dup face that
+    catches subset duplicates Jaccard dilutes; same (lang, length-band)
+    blocking contract (cross-band subset pairs are the minhash/LSH
+    face's job — a true subset is usually in another length band)."""
+    from splade_ray.ops.dedup import jaccard_block_pairs
+
+    return jaccard_block_pairs(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        min_jaccard=CONT_T, emit_counts=True, similarity="containment",
+    )
+
+
 def q_near_dup_jaccard_counts(sf_dir: str):
     """n-gram Jaccard near-dup pairs in integer-exact form (inter, uni
     counts; threshold inter >= 0.5·uni) — the oracle-checked face of the
@@ -4199,6 +4217,44 @@ r(n, m) AS (
   SELECT r.n, und.v FROM r JOIN und ON r.m = und.u
 ),
 lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM r GROUP BY n)"""
+
+
+def _containment_counts_sql() -> str:
+    """SQL mirror of the containment face: same gram/blocking CTEs,
+    integer threshold inter >= t·least(sa, sb), (inter, n_a, n_b) out."""
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, lang, length(text) // 100 AS band,
+         regexp_extract_all(lower(text), '{TOKEN_SQL}') AS tl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, band, unnest(
+    CASE WHEN len(tl) = 0 THEN []::VARCHAR[]
+         WHEN len(tl) < 3 THEN [array_to_string(tl, ' ')]
+         ELSE list_transform(range(1, len(tl) - 1),
+                             i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+    END) AS g
+  FROM d0
+),
+gd AS (SELECT DISTINCT doc_id, lang, band, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+docs_all AS (SELECT d.doc_id, d.lang, d.band, coalesce(s.sz, 0) AS sz
+             FROM d0 d LEFT JOIN sizes s USING (doc_id)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb
+          FROM docs_all a JOIN docs_all b
+            ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM gd x JOIN gd y
+            ON x.lang = y.lang AND x.band = y.band AND x.g = y.g
+           AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.i, 0)::BIGINT AS inter,
+       p.sa::BIGINT AS n_a, p.sb::BIGINT AS n_b
+FROM pairs p LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+WHERE least(p.sa, p.sb) = 0
+   OR coalesce(i.i, 0) >= {CONT_T} * least(p.sa, p.sb)"""
 
 
 def _jaccard_counts_sql() -> str:
@@ -6399,6 +6455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "near_dup_jaccard": q_near_dup_jaccard,
         "near_dup_jaccard_counts": q_near_dup_jaccard_counts,
+        "near_dup_containment_counts": q_near_dup_containment_counts,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "lang_id_pred": q_lang_id_pred,
@@ -8355,6 +8412,7 @@ SELECT vec_id,
        CASE WHEN vec_id < 100000 THEN vec_id ELSE vec_id - 100000 END AS rep_id
 FROM all_vecs""",
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
+        "near_dup_containment_counts": _containment_counts_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),
         "simhash_sigs": _simhash_sigs_sql(),

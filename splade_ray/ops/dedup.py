@@ -781,7 +781,8 @@ def ngram_set(text: str, n: int = 3) -> set[tuple[str, ...]]:
 
 def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: float = 0.8,
                         text_col: str = "text", lang_col: str = "lang",
-                        emit_counts: bool = False, max_block_docs: int = 4096):
+                        emit_counts: bool = False, max_block_docs: int = 4096,
+                        similarity: str = "jaccard"):
     """Exact word-n-gram Jaccard pairs within (lang, n_chars//band_chars)
     blocks. The blocking is part of the operator's contract (documented,
     deterministic, SQL-expressible) — pairs crossing a length band are out of
@@ -804,7 +805,17 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
     of the rounded ratio, and the threshold becomes ``inter >= min_jaccard ·
     uni`` (empty-vs-empty: uni 0 counts as similarity 1.0) — the
     integer-exact face a SQL oracle can reproduce without float-rounding
-    hazards (see q_flops_metric)."""
+    hazards (see q_flops_metric).
+
+    ``similarity="containment"`` thresholds on MAX-CONTAINMENT
+    ``inter / min(|A|, |B|)`` instead of Jaccard — the asymmetric
+    near-dup face that catches SUBSET duplicates (one doc quoted or
+    embedded inside another) which Jaccard dilutes below any usable
+    threshold; emit_counts then outputs (doc_a, doc_b, inter, n_a, n_b)
+    and the integer threshold is ``inter >= t · least(n_a, n_b)``
+    (either side empty counts as contained)."""
+    if similarity not in ("jaccard", "containment"):
+        raise ValueError(f"unknown similarity {similarity!r}")
 
     def sizes_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -901,9 +912,21 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
                 for j in b_idx
             ]
         rows = []
+        contain = similarity == "containment"
         for i, j in pair_idx:
             si, sj = sets[i], sets[j]
             inter = len(si & sj)
+            if contain:
+                m = min(len(si), len(sj))
+                if emit_counts:
+                    if m == 0 or inter >= min_jaccard * m:
+                        rows.append((int(ids[i]), int(ids[j]), inter,
+                                     len(si), len(sj)))
+                    continue
+                c = (inter / m) if m else 1.0
+                if c >= min_jaccard:
+                    rows.append((int(ids[i]), int(ids[j]), round(c, 4)))
+                continue
             u = len(si) + len(sj) - inter
             if emit_counts:
                 if u == 0 or inter >= min_jaccard * u:
@@ -912,12 +935,18 @@ def jaccard_block_pairs(ds, *, n: int = 3, band_chars: int = 100, min_jaccard: f
             jac = (inter / u) if u else 1.0
             if jac >= min_jaccard:
                 rows.append((int(ids[i]), int(ids[j]), round(jac, 4)))
+        if emit_counts and contain:
+            return pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "inter", "n_a", "n_b"]
+            ).astype({"doc_a": np.int64, "doc_b": np.int64,
+                      "inter": np.int64, "n_a": np.int64, "n_b": np.int64})
         if emit_counts:
             return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter", "uni"]).astype(
                 {"doc_a": np.int64, "doc_b": np.int64, "inter": np.int64, "uni": np.int64}
             )
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_r"]).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "jaccard_r": np.float64}
+        col = "containment_r" if contain else "jaccard_r"
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", col]).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, col: np.float64}
         )
 
     return (

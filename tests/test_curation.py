@@ -600,3 +600,34 @@ def test_unit_dedup_rewrite_removes_dup_units(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     # 'hello world' ×3 and 'foo bar' ×2 are duplicated units
     assert out["text_dedup"].tolist() == ["", "keep this one", ""]
+
+
+def test_containment_catches_subset_pairs(ray_session):
+    """similarity='containment' flags a subset doc inside a superset in
+    the same length band where Jaccard stays below threshold."""
+    from splade_ray.ops.dedup import jaccard_block_pairs
+
+    sub = "alpha beta gamma delta epsilon zeta eta theta"
+    sup = sub + " iota kappa lam mu nu xi omicron pi rho sigma"
+    rows = [
+        {"doc_id": 0, "text": sub + " " * (len(sup) - len(sub) - 1) + "x",
+         "lang": "en"},
+        {"doc_id": 1, "text": sup, "lang": "en"},
+        {"doc_id": 2, "text": "totally different words entirely here now "
+                              "with matching rough length padding pad pad",
+         "lang": "en"},
+    ]
+    ds = rd.from_items(rows)
+    cont = jaccard_block_pairs(ds, min_jaccard=0.7, emit_counts=True,
+                               similarity="containment").to_pandas()
+    jac = jaccard_block_pairs(ds, min_jaccard=0.7,
+                              emit_counts=True).to_pandas()
+    assert (0, 1) in set(zip(cont["doc_a"], cont["doc_b"]))
+    # the Jaccard face keeps nothing here (empty result loses its schema
+    # through Ray's empty-block to_pandas, hence the emptiness check)
+    assert jac.empty
+    # counts face carries both set sizes
+    r = cont[(cont["doc_a"] == 0) & (cont["doc_b"] == 1)].iloc[0]
+    assert r["inter"] <= min(r["n_a"], r["n_b"])
+    with pytest.raises(ValueError, match="unknown similarity"):
+        jaccard_block_pairs(ds, similarity="dice")
