@@ -1475,6 +1475,18 @@ class IndexShardActor:
         return rows
 
 
+def request_cache_key(qid: int, text: str, params, query_lang, scoring,
+                      mu, lam, after, range_filter) -> tuple:
+    """Cache key for one query of a request: every knob that can change
+    that query's result rows (text, analyzer language, scoring family and
+    its parameters, pagination cursor, sidecar range filter). Shared by
+    :class:`Searcher` and :class:`QueryRouter` so both tiers of the
+    ES-request-cache analog stay key-compatible."""
+    return (text, query_lang, scoring, mu, lam, params.k1, params.b,
+            params.top_k, params.threshold,
+            after.get(int(qid)) if after else None, range_filter)
+
+
 class RouterOverloaded(Exception):
     """Raised (inside a RayTaskError) when a QueryRouter sheds a request:
     the admission window is full and the waiting queue is at ``queue_cap``
@@ -1515,7 +1527,16 @@ class QueryRouter:
     the window is full). Since every admitted request puts exactly one task
     on each shard actor, ``max_inflight`` also bounds each shard's queue
     depth; per-shard latency EMAs are exported via :meth:`stats` for load
-    balancers."""
+    balancers.
+
+    ``cache_size > 0`` adds a router-level request cache (the ES request
+    cache at the coordinating tier): an LRU over per-query result frames
+    keyed by :func:`request_cache_key`. Hits are answered from actor
+    memory WITHOUT consuming an admission slot or touching the shards, so
+    a hot query keeps serving even when the window is saturated; only the
+    missing queries of a batch fan out. Same coherence rule as
+    :class:`Searcher`: tombstones snapshot at startup and segments are
+    immutable, so entries cannot go stale within one router lifetime."""
 
     def __init__(
         self,
@@ -1526,9 +1547,23 @@ class QueryRouter:
         queue_cap: int = 0,
         default_deadline_s: float | None = None,
         simulate_shard_latency_s: float = 0.0,
+        cache_size: int = 0,
     ):
         import asyncio
+        from collections import OrderedDict
 
+        # router-level request cache (the Searcher LRU lifted into the
+        # serving tier): per-QUERY results keyed by request_cache_key;
+        # hits are served WITHOUT taking an admission slot — repeated
+        # queries cost neither the window nor a shard round-trip, exactly
+        # ES's request cache serving from memory before the query phase.
+        # Coherent for the actor's lifetime by construction: tombstones are
+        # snapshotted in __init__ and segments are immutable, so an entry
+        # can never go stale; open a new router after deletes/appends.
+        self._cache_size = int(cache_size)
+        self._cache: "OrderedDict[tuple, pd.DataFrame]" = OrderedDict()
+        self._cache_hits = 0
+        self._cache_misses = 0
         self._max_inflight = max_inflight
         self._slots = asyncio.Semaphore(max_inflight)
         self._queue_cap = queue_cap
@@ -1615,9 +1650,6 @@ class QueryRouter:
         after: dict[int, tuple[float, int]] | None = None,
         range_filter: tuple[str, float | None, float | None] | None = None,
     ) -> pd.DataFrame:
-        import asyncio
-        import time as _time
-
         params = params or BM25Params()
         if self._quant_kb is not None and self._quant_kb != (params.k1, params.b):
             raise ValueError(
@@ -1629,6 +1661,68 @@ class QueryRouter:
                 "quantized shards score baked BM25 impacts — scoring='ql' / "
                 "search_after / range_filter need a float-index router"
             )
+        if self._cache_size > 0:
+            keys = {
+                int(qid): request_cache_key(qid, text, params, query_lang,
+                                            scoring, mu, lam, after,
+                                            range_filter)
+                for qid, text in queries
+            }
+            missing = [(qid, text) for qid, text in queries
+                       if keys[int(qid)] not in self._cache]
+            self._cache_hits += len(queries) - len(missing)
+            self._cache_misses += len(missing)
+        else:
+            keys, missing = None, list(queries)
+        fresh_parts: dict[int, pd.DataFrame] = {}
+        if missing:
+            out = await self._fanout_search(
+                missing, params, query_lang, deadline_s, scoring=scoring,
+                mu=mu, lam=lam, after=after, range_filter=range_filter)
+            if keys is None:
+                return out
+            for qid, _ in missing:
+                part = out[out["query_id"] == int(qid)].reset_index(drop=True)
+                fresh_parts[int(qid)] = part
+                self._cache[keys[int(qid)]] = part.drop(columns=["query_id"])
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        parts = []
+        for qid, _ in queries:
+            qid = int(qid)
+            if qid in fresh_parts:
+                # this request's results win even if immediately evicted
+                parts.append(fresh_parts[qid])
+                continue
+            k = keys[qid]
+            self._cache.move_to_end(k)
+            p = self._cache[k].copy()
+            p.insert(0, "query_id", qid)
+            parts.append(p)
+        parts = [p for p in parts if not p.empty]
+        if not parts:
+            return pd.DataFrame(columns=RUN_COLUMNS)
+        out = pd.concat(parts, ignore_index=True)
+        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    async def _fanout_search(
+        self,
+        queries: list[tuple[int, str]],
+        params: BM25Params,
+        query_lang: str | None,
+        deadline_s: float | None,
+        *,
+        scoring: str,
+        mu: float,
+        lam: float,
+        after: dict[int, tuple[float, int]] | None,
+        range_filter: tuple[str, float | None, float | None] | None,
+    ) -> pd.DataFrame:
+        """The admitted prepare → shard fan-out → heap-merge cycle (cache
+        misses only when the request cache is on)."""
+        import asyncio
+        import time as _time
+
         await self._admit(
             deadline_s if deadline_s is not None else self._default_deadline
         )
@@ -1687,6 +1781,9 @@ class QueryRouter:
             "shed_queue_full": self._shed_queue_full,
             "shed_deadline": self._shed_deadline,
             "shard_latency_ema_s": list(self._shard_lat_ema),
+            "cache_size": self._cache_size,
+            "cache_hits": self._cache_hits,
+            "cache_misses": self._cache_misses,
         }
 
     def shutdown(self) -> None:
@@ -1853,9 +1950,8 @@ class Searcher:
 
     def _cache_key(self, qid: int, text: str, params, query_lang, scoring,
                    mu, lam, after, range_filter) -> tuple:
-        return (text, query_lang, scoring, mu, lam, params.k1, params.b,
-                params.top_k, params.threshold,
-                after.get(int(qid)) if after else None, range_filter)
+        return request_cache_key(qid, text, params, query_lang, scoring,
+                                 mu, lam, after, range_filter)
 
     def _search_cached(self, queries, params, query_lang, *, scoring, mu,
                        lam, after, range_filter) -> pd.DataFrame:
