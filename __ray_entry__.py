@@ -2824,6 +2824,24 @@ def q_sort_multi(sf_dir: str):
     return out
 
 
+def q_sort_multi_indexed(sf_dir: str):
+    """Multi-field sort THROUGH the derived multi-key sort-order layer
+    (docvalues.build_sort_index(keys=...) — the Lucene multi-field
+    index-time-sort analog, string key included): identical results to
+    sort_multi, served by the early-terminating permutation gather instead
+    of a per-query lexsort; same SQL mirror."""
+    from splade_ray.docvalues import build_sort_index, sort_search
+
+    idx = _dv2_index(sf_dir)
+    keys = [("lang", False), ("n_chars", True)]
+    build_sort_index(idx, keys=keys)
+    out = sort_search(idx, BM25_QUERIES, sort_keys=keys, top_k=TOP_K)
+    out = out.copy()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out
+
+
 def q_synonym_topk(sf_dir: str):
     """SynonymQuery retrieval (splade_ray.synonyms): each query term's
     synonym group scored as ONE term — summed tf saturated once, idf from
@@ -6347,6 +6365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": q_sort_by_field,
         "sort_by_field_indexed": q_sort_by_field_indexed,
         "sort_multi": q_sort_multi,
+        "sort_multi_indexed": q_sort_multi_indexed,
         "match_counts": q_match_counts,
         "match_histogram": q_match_histogram,
         "filters_agg": q_filters_agg,
@@ -8361,6 +8380,7 @@ FROM documents""",
         "sort_by_field": _sort_by_field_sql(),
         "sort_by_field_indexed": _sort_by_field_sql(),
         "sort_multi": _sort_multi_sql(),
+        "sort_multi_indexed": _sort_multi_sql(),
         "match_counts": _match_counts_sql(),
         "match_histogram": _match_histogram_sql(),
         "filters_agg": _filters_agg_sql(),

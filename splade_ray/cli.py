@@ -592,13 +592,30 @@ def cmd_url_dedup(args) -> int:
 
 def cmd_sort_index(args) -> int:
     """Build the derived per-segment sort-order layer (Lucene index-time
-    sort analog); matching sort queries early-terminate."""
+    sort analog); matching sort queries early-terminate. ``--col`` builds
+    a single-key numeric layer; repeated ``--key col[:asc|:desc]`` builds
+    one multi-key layer (string columns allowed; default desc)."""
     _ensure_ray()
     from splade_ray.docvalues import build_sort_index
 
-    r = build_sort_index(args.index, args.col,
-                         descending=not args.ascending)
-    print(json.dumps({"index": args.index, "col": args.col, **r}))
+    if bool(args.col) == bool(args.key):
+        print("pass exactly one of --col / --key", file=sys.stderr)
+        return 2
+    if args.col:
+        r = build_sort_index(args.index, args.col,
+                             descending=not args.ascending)
+        print(json.dumps({"index": args.index, "col": args.col, **r}))
+        return 0
+    keys = []
+    for spec in args.key:
+        col, _, direction = spec.partition(":")
+        if direction not in ("", "asc", "desc"):
+            print(f"bad --key direction {spec!r}", file=sys.stderr)
+            return 2
+        keys.append((col, direction != "asc"))
+    r = build_sort_index(args.index, keys=keys)
+    print(json.dumps({"index": args.index,
+                      "keys": [[c, d] for c, d in keys], **r}))
     return 0
 
 
@@ -2031,8 +2048,10 @@ def main(argv: list[str] | None = None) -> int:
 
     si = sub.add_parser("sort-index", help="derived sort-order layer")
     si.add_argument("--index", required=True)
-    si.add_argument("--col", required=True)
+    si.add_argument("--col")
     si.add_argument("--ascending", action="store_true")
+    si.add_argument("--key", action="append", default=[],
+                    help="multi-key layer: col[:asc|:desc], repeatable")
     si.set_defaults(fn=cmd_sort_index)
 
     lb = sub.add_parser("lsh-build", help="persist a MinHash-LSH index")

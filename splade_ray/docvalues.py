@@ -192,22 +192,67 @@ def rank_feature_search(
 SORT_INDEX_VERSION = 1
 
 
+def _sortmap_paths(seg_dir: str, col: str | None,
+                   keys: list[tuple[str, bool]] | None) -> tuple[str, str]:
+    """(parquet, json-sidecar) paths for a sort layer. Single-key layers
+    keep the readable ``sortmap-<col>`` name; multi-key layers use a
+    digest of the key spec (column names may repeat across layers and can
+    contain path-hostile characters)."""
+    import hashlib
+    import json
+
+    if keys is None:
+        out = os.path.join(seg_dir, f"sortmap-{col}.parquet")
+    else:
+        spec = json.dumps([[c, bool(d)] for c, d in keys])
+        digest = hashlib.sha1(spec.encode()).hexdigest()[:12]
+        out = os.path.join(seg_dir, f"sortmap-mk-{digest}.parquet")
+    return out, out + ".json"
+
+
+def _sort_perm(seg_dir: str, keys: list[tuple[str, bool]],
+               ids: np.ndarray) -> np.ndarray:
+    """Row permutation ordering the segment by ``keys`` then doc_id asc.
+    Numeric keys sort by (negated-for-descending) value; string keys by
+    per-segment np.unique codes — codepoint order, the same collation the
+    query path and DuckDB use."""
+    sortkeys = []
+    for c, desc in keys:
+        vals = pq.read_table(
+            os.path.join(seg_dir, "doclens.parquet"), columns=[c]
+        )[c].to_numpy(zero_copy_only=False)
+        if not np.issubdtype(vals.dtype, np.number):
+            _, vals = np.unique(vals.astype(str), return_inverse=True)
+        sortkeys.append(-vals if desc else vals)
+    return np.lexsort((ids, *reversed(sortkeys))).astype(np.int32)
+
+
 def build_sort_index(
     index_dir: str,
-    col: str,
+    col: str | None = None,
     *,
     descending: bool = True,
+    keys: list[tuple[str, bool]] | None = None,
     concurrency=None,
 ) -> dict:
     """Derived per-segment SORT-ORDER layer — the Lucene index-time-sort
     analog expressed as a doc-values permutation (segments themselves stay
     in ascending-doc_id order, the invariant every posting/tombstone
-    kernel relies on): for each segment, ``sortmap-<col>.parquet`` holds
-    the row positions ordered by (value, doc_id asc) in the declared
-    direction. :func:`sort_search` then serves a matching sort query by a
+    kernel relies on): for each segment, a ``sortmap-*.parquet`` holds
+    the row positions ordered by the sort spec (final tie -> doc_id asc).
+    :func:`sort_search` then serves a matching sort query by a
     single boolean GATHER down the permutation — no per-query lexsort, no
     np.unique, early-terminating at the per-segment cut exactly like
     Lucene's sorted-index early termination.
+
+    Two spec shapes, mirroring :func:`sort_search`:
+
+    - ``col=<numeric col>`` (+ ``descending``): the single-key layer.
+    - ``keys=[(col, descending), ...]`` (Lucene multi-field index sort,
+      ``SortField.STRING`` included): numeric or string columns; string
+      order is codepoint collation, matching the query path and DuckDB.
+      Layers are independent — an index may carry several (one file per
+      spec, multi-key names digest-keyed).
 
     Resumable per segment (tmp + atomic rename; existing maps with a
     matching params manifest are skipped); a direction or version change
@@ -216,25 +261,33 @@ def build_sort_index(
 
     from splade_ray.build import segment_dirs
 
+    if (col is None) == (keys is None):
+        raise ValueError("pass exactly one of col / keys")
+    keyspec = [(col, bool(descending))] if keys is None else [
+        (c, bool(d)) for c, d in keys]
+    if keys is None:
+        params = {"version": SORT_INDEX_VERSION, "col": col,
+                  "descending": bool(descending)}
+    else:
+        params = {"version": SORT_INDEX_VERSION,
+                  "keys": [[c, d] for c, d in keyspec]}
+
     segs = segment_dirs(index_dir)
-    params = {"version": SORT_INDEX_VERSION, "col": col,
-              "descending": bool(descending)}
 
     def one(seg_dir: str) -> pa.Table:
-        out_path = os.path.join(seg_dir, f"sortmap-{col}.parquet")
-        meta_path = out_path + ".json"
+        out_path, meta_path = _sortmap_paths(
+            seg_dir, col, None if keys is None else keyspec)
         if os.path.exists(out_path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 if json.load(f) == params:
                     return pa.table({"built": pa.array([0], pa.int64())})
-        vals = _numeric_column(seg_dir, col)
+        if keys is None:
+            # single-key fast path: validates the column is numeric
+            _numeric_column(seg_dir, col)
         ids = pq.read_table(
             os.path.join(seg_dir, "doclens.parquet"), columns=["doc_id"]
         )["doc_id"].to_numpy(zero_copy_only=False)
-        # (value dir, doc_id asc): negate values for descending so the
-        # doc_id tiebreak stays ascending either way
-        key = -vals if descending else vals
-        perm = np.lexsort((ids, key)).astype(np.int32)
+        perm = _sort_perm(seg_dir, keyspec, ids)
         tmp = out_path + f".tmp-{os.getpid()}"
         pq.write_table(pa.table({"pos": pa.array(perm, pa.int32())}), tmp)
         os.rename(tmp, out_path)
@@ -249,22 +302,35 @@ def build_sort_index(
             "n_built": int(pdf["built"].sum()) if not pdf.empty else 0}
 
 
-def _load_sort_index(seg_dir: str, col: str, descending: bool):
-    """The segment's sort permutation if a matching layer exists, else
-    None (callers fall back to the lexsort path)."""
+def _load_sortmap(out_path: str, meta_path: str, params: dict):
     import json
 
-    out_path = os.path.join(seg_dir, f"sortmap-{col}.parquet")
-    meta_path = out_path + ".json"
     if not (os.path.exists(out_path) and os.path.exists(meta_path)):
         return None
     with open(meta_path) as f:
-        meta = json.load(f)
-    if meta != {"version": SORT_INDEX_VERSION, "col": col,
-                "descending": bool(descending)}:
-        return None
+        if json.load(f) != params:
+            return None
     return pq.read_table(out_path, columns=["pos"])["pos"].to_numpy(
         zero_copy_only=False).astype(np.int64)
+
+
+def _load_sort_index(seg_dir: str, col: str, descending: bool):
+    """The segment's single-key sort permutation if a matching layer
+    exists, else None (callers fall back to the lexsort path)."""
+    out_path, meta_path = _sortmap_paths(seg_dir, col, None)
+    return _load_sortmap(out_path, meta_path,
+                         {"version": SORT_INDEX_VERSION, "col": col,
+                          "descending": bool(descending)})
+
+
+def _load_sort_index_multi(seg_dir: str, keys: list[tuple[str, bool]]):
+    """The segment's multi-key sort permutation for exactly ``keys``, else
+    None."""
+    keyspec = [(c, bool(d)) for c, d in keys]
+    out_path, meta_path = _sortmap_paths(seg_dir, None, keyspec)
+    return _load_sortmap(out_path, meta_path,
+                         {"version": SORT_INDEX_VERSION,
+                          "keys": [[c, d] for c, d in keyspec]})
 
 
 def sort_search(
@@ -326,12 +392,13 @@ def sort_search(
             colvals = {sort_col: _numeric_column(seg_dir, sort_col)}
         else:
             colvals = {c: seg.doc_values(c) for c, _ in keys}
-        # derived sort-order layer (build_sort_index): when the single-key
-        # query matches the layer's (col, direction), the per-query
-        # lexsort+unique collapses to one boolean gather down the
-        # precomputed permutation — Lucene sorted-index early termination
+        # derived sort-order layer (build_sort_index): when the query's
+        # sort spec matches a built layer (single- or multi-key), the
+        # per-query lexsort+unique collapses to one boolean gather down
+        # the precomputed permutation — Lucene sorted-index early
+        # termination
         perm = (_load_sort_index(seg_dir, sort_col, descending)
-                if single else None)
+                if single else _load_sort_index_multi(seg_dir, keys))
         out = {"query_id": [], "doc_id": []}
         out.update({n: [] for n in value_names})
         for qid, terms in prep["queries"].items():

@@ -1042,3 +1042,75 @@ def test_sort_index_layer_parity_and_resume(built):
     delete_docs(index_dir, [victim])
     gone = sort_search(index_dir, QUERIES, **p_args)
     assert victim not in set(gone["doc_id"])
+
+
+def test_multi_key_sort_index_layer_parity_and_resume(built):
+    """Multi-key derived sort-order layer (Lucene multi-field index sort,
+    string key included): gather path byte-identical to the lexsort path
+    across plain / searchAfter / tombstoned calls; resume skips; a
+    different key spec or direction falls back."""
+    from splade_ray.build import segment_dirs
+    from splade_ray.docvalues import (
+        _load_sort_index_multi,
+        build_sort_index,
+        sort_search,
+    )
+
+    index_dir, texts, sizes = built
+    keys = [("cat", False), ("n_bytes", True)]
+    p_args = dict(sort_keys=keys, top_k=6)
+    before = sort_search(index_dir, QUERIES, **p_args)
+    r = build_sort_index(index_dir, keys=keys)
+    assert r["n_built"] == r["n_segments"] > 0
+    seg = segment_dirs(index_dir)[0]
+    assert _load_sort_index_multi(seg, keys) is not None
+    assert _load_sort_index_multi(seg, [("cat", True), ("n_bytes", True)]) is None
+    assert _load_sort_index_multi(seg, [("n_bytes", True), ("cat", False)]) is None
+    after_l = sort_search(index_dir, QUERIES, **p_args)
+    pd.testing.assert_frame_equal(after_l, before)
+    # flipped direction on one key: falls back to lexsort, still correct
+    flipped = sort_search(
+        index_dir, QUERIES, sort_keys=[("cat", True), ("n_bytes", True)],
+        top_k=6,
+    )
+    assert (flipped.groupby("query_id")["cat"].apply(
+        lambda s: (s.iloc[:-1].to_numpy() >= s.iloc[1:].to_numpy()).all()
+        if len(s) > 1 else True)).all()
+    # searchAfter through the multi-key layer path
+    cursors = {
+        int(qid): (str(g["cat"].iloc[-1]), int(g["n_bytes"].iloc[-1]),
+                   int(g["doc_id"].iloc[-1]))
+        for qid, g in after_l.groupby("query_id")
+    }
+    page2 = sort_search(index_dir, QUERIES, after=cursors, **p_args)
+    assert (page2["rank"].groupby(page2["query_id"]).first() == 1).all()
+    # page2 equals rows 7..12 of the full ordering
+    full = sort_search(index_dir, QUERIES, sort_keys=keys, top_k=12)
+    want2 = full[full["rank"] > 6].copy()
+    want2["rank"] -= 6
+    pd.testing.assert_frame_equal(
+        page2.reset_index(drop=True), want2.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # resume: nothing rebuilds; single-key layer coexists independently
+    assert build_sort_index(index_dir, keys=keys)["n_built"] == 0
+    r_single = build_sort_index(index_dir, "n_bytes", descending=True)
+    assert r_single["n_built"] == r_single["n_segments"]
+    assert build_sort_index(index_dir, keys=keys)["n_built"] == 0
+    # tombstones respected through the gather path
+    from splade_ray.delete import delete_docs
+
+    victim = int(before["doc_id"].iloc[0])
+    delete_docs(index_dir, [victim])
+    gone = sort_search(index_dir, QUERIES, **p_args)
+    assert victim not in set(gone["doc_id"])
+
+
+def test_build_sort_index_arg_validation(built):
+    from splade_ray.docvalues import build_sort_index
+
+    index_dir, _, _ = built
+    with pytest.raises(ValueError):
+        build_sort_index(index_dir)
+    with pytest.raises(ValueError):
+        build_sort_index(index_dir, "n_bytes", keys=[("cat", False)])
