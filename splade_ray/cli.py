@@ -1458,7 +1458,7 @@ def cmd_curate(args) -> int:
 
     from splade_ray.io import read_parquet_clean
 
-    known = ["quality", "dedup", "dupspans", "unitdedup", "decontam", "dsir", "ppl", "redact", "pack"]
+    known = ["quality", "dedup", "dupspans", "unitdedup", "lshdedup", "decontam", "dsir", "ppl", "redact", "pack"]
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     unknown = set(stages) - set(known)
     if unknown:
@@ -1508,12 +1508,76 @@ def cmd_curate(args) -> int:
         return drop_near_duplicates(ds, labels, id_col=id_col)
 
     def stage_dupspans(ds):
-        from splade_ray.ops.curation import drop_duplicated_spans
+        from splade_ray.ops.curation import (
+            drop_duplicated_spans,
+            drop_duplicated_spans_sharded,
+        )
 
+        if args.dup_sharded:
+            # memory-bounded variant: the duplicated-gram set lives
+            # hash-partitioned under out/dupspans_work (pass 1 resumes via
+            # its own manifest), never whole in any worker
+            return drop_duplicated_spans_sharded(
+                ds, os.path.join(args.out, "dupspans_work"),
+                k=args.dup_k, min_count=args.dup_min_count,
+                text_col=text_col, id_col=id_col, n_shards=args.dup_shards,
+            )
         return drop_duplicated_spans(
             ds, k=args.dup_k, min_count=args.dup_min_count,
             text_col=text_col, id_col=id_col,
         )
+
+    def stage_lshdedup(ds):
+        """Cross-run near-dup stage over a persisted MinHash-LSH index:
+        drop docs near-duplicating PREVIOUSLY indexed corpora, then append
+        the survivors so the next run's increment dedups against
+        everything seen so far (the daily-crawl loop; in-run dups are the
+        'dedup' stage's job). First run (no index yet) builds the index
+        from this corpus and passes everything through. The increment tag
+        defaults to a hash of the corpus path, so a crashed run repeats
+        idempotently — distinct increments need distinct --lsh-tag (or
+        distinct corpus paths)."""
+        import hashlib
+
+        from splade_ray.ops.dedup import (
+            minhash_index_append,
+            minhash_index_build,
+            minhash_index_clean_tag,
+            minhash_index_probe,
+        )
+
+        idx = args.lsh_index or os.path.join(args.out, "lsh_index")
+        tag = args.lsh_tag or hashlib.sha1(
+            os.path.abspath(args.corpus).encode()).hexdigest()[:12]
+        built_marker = os.path.join(idx, "_built_tag")
+        if not os.path.exists(os.path.join(idx, "_params.json")):
+            minhash_index_build(ds, idx, text_col=text_col, id_col=id_col)
+            with open(built_marker, "w") as f:
+                f.write(tag + "\n")
+            return ds
+        if os.path.exists(built_marker):
+            with open(built_marker) as f:
+                if f.read().strip() == tag:
+                    # resume of the run that built the index from this very
+                    # corpus: probing it against itself would drop all docs
+                    return ds
+        minhash_index_clean_tag(idx, tag)
+        pairs = minhash_index_probe(
+            ds, idx, min_est_jaccard=args.lsh_min_est,
+            text_col=text_col, id_col=id_col,
+        ).to_pandas()
+        bad_ids = (np.sort(np.unique(pairs["new_doc"].to_numpy(np.int64)))
+                   if len(pairs) else np.empty(0, np.int64))
+        bad_ref = ray.put(bad_ids)  # pair-bounded broadcast
+
+        def filt(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(~np.isin(ids, ray.get(bad_ref))))
+
+        survivors = ds.map_batches(filt, batch_format="pyarrow")
+        minhash_index_append(survivors, idx, tag=tag,
+                             text_col=text_col, id_col=id_col)
+        return survivors
 
     def stage_unitdedup(ds):
         from splade_ray.ops.curation import unit_dedup
@@ -1628,6 +1692,7 @@ def cmd_curate(args) -> int:
         "dedup": stage_dedup,
         "dupspans": stage_dupspans,
         "unitdedup": stage_unitdedup,
+        "lshdedup": stage_lshdedup,
         "decontam": stage_decontam,
         "dsir": stage_dsir,
         "ppl": stage_ppl,
@@ -2401,6 +2466,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="dupspans: min duplicated-substring length (tokens)")
     cu.add_argument("--dup-min-count", type=int, default=2,
                     help="dupspans: occurrences for a gram to count as duplicated")
+    cu.add_argument("--dup-sharded", action="store_true",
+                    help="dupspans: memory-bounded sharded gram set "
+                         "(out/dupspans_work)")
+    cu.add_argument("--dup-shards", type=int, default=8,
+                    help="dupspans --dup-sharded: gram-set shard count")
+    cu.add_argument("--lsh-index", default=None,
+                    help="lshdedup: persisted MinHash-LSH index dir "
+                         "(default out/lsh_index)")
+    cu.add_argument("--lsh-min-est", type=float, default=0.5,
+                    help="lshdedup: min estimated jaccard vs the index")
+    cu.add_argument("--lsh-tag", default=None,
+                    help="lshdedup: increment tag (default: corpus-path hash)")
     cu.add_argument("--budget", type=int, default=512, help="tokens per pack")
     cu.add_argument("--dsir-target", default=None,
                     help="parquet dir of target-domain docs (dsir stage)")

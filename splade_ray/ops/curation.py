@@ -727,6 +727,207 @@ def duplicated_spans_sharded(
     )
 
 
+def _cut_spans_batch(
+    batch: pa.Table, *, k: int, text_col: str,
+    local_starts: np.ndarray, rows: np.ndarray,
+) -> pa.Table:
+    """Replace ``text_col`` with the token stream minus every window
+    ``[start, start+k)`` given as doc-local duplicated-gram starts per
+    batch row — the DupSpanStage rewrite kernel with membership supplied
+    externally (one bincount-difference cumsum, no per-row Python).
+    Duplicate starts are harmless (coverage counts stack)."""
+    import pyarrow.compute as pc
+
+    terms, par, doc_lens = tokenize_column(batch[text_col])
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = batch.num_rows
+    lens = np.asarray(doc_lens, np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    T = int(offsets[-1])
+    starts = np.asarray(local_starts, np.int64) + offsets[
+        np.asarray(rows, np.int64)]
+    diff = np.bincount(starts, minlength=T + 1).astype(np.int64) - np.bincount(
+        starts + k, minlength=T + 1
+    ).astype(np.int64)
+    covered = np.cumsum(diff[:T]) > 0
+    kept = ~covered
+    counts_kept = np.bincount(par[kept], minlength=n) if T else np.zeros(
+        n, np.int64)
+    off2 = np.zeros(n + 1, np.int32)
+    np.cumsum(counts_kept, out=off2[1:])
+    la = pa.ListArray.from_arrays(
+        pa.array(off2, pa.int32()), terms.filter(pa.array(kept))
+    )
+    new_text = pc.binary_join(la, " ").cast(pa.string())
+    idx = batch.schema.get_field_index(text_col)
+    return batch.set_column(idx, text_col, new_text)
+
+
+def drop_duplicated_spans_sharded(
+    docs,
+    work_dir: str,
+    *,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+    concurrency=None,
+    batch_size: int = 2048,
+):
+    """The memory-bounded ExactSubstr REWRITE — closes the gap
+    :func:`duplicated_spans_sharded` documents ("rewrite is not offered
+    here"): same sharded pass 1 (the duplicated-gram set lives
+    hash-partitioned on disk, never whole in any worker), per-shard hit
+    scans emitting slim doc-local ``(doc_id, start)`` rows, then the span
+    cut applied from the UNION of hit rows. Output = the input Dataset
+    with ``text_col`` rewritten (all other columns flow through), equal to
+    :func:`drop_duplicated_spans` row-for-row (parity-tested).
+
+    The hit table is proportional to DUPLICATED gram positions, not the
+    token stream: below ``broadcast_limit`` rows it broadcasts once
+    (``ray.put`` of two sorted int64 arrays) and the cut is a zero-shuffle
+    second scan; above it, hits aggregate to per-doc start lists on a
+    coarse-key groupby and hash-join onto the corpus (the
+    drop_near_duplicates join shape — corpus shuffles once). ``work_dir``
+    holds the gram shards; pass 1 resumes via its params manifest."""
+    from splade_ray.ops.dedup import _coarse_key, _shuffle_groups
+
+    grams_dir = os.path.join(work_dir, "dup_grams")
+    collect_dup_grams_sharded(
+        docs, grams_dir, k=k, min_count=min_count, text_col=text_col,
+        n_shards=n_shards,
+    )
+    import pyarrow.dataset as pads
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    parts = []
+    for r in range(n_shards):
+        shard_dir = os.path.join(grams_dir, f"shard={r}")
+        if os.path.isdir(shard_dir):
+            tbl = pads.dataset(shard_dir).to_table(columns=["gram"])
+            shard = np.sort(tbl["gram"].to_numpy(zero_copy_only=False))
+        else:
+            shard = np.empty(0, np.int64)
+        grams_ref = ray.put(shard)
+        k_, tc, ic = k, text_col, id_col
+
+        def scan(batch: pa.Table, _ref=grams_ref) -> pa.Table:
+            out = _DupHitStage(_ref, k=k_, text_col=tc, id_col=ic,
+                               emit_base=False)(batch)
+            return out.select(["doc_id", "start"])
+
+        parts.append(docs.map_batches(
+            scan, batch_format="pyarrow", batch_size=batch_size, **kwargs))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.union(p)
+    hits = hits.materialize()
+    n_hits = hits.count()
+
+    if n_hits <= broadcast_limit:
+        if n_hits:
+            pdf = hits.to_pandas()
+            h_ids = pdf["doc_id"].to_numpy(np.int64)
+            h_st = pdf["start"].to_numpy(np.int64)
+            order = np.lexsort((h_st, h_ids))
+            h_ids, h_st = h_ids[order], h_st[order]
+        else:
+            h_ids = h_st = np.empty(0, np.int64)
+        hits_ref = ray.put((h_ids, h_st))
+
+        def cut_broadcast(batch: pa.Table) -> pa.Table:
+            ids_sorted, st_sorted = ray.get(hits_ref)
+            bids = batch[id_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            lo = np.searchsorted(ids_sorted, bids, "left")
+            hi = np.searchsorted(ids_sorted, bids, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            rows = np.repeat(np.arange(bids.size), counts)
+            if total:
+                # vectorized multi-range gather: position within each run
+                run0 = np.repeat(np.cumsum(counts) - counts, counts)
+                idx = np.repeat(lo, counts) + (np.arange(total) - run0)
+                local = st_sorted[idx]
+            else:
+                local = np.empty(0, np.int64)
+            return _cut_spans_batch(batch, k=k, text_col=text_col,
+                                    local_starts=local, rows=rows)
+
+        return docs.map_batches(
+            cut_broadcast, batch_format="pyarrow", batch_size=batch_size,
+            **kwargs)
+
+    # join regime: per-doc start lists on a coarse-key groupby (bounded
+    # group count, vectorized kernel), then one corpus hash-join
+    n_groups = _shuffle_groups(None)
+
+    def add_gk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "gk", pa.array(_coarse_key([ids], n_groups)))
+
+    def to_lists(g: pa.Table) -> pa.Table:
+        # per-doc start runs packed as BINARY (int64 little-endian bytes):
+        # Acero hash joins reject list-typed payload columns, and the
+        # zero-copy buffer slicing below costs nothing extra
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        st = g["start"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, ids))
+        ids, st = ids[order], st[order]
+        u, counts = np.unique(ids, return_counts=True)
+        off = np.zeros(u.size + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        data = pa.py_buffer(np.ascontiguousarray(st, np.int64).tobytes())
+        boff = pa.py_buffer((off * 8).astype(np.int32).tobytes())
+        ba = pa.Array.from_buffers(pa.binary(), u.size, [None, boff, data])
+        return pa.table({"__dup_doc": pa.array(u, pa.int64()),
+                         "__dup_starts": ba})
+
+    starts_tbl = (
+        hits.map_batches(add_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(to_lists, batch_format="pyarrow")
+    )
+    from splade_ray.prune import join_partitions
+
+    n_parts = join_partitions(num_partitions)
+    # both sides repartition: the Ray 2.49 empty-partition join workaround
+    # (see ops/cluster.drop_near_duplicates)
+    joined = docs.repartition(n_parts).join(
+        starts_tbl.repartition(n_parts),
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=(id_col,),
+        right_on=("__dup_doc",),
+    )
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch["__dup_starts"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, b"")
+        lens = (pc.binary_length(col).to_numpy(zero_copy_only=False)
+                .astype(np.int64) // 8)
+        rows = np.repeat(np.arange(batch.num_rows), lens)
+        local = np.frombuffer(b"".join(col.to_pylist()), np.int64)
+        gone = [c for c in ("__dup_doc", "__dup_starts")
+                if c in batch.column_names]
+        return _cut_spans_batch(batch.drop_columns(gone), k=k,
+                                text_col=text_col, local_starts=local,
+                                rows=rows)
+
+    return joined.map_batches(
+        cut_joined, batch_format="pyarrow", batch_size=batch_size, **kwargs)
+
+
 def _doc_units(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized sentence-unit extraction: split the LOWERED text on the
     sentence pattern (snippets.SENT_SPLIT_RE — chars outside every

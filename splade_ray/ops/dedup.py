@@ -1219,18 +1219,24 @@ def minhash_index_build(
                                    seed=seed),
         concurrency=(1, 4),
     ).materialize()
+    import shutil
+
     tmp_sigs = os.path.join(out_dir, "sigs.tmp")
+    shutil.rmtree(tmp_sigs, ignore_errors=True)  # crashed-attempt leftovers
     os.makedirs(tmp_sigs, exist_ok=True)
     sigs.write_parquet(tmp_sigs)
+    shutil.rmtree(os.path.join(out_dir, "sigs"), ignore_errors=True)
     os.rename(tmp_sigs, os.path.join(out_dir, "sigs"))
 
     def banded(batch: pa.Table) -> pa.Table:
         return _band_rows(batch, bands=bands, rows_per_band=rows_per_band)
 
     tmp_bands = os.path.join(out_dir, "bands.tmp")
+    shutil.rmtree(tmp_bands, ignore_errors=True)
     os.makedirs(tmp_bands, exist_ok=True)
     sigs.map_batches(banded, batch_format="pyarrow").write_parquet(
         tmp_bands, partition_cols=["band"])
+    shutil.rmtree(os.path.join(out_dir, "bands"), ignore_errors=True)
     os.rename(tmp_bands, os.path.join(out_dir, "bands"))
     with open(manifest_path + ".tmp", "w") as f:
         json.dump(params, f)
@@ -1433,3 +1439,128 @@ def _probe_pairs_shuffle(new_bands, index_dir: str, cap: int) -> pd.DataFrame:
     return (both.groupby("gk")
             .map_groups(bucket_pairs, batch_format="pandas")
             .to_pandas())
+
+
+_TAG_RE = None
+
+
+def _validate_tag(tag: str) -> str:
+    """Increment tags become file-name prefixes; restrict to a safe set."""
+    global _TAG_RE
+    if _TAG_RE is None:
+        import re
+
+        _TAG_RE = re.compile(r"^[A-Za-z0-9_.-]{1,64}$")
+    if not _TAG_RE.match(tag):
+        raise ValueError(f"bad increment tag {tag!r} (allowed: [A-Za-z0-9_.-], "
+                         "1-64 chars)")
+    return tag
+
+
+def minhash_index_clean_tag(index_dir: str, tag: str) -> int:
+    """Remove every file a previous :func:`minhash_index_append` with this
+    ``tag`` wrote (sigs + band partitions). Idempotent — the crash-recovery
+    half of tagged appends: re-running an interrupted append first wipes
+    its own partial files, so an increment never double-counts. Returns
+    the number of files removed."""
+    _validate_tag(tag)
+    prefix = f"inc-{tag}-"
+    n = 0
+    roots = [os.path.join(index_dir, "sigs")]
+    bands_root = os.path.join(index_dir, "bands")
+    if os.path.isdir(bands_root):
+        roots += [os.path.join(bands_root, d) for d in os.listdir(bands_root)
+                  if os.path.isdir(os.path.join(bands_root, d))]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if name.startswith(prefix):
+                os.remove(os.path.join(root, name))
+                n += 1
+    return n
+
+
+def minhash_index_append(
+    ds,
+    index_dir: str,
+    *,
+    tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append an increment's signatures + band rows to a persisted
+    MinHash-LSH index (:func:`minhash_index_build`) — the write half of
+    the daily-crawl loop: probe the increment, drop its matches, append
+    the survivors so the NEXT increment dedups against everything seen so
+    far. Parameters come from the index's own manifest (no drift
+    possible). Files land inside the existing ``sigs/`` and
+    ``bands/band=N/`` directories under the name prefix ``inc-<tag>-``;
+    the append first calls :func:`minhash_index_clean_tag` on its own tag,
+    so a crashed attempt re-runs cleanly (distinct increments need
+    distinct tags). Returns {"n_docs", "n_band_rows"}."""
+    import json
+    import shutil
+
+    _validate_tag(tag)
+    manifest_path = os.path.join(index_dir, "_params.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(f"no LSH index manifest at {manifest_path}")
+    with open(manifest_path) as f:
+        params = json.load(f)
+    num_perm, bands = params["num_perm"], params["bands"]
+    rows_per_band = num_perm // bands
+    minhash_index_clean_tag(index_dir, tag)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch[id_col].cast(pa.int64()),
+                         "text": batch[text_col].cast(pa.string())})
+
+    sigs = ds.map_batches(rename, batch_format="pyarrow").map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs=dict(num_perm=num_perm,
+                                   shingle_k=params["shingle_k"],
+                                   seed=params["seed"]),
+        concurrency=(1, 4),
+    ).materialize()
+    n_docs = sigs.count()
+
+    tmp_sigs = os.path.join(index_dir, f"sigs.inc-{tag}.tmp")
+    shutil.rmtree(tmp_sigs, ignore_errors=True)
+    os.makedirs(tmp_sigs, exist_ok=True)
+    sigs.write_parquet(tmp_sigs)
+
+    def banded(batch: pa.Table) -> pa.Table:
+        return _band_rows(batch, bands=bands, rows_per_band=rows_per_band)
+
+    tmp_bands = os.path.join(index_dir, f"bands.inc-{tag}.tmp")
+    shutil.rmtree(tmp_bands, ignore_errors=True)
+    os.makedirs(tmp_bands, exist_ok=True)
+    banded_ds = sigs.map_batches(banded, batch_format="pyarrow").materialize()
+    n_band_rows = banded_ds.count()
+    banded_ds.write_parquet(tmp_bands, partition_cols=["band"])
+
+    # move files into the live layout under the tag prefix (per-file
+    # renames; a crash mid-move is repaired by the clean-tag pre-pass)
+    i = 0
+    for name in sorted(os.listdir(tmp_sigs)):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(tmp_sigs, name),
+                      os.path.join(index_dir, "sigs", f"inc-{tag}-{i}.parquet"))
+            i += 1
+    for part in sorted(os.listdir(tmp_bands)):
+        src_part = os.path.join(tmp_bands, part)
+        if not os.path.isdir(src_part):
+            continue
+        dst_part = os.path.join(index_dir, "bands", part)
+        os.makedirs(dst_part, exist_ok=True)
+        j = 0
+        for name in sorted(os.listdir(src_part)):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(src_part, name),
+                          os.path.join(dst_part, f"inc-{tag}-{j}.parquet"))
+                j += 1
+    shutil.rmtree(tmp_sigs, ignore_errors=True)
+    shutil.rmtree(tmp_bands, ignore_errors=True)
+    return {"n_docs": int(n_docs), "n_band_rows": int(n_band_rows)}

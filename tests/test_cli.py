@@ -926,3 +926,118 @@ def test_cli_curate_unitdedup_stage(ray_session, tmp_path, capsys):
     assert got.loc[0] == "alpha beta"
     assert got.loc[1] == "gamma delta"
     assert got.loc[2] == "totally unique text"
+
+
+def test_cli_curate_dupspans_sharded_stage(ray_session, tmp_path, capsys):
+    """curate --stages dupspans --dup-sharded: same output as the broadcast
+    stage, gram shards live under out/dupspans_work."""
+    import os
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    boiler = "copyright acme corp all rights reserved"
+    texts = [
+        f"alpha beta {boiler} gamma delta",
+        f"one two three {boiler} four five",
+        "totally unique content here with nothing shared",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+            }
+        ),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--corpus", str(d), "--out", out,
+        "--stages", "dupspans", "--dup-k", "4",
+        "--dup-sharded", "--dup-shards", "3",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] == {"dupspans": 3}
+    assert os.path.isdir(os.path.join(out, "dupspans_work", "dup_grams"))
+
+    import ray.data as rd
+
+    got = rd.read_parquet(out + "/dupspans").to_pandas().sort_values("doc_id")
+    assert got.loc[got["doc_id"] == 0, "text"].iloc[0] == "alpha beta gamma delta"
+    assert got.loc[got["doc_id"] == 1, "text"].iloc[0] == "one two three four five"
+    assert got.loc[got["doc_id"] == 2, "text"].iloc[0] == texts[2]
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+
+
+def test_cli_curate_lshdedup_incremental(ray_session, tmp_path, capsys):
+    """curate --stages lshdedup across two runs sharing one persisted LSH
+    index: run 1 (day 1) builds the index and keeps everything; run 2
+    (day 2) drops the docs near-duplicating day 1 and appends its
+    survivors, so a third increment would see them too."""
+    import os
+
+    import ray.data as rd
+
+    def write_corpus(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+            }),
+            str(d / "part-0.parquet"),
+        )
+        return str(d)
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill nearby")
+    uniq = ("completely different text about distributed query engines "
+            "processing large corpora with streaming execution backends")
+    day1 = write_corpus("day1", [(1, base), (2, uniq)])
+    # day 2: one near-copy of day-1 doc 1, one fresh doc
+    day2 = write_corpus("day2", [
+        (10, base.replace("warm", "cold")),
+        (11, "entirely novel third document text mentioning nothing seen "
+             "before in any earlier crawl increment batch at all today"),
+    ])
+    idx = str(tmp_path / "lsh_index")
+
+    out1 = str(tmp_path / "c1")
+    rc = main(["curate", "--corpus", day1, "--out", out1,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["rows_after"] == {"lshdedup": 2}
+    assert os.path.exists(os.path.join(idx, "_params.json"))
+
+    out2 = str(tmp_path / "c2")
+    rc = main(["curate", "--corpus", day2, "--out", out2,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["rows_after"] == {"lshdedup": 1}
+    got = rd.read_parquet(out2 + "/lshdedup").to_pandas()
+    assert got["doc_id"].tolist() == [11]
+    # survivor was appended: a rerun into a fresh out dir still drops 10
+    # AND a re-probe of doc 11's own text against the index now hits it
+    from splade_ray.ops.dedup import minhash_index_probe
+
+    probe = minhash_index_probe(
+        rd.read_parquet(out2 + "/lshdedup"), idx, min_est_jaccard=0.9,
+    ).to_pandas()
+    assert set(probe["old_doc"]) == {11}
+
+    # run-2 resume (same corpus path -> same tag): identical result, no
+    # self-match wipeout
+    import shutil
+
+    shutil.rmtree(out2)
+    rc = main(["curate", "--corpus", day2, "--out", out2,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    s2b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2b["rows_after"] == {"lshdedup": 1}

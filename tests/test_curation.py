@@ -631,3 +631,35 @@ def test_containment_catches_subset_pairs(ray_session):
     assert r["inter"] <= min(r["n_a"], r["n_b"])
     with pytest.raises(ValueError, match="unknown similarity"):
         jaccard_block_pairs(ds, similarity="dice")
+
+
+@pytest.mark.parametrize("broadcast_limit", [5_000_000, 0])
+def test_drop_duplicated_spans_sharded_parity(ray_session, tmp_path,
+                                              broadcast_limit):
+    """The memory-bounded ExactSubstr REWRITE equals the broadcast rewrite
+    row-for-row, in both hit regimes (broadcast, and the per-doc
+    start-list hash join forced by broadcast_limit=0); non-text columns
+    flow through."""
+    from splade_ray.ops.curation import (
+        drop_duplicated_spans,
+        drop_duplicated_spans_sharded,
+    )
+
+    texts = _dup_texts()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "extra": pa.array([i * 10 for i in range(len(texts))], pa.int64()),
+    })
+    for k in (3, 5):
+        ds = rd.from_arrow(tbl).repartition(3)
+        want = (drop_duplicated_spans(ds, k=k, batch_size=2).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        got = (drop_duplicated_spans_sharded(
+                   ds, str(tmp_path / f"rw{k}-{broadcast_limit}"), k=k,
+                   n_shards=3, batch_size=2,
+                   broadcast_limit=broadcast_limit)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False)
+        assert (got["extra"] == got["doc_id"] * 10).all()

@@ -99,3 +99,57 @@ def test_cli_lsh_build_probe(ray_session, tmp_path, capsys):
                  "--out", out]) == 0
     got = rd.read_parquet(out).to_pandas()
     assert (101, 2) in set(zip(got["new_doc"], got["old_doc"]))
+
+
+def test_minhash_index_append_and_clean_tag(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_clean_tag,
+        minhash_index_probe,
+    )
+
+    def corpus(ids, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+        }))
+
+    base = ("shared boilerplate sentence repeated across increments with "
+            "plenty of words to shingle over for the minhash signatures")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus([1], [base]), idx)
+    r = minhash_index_append(
+        corpus([2], [base.replace("plenty", "loads")]), idx, tag="day2")
+    assert r["n_docs"] == 1 and r["n_band_rows"] > 0
+    # probe a copy: both the built doc and the appended doc collide
+    probe = minhash_index_probe(
+        corpus([9], [base]), idx, min_est_jaccard=0.3).to_pandas()
+    assert set(probe["old_doc"]) == {1, 2}
+    # re-append same tag: idempotent (clean-first), not doubled
+    minhash_index_append(
+        corpus([2], [base.replace("plenty", "loads")]), idx, tag="day2")
+    probe2 = minhash_index_probe(
+        corpus([9], [base]), idx, min_est_jaccard=0.3).to_pandas()
+    assert len(probe2) == len(probe)
+    # clean removes the increment entirely
+    n = minhash_index_clean_tag(idx, "day2")
+    assert n > 0
+    probe3 = minhash_index_probe(
+        corpus([9], [base]), idx, min_est_jaccard=0.3).to_pandas()
+    assert set(probe3["old_doc"]) == {1}
+    # tag validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad increment tag"):
+        minhash_index_clean_tag(idx, "no/slashes")
+    # appending to a missing index refuses
+    with _pytest.raises(FileNotFoundError):
+        minhash_index_append(corpus([3], [base]), str(tmp_path / "nope"),
+                             tag="x")
