@@ -4159,6 +4159,52 @@ def q_near_dup_containment_counts(sf_dir: str):
     )
 
 
+CONT_SK_K = 5       # word-k-gram width of the sketch-face profiles
+CONT_SK_T = 0.75    # exactly representable in binary: the engine's float
+                    # threshold and DuckDB's decimal agree on boundaries
+
+
+def q_containment_sketch_counts(sf_dir: str):
+    """CROSS-BAND subset pairs (ops.dedup.containment_sketch_pairs,
+    complete-sketch regime): every doc pair with non-empty k-gram
+    profiles, >=1 shared gram, and max-containment
+    inter/min(|A|,|B|) >= 0.75 — corpus-wide, NO length-band blocking
+    (the subset pairs jaccard_block_pairs excludes by construction).
+    Gram identity = the dup-span family's FNV fold over sha256-prefix
+    token hashes, mirrored in HUGEINT; integer-exact (inter, n_a, n_b)
+    face."""
+    from splade_ray.ops.dedup import containment_sketch_pairs
+
+    return containment_sketch_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), k=CONT_SK_K,
+        min_containment=CONT_SK_T, emit_counts=True,
+    )
+
+
+def _containment_sketch_sql() -> str:
+    """SQL mirror of the complete-sketch containment face: distinct FNV
+    k-gram hashes per doc, all-pairs shared-gram counts, integer-exact
+    threshold (0.75 = 3/4, exact in both engines' arithmetic)."""
+    p = 1099511628211
+    fold = _fold_sql([f"h[i+{j}]" for j in range(CONT_SK_K)], p)
+    return f"""
+WITH {_token_hashes_cte()},
+gi AS (SELECT doc_id, h,
+              unnest(generate_series(1, greatest(len(h) - {CONT_SK_K - 1}, 0))) AS i
+       FROM hs),
+g AS (SELECT doc_id, {fold} AS g FROM gi),
+gd AS (SELECT DISTINCT doc_id, g FROM g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM gd GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS i
+          FROM gd x JOIN gd y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.i AS inter,
+       sa.sz::BIGINT AS n_a, sb.sz::BIGINT AS n_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i >= {CONT_SK_T} * least(sa.sz, sb.sz)"""
+
+
 def q_near_dup_jaccard_counts(sf_dir: str):
     """n-gram Jaccard near-dup pairs in integer-exact form (inter, uni
     counts; threshold inter >= 0.5·uni) — the oracle-checked face of the
@@ -6475,6 +6521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_jaccard": q_near_dup_jaccard,
         "near_dup_jaccard_counts": q_near_dup_jaccard_counts,
         "near_dup_containment_counts": q_near_dup_containment_counts,
+        "containment_sketch_counts": q_containment_sketch_counts,
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "lang_id_pred": q_lang_id_pred,
@@ -8433,6 +8480,7 @@ SELECT vec_id,
 FROM all_vecs""",
         "near_dup_jaccard_counts": _jaccard_counts_sql(),
         "near_dup_containment_counts": _containment_counts_sql(),
+        "containment_sketch_counts": _containment_sketch_sql(),
         "doc_fingerprint": _fingerprint_sql(),
         "minhash_sigs": _minhash_sigs_sql(),
         "simhash_sigs": _simhash_sigs_sql(),

@@ -1564,3 +1564,347 @@ def minhash_index_append(
     shutil.rmtree(tmp_sigs, ignore_errors=True)
     shutil.rmtree(tmp_bands, ignore_errors=True)
     return {"n_docs": int(n_docs), "n_band_rows": int(n_band_rows)}
+
+
+# ------------------------------------------------- containment (sketch face)
+
+
+def gram_profiles(ds, *, k: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Per-doc DISTINCT word-k-gram hash profiles: (doc_id, n_grams,
+    grams) where ``grams`` packs the doc's distinct gram hashes as binary
+    (uint64 little-endian, sorted ASCENDING in unsigned order — so a
+    bottom-``s`` sketch is a byte prefix). Gram identity is the FNV fold
+    over sha256-prefix token hashes (ops/curation._gram_hash_positions),
+    the dup-span/decontam family's gram — HUGEINT-mirrorable in SQL.
+    Docs shorter than ``k`` tokens have an empty profile."""
+    from splade_ray.ops.curation import _gram_hash_positions
+
+    def prof(batch: pa.Table) -> pa.Table:
+        hs, par, _ = _flat_token_hashes(batch[text_col])
+        g, gpar, _ = _gram_hash_positions(hs, par, k)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        order = np.lexsort((g, gpar))
+        gs, ps = g[order], gpar[order]
+        keep = np.r_[True, (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])] \
+            if gs.size else np.zeros(0, bool)
+        gs, ps = gs[keep], ps[keep]
+        counts = np.bincount(ps, minlength=n).astype(np.int64)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        data = pa.py_buffer(np.ascontiguousarray(gs, np.uint64).tobytes())
+        boff = pa.py_buffer((off * 8).astype(np.int32).tobytes())
+        ba = pa.Array.from_buffers(pa.binary(), n, [None, boff, data])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_grams": pa.array(counts, pa.int64()),
+            "grams": ba,
+        })
+
+    return ds.map_batches(prof, batch_format="pyarrow")
+
+
+def _unpack_profiles(batch: pa.Table):
+    """(ids, n_grams, flat uint64 grams, row index per gram)."""
+    import pyarrow.compute as pc
+
+    col = batch["grams"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = (pc.binary_length(col).to_numpy(zero_copy_only=False)
+            .astype(np.int64) // 8)
+    flat = np.frombuffer(b"".join(col.to_pylist()), np.uint64)
+    rows = np.repeat(np.arange(batch.num_rows), lens)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grams = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, n_grams, flat, rows, lens
+
+
+def containment_sketch_pairs(
+    ds,
+    *,
+    k: int = 5,
+    sketch_k: int | None = None,
+    min_containment: float = 0.8,
+    df_cap: int = 1024,
+    emit_counts: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pushdown_max_pairs: int = 100_000,
+    num_partitions: int | None = None,
+):
+    """CROSS-BAND subset detection — the containment face freed from the
+    length-band blocking that (by construction) hides true subsets from
+    :func:`jaccard_block_pairs`: a short doc quoted inside a long one
+    lands in another length band there, and MinHash bands rarely collide
+    for it either (Jaccard of a small set vs its superset is tiny). This
+    operator finds exactly those pairs.
+
+    Design (bottom-s sketch probe against the gram posting table):
+
+    1. per-doc distinct k-gram hash profiles (:func:`gram_profiles`);
+    2. PROBE rows = each doc's ``sketch_k`` smallest gram hashes (its
+       whole profile when ``sketch_k`` is None or >= the profile — the
+       EXACT regime); POSTING rows = every distinct gram of every doc,
+       per-gram doc list capped at ``df_cap`` (logged) so stopword-like
+       grams cannot go quadratic;
+    3. one coarse-key groupby over gram hash emits (probe_doc,
+       posting_doc) hits; a second sums hits per directed pair — the
+       estimate ``hits / min(sketch_k, |probe|)`` of containment(probe ⊆
+       posting) gates candidates at ``min_containment``;
+    4. surfaced pairs are verified EXACTLY against the profiles
+       (pushdown isin fetch below ``pushdown_max_pairs`` candidates, the
+       double hash join above it) and thresholded on true max-containment
+       ``inter >= min_containment · min(n_a, n_b)``.
+
+    With complete sketches the estimate equals the true containment, so
+    the operator returns EVERY pair of non-empty profiles with
+    max-containment >= threshold and inter >= 1, corpus-wide — the
+    integer-exact ``emit_counts`` face (doc_a < doc_b, inter, n_a, n_b)
+    a SQL oracle mirrors without any blocking clause. With a small
+    ``sketch_k`` precision stays exact (verification) and recall is
+    sketch-bounded — the 100-TB regime, where probe rows are
+    O(sketch_k · docs) and only slim (gram, doc) rows ever shuffle.
+    Empty-profile docs pair with nothing (vacuous containment excluded by
+    contract; inter >= 1 keeps the SQL face finite)."""
+    profiles = gram_profiles(ds, k=k, text_col=text_col,
+                             id_col=id_col).materialize()
+    n_groups = _shuffle_groups(None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, n_grams, flat, rows, lens = _unpack_profiles(batch)
+        pos_doc = ids[rows]
+        gram_i = flat.view(np.int64)
+        # probe mask: position inside the doc's run < its sketch size
+        run0 = np.repeat(np.cumsum(lens) - lens, lens)
+        in_doc = np.arange(flat.size) - run0
+        keff = lens if sketch_k is None else np.minimum(lens, sketch_k)
+        probe = in_doc < np.repeat(keff, lens)
+        side = np.where(probe, np.int8(1), np.int8(0))
+        both_g = np.concatenate([gram_i, gram_i[probe]])
+        both_d = np.concatenate([pos_doc, pos_doc[probe]])
+        both_s = np.concatenate([np.zeros(flat.size, np.int8),
+                                 np.ones(int(probe.sum()), np.int8)])
+        both_k = np.concatenate([np.zeros(flat.size, np.int64),
+                                 np.repeat(keff, lens)[probe]])
+        del side
+        return pa.table({
+            "gram": pa.array(both_g, pa.int64()),
+            "doc_id": pa.array(both_d, pa.int64()),
+            "side": pa.array(both_s, pa.int8()),
+            "keff": pa.array(both_k, pa.int64()),
+            "gk": pa.array(_coarse_key([both_g], n_groups)),
+        })
+
+    def gram_hits(g: pa.Table) -> pa.Table:
+        empty = pa.table({"probe_doc": pa.array([], pa.int64()),
+                          "post_doc": pa.array([], pa.int64()),
+                          "keff": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        gram = g["gram"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        sd = g["side"].to_numpy(zero_copy_only=False)
+        kf = g["keff"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sd, gram))
+        gram, doc, sd, kf = gram[order], doc[order], sd[order], kf[order]
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        ends = np.r_[starts[1:], gram.size]
+        out_a, out_b, out_k = [], [], []
+        for s, e in zip(starts, ends):
+            split = s + int(np.searchsorted(sd[s:e], 1))
+            posts = doc[s:split]
+            probes, pk = doc[split:e], kf[split:e]
+            if probes.size == 0 or posts.size == 0:
+                continue
+            if posts.size > df_cap:
+                _LOG.warning(
+                    "containment_sketch_pairs: gram with %d docs capped "
+                    "at df_cap=%d", posts.size, df_cap)
+                posts = posts[:df_cap]  # doc-asc (lexsort) -> deterministic
+            a = np.repeat(probes, posts.size)
+            b = np.tile(posts, probes.size)
+            kk = np.repeat(pk, posts.size)
+            keep = a != b
+            out_a.append(a[keep]); out_b.append(b[keep]); out_k.append(kk[keep])
+        if not out_a:
+            return empty
+        return pa.table({
+            "probe_doc": pa.array(np.concatenate(out_a), pa.int64()),
+            "post_doc": pa.array(np.concatenate(out_b), pa.int64()),
+            "keff": pa.array(np.concatenate(out_k), pa.int64()),
+        })
+
+    hits = (
+        profiles.map_batches(explode, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(gram_hits, batch_format="pyarrow")
+    )
+
+    def add_pair_gk(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("probe_doc", pa.int64()), ("post_doc", pa.int64()),
+                            ("keff", pa.int64()), ("gk", pa.int64())])
+        if batch.num_rows == 0 or "probe_doc" not in batch.column_names:
+            return schema.empty_table()
+        gk = _coarse_key(
+            [batch["probe_doc"].to_numpy(zero_copy_only=False),
+             batch["post_doc"].to_numpy(zero_copy_only=False)], n_groups)
+        return pa.table({
+            "probe_doc": batch["probe_doc"].cast(pa.int64()),
+            "post_doc": batch["post_doc"].cast(pa.int64()),
+            "keff": batch["keff"].cast(pa.int64()),
+            "gk": pa.array(gk),
+        })
+
+    def sum_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        a = g["probe_doc"].to_numpy(zero_copy_only=False)
+        b = g["post_doc"].to_numpy(zero_copy_only=False)
+        kf = g["keff"].to_numpy(zero_copy_only=False)
+        pairs = np.stack([a, b], axis=1)
+        u, inv = np.unique(pairs, axis=0, return_inverse=True)
+        matches = np.bincount(inv, minlength=u.shape[0])
+        kfu = np.zeros(u.shape[0], np.int64)
+        kfu[inv] = kf  # keff constant per probe doc
+        est_keep = matches >= min_containment * np.maximum(kfu, 1)
+        ua, ub = u[est_keep, 0], u[est_keep, 1]
+        lo, hi = np.minimum(ua, ub), np.maximum(ua, ub)
+        und = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(und[:, 0], pa.int64()),
+                         "doc_b": pa.array(und[:, 1], pa.int64())})
+
+    cand = (
+        hits.map_batches(add_pair_gk, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(sum_pairs, batch_format="pyarrow")
+    )
+
+    # the directed->undirected fold can leave the same pair in two coarse
+    # groups; a final dedup over the pair-sized stream
+    def add_gk2(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("gk", pa.int64())])
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return schema.empty_table()
+        gk = _coarse_key(
+            [batch["doc_a"].to_numpy(zero_copy_only=False),
+             batch["doc_b"].to_numpy(zero_copy_only=False)], n_groups)
+        return pa.table({"doc_a": batch["doc_a"].cast(pa.int64()),
+                         "doc_b": batch["doc_b"].cast(pa.int64()),
+                         "gk": pa.array(gk)})
+
+    def uniq_kernel(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table({"doc_a": pa.array(arr[:, 0], pa.int64()),
+                         "doc_b": pa.array(arr[:, 1], pa.int64())})
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or set(pair_schema.names) - set(batch.column_names):
+            return pair_schema.empty_table()
+        return pa.table({n: batch[n].cast(pa.int64())
+                         for n in pair_schema.names})
+
+    uniq_pairs = (
+        cand.map_batches(add_gk2, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(uniq_kernel, batch_format="pyarrow")
+        .map_batches(_conform, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        + ([("inter", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+           if emit_counts else [("containment_r", pa.float64())])
+    )
+
+    def emit(da, db, inter, na, nb) -> pa.Table:
+        m = np.minimum(na, nb)
+        keep = (inter >= 1) & (inter >= min_containment * m)
+        if emit_counts:
+            return pa.table({
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "n_b": pa.array(nb[keep], pa.int64()),
+            })
+        c = inter[keep] / np.maximum(m[keep], 1)
+        return pa.table({
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "containment_r": pa.array(np.round(c, 4), pa.float64()),
+        })
+
+    n_pairs = uniq_pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+
+    if n_pairs <= pushdown_max_pairs:
+        pdf = uniq_pairs.to_pandas()
+        cand_ids = np.unique(np.concatenate(
+            [pdf["doc_a"].to_numpy(np.int64), pdf["doc_b"].to_numpy(np.int64)]))
+        cand_ref = ray.put(cand_ids)
+
+        def fetch(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(ids, ray.get(cand_ref))))
+
+        prows = profiles.map_batches(fetch, batch_format="pyarrow").to_pandas()
+        prof_ref = ray.put(dict(zip(prows["doc_id"].to_numpy(np.int64),
+                                    prows["grams"])))
+
+        def verify_lookup(batch: pa.Table) -> pa.Table:
+            pmap = ray.get(prof_ref)
+            da = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            db = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            inter = np.empty(da.size, np.int64)
+            na = np.empty(da.size, np.int64)
+            nb = np.empty(da.size, np.int64)
+            for i, (x, y) in enumerate(zip(da, db)):
+                ga = np.frombuffer(pmap[x], np.uint64)
+                gb = np.frombuffer(pmap[y], np.uint64)
+                inter[i] = np.intersect1d(ga, gb, assume_unique=True).size
+                na[i], nb[i] = ga.size, gb.size
+            return emit(da, db, inter, na, nb)
+
+        return uniq_pairs.map_batches(verify_lookup, batch_format="pyarrow")
+
+    from splade_ray.prune import join_partitions
+
+    if num_partitions is None:
+        cpus = (ray.cluster_resources().get("CPU", 4.0)
+                if ray.is_initialized() else 4.0)
+        num_partitions = max(2, min(8, int(cpus) // 2))
+    n_parts = join_partitions(num_partitions)
+    joined = uniq_pairs.repartition(n_parts).join(
+        profiles, join_type="inner", num_partitions=n_parts,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"grams": "grams_a", "n_grams": "na"})
+    joined = joined.repartition(n_parts).join(
+        profiles, join_type="inner", num_partitions=n_parts,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"grams": "grams_b", "n_grams": "nb"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        da = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = np.empty(da.size, np.int64)
+        for i, (ba_, bb_) in enumerate(zip(batch["grams_a"].to_pylist(),
+                                           batch["grams_b"].to_pylist())):
+            inter[i] = np.intersect1d(
+                np.frombuffer(ba_, np.uint64), np.frombuffer(bb_, np.uint64),
+                assume_unique=True).size
+        na = batch["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return emit(da, db, inter, na, nb)
+
+    return joined.map_batches(verify, batch_format="pyarrow")

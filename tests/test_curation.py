@@ -663,3 +663,105 @@ def test_drop_duplicated_spans_sharded_parity(ray_session, tmp_path,
         pd.testing.assert_frame_equal(
             got[want.columns], want, check_dtype=False)
         assert (got["extra"] == got["doc_id"] * 10).all()
+
+
+def _brute_containment_pairs(texts, k, t):
+    """All-pairs exact max-containment over distinct FNV k-gram hashes."""
+    from splade_ray.ops.curation import _gram_hash_positions
+    from splade_ray.ops.dedup import _flat_token_hashes
+
+    tbl = pa.table({"t": pa.array(texts)})
+    hs, par, _ = _flat_token_hashes(tbl["t"])
+    g, gpar, _ = _gram_hash_positions(hs, par, k)
+    sets = [set(g[gpar == i].tolist()) for i in range(len(texts))]
+    out = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            m = min(len(sets[i]), len(sets[j]))
+            if inter >= 1 and inter >= t * m:
+                out.append((i, j, inter, len(sets[i]), len(sets[j])))
+    return pd.DataFrame(out, columns=["doc_a", "doc_b", "inter", "n_a", "n_b"])
+
+
+def _containment_corpus():
+    little = ("the quick brown fox jumps over the lazy dog near the river "
+              "bank every single morning")
+    big = ("a very long document about many topics begins here with much "
+           "padding text and then quotes verbatim " + little +
+           " before continuing onward with entirely different material "
+           "about distributed systems and streaming execution engines "
+           "filling several more clauses of text to push it far into a "
+           "different length band than the little one")
+    return [
+        little,
+        big,
+        "completely unrelated text mentioning none of those words at all "
+        "just filler content for the corpus here",
+        "",  # empty profile: pairs with nothing
+        "tiny",  # shorter than k tokens -> empty profile
+    ]
+
+
+@pytest.mark.parametrize("pushdown_max_pairs", [100_000, 0])
+def test_containment_sketch_pairs_exact_regime(ray_session,
+                                               pushdown_max_pairs):
+    """Complete sketches: the operator equals brute-force max-containment
+    across ALL pairs — including the cross-length-band subset pair the
+    blocked face excludes by construction. pushdown_max_pairs=0 forces
+    the hash-join verification regime."""
+    from splade_ray.ops.dedup import (
+        containment_sketch_pairs,
+        jaccard_block_pairs,
+    )
+
+    texts = _containment_corpus()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    k, t = 4, 0.8
+    want = _brute_containment_pairs(texts, k, t)
+    got = (containment_sketch_pairs(
+               rd.from_arrow(tbl).repartition(2), k=k, min_containment=t,
+               emit_counts=True, pushdown_max_pairs=pushdown_max_pairs)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the subset pair (0 inside 1) IS found...
+    assert (0, 1) in set(zip(got["doc_a"], got["doc_b"]))
+    # ...and the blocked containment face misses it (different length band)
+    blocked = jaccard_block_pairs(
+        rd.from_arrow(tbl), min_jaccard=t, emit_counts=True,
+        similarity="containment").to_pandas()
+    assert blocked.empty or (0, 1) not in set(
+        zip(blocked["doc_a"], blocked["doc_b"]))
+    # empty-profile docs never pair
+    assert not (got[["doc_a", "doc_b"]].isin([3, 4])).any().any()
+
+
+def test_containment_sketch_pairs_sketched_regime(ray_session):
+    """Small sketch_k: every returned pair is a TRUE pair (verification is
+    exact) and the embedded-subset pair survives the sketch gate."""
+    from splade_ray.ops.dedup import containment_sketch_pairs
+
+    texts = _containment_corpus()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    k, t = 4, 0.8
+    want = _brute_containment_pairs(texts, k, t)
+    want_pairs = set(zip(want["doc_a"], want["doc_b"]))
+    got = containment_sketch_pairs(
+        rd.from_arrow(tbl).repartition(2), k=k, sketch_k=8,
+        min_containment=t, emit_counts=True).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert got_pairs <= want_pairs
+    assert (0, 1) in got_pairs
+    # float face: rounded ratio in (0, 1]
+    got_f = containment_sketch_pairs(
+        rd.from_arrow(tbl).repartition(2), k=k, sketch_k=8,
+        min_containment=t).to_pandas()
+    assert ((got_f["containment_r"] > 0) & (got_f["containment_r"] <= 1)).all()
