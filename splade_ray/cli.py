@@ -1268,7 +1268,8 @@ def cmd_beir_eval(args) -> int:
 
 def cmd_dedup(args) -> int:
     """Duplicate clustering + survivor filter over a parquet corpus:
-    pair generation (exact / minhash / jaccard) → connected components →
+    pair generation (exact / minhash / jaccard / containment) →
+    connected components →
     cluster-canonical survivors. Writes ``out/clusters`` (doc_id,
     cluster_id) and ``out/survivors`` (all source columns) as partitioned
     parquet; prints a summary JSON line.
@@ -1289,13 +1290,14 @@ def cmd_dedup(args) -> int:
     from splade_ray.io import read_parquet_clean
     from splade_ray.ops.cluster import connected_components, drop_near_duplicates
     from splade_ray.ops.dedup import (
+        containment_sketch_pairs,
         exact_dup_pairs,
         jaccard_block_pairs,
         minhash_lsh_pairs,
     )
 
     methods = [m.strip() for m in args.methods.split(",") if m.strip()]
-    unknown = set(methods) - {"exact", "minhash", "jaccard"}
+    unknown = set(methods) - {"exact", "minhash", "jaccard", "containment"}
     if unknown:
         print(f"unknown dedup method(s): {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -1340,6 +1342,13 @@ def cmd_dedup(args) -> int:
             return exact_dup_pairs(nds)
         if m == "minhash":
             return minhash_lsh_pairs(nds, min_est_jaccard=args.min_est_jaccard)
+        if m == "containment":
+            # cross-band SUBSET duplicates: the survivor filter keeps the
+            # cluster-min doc, so an embedded copy joins its host's cluster
+            return containment_sketch_pairs(
+                nds, k=args.cont_k,
+                sketch_k=args.cont_sketch_k or None,
+                min_containment=args.min_containment, emit_counts=True)
         return jaccard_block_pairs(nds, min_jaccard=args.min_jaccard, emit_counts=True)
 
     def build_pipeline(m: str, cpu_share: float | None = None):
@@ -2438,9 +2447,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--lang-col", default="lang")
     dd.add_argument("--methods", default="exact,minhash",
-                    help="comma list of exact|minhash|jaccard")
+                    help="comma list of exact|minhash|jaccard|containment")
     dd.add_argument("--min-est-jaccard", type=float, default=0.5)
     dd.add_argument("--min-jaccard", type=float, default=0.8)
+    dd.add_argument("--min-containment", type=float, default=0.8,
+                    help="containment method: max-containment threshold")
+    dd.add_argument("--cont-k", type=int, default=5,
+                    help="containment method: word-k-gram width")
+    dd.add_argument("--cont-sketch-k", type=int, default=0,
+                    help="containment method: bottom-k sketch size "
+                         "(0 = complete profiles, exact)")
     dd.set_defaults(fn=cmd_dedup)
 
     cu = sub.add_parser(

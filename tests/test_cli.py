@@ -1041,3 +1041,39 @@ def test_cli_curate_lshdedup_incremental(ray_session, tmp_path, capsys):
     assert rc == 0
     s2b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2b["rows_after"] == {"lshdedup": 1}
+
+
+def test_cli_dedup_containment_method(ray_session, tmp_path, capsys):
+    """dedup --methods containment: an embedded-subset doc joins its
+    host's cluster (cross length bands) and the survivor filter keeps one
+    of the pair."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    little = ("the quick brown fox jumps over the lazy dog near the river "
+              "bank every single morning")
+    big = ("a very long document about many topics begins here with much "
+           "padding text and then quotes verbatim " + little +
+           " before continuing onward with entirely different material "
+           "about distributed systems and streaming execution engines "
+           "filling several more clauses of text")
+    texts = [little, big,
+             "completely unrelated filler content mentioning none of "
+             "those exact word sequences in any order at all"]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "dd")
+    rc = main(["dedup", "--corpus", str(d), "--out", out,
+               "--methods", "containment", "--min-containment", "0.8"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_survivors"] == 2 and summary["n_dropped"] == 1
+
+    import pandas as pd
+
+    surv = pd.read_parquet(out + "/survivors")
+    assert set(surv["doc_id"]) == {0, 2}  # cluster-min keeps the little doc
