@@ -1743,13 +1743,17 @@ def containment_sketch_pairs(
     )
 
     def add_pair_gk(batch: pa.Table) -> pa.Table:
+        # coarse key over the UNDIRECTED pair: both probe directions of a
+        # pair land in one group, so the per-group kernel can fold them
+        # and emit each undirected pair exactly once — no extra dedup
+        # shuffle afterwards
         schema = pa.schema([("probe_doc", pa.int64()), ("post_doc", pa.int64()),
                             ("keff", pa.int64()), ("gk", pa.int64())])
         if batch.num_rows == 0 or "probe_doc" not in batch.column_names:
             return schema.empty_table()
-        gk = _coarse_key(
-            [batch["probe_doc"].to_numpy(zero_copy_only=False),
-             batch["post_doc"].to_numpy(zero_copy_only=False)], n_groups)
+        a = batch["probe_doc"].to_numpy(zero_copy_only=False)
+        b = batch["post_doc"].to_numpy(zero_copy_only=False)
+        gk = _coarse_key([np.minimum(a, b), np.maximum(a, b)], n_groups)
         return pa.table({
             "probe_doc": batch["probe_doc"].cast(pa.int64()),
             "post_doc": batch["post_doc"].cast(pa.int64()),
@@ -1777,33 +1781,6 @@ def containment_sketch_pairs(
         return pa.table({"doc_a": pa.array(und[:, 0], pa.int64()),
                          "doc_b": pa.array(und[:, 1], pa.int64())})
 
-    cand = (
-        hits.map_batches(add_pair_gk, batch_format="pyarrow")
-        .groupby("gk")
-        .map_groups(sum_pairs, batch_format="pyarrow")
-    )
-
-    # the directed->undirected fold can leave the same pair in two coarse
-    # groups; a final dedup over the pair-sized stream
-    def add_gk2(batch: pa.Table) -> pa.Table:
-        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                            ("gk", pa.int64())])
-        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
-            return schema.empty_table()
-        gk = _coarse_key(
-            [batch["doc_a"].to_numpy(zero_copy_only=False),
-             batch["doc_b"].to_numpy(zero_copy_only=False)], n_groups)
-        return pa.table({"doc_a": batch["doc_a"].cast(pa.int64()),
-                         "doc_b": batch["doc_b"].cast(pa.int64()),
-                         "gk": pa.array(gk)})
-
-    def uniq_kernel(g: pa.Table) -> pa.Table:
-        a = g["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = g["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        arr = np.unique(np.stack([a, b], axis=1), axis=0)
-        return pa.table({"doc_a": pa.array(arr[:, 0], pa.int64()),
-                         "doc_b": pa.array(arr[:, 1], pa.int64())})
-
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def _conform(batch: pa.Table) -> pa.Table:
@@ -1813,9 +1790,9 @@ def containment_sketch_pairs(
                          for n in pair_schema.names})
 
     uniq_pairs = (
-        cand.map_batches(add_gk2, batch_format="pyarrow")
+        hits.map_batches(add_pair_gk, batch_format="pyarrow")
         .groupby("gk")
-        .map_groups(uniq_kernel, batch_format="pyarrow")
+        .map_groups(sum_pairs, batch_format="pyarrow")
         .map_batches(_conform, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
