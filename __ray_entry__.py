@@ -3216,6 +3216,69 @@ def q_dup_spans(sf_dir: str):
     )
 
 
+def q_dup_spans_rewrite(sf_dir: str):
+    """The ExactSubstr CUT itself (ops/curation.drop_duplicated_spans):
+    each doc's text replaced by its analyzed token stream minus every
+    position covered by a duplicated k-gram window, space-joined (the
+    repo's rewrite normalization). Oracle = the dup_spans coverage CTE
+    inverted: tokens at non-covered positions, string_agg'd in order."""
+    from splade_ray.ops.curation import drop_duplicated_spans
+
+    out = drop_duplicated_spans(
+        _docs(sf_dir, ["doc_id", "text"]), k=DUP_K, min_count=DUP_MIN
+    ).to_pandas()
+    return out[["doc_id", "text"]]
+
+
+def q_dup_spans_rewrite_sharded(sf_dir: str):
+    """The memory-bounded sharded rewrite
+    (ops/curation.drop_duplicated_spans_sharded): same contract as
+    dup_spans_rewrite — per-shard hit rows + broadcast (or joined) cut —
+    so the same SQL mirror checks it; a fresh work dir per call keeps the
+    gram-shard manifest from leaking across runs."""
+    import tempfile
+
+    from splade_ray.ops.curation import drop_duplicated_spans_sharded
+
+    wd = tempfile.mkdtemp(prefix="dsr-oracle-")
+    out = drop_duplicated_spans_sharded(
+        _docs(sf_dir, ["doc_id", "text"]), wd, k=DUP_K, min_count=DUP_MIN,
+        n_shards=4,
+    ).to_pandas()
+    return out[["doc_id", "text"]]
+
+
+def _dup_spans_rewrite_sql() -> str:
+    """Mirror of the span cut: the _dup_spans_sql coverage CTE, inverted to
+    kept token positions, space-joined (empty docs and fully-cut docs both
+    yield '')."""
+    p = 1099511628211
+    k = DUP_K
+    fold = _fold_sql([f"h[i+{j}]" for j in range(k)], p)
+    th = _HASH64_SQL.format(t="t")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_SQL}') AS tl
+  FROM documents
+),
+hs AS (SELECT doc_id, list_transform(tl, t -> {th}) AS h FROM tk),
+gi AS (SELECT doc_id, h, unnest(generate_series(1, greatest(len(h) - {k - 1}, 0))) AS i
+       FROM hs),
+g AS (SELECT doc_id, i, {fold} AS g FROM gi),
+gc AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY g),
+dg AS (SELECT g.doc_id, g.i FROM g JOIN gc USING (g) WHERE gc.c >= {DUP_MIN}),
+cov AS (SELECT DISTINCT dg.doc_id, dg.i + r.range AS p FROM dg CROSS JOIN range({k}) r),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(tl))) AS p FROM tk),
+keep AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov
+           ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+         WHERE cov.p IS NULL),
+joined AS (SELECT tk.doc_id,
+                  string_agg(tk.tl[keep.p], ' ' ORDER BY keep.p) AS t
+           FROM keep JOIN tk USING (doc_id) GROUP BY tk.doc_id)
+SELECT tk.doc_id, coalesce(j.t, '') AS text
+FROM tk LEFT JOIN joined j USING (doc_id)"""
+
+
 def q_pack_assign(sf_dir: str):
     """Sequence-pack assignment (ops/curation.pack_assign): global-order
     exclusive token cumsum // budget, computed as a distributed prefix-scan
@@ -6495,6 +6558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subword_stats": q_bpe_subword_stats,
         "pack_assign": q_pack_assign,
         "dup_spans": q_dup_spans,
+        "dup_spans_rewrite": q_dup_spans_rewrite,
+        "dup_spans_rewrite_sharded": q_dup_spans_rewrite_sharded,
         "unit_dedup": q_unit_dedup,
         "lsh_probe_counts": q_lsh_probe_counts,
         "url_normalize": q_url_normalize,
@@ -8397,6 +8462,8 @@ FROM documents""",
         "rollup_events": _rollup_events_sql(),
         "pack_assign": _pack_assign_sql(),
         "dup_spans": _dup_spans_sql(),
+        "dup_spans_rewrite": _dup_spans_rewrite_sql(),
+        "dup_spans_rewrite_sharded": _dup_spans_rewrite_sql(),
         "unit_dedup": _unit_dedup_sql(),
         "lsh_probe_counts": _lsh_probe_sql(),
         "url_normalize": _url_normalize_sql(),
