@@ -1682,11 +1682,16 @@ def cmd_curate(args) -> int:
         # (id, pack_id) map is 16 B/doc; broadcast + searchsorted attach.
         # (A corpus too large for that would reuse drop_near_duplicates'
         # hash-join fallback; at that point packing feeds a trainer that
-        # shards the map anyway.)
-        packs = packs.sort_values(id_col)
-        map_ref = ray.put(
-            (packs[id_col].to_numpy(np.int64), packs["pack_id"].to_numpy(np.int64))
-        )
+        # shards the map anyway.) An empty upstream loses its columns
+        # through to_pandas — broadcast an empty map (attach never fires).
+        if packs.empty:
+            map_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+        else:
+            packs = packs.sort_values(id_col)
+            map_ref = ray.put(
+                (packs[id_col].to_numpy(np.int64),
+                 packs["pack_id"].to_numpy(np.int64))
+            )
 
         def attach(batch: pa.Table) -> pa.Table:
             ids_sorted, pack_ids = ray.get(map_ref)
@@ -1727,11 +1732,18 @@ def cmd_curate(args) -> int:
             res.write_parquet(stage_dir)
             if not any(n.endswith(".parquet") for n in os.listdir(stage_dir)):
                 # an all-filtered stage writes no files; keep the dir
-                # readable (and typed) for the next stage
+                # readable (and typed) for the next stage. A fully empty
+                # result can lose its schema entirely (e.g. a dedup join
+                # over zero rows) — fall back to the stage INPUT's schema,
+                # which every stage preserves or extends
+                import pyarrow.dataset as pads
                 import pyarrow.parquet as pq
 
+                sch = res.schema(fetch_if_missing=True)
+                base = (sch.base_schema if sch is not None
+                        else pads.dataset(src).schema.remove_metadata())
                 pq.write_table(
-                    res.schema().base_schema.empty_table(),
+                    base.empty_table(),
                     os.path.join(stage_dir, "empty.parquet"),
                 )
             with open(marker, "w") as f:

@@ -1077,3 +1077,28 @@ def test_cli_dedup_containment_method(ray_session, tmp_path, capsys):
 
     surv = pd.read_parquet(out + "/survivors")
     assert set(surv["doc_id"]) == {0, 2}  # cluster-min keeps the little doc
+
+
+def test_cli_curate_all_filtered_stage_chain(ray_session, tmp_path, capsys):
+    """A stage that drops EVERY doc (here: quality over stopword-free
+    text) must leave a typed empty checkpoint and let downstream stages —
+    including ones whose empty result loses its schema, like dedup's
+    join — run to completion with zero rows."""
+    d = tmp_path / "raw"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["spark batch column row value key",
+                              "table scan merge sort hash group"]),
+            "lang": pa.array(["en", "en"]),
+        }),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "quality,dedup,redact,pack", "--min-words", "3"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_after"] == {
+        "quality": 0, "dedup": 0, "redact": 0, "pack": 0}
