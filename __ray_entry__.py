@@ -3726,6 +3726,62 @@ def q_rag_chunks(sf_dir: str):
         ["query_id", "rank", "doc_id", "chunk_id", "score_r", "chunk"]]
 
 
+def q_has_parent_chunks(sf_dir: str):
+    """ES has_parent over the chunk layer (pipelines/rag
+    .has_parent_search): every CHILD chunk of each TOP_K matching parent,
+    carrying the parent's block-join score and rank. The parent ranking is
+    injected tie-stably (parents_run — the sig_terms fg_run pattern):
+    fetched in full, rounded, re-ranked by (score_r desc, parent asc),
+    cut at TOP_K — so sub-rounding ln() ulp order can't flip a cohort."""
+    from splade_ray.pipelines.rag import (
+        build_chunk_index,
+        has_parent_search,
+        rag_search,
+    )
+
+    root = os.path.join(_work_dir(sf_dir, "ragidx"), "rag")
+    build_chunk_index(
+        os.path.join(sf_dir, "documents.parquet"), root,
+        size=CHUNK_SIZE, overlap=CHUNK_OVERLAP,
+        text_col="text", id_col="doc_id", rows_per_segment=SEGMENT_ROWS,
+    )
+    parents = rag_search(root, BM25_QUERIES, BM25Params(k1=K1, b=B),
+                         score_mode="max", top_k=10**9)
+    parents["score"] = _round4(parents["score"].to_numpy())
+    parents = parents.sort_values(["query_id", "score", "parent"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+    parents["rank"] = parents.groupby("query_id").cumcount().add(1)
+    parents = parents[parents["rank"] <= TOP_K]
+    out = has_parent_search(root, BM25_QUERIES, parents_run=parents)
+    out = out.rename(columns={"parent_score": "parent_score_r"})
+    out["parent_rank"] = out["parent_rank"].astype(np.int64)
+    out["chunk_id"] = out["chunk_id"].astype(np.int64)
+    return out[["query_id", "parent_rank", "parent", "parent_score_r",
+                "chunk_id", "chunk"]]
+
+
+def _has_parent_sql() -> str:
+    """has_parent mirror: the rag parent ranking (rounded, rank after
+    rounding) joined back onto the chunks CTE — one row per (query,
+    top-parent, chunk)."""
+    return _rag_sql_base() + f"""
+, par AS (SELECT query_id, doc_id::VARCHAR AS parent,
+                 {_round4_sql('max(score)')} AS score_r,
+                 count(*)::BIGINT AS n_children
+          FROM scores WHERE score > 0 GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, parent, score_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_r DESC, parent ASC) AS rank
+  FROM par
+)
+SELECT r.query_id, r.rank::BIGINT AS parent_rank, r.parent,
+       r.score_r AS parent_score_r, c.chunk_id, c.chunk
+FROM ranked r JOIN chunks c ON c.doc_id::VARCHAR = r.parent
+WHERE r.rank <= {TOP_K}"""
+
+
 def _rag_chunks_sql() -> str:
     """rag_chunks mirror: the rag chunk/BM25 chain ranked at chunk level
     by the ROUNDED score (score_r desc, chunk_uid asc) — rank after
@@ -6534,6 +6590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "rag_topk": q_rag_topk,
         "rag_chunks": q_rag_chunks,
+        "has_parent_chunks": q_has_parent_chunks,
         "facet_tags": q_facet_tags,
         "match_percentiles": q_match_percentiles,
         "pca_embed": q_pca_embed,
@@ -8799,6 +8856,7 @@ SELECT doc_id, (start // {CHUNK_SIZE - CHUNK_OVERLAP})::BIGINT AS chunk_id,
 FROM ch""",
         "rag_topk": _rag_sql(),
         "rag_chunks": _rag_chunks_sql(),
+        "has_parent_chunks": _has_parent_sql(),
         "facet_tags": f"""
 WITH {_TF},
 {_qterm_values_sql()},{_MATCHED},

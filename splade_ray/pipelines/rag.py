@@ -144,3 +144,53 @@ def rag_search(
         parent_col="parent", score_mode=score_mode, top_k=top_k,
         concurrency=concurrency,
     )
+
+
+def has_parent_search(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    params: BM25Params | None = None,
+    *,
+    score_mode: str = "max",
+    parent_top_k: int = 10,
+    parents_run: pd.DataFrame | None = None,
+    concurrency=None,
+) -> pd.DataFrame:
+    """ES ``has_parent`` query over the chunk layer — the symmetric face
+    of :func:`rag_search` (which is ``has_child``/ToParentBlockJoin): the
+    parent-side query ranks parents by block-join aggregation, and every
+    CHILD chunk of a top parent comes back carrying its parent's
+    aggregated score and rank (ES ``score=true``: children inherit the
+    parent score). Children are fetched with ONE predicate-pushdown isin
+    read over the persisted chunk parquet — (top parents × their chunk
+    counts) rows, never the corpus.
+
+    ``parents_run`` injects an external parent ranking frame
+    (query_id, rank, parent, score, ...) in place of the internal
+    ``rag_search`` call — the injectable-candidates pattern
+    (sigterms.significant_terms(fg_run=...)) that lets callers supply a
+    tie-stable ranking. Returns (query_id, parent_rank, parent,
+    parent_score, chunk_id, chunk) ordered by (query_id, parent_rank,
+    chunk_id)."""
+    import pyarrow.dataset as pads
+
+    cols = ["query_id", "parent_rank", "parent", "parent_score",
+            "chunk_id", "chunk"]
+    parents = (parents_run if parents_run is not None else rag_search(
+        index_dir, queries, params, score_mode=score_mode,
+        top_k=parent_top_k, concurrency=concurrency))
+    if parents.empty:
+        return pd.DataFrame(columns=cols)
+    pids = sorted({int(p) for p in parents["parent"]})
+    tbl = pads.dataset(os.path.join(index_dir, "chunks")).to_table(
+        columns=["doc_id", "chunk_id", "chunk"],
+        filter=pads.field("doc_id").isin(pids),
+    ).to_pandas()
+    tbl["parent"] = tbl["doc_id"].astype(str)
+    score_col = "score" if "score" in parents.columns else "parent_score"
+    rank_col = "rank" if "rank" in parents.columns else "parent_rank"
+    out = parents.rename(columns={rank_col: "parent_rank",
+                                  score_col: "parent_score"}).merge(
+        tbl[["parent", "chunk_id", "chunk"]], on="parent", how="inner")
+    return out.sort_values(
+        ["query_id", "parent_rank", "chunk_id"]).reset_index(drop=True)[cols]

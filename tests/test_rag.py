@@ -151,3 +151,43 @@ def test_cli_rag(ray_session, tmp_path, capsys):
                  "--out", out2, "--top-k", "4"]) == 0
     run2 = pq.read_table(out2).to_pandas()
     assert "parent" in run2.columns and len(run2) == 4
+
+
+def test_has_parent_children_of_top_parents(built):
+    """has_parent (ES): every child chunk of each top parent, carrying the
+    parent's block-join score/rank; equals rag_search ⨝ scalar chunks."""
+    from splade_ray.pipelines.rag import has_parent_search
+
+    root, texts, _ = built
+    qs = [(1, "alpha beta"), (2, "kappa iota"), (3, "zzz_nohit")]
+    p = BM25Params(top_k=10)
+    parents = rag_search(root, qs, p, score_mode="max", top_k=4)
+    got = has_parent_search(root, qs, p, score_mode="max", parent_top_k=4)
+    rows = []
+    for _, r in parents.iterrows():
+        pid = int(r["parent"])
+        for ci, c in enumerate(_scalar_chunks(texts[pid])):
+            rows.append((int(r["query_id"]), int(r["rank"]), r["parent"],
+                         float(r["score"]), ci, c))
+    want = pd.DataFrame(rows, columns=[
+        "query_id", "parent_rank", "parent", "parent_score", "chunk_id",
+        "chunk"]).sort_values(
+        ["query_id", "parent_rank", "chunk_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 3 not in set(got["query_id"])  # no-hit query yields no children
+
+    # injectable parent run: a hand-ranked frame flows through verbatim
+    inj = parents[parents["query_id"] == 1].head(1)
+    got2 = has_parent_search(root, qs, p, parents_run=inj)
+    assert set(got2["parent"]) == set(inj["parent"])
+    assert (got2["parent_rank"] == int(inj["rank"].iloc[0])).all()
+
+
+def test_has_parent_empty(built):
+    from splade_ray.pipelines.rag import has_parent_search
+
+    root, _, _ = built
+    out = has_parent_search(root, [(9, "zzz_nothing")], BM25Params())
+    assert out.empty and list(out.columns) == [
+        "query_id", "parent_rank", "parent", "parent_score", "chunk_id",
+        "chunk"]
