@@ -650,6 +650,30 @@ def cmd_lsh_probe(args) -> int:
     return 0
 
 
+def cmd_lsh_append(args) -> int:
+    """Append an increment to a persisted LSH index under a crash-
+    idempotent tag (clean-own-tag-first)."""
+    _ensure_ray()
+    from splade_ray.io import read_parquet_clean
+    from splade_ray.ops.dedup import minhash_index_append
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
+    r = minhash_index_append(ds, args.index, tag=args.tag,
+                             text_col=args.text_col, id_col=args.id_col)
+    print(json.dumps({"index": args.index, "tag": args.tag, **r}))
+    return 0
+
+
+def cmd_lsh_compact(args) -> int:
+    """Compact a persisted LSH index's increment files (one file per
+    partition; generation-dir swap, crash-safe)."""
+    from splade_ray.ops.dedup import minhash_index_compact
+
+    r = minhash_index_compact(args.index)
+    print(json.dumps({"index": args.index, **r}))
+    return 0
+
+
 def cmd_semdedup(args) -> int:
     """SemDeDup: embedding-space semantic dedup (cluster + within-cluster
     cosine duplicate groups, keeper least similar to the centroid)."""
@@ -2158,6 +2182,19 @@ def main(argv: list[str] | None = None) -> int:
     lp.add_argument("--text-col", default="text")
     lp.add_argument("--id-col", default="doc_id")
     lp.set_defaults(fn=cmd_lsh_probe)
+
+    la = sub.add_parser("lsh-append", help="append an increment to an LSH index")
+    la.add_argument("--corpus", required=True, help="the increment")
+    la.add_argument("--index", required=True)
+    la.add_argument("--tag", required=True,
+                    help="increment tag (crash-idempotent; unique per increment)")
+    la.add_argument("--text-col", default="text")
+    la.add_argument("--id-col", default="doc_id")
+    la.set_defaults(fn=cmd_lsh_append)
+
+    lc = sub.add_parser("lsh-compact", help="compact an LSH index's files")
+    lc.add_argument("--index", required=True)
+    lc.set_defaults(fn=cmd_lsh_compact)
 
     sd = sub.add_parser("semdedup", help="embedding semantic dedup")
     sd.add_argument("--embeddings", required=True)

@@ -1885,3 +1885,71 @@ def containment_sketch_pairs(
         return emit(da, db, inter, na, nb)
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_index_compact(index_dir: str) -> dict:
+    """Compact a persisted MinHash-LSH index after many tagged increments:
+    rewrite ``sigs/`` and each ``bands/band=N/`` partition into one file
+    apiece (daily appends otherwise grow file counts without bound, and
+    probe-side pushdown reads pay per-file open costs). Generation-dir
+    swap for crash safety: the new layout is written COMPLETELY to
+    ``<dir>.new``, the old dir moves to ``<dir>.old``, the new one renames
+    into place, then the old is removed — a crash at any point leaves
+    either the old or the new complete layout (a leftover ``.old``/
+    ``.new`` is cleared on the next run). Returns
+    {"sigs_files_before", "bands_files_before", "files_after"}."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(os.path.join(index_dir, "_params.json")):
+        raise FileNotFoundError(f"no LSH index manifest under {index_dir}")
+
+    def swap(live: str, write_fn) -> tuple[int, int]:
+        new, old = live + ".new", live + ".old"
+        # finish or discard a previous interrupted compaction
+        if os.path.isdir(old) and not os.path.isdir(live):
+            os.rename(old, live)
+        shutil.rmtree(new, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        before = sum(len(fs) for _, _, fs in os.walk(live))
+        os.makedirs(new, exist_ok=True)
+        write_fn(live, new)
+        os.rename(live, old)
+        os.rename(new, live)
+        shutil.rmtree(old, ignore_errors=True)
+        after = sum(len(fs) for _, _, fs in os.walk(live))
+        return before, after
+
+    def stream_one(src: str, out_path: str) -> None:
+        # streaming batch copy: one pass, bounded memory — never the whole
+        # partition in RAM (sigs is O(corpus) at scale)
+        d = pads.dataset(src)
+        writer = None
+        try:
+            for b in d.scanner(batch_size=65536).to_batches():
+                if writer is None:
+                    writer = pq.ParquetWriter(out_path, b.schema)
+                writer.write_batch(b)
+            if writer is None:  # empty partition: keep it typed
+                pq.write_table(d.schema.empty_table(), out_path)
+        finally:
+            if writer is not None:
+                writer.close()
+
+    def compact_flat(src: str, dst: str) -> None:
+        stream_one(src, os.path.join(dst, "part-0.parquet"))
+
+    def compact_bands(src: str, dst: str) -> None:
+        for part in sorted(os.listdir(src)):
+            sp = os.path.join(src, part)
+            if not os.path.isdir(sp):
+                continue
+            os.makedirs(os.path.join(dst, part), exist_ok=True)
+            stream_one(sp, os.path.join(dst, part, "part-0.parquet"))
+
+    sb, sa = swap(os.path.join(index_dir, "sigs"), compact_flat)
+    bb, ba = swap(os.path.join(index_dir, "bands"), compact_bands)
+    return {"sigs_files_before": sb, "bands_files_before": bb,
+            "files_after": sa + ba}

@@ -153,3 +153,113 @@ def test_minhash_index_append_and_clean_tag(ray_session, tmp_path):
     with _pytest.raises(FileNotFoundError):
         minhash_index_append(corpus([3], [base]), str(tmp_path / "nope"),
                              tag="x")
+
+
+def test_minhash_index_append_crash_recovery_and_compact(ray_session,
+                                                         tmp_path):
+    """A partial (crashed) tagged append is repaired by the clean-first
+    rerun; compaction folds increment files into one per partition with
+    identical probe results, and survives its own interruption windows."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_probe,
+    )
+
+    def corpus(ids, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+        }))
+
+    base = ("shared boilerplate sentence repeated across increments with "
+            "plenty of words to shingle over for the minhash signatures")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus([1], [base]), idx)
+
+    # simulate a crashed append: a stray partial file under the same tag
+    stray = os.path.join(idx, "sigs", "inc-day2-99.parquet")
+    shutil.copy(os.path.join(idx, "sigs",
+                             sorted(os.listdir(os.path.join(idx, "sigs")))[0]),
+                stray)
+    minhash_index_append(
+        corpus([2], [base.replace("plenty", "loads")]), idx, tag="day2")
+    assert not os.path.exists(stray)  # cleaned before the rewrite
+
+    def probe():
+        return minhash_index_probe(
+            corpus([9], [base]), idx, min_est_jaccard=0.3
+        ).to_pandas().sort_values("old_doc").reset_index(drop=True)
+
+    before = probe()
+    assert set(before["old_doc"]) == {1, 2}
+
+    r = minhash_index_compact(idx)
+    assert r["files_after"] < r["sigs_files_before"] + r["bands_files_before"]
+    for root, _, files in os.walk(os.path.join(idx, "bands")):
+        assert len([f for f in files if f.endswith(".parquet")]) <= 1
+    after = probe()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(after, before)
+
+    # interruption window: old moved aside, new in place is complete; a
+    # stale .old/.new dir from a crash is cleared by the next compact
+    os.makedirs(os.path.join(idx, "sigs.old"), exist_ok=True)
+    os.makedirs(os.path.join(idx, "bands.new"), exist_ok=True)
+    minhash_index_compact(idx)
+    assert not os.path.isdir(os.path.join(idx, "sigs.old"))
+    assert not os.path.isdir(os.path.join(idx, "bands.new"))
+    pd.testing.assert_frame_equal(probe(), before)
+    # crash AFTER live moved to .old but before .new renamed in: recovery
+    shutil.move(os.path.join(idx, "sigs"), os.path.join(idx, "sigs.old"))
+    minhash_index_compact(idx)
+    pd.testing.assert_frame_equal(probe(), before)
+
+
+def test_cli_lsh_append_compact(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from splade_ray.cli import main
+
+    old_docs, new_docs = _corpus()
+    d1, d2 = tmp_path / "old", tmp_path / "new"
+    for d, rows in ((d1, old_docs), (d2, new_docs)):
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows]),
+        }), str(d / "p.parquet"))
+    idx = str(tmp_path / "lsh")
+    assert main(["lsh-build", "--corpus", str(d1), "--index", idx,
+                 "--num-perm", "32", "--bands", "16", "--shingle-k", "2"]) == 0
+    assert main(["lsh-append", "--corpus", str(d2), "--index", idx,
+                 "--tag", "day2"]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_docs"] == len(new_docs)
+    out1 = str(tmp_path / "p1")
+    assert main(["lsh-probe", "--corpus", str(d2), "--index", idx,
+                 "--out", out1]) == 0
+    before = rd.read_parquet(out1).to_pandas()
+    # appended docs now probe-visible (self matches present)
+    assert set(before["new_doc"]) & {r["doc_id"] for r in new_docs}
+    assert main(["lsh-compact", "--index", idx]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["files_after"] > 0
+    out2 = str(tmp_path / "p2")
+    assert main(["lsh-probe", "--corpus", str(d2), "--index", idx,
+                 "--out", out2]) == 0
+    after = rd.read_parquet(out2).to_pandas()
+    key = ["new_doc", "old_doc", "n_match"]
+    assert sorted(map(tuple, after[key].values.tolist())) == \
+        sorted(map(tuple, before[key].values.tolist()))
