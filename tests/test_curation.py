@@ -765,3 +765,51 @@ def test_containment_sketch_pairs_sketched_regime(ray_session):
         rd.from_arrow(tbl).repartition(2), k=k, sketch_k=8,
         min_containment=t).to_pandas()
     assert ((got_f["containment_r"] > 0) & (got_f["containment_r"] <= 1)).all()
+
+
+def test_cut_spans_batch_property(ray_session):
+    """Property: _cut_spans_batch equals a scalar reference cut for random
+    docs and random duplicated-window start sets (duplicate starts and
+    overlapping windows included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from splade_ray.ops.curation import _cut_spans_batch
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(words), min_size=0, max_size=12),
+            min_size=1, max_size=6),
+        k=st.integers(1, 4),
+        data=st.data(),
+    )
+    def check(docs, k, data):
+        starts, rows = [], []
+        for i, toks in enumerate(docs):
+            m = max(len(toks) - k + 1, 0)
+            if m:
+                picks = data.draw(st.lists(
+                    st.integers(0, m - 1), max_size=2 * m))
+                starts.extend(picks)
+                rows.extend([i] * len(picks))
+        batch = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(t) for t in docs]),
+        })
+        got = _cut_spans_batch(
+            batch, k=k, text_col="text",
+            local_starts=np.array(starts, np.int64),
+            rows=np.array(rows, np.int64),
+        )["text"].to_pylist()
+        for i, toks in enumerate(docs):
+            covered = set()
+            for s, r in zip(starts, rows):
+                if r == i:
+                    covered.update(range(s, s + k))
+            want = " ".join(t for j, t in enumerate(toks) if j not in covered)
+            assert got[i] == want, (i, toks, got[i], want)
+
+    check()

@@ -1114,3 +1114,38 @@ def test_build_sort_index_arg_validation(built):
         build_sort_index(index_dir)
     with pytest.raises(ValueError):
         build_sort_index(index_dir, "n_bytes", keys=[("cat", False)])
+
+
+def test_sort_perm_property(built, tmp_path):
+    """Property: the multi-key permutation kernel (_sort_perm) equals a
+    pandas lexicographic sort for random key specs over numeric + string
+    columns, any direction mix."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from splade_ray.build import segment_dirs
+    from splade_ray.docvalues import _sort_perm
+
+    index_dir, _, _ = built
+    seg = segment_dirs(index_dir)[0]
+    import pyarrow.parquet as _pq
+
+    dl = _pq.read_table(f"{seg}/doclens.parquet")
+    ids = dl["doc_id"].to_numpy(zero_copy_only=False)
+    frame = dl.to_pandas()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        keys=st.lists(
+            st.tuples(st.sampled_from(["n_bytes", "cat"]), st.booleans()),
+            min_size=1, max_size=3),
+    )
+    def check(keys):
+        perm = _sort_perm(seg, keys, ids)
+        cols = [c for c, _ in keys] + ["doc_id"]
+        asc = [not d for _, d in keys] + [True]
+        want = frame.sort_values(cols, ascending=asc,
+                                 kind="mergesort").index.to_numpy()
+        assert (perm == want).all(), keys
+
+    check()
