@@ -1,0 +1,113 @@
+"""Serving-tier load bench: sustained QPS through RouterPool replicas
+with a sliding in-flight window, hot-skewed query mix, request cache
+on/off. Run alone (no concurrent Ray jobs); prints one JSON line.
+
+Usage: python scripts/bench_serve.py [sf_dir]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+
+
+def drive(pool, batches, *, window: int = 32, duration_s: float = 8.0):
+    """Fire requests round-robin keeping `window` in flight; returns
+    (completed, shed, elapsed, p50_latency)."""
+    from splade_ray.query import RouterOverloaded
+
+    t0 = time.perf_counter()
+    inflight: dict = {}
+    done = shed = 0
+    lats = []
+    i = 0
+    while True:
+        now = time.perf_counter() - t0
+        if now >= duration_s and not inflight:
+            break
+        while len(inflight) < window and now < duration_s:
+            ref = pool.submit(batches[i % len(batches)])
+            inflight[ref] = time.perf_counter()
+            i += 1
+        ready, _ = ray.wait(list(inflight), num_returns=1,
+                            timeout=0.05)
+        for r in ready:
+            t_sub = inflight.pop(r)
+            try:
+                ray.get(r)
+                done += 1
+                lats.append(time.perf_counter() - t_sub)
+            except ray.exceptions.RayTaskError as e:
+                if isinstance(e.cause, RouterOverloaded):
+                    shed += 1
+                else:
+                    raise
+    elapsed = time.perf_counter() - t0
+    return done, shed, elapsed, (float(np.median(lats)) if lats else None)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR", log_to_driver=False)
+    import tempfile
+
+    from splade_ray.bm25 import BM25Params
+    from splade_ray.build import build_index
+    from splade_ray.query import RouterPool
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.read_metadata(docs_path).num_rows
+    out = {"sf_dir": sf_dir, "num_cpus": cpus, "n_docs": n_docs}
+
+    # hot-skewed mix: 4 hot query batches repeated + a long cold tail —
+    # the realistic serving distribution where a request cache earns its
+    # keep (ES request cache exists for exactly this)
+    hot = [[(i, t)] for i, t in enumerate(
+        ["data process stream", "model train corpus",
+         "index query fast", "cache memory actor"])]
+    cold = [[(100 + j, f"term{j} filter scan value")] for j in range(400)]
+    rng = np.random.RandomState(7)
+    mix = []
+    for j in range(2000):
+        mix.append(hot[j % 4] if rng.rand() < 0.8 else
+                   cold[rng.randint(len(cold))])
+
+    with tempfile.TemporaryDirectory(prefix="serve-") as td:
+        idx = os.path.join(td, "index")
+        build_index(docs_path, idx, text_col="text", id_col="doc_id",
+                    rows_per_segment=max(1000, n_docs // 32))
+        p = BM25Params(top_k=10)
+
+        for label, cache in (("uncached", 0), ("cached", 512)):
+            pool = RouterPool(idx, n_routers=2, num_shards=8,
+                              max_inflight=8, queue_cap=64, cache_size=cache)
+            # warm actors (and, for the cached run, the hot entries)
+            for b in hot:
+                pool.search(b, p)
+            done, shed, elapsed, p50 = drive(pool, mix)
+            st = pool.stats()
+            out[f"qps_{label}"] = round(done / elapsed, 1)
+            out[f"shed_{label}"] = shed
+            out[f"p50_{label}_s"] = round(p50, 5) if p50 else None
+            if cache:
+                out["cache_hits"] = sum(
+                    r["cache_hits"] for r in st["replicas"])
+                out["cache_misses"] = sum(
+                    r["cache_misses"] for r in st["replicas"])
+            pool.shutdown()
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
