@@ -3145,6 +3145,24 @@ def q_unit_dedup(sf_dir: str):
     return unit_dedup(_docs(sf_dir, ["doc_id", "text"]), min_count=UNIT_MIN)
 
 
+def q_unit_dedup_sharded(sf_dir: str):
+    """Memory-bounded sharded sentence-unit dedup
+    (ops/curation.unit_dedup_sharded, replace=False stats face): the
+    duplicated-unit key set streams in hash shards instead of one
+    broadcast; same per-doc (n_units, n_dup_units) contract and the same
+    SQL mirror as unit_dedup. Fresh work dir per call (pass-1 manifest
+    scoped to the run)."""
+    import tempfile
+
+    from splade_ray.ops.curation import unit_dedup_sharded
+
+    wd = tempfile.mkdtemp(prefix="uds-oracle-")
+    return unit_dedup_sharded(
+        _docs(sf_dir, ["doc_id", "text"]), wd, min_count=UNIT_MIN,
+        n_shards=4, replace=False,
+    )
+
+
 def _synth_url_batch(batch: pa.Table) -> pa.Table:
     """Deterministic messy-URL column from (doc_id, source) — four spelling
     variants (case/www/default-port/tracking/fragment/trailing-slash) that
@@ -6618,6 +6636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_rewrite": q_dup_spans_rewrite,
         "dup_spans_rewrite_sharded": q_dup_spans_rewrite_sharded,
         "unit_dedup": q_unit_dedup,
+        "unit_dedup_sharded": q_unit_dedup_sharded,
         "lsh_probe_counts": q_lsh_probe_counts,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
@@ -8522,6 +8541,7 @@ FROM documents""",
         "dup_spans_rewrite": _dup_spans_rewrite_sql(),
         "dup_spans_rewrite_sharded": _dup_spans_rewrite_sql(),
         "unit_dedup": _unit_dedup_sql(),
+        "unit_dedup_sharded": _unit_dedup_sql(),
         "lsh_probe_counts": _lsh_probe_sql(),
         "url_normalize": _url_normalize_sql(),
         "url_dedup": _url_dedup_sql(),

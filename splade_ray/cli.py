@@ -1613,8 +1613,17 @@ def cmd_curate(args) -> int:
         return survivors
 
     def stage_unitdedup(ds):
-        from splade_ray.ops.curation import unit_dedup
+        from splade_ray.ops.curation import unit_dedup, unit_dedup_sharded
 
+        if args.dup_sharded:
+            # memory-bounded variant (shares the --dup-sharded knobs):
+            # duplicated-unit keys stream in hash shards under
+            # out/unitdedup_work instead of one broadcast
+            return unit_dedup_sharded(
+                ds, os.path.join(args.out, "unitdedup_work"),
+                min_count=args.dup_min_count, text_col=text_col,
+                id_col=id_col, n_shards=args.dup_shards, replace=True,
+            )
         return unit_dedup(
             ds, min_count=args.dup_min_count, text_col=text_col,
             id_col=id_col, replace=True,

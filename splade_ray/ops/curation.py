@@ -547,12 +547,15 @@ def collect_dup_grams_sharded(
     import pyarrow.dataset as pads
 
     counts = [0] * n_shards
-    d = pads.dataset(tmp, partitioning="hive")
-    tbl = d.to_table(columns=["shard"])
-    if tbl.num_rows:
-        sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bc = np.bincount(sh, minlength=n_shards)
-        counts = bc.astype(int).tolist()
+    # a dup-free corpus writes no files; hive discovery then has no
+    # partition column to project, so only read when files exist
+    if any(f.endswith(".parquet")
+           for _, _, fs in os.walk(tmp) for f in fs):
+        tbl = pads.dataset(tmp, partitioning="hive").to_table(
+            columns=["shard"])
+        if tbl.num_rows:
+            sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.bincount(sh, minlength=n_shards).astype(int).tolist()
     result = {"n_grams": int(sum(counts)), "shard_rows": counts}
     os.rename(tmp, out_dir)
     with open(manifest_path + ".tmp", "w") as f:
@@ -826,6 +829,39 @@ def drop_duplicated_spans_sharded(
     hits = parts[0]
     for p in parts[1:]:
         hits = hits.union(p)
+
+    def cut(batch: pa.Table, local: np.ndarray, rows: np.ndarray) -> pa.Table:
+        return _cut_spans_batch(batch, k=k, text_col=text_col,
+                                local_starts=local, rows=rows)
+
+    return _apply_doc_hits(
+        docs, hits, id_col=id_col, val_col="start", cut_fn=cut,
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+        batch_size=batch_size, kwargs=kwargs)
+
+
+def _apply_doc_hits(
+    docs,
+    hits,
+    *,
+    id_col: str,
+    val_col: str,
+    cut_fn,
+    broadcast_limit: int,
+    num_partitions: int | None,
+    batch_size: int,
+    kwargs: dict,
+):
+    """Attach per-doc hit values (a slim ``(doc_id, <val_col>)`` Dataset,
+    proportional to DUPLICATED positions/units) back onto the corpus and
+    apply ``cut_fn(batch, local_vals, rows)``. Two regimes: at or below
+    ``broadcast_limit`` hit rows, broadcast two sorted int64 arrays and
+    cut in a zero-shuffle second scan; above it, aggregate per-doc value
+    runs (packed as BINARY — Acero joins reject list payloads) on a
+    coarse-key groupby and hash-join onto the corpus (the
+    drop_near_duplicates join shape; corpus shuffles once)."""
+    from splade_ray.ops.dedup import _coarse_key, _shuffle_groups
+
     hits = hits.materialize()
     n_hits = hits.count()
 
@@ -833,7 +869,7 @@ def drop_duplicated_spans_sharded(
         if n_hits:
             pdf = hits.to_pandas()
             h_ids = pdf["doc_id"].to_numpy(np.int64)
-            h_st = pdf["start"].to_numpy(np.int64)
+            h_st = pdf[val_col].to_numpy(np.int64)
             order = np.lexsort((h_st, h_ids))
             h_ids, h_st = h_ids[order], h_st[order]
         else:
@@ -856,14 +892,13 @@ def drop_duplicated_spans_sharded(
                 local = st_sorted[idx]
             else:
                 local = np.empty(0, np.int64)
-            return _cut_spans_batch(batch, k=k, text_col=text_col,
-                                    local_starts=local, rows=rows)
+            return cut_fn(batch, local, rows)
 
         return docs.map_batches(
             cut_broadcast, batch_format="pyarrow", batch_size=batch_size,
             **kwargs)
 
-    # join regime: per-doc start lists on a coarse-key groupby (bounded
+    # join regime: per-doc value runs on a coarse-key groupby (bounded
     # group count, vectorized kernel), then one corpus hash-join
     n_groups = _shuffle_groups(None)
 
@@ -873,11 +908,8 @@ def drop_duplicated_spans_sharded(
             "gk", pa.array(_coarse_key([ids], n_groups)))
 
     def to_lists(g: pa.Table) -> pa.Table:
-        # per-doc start runs packed as BINARY (int64 little-endian bytes):
-        # Acero hash joins reject list-typed payload columns, and the
-        # zero-copy buffer slicing below costs nothing extra
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        st = g["start"].to_numpy(zero_copy_only=False)
+        st = g[val_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((st, ids))
         ids, st = ids[order], st[order]
         u, counts = np.unique(ids, return_counts=True)
@@ -920,9 +952,7 @@ def drop_duplicated_spans_sharded(
         local = np.frombuffer(b"".join(col.to_pylist()), np.int64)
         gone = [c for c in ("__dup_doc", "__dup_starts")
                 if c in batch.column_names]
-        return _cut_spans_batch(batch.drop_columns(gone), k=k,
-                                text_col=text_col, local_starts=local,
-                                rows=rows)
+        return cut_fn(batch.drop_columns(gone), local, rows)
 
     return joined.map_batches(
         cut_joined, batch_format="pyarrow", batch_size=batch_size, **kwargs)
@@ -1073,6 +1103,208 @@ def unit_dedup(
     kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return docs.map_batches(scan, batch_format="pyarrow",
                             batch_size=batch_size, **kwargs)
+
+
+def collect_dup_units_sharded(
+    docs,
+    out_dir: str,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> dict:
+    """Pass 1 of the SHARDED sentence-unit dedup: duplicated-unit keys
+    (full sha256 hex, exactly :func:`unit_dedup`'s identity) written
+    hash-partitioned into ``out_dir/shard=N/`` — the per-round broadcast
+    of :func:`unit_dedup_sharded` is then ~1/n_shards of the set, so
+    duplicated-unit mass no longer bounds worker memory (the
+    collect_dup_grams_sharded treatment applied to units). Shard key =
+    sha-prefix uint64 mod n_shards. Params manifest validates resume."""
+    import json
+
+    from splade_ray.codec import sha256_hex
+    from splade_ray.ops.dedup import sha_prefix_u64
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    params = {"min_count": int(min_count), "n_shards": int(n_shards),
+              "text_col": str(text_col)}
+    manifest_path = os.path.join(out_dir, "_params.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            state = json.load(f)
+        if state.get("params") != params:
+            raise ValueError(
+                f"{out_dir} holds units written with {state.get('params')}, "
+                f"refusing to reuse with {params}")
+        return state["result"]
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        units, _, _ = _doc_units(batch[text_col])
+        shas = np.array(sha256_hex(units.tolist()), object)
+        u, c = np.unique(shas, return_counts=True)
+        return pa.table({
+            "gk": pa.array([s[:4] for s in u], pa.string()),
+            "sha": pa.array(u, pa.string()),
+            "cnt": pa.array(c.astype(np.int64)),
+        })
+
+    def dup_in_group(g: pa.Table) -> pa.Table:
+        empty = pa.table({"sha": pa.array([], pa.string()),
+                          "shard": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "sha" not in g.column_names:
+            return empty
+        sha = np.asarray(g["sha"].to_numpy(zero_copy_only=False))
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(sha, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt, minlength=u.size)
+        dup = u[tot >= min_count]
+        if not dup.size:
+            return empty
+        shard = (sha_prefix_u64(dup.tolist()) % np.uint64(n_shards)
+                 ).astype(np.int64)
+        return pa.table({"sha": pa.array(dup, pa.string()),
+                         "shard": pa.array(shard, pa.int64())})
+
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    (
+        docs.map_batches(unit_rows, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(dup_in_group, batch_format="pyarrow")
+        .write_parquet(tmp, partition_cols=["shard"])
+    )
+    import pyarrow.dataset as pads
+
+    counts = [0] * n_shards
+    # dup-free corpus: no files -> no hive partition column to project
+    if any(f.endswith(".parquet")
+           for _, _, fs in os.walk(tmp) for f in fs):
+        tbl = pads.dataset(tmp, partitioning="hive").to_table(
+            columns=["shard"])
+        if tbl.num_rows:
+            sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = np.bincount(sh, minlength=n_shards).astype(int).tolist()
+    result = {"n_units": int(sum(counts)), "shard_rows": counts}
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump({"params": params, "result": result}, f)
+    os.rename(manifest_path + ".tmp", manifest_path)
+    return result
+
+
+def unit_dedup_sharded(
+    docs,
+    work_dir: str,
+    *,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    broadcast_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+    replace: bool = True,
+    batch_size: int = 2048,
+    concurrency=None,
+):
+    """Memory-bounded sentence-unit dedup REWRITE — the at-scale variant
+    of :func:`unit_dedup(replace=True)` (fresh round-5 candidate (a)):
+    the duplicated-unit key set never materializes whole on the driver OR
+    in a worker. Pass 1 (:func:`collect_dup_units_sharded`) writes it
+    hash-partitioned; one corpus scan per shard broadcasts ~1/n_shards of
+    the keys and emits slim ``(doc_id, uidx)`` hit rows (unit ordinal
+    within doc); the cut applies from the union of hits via the shared
+    :func:`_apply_doc_hits` machinery (broadcast below
+    ``broadcast_limit`` hit rows, per-doc run hash-join above). Output =
+    the input Dataset with ``text_col`` rewritten to the kept units'
+    normalized join (parity-tested vs unit_dedup). ``replace=False``
+    emits (doc_id, n_units, n_dup_units) stats instead."""
+    from splade_ray.codec import sha256_hex
+    from splade_ray.ops.dedup import sha_prefix_u64
+
+    units_dir = os.path.join(work_dir, "dup_units")
+    collect_dup_units_sharded(
+        docs, units_dir, min_count=min_count, text_col=text_col,
+        n_shards=n_shards,
+    )
+    import pyarrow.dataset as pads
+
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
+    parts = []
+    for r in range(n_shards):
+        shard_dir = os.path.join(units_dir, f"shard={r}")
+        if os.path.isdir(shard_dir):
+            tbl = pads.dataset(shard_dir).to_table(columns=["sha"])
+            shas = sorted(tbl["sha"].to_pylist())
+        else:
+            shas = []
+        ref = ray.put((np.sort(sha_prefix_u64(shas)), set(shas)))
+
+        def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+            prefixes, refs = ray.get(_ref)
+            units, parents, _ = _doc_units(batch[text_col])
+            bids = batch[id_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            shas_b = sha256_hex(units.tolist())
+            is_dup = np.zeros(len(shas_b), bool)
+            if prefixes.size and shas_b:
+                pref = sha_prefix_u64(shas_b)
+                cand = np.flatnonzero(np.isin(pref, prefixes))
+                if cand.size:
+                    hits_m = np.fromiter(
+                        (shas_b[i] in refs for i in cand), bool, cand.size)
+                    is_dup[cand[hits_m]] = True
+            # unit ordinal within its doc (parents is doc-grouped order)
+            cnts = np.bincount(parents, minlength=batch.num_rows)
+            run0 = np.repeat(np.cumsum(cnts) - cnts, cnts)
+            uidx = np.arange(parents.size) - run0
+            return pa.table({
+                "doc_id": pa.array(bids[parents[is_dup]], pa.int64()),
+                "uidx": pa.array(uidx[is_dup], pa.int64()),
+            })
+
+        parts.append(docs.map_batches(
+            scan, batch_format="pyarrow", batch_size=batch_size, **kwargs))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.union(p)
+
+    def cut(batch: pa.Table, local: np.ndarray, rows: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
+        units, parents, counts = _doc_units(batch[text_col])
+        n = batch.num_rows
+        lens = np.asarray(counts, np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        is_dup = np.zeros(parents.size, bool)
+        flat = np.asarray(local, np.int64) + offsets[np.asarray(rows, np.int64)]
+        is_dup[flat] = True
+        if not replace:
+            n_dup = np.bincount(parents[is_dup], minlength=n).astype(np.int64)
+            return pa.table({
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_units": pa.array(lens, pa.int64()),
+                "n_dup_units": pa.array(n_dup, pa.int64()),
+            })
+        kept = ~is_dup
+        kept_counts = np.bincount(parents[kept], minlength=n)
+        off2 = np.zeros(n + 1, np.int32)
+        np.cumsum(kept_counts, out=off2[1:])
+        la = pa.ListArray.from_arrays(
+            pa.array(off2, pa.int32()), pa.array(units[kept], pa.string()))
+        new_text = pc.binary_join(la, " ").cast(pa.string())
+        idx = batch.schema.get_field_index(text_col)
+        return batch.set_column(idx, text_col, new_text)
+
+    return _apply_doc_hits(
+        docs, hits, id_col=id_col, val_col="uidx", cut_fn=cut,
+        broadcast_limit=broadcast_limit, num_partitions=num_partitions,
+        batch_size=batch_size, kwargs=kwargs)
 
 
 # --------------------------------------------------------------------------

@@ -813,3 +813,51 @@ def test_cut_spans_batch_property(ray_session):
             assert got[i] == want, (i, toks, got[i], want)
 
     check()
+
+
+@pytest.mark.parametrize("broadcast_limit", [5_000_000, 0])
+def test_unit_dedup_sharded_parity(ray_session, tmp_path, broadcast_limit):
+    """Memory-bounded sharded unit dedup equals unit_dedup(replace=True)
+    row-for-row in both hit regimes; the stats face matches too."""
+    from splade_ray.ops.curation import unit_dedup, unit_dedup_sharded
+
+    texts = [
+        "shared boiler sentence one. unique alpha beta. shared boiler "
+        "sentence one.",
+        "another doc here. shared boiler sentence one! gamma delta "
+        "epsilon words.",
+        "totally unique content. nothing repeated anywhere at all.",
+        "",
+        "another doc here? zeta eta theta.",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "extra": pa.array([i * 7 for i in range(len(texts))], pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(2)
+    want = (unit_dedup(ds, min_count=2, replace=True).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    got = (unit_dedup_sharded(
+               ds, str(tmp_path / f"w{broadcast_limit}"), min_count=2,
+               n_shards=3, batch_size=2,
+               broadcast_limit=broadcast_limit)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    assert (got["extra"] == got["doc_id"] * 7).all()
+    # stats face parity
+    want_s = (unit_dedup(ds, min_count=2).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    got_s = (unit_dedup_sharded(
+                 ds, str(tmp_path / f"s{broadcast_limit}"), min_count=2,
+                 n_shards=3, batch_size=2, replace=False,
+                 broadcast_limit=broadcast_limit)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    # pass-1 manifest resume: param mismatch refuses
+    from splade_ray.ops.curation import collect_dup_units_sharded
+
+    with pytest.raises(ValueError, match="refusing"):
+        collect_dup_units_sharded(
+            ds, str(tmp_path / f"w{broadcast_limit}" / "dup_units"),
+            min_count=3, n_shards=3)
