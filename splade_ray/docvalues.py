@@ -333,6 +333,151 @@ def _load_sort_index_multi(seg_dir: str, keys: list[tuple[str, bool]]):
                           "keys": [[c, d] for c, d in keyspec]})
 
 
+def sort_empty_table(keys: list[tuple[str, bool]], single: bool) -> pa.Table:
+    """Typed empty result table for a sort spec (value columns int64 for
+    the single numeric key, col-named for multi-key)."""
+    value_names = ["sort_value"] if single else [c for c, _ in keys]
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            **{n: pa.array([], pa.int64()) for n in value_names},
+        }
+    )
+
+
+def segment_sort_rows(
+    seg: SegmentIndex,
+    prep: dict,
+    keys: list[tuple[str, bool]],
+    *,
+    single: bool,
+    top_k: int,
+    after: dict[int, tuple] | None = None,
+    empty: pa.Table | None = None,
+) -> pa.Table:
+    """Per-segment sort-query kernel, shared by the Dataset pipeline
+    (:func:`sort_search`) and the serving shard actors
+    (``IndexShardActor.sort`` → ``QueryRouter.sort_search``): matched
+    candidates per query, exclusive ``after`` cursor applied BEFORE the
+    per-segment cut, then either the derived sort-order layer's
+    early-terminating permutation gather (when the spec matches a built
+    layer) or the per-key np.unique-codes lexsort. Returns <= top_k rows
+    per (query, segment). Doc-values load through ``seg.doc_values``
+    (cached on the SegmentIndex — free on repeated serving calls)."""
+    sort_col, descending = keys[0]
+    value_names = ["sort_value"] if single else [c for c, _ in keys]
+    if empty is None:
+        empty = sort_empty_table(keys, single)
+    if single:
+        vals = seg.doc_values(sort_col)
+        if not np.issubdtype(vals.dtype, np.number):
+            raise TypeError(
+                f"doc column {sort_col!r} is not numeric (dtype {vals.dtype})")
+        colvals = {sort_col: vals}
+    else:
+        colvals = {c: seg.doc_values(c) for c, _ in keys}
+    # derived sort-order layer (build_sort_index): when the query's
+    # sort spec matches a built layer (single- or multi-key), the
+    # per-query lexsort+unique collapses to one boolean gather down
+    # the precomputed permutation — Lucene sorted-index early
+    # termination. Cached on the SegmentIndex (False = known-absent) so
+    # long-lived serving shards pay the layer read once per spec.
+    perm_cache = getattr(seg, "_sortperms", None)
+    if perm_cache is None:
+        perm_cache = seg._sortperms = {}
+    spec = tuple(keys) + (bool(single),)
+    perm = perm_cache.get(spec)
+    if perm is None:
+        perm = (_load_sort_index(seg.seg_dir, sort_col, descending)
+                if single else _load_sort_index_multi(seg.seg_dir, keys))
+        perm_cache[spec] = perm if perm is not None else False
+    elif perm is False:
+        perm = None
+    out = {"query_id": [], "doc_id": []}
+    out.update({n: [] for n in value_names})
+    for qid, terms in prep["queries"].items():
+        cand = np.flatnonzero(_matched_mask(seg, terms))
+        cur = (after or {}).get(qid)
+        if cur is not None:
+            # exclusive cursor, applied BEFORE the per-segment cut:
+            # strictly-after = lexicographic tuple comparison over the
+            # sort keys, final tie broken by doc_id asc
+            *v0s, d0 = cur
+            if len(v0s) != len(keys):
+                raise ValueError(
+                    f"after cursor for query {qid} has {len(v0s)} sort "
+                    f"values, expected {len(keys)}"
+                )
+            cd = seg.doc_ids[cand]
+            keep = np.zeros(cand.size, bool)
+            eq = np.ones(cand.size, bool)
+            for (c, desc), v0 in zip(keys, v0s):
+                cv = colvals[c][cand]
+                keep |= eq & ((cv < v0) if desc else (cv > v0))
+                eq &= cv == v0
+            keep |= eq & (cd > d0)
+            cand = cand[keep]
+        if cand.size == 0:
+            continue
+        if perm is not None:
+            mask = np.zeros(seg.doc_ids.size, bool)
+            mask[cand] = True
+            take = perm[mask[perm]][:top_k]  # early-terminating gather
+        else:
+            # per-key codes via np.unique: one uniform, vectorized
+            # ordering for numeric AND string keys (descending =
+            # negated codes)
+            sortkeys = []
+            for c, desc in keys:
+                _, codes = np.unique(colvals[c][cand],
+                                     return_inverse=True)
+                sortkeys.append(-codes if desc else codes)
+            order = np.lexsort((seg.doc_ids[cand], *reversed(sortkeys)))
+            take = cand[order[:top_k]]  # per-segment cut: k rows leave
+        out["query_id"].extend([qid] * take.size)
+        out["doc_id"].extend(seg.doc_ids[take].tolist())
+        for (c, _), n in zip(keys, value_names):
+            out[n].extend(colvals[c][take].tolist())
+    # value columns typed from the ACTUAL doc-values dtype even when this
+    # segment matched nothing (an int64-typed empty beside a string-typed
+    # neighbor breaks strict concat on the serving path)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            **{n: pa.array(np.asarray(out[n]) if out[n]
+                           else colvals[c][:0])
+               for (c, _), n in zip(keys, value_names)},
+        }
+    )
+
+
+def merge_sort_rows(
+    pdf: pd.DataFrame,
+    keys: list[tuple[str, bool]],
+    *,
+    single: bool,
+    top_k: int,
+) -> pd.DataFrame:
+    """Driver/coordinator-side merge of per-segment sort rows: global
+    order over the sort keys (final tie doc_id asc), rank, cut."""
+    value_names = ["sort_value"] if single else [c for c, _ in keys]
+    out_columns = ["query_id", "rank", "doc_id", *value_names]
+    if pdf.empty:
+        out = pd.DataFrame(columns=out_columns)
+        return out.astype({"query_id": np.int64, "rank": np.int32,
+                           "doc_id": np.int64})
+    pdf = pdf.sort_values(
+        ["query_id", *value_names, "doc_id"],
+        ascending=[True, *[not d for _, d in keys], True],
+        kind="mergesort",
+    )
+    pdf["rank"] = pdf.groupby("query_id").cumcount().add(1).astype(np.int32)
+    pdf = pdf[pdf["rank"] <= top_k]
+    return pdf.reset_index(drop=True)[out_columns]
+
+
 def sort_search(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -369,104 +514,22 @@ def sort_search(
         raise ValueError("pass exactly one of sort_col / sort_keys")
     single = sort_keys is None
     keys = [(sort_col, descending)] if single else list(sort_keys)
-    value_names = ["sort_value"] if single else [c for c, _ in keys]
 
     prepared = prepare_queries(index_dir, queries, query_lang=query_lang)
     tomb = load_tombstones(index_dir)
     tomb_ref = ray.put(tomb) if tomb.size else None
     prepared_ref = ray.put(prepared)
-
-    empty = pa.table(
-        {
-            "query_id": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            **{n: pa.array([], pa.int64()) for n in value_names},
-        }
-    )
+    empty = sort_empty_table(keys, single)
 
     def per_segment(seg_dir: str) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        if single:
-            colvals = {sort_col: _numeric_column(seg_dir, sort_col)}
-        else:
-            colvals = {c: seg.doc_values(c) for c, _ in keys}
-        # derived sort-order layer (build_sort_index): when the query's
-        # sort spec matches a built layer (single- or multi-key), the
-        # per-query lexsort+unique collapses to one boolean gather down
-        # the precomputed permutation — Lucene sorted-index early
-        # termination
-        perm = (_load_sort_index(seg_dir, sort_col, descending)
-                if single else _load_sort_index_multi(seg_dir, keys))
-        out = {"query_id": [], "doc_id": []}
-        out.update({n: [] for n in value_names})
-        for qid, terms in prep["queries"].items():
-            cand = np.flatnonzero(_matched_mask(seg, terms))
-            cur = (after or {}).get(qid)
-            if cur is not None:
-                # exclusive cursor, applied BEFORE the per-segment cut:
-                # strictly-after = lexicographic tuple comparison over the
-                # sort keys, final tie broken by doc_id asc
-                *v0s, d0 = cur
-                if len(v0s) != len(keys):
-                    raise ValueError(
-                        f"after cursor for query {qid} has {len(v0s)} sort "
-                        f"values, expected {len(keys)}"
-                    )
-                cd = seg.doc_ids[cand]
-                keep = np.zeros(cand.size, bool)
-                eq = np.ones(cand.size, bool)
-                for (c, desc), v0 in zip(keys, v0s):
-                    cv = colvals[c][cand]
-                    keep |= eq & ((cv < v0) if desc else (cv > v0))
-                    eq &= cv == v0
-                keep |= eq & (cd > d0)
-                cand = cand[keep]
-            if cand.size == 0:
-                continue
-            if perm is not None:
-                mask = np.zeros(seg.doc_ids.size, bool)
-                mask[cand] = True
-                take = perm[mask[perm]][:top_k]  # early-terminating gather
-            else:
-                # per-key codes via np.unique: one uniform, vectorized
-                # ordering for numeric AND string keys (descending =
-                # negated codes)
-                sortkeys = []
-                for c, desc in keys:
-                    _, codes = np.unique(colvals[c][cand],
-                                         return_inverse=True)
-                    sortkeys.append(-codes if desc else codes)
-                order = np.lexsort((seg.doc_ids[cand], *reversed(sortkeys)))
-                take = cand[order[:top_k]]  # per-segment cut: k rows leave
-            out["query_id"].extend([qid] * take.size)
-            out["doc_id"].extend(seg.doc_ids[take].tolist())
-            for (c, _), n in zip(keys, value_names):
-                out[n].extend(colvals[c][take].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                **{n: pa.array(np.asarray(out[n])) if out[n]
-                   else pa.array([], empty[n].type) for n in value_names},
-            }
-        )
+        return segment_sort_rows(seg, prep, keys, single=single,
+                                 top_k=top_k, after=after, empty=empty)
 
-    out_columns = ["query_id", "rank", "doc_id", *value_names]
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
-    if pdf.empty:
-        out = pd.DataFrame(columns=out_columns)
-        return out.astype({"query_id": np.int64, "rank": np.int32,
-                           "doc_id": np.int64})
-    pdf = pdf.sort_values(
-        ["query_id", *value_names, "doc_id"],
-        ascending=[True, *[not d for _, d in keys], True],
-        kind="mergesort",
-    )
-    pdf["rank"] = pdf.groupby("query_id").cumcount().add(1).astype(np.int32)
-    pdf = pdf[pdf["rank"] <= top_k]
-    return pdf.reset_index(drop=True)[out_columns]
+    return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
 
 
 def match_counts(

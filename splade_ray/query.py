@@ -1474,6 +1474,29 @@ class IndexShardActor:
             rows.extend(fn(prepared))
         return rows
 
+    def sort(self, prepared: dict, keys: list[tuple[str, bool]],
+             single: bool, top_k: int, after=None):
+        """Serve a sort query (Lucene Sort over doc-values) from the
+        resident segments — the docvalues.segment_sort_rows kernel, with
+        doc-values and any built sort-order layers cached on the
+        SegmentIndex across calls. Float-index shards only."""
+        from splade_ray.docvalues import segment_sort_rows, sort_empty_table
+
+        if self.method in ("quantized", "quantized_bmw"):
+            raise ValueError("sort queries need a float-index shard")
+        empty = sort_empty_table(keys, single)
+        parts = [
+            segment_sort_rows(seg, prepared, keys, single=single,
+                              top_k=top_k, after=after, empty=empty)
+            for seg in self.segments
+        ]
+        import pyarrow as _pa
+
+        # per-segment tables carry the true value-column types (see
+        # segment_sort_rows); only a shard with zero segments falls back
+        # to the generic empty
+        return _pa.concat_tables(parts) if parts else empty
+
 
 def request_cache_key(qid: int, text: str, params, query_lang, scoring,
                       mu, lam, after, range_filter) -> tuple:
@@ -1767,6 +1790,55 @@ class QueryRouter:
             .reset_index(drop=True)
         )
         return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    async def sort_search(
+        self,
+        queries: list[tuple[int, str]],
+        *,
+        sort_col: str | None = None,
+        descending: bool = True,
+        sort_keys: list[tuple[str, bool]] | None = None,
+        top_k: int = 10,
+        query_lang: str | None = None,
+        after: dict[int, tuple] | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve a sort-by-doc-values query (Lucene ``Sort``; single
+        ``sort_col`` or multi-field ``sort_keys``) through the router's
+        resident shards — same admission control as :meth:`search`, same
+        results as :func:`splade_ray.docvalues.sort_search` (parity-
+        tested), but doc-values and sort-order layers stay cached in the
+        shard actors across calls. Sort results are not request-cached
+        (the per-query LRU keys on scoring knobs; a sort result keys on
+        the spec — add a tier if sort traffic ever gets hot)."""
+        import asyncio
+
+        if self.quant_extra:
+            raise ValueError("sort queries need a float-index router")
+        if (sort_col is None) == (sort_keys is None):
+            raise ValueError("pass exactly one of sort_col / sort_keys")
+        single = sort_keys is None
+        keys = [(sort_col, bool(descending))] if single else [
+            (c, bool(d)) for c, d in sort_keys]
+        await self._admit(
+            deadline_s if deadline_s is not None else self._default_deadline
+        )
+        try:
+            prepared = prepare_queries(self.index_dir, queries,
+                                       query_lang=query_lang)
+            results = await asyncio.gather(
+                *[a.sort.remote(prepared, keys, single, top_k, after)
+                  for a in self.actors]
+            )
+        finally:
+            self._inflight -= 1
+            self._slots.release()
+        import pyarrow as _pa
+
+        from splade_ray.docvalues import merge_sort_rows
+
+        pdf = _pa.concat_tables(results).to_pandas()
+        return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
 
     def stats(self) -> dict:
         """Admission-control counters + per-shard latency EMAs (for load
