@@ -1583,6 +1583,25 @@ def cmd_curate(args) -> int:
         tag = args.lsh_tag or hashlib.sha1(
             os.path.abspath(args.corpus).encode()).hexdigest()[:12]
         built_marker = os.path.join(idx, "_built_tag")
+        if getattr(args, "dry_run", False):
+            # dry-run: NEVER mutate a shared index — probe-only against an
+            # existing one, passthrough when there is none yet
+            if not os.path.exists(os.path.join(idx, "_params.json")):
+                return ds
+            pairs = minhash_index_probe(
+                ds, idx, min_est_jaccard=args.lsh_min_est,
+                text_col=text_col, id_col=id_col,
+            ).to_pandas()
+            bad = (np.sort(np.unique(pairs["new_doc"].to_numpy(np.int64)))
+                   if len(pairs) else np.empty(0, np.int64))
+            bad_r = ray.put(bad)
+
+            def filt_dry(batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return batch.filter(pa.array(~np.isin(ids, ray.get(bad_r))))
+
+            return ds.map_batches(filt_dry, batch_format="pyarrow")
         if not os.path.exists(os.path.join(idx, "_params.json")):
             minhash_index_build(ds, idx, text_col=text_col, id_col=id_col)
             with open(built_marker, "w") as f:
@@ -1746,6 +1765,41 @@ def cmd_curate(args) -> int:
         "redact": stage_redact,
         "pack": stage_pack,
     }
+
+    if args.dry_run:
+        # sample-only row-flow estimate: run the stage chain in memory on
+        # the first --dry-sample docs, write NOTHING durable (stage work
+        # dirs land in a tempdir; lshdedup probes read-only). Duplicate-
+        # family stages (dedup/dupspans/unitdedup/lshdedup) UNDERESTIMATE
+        # their drop rates on a sample — duplicates are corpus-global.
+        import shutil
+        import tempfile
+
+        real_out = args.out
+        dry_dir = tempfile.mkdtemp(prefix="curate-dry-")
+        try:
+            args.out = dry_dir
+            sample = read_parquet_clean(args.corpus).limit(
+                args.dry_sample).materialize()
+            n_in = sample.count()
+            rates: dict[str, int] = {}
+            cur = sample
+            for name in stages:
+                cur = fns[name](cur).materialize()
+                rates[name] = cur.count()
+        finally:
+            args.out = real_out
+            shutil.rmtree(dry_dir, ignore_errors=True)
+        print(json.dumps({
+            "dry_run": True,
+            "stages": stages,
+            "sample_rows": n_in,
+            "rows_after_sample": rates,
+            "note": "sample-only estimate; duplicate-family stages "
+                    "underestimate drop rates (duplicates are "
+                    "corpus-global)",
+        }))
+        return 0
 
     os.makedirs(args.out, exist_ok=True)
     src = args.corpus
@@ -2565,6 +2619,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--ppl-buckets", type=int, default=65536)
     cu.add_argument("--seed", type=int, default=0,
                     help="dsir: Gumbel hash seed (deterministic)")
+    cu.add_argument("--dry-run", action="store_true",
+                    help="sample-only row-flow estimate; writes nothing "
+                         "durable, mutates no shared index")
+    cu.add_argument("--dry-sample", type=int, default=2000,
+                    help="--dry-run: docs sampled from the corpus head")
     cu.set_defaults(fn=cmd_curate)
 
     a = sub.add_parser("all", help="build -> query -> evaluate")

@@ -1102,3 +1102,54 @@ def test_cli_curate_all_filtered_stage_chain(ray_session, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_after"] == {
         "quality": 0, "dedup": 0, "redact": 0, "pack": 0}
+
+
+def test_cli_curate_dry_run(ray_session, tmp_path, capsys):
+    """--dry-run: sample row-flow estimate, nothing durable written, a
+    shared LSH index is probed but never mutated."""
+    import os
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    texts = [
+        "the and data table merge quick brown fox jumps over things",
+        "the and data table merge quick brown fox jumps over things",
+        "the and some other normal words here okay for quality today",
+        "the of yet another clean document with plenty of normal words",
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+        }),
+        str(d / "part-0.parquet"),
+    )
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "quality,dedup,lshdedup,redact,pack",
+               "--min-words", "5", "--dry-run"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["dry_run"] is True and s["sample_rows"] == 4
+    assert s["rows_after_sample"]["dedup"] == 3  # exact dup dropped
+    assert s["rows_after_sample"]["lshdedup"] == 3  # no index -> passthrough
+    # nothing durable: the out dir was never created
+    assert not os.path.exists(out)
+    # with a real index present, dry-run probes but does not mutate it
+    from splade_ray.ops.dedup import minhash_index_build
+    import ray.data as rd
+
+    idx = str(tmp_path / "lsh")
+    minhash_index_build(rd.read_parquet(str(d)), idx)
+    mtimes = {f: os.path.getmtime(os.path.join(idx, "sigs", f))
+              for f in os.listdir(os.path.join(idx, "sigs"))}
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "lshdedup", "--lsh-index", idx, "--dry-run"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every sampled doc collides with the index built from itself
+    assert s2["rows_after_sample"]["lshdedup"] == 0
+    assert {f: os.path.getmtime(os.path.join(idx, "sigs", f))
+            for f in os.listdir(os.path.join(idx, "sigs"))} == mtimes
+    assert not os.path.exists(out)

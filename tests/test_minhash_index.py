@@ -263,3 +263,56 @@ def test_cli_lsh_append_compact(ray_session, tmp_path, capsys):
     key = ["new_doc", "old_doc", "n_match"]
     assert sorted(map(tuple, after[key].values.tolist())) == \
         sorted(map(tuple, before[key].values.tolist()))
+
+
+def test_lsh_index_snapshot_chain(ray_session, tmp_path):
+    """The generic snapshot machinery covers LSH index dirs: full snapshot
+    -> incremental snapshot after an append (unchanged files hard-linked
+    from the base) -> restore -> probe parity."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from splade_ray.ops.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_probe,
+    )
+    from splade_ray.snapshot import restore, snapshot, verify_snapshot
+
+    def corpus(ids, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+        }))
+
+    base = ("shared boilerplate sentence repeated across increments with "
+            "plenty of words to shingle over for the minhash signatures")
+    idx = str(tmp_path / "idx")
+    minhash_index_build(corpus([1], [base]), idx)
+    s1 = str(tmp_path / "snap1")
+    m1 = snapshot(idx, s1)
+    assert m1["n_files"] > 0
+    assert verify_snapshot(s1)["ok"]
+
+    minhash_index_append(corpus([2], [base.replace("plenty", "loads")]),
+                         idx, tag="day2")
+    s2 = str(tmp_path / "snap2")
+    m2 = snapshot(idx, s2, base_snap=s1)
+    # the base's files were reused as hard links, not copied
+    linked = [f for f in m2["files"]
+              if os.stat(os.path.join(s2, "data", f["rel"])).st_nlink > 1]
+    assert len(linked) >= m1["n_files"]
+
+    want = minhash_index_probe(
+        corpus([9], [base]), idx, min_est_jaccard=0.3
+    ).to_pandas().sort_values("old_doc").reset_index(drop=True)
+    rest = str(tmp_path / "restored")
+    restore(s2, rest)
+    got = minhash_index_probe(
+        corpus([9], [base]), rest, min_est_jaccard=0.3
+    ).to_pandas().sort_values("old_doc").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["old_doc"]) == {1, 2}
