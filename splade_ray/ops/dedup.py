@@ -1343,36 +1343,55 @@ def minhash_index_probe(
     }))
 
 
+@ray.remote
+def _probe_one_band(part: str, grp: pd.DataFrame, cap: int):
+    """One band partition's pushdown probe (a Ray task, so the per-band
+    reads fan out across the cluster instead of serializing on the
+    driver): filtered (band_hash, doc_id) read -> new×old bucket join,
+    old side capped."""
+    import pyarrow.dataset as pads
+
+    hashes = sorted(set(grp["band_hash"].tolist()))
+    old = pads.dataset(part).to_table(
+        columns=["band_hash", "doc_id"],
+        filter=pads.field("band_hash").isin(hashes)).to_pandas()
+    if old.empty:
+        return None
+    merged = grp.merge(old, on="band_hash", suffixes=("_new", "_old"))
+    if merged.empty:
+        return None
+    sizes = merged.groupby("band_hash")["doc_id_old"].transform("size")
+    capped = bool((sizes > cap).any())
+    if capped:
+        merged = merged[sizes <= cap]
+    return (merged["doc_id_new"].to_numpy(np.int64),
+            merged["doc_id_old"].to_numpy(np.int64), capped)
+
+
 def _probe_pairs_pushdown(new_bands, index_dir: str, cap: int) -> pd.DataFrame:
     """Driver-bounded candidate generation: collect the increment's band
     rows, pushdown-read only colliding (band, band_hash) rows from the
-    persisted partitions, and emit (new_doc, old_doc) per shared bucket
-    (old side capped per bucket like every LSH bucket here)."""
-    import pyarrow.dataset as pads
-
+    persisted partitions — ONE RAY TASK PER BAND PARTITION, so the reads
+    parallelize across nodes (round-5 candidate (c)) — and emit
+    (new_doc, old_doc) per shared bucket (old side capped per bucket like
+    every LSH bucket here)."""
     nb = new_bands.to_pandas()
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
+    refs = []
     for band, grp in nb.groupby("band"):
         part = os.path.join(index_dir, "bands", f"band={int(band)}")
-        if not os.path.isdir(part):
+        if os.path.isdir(part):
+            refs.append(_probe_one_band.remote(part, grp, cap))
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for got in ray.get(refs):
+        if got is None:
             continue
-        hashes = sorted(set(grp["band_hash"].tolist()))
-        old = pads.dataset(part).to_table(
-            columns=["band_hash", "doc_id"],
-            filter=pads.field("band_hash").isin(hashes)).to_pandas()
-        if old.empty:
-            continue
-        merged = grp.merge(old, on="band_hash", suffixes=("_new", "_old"))
-        if merged.empty:
-            continue
-        sizes = merged.groupby("band_hash")["doc_id_old"].transform("size")
-        if (sizes > cap).any():
+        a, b, capped = got
+        if capped:
             _LOG.warning("minhash_index_probe: bucket over %d old docs "
                          "capped", cap)
-            merged = merged[sizes <= cap]
-        out_a.append(merged["doc_id_new"].to_numpy(np.int64))
-        out_b.append(merged["doc_id_old"].to_numpy(np.int64))
+        out_a.append(a)
+        out_b.append(b)
     if not out_a:
         return pd.DataFrame({"new_doc": [], "old_doc": []}).astype(np.int64)
     arr = np.unique(np.stack([np.concatenate(out_a),
