@@ -532,6 +532,120 @@ def sort_search(
     return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
 
 
+def _seg_numeric_values(seg: SegmentIndex, col: str,
+                        require_int: bool = False) -> np.ndarray:
+    """Cached numeric doc-values from a SegmentIndex (serving-path
+    friendly), with the same type contracts as ``_numeric_column`` /
+    ``numeric_stats``."""
+    vals = seg.doc_values(col)
+    if not np.issubdtype(vals.dtype, np.number):
+        raise TypeError(f"doc column {col!r} is not numeric ({vals.dtype})")
+    if require_int and not np.issubdtype(vals.dtype, np.integer):
+        raise TypeError(
+            f"numeric_stats is integer-exact; {col!r} is {vals.dtype} — "
+            "pre-cast or use numeric_histogram")
+    return vals
+
+
+def segment_agg_rows(seg: SegmentIndex, prep: dict, spec: dict) -> pa.Table:
+    """Per-segment partial rows for a metric aggregation over live
+    matches, shared by the Dataset pipelines and the serving shard actors
+    (``IndexShardActor.agg`` → ``QueryRouter.agg_search``). ``spec``:
+
+    - ``{"kind": "count"}`` — TotalHitCountCollector partials;
+    - ``{"kind": "stats", "col", "extended"}`` — ES stats /
+      extended_stats integer partials;
+    - ``{"kind": "histogram", "col", "interval"}`` — ES histogram bucket
+      partials."""
+    kind = spec["kind"]
+    if kind == "count":
+        qids, counts = [], []
+        for qid, terms in prep["queries"].items():
+            n = int(_matched_mask(seg, terms).sum())
+            if n:
+                qids.append(qid)
+                counts.append(n)
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "n_docs": pa.array(counts, pa.int64())})
+    if kind == "stats":
+        extended = bool(spec.get("extended"))
+        vals = _seg_numeric_values(seg, spec["col"],
+                                   require_int=True).astype(np.int64)
+        cols = ["query_id", "n_docs", "sum_value", "min_value", "max_value"]
+        if extended:
+            cols.append("sum_sq")
+        out = {k: [] for k in cols}
+        for qid, terms in prep["queries"].items():
+            m = _matched_mask(seg, terms)
+            if not m.any():
+                continue
+            v = vals[m]
+            out["query_id"].append(qid)
+            out["n_docs"].append(int(m.sum()))
+            out["sum_value"].append(int(v.sum()))
+            out["min_value"].append(int(v.min()))
+            out["max_value"].append(int(v.max()))
+            if extended:
+                out["sum_sq"].append(int((v * v).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    if kind == "histogram":
+        interval = int(spec["interval"])
+        vals = _seg_numeric_values(seg, spec["col"])
+        buckets = np.floor_divide(vals, interval).astype(np.int64) * interval
+        out = {"query_id": [], "bucket": [], "n_docs": []}
+        for qid, terms in prep["queries"].items():
+            matched = _matched_mask(seg, terms)
+            if not matched.any():
+                continue
+            uniq, counts = np.unique(buckets[matched], return_counts=True)
+            out["query_id"].extend([qid] * uniq.size)
+            out["bucket"].extend(uniq.tolist())
+            out["n_docs"].extend(counts.tolist())
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    raise ValueError(f"unknown agg kind {kind!r}")
+
+
+def merge_agg_rows(pdf: pd.DataFrame, spec: dict,
+                   queries: list[tuple[int, str]]) -> pd.DataFrame:
+    """Coordinator-side combine of :func:`segment_agg_rows` partials —
+    plain integer sums/mins/maxes, query-count-sized."""
+    kind = spec["kind"]
+    if kind == "count":
+        base = pd.DataFrame({"query_id": np.array(
+            sorted({int(q) for q, _ in queries}), np.int64)})
+        if pdf.empty:
+            base["n_docs"] = np.int64(0)
+            return base
+        agg = pdf.groupby("query_id", as_index=False)["n_docs"].sum()
+        out = base.merge(agg, on="query_id", how="left")
+        out["n_docs"] = out["n_docs"].fillna(0).astype(np.int64)
+        return out.sort_values("query_id").reset_index(drop=True)
+    if kind == "stats":
+        aggs = dict(
+            n_docs=("n_docs", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
+        )
+        if spec.get("extended"):
+            aggs["sum_sq"] = ("sum_sq", "sum")
+        if pdf.empty:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=np.int64)
+                 for k in ["query_id", *aggs]})
+        return (pdf.groupby("query_id", as_index=False).agg(**aggs)
+                .sort_values("query_id").reset_index(drop=True))
+    if kind == "histogram":
+        if pdf.empty:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=np.int64)
+                 for k in ["query_id", "bucket", "n_docs"]})
+        return (pdf.groupby(["query_id", "bucket"], as_index=False)["n_docs"]
+                .sum().sort_values(["query_id", "bucket"])
+                .reset_index(drop=True))
+    raise ValueError(f"unknown agg kind {kind!r}")
+
+
 def match_counts(
     index_dir: str,
     queries: list[tuple[int, str]],
@@ -553,34 +667,16 @@ def match_counts(
         {"query_id": pa.array([], pa.int64()), "n_docs": pa.array([], pa.int64())}
     )
 
+    spec = {"kind": "count"}
+
     def per_segment(seg_dir: str) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        qids, counts = [], []
-        for qid, terms in prep["queries"].items():
-            n = int(_matched_mask(seg, terms).sum())
-            if n:
-                qids.append(qid)
-                counts.append(n)
-        return pa.table(
-            {
-                "query_id": pa.array(qids, pa.int64()),
-                "n_docs": pa.array(counts, pa.int64()),
-            }
-        )
+        return segment_agg_rows(seg, prep, spec)
 
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
-    base = pd.DataFrame(
-        {"query_id": np.array(sorted({int(q) for q, _ in queries}), np.int64)}
-    )
-    if pdf.empty:
-        base["n_docs"] = np.int64(0)
-        return base
-    agg = pdf.groupby("query_id", as_index=False)["n_docs"].sum()
-    out = base.merge(agg, on="query_id", how="left")
-    out["n_docs"] = out["n_docs"].fillna(0).astype(np.int64)
-    return out.sort_values("query_id").reset_index(drop=True)
+    return merge_agg_rows(pdf, spec, queries)
 
 
 def numeric_stats(
@@ -619,60 +715,18 @@ def numeric_stats(
         }
     )
 
+    spec = {"kind": "stats", "col": numeric_col, "extended": bool(extended)}
+
     def per_segment(seg_dir: str) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        vals = _numeric_column(seg_dir, numeric_col)
-        if not np.issubdtype(vals.dtype, np.integer):
-            # int64 keeps every emitted column integer-exact; a float
-            # column would be silently truncated — make the caller choose
-            raise TypeError(
-                f"numeric_stats is integer-exact; {numeric_col!r} is "
-                f"{vals.dtype} — pre-cast or use numeric_histogram"
-            )
-        vals = vals.astype(np.int64)
-        cols = ["query_id", "n_docs", "sum_value", "min_value", "max_value"]
-        if extended:
-            cols.append("sum_sq")
-        out = {k: [] for k in cols}
-        for qid, terms in prep["queries"].items():
-            m = _matched_mask(seg, terms)
-            if not m.any():
-                continue
-            v = vals[m]
-            out["query_id"].append(qid)
-            out["n_docs"].append(int(m.sum()))
-            out["sum_value"].append(int(v.sum()))
-            out["min_value"].append(int(v.min()))
-            out["max_value"].append(int(v.max()))
-            if extended:
-                # int64-exact up to |v| ~ 3e9 per doc; doc-value magnitudes
-                # (lengths, counts, timestamps-in-s) stay far under that
-                out["sum_sq"].append(int((v * v).sum()))
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return segment_agg_rows(seg, prep, spec)
 
     if extended:
         empty = empty.append_column("sum_sq", pa.array([], pa.int64()))
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
-    aggs = dict(
-        n_docs=("n_docs", "sum"),
-        sum_value=("sum_value", "sum"),
-        min_value=("min_value", "min"),
-        max_value=("max_value", "max"),
-    )
-    if extended:
-        aggs["sum_sq"] = ("sum_sq", "sum")
-    if pdf.empty:
-        return pd.DataFrame(
-            {k: pd.Series([], dtype=np.int64) for k in ["query_id", *aggs]}
-        )
-    return (
-        pdf.groupby("query_id", as_index=False)
-        .agg(**aggs)
-        .sort_values("query_id")
-        .reset_index(drop=True)
-    )
+    return merge_agg_rows(pdf, spec, queries)
 
 
 def extended_stats_derive(stats: pd.DataFrame) -> pd.DataFrame:
@@ -722,47 +776,16 @@ def numeric_histogram(
         }
     )
 
+    spec = {"kind": "histogram", "col": numeric_col, "interval": interval}
+
     def per_segment(seg_dir: str) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        vals = _numeric_column(seg_dir, numeric_col)
-        # floor-divide BEFORE any int cast: int cast of a negative float
-        # truncates toward zero, flooring would put it one bucket off
-        buckets = np.floor_divide(vals, interval).astype(np.int64) * interval
-        out = {"query_id": [], "bucket": [], "n_docs": []}
-        for qid, terms in prep["queries"].items():
-            matched = _matched_mask(seg, terms)
-            if not matched.any():
-                continue
-            # bucket codes are segment-local and few: one np.unique pass
-            uniq, counts = np.unique(buckets[matched], return_counts=True)
-            out["query_id"].extend([qid] * uniq.size)
-            out["bucket"].extend(uniq.tolist())
-            out["n_docs"].extend(counts.tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "n_docs": pa.array(out["n_docs"], pa.int64()),
-            }
-        )
+        return segment_agg_rows(seg, prep, spec)
 
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
-    if pdf.empty:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "bucket": pd.Series([], dtype=np.int64),
-                "n_docs": pd.Series([], dtype=np.int64),
-            }
-        )
-    return (
-        pdf.groupby(["query_id", "bucket"], as_index=False)["n_docs"]
-        .sum()
-        .sort_values(["query_id", "bucket"])
-        .reset_index(drop=True)
-    )
+    return merge_agg_rows(pdf, spec, queries)
 
 
 BLOCK_JOIN_COLUMNS = ["query_id", "rank", "parent", "score", "n_children"]

@@ -1497,6 +1497,20 @@ class IndexShardActor:
         # to the generic empty
         return _pa.concat_tables(parts) if parts else empty
 
+    def agg(self, prepared: dict, spec: dict):
+        """Serve a metric aggregation (count / stats / histogram — see
+        docvalues.segment_agg_rows) from the resident segments; partial
+        rows only, the router combines. Float-index shards only."""
+        from splade_ray.docvalues import segment_agg_rows
+
+        if self.method in ("quantized", "quantized_bmw"):
+            raise ValueError("agg queries need a float-index shard")
+        import pyarrow as _pa
+
+        parts = [segment_agg_rows(seg, prepared, spec)
+                 for seg in self.segments]
+        return _pa.concat_tables(parts) if parts else None
+
 
 def request_cache_key(qid: int, text: str, params, query_lang, scoring,
                       mu, lam, after, range_filter) -> tuple:
@@ -1839,6 +1853,60 @@ class QueryRouter:
 
         pdf = _pa.concat_tables(results).to_pandas()
         return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
+
+    async def agg_search(
+        self,
+        queries: list[tuple[int, str]],
+        *,
+        kind: str,
+        col: str | None = None,
+        interval: int | None = None,
+        extended: bool = False,
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve a metric aggregation over live matches through the
+        router's resident shards — ``kind`` ∈ count | stats | histogram,
+        matching :func:`docvalues.match_counts` /
+        :func:`docvalues.numeric_stats` / :func:`docvalues.numeric_histogram`
+        result-for-result (parity-tested). Same admission control as
+        :meth:`search`; shard partials are integer rows, query-count- (or
+        bucket-count-) sized."""
+        import asyncio
+
+        if self.quant_extra:
+            raise ValueError("agg queries need a float-index router")
+        spec = {"kind": kind}
+        if kind in ("stats", "histogram"):
+            if not col:
+                raise ValueError(f"agg kind {kind!r} needs col=")
+            spec["col"] = col
+        if kind == "stats":
+            spec["extended"] = bool(extended)
+        if kind == "histogram":
+            if not interval or interval <= 0:
+                raise ValueError("histogram needs a positive interval")
+            spec["interval"] = int(interval)
+        await self._admit(
+            deadline_s if deadline_s is not None else self._default_deadline
+        )
+        try:
+            prepared = prepare_queries(self.index_dir, queries,
+                                       query_lang=query_lang)
+            results = await asyncio.gather(
+                *[a.agg.remote(prepared, spec) for a in self.actors]
+            )
+        finally:
+            self._inflight -= 1
+            self._slots.release()
+        import pyarrow as _pa
+
+        from splade_ray.docvalues import merge_agg_rows
+
+        parts = [t for t in results if t is not None]
+        pdf = (_pa.concat_tables(parts).to_pandas()
+               if parts else pd.DataFrame())
+        return merge_agg_rows(pdf, spec, queries)
 
     def stats(self) -> dict:
         """Admission-control counters + per-shard latency EMAs (for load

@@ -88,3 +88,47 @@ def test_router_sort_uses_layer_and_validates(index):
         ray.get(r.sort_search.remote(QUERIES))
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_agg_parity(index):
+    """QueryRouter.agg_search parity with match_counts / numeric_stats /
+    numeric_histogram for count / stats / extended stats / histogram."""
+    from splade_ray.docvalues import (
+        match_counts,
+        numeric_histogram,
+        numeric_stats,
+    )
+
+    r = QueryRouter.remote(index, num_shards=2)
+    got_c = ray.get(r.agg_search.remote(QUERIES, kind="count"))
+    pd.testing.assert_frame_equal(
+        got_c, match_counts(index, QUERIES), check_dtype=False)
+    got_s = ray.get(r.agg_search.remote(QUERIES, kind="stats",
+                                        col="n_bytes"))
+    pd.testing.assert_frame_equal(
+        got_s, numeric_stats(index, QUERIES, numeric_col="n_bytes"),
+        check_dtype=False)
+    got_e = ray.get(r.agg_search.remote(QUERIES, kind="stats",
+                                        col="n_bytes", extended=True))
+    pd.testing.assert_frame_equal(
+        got_e, numeric_stats(index, QUERIES, numeric_col="n_bytes",
+                             extended=True),
+        check_dtype=False)
+    got_h = ray.get(r.agg_search.remote(QUERIES, kind="histogram",
+                                        col="n_bytes", interval=40))
+    pd.testing.assert_frame_equal(
+        got_h, numeric_histogram(index, QUERIES, numeric_col="n_bytes",
+                                 interval=40),
+        check_dtype=False)
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == 4  # aggs take admission slots too
+    # validation surfaces cleanly
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(r.agg_search.remote(QUERIES, kind="stats"))
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(r.agg_search.remote(QUERIES, kind="histogram",
+                                    col="n_bytes", interval=0))
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(r.agg_search.remote(QUERIES, kind="percentile"))
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
