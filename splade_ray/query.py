@@ -1698,13 +1698,28 @@ class QueryRouter:
                 "quantized shards score baked BM25 impacts — scoring='ql' / "
                 "search_after / range_filter need a float-index router"
             )
+        async def fetch(missing):
+            return await self._fanout_search(
+                missing, params, query_lang, deadline_s, scoring=scoring,
+                mu=mu, lam=lam, after=after, range_filter=range_filter)
+
+        def key_of(qid, text):
+            return request_cache_key(qid, text, params, query_lang,
+                                     scoring, mu, lam, after, range_filter)
+
+        return await self._serve_cached(
+            queries, key_of, fetch,
+            sort_cols=["query_id", "rank"], empty_cols=RUN_COLUMNS)
+
+    async def _serve_cached(self, queries, key_of, fetch, *, sort_cols,
+                            empty_cols) -> pd.DataFrame:
+        """Generic per-query request-cache wrapper used by every router
+        endpoint (score / sort / agg): split hits from misses, run
+        ``fetch`` (an async coroutine — admission happens inside it, so
+        full-hit requests never take a slot), store per-query sub-frames,
+        assemble in request order. With the cache off, just fetch."""
         if self._cache_size > 0:
-            keys = {
-                int(qid): request_cache_key(qid, text, params, query_lang,
-                                            scoring, mu, lam, after,
-                                            range_filter)
-                for qid, text in queries
-            }
+            keys = {int(qid): key_of(qid, text) for qid, text in queries}
             missing = [(qid, text) for qid, text in queries
                        if keys[int(qid)] not in self._cache]
             self._cache_hits += len(queries) - len(missing)
@@ -1713,9 +1728,7 @@ class QueryRouter:
             keys, missing = None, list(queries)
         fresh_parts: dict[int, pd.DataFrame] = {}
         if missing:
-            out = await self._fanout_search(
-                missing, params, query_lang, deadline_s, scoring=scoring,
-                mu=mu, lam=lam, after=after, range_filter=range_filter)
+            out = await fetch(missing)
             if keys is None:
                 return out
             for qid, _ in missing:
@@ -1738,9 +1751,9 @@ class QueryRouter:
             parts.append(p)
         parts = [p for p in parts if not p.empty]
         if not parts:
-            return pd.DataFrame(columns=RUN_COLUMNS)
+            return pd.DataFrame(columns=empty_cols)
         out = pd.concat(parts, ignore_index=True)
-        return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        return out.sort_values(sort_cols).reset_index(drop=True)
 
     async def _fanout_search(
         self,
@@ -1822,9 +1835,9 @@ class QueryRouter:
         resident shards — same admission control as :meth:`search`, same
         results as :func:`splade_ray.docvalues.sort_search` (parity-
         tested), but doc-values and sort-order layers stay cached in the
-        shard actors across calls. Sort results are not request-cached
-        (the per-query LRU keys on scoring knobs; a sort result keys on
-        the spec — add a tier if sort traffic ever gets hot)."""
+        shard actors across calls. Sort results share the router request
+        cache (spec-keyed, disjoint from scoring keys); hits bypass
+        admission like every cached endpoint."""
         import asyncio
 
         if self.quant_extra:
@@ -1834,25 +1847,37 @@ class QueryRouter:
         single = sort_keys is None
         keys = [(sort_col, bool(descending))] if single else [
             (c, bool(d)) for c, d in sort_keys]
-        await self._admit(
-            deadline_s if deadline_s is not None else self._default_deadline
-        )
-        try:
-            prepared = prepare_queries(self.index_dir, queries,
-                                       query_lang=query_lang)
-            results = await asyncio.gather(
-                *[a.sort.remote(prepared, keys, single, top_k, after)
-                  for a in self.actors]
+        value_names = ["sort_value"] if single else [c for c, _ in keys]
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
             )
-        finally:
-            self._inflight -= 1
-            self._slots.release()
-        import pyarrow as _pa
+            try:
+                prepared = prepare_queries(self.index_dir, missing,
+                                           query_lang=query_lang)
+                results = await asyncio.gather(
+                    *[a.sort.remote(prepared, keys, single, top_k, after)
+                      for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            import pyarrow as _pa
 
-        from splade_ray.docvalues import merge_sort_rows
+            from splade_ray.docvalues import merge_sort_rows
 
-        pdf = _pa.concat_tables(results).to_pandas()
-        return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
+            pdf = _pa.concat_tables(results).to_pandas()
+            return merge_sort_rows(pdf, keys, single=single, top_k=top_k)
+
+        def key_of(qid, text):
+            return ("sort", text, query_lang, tuple(keys), top_k,
+                    (after or {}).get(int(qid)))
+
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=["query_id", "rank"],
+            empty_cols=["query_id", "rank", "doc_id", *value_names])
 
     async def agg_search(
         self,
@@ -1887,26 +1912,45 @@ class QueryRouter:
             if not interval or interval <= 0:
                 raise ValueError("histogram needs a positive interval")
             spec["interval"] = int(interval)
-        await self._admit(
-            deadline_s if deadline_s is not None else self._default_deadline
-        )
-        try:
-            prepared = prepare_queries(self.index_dir, queries,
-                                       query_lang=query_lang)
-            results = await asyncio.gather(
-                *[a.agg.remote(prepared, spec) for a in self.actors]
+        agg_cols = {
+            "count": ["query_id", "n_docs"],
+            "stats": ["query_id", "n_docs", "sum_value", "min_value",
+                      "max_value"] + (["sum_sq"] if extended else []),
+            "histogram": ["query_id", "bucket", "n_docs"],
+        }[kind]
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
             )
-        finally:
-            self._inflight -= 1
-            self._slots.release()
-        import pyarrow as _pa
+            try:
+                prepared = prepare_queries(self.index_dir, missing,
+                                           query_lang=query_lang)
+                results = await asyncio.gather(
+                    *[a.agg.remote(prepared, spec) for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            import pyarrow as _pa
 
-        from splade_ray.docvalues import merge_agg_rows
+            from splade_ray.docvalues import merge_agg_rows
 
-        parts = [t for t in results if t is not None]
-        pdf = (_pa.concat_tables(parts).to_pandas()
-               if parts else pd.DataFrame())
-        return merge_agg_rows(pdf, spec, queries)
+            parts = [t for t in results if t is not None]
+            pdf = (_pa.concat_tables(parts).to_pandas()
+                   if parts else pd.DataFrame())
+            return merge_agg_rows(pdf, spec, missing)
+
+        def key_of(qid, text):
+            return ("agg", text, query_lang, kind, col, interval,
+                    bool(extended))
+
+        sort_cols = (["query_id", "bucket"] if kind == "histogram"
+                     else ["query_id"])
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=sort_cols,
+            empty_cols=agg_cols)
 
     def stats(self) -> dict:
         """Admission-control counters + per-shard latency EMAs (for load

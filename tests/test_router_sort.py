@@ -132,3 +132,40 @@ def test_router_agg_parity(index):
         ray.get(r.agg_search.remote(QUERIES, kind="percentile"))
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_sort_agg_request_cache(index):
+    """Sort and agg results share the router request cache: repeat
+    requests hit (no admission slot), parity preserved, spec changes
+    miss, scoring keys stay disjoint."""
+    r = QueryRouter.remote(index, num_shards=2, cache_size=64)
+    keys = [("cat", False), ("n_bytes", True)]
+    a1 = ray.get(r.sort_search.remote(QUERIES, sort_keys=keys, top_k=5))
+    a2 = ray.get(r.sort_search.remote(QUERIES, sort_keys=keys, top_k=5))
+    pd.testing.assert_frame_equal(a1, a2)
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == 1 and st["cache_hits"] == len(QUERIES)
+    b1 = ray.get(r.agg_search.remote(QUERIES, kind="histogram",
+                                     col="n_bytes", interval=40))
+    b2 = ray.get(r.agg_search.remote(QUERIES, kind="histogram",
+                                     col="n_bytes", interval=40))
+    pd.testing.assert_frame_equal(b1, b2)
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == 2
+    # spec change (interval) misses; scoring request has its own keys
+    ray.get(r.agg_search.remote(QUERIES, kind="histogram",
+                                col="n_bytes", interval=20))
+    ray.get(r.search.remote(QUERIES, BM25Params(top_k=5)))
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == 4
+    # parity with batch pipelines through the cached router
+    from splade_ray.docvalues import numeric_histogram
+
+    pd.testing.assert_frame_equal(
+        b2, numeric_histogram(index, QUERIES, numeric_col="n_bytes",
+                              interval=40),
+        check_dtype=False)
+    want = sort_search(index, QUERIES, sort_keys=keys, top_k=5)
+    pd.testing.assert_frame_equal(a2, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
