@@ -1906,6 +1906,28 @@ def containment_sketch_pairs(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+@ray.remote
+def _compact_stream_one(src: str, out_path: str) -> None:
+    """Streaming single-file rewrite of one parquet partition (one pass,
+    bounded memory — never the whole partition in RAM; sigs is O(corpus)
+    at scale)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    d = pads.dataset(src)
+    writer = None
+    try:
+        for b in d.scanner(batch_size=65536).to_batches():
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, b.schema)
+            writer.write_batch(b)
+        if writer is None:  # empty partition: keep it typed
+            pq.write_table(d.schema.empty_table(), out_path)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def minhash_index_compact(index_dir: str) -> dict:
     """Compact a persisted MinHash-LSH index after many tagged increments:
     rewrite ``sigs/`` and each ``bands/band=N/`` partition into one file
@@ -1941,32 +1963,22 @@ def minhash_index_compact(index_dir: str) -> dict:
         after = sum(len(fs) for _, _, fs in os.walk(live))
         return before, after
 
-    def stream_one(src: str, out_path: str) -> None:
-        # streaming batch copy: one pass, bounded memory — never the whole
-        # partition in RAM (sigs is O(corpus) at scale)
-        d = pads.dataset(src)
-        writer = None
-        try:
-            for b in d.scanner(batch_size=65536).to_batches():
-                if writer is None:
-                    writer = pq.ParquetWriter(out_path, b.schema)
-                writer.write_batch(b)
-            if writer is None:  # empty partition: keep it typed
-                pq.write_table(d.schema.empty_table(), out_path)
-        finally:
-            if writer is not None:
-                writer.close()
-
     def compact_flat(src: str, dst: str) -> None:
-        stream_one(src, os.path.join(dst, "part-0.parquet"))
+        ray.get(_compact_stream_one.remote(
+            src, os.path.join(dst, "part-0.parquet")))
 
     def compact_bands(src: str, dst: str) -> None:
+        # one Ray task per band partition: the rewrites parallelize
+        # across the cluster (each task streams, bounded memory)
+        refs = []
         for part in sorted(os.listdir(src)):
             sp = os.path.join(src, part)
             if not os.path.isdir(sp):
                 continue
             os.makedirs(os.path.join(dst, part), exist_ok=True)
-            stream_one(sp, os.path.join(dst, part, "part-0.parquet"))
+            refs.append(_compact_stream_one.remote(
+                sp, os.path.join(dst, part, "part-0.parquet")))
+        ray.get(refs)
 
     sb, sa = swap(os.path.join(index_dir, "sigs"), compact_flat)
     bb, ba = swap(os.path.join(index_dir, "bands"), compact_bands)
