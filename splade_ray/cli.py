@@ -619,6 +619,17 @@ def cmd_sort_index(args) -> int:
     return 0
 
 
+def _corpus_tag(path: str) -> str:
+    """Deterministic 12-hex tag for a corpus path — shared by lsh-build and
+    the curate lshdedup stage so an index pre-built from a corpus is
+    recognizable when that same corpus later arrives as an increment
+    (probing it against itself would drop ~every doc)."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+
+
 def cmd_lsh_build(args) -> int:
     """Persist a MinHash-LSH index (signatures + banded bucket rows) for
     incremental near-dup probing."""
@@ -629,7 +640,8 @@ def cmd_lsh_build(args) -> int:
     ds = read_parquet_clean(args.corpus, columns=[args.id_col, args.text_col])
     params = minhash_index_build(
         ds, args.index, num_perm=args.num_perm, bands=args.bands,
-        shingle_k=args.shingle_k, text_col=args.text_col, id_col=args.id_col)
+        shingle_k=args.shingle_k, text_col=args.text_col, id_col=args.id_col,
+        source_tag=_corpus_tag(args.corpus))
     print(json.dumps({"index": args.index, **params}))
     return 0
 
@@ -1549,11 +1561,15 @@ def cmd_curate(args) -> int:
         if args.dup_sharded:
             # memory-bounded variant: the duplicated-gram set lives
             # hash-partitioned under out/dupspans_work (pass 1 resumes via
-            # its own manifest), never whole in any worker
+            # its own manifest; the corpus fingerprint invalidates stale
+            # shards when the corpus changed under the same --out)
+            from splade_ray.ops.curation import corpus_fingerprint
+
             return drop_duplicated_spans_sharded(
                 ds, os.path.join(args.out, "dupspans_work"),
                 k=args.dup_k, min_count=args.dup_min_count,
                 text_col=text_col, id_col=id_col, n_shards=args.dup_shards,
+                fingerprint=corpus_fingerprint(args.corpus),
             )
         return drop_duplicated_spans(
             ds, k=args.dup_k, min_count=args.dup_min_count,
@@ -1569,8 +1585,13 @@ def cmd_curate(args) -> int:
         from this corpus and passes everything through. The increment tag
         defaults to a hash of the corpus path, so a crashed run repeats
         idempotently — distinct increments need distinct --lsh-tag (or
-        distinct corpus paths)."""
-        import hashlib
+        distinct corpus paths). The source tag of the first build is
+        recorded ATOMICALLY inside the index manifest itself (plus the
+        legacy _built_tag marker), so a crash between "manifest written"
+        and "marker written" can no longer flip a resumed run onto the
+        probe path against an index built from its own corpus — which
+        would silently drop ~every doc as a near-dup of itself."""
+        import json as _json
 
         from splade_ray.ops.dedup import (
             minhash_index_append,
@@ -1580,8 +1601,7 @@ def cmd_curate(args) -> int:
         )
 
         idx = args.lsh_index or os.path.join(args.out, "lsh_index")
-        tag = args.lsh_tag or hashlib.sha1(
-            os.path.abspath(args.corpus).encode()).hexdigest()[:12]
+        tag = args.lsh_tag or _corpus_tag(args.corpus)
         built_marker = os.path.join(idx, "_built_tag")
         if getattr(args, "dry_run", False):
             # dry-run: NEVER mutate a shared index — probe-only against an
@@ -1602,16 +1622,25 @@ def cmd_curate(args) -> int:
                 return batch.filter(pa.array(~np.isin(ids, ray.get(bad_r))))
 
             return ds.map_batches(filt_dry, batch_format="pyarrow")
-        if not os.path.exists(os.path.join(idx, "_params.json")):
-            minhash_index_build(ds, idx, text_col=text_col, id_col=id_col)
+        manifest_path = os.path.join(idx, "_params.json")
+        if not os.path.exists(manifest_path):
+            # source_tag lands in _params.json atomically with the build —
+            # the legacy _built_tag file is kept for older indexes only
+            minhash_index_build(ds, idx, text_col=text_col, id_col=id_col,
+                                source_tag=tag)
             with open(built_marker, "w") as f:
                 f.write(tag + "\n")
+            return ds
+        with open(manifest_path) as f:
+            manifest_source = _json.load(f).get("source_tag")
+        if manifest_source == tag:
+            # resume of the run that built the index from this very
+            # corpus: probing it against itself would drop all docs
             return ds
         if os.path.exists(built_marker):
             with open(built_marker) as f:
                 if f.read().strip() == tag:
-                    # resume of the run that built the index from this very
-                    # corpus: probing it against itself would drop all docs
+                    # legacy marker (index built before source_tag existed)
                     return ds
         minhash_index_clean_tag(idx, tag)
         pairs = minhash_index_probe(
@@ -1620,6 +1649,19 @@ def cmd_curate(args) -> int:
         ).to_pandas()
         bad_ids = (np.sort(np.unique(pairs["new_doc"].to_numpy(np.int64)))
                    if len(pairs) else np.empty(0, np.int64))
+        if len(bad_ids):
+            # mass-drop sanity guard: an increment that near-duplicates
+            # essentially ALL of itself against the index almost always
+            # means the index was built from this same corpus under a
+            # different tag/path — refuse instead of silently emptying the
+            # output (re-run with a fresh --lsh-index or correct --lsh-tag)
+            n_total = ds.count()
+            if n_total >= 100 and len(bad_ids) >= 0.98 * n_total:
+                raise RuntimeError(
+                    f"lshdedup: probe would drop {len(bad_ids)}/{n_total} "
+                    f"docs (>=98%) — the index at {idx} looks like it was "
+                    "built from this very corpus; point --lsh-index at a "
+                    "fresh dir or fix --lsh-tag")
         bad_ref = ray.put(bad_ids)  # pair-bounded broadcast
 
         def filt(batch: pa.Table) -> pa.Table:
@@ -1637,11 +1679,15 @@ def cmd_curate(args) -> int:
         if args.dup_sharded:
             # memory-bounded variant (shares the --dup-sharded knobs):
             # duplicated-unit keys stream in hash shards under
-            # out/unitdedup_work instead of one broadcast
+            # out/unitdedup_work instead of one broadcast; the corpus
+            # fingerprint invalidates stale shards on corpus change
+            from splade_ray.ops.curation import corpus_fingerprint
+
             return unit_dedup_sharded(
                 ds, os.path.join(args.out, "unitdedup_work"),
                 min_count=args.dup_min_count, text_col=text_col,
                 id_col=id_col, n_shards=args.dup_shards, replace=True,
+                fingerprint=corpus_fingerprint(args.corpus),
             )
         return unit_dedup(
             ds, min_count=args.dup_min_count, text_col=text_col,

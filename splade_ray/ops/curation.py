@@ -29,6 +29,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -36,6 +37,8 @@ import pyarrow as pa
 import ray
 
 from splade_ray.analysis import tokenize_column
+
+_LOG = logging.getLogger(__name__)
 
 # --------------------------------------------------------------------------
 # k-gram construction (shared by decontamination)
@@ -473,6 +476,64 @@ def drop_duplicated_spans(
     )
 
 
+def corpus_fingerprint(path: str) -> str:
+    """Cheap, deterministic fingerprint of an on-disk corpus directory:
+    sha1 over the sorted (relative path, size, mtime_ns) of every data
+    file under ``path``. Used to validate SHARDED work-dir resume — the
+    params manifests of :func:`collect_dup_grams_sharded` /
+    :func:`collect_dup_units_sharded` only pin the algorithm knobs, so
+    without this a re-run of ``curate`` into the same --out against a
+    MODIFIED corpus would silently reuse stale duplicated-key shards."""
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(path).encode())
+    if os.path.isdir(path):
+        entries = []
+        for root, _, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                entries.append((os.path.relpath(fp, path),
+                                st.st_size, st.st_mtime_ns))
+        for rel, size, mt in sorted(entries):
+            h.update(f"{rel}\x00{size}\x00{mt}\x00".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}\x00{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _validate_shard_manifest(out_dir: str, manifest_path: str, params: dict,
+                             what: str) -> dict | None:
+    """Shared resume gate for the sharded collect passes: algorithm-param
+    mismatch raises (user error); fingerprint mismatch means the corpus
+    CHANGED under a persistent work dir — wipe and rebuild (returns None);
+    full match returns the cached result."""
+    import json
+    import shutil
+
+    if not os.path.exists(manifest_path):
+        return None
+    with open(manifest_path) as f:
+        state = json.load(f)
+    prev = state.get("params") or {}
+    algo = {k_: v for k_, v in params.items() if k_ != "fingerprint"}
+    prev_algo = {k_: v for k_, v in prev.items() if k_ != "fingerprint"}
+    if prev_algo != algo:
+        raise ValueError(
+            f"{out_dir} holds {what} written with {prev_algo}, "
+            f"refusing to reuse with {algo}")
+    fp = params.get("fingerprint")
+    if fp is not None and prev.get("fingerprint") != fp:
+        _LOG.warning(
+            "%s: corpus fingerprint changed (%s -> %s) — discarding stale "
+            "%s shards and rebuilding", out_dir, prev.get("fingerprint"),
+            fp, what)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return None
+    return state["result"]
+
+
 def collect_dup_grams_sharded(
     docs,
     out_dir: str,
@@ -481,6 +542,7 @@ def collect_dup_grams_sharded(
     min_count: int = 2,
     text_col: str = "text",
     n_shards: int = 8,
+    fingerprint: str | None = None,
 ) -> dict:
     """Pass 1 of the SHARDED duplicated-span scan (round-3 VERDICT item 2):
     the duplicated-gram set is written hash-partitioned into
@@ -499,15 +561,12 @@ def collect_dup_grams_sharded(
         raise ValueError("n_shards must be >= 1")
     params = {"k": int(k), "min_count": int(min_count),
               "n_shards": int(n_shards), "text_col": str(text_col)}
+    if fingerprint is not None:
+        params["fingerprint"] = str(fingerprint)
     manifest_path = os.path.join(out_dir, "_params.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            state = json.load(f)
-        if state.get("params") != params:
-            raise ValueError(
-                f"{out_dir} holds grams written with {state.get('params')}, "
-                f"refusing to reuse with {params}")
-        return state["result"]
+    cached = _validate_shard_manifest(out_dir, manifest_path, params, "grams")
+    if cached is not None:
+        return cached
 
     n_groups = _shuffle_groups(None)
 
@@ -636,6 +695,7 @@ def duplicated_spans_sharded(
     n_shards: int = 8,
     concurrency=None,
     batch_size: int = 2048,
+    fingerprint: str | None = None,
 ):
     """Memory-bounded duplicated-substring scan — the at-scale variant of
     :func:`duplicated_spans` (round-3 VERDICT item 2, the one flagged
@@ -657,7 +717,7 @@ def duplicated_spans_sharded(
     grams_dir = os.path.join(work_dir, "dup_grams")
     collect_dup_grams_sharded(
         docs, grams_dir, k=k, min_count=min_count, text_col=text_col,
-        n_shards=n_shards,
+        n_shards=n_shards, fingerprint=fingerprint,
     )
     import pyarrow.dataset as pads
 
@@ -781,6 +841,7 @@ def drop_duplicated_spans_sharded(
     num_partitions: int | None = None,
     concurrency=None,
     batch_size: int = 2048,
+    fingerprint: str | None = None,
 ):
     """The memory-bounded ExactSubstr REWRITE — closes the gap
     :func:`duplicated_spans_sharded` documents ("rewrite is not offered
@@ -803,7 +864,7 @@ def drop_duplicated_spans_sharded(
     grams_dir = os.path.join(work_dir, "dup_grams")
     collect_dup_grams_sharded(
         docs, grams_dir, k=k, min_count=min_count, text_col=text_col,
-        n_shards=n_shards,
+        n_shards=n_shards, fingerprint=fingerprint,
     )
     import pyarrow.dataset as pads
 
@@ -1112,6 +1173,7 @@ def collect_dup_units_sharded(
     min_count: int = 2,
     text_col: str = "text",
     n_shards: int = 8,
+    fingerprint: str | None = None,
 ) -> dict:
     """Pass 1 of the SHARDED sentence-unit dedup: duplicated-unit keys
     (full sha256 hex, exactly :func:`unit_dedup`'s identity) written
@@ -1129,15 +1191,12 @@ def collect_dup_units_sharded(
         raise ValueError("n_shards must be >= 1")
     params = {"min_count": int(min_count), "n_shards": int(n_shards),
               "text_col": str(text_col)}
+    if fingerprint is not None:
+        params["fingerprint"] = str(fingerprint)
     manifest_path = os.path.join(out_dir, "_params.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            state = json.load(f)
-        if state.get("params") != params:
-            raise ValueError(
-                f"{out_dir} holds units written with {state.get('params')}, "
-                f"refusing to reuse with {params}")
-        return state["result"]
+    cached = _validate_shard_manifest(out_dir, manifest_path, params, "units")
+    if cached is not None:
+        return cached
 
     def unit_rows(batch: pa.Table) -> pa.Table:
         units, _, _ = _doc_units(batch[text_col])
@@ -1210,6 +1269,7 @@ def unit_dedup_sharded(
     replace: bool = True,
     batch_size: int = 2048,
     concurrency=None,
+    fingerprint: str | None = None,
 ):
     """Memory-bounded sentence-unit dedup REWRITE — the at-scale variant
     of :func:`unit_dedup(replace=True)` (fresh round-5 candidate (a)):
@@ -1229,7 +1289,7 @@ def unit_dedup_sharded(
     units_dir = os.path.join(work_dir, "dup_units")
     collect_dup_units_sharded(
         docs, units_dir, min_count=min_count, text_col=text_col,
-        n_shards=n_shards,
+        n_shards=n_shards, fingerprint=fingerprint,
     )
     import pyarrow.dataset as pads
 

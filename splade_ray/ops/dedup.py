@@ -1175,6 +1175,7 @@ def minhash_index_build(
     seed: int = 42,
     text_col: str = "text",
     id_col: str = "doc_id",
+    source_tag: str | None = None,
 ) -> dict:
     """Persist a MinHash-LSH index for INCREMENTAL near-dup probing — the
     daily-crawl shape: signatures and banded bucket keys land on disk
@@ -1187,7 +1188,13 @@ def minhash_index_build(
     A ``_params.json`` manifest (num_perm, bands, shingle_k, seed) is
     written first-run and validated on reuse — probing with mismatched
     parameters would silently produce garbage candidates, so it refuses
-    instead (the write_train_shards recipe). Returns the manifest."""
+    instead (the write_train_shards recipe). ``source_tag`` (optional)
+    identifies the corpus the base index was built FROM and is recorded
+    in the manifest ATOMICALLY with it (tmp+rename of the same file) so a
+    caller resuming after a crash can tell "this index was built from my
+    own corpus" apart from "this index pre-dates me" — probing a corpus
+    against an index built from that same corpus would drop ~every doc as
+    a near-dup of itself. Returns the manifest."""
     import json
 
     import pyarrow.dataset as pads  # noqa: F401  (probe-side mirror import)
@@ -1196,15 +1203,19 @@ def minhash_index_build(
         raise ValueError("bands must divide num_perm")
     params = {"num_perm": int(num_perm), "bands": int(bands),
               "shingle_k": int(shingle_k), "seed": int(seed)}
+    if source_tag is not None:
+        params["source_tag"] = str(source_tag)
     manifest_path = os.path.join(out_dir, "_params.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prev = json.load(f)
-        if prev != params:
+        algo = {k: v for k, v in params.items() if k != "source_tag"}
+        prev_algo = {k: v for k, v in prev.items() if k != "source_tag"}
+        if prev_algo != algo:
             raise ValueError(
-                f"{out_dir} was built with {prev}, refusing to reuse "
-                f"with {params}")
-        return params
+                f"{out_dir} was built with {prev_algo}, refusing to reuse "
+                f"with {algo}")
+        return prev
     rows_per_band = num_perm // bands
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1667,7 +1678,9 @@ def containment_sketch_pairs(
        whole profile when ``sketch_k`` is None or >= the profile — the
        EXACT regime); POSTING rows = every distinct gram of every doc,
        per-gram doc list capped at ``df_cap`` (logged) so stopword-like
-       grams cannot go quadratic;
+       grams cannot go quadratic — in the EXACT regime a cap hit RAISES
+       instead (capping there would silently break the every-pair
+       contract and the SQL-oracle face);
     3. one coarse-key groupby over gram hash emits (probe_doc,
        posting_doc) hits; a second sums hits per directed pair — the
        estimate ``hits / min(sketch_k, |probe|)`` of containment(probe ⊆
@@ -1738,6 +1751,16 @@ def containment_sketch_pairs(
             if probes.size == 0 or posts.size == 0:
                 continue
             if posts.size > df_cap:
+                if sketch_k is None:
+                    # exact regime: capping would silently break the
+                    # "every pair corpus-wide" contract (and the SQL-oracle
+                    # equivalence) — refuse loudly instead
+                    raise ValueError(
+                        "containment_sketch_pairs: exact regime "
+                        f"(sketch_k=None) hit a gram posted in {posts.size} "
+                        f"docs > df_cap={df_cap}; raise df_cap or switch to "
+                        "the sketch regime (sketch_k=<int>), which keeps "
+                        "precision exact with sketch-bounded recall")
                 _LOG.warning(
                     "containment_sketch_pairs: gram with %d docs capped "
                     "at df_cap=%d", posts.size, df_cap)

@@ -1717,38 +1717,76 @@ class QueryRouter:
         endpoint (score / sort / agg): split hits from misses, run
         ``fetch`` (an async coroutine — admission happens inside it, so
         full-hit requests never take a slot), store per-query sub-frames,
-        assemble in request order. With the cache off, just fetch."""
-        if self._cache_size > 0:
-            keys = {int(qid): key_of(qid, text) for qid, text in queries}
-            missing = [(qid, text) for qid, text in queries
-                       if keys[int(qid)] not in self._cache]
-            self._cache_hits += len(queries) - len(missing)
-            self._cache_misses += len(missing)
-        else:
-            keys, missing = None, list(queries)
-        fresh_parts: dict[int, pd.DataFrame] = {}
-        if missing:
-            out = await fetch(missing)
-            if keys is None:
-                return out
-            for qid, _ in missing:
-                part = out[out["query_id"] == int(qid)].reset_index(drop=True)
-                fresh_parts[int(qid)] = part
-                self._cache[keys[int(qid)]] = part.drop(columns=["query_id"])
+        assemble in request order. With the cache off, just fetch.
+
+        Bookkeeping is by request POSITION, not query_id: a batch may
+        legitimately repeat a qid (even with two different texts → two
+        distinct cache keys). Hit frames are snapshotted at check time so
+        an eviction during ``await fetch`` (this request's own inserts, or
+        a concurrent request in this async actor) can never KeyError the
+        assembly step."""
+        if self._cache_size <= 0:
+            return await fetch(list(queries))
+        keys = [key_of(qid, text) for qid, text in queries]
+        hit_frames: dict[int, pd.DataFrame] = {}   # position -> cached frame
+        miss_pos: list[int] = []
+        first_for_key: dict = {}                   # key -> first miss position
+        dup_of: dict[int, int] = {}                # position -> fetched twin
+        for i, k in enumerate(keys):
+            frame = self._cache.get(k)
+            if frame is not None:
+                # snapshot the frame NOW — eviction while fetch is awaited
+                # (concurrent requests interleave here) must not lose it
+                self._cache.move_to_end(k)
+                hit_frames[i] = frame
+            elif k in first_for_key:
+                dup_of[i] = first_for_key[k]
+            else:
+                first_for_key[k] = i
+                miss_pos.append(i)
+        self._cache_hits += len(hit_frames)
+        self._cache_misses += len(queries) - len(hit_frames)
+        fresh_parts: dict[int, pd.DataFrame] = {}  # position -> frame w/ qid
+        if miss_pos:
+            # fetch in waves of unique query_ids: the fetched frame is
+            # selected by query_id, so one qid under two different texts in
+            # a single fetch batch would conflate into one mixed frame
+            waves: list[list[int]] = []
+            cur: list[int] = []
+            cur_qids: set[int] = set()
+            for i in miss_pos:
+                qid = int(queries[i][0])
+                if qid in cur_qids:
+                    waves.append(cur)
+                    cur, cur_qids = [], set()
+                cur.append(i)
+                cur_qids.add(qid)
+            if cur:
+                waves.append(cur)
+            for wave in waves:
+                out = await fetch([queries[i] for i in wave])
+                for i in wave:
+                    qid = int(queries[i][0])
+                    part = out[out["query_id"] == qid].reset_index(drop=True)
+                    fresh_parts[i] = part
+                    self._cache[keys[i]] = part.drop(columns=["query_id"])
             while len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
         parts = []
-        for qid, _ in queries:
-            qid = int(qid)
-            if qid in fresh_parts:
+        for i, (qid, _) in enumerate(queries):
+            if i in fresh_parts:
                 # this request's results win even if immediately evicted
-                parts.append(fresh_parts[qid])
-                continue
-            k = keys[qid]
-            self._cache.move_to_end(k)
-            p = self._cache[k].copy()
-            p.insert(0, "query_id", qid)
-            parts.append(p)
+                parts.append(fresh_parts[i])
+            elif i in dup_of:
+                # same cache key fetched once — qid is NOT part of the key,
+                # so re-stamp this position's own qid
+                p = fresh_parts[dup_of[i]].copy()
+                p["query_id"] = int(qid)
+                parts.append(p)
+            else:
+                p = hit_frames[i].copy()
+                p.insert(0, "query_id", int(qid))
+                parts.append(p)
         parts = [p for p in parts if not p.empty]
         if not parts:
             return pd.DataFrame(columns=empty_cols)

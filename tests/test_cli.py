@@ -1153,3 +1153,133 @@ def test_cli_curate_dry_run(ray_session, tmp_path, capsys):
     assert {f: os.path.getmtime(os.path.join(idx, "sigs", f))
             for f in os.listdir(os.path.join(idx, "sigs"))} == mtimes
     assert not os.path.exists(out)
+
+
+def test_cli_curate_lshdedup_crash_before_marker(ray_session, tmp_path, capsys):
+    """Regression (round-5 ADVICE): the first-build source tag now lands
+    ATOMICALLY in the index manifest — a crash after the build wrote
+    _params.json but before the legacy _built_tag marker must NOT flip
+    the resumed run onto the probe path (which would drop ~every doc as a
+    near-dup of itself)."""
+    import os
+
+    d = tmp_path / "day1"
+    d.mkdir()
+    texts = [f"document number {i} about topic {i} with plenty of words "
+             f"to shingle into k grams properly here {i}" for i in range(8)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "part-0.parquet"))
+    idx = str(tmp_path / "lsh_index")
+    out1 = str(tmp_path / "c1")
+    rc = main(["curate", "--corpus", str(d), "--out", out1,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    capsys.readouterr()
+    # simulate the crash window: marker missing, manifest present
+    os.remove(os.path.join(idx, "_built_tag"))
+    mani = json.load(open(os.path.join(idx, "_params.json")))
+    assert "source_tag" in mani
+    import shutil
+
+    shutil.rmtree(out1)
+    rc = main(["curate", "--corpus", str(d), "--out", out1,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_after"] == {"lshdedup": 8}  # passthrough, no self-wipe
+
+
+def test_cli_curate_lshdedup_mass_drop_guard(ray_session, tmp_path, capsys):
+    """Regression (round-5 ADVICE): an index pre-built from this same
+    corpus under a DIFFERENT path/tag makes the probe drop ~100% of the
+    increment — the stage must refuse instead of silently emptying the
+    output."""
+    import shutil
+
+    texts = [f"document number {i} about topic {i} with plenty of words "
+             f"to shingle into k grams properly here {i}" for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    a = tmp_path / "corpus_a"
+    a.mkdir()
+    pq.write_table(tbl, str(a / "part-0.parquet"))
+    b = tmp_path / "corpus_b"
+    shutil.copytree(a, b)
+    idx = str(tmp_path / "lsh_index")
+    rc = main(["lsh-build", "--corpus", str(a), "--index", idx])
+    assert rc == 0
+    capsys.readouterr()
+    out = str(tmp_path / "c")
+    with pytest.raises(RuntimeError, match="lshdedup: probe would drop"):
+        main(["curate", "--corpus", str(b), "--out", out,
+              "--stages", "lshdedup", "--lsh-index", idx])
+    # same corpus PATH as the build -> tag matches the manifest source_tag
+    # and the stage passes through instead of probing itself
+    out2 = str(tmp_path / "c2")
+    rc = main(["curate", "--corpus", str(a), "--out", out2,
+               "--stages", "lshdedup", "--lsh-index", idx])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_after"] == {"lshdedup": 120}
+
+
+def test_cli_curate_dupspans_sharded_corpus_change_invalidates(
+        ray_session, tmp_path, capsys):
+    """Regression (round-5 ADVICE): re-running curate --dup-sharded into
+    the same --out against a MODIFIED corpus must rebuild the persisted
+    gram shards (corpus fingerprint in the params manifest), not reuse
+    the stale dup set."""
+    import shutil
+
+    import ray.data as rd
+
+    dup = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    d = tmp_path / "raw"
+    d.mkdir()
+
+    def write(rows):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                      "text": pa.array([r[1] for r in rows])}),
+            str(d / "part-0.parquet"))
+
+    # v1: docs 1 and 2 share a duplicated 20-gram span
+    write([(1, dup + " first unique tail one two three four five"),
+           (2, dup + " second unique tail six seven eight nine ten"),
+           (3, "totally unrelated text with no duplicated span at all "
+               "just some filler words to pad it out to length")])
+    out = str(tmp_path / "c")
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "dupspans", "--dup-sharded", "--dup-k", "20"])
+    assert rc == 0
+    capsys.readouterr()
+    v1 = rd.read_parquet(out + "/dupspans").to_pandas()
+    assert (v1.loc[v1.doc_id == 1, "text"].iloc[0]
+            != dup + " first unique tail one two three four five")  # cut
+    # v2: rewrite the corpus so NOTHING is duplicated; rerun into same out
+    write([(1, "fresh document one with entirely new content and no "
+               "shared spans across any documents at all anymore"),
+           (2, "fresh document two also completely distinct from every "
+               "other document in this tiny second corpus version"),
+           (3, "fresh document three still unique in its words")])
+    shutil.rmtree(out + "/dupspans")
+    for f in ("_DONE_dupspans", "_DONE"):
+        p = tmp_path / "c" / f
+        if p.exists():
+            p.unlink()
+    rc = main(["curate", "--corpus", str(d), "--out", out,
+               "--stages", "dupspans", "--dup-sharded", "--dup-k", "20"])
+    assert rc == 0
+    capsys.readouterr()
+    v2 = rd.read_parquet(out + "/dupspans").to_pandas().sort_values("doc_id")
+    # with stale shards the old grams would have cut nothing anyway — the
+    # real check is the inverse: v2 texts are untouched AND the work dir
+    # manifest now carries the new fingerprint
+    mani = json.load(
+        open(tmp_path / "c" / "dupspans_work" / "dup_grams" / "_params.json"))
+    assert "fingerprint" in mani["params"]
+    assert v2["text"].str.startswith("fresh document").all()
+    assert mani["result"]["n_grams"] == 0

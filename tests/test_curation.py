@@ -861,3 +861,29 @@ def test_unit_dedup_sharded_parity(ray_session, tmp_path, broadcast_limit):
         collect_dup_units_sharded(
             ds, str(tmp_path / f"w{broadcast_limit}" / "dup_units"),
             min_count=3, n_shards=3)
+
+
+def test_containment_exact_regime_df_cap_hit_raises(ray_session):
+    """Regression (round-5 ADVICE): the exact regime (sketch_k=None) used
+    to apply df_cap silently, breaking the documented every-pair contract
+    when a gram was posted in > df_cap docs. It must refuse loudly now;
+    the sketch regime keeps the (logged) cap."""
+    import pytest as _pytest
+
+    from splade_ray.ops.dedup import containment_sketch_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [f"{shared} unique tail token{i} filler{i}" for i in range(6)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    with _pytest.raises(Exception, match="exact regime"):
+        containment_sketch_pairs(
+            rd.from_arrow(tbl), k=4, min_containment=0.9,
+            df_cap=3, emit_counts=True).to_pandas()
+    # sketched regime: same cap merely caps (logged), never raises
+    got = containment_sketch_pairs(
+        rd.from_arrow(tbl), k=4, sketch_k=4, min_containment=0.9,
+        df_cap=3, emit_counts=True).to_pandas()
+    assert isinstance(got, pd.DataFrame)

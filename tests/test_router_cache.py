@@ -97,3 +97,68 @@ def test_router_cache_disabled_by_default(index):
     pd.testing.assert_frame_equal(a, b)
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_cache_hit_survives_eviction_during_fetch(index):
+    # regression (round-5 ADVICE, high): with cache_size=1, a batch of
+    # [hit, miss] evicts the hit's entry when the miss result is inserted;
+    # assembly must use the frame snapshotted at check time instead of
+    # re-reading the cache (which KeyError'd here before the fix)
+    r = QueryRouter.remote(index, num_shards=2, cache_size=1)
+    p = BM25Params(top_k=5)
+    ray.get(r.search.remote([(1, "def parse")], p))  # warm the one slot
+    out = ray.get(r.search.remote([(1, "def parse"), (2, "merge sort")], p))
+    st = ray.get(r.stats.remote())
+    assert st["cache_hits"] == 1 and st["cache_misses"] == 2
+    want = search(index, [(1, "def parse"), (2, "merge sort")], p)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
+
+
+def test_router_cache_repeated_qid_two_texts_not_conflated(index):
+    # regression (round-5 ADVICE, low): a batch repeating one qid under
+    # two DIFFERENT texts used to collapse to one bookkeeping key — the
+    # second text's rows leaked into the first's cache entry. Bookkeeping
+    # is per-position now and misses fetch in unique-qid waves.
+    r = QueryRouter.remote(index, num_shards=2, cache_size=8)
+    p = BM25Params(top_k=5)
+    out = ray.get(r.search.remote([(7, "def parse"), (7, "merge sort")], p))
+    a = search(index, [(7, "def parse")], p)
+    b = search(index, [(7, "merge sort")], p)
+    want = (
+        pd.concat([a, b], ignore_index=True)
+        .sort_values(["query_id", "rank", "doc_id", "score"])
+        .reset_index(drop=True)
+    )
+    got = (out.sort_values(["query_id", "rank", "doc_id", "score"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the cache entries themselves stayed clean: each text alone now hits
+    # and returns exactly its own rows
+    one = ray.get(r.search.remote([(7, "merge sort")], p))
+    st = ray.get(r.stats.remote())
+    assert st["cache_hits"] == 1
+    pd.testing.assert_frame_equal(one, b, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
+
+
+def test_router_cache_same_text_two_qids_single_fetch(index):
+    # same text (= same cache key, qid is not part of it) under two qids
+    # in one cold batch: fetched once, each position re-stamped with its
+    # own qid
+    r = QueryRouter.remote(index, num_shards=2, cache_size=8)
+    p = BM25Params(top_k=5)
+    out = ray.get(r.search.remote([(1, "def parse"), (2, "def parse")], p))
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == 1  # one wave, one fan-out
+    assert set(out["query_id"]) == {1, 2}
+    one = search(index, [(1, "def parse")], p)
+    got1 = out[out["query_id"] == 1].reset_index(drop=True)
+    got2 = out[out["query_id"] == 2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, one, check_dtype=False)
+    assert (got2.drop(columns=["query_id"]).to_numpy()
+            == got1.drop(columns=["query_id"]).to_numpy()).all()
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
