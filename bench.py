@@ -31,6 +31,90 @@ BENCH_QUERIES = [
 
 CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "100"))
 
+# --vocab zipf (env BENCH_VOCAB=zipf): realistic-vocabulary leg — the
+# default bench corpus replicates the sf documents, which collapses to a
+# ~31-term global vocabulary, leaving the lexicon shuffle, per-term
+# varbyte encode and BMW block routing performance-untested on the axis
+# that dominates real corpora. This leg synthesizes a Zipf-distributed
+# corpus (deterministic, no external data): ZIPF_VOCAB candidate terms,
+# per-token rank probability ∝ 1/rank^ZIPF_S, variable doc lengths.
+ZIPF_DOCS = int(os.environ.get("BENCH_ZIPF_DOCS", "500000"))
+ZIPF_VOCAB = int(os.environ.get("BENCH_ZIPF_VOCAB", "200000"))
+ZIPF_S = float(os.environ.get("BENCH_ZIPF_S", "1.07"))
+
+# query mix over vocabulary ranks: head terms (dense posting lists, the
+# exact kernel's regime), mid ranks, and deep-tail terms (selective — the
+# BMW/WAND regime), plus mixed head+tail queries where block-max skipping
+# actually pays
+ZIPF_QUERIES = [
+    (0, "v000000 v000003"),                    # two head terms
+    (1, "v000050 v000200"),                    # upper-mid
+    (2, "v002000 v008000 v020000"),            # mid tail
+    (3, "v080000 v150000"),                    # deep tail (selective)
+    (4, "v000001 v090000"),                    # head + deep tail (BMW win)
+    (5, "v000010 v001000 v050000 v199999"),    # full spectrum
+    (6, "v000000 v000001 v000002 v000004"),    # all-head (dense)
+    (7, "v012345 v054321 v111111"),            # scattered tail
+]
+
+
+def prepare_corpus_zipf(n_docs: int, vocab: int, s: float) -> str:
+    """Deterministic Zipf-vocabulary bench corpus in the input_hint shape:
+    ``n_docs`` docs of 20-100 tokens drawn from ``vocab`` candidate terms
+    with rank probability ∝ 1/rank^s (inverse-CDF sampling from a PCG64
+    stream — reproducible across runs). Written once to /tmp as multi-file
+    parquet; untimed (corpus prep doubles as page-cache warmup)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(f"zipf:{n_docs}:{vocab}:{s}:v1".encode()).hexdigest()[:10]
+    out_dir = f"/tmp/splade_ray_bench/corpus-{key}"
+    done = os.path.join(out_dir, ".done")
+    if os.path.exists(done):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.Generator(np.random.PCG64(1234))
+    probs = 1.0 / np.arange(1, vocab + 1, dtype=np.float64) ** s
+    cdf = np.cumsum(probs / probs.sum())
+    terms = np.array([f"v{i:06d}" for i in range(vocab)], dtype=object)
+    doc_lens = rng.integers(20, 101, size=n_docs)
+    bounds = np.concatenate([[0], np.cumsum(doc_lens)])
+    n_files = 10
+    docs_per_file = (n_docs + n_files - 1) // n_files
+    for f_idx in range(n_files):
+        lo = f_idx * docs_per_file
+        hi = min(n_docs, lo + docs_per_file)
+        if lo >= hi:
+            break
+        tok_lo, tok_hi = bounds[lo], bounds[hi]
+        ranks = np.minimum(
+            np.searchsorted(cdf, rng.random(tok_hi - tok_lo)),
+            vocab - 1)
+        toks = terms[ranks]
+        content = [
+            " ".join(toks[bounds[i] - tok_lo:bounds[i + 1] - tok_lo])
+            for i in range(lo, hi)
+        ]
+        n = hi - lo
+        tbl = pa.table({
+            "repo": pa.array([f"zipf/r{i % 97}" for i in range(lo, hi)],
+                             pa.string()),
+            "path": pa.array([f"src/{i}.txt" for i in range(lo, hi)],
+                             pa.string()),
+            "commit": pa.array(
+                [hashlib.sha1(f"z:{i}".encode()).hexdigest()
+                 for i in range(lo, hi)], pa.string()),
+            "lang": pa.array(["text"] * n, pa.string()),
+            "content": pa.array(content, pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(out_dir, f"corpus-{f_idx:03d}.parquet"))
+    open(done, "w").close()
+    return out_dir
+
 
 def prepare_corpus(sf_dir: str, mult: int) -> str:
     """Deterministic bench corpus: the sf documents replicated `mult` times
@@ -107,7 +191,11 @@ def run_bench() -> dict:
     from splade_ray.build import build_index
     from splade_ray.query import Searcher
 
-    corpus_dir = prepare_corpus(sf_dir, CORPUS_MULT)
+    vocab_mode = os.environ.get("BENCH_VOCAB", "")
+    corpus_dir = (prepare_corpus_zipf(ZIPF_DOCS, ZIPF_VOCAB, ZIPF_S)
+                  if vocab_mode == "zipf"
+                  else prepare_corpus(sf_dir, CORPUS_MULT))
+    bench_queries = ZIPF_QUERIES if vocab_mode == "zipf" else BENCH_QUERIES
     index_dir = f"/tmp/splade_ray_bench/index-{ncpu}-{os.getpid()}"
     shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -136,11 +224,11 @@ def run_bench() -> dict:
 
     def measure(method: str):
         s = Searcher(index_dir, num_shards=min(8, max(2, ncpu // 4)), method=method)
-        s.search(BENCH_QUERIES, params)  # warm (actor start + load)
+        s.search(bench_queries, params)  # warm (actor start + load)
         lat = []
         for _ in range(15):
             q0 = time.monotonic()
-            s.search(BENCH_QUERIES, params)
+            s.search(bench_queries, params)
             lat.append(time.monotonic() - q0)
         s.shutdown()
         return float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
@@ -165,14 +253,14 @@ def run_bench() -> dict:
     # criterion is INDEX-BUILD throughput — the layer build would only
     # stretch each leg's wall-clock.
     tri_metrics = {}
-    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1" and vocab_mode != "zipf":
         tri_metrics = _trigram_leg(index_dir, corpus_dir)
 
     # duplicated-substring scan over the multiplied corpus (the heaviest
     # LLM-curation op: gram-count groupby + broadcast-membership scan).
     # Untimed in the headline value; skipped in scaling legs like trigrams.
     dup_metrics = {}
-    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1" and vocab_mode != "zipf":
         from splade_ray.io import read_parquet_clean as _rpc
         from splade_ray.ops.curation import duplicated_spans
 
@@ -199,7 +287,7 @@ def run_bench() -> dict:
     # bucket-sized shuffles) + the broadcast-lut scoring scan. Untimed in
     # the headline value; skipped in scaling legs like trigrams.
     dsir_metrics = {}
-    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1" and vocab_mode != "zipf":
         from splade_ray.io import read_parquet_clean as _rpc2
         from splade_ray.ops.curation import (
             dsir_bucket_counts,
@@ -238,7 +326,7 @@ def run_bench() -> dict:
     # (config from the manifest, incremental lexicon merge). Untimed in
     # the headline value; skipped in scaling legs like trigrams.
     append_metrics = {}
-    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+    if os.environ.get("BENCH_SKIP_TRIGRAM") != "1" and vocab_mode != "zipf":
         import pyarrow.parquet as _pq
 
         from splade_ray.build import append_index
@@ -265,9 +353,24 @@ def run_bench() -> dict:
     from splade_ray.term_index import build_term_index
 
     t1 = time.monotonic()
-    flat = read_parquet_clean(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
+    if vocab_mode == "zipf":
+        # globally unique doc ids recovered from the path column
+        # ("src/<i>.txt") — posting lists need strictly increasing ids
+        def _zipf_ids(b):
+            import pyarrow as _pa
+
+            ids = [int(p[4:-4]) for p in b["path"].to_pylist()]
+            return _pa.table({"text": b["content"],
+                              "doc_id": _pa.array(ids, _pa.int64())})
+
+        src_ds = read_parquet_clean(
+            corpus_dir, columns=["path", "content"]
+        ).map_batches(_zipf_ids, batch_format="pyarrow")
+    else:
+        src_ds = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+    flat = src_ds.map_batches(postings_batch, batch_format="pyarrow", batch_size=512)
     n_terms = build_term_index(flat, salt_range=500).count()
     term_index_s = time.monotonic() - t1
 
@@ -294,6 +397,7 @@ def run_bench() -> dict:
         **{k: v for k, v in dsir_metrics.items() if k != "dsir_fit_and_score"},
         **{k: v for k, v in tri_metrics.items() if k != "queries"},
         "sf": sf_dir,
+        "vocab": vocab_mode or "replicated-sf",
         "num_cpus": ncpu,
         "n_docs": n_docs,
         "n_postings": manifest["n_postings"],
@@ -464,6 +568,8 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    if "--vocab" in sys.argv:
+        os.environ["BENCH_VOCAB"] = sys.argv[sys.argv.index("--vocab") + 1]
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

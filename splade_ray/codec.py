@@ -135,3 +135,22 @@ def sha256_hex(values) -> list[str]:
         hashlib.sha256((x or "").encode("utf-8")).hexdigest()
         for x in (values.to_pylist() if hasattr(values, "to_pylist") else values)
     ]
+
+
+def concat_binary_column(col) -> np.ndarray:
+    """Concatenated uint8 stream of a binary column's values — zero-copy:
+    values of an Arrow binary array are stored back-to-back in offset
+    order, so the concatenation is one slice of the value buffer. Used by
+    the bulk posting decoders (quantized layer, exports) to decode a whole
+    segment's lists in one varbyte pass instead of per-term."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint8)
+    otype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], otype)[col.offset:col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return data[offs[0]:offs[-1]]

@@ -100,6 +100,113 @@ def decode_block(
     return doc_ids, tfs
 
 
+def encode_runs_bulk(
+    docs: np.ndarray,
+    vals: np.ndarray,
+    starts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+    *,
+    block_min_arrays: tuple[np.ndarray, ...] = (),
+) -> dict:
+    """Vectorized bulk encoder for MANY posting lists at once: ``docs``
+    (ascending within each run), a parallel ``vals`` stream (tf or
+    quantized impact), and the run ``starts``. One bulk varbyte encode for
+    every run's doc deltas, one for every val, reduceat for the per-block
+    maxima (of ``vals``) and minima (of each ``block_min_arrays`` entry),
+    scatter arithmetic for the block offset lists. Byte-for-byte identical
+    to per-run :func:`encode_posting` (parity-tested): a block's first
+    delta ``blk_docs[0] - prev_last`` EQUALS the plain adjacent delta, so
+    the stream is one unblocked delta+varbyte run and blocks are pure
+    offset metadata.
+
+    Returns a dict of arrays aligned to runs: ``df`` (np), ``docs_enc`` /
+    ``vals_enc`` (pa.BinaryArray), ``bm_first_doc`` / ``bm_last_doc`` /
+    ``bm_val_max`` / ``bm_doc_off`` / ``bm_val_off`` (pa list arrays),
+    plus ``bm_min_0``... for each min array."""
+    from splade_ray.codec import varbyte_encode_bulk
+
+    n = docs.size
+    n_runs = starts.size
+    ends = np.concatenate((starts[1:], [n]))
+    df = ends - starts
+    run_of = np.repeat(np.arange(n_runs, dtype=np.int64), df)
+    in_run = np.arange(n, dtype=np.int64) - starts[run_of]
+
+    # delta stream: absolute first value per run, adjacent deltas after
+    d = np.empty(n, np.int64)
+    d[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=d[1:])
+    d[starts] = docs[starts]
+    doc_buf, doc_nb = varbyte_encode_bulk(d)
+    val_buf, val_nb = varbyte_encode_bulk(vals)
+    doc_bs = np.cumsum(doc_nb) - doc_nb  # byte start of each posting
+    val_bs = np.cumsum(val_nb) - val_nb
+    doc_run_start = doc_bs[starts]
+    val_run_start = val_bs[starts]
+    doc_run_end = np.concatenate((doc_run_start[1:], [doc_buf.size]))
+    val_run_end = np.concatenate((val_run_start[1:], [val_buf.size]))
+
+    # block structure: positions where in_run % block_size == 0
+    is_blk = (in_run % block_size) == 0
+    blk_starts = np.flatnonzero(is_blk)
+    blk_run = run_of[blk_starts]
+    nblocks = np.bincount(blk_run, minlength=n_runs).astype(np.int64)
+    blk_ends = np.concatenate((blk_starts[1:], [n]))
+    same_run = np.empty(blk_starts.size, bool)
+    same_run[:-1] = blk_run[1:] == blk_run[:-1]
+    same_run[-1] = False
+    blk_ends = np.where(same_run, blk_ends, ends[blk_run])
+
+    def list_col(values: np.ndarray, counts: np.ndarray) -> pa.Array:
+        offs = np.empty(counts.size + 1, np.int64)
+        offs[0] = 0
+        np.cumsum(counts, out=offs[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(values, pa.int64()))
+
+    # per-run offset lists (nblocks+1 entries: block starts + total bytes),
+    # built by scatter: entry slot L[r]+k = block k's relative byte offset,
+    # slot L[r]+nblocks[r] = the run's byte length
+    def off_col(pos_bs: np.ndarray, run_start: np.ndarray,
+                run_end: np.ndarray) -> pa.Array:
+        counts = nblocks + 1
+        L = np.cumsum(counts) - counts
+        out = np.empty(int(counts.sum()), np.int64)
+        blk_in_run = np.arange(blk_starts.size, dtype=np.int64) - np.cumsum(
+            np.concatenate(([0], nblocks)))[blk_run]
+        out[L[blk_run] + blk_in_run] = pos_bs[blk_starts] - run_start[blk_run]
+        out[L + nblocks] = run_end - run_start
+        return list_col(out, counts)
+
+    def slice_bin(buf: np.ndarray, run_start: np.ndarray,
+                  run_end: np.ndarray) -> pa.Array:
+        offs = np.empty(n_runs + 1, np.int64)
+        offs[:-1] = run_start
+        offs[-1] = run_end[-1]
+        # run byte ranges are contiguous in run order, so slices share one
+        # buffer (offs monotone); binary() (int32 offsets) matches the
+        # schema — per-segment postings stay far below 2 GiB
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n_runs,
+            [None, pa.py_buffer(offs.astype(np.int32)),
+             pa.py_buffer(np.ascontiguousarray(buf))])
+
+    out = {
+        "df": df,
+        "docs_enc": slice_bin(doc_buf, doc_run_start, doc_run_end),
+        "vals_enc": slice_bin(val_buf, val_run_start, val_run_end),
+        "bm_first_doc": list_col(docs[blk_starts], nblocks),
+        "bm_last_doc": list_col(docs[blk_ends - 1], nblocks),
+        "bm_val_max": list_col(np.maximum.reduceat(vals, blk_starts), nblocks),
+        "bm_doc_off": off_col(doc_bs, doc_run_start, doc_run_end),
+        "bm_val_off": off_col(val_bs, val_run_start, val_run_end),
+    }
+    for i, arr in enumerate(block_min_arrays):
+        out[f"bm_min_{i}"] = list_col(
+            np.minimum.reduceat(arr, blk_starts), nblocks)
+    return out
+
+
 def build_segment_tables(
     flat: pa.Table,
     doc_ids: np.ndarray,
@@ -112,23 +219,34 @@ def build_segment_tables(
     the reference gets from its sequential doc counter
     (``transformer_evaluator.py:47-51``).
 
-    Term run boundaries are found with one vectorized adjacent-compare; the
-    only Python loop is one iteration per distinct term (posting encode)."""
+    Fully vectorized via :func:`encode_runs_bulk` — row-for-row identical
+    to per-term :func:`encode_posting` (parity-tested). The previous
+    one-Python-iteration-per-distinct-term loop was invisible at a 31-term
+    vocabulary and dominated the build at a realistic one (50k distinct
+    terms per segment on the round-5 Zipf bench)."""
     terms = flat["term"].combine_chunks() if isinstance(flat["term"], pa.ChunkedArray) else flat["term"]
     pos = flat["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
     tfs = flat["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(pos)
-    rows = {name: [] for name in POSTINGS_SCHEMA.names}
-    if n:
-        neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1, [n])
-        )
-        d_all, tf_col, dl_all = doc_ids[pos], tfs, doc_lens[pos]
-        for i in range(bounds.size - 1):
-            s, e = int(bounds[i]), int(bounds[i + 1])
-            enc = encode_posting(d_all[s:e], tf_col[s:e], dl_all[s:e], block_size)
-            rows["term"].append(terms[s].as_py())
-            for k, v in enc.items():
-                rows[k].append(v)
-    return pa.table(rows, schema=POSTINGS_SCHEMA)
+    if not n:
+        return POSTINGS_SCHEMA.empty_table()
+    neq = pc.not_equal(terms.slice(1), terms.slice(0, n - 1))
+    starts = np.concatenate(([0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1))
+    enc = encode_runs_bulk(doc_ids[pos], tfs, starts, block_size,
+                           block_min_arrays=(doc_lens[pos],))
+    return pa.table(
+        {
+            "term": terms.take(pa.array(starts, pa.int64())),
+            "df": pa.array(enc["df"], pa.int64()),
+            "cf": pa.array(np.add.reduceat(tfs, starts), pa.int64()),
+            "docs_enc": enc["docs_enc"],
+            "tfs_enc": enc["vals_enc"],
+            "bm_first_doc": enc["bm_first_doc"],
+            "bm_last_doc": enc["bm_last_doc"],
+            "bm_tf_max": enc["bm_val_max"],
+            "bm_dl_min": enc["bm_min_0"],
+            "bm_doc_off": enc["bm_doc_off"],
+            "bm_tf_off": enc["bm_val_off"],
+        },
+        schema=POSTINGS_SCHEMA,
+    )

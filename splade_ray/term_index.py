@@ -7,8 +7,17 @@ shuffle key is ``(term, salt)`` where ``salt = doc_id // salt_range``, so a
 giant term splits into bounded, doc-id-range-disjoint sub-groups. Sub-lists
 are encoded independently and then concatenated in salt order in a second,
 much smaller ``groupby(term)`` — concatenation preserves doc-id order by
-construction, and only each sub-list's first varbyte value is re-encoded
-(``splade_ray.codec.rewrite_first_delta``), never the bulk bytes.
+construction, and only each sub-list's first varbyte value is re-encoded,
+never the bulk bytes.
+
+Both groupbys run over a COARSE shuffle key (hash of the logical key folded
+into ~one group per CPU) with a fully vectorized multi-run kernel per
+group — one ``map_groups`` UDF invocation per partition, not per (term,
+salt). The previous per-group pandas kernel invoked the UDF once per
+logical group, which collapsed at realistic vocabulary: 46k distinct terms
+× a small salt_range produced hundreds of thousands of 1-5-row groups and
+270 s of pure invocation overhead on the round-5 Zipf bench leg (vs ~3 s
+vectorized, same output bytes).
 
 This is the engine's analog of the reference's term-keyed index layout
 (``IndexDictOfArray``, ``splade/indexing/inverted_index.py:16-67``) — used
@@ -19,71 +28,238 @@ query serving uses the doc-partitioned segments (SURVEY.md §4 'Shard keys').
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-from splade_ray.codec import encode_doc_ids, rewrite_first_delta, varbyte_encode
+from splade_ray.codec import varbyte_encode_bulk
 
 DEFAULT_SALT_RANGE = 1 << 20  # docs per salt bucket; bounds any group's size
 
+_SUB_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int64()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("first_len", pa.int64()),
+    ("docs_enc", pa.large_binary()),
+    ("tfs_enc", pa.large_binary()),
+])
 
-def add_salt(batch: pa.Table, *, salt_range: int = DEFAULT_SALT_RANGE) -> pa.Table:
+_OUT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("df", pa.int64()),
+    ("cf", pa.int64()),
+    ("docs_enc", pa.large_binary()),
+    ("tfs_enc", pa.large_binary()),
+])
+
+
+def _term_hashes(term_col) -> tuple[np.ndarray, "pa.Array"]:
+    """Deterministic 64-bit hashes + dictionary codes for a term column:
+    hash each UNIQUE term once (dictionary-encode), gather. hash() is
+    process-salted and would scatter one term across shuffle groups."""
+    from splade_ray.ops.textstats import hash_token
+
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    enc = term_col.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if uniq:
+        uh = np.array([hash_token(t) for t in uniq], np.uint64)
+        hs = uh[codes]
+    else:
+        hs = np.array([], np.uint64)
+    return hs, enc
+
+
+def _runs_binary(buf: np.ndarray, run_byte_starts: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: run i = buf[starts[i]:starts[i+1]]."""
+    offsets = np.empty(run_byte_starts.size + 1, np.int64)
+    offsets[:-1] = run_byte_starts
+    offsets[-1] = buf.size
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), run_byte_starts.size,
+        [None, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(buf))])
+
+
+def add_salt(batch: pa.Table, *, salt_range: int = DEFAULT_SALT_RANGE,
+             num_groups: int = 64) -> pa.Table:
+    """Append the salt bucket and the coarse shuffle key over (term, salt)."""
+    from splade_ray.ops.dedup import _coarse_key
+
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    return batch.append_column("salt", pa.array(doc_ids // salt_range, pa.int64()))
+    salt = (doc_ids // salt_range).astype(np.int64)
+    hs, _ = _term_hashes(batch["term"])
+    gk = _coarse_key([hs, salt.astype(np.uint64)], num_groups)
+    return (batch.append_column("salt", pa.array(salt, pa.int64()))
+                 .append_column("gk", pa.array(gk)))
 
 
-def encode_subgroup(group: pd.DataFrame) -> pd.DataFrame:
-    """Encode one (term, salt) sub-group into a compressed sub-list."""
-    g = group.sort_values("doc_id")
-    docs = g["doc_id"].to_numpy(np.int64)
-    tfs = g["tf"].to_numpy(np.int64)
-    return pd.DataFrame(
-        {
-            "term": [g["term"].iloc[0]],
-            "salt": [int(g["salt"].iloc[0])],
-            "df": [len(docs)],
-            "cf": [int(tfs.sum())],
-            "first_doc": [int(docs[0])],
-            "last_doc": [int(docs[-1])],
-            "docs_enc": [encode_doc_ids(docs)],
-            "tfs_enc": [varbyte_encode(tfs)],
-        }
-    )
+def encode_subgroups(group: pa.Table) -> pa.Table:
+    """Encode EVERY (term, salt) sub-group in one coarse partition into
+    compressed sub-lists — one vectorized pass: lexsort, run-boundary
+    detection, one bulk varbyte encode for all doc-id deltas and one for
+    all tfs, zero-copy per-run binary slicing."""
+    if group.num_rows == 0:
+        return _SUB_SCHEMA.empty_table()
+    _, enc = _term_hashes(group["term"])
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((docs, salt, codes))
+    codes, docs, tfs, salt = codes[order], docs[order], tfs[order], salt[order]
+    is_start = np.empty(docs.size, bool)
+    is_start[0] = True
+    is_start[1:] = (codes[1:] != codes[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.flatnonzero(is_start)
+    # per-run delta encode: absolute first value, then successive deltas
+    d = np.empty(docs.size, np.int64)
+    d[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=d[1:])
+    d[starts] = docs[starts]
+    if docs.size > 1 and np.any(d[~is_start] <= 0):
+        raise ValueError(
+            "build_term_index: duplicate doc_id within a (term, salt) "
+            "sub-group — postings_flat must hold one row per (term, doc)")
+    doc_buf, doc_nb = varbyte_encode_bulk(d)
+    tf_buf, tf_nb = varbyte_encode_bulk(tfs)
+    doc_byte_start = np.cumsum(doc_nb) - doc_nb
+    tf_byte_start = np.cumsum(tf_nb) - tf_nb
+    run_ends = np.empty(starts.size, np.int64)
+    run_ends[:-1] = starts[1:]
+    run_ends[-1] = docs.size
+    df = run_ends - starts
+    cf = np.add.reduceat(tfs, starts)
+    terms_out = enc.dictionary.take(pa.array(codes[starts], pa.int64()))
+    return pa.table({
+        "term": terms_out.cast(pa.string()),
+        "salt": pa.array(salt[starts], pa.int64()),
+        "df": pa.array(df, pa.int64()),
+        "cf": pa.array(cf, pa.int64()),
+        "first_doc": pa.array(docs[starts], pa.int64()),
+        "last_doc": pa.array(docs[run_ends - 1], pa.int64()),
+        "first_len": pa.array(doc_nb[starts], pa.int64()),
+        "docs_enc": _runs_binary(doc_buf, doc_byte_start[starts]),
+        "tfs_enc": _runs_binary(tf_buf, tf_byte_start[starts]),
+    }, schema=_SUB_SCHEMA)
 
 
-def concat_subgroups(group: pd.DataFrame) -> pd.DataFrame:
-    """Merge one term's sub-lists (salt order) into the global posting list.
-    Sub-lists are doc-id-range disjoint, so this is pure concatenation."""
-    g = group.sort_values("salt")
-    docs_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    prev_last = 0
-    for _, row in g.iterrows():
-        enc = row["docs_enc"]
-        if docs_parts:
-            enc = rewrite_first_delta(enc, int(row["first_doc"]), prev_last)
-        docs_parts.append(bytes(enc))
-        tf_parts.append(bytes(row["tfs_enc"]))
-        prev_last = int(row["last_doc"])
-    return pd.DataFrame(
-        {
-            "term": [g["term"].iloc[0]],
-            "df": [int(g["df"].sum())],
-            "cf": [int(g["cf"].sum())],
-            "docs_enc": [b"".join(docs_parts)],
-            "tfs_enc": [b"".join(tf_parts)],
-        }
-    )
+def concat_subgroups(group: pa.Table) -> pa.Table:
+    """Merge every term's sub-lists (salt order) in one coarse partition
+    into global posting lists. Sub-lists are doc-id-range disjoint, so
+    this is pure concatenation; only each later sub-list's first varbyte
+    value is re-encoded (bulk, one call), never the bulk bytes.
+    Single-sub-list terms (the common case at the default salt_range)
+    pass their buffers through untouched."""
+    if group.num_rows == 0:
+        return _OUT_SCHEMA.empty_table()
+    _, enc = _term_hashes(group["term"])
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = group["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((salt, codes))
+    codes, salt = codes[order], salt[order]
+    df = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    cf = group["cf"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    first_doc = group["first_doc"].to_numpy(zero_copy_only=False)[order]
+    last_doc = group["last_doc"].to_numpy(zero_copy_only=False)[order]
+    first_len = group["first_len"].to_numpy(zero_copy_only=False)[order]
+    docs_col = group["docs_enc"].take(pa.array(order, pa.int64()))
+    tfs_col = group["tfs_enc"].take(pa.array(order, pa.int64()))
+    n = codes.size
+    is_start = np.empty(n, bool)
+    is_start[0] = True
+    is_start[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(is_start)
+    run_ends = np.empty(starts.size, np.int64)
+    run_ends[:-1] = starts[1:]
+    run_ends[-1] = n
+    lens = run_ends - starts
+    df_out = np.add.reduceat(df, starts)
+    cf_out = np.add.reduceat(cf, starts)
+    terms_out = enc.dictionary.take(pa.array(codes[starts], pa.int64()))
+    if lens.max() == 1:
+        # fast path: every term has exactly one sub-list — zero rewrites
+        return pa.table({
+            "term": terms_out.cast(pa.string()),
+            "df": pa.array(df_out, pa.int64()),
+            "cf": pa.array(cf_out, pa.int64()),
+            "docs_enc": docs_col.cast(pa.large_binary()),
+            "tfs_enc": tfs_col.cast(pa.large_binary()),
+        }, schema=_OUT_SCHEMA)
+    # bulk re-encode of every non-first sub-list's first delta
+    rewrite = ~is_start
+    prev_last = np.empty(n, np.int64)
+    prev_last[0] = 0
+    prev_last[1:] = last_doc[:-1]
+    new_first = first_doc[rewrite] - prev_last[rewrite]
+    if new_first.size and new_first.min() <= 0:
+        raise ValueError(
+            "build_term_index: salt sub-lists overlap in doc-id range — "
+            "salt must be doc_id // salt_range")
+    repl_buf, repl_nb = varbyte_encode_bulk(new_first)
+    repl_ends = np.cumsum(repl_nb)
+    repl_pos = np.cumsum(rewrite) - 1  # row -> index into repl arrays
+    docs_list = docs_col.to_pylist()
+    tfs_list = tfs_col.to_pylist()
+    repl_bytes = repl_buf.tobytes()
+    out_docs: list[bytes] = []
+    out_tfs: list[bytes] = []
+    for i in range(starts.size):
+        s, e = int(starts[i]), int(run_ends[i])
+        if e - s == 1:
+            out_docs.append(docs_list[s])
+            out_tfs.append(tfs_list[s])
+            continue
+        parts = [docs_list[s]]
+        for j in range(s + 1, e):
+            r = int(repl_pos[j])
+            parts.append(repl_bytes[repl_ends[r] - repl_nb[r]:repl_ends[r]]
+                         + docs_list[j][int(first_len[j]):])
+        out_docs.append(b"".join(parts))
+        out_tfs.append(b"".join(tfs_list[s:e]))
+    return pa.table({
+        "term": terms_out.cast(pa.string()),
+        "df": pa.array(df_out, pa.int64()),
+        "cf": pa.array(cf_out, pa.int64()),
+        "docs_enc": pa.array(out_docs, pa.large_binary()),
+        "tfs_enc": pa.array(out_tfs, pa.large_binary()),
+    }, schema=_OUT_SCHEMA)
 
 
-def build_term_index(postings_flat, *, salt_range: int = DEFAULT_SALT_RANGE):
+def _term_key(batch: pa.Table, *, num_groups: int = 64) -> pa.Table:
+    from splade_ray.ops.dedup import _coarse_key
+
+    hs, _ = _term_hashes(batch["term"])
+    return batch.append_column("gk", pa.array(_coarse_key([hs], num_groups)))
+
+
+def build_term_index(postings_flat, *, salt_range: int = DEFAULT_SALT_RANGE,
+                     num_groups: int | None = None):
     """postings_flat: Dataset of (term, doc_id, tf) -> Dataset of global
-    compressed posting lists (term, df, cf, docs_enc, tfs_enc)."""
+    compressed posting lists (term, df, cf, docs_enc, tfs_enc).
+
+    Two coarse-key shuffles: (term, salt) sub-group encode, then per-term
+    concatenation — each a hash-bucket groupby with ~one group per CPU
+    and a vectorized all-runs kernel, so logical-group count (vocabulary
+    × salt buckets) never shows up as per-group UDF overhead."""
+    from splade_ray.ops.dedup import _shuffle_groups
+
+    n_groups = _shuffle_groups(num_groups)
     sub = (
         postings_flat.map_batches(
-            add_salt, batch_format="pyarrow", fn_kwargs={"salt_range": salt_range}
+            add_salt, batch_format="pyarrow",
+            fn_kwargs={"salt_range": salt_range, "num_groups": n_groups},
         )
-        .groupby(["term", "salt"])
-        .map_groups(encode_subgroup, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(encode_subgroups, batch_format="pyarrow")
     )
-    return sub.groupby("term").map_groups(concat_subgroups, batch_format="pandas")
+    merged = (
+        sub.map_batches(_term_key, batch_format="pyarrow",
+                        fn_kwargs={"num_groups": n_groups})
+        .groupby("gk")
+        .map_groups(concat_subgroups, batch_format="pyarrow")
+    )
+    return merged

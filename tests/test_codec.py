@@ -143,3 +143,65 @@ def test_merge_posting_rows_property():
         assert pos == n
 
     check()
+
+
+def test_build_segment_tables_parity_with_encode_posting():
+    """Property: the vectorized build_segment_tables (one bulk varbyte pass
+    over all terms) is ROW-FOR-ROW identical — bytes, block metadata and
+    offsets — to per-term encode_posting, across run shapes that cross and
+    exactly hit block boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from splade_ray.segments import build_segment_tables, encode_posting
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_docs=st.integers(5, 60),
+        n_terms=st.integers(1, 12),
+        block_size=st.sampled_from([3, 7, 128]),
+        data=st.data(),
+    )
+    def check(n_docs, n_terms, block_size, data):
+        doc_ids = np.sort(
+            np.array(
+                data.draw(
+                    st.lists(st.integers(0, 10**6), min_size=n_docs,
+                             max_size=n_docs, unique=True)), np.int64))
+        doc_lens = np.array(
+            data.draw(st.lists(st.integers(1, 50), min_size=n_docs,
+                               max_size=n_docs)), np.int64)
+        terms = [f"t{i:03d}" for i in range(n_terms)]
+        flat_rows = []
+        for ti, t in enumerate(terms):
+            member = data.draw(
+                st.lists(st.booleans(), min_size=n_docs, max_size=n_docs))
+            for p in np.flatnonzero(member):
+                flat_rows.append((t, int(p), 1 + (ti + p) % 7))
+        if not flat_rows:
+            flat_rows = [(terms[0], 0, 1)]
+        flat_rows.sort()
+        flat = pa.table({
+            "term": pa.array([r[0] for r in flat_rows]),
+            "pos": pa.array([r[1] for r in flat_rows], pa.int64()),
+            "tf": pa.array([r[2] for r in flat_rows], pa.int64()),
+        })
+        got = build_segment_tables(flat, doc_ids, doc_lens, block_size)
+        gd = got.to_pylist()
+        # reference: per-term encode_posting over the same runs
+        by_term: dict = {}
+        for t, p, tf in flat_rows:
+            by_term.setdefault(t, []).append((p, tf))
+        assert [r["term"] for r in gd] == sorted(by_term)
+        for row in gd:
+            ps = by_term[row["term"]]
+            d = doc_ids[[p for p, _ in ps]]
+            f = np.array([tf for _, tf in ps], np.int64)
+            dl = doc_lens[[p for p, _ in ps]]
+            want = encode_posting(d, f, dl, block_size)
+            for k, v in want.items():
+                assert row[k] == v, (row["term"], k)
+
+    check()
