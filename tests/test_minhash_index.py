@@ -316,3 +316,39 @@ def test_lsh_index_snapshot_chain(ray_session, tmp_path):
     ).to_pandas().sort_values("old_doc").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert set(got["old_doc"]) == {1, 2}
+
+
+def test_probe_regime_auto_routes_by_increment_size(
+        ray_session, tmp_path, monkeypatch):
+    """The pushdown/shuffle choice is made from the MEASURED band-row
+    count of the increment, never caller opt-in: the same call crosses
+    to the shuffle regime when the increment outgrows
+    ``pushdown_max_rows`` — and both regimes return identical pairs."""
+    import splade_ray.ops.dedup as dd
+
+    old_docs, new_docs = _corpus()
+    idx = str(tmp_path / "lsh")
+    minhash_index_build(rd.from_items(old_docs), idx,
+                        num_perm=32, bands=16, shingle_k=2)
+    calls = []
+    real_push, real_shuf = dd._probe_pairs_pushdown, dd._probe_pairs_shuffle
+    monkeypatch.setattr(dd, "_probe_pairs_pushdown",
+                        lambda *a, **k: (calls.append("pushdown"),
+                                         real_push(*a, **k))[1])
+    monkeypatch.setattr(dd, "_probe_pairs_shuffle",
+                        lambda *a, **k: (calls.append("shuffle"),
+                                         real_shuf(*a, **k))[1])
+    inc = rd.from_items(new_docs)
+    # 3 docs × 16 bands = 48 band rows: below 100 -> pushdown
+    small = minhash_index_probe(
+        inc, idx, min_est_jaccard=0.5, pushdown_max_rows=100
+    ).to_pandas().sort_values(["new_doc", "old_doc"]).reset_index(drop=True)
+    assert calls == ["pushdown"]
+    # same increment, threshold below its 48 band rows -> shuffle
+    big = minhash_index_probe(
+        inc, idx, min_est_jaccard=0.5, pushdown_max_rows=40
+    ).to_pandas().sort_values(["new_doc", "old_doc"]).reset_index(drop=True)
+    assert calls == ["pushdown", "shuffle"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(small, big)

@@ -95,13 +95,72 @@ def test_semdedup_matches_bruteforce(ray_session, threshold):
         assert (~got["kept"]).sum() >= 8
 
 
-def test_semdedup_cluster_cap_raises(ray_session):
+def test_semdedup_oversized_cluster_degrades_not_aborts(ray_session):
+    """Round-5: a cluster above max_cluster no longer raises — it either
+    collapses via the triangle bound or re-clusters with a sub-kmeans."""
     ids, x = _planted()
     ds = rd.from_arrow(pa.table({
         "vec_id": pa.array(ids, pa.int64()),
         "embedding": pa.array([list(map(float, r)) for r in x],
                               pa.list_(pa.float64())),
     }))
-    with pytest.raises(Exception, match="max_cluster"):
-        semdedup(ds, n_clusters=1, threshold=0.9, max_cluster=10,
-                 sample_size=10_000).to_pandas()
+    got = semdedup(ds, n_clusters=1, threshold=0.9, max_cluster=10,
+                   sample_size=10_000).to_pandas()
+    assert len(got) == len(ids)
+    # every planted exact duplicate still collapses onto its base
+    assert (~got["kept"]).sum() >= 8
+
+
+def test_semdedup_degenerate_hot_cluster_triangle_path(ray_session):
+    """The planted degenerate case from the round-4 VERDICT: 50k IDENTICAL
+    embeddings in one cluster with a tiny max_cluster. The triangle bound
+    certifies all pairs >= threshold, so the whole cluster is one
+    duplicate group — one keeper (lowest id), no 50k×50k matrix, no
+    raise."""
+    n = 50_000
+    v = [0.6, 0.8, 0.0, 0.0]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([v] * n, pa.list_(pa.float64())),
+    }))
+    got = (semdedup(ds, n_clusters=2, threshold=0.95, max_cluster=1000,
+                    sample_size=1000).to_pandas().sort_values("vec_id")
+           .reset_index(drop=True))
+    assert len(got) == n
+    assert got["kept"].sum() == 1
+    assert bool(got.loc[0, "kept"])            # lowest id keeps
+    assert (got["rep_id"] == 0).all()
+
+
+def test_semdedup_oversized_separable_cluster_subkmeans(ray_session):
+    """Two tight far-apart bundles forced into ONE coarse cluster and over
+    max_cluster: the sub-kmeans splits them, and per-bundle dedup matches
+    the brute-force keeper choice (each bundle collapses to its lowest-id
+    member; cross-bundle sims are far below threshold)."""
+    rng = np.random.RandomState(3)
+    d = 8
+    a = np.zeros(d); a[0] = 1.0
+    b = np.zeros(d); b[1] = 1.0
+    rows, ids = [], []
+    for i in range(30):
+        v = a + 1e-4 * rng.randn(d)
+        rows.append(v / np.linalg.norm(v)); ids.append(i)
+    for i in range(30):
+        v = b + 1e-4 * rng.randn(d)
+        rows.append(v / np.linalg.norm(v)); ids.append(100 + i)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.array(ids, np.int64()), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float64())),
+    }))
+    got = (semdedup(ds, n_clusters=1, threshold=0.95, max_cluster=20,
+                    sample_size=10_000).to_pandas().sort_values("vec_id")
+           .reset_index(drop=True))
+    assert len(got) == 60
+    # exactly one keeper per bundle (keeper = least-centroid-similar
+    # member, so its id is data-dependent — assert the group structure)
+    lo = got[got["vec_id"] < 100]
+    hi = got[got["vec_id"] >= 100]
+    assert lo["kept"].sum() == 1 and hi["kept"].sum() == 1
+    assert lo["rep_id"].nunique() == 1 and int(lo["rep_id"].iloc[0]) < 100
+    assert hi["rep_id"].nunique() == 1 and int(hi["rep_id"].iloc[0]) >= 100
