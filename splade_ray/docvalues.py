@@ -1042,40 +1042,58 @@ def top_hits_agg(
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
         seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        buckets = seg.doc_values(group_col)
-        out = {n: [] for n in ("query_id", "bucket", "doc_id", "score")}
-        for qid in prep["queries"]:
-            scores = seg.dense_query_scores(qid, prep)
-            if scores is None:
-                continue
-            hit = np.flatnonzero(scores > params.threshold)
-            if hit.size == 0:
-                continue
-            sc, docs = scores[hit], seg.doc_ids[hit]
-            u, inv = np.unique(buckets[hit], return_inverse=True)
-            # local per-bucket top-k: one lexsort (bucket, -score, doc_id),
-            # then position-within-group < k
-            order = np.lexsort((docs, -sc, inv))
-            g = inv[order]
-            first = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
-            pos_in_group = np.arange(g.size) - np.repeat(
-                first, np.diff(np.concatenate((first, [g.size])))
-            )
-            keep = order[pos_in_group < k]
-            out["query_id"].extend([qid] * keep.size)
-            out["bucket"].extend(str(b) for b in u[inv[keep]])
-            out["doc_id"].extend(docs[keep].tolist())
-            out["score"].extend(sc[keep].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], pa.int64()),
-                "bucket": pa.array(out["bucket"], pa.string()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "score": pa.array(out["score"], pa.float64()),
-            }
-        )
+        return segment_top_hits_rows(seg, prep, group_col, k,
+                                     params.threshold)
 
     pdf = _segment_pipeline(index_dir, per_segment, empty, concurrency)
+    return merge_top_hits_rows(pdf, k)
+
+
+def segment_top_hits_rows(seg: "SegmentIndex", prep: dict, group_col: str,
+                          k: int, threshold: float) -> pa.Table:
+    """One segment's top_hits partials — shared by the Dataset pipeline
+    (:func:`top_hits_agg`) and the serving shard actors
+    (``IndexShardActor.facet`` → ``QueryRouter.facet_search``): at most
+    queries × buckets-in-segment × k (query_id, bucket, doc_id, score)
+    rows, local per-bucket top-k via one lexsort."""
+    buckets = seg.doc_values(group_col)
+    out = {n: [] for n in ("query_id", "bucket", "doc_id", "score")}
+    for qid in prep["queries"]:
+        scores = seg.dense_query_scores(qid, prep)
+        if scores is None:
+            continue
+        hit = np.flatnonzero(scores > threshold)
+        if hit.size == 0:
+            continue
+        sc, docs = scores[hit], seg.doc_ids[hit]
+        u, inv = np.unique(buckets[hit], return_inverse=True)
+        # local per-bucket top-k: one lexsort (bucket, -score, doc_id),
+        # then position-within-group < k
+        order = np.lexsort((docs, -sc, inv))
+        g = inv[order]
+        first = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        pos_in_group = np.arange(g.size) - np.repeat(
+            first, np.diff(np.concatenate((first, [g.size])))
+        )
+        keep = order[pos_in_group < k]
+        out["query_id"].extend([qid] * keep.size)
+        out["bucket"].extend(str(b) for b in u[inv[keep]])
+        out["doc_id"].extend(docs[keep].tolist())
+        out["score"].extend(sc[keep].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "bucket": pa.array(out["bucket"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64()),
+        }
+    )
+
+
+def merge_top_hits_rows(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Combine top_hits partials: re-cut the same (score desc, doc_id asc)
+    ordering over the union and assign hit_rank — shared by the Dataset
+    reducer and the router endpoint."""
     if pdf.empty:
         out = pd.DataFrame(columns=TOP_HITS_COLUMNS)
         return out.astype({"query_id": np.int64, "bucket": str,

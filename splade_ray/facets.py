@@ -30,58 +30,146 @@ from splade_ray.build import segment_dirs
 from splade_ray.query import SegmentIndex, prepare_queries
 
 
+FACET_COUNT_COLS = ["query_id", "facet", "n_docs"]
+FACET_STATS_PARTIAL_COLS = ["query_id", "facet", "n_docs",
+                            "s_sum", "s_min", "s_max"]
+FACET_STATS_COLS = ["query_id", "facet", "n_docs",
+                    "sum_v", "min_v", "max_v", "avg_v"]
+
+
+def segment_facet_rows(seg: "SegmentIndex", prep: dict, spec: dict) -> pa.Table:
+    """Per-segment facet partials from a LOADED segment — the one kernel
+    shared by the Dataset pipelines (:func:`facet_counts`,
+    :func:`facet_stats_agg`) and the serving shard actors
+    (``IndexShardActor.facet`` → ``QueryRouter.facet_search``), so the
+    two paths cannot drift. The facet column's dictionary encode is
+    cached on the segment (``SegmentIndex.facet_codes``) — query-
+    independent, computed once per resident segment. ``spec``:
+
+    - ``{"kind": "counts", "facet_col", "shard_size", "multivalued"}`` —
+      (query_id, facet, n_docs) partials;
+    - ``{"kind": "stats", "facet_col", "metric_col"}`` — mergeable
+      (query_id, facet, n_docs, s_sum, s_min, s_max) partials."""
+    kind = spec["kind"]
+    facet_col = spec["facet_col"]
+    if kind == "counts":
+        shard_size = spec.get("shard_size")
+        parents, codes, values = seg.facet_codes(
+            facet_col, bool(spec.get("multivalued")))
+        rows: list[tuple[int, str, int]] = []
+        for qid, terms in prep["queries"].items():
+            matched = np.zeros(seg.doc_ids.size, bool)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)  # tombstone-filtered
+                matched[pos] = True
+            if not matched.any():
+                continue
+            if parents is not None:
+                counts = np.bincount(codes[matched[parents]],
+                                     minlength=len(values))
+            else:
+                counts = np.bincount(codes[matched], minlength=len(values))
+            nz = np.flatnonzero(counts)
+            if shard_size is not None and nz.size > shard_size:
+                # ES shard_size cap: local top by (count desc, facet asc)
+                vals_nz = np.array([values[i] for i in nz], object)
+                order = np.lexsort((vals_nz, -counts[nz]))[:shard_size]
+                nz = nz[order]
+            for i in nz.tolist():
+                rows.append((qid, values[i], int(counts[i])))
+        return pa.table({
+            "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+            "facet": pa.array([r[1] for r in rows], pa.string()),
+            "n_docs": pa.array(np.array([r[2] for r in rows], np.int64)),
+        })
+    if kind == "stats":
+        _, codes, values = seg.facet_codes(facet_col, False)
+        vals = seg.doc_values(spec["metric_col"]).astype(np.float64)
+        rows2: list[tuple] = []
+        for qid, terms in prep["queries"].items():
+            matched = np.zeros(seg.doc_ids.size, bool)
+            for term, _, _ in terms:
+                pos, _ = seg.pos_tfs(term)
+                matched[pos] = True
+            if not matched.any():
+                continue
+            mc, mv = codes[matched], vals[matched]
+            cnt = np.bincount(mc, minlength=len(values))
+            ssum = np.bincount(mc, weights=mv, minlength=len(values))
+            smin = np.full(len(values), np.inf)
+            np.minimum.at(smin, mc, mv)
+            smax = np.full(len(values), -np.inf)
+            np.maximum.at(smax, mc, mv)
+            for i in np.flatnonzero(cnt):
+                rows2.append((qid, values[i], int(cnt[i]), float(ssum[i]),
+                              float(smin[i]), float(smax[i])))
+        return pa.table({
+            "query_id": pa.array(np.array([r[0] for r in rows2], np.int64)),
+            "facet": pa.array([r[1] for r in rows2], pa.string()),
+            "n_docs": pa.array(np.array([r[2] for r in rows2], np.int64)),
+            "s_sum": pa.array(np.array([r[3] for r in rows2], np.float64)),
+            "s_min": pa.array(np.array([r[4] for r in rows2], np.float64)),
+            "s_max": pa.array(np.array([r[5] for r in rows2], np.float64)),
+        })
+    raise ValueError(f"unknown facet kind {kind!r}")
+
+
+def merge_facet_rows(pdf: pd.DataFrame, spec: dict,
+                     top: int | None = None) -> pd.DataFrame:
+    """Combine per-segment facet partials into the final frame — shared by
+    the Dataset reducers and the router endpoint (parity by
+    construction). ``top`` keeps the N largest buckets per query by
+    (n_docs desc, facet asc), ES terms-agg ordering; output re-sorted by
+    (query_id, facet)."""
+    kind = spec["kind"]
+    if kind == "counts":
+        if pdf.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "facet": pd.Series([], dtype=str),
+                "n_docs": pd.Series([], dtype=np.int64),
+            })
+        out = (
+            pdf.groupby(["query_id", "facet"], as_index=False)["n_docs"]
+            .sum()  # queries × facet-cardinality rows — tiny
+            .sort_values(["query_id", "facet"])
+            .reset_index(drop=True)
+        )
+    elif kind == "stats":
+        if pdf.empty:
+            return pd.DataFrame(columns=FACET_STATS_COLS).astype(
+                {"query_id": np.int64, "facet": str, "n_docs": np.int64,
+                 "sum_v": np.float64, "min_v": np.float64,
+                 "max_v": np.float64, "avg_v": np.float64})
+        out = pdf.groupby(["query_id", "facet"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_v=("s_sum", "sum"),
+            min_v=("s_min", "min"), max_v=("s_max", "max"),
+        )
+        out["avg_v"] = out["sum_v"] / out["n_docs"]
+    else:
+        raise ValueError(f"unknown facet kind {kind!r}")
+    if top is not None:
+        out = (
+            out.sort_values(["query_id", "n_docs", "facet"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=True)
+            .head(top)
+        )
+    cols = FACET_COUNT_COLS if kind == "counts" else FACET_STATS_COLS
+    return (out.sort_values(["query_id", "facet"])
+            .reset_index(drop=True)[cols])
+
+
 def _facet_segment(
     seg_dir: str, prepared: dict, facet_col: str, tombstones,
     shard_size: int | None = None, multivalued: bool = False,
 ) -> list[tuple[int, str, int]]:
     seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
-    col = pq.read_table(
-        os.path.join(seg_dir, "doclens.parquet"), columns=[facet_col]
-    )[facet_col].combine_chunks()
-    if multivalued:
-        # explode the list column ONCE (query-independent): (doc position,
-        # value code) pairs, deduped so a doc counts once per DISTINCT
-        # value it carries (the ES terms-agg array contract)
-        la = col
-        flat = la.flatten().dictionary_encode()
-        fcodes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        values = flat.dictionary.to_pylist()
-        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        parents = np.repeat(np.arange(len(la)), np.diff(offs))
-        pair = parents * max(len(values), 1) + fcodes
-        keep = np.zeros(pair.size, bool)
-        if pair.size:
-            order = np.argsort(pair, kind="stable")
-            ps = pair[order]
-            first = np.concatenate(([True], ps[1:] != ps[:-1]))
-            keep[order[first]] = True
-        parents, fcodes = parents[keep], fcodes[keep]
-    else:
-        fac = col.dictionary_encode()
-        codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        values = fac.dictionary.to_pylist()
-    rows: list[tuple[int, str, int]] = []
-    for qid, terms in prepared["queries"].items():
-        matched = np.zeros(seg.doc_ids.size, bool)
-        for term, _, _ in terms:
-            pos, _ = seg.pos_tfs(term)  # tombstone-filtered
-            matched[pos] = True
-        if not matched.any():
-            continue
-        if multivalued:
-            counts = np.bincount(fcodes[matched[parents]],
-                                 minlength=len(values))
-        else:
-            counts = np.bincount(codes[matched], minlength=len(values))
-        nz = np.flatnonzero(counts)
-        if shard_size is not None and nz.size > shard_size:
-            # ES shard_size cap: local top by (count desc, facet asc)
-            vals_nz = np.array([values[i] for i in nz], object)
-            order = np.lexsort((vals_nz, -counts[nz]))[:shard_size]
-            nz = nz[order]
-        for i in nz.tolist():
-            rows.append((qid, values[i], int(counts[i])))
-    return rows
+    t = segment_facet_rows(seg, prepared, {
+        "kind": "counts", "facet_col": facet_col,
+        "shard_size": shard_size, "multivalued": multivalued})
+    return list(zip(t["query_id"].to_pylist(), t["facet"].to_pylist(),
+                    t["n_docs"].to_pylist()))
 
 
 def facet_counts(
@@ -141,32 +229,7 @@ def facet_counts(
         .map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
         .to_pandas()
     )
-    if pdf.empty:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "facet": pd.Series([], dtype=str),
-                "n_docs": pd.Series([], dtype=np.int64),
-            }
-        )
-    out = (
-        pdf.groupby(["query_id", "facet"], as_index=False)["n_docs"]
-        .sum()  # queries × facet-cardinality rows — tiny
-        .sort_values(["query_id", "facet"])
-        .reset_index(drop=True)
-    )
-    if top is not None:
-        out = (
-            out.sort_values(
-                ["query_id", "n_docs", "facet"], ascending=[True, False, True],
-                kind="mergesort",
-            )
-            .groupby("query_id", sort=True)
-            .head(top)
-            .sort_values(["query_id", "facet"])
-            .reset_index(drop=True)
-        )
-    return out
+    return merge_facet_rows(pdf, {"kind": "counts"}, top)
 
 
 def facet_stats_agg(
@@ -205,52 +268,16 @@ def facet_stats_agg(
     prepared_ref = ray.put(prepared)
     segs = segment_dirs(index_dir)
 
-    def seg_partials(seg_dir: str, prep: dict, t) -> list[tuple]:
-        seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
-        tbl = pq.read_table(
-            os.path.join(seg_dir, "doclens.parquet"),
-            columns=[facet_col, metric_col],
-        )
-        fac = tbl[facet_col].combine_chunks().dictionary_encode()
-        codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        values = fac.dictionary.to_pylist()
-        vals = tbl[metric_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        rows: list[tuple] = []
-        for qid, terms in prep["queries"].items():
-            matched = np.zeros(seg.doc_ids.size, bool)
-            for term, _, _ in terms:
-                pos, _ = seg.pos_tfs(term)
-                matched[pos] = True
-            if not matched.any():
-                continue
-            mc, mv = codes[matched], vals[matched]
-            cnt = np.bincount(mc, minlength=len(values))
-            ssum = np.bincount(mc, weights=mv, minlength=len(values))
-            smin = np.full(len(values), np.inf)
-            np.minimum.at(smin, mc, mv)
-            smax = np.full(len(values), -np.inf)
-            np.maximum.at(smax, mc, mv)
-            for i in np.flatnonzero(cnt):
-                rows.append((qid, values[i], int(cnt[i]), float(ssum[i]),
-                             float(smin[i]), float(smax[i])))
-        return rows
+    spec = {"kind": "stats", "facet_col": facet_col, "metric_col": metric_col}
 
     def task(batch: pa.Table) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
-        rows: list[tuple] = []
+        parts = []
         for seg_dir in batch["seg_dir"].to_pylist():
-            rows.extend(seg_partials(seg_dir, prep, t))
-        return pa.table(
-            {
-                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
-                "facet": pa.array([r[1] for r in rows], pa.string()),
-                "n_docs": pa.array(np.array([r[2] for r in rows], np.int64)),
-                "s_sum": pa.array(np.array([r[3] for r in rows], np.float64)),
-                "s_min": pa.array(np.array([r[4] for r in rows], np.float64)),
-                "s_max": pa.array(np.array([r[5] for r in rows], np.float64)),
-            }
-        )
+            seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+            parts.append(segment_facet_rows(seg, prep, spec))
+        return pa.concat_tables(parts)
 
     pdf = (
         rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
@@ -258,25 +285,7 @@ def facet_stats_agg(
                      concurrency=concurrency)
         .to_pandas()
     )
-    cols = ["query_id", "facet", "n_docs", "sum_v", "min_v", "max_v", "avg_v"]
-    if pdf.empty:
-        return pd.DataFrame(columns=cols).astype(
-            {"query_id": np.int64, "facet": str, "n_docs": np.int64,
-             "sum_v": np.float64, "min_v": np.float64, "max_v": np.float64,
-             "avg_v": np.float64})
-    agg = pdf.groupby(["query_id", "facet"], as_index=False).agg(
-        n_docs=("n_docs", "sum"), sum_v=("s_sum", "sum"),
-        min_v=("s_min", "min"), max_v=("s_max", "max"),
-    )
-    agg["avg_v"] = agg["sum_v"] / agg["n_docs"]
-    if top is not None:
-        agg = (
-            agg.sort_values(["query_id", "n_docs", "facet"],
-                            ascending=[True, False, True], kind="mergesort")
-            .groupby("query_id", sort=True).head(top)
-        )
-    return (agg.sort_values(["query_id", "facet"])
-            .reset_index(drop=True)[cols])
+    return merge_facet_rows(pdf, spec, top)
 
 
 def adjacency_matrix(

@@ -210,6 +210,9 @@ class SegmentIndex:
         # query-INDEPENDENT (a pure function of sidecar doc values), so one
         # spec computes once per segment and serves every query/chunk
         self._fscore: dict[tuple, np.ndarray] = {}
+        # facet-column dictionary cache (facet_codes): query-independent,
+        # shared across calls when the segment lives in a persistent actor
+        self._facetcols: dict[tuple, tuple] = {}
 
     def numeric_values(self, col: str) -> np.ndarray:
         """Sidecar numeric doc column aligned to doc_ids (cached — loaded
@@ -232,6 +235,42 @@ class SegmentIndex:
             if got.dtype == object:
                 got = got.astype(str)
             self._numcols[col] = got
+        return got
+
+    def facet_codes(self, col: str, multivalued: bool = False):
+        """Dictionary-encoded categorical sidecar column, cached (the
+        facet-aggregation analog of :meth:`doc_values`): returns
+        ``(parents, codes, values)``. Single-valued: ``parents is None``
+        and ``codes`` aligns to ``doc_ids``. Multivalued (list<string>):
+        ``(parents, codes)`` are the exploded pairs, deduped so a doc
+        counts once per DISTINCT value (ES terms-agg array contract)."""
+        key = (col, bool(multivalued))
+        got = self._facetcols.get(key)
+        if got is not None:
+            return got
+        raw = pq.read_table(
+            os.path.join(self.seg_dir, "doclens.parquet"), columns=[col]
+        )[col].combine_chunks()
+        if multivalued:
+            flat = raw.flatten().dictionary_encode()
+            fcodes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = flat.dictionary.to_pylist()
+            offs = raw.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            parents = np.repeat(np.arange(len(raw)), np.diff(offs))
+            pair = parents * max(len(values), 1) + fcodes
+            keep = np.zeros(pair.size, bool)
+            if pair.size:
+                order = np.argsort(pair, kind="stable")
+                ps = pair[order]
+                first = np.concatenate(([True], ps[1:] != ps[:-1]))
+                keep[order[first]] = True
+            got = (parents[keep], fcodes[keep], values)
+        else:
+            fac = raw.dictionary_encode()
+            got = (None,
+                   fac.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+                   fac.dictionary.to_pylist())
+        self._facetcols[key] = got
         return got
 
     def range_keep_mask(self, prepared: dict) -> np.ndarray | None:
@@ -1511,6 +1550,32 @@ class IndexShardActor:
                  for seg in self.segments]
         return _pa.concat_tables(parts) if parts else None
 
+    def facet(self, prepared: dict, spec: dict):
+        """Serve a terms-bucket aggregation (facet counts / facet stats /
+        top_hits) from the resident segments — the same kernels the
+        Dataset pipelines run (facets.segment_facet_rows /
+        docvalues.segment_top_hits_rows), with the facet dictionary and
+        decoded postings cached per resident segment. Mergeable partial
+        rows only; the router combines. Float-index shards only."""
+        if self.method in ("quantized", "quantized_bmw"):
+            raise ValueError("facet queries need a float-index shard")
+        import pyarrow as _pa
+
+        if spec["kind"] == "top_hits":
+            from splade_ray.docvalues import segment_top_hits_rows
+
+            parts = [
+                segment_top_hits_rows(seg, prepared, spec["group_col"],
+                                      spec["k"], spec["threshold"])
+                for seg in self.segments
+            ]
+        else:
+            from splade_ray.facets import segment_facet_rows
+
+            parts = [segment_facet_rows(seg, prepared, spec)
+                     for seg in self.segments]
+        return _pa.concat_tables(parts) if parts else None
+
 
 def request_cache_key(qid: int, text: str, params, query_lang, scoring,
                       mu, lam, after, range_filter) -> tuple:
@@ -1990,6 +2055,104 @@ class QueryRouter:
             queries, key_of, fetch, sort_cols=sort_cols,
             empty_cols=agg_cols)
 
+    async def facet_search(
+        self,
+        queries: list[tuple[int, str]],
+        *,
+        kind: str,
+        facet_col: str | None = None,
+        metric_col: str | None = None,
+        group_col: str | None = None,
+        hits_per_bucket: int = 3,
+        top: int | None = None,
+        shard_size: int | None = None,
+        multivalued: bool = False,
+        params: BM25Params | None = None,
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve a terms-bucket aggregation through the router's resident
+        shards — ``kind`` ∈ counts | stats | top_hits, matching
+        :func:`facets.facet_counts` / :func:`facets.facet_stats_agg` /
+        :func:`docvalues.top_hits_agg` result-for-result (parity-tested;
+        the kernels and reducers are literally shared). Same admission
+        control and request cache as :meth:`search`; shard partials are
+        queries × bucket-cardinality (× k for top_hits) sized."""
+        import asyncio
+
+        if self.quant_extra:
+            raise ValueError("facet queries need a float-index router")
+        if kind == "counts":
+            if not facet_col:
+                raise ValueError("facet kind 'counts' needs facet_col=")
+            spec = {"kind": "counts", "facet_col": facet_col,
+                    "shard_size": shard_size,
+                    "multivalued": bool(multivalued)}
+            empty_cols = ["query_id", "facet", "n_docs"]
+            sort_cols = ["query_id", "facet"]
+        elif kind == "stats":
+            if not facet_col or not metric_col:
+                raise ValueError(
+                    "facet kind 'stats' needs facet_col= and metric_col=")
+            spec = {"kind": "stats", "facet_col": facet_col,
+                    "metric_col": metric_col}
+            empty_cols = ["query_id", "facet", "n_docs", "sum_v", "min_v",
+                          "max_v", "avg_v"]
+            sort_cols = ["query_id", "facet"]
+        elif kind == "top_hits":
+            if not group_col:
+                raise ValueError("facet kind 'top_hits' needs group_col=")
+            p = params or BM25Params()
+            if int(hits_per_bucket) < 1:
+                raise ValueError("hits_per_bucket must be >= 1")
+            spec = {"kind": "top_hits", "group_col": group_col,
+                    "k": int(hits_per_bucket), "threshold": p.threshold}
+            empty_cols = ["query_id", "bucket", "hit_rank", "doc_id",
+                          "score"]
+            sort_cols = ["query_id", "bucket", "hit_rank"]
+        else:
+            raise ValueError(f"unknown facet kind {kind!r}")
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
+            )
+            try:
+                prepared = prepare_queries(
+                    self.index_dir, missing,
+                    params if kind == "top_hits" else None,
+                    query_lang=query_lang)
+                results = await asyncio.gather(
+                    *[a.facet.remote(prepared, spec) for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            import pyarrow as _pa
+
+            parts = [t for t in results if t is not None]
+            pdf = (_pa.concat_tables(parts).to_pandas()
+                   if parts else pd.DataFrame())
+            if kind == "top_hits":
+                from splade_ray.docvalues import merge_top_hits_rows
+
+                return merge_top_hits_rows(pdf, spec["k"])
+            from splade_ray.facets import merge_facet_rows
+
+            return merge_facet_rows(pdf, spec, top)
+
+        p_key = params or BM25Params()
+
+        def key_of(qid, text):
+            return ("facet", kind, text, query_lang, facet_col, metric_col,
+                    group_col, int(hits_per_bucket), top, shard_size,
+                    bool(multivalued), p_key.k1, p_key.b, p_key.threshold)
+
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=sort_cols,
+            empty_cols=empty_cols)
+
     def stats(self) -> dict:
         """Admission-control counters + per-shard latency EMAs (for load
         balancers / autoscalers)."""
@@ -2044,6 +2207,8 @@ class RouterPool:
         ]
         self._rr = 0
         self._retries = 0
+        self._failovers = 0
+        self._dead: set = set()
 
     def submit(self, queries, params: BM25Params | None = None,
                deadline_s: float | None = None):
@@ -2052,6 +2217,44 @@ class RouterPool:
         r = self.routers[self._rr % len(self.routers)]
         self._rr += 1
         return r.search.remote(queries, params, deadline_s=deadline_s)
+
+    def _failover_call(self, method: str, args: tuple, kwargs: dict,
+                       max_sweeps: int, backoff_s: float):
+        """Shed/death failover shared by EVERY router endpoint (round-4
+        VERDICT item 5 — previously only scoring requests failed over):
+        try each live replica once per sweep; a ``RouterOverloaded`` shed
+        moves to the next replica, a dead replica (``RayActorError``) is
+        marked dead and skipped for the pool's lifetime; between sweeps
+        sleep ``backoff_s`` (doubling). Raises the last shed only after
+        ``max_sweeps`` full sweeps, or ``RayActorError`` when every
+        replica is dead."""
+        import time as _time
+
+        delay = backoff_s
+        last: Exception | None = None
+        for sweep in range(max_sweeps):
+            for _ in range(len(self.routers)):
+                r = self.routers[self._rr % len(self.routers)]
+                self._rr += 1
+                if r in self._dead:
+                    continue
+                try:
+                    return ray.get(getattr(r, method).remote(*args, **kwargs))
+                except ray.exceptions.RayActorError as e:
+                    self._dead.add(r)
+                    self._failovers += 1
+                    last = e
+                except ray.exceptions.RayTaskError as e:
+                    if not isinstance(e.cause, RouterOverloaded):
+                        raise
+                    last = e.cause
+                    self._retries += 1
+            if len(self._dead) == len(self.routers):
+                raise last  # every replica dead
+            if sweep < max_sweeps - 1:
+                _time.sleep(delay)
+                delay *= 2
+        raise last  # every live replica shed on every sweep
 
     def search(
         self,
@@ -2062,40 +2265,48 @@ class RouterPool:
         backoff_s: float = 0.05,
         deadline_s: float | None = None,
     ) -> pd.DataFrame:
-        """Blocking search with shed failover: try every replica once per
-        sweep; between sweeps sleep ``backoff_s`` (doubling). Raises
-        ``RouterOverloaded`` only after ``max_sweeps`` full sweeps shed.
-        ``deadline_s`` bounds each replica attempt's queue wait."""
-        import time as _time
+        """Blocking search with shed/death failover (see
+        :meth:`_failover_call`)."""
+        return self._failover_call(
+            "search", (queries, params), {"deadline_s": deadline_s},
+            max_sweeps, backoff_s)
 
-        delay = backoff_s
-        last: Exception | None = None
-        for sweep in range(max_sweeps):
-            for _ in range(len(self.routers)):
-                try:
-                    return ray.get(self.submit(queries, params, deadline_s))
-                except ray.exceptions.RayTaskError as e:
-                    if not isinstance(e.cause, RouterOverloaded):
-                        raise
-                    last = e.cause
-                    self._retries += 1
-            if sweep < max_sweeps - 1:
-                _time.sleep(delay)
-                delay *= 2
-        raise last  # every replica shed on every sweep
+    def sort_search(self, queries, *, max_sweeps: int = 4,
+                    backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.sort_search`."""
+        return self._failover_call("sort_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def agg_search(self, queries, *, max_sweeps: int = 4,
+                   backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.agg_search`."""
+        return self._failover_call("agg_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def facet_search(self, queries, *, max_sweeps: int = 4,
+                     backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.facet_search`."""
+        return self._failover_call("facet_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
 
     def stats(self) -> dict:
-        per = ray.get([r.stats.remote() for r in self.routers])
+        per = ray.get([r.stats.remote() for r in self.routers
+                       if r not in self._dead])
         return {
             "replicas": per,
             "admitted": sum(p["admitted"] for p in per),
             "shed": sum(p["shed"] for p in per),
             "client_retries": self._retries,
+            "client_failovers": self._failovers,
+            "dead_replicas": len(self._dead),
         }
 
     def shutdown(self) -> None:
         for r in self.routers:
-            ray.get(r.shutdown.remote())
+            try:
+                ray.get(r.shutdown.remote())
+            except ray.exceptions.RayActorError:
+                pass  # replica already dead — its shards die with it
             ray.kill(r)
         self.routers = []
 
