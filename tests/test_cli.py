@@ -1283,3 +1283,73 @@ def test_cli_curate_dupspans_sharded_corpus_change_invalidates(
     assert "fingerprint" in mani["params"]
     assert v2["text"].str.startswith("fresh document").all()
     assert mani["result"]["n_grams"] == 0
+
+
+def test_cli_curate_resume_fault_injection(ray_session, tmp_path, capsys):
+    """End-to-end resume fault injection (ROADMAP viii): a curate run
+    interrupted between stages, and one whose in-flight stage died
+    without its _DONE marker, must both resume to output byte-identical
+    to an uninterrupted run."""
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    boiler = "copyright acme corp all rights reserved"
+    texts = (
+        [f"alpha beta {boiler} gamma delta doc{i} tail words here"
+         for i in range(6)]
+        + [f"alpha beta {boiler} gamma delta doc{i} tail words here"
+           for i in range(3)]          # exact dups of the first three
+        + ["totally unique content with nothing shared at all"]
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts))}),
+        str(d / "part-0.parquet"))
+    stages = "dedup,dupspans,pack"
+    args_tail = ["--stages", stages, "--dup-k", "4", "--budget", "16"]
+
+    def read_final(out):
+        return (rd.read_parquet(out + "/pack").to_pandas()
+                .sort_values(list(rd.read_parquet(out + "/pack")
+                                  .to_pandas().columns))
+                .reset_index(drop=True))
+
+    # reference: uninterrupted run
+    ref_out = str(tmp_path / "ref")
+    assert main(["curate", "--corpus", str(d), "--out", ref_out,
+                 *args_tail]) == 0
+    capsys.readouterr()
+    want = read_final(ref_out)
+
+    # fault 1: "crash" after stage 1 (run only the first stage, then
+    # resume with the full list into the same out dir)
+    out1 = str(tmp_path / "c1")
+    assert main(["curate", "--corpus", str(d), "--out", out1,
+                 "--stages", "dedup"]) == 0
+    capsys.readouterr()
+    assert main(["curate", "--corpus", str(d), "--out", out1,
+                 *args_tail]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "dedup" in s["stages_skipped"]
+    pd.testing.assert_frame_equal(read_final(out1), want)
+
+    # fault 2: a stage died MID-flight — partial files present, no _DONE
+    out2 = str(tmp_path / "c2")
+    assert main(["curate", "--corpus", str(d), "--out", out2,
+                 *args_tail]) == 0
+    capsys.readouterr()
+    import os as _os
+
+    _os.remove(_os.path.join(out2, "dupspans", "_DONE"))
+    # leave the stale parquet files in place: resume must wipe + rebuild
+    shutil.rmtree(_os.path.join(out2, "pack"))
+    assert main(["curate", "--corpus", str(d), "--out", out2,
+                 *args_tail]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["stages_skipped"] == ["dedup"]
+    pd.testing.assert_frame_equal(read_final(out2), want)
