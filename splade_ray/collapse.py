@@ -37,26 +37,19 @@ from splade_ray.query import SegmentIndex, prepare_queries
 COLLAPSE_COLUMNS = ["query_id", "rank", "doc_id", "collapse_key", "score"]
 
 
-def _collapse_segment(
-    seg_dir: str, prepared: dict, collapse_col: str, tombstones,
-    max_docs_per_key: int = 1,
-) -> list[tuple[int, str, int, float]]:
-    """Per-key best-``max_docs_per_key`` candidate rows (qid, key, doc_id,
-    score) for one segment: dense scoring, then the first ``c`` occurrences
-    per key in rank order (c=1 is ES collapse; c>1 the diversified-sampler
-    cap)."""
+def segment_collapse_rows(seg: "SegmentIndex", prepared: dict,
+                          collapse_col: str,
+                          max_docs_per_key: int = 1) -> pa.Table:
+    """Per-key best-``max_docs_per_key`` candidate rows for one LOADED
+    segment — shared by the Dataset pipeline (:func:`collapse_search`)
+    and the serving shard actors (``IndexShardActor.collapse`` →
+    ``QueryRouter.collapse_search``): dense scoring, then the first
+    ``c`` occurrences per key in rank order (c=1 is ES collapse; c>1 the
+    diversified-sampler cap). The key column's dictionary encode is
+    cached on the segment (``SegmentIndex.facet_codes``)."""
     p: BM25Params = prepared["params"]
     c = int(max_docs_per_key)
-    seg = SegmentIndex(seg_dir, prepared["terms"], tombstones=tombstones)
-    fac = (
-        pq.read_table(os.path.join(seg_dir, "doclens.parquet"), columns=[collapse_col])[
-            collapse_col
-        ]
-        .combine_chunks()
-        .dictionary_encode()
-    )
-    codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = fac.dictionary.to_pylist()
+    _, codes, values = seg.facet_codes(collapse_col, False)
     rows: list[tuple[int, str, int, float]] = []
     for qid in prepared["queries"]:
         scores = seg.dense_query_scores(qid, prepared)
@@ -74,7 +67,46 @@ def _collapse_segment(
         )
         for j in order[pos < c]:
             rows.append((qid, values[codes[j]], int(seg.doc_ids[j]), float(scores[j])))
-    return rows
+    return pa.table(
+        {
+            "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+            "collapse_key": pa.array([r[1] for r in rows], pa.string()),
+            "doc_id": pa.array(np.array([r[2] for r in rows], np.int64)),
+            "score": pa.array(np.array([r[3] for r in rows], np.float64)),
+        }
+    )
+
+
+def merge_collapse_rows(pdf: pd.DataFrame, *, top_k: int,
+                        max_docs_per_key: int = 1) -> pd.DataFrame:
+    """Combine per-segment collapse partials: per-(query, key) global
+    best ``max_docs_per_key``, then per-query rank + cut — shared by the
+    Dataset reducer and the router endpoint. The merge table is
+    queries × keys sized, driver-safe by the same argument as
+    facet_counts."""
+    if pdf.empty:
+        return pd.DataFrame(columns=COLLAPSE_COLUMNS).astype(
+            {
+                "query_id": np.int64,
+                "rank": np.int32,
+                "doc_id": np.int64,
+                "collapse_key": object,
+                "score": np.float64,
+            }
+        )
+    pdf = pdf.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    best = (
+        pdf.groupby(["query_id", "collapse_key"], as_index=False, sort=False)
+        .head(max_docs_per_key)
+    )
+    best = best.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    best["rank"] = best.groupby("query_id").cumcount().add(1).astype(np.int32)
+    best = best[best["rank"] <= top_k]
+    return best.reset_index(drop=True)[COLLAPSE_COLUMNS]
 
 
 def collapse_search(
@@ -112,49 +144,17 @@ def collapse_search(
     def task(batch: pa.Table) -> pa.Table:
         prep = ray.get(prepared_ref)
         t = ray.get(tomb_ref) if tomb_ref is not None else None
-        rows: list[tuple[int, str, int, float]] = []
+        parts = []
         for seg_dir in batch["seg_dir"].to_pylist():
-            rows.extend(
-                _collapse_segment(seg_dir, prep, collapse_col, t,
-                                  max_docs_per_key)
-            )
-        return pa.table(
-            {
-                "query_id": pa.array(np.array([r[0] for r in rows], np.int64)),
-                "collapse_key": pa.array([r[1] for r in rows], pa.string()),
-                "doc_id": pa.array(np.array([r[2] for r in rows], np.int64)),
-                "score": pa.array(np.array([r[3] for r in rows], np.float64)),
-            }
-        )
+            seg = SegmentIndex(seg_dir, prep["terms"], tombstones=t)
+            parts.append(segment_collapse_rows(seg, prep, collapse_col,
+                                               max_docs_per_key))
+        return pa.concat_tables(parts)
 
     pdf = (
         rd.from_items([{"seg_dir": s} for s in segs], override_num_blocks=len(segs))
         .map_batches(task, batch_format="pyarrow", batch_size=1, concurrency=concurrency)
         .to_pandas()
     )
-    if pdf.empty:
-        return pd.DataFrame(columns=COLLAPSE_COLUMNS).astype(
-            {
-                "query_id": np.int64,
-                "rank": np.int32,
-                "doc_id": np.int64,
-                "collapse_key": object,
-                "score": np.float64,
-            }
-        )
-    # per-(query, key) global best, then per-query rank + cut — the merge
-    # table is queries x keys sized, driver-safe by the same argument as
-    # facet_counts
-    pdf = pdf.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
-    )
-    best = (
-        pdf.groupby(["query_id", "collapse_key"], as_index=False, sort=False)
-        .head(max_docs_per_key)
-    )
-    best = best.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True], kind="mergesort"
-    )
-    best["rank"] = best.groupby("query_id").cumcount().add(1).astype(np.int32)
-    best = best[best["rank"] <= params.top_k]
-    return best.reset_index(drop=True)[COLLAPSE_COLUMNS]
+    return merge_collapse_rows(pdf, top_k=params.top_k,
+                               max_docs_per_key=max_docs_per_key)

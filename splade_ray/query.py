@@ -1569,6 +1569,14 @@ class IndexShardActor:
                                       spec["k"], spec["threshold"])
                 for seg in self.segments
             ]
+        elif spec["kind"] == "collapse":
+            from splade_ray.collapse import segment_collapse_rows
+
+            parts = [
+                segment_collapse_rows(seg, prepared, spec["collapse_col"],
+                                      spec["max_docs_per_key"])
+                for seg in self.segments
+            ]
         else:
             from splade_ray.facets import segment_facet_rows
 
@@ -2153,6 +2161,69 @@ class QueryRouter:
             queries, key_of, fetch, sort_cols=sort_cols,
             empty_cols=empty_cols)
 
+    async def collapse_search(
+        self,
+        queries: list[tuple[int, str]],
+        *,
+        collapse_col: str,
+        max_docs_per_key: int = 1,
+        params: BM25Params | None = None,
+        query_lang: str | None = None,
+        scoring: str = "bm25",
+        mu: float = 2000.0,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve field-collapsed retrieval (ES ``collapse`` /
+        diversified-sampler cap) through the resident shards — matches
+        :func:`collapse.collapse_search` result-for-result (shared
+        kernel + reducer). Same admission control and request cache as
+        :meth:`search`; shard partials are queries × keys-in-shard ×
+        max_docs_per_key sized."""
+        import asyncio
+
+        if self.quant_extra:
+            raise ValueError("collapse queries need a float-index router")
+        if max_docs_per_key < 1:
+            raise ValueError("max_docs_per_key must be >= 1")
+        p = params or BM25Params()
+        spec = {"kind": "collapse", "collapse_col": collapse_col,
+                "max_docs_per_key": int(max_docs_per_key)}
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
+            )
+            try:
+                prepared = prepare_queries(
+                    self.index_dir, missing, p, query_lang=query_lang,
+                    scoring=scoring, mu=mu)
+                results = await asyncio.gather(
+                    *[a.facet.remote(prepared, spec) for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            import pyarrow as _pa
+
+            from splade_ray.collapse import merge_collapse_rows
+
+            parts = [t for t in results if t is not None]
+            pdf = (_pa.concat_tables(parts).to_pandas()
+                   if parts else pd.DataFrame())
+            return merge_collapse_rows(
+                pdf, top_k=p.top_k, max_docs_per_key=int(max_docs_per_key))
+
+        def key_of(qid, text):
+            return ("collapse", text, query_lang, scoring, mu, collapse_col,
+                    int(max_docs_per_key), p.k1, p.b, p.top_k, p.threshold)
+
+        from splade_ray.collapse import COLLAPSE_COLUMNS
+
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=["query_id", "rank"],
+            empty_cols=COLLAPSE_COLUMNS)
+
     def stats(self) -> dict:
         """Admission-control counters + per-shard latency EMAs (for load
         balancers / autoscalers)."""
@@ -2287,6 +2358,12 @@ class RouterPool:
                      backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
         """Failover wrapper over :meth:`QueryRouter.facet_search`."""
         return self._failover_call("facet_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def collapse_search(self, queries, *, max_sweeps: int = 4,
+                        backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
+        return self._failover_call("collapse_search", (queries,), kwargs,
                                    max_sweeps, backoff_s)
 
     def stats(self) -> dict:

@@ -130,3 +130,28 @@ def test_router_pool_failover_all_endpoints_replica_death(index):
     assert st["dead_replicas"] == 1 and st["client_failovers"] >= 1
     assert len(st["replicas"]) == 1  # stats skips the dead replica
     pool.shutdown()
+
+
+def test_router_collapse_parity(index):
+    from splade_ray.collapse import collapse_search
+
+    r = QueryRouter.remote(index, num_shards=2, cache_size=8)
+    p = BM25Params(top_k=6)
+    want = collapse_search(index, QUERIES, p, collapse_col="cat")
+    got = ray.get(r.collapse_search.remote(QUERIES, collapse_col="cat",
+                                           params=p))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # diversified cap > 1 through the router
+    want2 = collapse_search(index, QUERIES, p, collapse_col="cat",
+                            max_docs_per_key=2)
+    got2 = ray.get(r.collapse_search.remote(QUERIES, collapse_col="cat",
+                                            max_docs_per_key=2, params=p))
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    # repeat request: full cache hit, no new admission
+    st0 = ray.get(r.stats.remote())
+    ray.get(r.collapse_search.remote(QUERIES, collapse_col="cat", params=p))
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == st0["admitted"]
+    assert st["cache_hits"] >= st0["cache_hits"] + 3
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
