@@ -1672,6 +1672,10 @@ class QueryRouter:
         # can never go stale; open a new router after deletes/appends.
         self._cache_size = int(cache_size)
         self._cache: "OrderedDict[tuple, pd.DataFrame]" = OrderedDict()
+        # resident lexicon for the suggest fast path: False = not yet
+        # probed, None = too big (falls back to the Dataset pipeline)
+        self._lexicon = False
+        self._lexicon_cache_max = 2_000_000
         self._cache_hits = 0
         self._cache_misses = 0
         self._max_inflight = max_inflight
@@ -2161,6 +2165,160 @@ class QueryRouter:
             queries, key_of, fetch, sort_cols=sort_cols,
             empty_cols=empty_cols)
 
+    def _resident_lexicon(self):
+        """Lazily cache the lexicon's (terms, lens, dfs) arrays for the
+        fuzzy/complete serving fast path — vocab-sized, so only below
+        ``_lexicon_cache_max`` rows (default 2M ≈ tens of MB); above it
+        the endpoints fall back to the streaming Dataset pipeline
+        (suggest.suggest_terms), which never materializes the vocabulary
+        in one process. Returns (terms, lens, dfs) or None."""
+        if self._lexicon is not False:
+            return self._lexicon
+        import pyarrow.dataset as pads
+
+        lex_dir = os.path.join(self.index_dir, "lexicon")
+        ds = pads.dataset(lex_dir)
+        n = ds.count_rows()
+        if n > self._lexicon_cache_max:
+            self._lexicon = None
+            return None
+        tbl = ds.to_table(columns=["term", "df"])
+        terms = np.asarray(tbl["term"].to_pylist(), object)
+        lens = np.array([len(t) for t in terms], np.int64)
+        dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self._lexicon = (terms, lens, dfs)
+        return self._lexicon
+
+    async def suggest(
+        self,
+        queries: list[tuple[int, str]],
+        *,
+        kind: str = "fuzzy",
+        m: int = 5,
+        max_dist: int = 2,
+        transpositions: bool = False,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve term suggestion through the router — ``kind`` ∈
+        fuzzy (did-you-mean: :func:`suggest.suggest_terms` semantics) |
+        complete (popularity-weighted completion:
+        :func:`suggest.complete_prefix` semantics) — result-for-result
+        with the batch functions (parity-tested). Fuzzy runs the
+        vectorized Levenshtein DP against the RESIDENT lexicon when the
+        vocabulary fits (``_resident_lexicon``) and falls back to the
+        streaming Dataset pipeline above the cap; completion is a
+        pushdown range read either way. Same admission control and
+        request cache as :meth:`search`."""
+        from splade_ray.suggest import (
+            SUGGEST_COLUMNS,
+            complete_prefix,
+            damerau_levenshtein_bulk,
+            levenshtein_bulk,
+            suggest_terms,
+        )
+
+        if kind not in ("fuzzy", "complete"):
+            raise ValueError(f"unknown suggest kind {kind!r}")
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
+            )
+            try:
+                if kind == "complete":
+                    return complete_prefix(self.index_dir, missing, m=m)
+                resident = self._resident_lexicon()
+                if resident is None:
+                    return suggest_terms(self.index_dir, missing,
+                                         max_dist=max_dist, m=m,
+                                         transpositions=transpositions)
+                terms, lens, dfs = resident
+                out = {"query_id": [], "term": [], "dist": [], "df": []}
+                for qid, q in missing:
+                    band = np.abs(lens - len(q)) <= max_dist
+                    if not band.any():
+                        continue
+                    cand, cdf = terms[band], dfs[band]
+                    d = (damerau_levenshtein_bulk if transpositions
+                         else levenshtein_bulk)(q, cand)
+                    hit = d <= max_dist
+                    if not hit.any():
+                        continue
+                    order = np.lexsort((cand[hit], -cdf[hit], d[hit]))[:m]
+                    out["query_id"].extend([int(qid)] * order.size)
+                    out["term"].extend(cand[hit][order].tolist())
+                    out["dist"].extend(d[hit][order].tolist())
+                    out["df"].extend(cdf[hit][order].tolist())
+                return pd.DataFrame(out).astype(
+                    {"query_id": np.int64, "dist": np.int64,
+                     "df": np.int64}) if out["query_id"] else \
+                    pd.DataFrame(columns=SUGGEST_COLUMNS).astype(
+                        {"query_id": np.int64, "term": object,
+                         "dist": np.int64, "df": np.int64})
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+
+        def key_of(qid, text):
+            return ("suggest", kind, text, m, max_dist, bool(transpositions))
+
+        if kind == "complete":
+            sort_cols = ["query_id", "sugg_rank"]
+            empty_cols = ["query_id", "sugg_rank", "term", "df"]
+        else:
+            sort_cols = ["query_id", "dist"]
+            empty_cols = SUGGEST_COLUMNS
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=sort_cols,
+            empty_cols=empty_cols)
+
+    async def prefix_search(
+        self,
+        queries: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        *,
+        mode: str = "prefix",
+        max_terms: int = 128,
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve prefix retrieval through the router — ``mode`` ∈
+        prefix (Lucene PrefixQuery: :func:`suggest.prefix_search`
+        semantics) | bool_prefix (ES match_bool_prefix:
+        :func:`suggest.match_bool_prefix_search` semantics). The prefix
+        expands against the lexicon in-actor (one pushdown range read
+        per prefix, subtrie-bounded), then the expanded OR-term query
+        flows through :meth:`search` — inheriting its admission control
+        AND its request cache keyed on the EXPANDED text, so repeated
+        prefixes skip the shard fan-out entirely."""
+        from splade_ray.suggest import expand_prefix
+
+        if mode not in ("prefix", "bool_prefix"):
+            raise ValueError(f"unknown prefix mode {mode!r}")
+        expanded = []
+        for qid, text in queries:
+            if mode == "prefix":
+                terms = expand_prefix(self.index_dir, text,
+                                      max_terms=max_terms)
+            else:
+                from splade_ray.analysis import tokenize
+
+                toks = tokenize(text or "", query_lang)
+                if not toks:
+                    continue
+                *fixed, pre = toks
+                terms = list(fixed) + expand_prefix(self.index_dir, pre,
+                                                    max_terms=max_terms)
+            if terms:
+                expanded.append((int(qid), " ".join(terms)))
+        if not expanded:
+            return pd.DataFrame(columns=RUN_COLUMNS).astype(
+                {"query_id": np.int64, "rank": np.int32,
+                 "doc_id": np.int64, "score": np.float64})
+        return await self.search(expanded, params, query_lang=query_lang,
+                                 deadline_s=deadline_s)
+
     async def collapse_search(
         self,
         queries: list[tuple[int, str]],
@@ -2364,6 +2522,18 @@ class RouterPool:
                         backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
         """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
         return self._failover_call("collapse_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def suggest(self, queries, *, max_sweeps: int = 4,
+                backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.suggest`."""
+        return self._failover_call("suggest", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def prefix_search(self, queries, *, max_sweeps: int = 4,
+                      backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.prefix_search`."""
+        return self._failover_call("prefix_search", (queries,), kwargs,
                                    max_sweeps, backoff_s)
 
     def stats(self) -> dict:

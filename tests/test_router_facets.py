@@ -155,3 +155,63 @@ def test_router_collapse_parity(index):
     assert st["cache_hits"] >= st0["cache_hits"] + 3
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_suggest_and_prefix_parity(index):
+    from splade_ray.suggest import (
+        complete_prefix,
+        fuzzy_search,
+        match_bool_prefix_search,
+        prefix_search,
+        suggest_terms,
+    )
+
+    r = QueryRouter.remote(index, num_shards=2, cache_size=16)
+    p = BM25Params(top_k=5)
+    # fuzzy did-you-mean (resident-lexicon fast path) vs the Dataset scan
+    fq = [(1, "parze"), (2, "merg")]
+    want = suggest_terms(index, fq, max_dist=2, m=4)
+    got = ray.get(r.suggest.remote(fq, kind="fuzzy", max_dist=2, m=4))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # completion suggester
+    cq = [(1, "pa"), (2, "me")]
+    want_c = complete_prefix(index, cq, m=3)
+    got_c = ray.get(r.suggest.remote(cq, kind="complete", m=3))
+    pd.testing.assert_frame_equal(got_c, want_c, check_dtype=False)
+    # PrefixQuery retrieval through the router
+    pq_q = [(1, "par"), (2, "mer")]
+    want_p = prefix_search(index, pq_q, p)
+    got_p = ray.get(r.prefix_search.remote(pq_q, p))
+    pd.testing.assert_frame_equal(got_p, want_p, check_dtype=False)
+    # match_bool_prefix
+    bq = [(1, "def par"), (2, "return mer")]
+    want_b = match_bool_prefix_search(index, bq, p)
+    got_b = ray.get(r.prefix_search.remote(bq, p, mode="bool_prefix"))
+    pd.testing.assert_frame_equal(got_b, want_b, check_dtype=False)
+    # fuzzy retrieval = suggest expansion + the router's own search
+    st0 = ray.get(r.stats.remote())
+    rep = ray.get(r.suggest.remote(fq, kind="fuzzy", max_dist=2, m=4))
+    st = ray.get(r.stats.remote())
+    assert st["cache_hits"] >= st0["cache_hits"] + 2  # suggestion cached
+    pd.testing.assert_frame_equal(rep, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
+
+
+def test_router_fuzzy_retrieval_via_expansion(index):
+    """fuzzy_search parity: expand with the router's suggest endpoint and
+    score the expanded OR-terms through the router's search — equals the
+    one-shot Dataset fuzzy_search."""
+    from splade_ray.suggest import fuzzy_search
+
+    r = QueryRouter.remote(index, num_shards=2)
+    p = BM25Params(top_k=5)
+    fq = [(7, "parze")]
+    want = fuzzy_search(index, fq, p, max_dist=1, max_terms=8)
+    sugg = ray.get(r.suggest.remote(fq, kind="fuzzy", max_dist=1, m=8))
+    expanded = [(int(qid), " ".join(g["term"].tolist()))
+                for qid, g in sugg.groupby("query_id", sort=True)]
+    got = ray.get(r.search.remote(expanded, p))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
