@@ -347,6 +347,39 @@ def run_bench() -> dict:
         }
         os.remove(extra)
 
+    # realistic-vocabulary sub-leg (recorded in the default run so every
+    # BENCH_r{N}.json carries the vocabulary axis): a compact Zipf corpus
+    # (100k docs over the same 200k-term candidate vocabulary), one
+    # build + query p50. Corpus prep is cached in /tmp like the others.
+    zipf_metrics = {}
+    if vocab_mode != "zipf" and os.environ.get("BENCH_SKIP_TRIGRAM") != "1":
+        import pyarrow.dataset as _pads
+
+        zc = prepare_corpus_zipf(100_000, ZIPF_VOCAB, ZIPF_S)
+        zi = f"/tmp/splade_ray_bench/zipf-index-{ncpu}-{os.getpid()}"
+        shutil.rmtree(zi, ignore_errors=True)
+        tz = time.monotonic()
+        zman = build_index(zc, zi, text_col="content", rows_per_segment=5000,
+                           block_size=128)
+        z_build = time.monotonic() - tz
+        zs = Searcher(zi, num_shards=min(8, max(2, ncpu // 4)))
+        zs.search(ZIPF_QUERIES, params)  # warm
+        zlat = []
+        for _ in range(15):
+            q0 = time.monotonic()
+            zs.search(ZIPF_QUERIES, params)
+            zlat.append(time.monotonic() - q0)
+        zs.shutdown()
+        zipf_metrics = {
+            "zipf_docs_per_sec": round(zman["n_docs"] / z_build, 1),
+            "zipf_build": round(z_build, 3),
+            "zipf_query_p50": round(float(np.percentile(zlat, 50)), 4),
+            "zipf_n_terms": int(_pads.dataset(
+                os.path.join(zi, "lexicon")).count_rows()),
+            "zipf_n_docs": zman["n_docs"],
+        }
+        shutil.rmtree(zi, ignore_errors=True)
+
     # wide-op stage: salted groupby(term) posting store over flat postings
     from splade_ray.analysis import postings_batch
     from splade_ray.io import read_parquet_clean
@@ -396,6 +429,7 @@ def run_bench() -> dict:
         **{k: v for k, v in dup_metrics.items() if k != "dup_spans_scan"},
         **{k: v for k, v in dsir_metrics.items() if k != "dsir_fit_and_score"},
         **{k: v for k, v in tri_metrics.items() if k != "queries"},
+        **zipf_metrics,
         "sf": sf_dir,
         "vocab": vocab_mode or "replicated-sf",
         "num_cpus": ncpu,
