@@ -16,9 +16,10 @@ import pyarrow.parquet as pq
 import ray
 
 
-def drive(pool, batches, *, window: int = 32, duration_s: float = 8.0):
+def drive(submit, batches, *, window: int = 32, duration_s: float = 8.0):
     """Fire requests round-robin keeping `window` in flight; returns
-    (completed, shed, elapsed, p50_latency)."""
+    (completed, shed, elapsed, p50_latency). ``submit`` maps one batch
+    to an ObjectRef (endpoint-agnostic)."""
     from splade_ray.query import RouterOverloaded
 
     t0 = time.perf_counter()
@@ -31,7 +32,7 @@ def drive(pool, batches, *, window: int = 32, duration_s: float = 8.0):
         if now >= duration_s and not inflight:
             break
         while len(inflight) < window and now < duration_s:
-            ref = pool.submit(batches[i % len(batches)])
+            ref = submit(batches[i % len(batches)])
             inflight[ref] = time.perf_counter()
             i += 1
         ready, _ = ray.wait(list(inflight), num_returns=1,
@@ -84,7 +85,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="serve-") as td:
         idx = os.path.join(td, "index")
         build_index(docs_path, idx, text_col="text", id_col="doc_id",
-                    rows_per_segment=max(1000, n_docs // 32))
+                    rows_per_segment=max(1000, n_docs // 32),
+                    extra_doc_cols=("lang",))
         p = BM25Params(top_k=10)
 
         for label, cache in (("uncached", 0), ("cached", 512)):
@@ -93,7 +95,7 @@ def main() -> None:
             # warm actors (and, for the cached run, the hot entries)
             for b in hot:
                 pool.search(b, p)
-            done, shed, elapsed, p50 = drive(pool, mix)
+            done, shed, elapsed, p50 = drive(pool.submit, mix)
             st = pool.stats()
             out[f"qps_{label}"] = round(done / elapsed, 1)
             out[f"shed_{label}"] = shed
@@ -104,6 +106,54 @@ def main() -> None:
                 out["cache_misses"] = sum(
                     r["cache_misses"] for r in st["replicas"])
             pool.shutdown()
+
+        # heterogeneous-endpoint leg (round-5 serving tier): one cached
+        # pool serving scoring + completion + fuzzy suggest + prefix +
+        # facet counts + collapse concurrently under the same admission
+        # window — the mixed traffic a real search box produces
+        pool = RouterPool(idx, n_routers=2, num_shards=8,
+                          max_inflight=8, queue_cap=64, cache_size=512)
+        state = {"rr": 0}
+
+        def submit_any(req):
+            kind, payload = req
+            r = pool.routers[state["rr"] % len(pool.routers)]
+            state["rr"] += 1
+            if kind == "search":
+                return r.search.remote(payload, p)
+            if kind == "complete":
+                return r.suggest.remote(payload, kind="complete", m=5)
+            if kind == "fuzzy":
+                return r.suggest.remote(payload, kind="fuzzy",
+                                        max_dist=1, m=4)
+            if kind == "prefix":
+                return r.prefix_search.remote(payload, p)
+            if kind == "facet":
+                return r.facet_search.remote(payload, kind="counts",
+                                             facet_col="lang")
+            return r.collapse_search.remote(payload, collapse_col="lang",
+                                            params=p)
+
+        prefixes = [[(500 + j, pre)] for j, pre in enumerate(
+            ["da", "mo", "in", "ca", "st", "fi"])]
+        fuzz = [[(600 + j, w)] for j, w in enumerate(
+            ["dataa", "modle", "indx", "cachee"])]
+        kinds = ["search", "complete", "fuzzy", "prefix", "facet",
+                 "collapse"]
+        mixed = []
+        for j in range(2000):
+            k = kinds[rng.randint(len(kinds))] if rng.rand() < 0.6 else "search"
+            payload = (hot[j % 4] if k in ("search", "facet", "collapse")
+                       else prefixes[j % len(prefixes)] if k in ("complete", "prefix")
+                       else fuzz[j % len(fuzz)])
+            mixed.append((k, payload))
+        for b in hot:
+            pool.search(b, p)
+        done, shed, elapsed, p50 = drive(submit_any, mixed)
+        out["qps_mixed_cached"] = round(done / elapsed, 1)
+        out["shed_mixed"] = shed
+        out["p50_mixed_s"] = round(p50, 5) if p50 else None
+        pool.shutdown()
 
     print(json.dumps(out))
     ray.shutdown()
