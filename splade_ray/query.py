@@ -1550,6 +1550,21 @@ class IndexShardActor:
                  for seg in self.segments]
         return _pa.concat_tables(parts) if parts else None
 
+    def bool_score(self, prepared: dict) -> list[tuple[int, int, float]]:
+        """Serve boolean-filtered BM25 (must / should / must_not /
+        minimum_should_match / numeric FILTER clause) from the resident
+        segments — the same kernel the Dataset pipeline runs
+        (boolq.score_segment_bool; tombstones already applied at segment
+        load). Float-index shards only."""
+        from splade_ray.boolq import score_segment_bool
+
+        if self.method in ("quantized", "quantized_bmw"):
+            raise ValueError("bool queries need a float-index shard")
+        rows: list[tuple[int, int, float]] = []
+        for seg in self.segments:
+            rows.extend(score_segment_bool(seg, prepared))
+        return rows
+
     def facet(self, prepared: dict, spec: dict):
         """Serve a terms-bucket aggregation (facet counts / facet stats /
         top_hits) from the resident segments — the same kernels the
@@ -2319,6 +2334,66 @@ class QueryRouter:
         return await self.search(expanded, params, query_lang=query_lang,
                                  deadline_s=deadline_s)
 
+    async def bool_search(
+        self,
+        queries: list[tuple[int, dict]],
+        params: BM25Params | None = None,
+        *,
+        query_lang: str | None = None,
+        range_filter: tuple[str, float | None, float | None] | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve boolean retrieval through the resident shards — each
+        query is ``(qid, {"must": text, "should": text, "must_not":
+        text, "minimum_should_match": n})`` with the exact
+        :func:`boolq.boolean_search` semantics (shared kernel). Same
+        admission control and request cache as :meth:`search`; the cache
+        key canonicalizes the clause dict, so repeated boolean requests
+        answer from router memory."""
+        import asyncio
+        import json as _json
+
+        from splade_ray.boolq import prepare_bool_queries
+
+        if self.quant_extra:
+            raise ValueError("bool queries need a float-index router")
+        p = params or BM25Params()
+
+        async def fetch(missing):
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
+            )
+            try:
+                prepared = prepare_bool_queries(
+                    self.index_dir, missing, p, query_lang=query_lang)
+                if range_filter:
+                    prepared = {**prepared, "range_filter": range_filter}
+                results = await asyncio.gather(
+                    *[a.bool_score.remote(prepared) for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            rows = [r for part in results for r in part]
+            if not rows:
+                return pd.DataFrame(columns=RUN_COLUMNS)
+            df = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+            out = (
+                df.groupby("query_id", group_keys=False)
+                .apply(lambda g: merge_topk(g, top_k=p.top_k))
+                .reset_index(drop=True)
+            )
+            return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+        def key_of(qid, spec):
+            return ("bool", _json.dumps(spec, sort_keys=True), query_lang,
+                    p.k1, p.b, p.top_k, p.threshold, range_filter)
+
+        return await self._serve_cached(
+            queries, key_of, fetch, sort_cols=["query_id", "rank"],
+            empty_cols=RUN_COLUMNS)
+
     async def collapse_search(
         self,
         queries: list[tuple[int, str]],
@@ -2522,6 +2597,12 @@ class RouterPool:
                         backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
         """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
         return self._failover_call("collapse_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def bool_search(self, queries, *, max_sweeps: int = 4,
+                    backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.bool_search`."""
+        return self._failover_call("bool_search", (queries,), kwargs,
                                    max_sweeps, backoff_s)
 
     def suggest(self, queries, *, max_sweeps: int = 4,

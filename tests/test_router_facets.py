@@ -215,3 +215,31 @@ def test_router_fuzzy_retrieval_via_expansion(index):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_bool_search_parity(index):
+    from splade_ray.boolq import boolean_search
+
+    r = QueryRouter.remote(index, num_shards=2, cache_size=8)
+    p = BM25Params(top_k=6)
+    bq = [
+        (1, {"must": "def", "should": "parse merge", "must_not": "zz9"}),
+        (2, {"should": "return x1", "minimum_should_match": 2}),
+        (3, {"must": "zzz_none"}),
+    ]
+    want = boolean_search(index, bq, p)
+    got = ray.get(r.bool_search.remote(bq, p))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # numeric FILTER clause through the router
+    want_f = boolean_search(index, bq, p, range_filter=("n_bytes", 100, None))
+    got_f = ray.get(r.bool_search.remote(
+        bq, p, range_filter=("n_bytes", 100, None)))
+    pd.testing.assert_frame_equal(got_f, want_f, check_dtype=False)
+    # repeat: full cache hit, no new admission
+    st0 = ray.get(r.stats.remote())
+    rep = ray.get(r.bool_search.remote(bq, p))
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == st0["admitted"]
+    pd.testing.assert_frame_equal(rep, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
