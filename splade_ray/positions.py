@@ -327,12 +327,21 @@ def _decode_runs(
 
 
 class SegmentPositions:
-    """One segment's positional postings, pruned to the query's terms."""
+    """One segment's positional postings, pruned to the query's terms.
+    :meth:`ensure_terms` extends the pruned set incrementally (one
+    pushdown read per batch of NEW terms, absent terms remembered), so a
+    resident instance in a serving actor grows to cover its query
+    traffic instead of reloading per request."""
 
     def __init__(self, seg_dir: str, terms: list[str], with_doc_len: bool = False):
+        self.seg_dir = seg_dir
         src = pads.dataset(os.path.join(seg_dir, "positions.parquet"))
-        self.tbl = src.to_table(filter=pads.field("term").isin(terms))
+        if terms:
+            self.tbl = src.to_table(filter=pads.field("term").isin(terms))
+        else:
+            self.tbl = src.schema.empty_table()
         self._by_term = {t: i for i, t in enumerate(self.tbl["term"].to_pylist())}
+        self._absent = {t for t in terms if t not in self._by_term}
         self._cache: dict[str, tuple] = {}
         self._dl: tuple[np.ndarray, np.ndarray] | None = None
         if with_doc_len:
@@ -343,6 +352,25 @@ class SegmentPositions:
                 dl["doc_id"].to_numpy().astype(np.int64),
                 dl["doc_len"].to_numpy().astype(np.int64),
             )
+
+    def ensure_terms(self, terms: list[str]) -> None:
+        """Load any terms not yet resident (one pushdown isin read);
+        terms absent from the layer are remembered so repeated misses
+        never re-read."""
+        missing = [t for t in terms
+                   if t not in self._by_term and t not in self._absent]
+        if not missing:
+            return
+        extra = pads.dataset(
+            os.path.join(self.seg_dir, "positions.parquet")
+        ).to_table(filter=pads.field("term").isin(missing))
+        if extra.num_rows:
+            base = self.tbl.num_rows
+            self.tbl = pa.concat_tables([self.tbl, extra])
+            for j, t in enumerate(extra["term"].to_pylist()):
+                self._by_term[t] = base + j
+        found = set(extra["term"].to_pylist())
+        self._absent.update(t for t in missing if t not in found)
 
     def doc_lens(self, doc_ids: np.ndarray) -> np.ndarray:
         ids, lens = self._dl

@@ -1498,6 +1498,8 @@ class IndexShardActor:
                 SegmentIndex(d, terms=None, tombstones=tombstones) for d in seg_dirs
             ]
         self.method = method
+        self._tomb = tombstones  # for layers loaded lazily (phrase)
+        self._positions: dict[str, object] = {}  # seg_dir -> SegmentPositions
 
     def search(self, prepared: dict) -> list[tuple[int, int, float]]:
         rows: list[tuple[int, int, float]] = []
@@ -1549,6 +1551,52 @@ class IndexShardActor:
         parts = [segment_agg_rows(seg, prepared, spec)
                  for seg in self.segments]
         return _pa.concat_tables(parts) if parts else None
+
+    def phrase(self, spec: dict):
+        """Evaluate phrases against the resident segments' POSITIONS
+        layer — the serving half of :func:`positions.phrase_topk`: each
+        segment's :class:`positions.SegmentPositions` stays resident and
+        grows its pruned term set across requests (``ensure_terms``).
+        Returns the complete per-segment match partials (phrase_id,
+        doc_id, phrase_count, doc_len), tombstone-filtered; the router
+        computes phrase dfs + BM25 ranking over the union. Float-index
+        shards only."""
+        from splade_ray.positions import SegmentPositions
+
+        if self.method in ("quantized", "quantized_bmw"):
+            raise ValueError("phrase queries need a float-index shard")
+        terms = spec["terms"]
+        pids, docs_out, counts_out, dls_out = [], [], [], []
+        for seg in self.segments:
+            sp = self._positions.get(seg.seg_dir)
+            if sp is None:
+                sp = SegmentPositions(seg.seg_dir, terms, with_doc_len=True)
+                self._positions[seg.seg_dir] = sp
+            else:
+                sp.ensure_terms(terms)
+            for pid, phrase in spec["phrases"].items():
+                docs, counts = sp.phrase_counts(phrase)
+                if docs.size and self._tomb is not None and self._tomb.size:
+                    keep = ~np.isin(docs, self._tomb)
+                    docs, counts = docs[keep], counts[keep]
+                if not docs.size:
+                    continue
+                pids.extend([int(pid)] * docs.size)
+                docs_out.append(docs)
+                counts_out.append(counts)
+                dls_out.append(sp.doc_lens(docs))
+        import pyarrow as _pa
+
+        return _pa.table({
+            "phrase_id": _pa.array(np.asarray(pids, np.int64)),
+            "doc_id": _pa.array(
+                np.concatenate(docs_out) if docs_out else np.empty(0, np.int64)),
+            "phrase_count": _pa.array(
+                np.concatenate(counts_out) if counts_out
+                else np.empty(0, np.int64)),
+            "doc_len": _pa.array(
+                np.concatenate(dls_out) if dls_out else np.empty(0, np.int64)),
+        })
 
     def bool_score(self, prepared: dict) -> list[tuple[int, int, float]]:
         """Serve boolean-filtered BM25 (must / should / must_not /
@@ -2334,6 +2382,99 @@ class QueryRouter:
         return await self.search(expanded, params, query_lang=query_lang,
                                  deadline_s=deadline_s)
 
+    async def phrase_topk(
+        self,
+        phrases: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        *,
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve BM25-ranked phrase retrieval through the resident shards
+        — exact :func:`positions.phrase_topk` semantics (each phrase is
+        ONE virtual term: tf = occurrence count, df = docs containing the
+        phrase; parity-tested). Shard partials are the complete match
+        tables (phrase matches are selective by nature); the router
+        derives global phrase dfs from their union, then scores and cuts.
+        Requires the positions layer; same admission control and request
+        cache as :meth:`search`."""
+        import asyncio
+
+        from splade_ray.analysis import tokenize
+        from splade_ray.bm25 import idf, tf_component
+        from splade_ray.positions import (
+            PHRASE_RUN_COLS,
+            PHRASE_RUN_TYPES,
+            load_positions_manifest,
+        )
+
+        if self.quant_extra:
+            raise ValueError("phrase queries need a float-index router")
+        p = params or BM25Params()
+        pman = load_positions_manifest(self.index_dir)
+        lang = query_lang if query_lang is not None else pman.get("analyzer")
+        man = load_manifest(self.index_dir)
+        n_docs, avgdl = man["n_docs"], man["avgdl"]
+
+        async def fetch(missing):
+            tokenized = {
+                int(pid): (tokenize(text, lang) if lang else tokenize(text))
+                for pid, text in missing
+            }
+            tokenized = {pid: ts for pid, ts in tokenized.items() if ts}
+            empty = pd.DataFrame(
+                columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES).rename(
+                columns={"phrase_id": "query_id"})
+            if not tokenized:
+                return empty
+            spec = {
+                "phrases": tokenized,
+                "terms": sorted({t for ts in tokenized.values() for t in ts}),
+            }
+            await self._admit(
+                deadline_s if deadline_s is not None
+                else self._default_deadline
+            )
+            try:
+                results = await asyncio.gather(
+                    *[a.phrase.remote(spec) for a in self.actors]
+                )
+            finally:
+                self._inflight -= 1
+                self._slots.release()
+            import pyarrow as _pa
+
+            pdf = _pa.concat_tables(results).to_pandas()
+            if pdf.empty:
+                return empty
+            # global phrase dfs over the union (segments partition docs,
+            # so the match table has one row per (phrase, doc))
+            dfs = pdf.groupby("phrase_id").size()
+            w = {int(pid): idf(int(df), n_docs) for pid, df in dfs.items()}
+            ws = pdf["phrase_id"].map(w).to_numpy(np.float64)
+            pdf["score"] = ws * tf_component(
+                pdf["phrase_count"].to_numpy(np.float64),
+                pdf["doc_len"].to_numpy(np.float64), avgdl, p)
+            pdf = pdf[pdf["score"] > p.threshold].sort_values(
+                ["phrase_id", "score", "doc_id"],
+                ascending=[True, False, True], kind="mergesort")
+            pdf["rank"] = (pdf.groupby("phrase_id").cumcount() + 1
+                           ).astype(np.int32)
+            pdf = pdf[pdf["rank"] <= p.top_k]
+            out = pdf[PHRASE_RUN_COLS].rename(
+                columns={"phrase_id": "query_id"})
+            return out.reset_index(drop=True)
+
+        def key_of(qid, text):
+            return ("phrase", text, lang, p.k1, p.b, p.top_k, p.threshold)
+
+        out = await self._serve_cached(
+            phrases, key_of, fetch, sort_cols=["query_id", "rank"],
+            empty_cols=["query_id", "rank", "doc_id", "score"])
+        return out.rename(columns={"query_id": "phrase_id"})[
+            PHRASE_RUN_COLS] if len(out) else pd.DataFrame(
+            columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES)
+
     async def bool_search(
         self,
         queries: list[tuple[int, dict]],
@@ -2597,6 +2738,12 @@ class RouterPool:
                         backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
         """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
         return self._failover_call("collapse_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def phrase_topk(self, phrases, *, max_sweeps: int = 4,
+                    backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.phrase_topk`."""
+        return self._failover_call("phrase_topk", (phrases,), kwargs,
                                    max_sweeps, backoff_s)
 
     def bool_search(self, queries, *, max_sweeps: int = 4,

@@ -243,3 +243,28 @@ def test_router_bool_search_parity(index):
     pd.testing.assert_frame_equal(rep, want, check_dtype=False)
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_phrase_topk_parity(index):
+    from splade_ray.positions import build_positions, phrase_topk
+
+    build_positions(index)
+    r = QueryRouter.remote(index, num_shards=2, cache_size=8)
+    p = BM25Params(top_k=6)
+    phq = [(1, "def parse"), (2, "return x1"), (3, "zzz nothing here")]
+    want = phrase_topk(index, phq, p)
+    got = ray.get(r.phrase_topk.remote(phq, p))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # repeat: full cache hit, no new admission; resident positions reused
+    st0 = ray.get(r.stats.remote())
+    rep = ray.get(r.phrase_topk.remote(phq, p))
+    st = ray.get(r.stats.remote())
+    assert st["admitted"] == st0["admitted"]
+    pd.testing.assert_frame_equal(rep, want, check_dtype=False)
+    # a new phrase over partly-new terms exercises ensure_terms
+    phq2 = [(9, "merge sort")]
+    want2 = phrase_topk(index, phq2, p)
+    got2 = ray.get(r.phrase_topk.remote(phq2, p))
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
