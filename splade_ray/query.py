@@ -2346,23 +2346,35 @@ class QueryRouter:
         query_lang: str | None = None,
         deadline_s: float | None = None,
     ) -> pd.DataFrame:
-        """Serve prefix retrieval through the router — ``mode`` ∈
-        prefix (Lucene PrefixQuery: :func:`suggest.prefix_search`
+        """Serve multi-term expansion retrieval through the router —
+        ``mode`` ∈ prefix (Lucene PrefixQuery: :func:`suggest.prefix_search`
         semantics) | bool_prefix (ES match_bool_prefix:
-        :func:`suggest.match_bool_prefix_search` semantics). The prefix
-        expands against the lexicon in-actor (one pushdown range read
-        per prefix, subtrie-bounded), then the expanded OR-term query
-        flows through :meth:`search` — inheriting its admission control
-        AND its request cache keyed on the EXPANDED text, so repeated
-        prefixes skip the shard fan-out entirely."""
-        from splade_ray.suggest import expand_prefix
+        :func:`suggest.match_bool_prefix_search`) | wildcard (Lucene
+        WildcardQuery: :func:`suggest.wildcard_search`) | regexp (ES
+        RegexpQuery: :func:`suggest.regexp_search`). The pattern expands
+        against the lexicon in-actor (pushdown range read pruned by the
+        pattern's literal prefix), then the expanded OR-term query flows
+        through :meth:`search` — inheriting its admission control AND
+        its request cache keyed on the EXPANDED text, so repeated
+        patterns skip the shard fan-out entirely."""
+        from splade_ray.suggest import (
+            expand_prefix,
+            expand_regexp,
+            expand_wildcard,
+        )
 
-        if mode not in ("prefix", "bool_prefix"):
+        if mode not in ("prefix", "bool_prefix", "wildcard", "regexp"):
             raise ValueError(f"unknown prefix mode {mode!r}")
         expanded = []
         for qid, text in queries:
             if mode == "prefix":
                 terms = expand_prefix(self.index_dir, text,
+                                      max_terms=max_terms)
+            elif mode == "wildcard":
+                terms = expand_wildcard(self.index_dir, text,
+                                        max_terms=max_terms)
+            elif mode == "regexp":
+                terms = expand_regexp(self.index_dir, text,
                                       max_terms=max_terms)
             else:
                 from splade_ray.analysis import tokenize
@@ -2474,6 +2486,54 @@ class QueryRouter:
         return out.rename(columns={"query_id": "phrase_id"})[
             PHRASE_RUN_COLS] if len(out) else pd.DataFrame(
             columns=PHRASE_RUN_COLS).astype(PHRASE_RUN_TYPES)
+
+    async def more_like_this(
+        self,
+        corpus_path: str,
+        seed_ids: list[int],
+        *,
+        m_terms: int = 10,
+        params: BM25Params | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve more-like-this through the router — exact
+        :func:`mlt.more_like_this` semantics (parity-tested): seed docs'
+        texts fetch by pushdown, the MLT term selection runs in-actor,
+        and the expanded query flows through :meth:`search` (top_k+1 +
+        self-hit filter), inheriting its admission control and request
+        cache keyed on the expanded text."""
+        import pyarrow.dataset as pads
+
+        from splade_ray.mlt import select_terms
+
+        p = params or BM25Params()
+        flt = pads.field(id_col).isin([int(s) for s in seed_ids])
+        tbl = pads.dataset(corpus_path).to_table(
+            columns=[id_col, text_col], filter=flt)
+        seed_texts = dict(zip(
+            tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+            tbl[text_col].to_pylist()))
+        missing = set(map(int, seed_ids)) - set(seed_texts)
+        if missing:
+            raise KeyError(f"seed doc ids not found in corpus: "
+                           f"{sorted(missing)}")
+        terms = select_terms(self.index_dir, seed_texts, m_terms, query_lang)
+        queries = [(sid, " ".join(ts)) for sid, ts in terms.items() if ts]
+        if not queries:
+            return pd.DataFrame(columns=RUN_COLUMNS).astype(
+                {"query_id": np.int64, "rank": np.int32,
+                 "doc_id": np.int64, "score": np.float64})
+        over = BM25Params(k1=p.k1, b=p.b, top_k=p.top_k + 1,
+                          threshold=p.threshold)
+        run = await self.search(queries, over, query_lang=query_lang,
+                                deadline_s=deadline_s)
+        run = run[run["doc_id"] != run["query_id"]].copy()  # self-hit
+        run["rank"] = run.groupby("query_id").cumcount().add(1).astype(np.int32)
+        run = run[run["rank"] <= p.top_k]
+        return run.reset_index(drop=True)[RUN_COLUMNS]
 
     async def bool_search(
         self,
@@ -2738,6 +2798,13 @@ class RouterPool:
                         backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
         """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
         return self._failover_call("collapse_search", (queries,), kwargs,
+                                   max_sweeps, backoff_s)
+
+    def more_like_this(self, corpus_path, seed_ids, *, max_sweeps: int = 4,
+                       backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.more_like_this`."""
+        return self._failover_call("more_like_this",
+                                   (corpus_path, seed_ids), kwargs,
                                    max_sweeps, backoff_s)
 
     def phrase_topk(self, phrases, *, max_sweeps: int = 4,

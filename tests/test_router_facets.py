@@ -268,3 +268,37 @@ def test_router_phrase_topk_parity(index):
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_wildcard_regexp_parity(index):
+    from splade_ray.suggest import regexp_search, wildcard_search
+
+    r = QueryRouter.remote(index, num_shards=2)
+    p = BM25Params(top_k=5)
+    wq = [(1, "par*"), (2, "mer?e"), (3, "zzz*")]
+    want_w = wildcard_search(index, wq, p)
+    got_w = ray.get(r.prefix_search.remote(wq, p, mode="wildcard"))
+    pd.testing.assert_frame_equal(got_w, want_w, check_dtype=False)
+    rq = [(1, "par.*"), (2, "ret(urn)?"), (3, "qqqqq+")]
+    want_r = regexp_search(index, rq, p)
+    got_r = ray.get(r.prefix_search.remote(rq, p, mode="regexp"))
+    pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
+
+
+def test_router_more_like_this_parity(index, tmp_path):
+    from splade_ray.mlt import more_like_this
+
+    # the fixture wrote the corpus parquet next to the index
+    corpus = str(tmp_path / "c.parquet")
+    r = QueryRouter.remote(index, num_shards=2)
+    p = BM25Params(top_k=5)
+    want = more_like_this(index, corpus, [0, 7], params=p,
+                          text_col="content", id_col="doc_id")
+    got = ray.get(r.more_like_this.remote(corpus, [0, 7], params=p,
+                                          text_col="content",
+                                          id_col="doc_id"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
