@@ -87,6 +87,9 @@ def main() -> None:
         build_index(docs_path, idx, text_col="text", id_col="doc_id",
                     rows_per_segment=max(1000, n_docs // 32),
                     extra_doc_cols=("lang",))
+        from splade_ray.positions import build_positions
+
+        build_positions(idx)  # phrase endpoint in the mixed leg
         p = BM25Params(top_k=10)
 
         for label, cache in (("uncached", 0), ("cached", 512)):
@@ -131,6 +134,13 @@ def main() -> None:
             if kind == "facet":
                 return r.facet_search.remote(payload, kind="counts",
                                              facet_col="lang")
+            if kind == "bool":
+                return r.bool_search.remote(
+                    [(qid, {"must": text.split()[0],
+                            "should": " ".join(text.split()[1:])})
+                     for qid, text in payload], p)
+            if kind == "phrase":
+                return r.phrase_topk.remote(payload, p)
             return r.collapse_search.remote(payload, collapse_col="lang",
                                             params=p)
 
@@ -139,11 +149,13 @@ def main() -> None:
         fuzz = [[(600 + j, w)] for j, w in enumerate(
             ["dataa", "modle", "indx", "cachee"])]
         kinds = ["search", "complete", "fuzzy", "prefix", "facet",
-                 "collapse"]
+                 "collapse", "bool", "phrase"]
         mixed = []
         for j in range(2000):
             k = kinds[rng.randint(len(kinds))] if rng.rand() < 0.6 else "search"
-            payload = (hot[j % 4] if k in ("search", "facet", "collapse")
+            payload = (hot[j % 4]
+                       if k in ("search", "facet", "collapse", "bool",
+                                "phrase")
                        else prefixes[j % len(prefixes)] if k in ("complete", "prefix")
                        else fuzz[j % len(fuzz)])
             mixed.append((k, payload))
