@@ -2535,6 +2535,48 @@ class QueryRouter:
         run = run[run["rank"] <= p.top_k]
         return run.reset_index(drop=True)[RUN_COLUMNS]
 
+    async def rm3_search(
+        self,
+        corpus_path: str,
+        queries: list[tuple[int, str]],
+        params: BM25Params | None = None,
+        *,
+        fb_docs: int = 5,
+        fb_terms: int = 8,
+        exp_qtf: int = 1,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        query_lang: str | None = None,
+        deadline_s: float | None = None,
+    ) -> pd.DataFrame:
+        """Serve two-pass RM3 pseudo-relevance feedback through the router
+        — exact :func:`rm3.rm3_search` semantics (parity-tested): the
+        feedback pass and the expanded pass both ride :meth:`search`
+        (admission + request cache on each), and the integer term mining
+        runs in-actor over a pushdown read of the feedback docs only."""
+        from splade_ray.rm3 import mine_expansion_terms
+
+        p = params or BM25Params()
+        fb_params = BM25Params(k1=p.k1, b=p.b, top_k=fb_docs,
+                               threshold=p.threshold)
+        fb_run = await self.search(queries, fb_params,
+                                   query_lang=query_lang,
+                                   deadline_s=deadline_s)
+        exp = mine_expansion_terms(
+            self.index_dir, corpus_path, queries, fb_run,
+            fb_terms=fb_terms, text_col=text_col, id_col=id_col,
+            query_lang=query_lang)
+        by_q = (exp.groupby("query_id")["term"].apply(list).to_dict()
+                if not exp.empty else {})
+        expanded = [
+            (qid, text + (" " + " ".join(by_q[qid] * exp_qtf)
+                          if by_q.get(qid) else ""))
+            for qid, text in queries
+        ]
+        run = await self.search(expanded, p, query_lang=query_lang,
+                                deadline_s=deadline_s)
+        return run[RUN_COLUMNS]
+
     async def bool_search(
         self,
         queries: list[tuple[int, dict]],
@@ -2799,6 +2841,12 @@ class RouterPool:
         """Failover wrapper over :meth:`QueryRouter.collapse_search`."""
         return self._failover_call("collapse_search", (queries,), kwargs,
                                    max_sweeps, backoff_s)
+
+    def rm3_search(self, corpus_path, queries, *, max_sweeps: int = 4,
+                   backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:
+        """Failover wrapper over :meth:`QueryRouter.rm3_search`."""
+        return self._failover_call("rm3_search", (corpus_path, queries),
+                                   kwargs, max_sweeps, backoff_s)
 
     def more_like_this(self, corpus_path, seed_ids, *, max_sweeps: int = 4,
                        backoff_s: float = 0.05, **kwargs) -> pd.DataFrame:

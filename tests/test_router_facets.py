@@ -302,3 +302,19 @@ def test_router_more_like_this_parity(index, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     ray.get(r.shutdown.remote())
     ray.kill(r)
+
+
+def test_router_rm3_parity(index, tmp_path):
+    from splade_ray.rm3 import rm3_search
+
+    corpus = str(tmp_path / "c.parquet")
+    r = QueryRouter.remote(index, num_shards=2)
+    p = BM25Params(top_k=5)
+    q = [(1, "def parse"), (2, "merge sort")]
+    want = rm3_search(index, corpus, q, p, fb_docs=3, fb_terms=4,
+                      text_col="content", id_col="doc_id")
+    got = ray.get(r.rm3_search.remote(corpus, q, p, fb_docs=3, fb_terms=4,
+                                      text_col="content", id_col="doc_id"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ray.get(r.shutdown.remote())
+    ray.kill(r)
